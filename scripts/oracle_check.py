@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 gate.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+paired oracle SQL from oracle_sql.json in DuckDB against the sfDir tables, and
+compares: schema (column names sorted), row count, and per-row values with
+columns sorted by name. Exits nonzero if any query mismatches.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 4dp outputs: exact repr after round-trip
+        return repr(v)
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def rows_of(cur):
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
+    return [cols[i] for i in order], data
+
+
+def main(sf_dir, out_dir):
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        qdir = out / name
+        if not qdir.exists():
+            failures.append((name, "no spark output written"))
+            continue
+        try:
+            spark_cols, spark_rows = rows_of(
+                con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')"))
+            duck_cols, duck_rows = rows_of(con.execute(sql))
+        except Exception as e:
+            failures.append((name, f"exec error: {e}"))
+            continue
+        if spark_cols != duck_cols:
+            failures.append((name, f"cols spark={spark_cols} duck={duck_cols}"))
+            continue
+        if len(spark_rows) != len(duck_rows):
+            failures.append((name, f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}"))
+            continue
+        # exact order-sensitive compare first; fall back to sorted compare info
+        if spark_rows != duck_rows:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(spark_rows, duck_rows)) if a != b)
+            sorted_match = sorted(spark_rows) == sorted(duck_rows)
+            failures.append((name, f"row {diff[0]} spark={diff[1]} duck={diff[2]} (order-insensitive match: {sorted_match})"))
+            continue
+        print(f"PASS {name} ({len(spark_rows)} rows)")
+    if failures:
+        for name, msg in failures:
+            print(f"FAIL {name}: {msg}")
+        sys.exit(1)
+    print(f"ALL PASS ({len(oracle)} oracle queries)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
