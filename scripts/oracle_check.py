@@ -22,6 +22,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0 (semantically equal, repr differs)
         # 4dp outputs: exact repr after round-trip
         return repr(v)
     if v is None:
@@ -33,7 +35,9 @@ def rows_of(cur):
     cols = [d[0] for d in cur.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
-    return [cols[i] for i in order], data
+    # keep the raw order too: the driver's compare may be order-sensitive,
+    # so the mirror must be at least as strict (ADVICE r1)
+    return [cols[i] for i in order], data, cols
 
 
 def main(sf_dir, out_dir):
@@ -51,14 +55,18 @@ def main(sf_dir, out_dir):
             failures.append((name, "no spark output written"))
             continue
         try:
-            spark_cols, spark_rows = rows_of(
+            spark_cols, spark_rows, spark_raw = rows_of(
                 con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')"))
-            duck_cols, duck_rows = rows_of(con.execute(sql))
+            duck_cols, duck_rows, duck_raw = rows_of(con.execute(sql))
         except Exception as e:
             failures.append((name, f"exec error: {e}"))
             continue
         if spark_cols != duck_cols:
             failures.append((name, f"cols spark={spark_cols} duck={duck_cols}"))
+            continue
+        if spark_raw != duck_raw:
+            failures.append(
+                (name, f"column ORDER differs: spark={spark_raw} duck={duck_raw}"))
             continue
         if len(spark_rows) != len(duck_rows):
             failures.append((name, f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}"))

@@ -25,7 +25,7 @@ probes = {
     "datediff": "SELECT date_diff('day', DATE '1995-03-15', DATE '2000-01-01')",
     "add_months": "SELECT CAST(DATE '1995-03-15' + INTERVAL 3 MONTH AS DATE)",
     "lpad": "SELECT lpad('7', 5, '0')",
-    "split_part": "SELECT string_split('a b c', ' ')",
+    "split_part": "SELECT split_part('a b c', ' ', 2)",
     "strpos": "SELECT strpos('0123456789abcdef', 'c')",
     "unnest_genseries": "SELECT u FROM (SELECT unnest(generate_series(1, 3)) u)",
     "lateral_unnest": "SELECT t.d, s.i FROM (VALUES (1)) t(d), unnest(generate_series(1,3)) s(i)",
@@ -37,7 +37,8 @@ probes = {
     "count_case": "SELECT count(CASE WHEN 1=0 THEN 1 END)",
     "stddev_samp": "SELECT stddev_samp(a) FROM (VALUES (1.0),(2.0)) t(a)",
     "row_number_nulls": "SELECT row_number() OVER (ORDER BY a DESC NULLS LAST) FROM (VALUES (1),(NULL)) t(a)",
-    "repeat_concat": "SELECT concat_ws(' ', 'a', 'b')",
+    "repeat": "SELECT repeat('ab', 3)",
+    "concat_ws": "SELECT concat_ws(' ', 'a', 'b')",
     "levenshtein": "SELECT levenshtein('abc','abd')",
     "list_cosine": "SELECT list_cosine_similarity([1.0,0.0],[1.0,0.0])",
     "interval_mult": "SELECT TIMESTAMP '2024-01-05 10:00:00' - 2 * INTERVAL '15 minutes'",
@@ -51,7 +52,7 @@ probes = {
     "greatest": "SELECT greatest(1.0, 2.0), least(1.0, 2.0)",
     "date_trunc_month": "SELECT date_trunc('month', TIMESTAMP '1995-03-15 10:00:00')",
     "scalar_subq_join": "SELECT count(*) FROM (VALUES (1),(2)) a(x) JOIN (VALUES (1)) b(y) ON b.y = 1 + a.x % (SELECT count(*) FROM (VALUES (1),(2)) c)",
-    "hex_int": "SELECT CAST(('x'||'ff') AS VARCHAR)",
+    "hex": "SELECT hex(255)",
 }
 for name, sql in probes.items():
     try:

@@ -11,11 +11,12 @@ import graft.queries._
   */
 object SparkEntry {
   private def modules: Seq[ContractQuery] =
-    Relational.all
+    Relational.all ++ Aggregates.all ++ Functions.all ++ TextOps.all ++
+      VectorOps.all ++ EventOps.all ++ Extraction.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggGroup(spark, "/root/testdata/sf0.001")
+    Aggregates.aggGroup(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

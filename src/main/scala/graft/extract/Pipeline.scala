@@ -1,0 +1,169 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** An in-memory extraction task (upstream: extract(tasks=[(name, bytes
+  * [, page])], small=True)). page = None ⇒ fan out to all pages.
+  */
+case class ExtractTask(path: String, content: Array[Byte], page: Option[Int])
+
+/** A registered feature: name, output type, and the per-page computation.
+  * Mirrors upstream's @feature-decorated task methods (extract_task.py):
+  * registering a new feature adds a column with automatic schema and error
+  * capture.
+  */
+case class Feature(
+    name: String,
+    dataType: DataType,
+    compute: (DocExtractor, Array[Byte], Int) => Any)
+
+object Features {
+  /** Built-in feature set (upstream: text, image, ocr). */
+  def builtin(ocrLang: String = "eng"): Seq[Feature] = Seq(
+    Feature("text", StringType, (ex, b, p) => ex.pageText(b, p)),
+    Feature("image", BinaryType, (ex, b, p) => ex.pageImage(b, p)),
+    Feature("ocr", StringType, (ex, b, p) => ex.ocrText(b, p, ocrLang)))
+
+  def select(names: Seq[String], ocrLang: String = "eng"): Seq[Feature] = {
+    val all = builtin(ocrLang)
+    if (names == Seq("all")) all.filterNot(_.name == "ocr")
+    else names.map(n => all.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"unknown feature: $n")))
+  }
+}
+
+/** The pdf2dataset pipeline, Spark-native (SURVEY.md §2.A / §3):
+  *
+  *   corpus scan → page fan-out → per-feature extraction with error
+  *   capture → resume anti-join → chunked parquet sink / small-mode
+  *   collect.
+  *
+  * Everything is one narrow stage per partition (scan → flatMap → project
+  * → sink): no exchange at all unless resume needs the anti-join — the
+  * shape that makes this workload embarrassingly scalable (upstream runs
+  * the same DAG over a Ray pool; here executors and `binaryFile`
+  * partitioning replace it, and 100 TB just means more partitions).
+  */
+object Pipeline {
+
+  /** Recursive binary corpus scan (upstream: directory walk + glob).
+    * Emits (path, content) with path relative to the input root.
+    */
+  def corpus(spark: SparkSession, inputDir: String,
+      glob: String = "*.doc"): DataFrame = {
+    val root = new java.io.File(inputDir).toURI.toString.stripSuffix("/")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(inputDir)
+      .select(
+        regexp_replace(col("path"), java.util.regex.Pattern.quote(root + "/"), "")
+          .as("path"),
+        col("content"))
+  }
+
+  /** In-memory task source (upstream: extract(tasks=...)). */
+  def fromTasks(spark: SparkSession, tasks: Seq[ExtractTask]): DataFrame = {
+    import spark.implicits._
+    tasks.toDS().select(col("path"), col("content"),
+      col("page").as("only_page"))
+  }
+
+  private case class Fanout(pages: Seq[Int], error: Option[String])
+
+  /** Fan a corpus of whole documents out to per-page tasks. A document
+    * whose page count cannot be determined survives as a single row with
+    * page = -1 and the error captured (upstream sentinel).
+    */
+  def fanout(docs: DataFrame, extractor: DocExtractor): DataFrame = {
+    val countUdf = udf { (content: Array[Byte], onlyPage: Option[Int]) =>
+      try {
+        val n = extractor.pageCount(content)
+        onlyPage match {
+          case Some(p) => Fanout(Seq(p), None)
+          case None => Fanout(1 to n, None)
+        }
+      } catch {
+        case e: Throwable => Fanout(Seq(-1), Some(s"pagecount: ${e.getMessage}"))
+      }
+    }
+    val withOnly =
+      if (docs.columns.contains("only_page")) docs
+      else docs.withColumn("only_page", lit(null).cast(IntegerType))
+    withOnly
+      .withColumn("fan", countUdf(col("content"), col("only_page")))
+      .select(col("path"), col("content"),
+        explode(col("fan.pages")).as("page"), col("fan.error").as("doc_error"))
+  }
+
+  /** Compute the selected features per (path, page) row, capturing every
+    * per-feature exception into the `error` column ("<feature>: <msg>",
+    * upstream extract_task.py) — the job never dies on a bad input.
+    */
+  def extractFeatures(tasks: DataFrame, features: Seq[Feature],
+      extractor: DocExtractor): DataFrame = {
+    import org.apache.spark.sql.Row
+    val withFeatures = features.foldLeft(tasks) { (df, f) =>
+      val fUdf = udf(new org.apache.spark.sql.api.java.UDF2[Array[Byte], Int, Row] {
+        override def call(content: Array[Byte], page: Int): Row =
+          try { Row(f.compute(extractor, content, page), null) }
+          catch { case e: Throwable => Row(null, s"${f.name}: ${e.getMessage}") }
+      }, StructType(Seq(
+        StructField("value", f.dataType, nullable = true),
+        StructField("err", StringType, nullable = true))))
+      df.withColumn(s"__${f.name}",
+        when(col("page") === -1 || col("doc_error").isNotNull,
+          struct(lit(null).cast(f.dataType).as("value"),
+            lit(null).cast(StringType).as("err")))
+          .otherwise(fUdf(col("content"), col("page"))))
+    }
+    val errCols = col("doc_error") +: features.map(f => col(s"__${f.name}.err"))
+    withFeatures.select(
+      col("path") +: col("page") +:
+        features.map(f => col(s"__${f.name}.value").as(f.name)) :+
+        coalesce(errCols: _*).as("error"): _*)
+  }
+
+  /** Resume: drop tasks whose (path, page) already exist in the output
+    * (upstream: anti-join against the partially-written parquet).
+    */
+  def resume(tasks: DataFrame, outPath: String): DataFrame = {
+    val spark = tasks.sparkSession
+    val existing = scala.util.Try(
+      spark.read.parquet(outPath).select(col("path"), col("page"))).toOption
+    existing match {
+      case Some(done) => tasks.join(broadcast(done), Seq("path", "page"), "left_anti")
+      case None => tasks
+    }
+  }
+
+  /** Full pipeline to a parquet sink. `chunkRecords` bounds rows per
+    * output file (upstream saving_interval); a path ending in `.gzip`
+    * selects gzip compression (upstream CLI convention).
+    */
+  def extractToParquet(spark: SparkSession, docs: DataFrame, outPath: String,
+      features: Seq[String] = Seq("text"), extractor: DocExtractor = StubExtractor,
+      chunkRecords: Int = 1000, doResume: Boolean = true,
+      ocrLang: String = "eng"): Unit = {
+    val tasks0 = fanout(docs, extractor)
+    val tasks = if (doResume) resume(tasks0, outPath) else tasks0
+    val rows = extractFeatures(tasks, Features.select(features, ocrLang), extractor)
+    val compression = if (outPath.endsWith(".gzip")) "gzip" else "snappy"
+    rows.write.mode("append")
+      .option("maxRecordsPerFile", chunkRecords.toLong)
+      .option("compression", compression)
+      .parquet(outPath)
+  }
+
+  /** Small mode: materialize locally instead of writing (upstream
+    * small=True returning a pandas DataFrame).
+    */
+  def extractSmall(spark: SparkSession, docs: DataFrame,
+      features: Seq[String] = Seq("text"),
+      extractor: DocExtractor = StubExtractor): Array[org.apache.spark.sql.Row] =
+    extractFeatures(fanout(docs, extractor), Features.select(features), extractor)
+      .orderBy(col("path"), col("page"))
+      .collect()
+}

@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core, part 2 (SURVEY.md §2.B): hash/distinct/approx
+  * aggregation, grouping sets/rollup/cube, filtered aggregates, pivot,
+  * summary statistics and the window-function family.
+  *
+  * All aggregates run through exact DECIMAL/BIGINT accumulators (see
+  * [[Det]]) so partial+final aggregation over any partitioning yields the
+  * identical value — the property that makes the same plan reproducible on
+  * a 1000-executor cluster.
+  */
+object Aggregates {
+  import Det._
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  // ---------------------------------------------------------- flagship Q1
+
+  /** TPC-H Q1-shaped multi-aggregate over lineitem (flagship).
+    * Averages use the exact scaled-integer scheme of [[Det.avg4]].
+    */
+  def aggGroup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(spark, dir, "lineitem")
+    val disc = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    val charge = disc * (lit(1) + rate(col("l_tax")))
+    l.filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        out(sum(money(col("l_quantity")))).as("sum_qty"),
+        out(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        out(sum(disc)).as("sum_disc_price"),
+        out(sum(charge)).as("sum_charge"),
+        avg4(sum(moneyInt(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+        avg4(sum(moneyInt(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
+        avg4(sum(moneyInt(col("l_discount"))), count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val aggGroupSql: String = {
+    import Sql._
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${out(s"sum(${money("l_quantity")})")} AS sum_qty,
+       |  ${out(s"sum(${money("l_extendedprice")})")} AS sum_base_price,
+       |  ${out(s"sum(${money("l_extendedprice")} * (1 - ${rate("l_discount")}))")} AS sum_disc_price,
+       |  ${out(s"sum(${money("l_extendedprice")} * (1 - ${rate("l_discount")}) * (1 + ${rate("l_tax")}))")} AS sum_charge,
+       |  ${avg4(sumMoneyInt("l_quantity"), "count(*)")} AS avg_qty,
+       |  ${avg4(sumMoneyInt("l_extendedprice"), "count(*)")} AS avg_price,
+       |  ${avg4(sumMoneyInt("l_discount"), "count(*)")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // ------------------------------------------------------ distinct + HLL
+
+  /** Distinct aggregates (Catalyst expands to the two-phase plan). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  val aggDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HyperLogLog++ approximate distinct — sketch values are
+    * engine-specific, so no SQL oracle; AggregatesSpec bounds the relative
+    * error against the exact count instead.
+    */
+  def aggApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------- grouping sets / rollup / cube
+
+  /** GROUPING SETS ((status, priority), (status), ()) with grouping_id. */
+  def aggGsets(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        out(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val aggGsetsSql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  count(*) AS n, ${Sql.out(s"sum(${Sql.money("o_totalprice")})")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** ROLLUP over lineitem discounted revenue. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(spark, dir, "lineitem")
+    val disc = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    l.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        out(sum(disc)).as("revenue"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val aggRollupSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  count(*) AS n,
+       |  ${Sql.out(s"sum(${Sql.money("l_extendedprice")} * (1 - ${Sql.rate("l_discount")}))")} AS revenue
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over events by (event_type, day). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .withColumn("day_us", tsOut(date_trunc("day", col("ts"))))
+      .cube(col("event_type"), col("day_us"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day_us").asc_nulls_first)
+
+  val aggCubeSql =
+    """SELECT event_type, day_us,
+      |  CAST(grouping_id(event_type, day_us) AS BIGINT) AS gid, count(*) AS n
+      |FROM (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us FROM events)
+      |GROUP BY CUBE (event_type, day_us)
+      |ORDER BY gid, event_type ASC NULLS FIRST, day_us ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------- filtered agg + HAVING
+
+  /** Conditional aggregates + HAVING over per-customer orders. */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        out(sum(money(col("o_totalprice")))).as("total"))
+      .filter(col("n_orders") > 12)
+      .orderBy(col("o_custkey"))
+
+  val aggHavingSql =
+    s"""SELECT o_custkey, count(*) AS n_orders,
+       |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       |  ${Sql.out(s"sum(${Sql.money("o_totalprice")})")} AS total
+       |FROM orders
+       |GROUP BY o_custkey
+       |HAVING count(*) > 12
+       |ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- pivot
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot event counts into one column per event type. */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.t(spark, dir, "events")
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .pivot("event_type", eventTypes)
+      .count()
+    eventTypes.foldLeft(p) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy(col("bucket"))
+  }
+
+  val pivotSql: String = {
+    val cells = eventTypes.map(t =>
+      s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t")
+    s"""SELECT user_id % 10 AS bucket, ${cells.mkString(", ")}
+       |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // --------------------------------------------------------------- stats
+
+  /** Universal summary statistics. stddev is recomputed from exact decimal
+    * sums (sqrt((Σx² − (Σx)²/n)/(n−1))) with an op ordering mirrored in the
+    * oracle, because native stddev accumulates doubles in partition order.
+    */
+  def statsSummary(spark: SparkSession, dir: String): DataFrame = {
+    def stats(c: String, p: String): Seq[Column] = {
+      val s1 = sum(money(col(c))).cast(DoubleType)
+      val s2 = sum(money(col(c)) * money(col(c))).cast(DoubleType)
+      val n = count(lit(1))
+      Seq(
+        min(col(c)).as(s"${p}_min"),
+        max(col(c)).as(s"${p}_max"),
+        avg4(sum(moneyInt(col(c))), n).as(s"${p}_avg"),
+        round(sqrt((s2 - s1 * s1 / n) / (n - lit(1))), 4).as(s"${p}_std"))
+    }
+    Tables.t(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n"),
+        (stats("l_quantity", "qty") ++ stats("l_extendedprice", "price")): _*)
+  }
+
+  val statsSummarySql: String = {
+    def stats(c: String, p: String): String = {
+      val s1 = s"CAST(sum(${Sql.money(c)}) AS DOUBLE)"
+      // DECIMAL(19,4) operands force DuckDB onto int128 storage (width<=18
+      // stays int64 and the multiply overflows); the value is the same
+      // exact square Spark computes at (12,4)x(12,4) -> (25,8).
+      val s2 = s"CAST(sum(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE)"
+      s"""min($c) AS ${p}_min, max($c) AS ${p}_max,
+         |  ${Sql.avg4(Sql.sumMoneyInt(c), "count(*)")} AS ${p}_avg,
+         |  round(sqrt(($s2 - $s1 * $s1 / count(*)) / (count(*) - 1)), 4) AS ${p}_std""".stripMargin
+    }
+    s"""SELECT count(*) AS n,
+       |  ${stats("l_quantity", "qty")},
+       |  ${stats("l_extendedprice", "price")}
+       |FROM lineitem""".stripMargin
+  }
+
+  // ------------------------------------------------------------- windows
+
+  /** row_number / rank / dense_rank per customer by order value. */
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val winRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** lag/lead analytics: per-user deltas and inter-event gaps. */
+  def winLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val winLagSql =
+    """SELECT event_id, user_id, value,
+      |  value - lag(value, 1) OVER w AS delta,
+      |  epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  /** Running (cumulative) revenue per customer — ROWS frame. */
+  def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        out(sum(money(col("o_totalprice"))).over(w)).as("cum_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val winRunningSql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  ${Sql.out(s"sum(${Sql.money("o_totalprice")}) OVER w")} AS cum_total
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Trailing one-hour average per user — RANGE frame on epoch micros.
+    * The average divides an exact decimal sum by the frame count (one
+    * deterministic double division), so the sliding-frame accumulation
+    * order that differs between engines cannot surface.
+    */
+  def winRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    val sumDec = sum(money(col("value"))).over(w).cast(DoubleType)
+    val cnt = count(lit(1)).over(w)
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sumDec / cnt, 4).as("trailing_avg"),
+        cnt.as("n_in_window"))
+      .orderBy(col("event_id"))
+  }
+
+  val winRangeSql: String =
+    s"""SELECT event_id, user_id,
+       |  round(CAST(sum(${Sql.money("value")}) OVER w AS DOUBLE) / count(*) OVER w, 4) AS trailing_avg,
+       |  count(*) OVER w AS n_in_window
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  /** ntile quartiles of order value within each status. */
+  def winNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val winNtileSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER (PARTITION BY o_orderstatus
+      |                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Top-3 orders per customer (window + filter — the per-group top-k
+    * plan that scales: no global sort, one shuffle by customer).
+    */
+  def topkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topkGroupSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_agg_group", aggGroup, Some(aggGroupSql)),
+    ContractQuery("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
+    ContractQuery("q_agg_approx", aggApprox, None),
+    ContractQuery("q_agg_gsets", aggGsets, Some(aggGsetsSql)),
+    ContractQuery("q_agg_rollup", aggRollup, Some(aggRollupSql)),
+    ContractQuery("q_agg_cube", aggCube, Some(aggCubeSql)),
+    ContractQuery("q_agg_having", aggHaving, Some(aggHavingSql)),
+    ContractQuery("q_pivot", pivotQ, Some(pivotSql)),
+    ContractQuery("q_stats_summary", statsSummary, Some(statsSummarySql)),
+    ContractQuery("q_win_rank", winRank, Some(winRankSql)),
+    ContractQuery("q_win_lag", winLag, Some(winLagSql)),
+    ContractQuery("q_win_running", winRunning, Some(winRunningSql)),
+    ContractQuery("q_win_range", winRange, Some(winRangeSql)),
+    ContractQuery("q_win_ntile", winNtile, Some(winNtileSql)),
+    ContractQuery("q_topk_group", topkGroup, Some(topkGroupSql))
+  )
+}

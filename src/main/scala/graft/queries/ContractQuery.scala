@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** One driver-contract query: a DataFrame builder plus (when the semantics
   * are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL that the
@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * Semantics derive from the reference `icaropires/pdf2dataset` surface and
   * the north-star extensions; see SURVEY.md §2 for the per-query provenance
-  * (the reference checkout was empty this round — SURVEY.md §0).
+  * (the reference checkout was empty — SURVEY.md §0).
   */
 final case class ContractQuery(
     name: String,
@@ -20,17 +20,35 @@ final case class ContractQuery(
 /** Fixture-table loaders. One parquet file per table under the sf dir. */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+      // to TimestampType; read it as a raw nanosecond LONG and truncate to
+      // microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP read
+      // of the same file does, so both engines see identical µs values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 }
 
-/** Determinism helpers for oracle-checked float outputs (SURVEY.md §7.6 R1).
+/** Determinism helpers for oracle-checked outputs (SURVEY.md §7.6 R1-R3).
   *
-  * Double-precision SUM/AVG accumulate in partition order, so raw double
-  * aggregates are not reproducible across engines. Rule: aggregate over
-  * exact DECIMAL intermediates (both engines compute the identical exact
-  * value), round to 4dp (both engines round decimal ties away from zero —
-  * probed on DuckDB 1.0.0), and emit DOUBLE. AVG = double(sum_dec)/count,
-  * a single deterministic double division.
+  * Double SUM/AVG accumulate in partition order, so raw double aggregates
+  * are not reproducible across runs, let alone engines. Rules:
+  *  - aggregate over exact DECIMAL/BIGINT intermediates (order-independent,
+  *    both engines compute the identical exact value), round to 4dp, emit
+  *    DOUBLE;
+  *  - averages divide exact scaled-integer sums with one correctly-rounded
+  *    double division (identical IEEE result on both engines), then take
+  *    `floor` — an exact HALF_UP average with no engine-specific rounding;
+  *  - per-row double math is run-deterministic; it only needs an identical
+  *    formulation both sides (verified by the local sf0.01 oracle mirror,
+  *    which exercises the same bytes the driver will);
+  *  - timestamps are emitted as epoch microseconds BIGINT (`tsOut`) — Spark
+  *    writes UTC-adjusted parquet timestamps which DuckDB would read back as
+  *    TIMESTAMPTZ, a repr mismatch against the oracle's naive TIMESTAMP.
   */
 object Det {
   /** Monetary/measure double -> exact decimal. Fits |x| < 1e8 at 4dp. */
@@ -44,7 +62,53 @@ object Det {
     */
   def out(c: Column): Column = round(c, 4).cast(DoubleType)
 
-  /** Deterministic average from an exact decimal sum. */
-  def avgOf(sumDec: Column, n: Column): Column =
-    round(sumDec.cast(DoubleType) / n, 4).cast(DoubleType)
+  /** x -> exact integer of x quantized at 4dp (x * 10^4 as BIGINT). */
+  def moneyInt(c: Column): Column = (money(c) * lit(10000)).cast(LongType)
+
+  /** Exact HALF_UP 4dp average of a positive scaled-integer sum:
+    * floor((2s + n) / (2n)) / 10^4. Numerator/denominator are exact BIGINTs
+    * on both engines; both perform one correctly-rounded double division,
+    * so `floor` agrees bit-for-bit (quotient error ≪ distance to the next
+    * integer at oracle scale). Requires sumInt >= 0.
+    */
+  def avg4(sumInt: Column, n: Column): Column =
+    (floor((sumInt * lit(2L) + n) / (n * lit(2L))) / lit(10000.0))
+      .cast(DoubleType)
+
+  /** Average of a raw BIGINT sum at 4dp via the same exact scheme. */
+  def avgInt4(sumLong: Column, n: Column): Column =
+    avg4(sumLong * lit(10000L), n)
+
+  /** Timestamp output convention: epoch microseconds BIGINT. */
+  def tsOut(c: Column): Column = unix_micros(c)
+}
+
+/** DuckDB-SQL mirrors of the [[Det]] helpers, so the oracle text stays in
+  * lock-step with the Spark formulation.
+  */
+object Sql {
+  /** CAST(x AS DECIMAL(12,4)) */
+  def money(c: String): String = s"CAST($c AS DECIMAL(12,4))"
+
+  def rate(c: String): String = s"CAST($c AS DECIMAL(6,4))"
+
+  /** Round a decimal aggregate to 4dp and emit DOUBLE. */
+  def out(c: String): String = s"CAST(round($c, 4) AS DOUBLE)"
+
+  def moneyInt(c: String): String =
+    s"CAST(${money(c)} * 10000 AS BIGINT)"
+
+  /** sum(moneyInt(c)) as exact BIGINT (DuckDB sums BIGINT into HUGEINT). */
+  def sumMoneyInt(c: String): String =
+    s"CAST(sum(${moneyInt(c)}) AS BIGINT)"
+
+  /** Mirror of [[Det.avg4]]: exact HALF_UP 4dp average. */
+  def avg4(sumInt: String, n: String): String =
+    s"CAST(floor(($sumInt * 2 + $n) / ($n * 2)) / 10000.0 AS DOUBLE)"
+
+  def avgInt4(sumLong: String, n: String): String =
+    avg4(s"($sumLong * 10000)", n)
+
+  /** Mirror of [[Det.tsOut]]. */
+  def tsOut(c: String): String = s"epoch_us($c)"
 }

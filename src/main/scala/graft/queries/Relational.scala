@@ -2,59 +2,407 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-/** Relational core (SURVEY.md §2.B): projection/filter, the full join
-  * matrix, hash/distinct/approx/grouping-set aggregation, windows, sorts,
-  * top-k and set operations — pure `org.apache.spark.sql.functions` +
-  * DataFrame combinators so Catalyst/AQE/codegen handle the physical plan
-  * (pushdown, broadcast selection, partial aggregation, Expand,
-  * TakeOrderedAndProject) without custom operators.
+/** Relational core, part 1 (SURVEY.md §2.B): scan, projection/filter,
+  * the join matrix, multi-key sort, top-k and set operations — pure
+  * `org.apache.spark.sql.functions` + DataFrame combinators so
+  * Catalyst/AQE/codegen pick the physical plan (parquet pushdown, broadcast
+  * selection, TakeOrderedAndProject) without custom operators.
   *
-  * Every query orders by a unique key tuple and emits floats via
-  * [[Det.out]] so the driver's DuckDB hash-compare is deterministic.
+  * Scale posture: dimension joins (`nation`, `region`, `part`, `customer`)
+  * broadcast — either explicitly or by `autoBroadcastJoinThreshold`; the
+  * large-large `orders ⋈ lineitem` join is a sort-merge on the shuffle-
+  * partitioned order key, which is the plan that survives a 100× scale-up.
+  *
+  * Every query orders by a unique key tuple and emits floats/timestamps via
+  * [[Det]] so the driver's DuckDB hash-compare is deterministic.
   */
 object Relational {
   import Det._
 
   private def ts(s: String): Column = lit(s).cast(TimestampType)
 
-  /** Flagship: TPC-H Q1-shaped multi-aggregate over lineitem. */
-  def aggGroup(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(spark, dir, "lineitem")
-    val disc  = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-    val charge = disc * (lit(1) + rate(col("l_tax")))
-    l.filter(col("l_shipdate") <= ts("1998-09-02"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        out(sum(money(col("l_quantity")))).as("sum_qty"),
-        out(sum(money(col("l_extendedprice")))).as("sum_base_price"),
-        out(sum(disc)).as("sum_disc_price"),
-        out(sum(charge)).as("sum_charge"),
-        avgOf(sum(money(col("l_quantity"))), count(lit(1))).as("avg_qty"),
-        avgOf(sum(money(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
-        avgOf(sum(rate(col("l_discount"))), count(lit(1))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  // ---------------------------------------------------------------- scan
+
+  /** Plain parquet table scan, full projection (pdf2dataset's "read the
+    * dataset back" surface; reference upstream: pdf2dataset/extract.py).
+    */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents").orderBy(col("doc_id"))
+
+  val scanParquetSql = "SELECT * FROM documents ORDER BY doc_id"
+
+  // ------------------------------------------------- projection / filter
+
+  /** Projection + filter; predicates reach the parquet scan as
+    * PushedFilters (verified via explain in RelationalSpec).
+    */
+  def projectFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val projectFilterSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Compound predicates: AND/OR/NOT/IN/LIKE/BETWEEN/IS NOT NULL. */
+  def predMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "part")
+      .filter((col("p_type").like("PROMO%") ||
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")) &&
+        col("p_size").between(10, 40) &&
+        !col("p_name").like("%green%") &&
+        col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  val predMixSql =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size
+      |FROM part
+      |WHERE (p_type LIKE 'PROMO%' OR p_brand IN ('Brand#1','Brand#2','Brand#3'))
+      |  AND p_size BETWEEN 10 AND 40
+      |  AND NOT (p_name LIKE '%green%')
+      |  AND p_retailprice IS NOT NULL
+      |ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------- joins
+
+  /** Inner equi join orders ⋈ customer; revenue per market segment. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+    val c = Tables.t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        out(sum(money(col("o_totalprice")))).as("revenue"))
+      .orderBy(col("c_mktsegment"))
   }
 
-  val aggGroupSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_qty,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
-      |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
-      |  CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
-      |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_disc,
-      |  count(*) AS count_order
+  val joinInnerSql =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${Sql.out(s"sum(${Sql.money("o_totalprice")})")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** Explicit broadcast of the small `part` dimension into lineitem. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(spark, dir, "lineitem")
+    val p = Tables.t(spark, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        out(sum(money(col("l_extendedprice")))).as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val joinBroadcastSql =
+    s"""SELECT p_brand, count(*) AS n_items,
+       |  ${Sql.out(s"sum(${Sql.money("l_extendedprice")})")} AS total_price
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  /** Large-large sort-merge join orders ⋈ lineitem (the 100-TB-safe plan). */
+  def joinSmj(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+    val l = Tables.t(spark, dir, "lineitem")
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        out(sum(money(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val joinSmjSql =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  ${Sql.out(s"sum(${Sql.money("l_quantity")})")} AS sum_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left outer join: every customer with its order count (zeros kept). */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+    val o = Tables.t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinLeftSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join of per-nation supplier and customer balance totals
+    * (small scale factors leave nations with no suppliers → null side).
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(out(sum(money(col("s_acctbal")))).as("supplier_bal"))
+    val c = Tables.t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(out(sum(money(col("c_acctbal")))).as("customer_bal"))
+    s.join(c, col("nk_s") === col("nk_c"), "full")
+      .select(coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+        col("supplier_bal"), col("customer_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinFullSql =
+    s"""SELECT coalesce(s.nk, c.nk) AS nationkey, supplier_bal, customer_bal
+       |FROM (SELECT s_nationkey AS nk, ${Sql.out(s"sum(${Sql.money("s_acctbal")})")} AS supplier_bal
+       |      FROM supplier GROUP BY s_nationkey) s
+       |FULL JOIN (SELECT c_nationkey AS nk, ${Sql.out(s"sum(${Sql.money("c_acctbal")})")} AS customer_bal
+       |           FROM customer GROUP BY c_nationkey) c
+       |ON s.nk = c.nk
+       |ORDER BY nationkey""".stripMargin
+
+  /** Left semi (EXISTS): customers having at least one 400k+ order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+    val o = Tables.t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiSql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti (NOT EXISTS): customers with no finished ('F') order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+    val o = Tables.t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAntiSql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cross join: region × nation name pairs. */
+  def joinCross(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.t(spark, dir, "region").select(col("r_name"))
+    val n = Tables.t(spark, dir, "nation").select(col("n_name"))
+    r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+  }
+
+  val joinCrossSql =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** Theta join: equi key + range residual (supplier/customer of the same
+    * nation where the supplier out-balances the customer).
+    */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.t(spark, dir, "supplier")
+    val c = Tables.t(spark, dir, "customer")
+    s.join(c, s("s_nationkey") === c("c_nationkey") &&
+        s("s_acctbal") > c("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinThetaSql =
+    """SELECT s_nationkey AS nationkey, count(*) AS n_pairs
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      |GROUP BY s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** As-of join: for each purchase, the most recent view (ts <= purchase ts)
+    * by the same user, with its value carried over. Spark has no native
+    * ASOF operator, so both sides use the identical window emulation
+    * (rank prior views by ts desc, keep the first) — at scale this is the
+    * shuffle-by-user plan an ASOF join would pick anyway.
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    val joined = p.join(v,
+      col("user_id") === col("v_user_id") && col("v_ts") <= col("p_ts"),
+      "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_event_id"))
+      .orderBy(col("v_ts").desc, col("v_event_id").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_event_id"), col("user_id"), tsOut(col("p_ts")).as("p_ts_us"),
+        col("v_event_id").as("prior_view_id"), col("v_value").as("prior_view_value"))
+      .orderBy(col("p_event_id"))
+  }
+
+  val joinAsofSql =
+    s"""SELECT p_event_id, user_id, p_ts_us, prior_view_id, prior_view_value
+       |FROM (
+       |  SELECT p.event_id AS p_event_id, p.user_id,
+       |         ${Sql.tsOut("p.ts")} AS p_ts_us,
+       |         v.event_id AS prior_view_id, v.value AS prior_view_value,
+       |         row_number() OVER (PARTITION BY p.event_id
+       |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+       |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |    ON p.user_id = v.user_id AND v.ts <= p.ts
+       |)
+       |WHERE rn = 1
+       |ORDER BY p_event_id""".stripMargin
+
+  // ------------------------------------------------------ sort and top-k
+
+  /** Multi-key sort with explicit null ordering. */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc,
+        col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+
+  val sortMultiSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC""".stripMargin
+
+  /** Global top-k → TakeOrderedAndProject (no full sort at scale). */
+  def topkGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+
+  val topkGlobalSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
       |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+
+  // ------------------------------------------------------ set operations
+
+  /** UNION ALL of two event projections. */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    p.unionByName(s).orderBy(col("event_id"))
+  }
+
+  val unionAllSql =
+    """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase'
+      |UNION ALL
+      |SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'
+      |ORDER BY event_id""".stripMargin
+
+  /** UNION (distinct): ordering customers ∪ wealthy customers. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"))
+    val c = Tables.t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    o.union(c).distinct().orderBy(col("custkey"))
+  }
+
+  val unionDistinctSql =
+    """SELECT o_custkey AS custkey FROM orders
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |ORDER BY custkey""".stripMargin
+
+  /** INTERSECT: customers with orders ∩ customers in credit. */
+  def intersectQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"))
+    val c = Tables.t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+    o.intersect(c).orderBy(col("custkey"))
+  }
+
+  val intersectSql =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY custkey""".stripMargin
+
+  /** EXCEPT: all customers ∖ customers in credit. */
+  def exceptQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"))
+    val rich = Tables.t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+    c.except(rich).orderBy(col("custkey"))
+  }
+
+  val exceptSql =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY custkey""".stripMargin
+
+  /** dropDuplicates on a column subset. */
+  def dedupRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .orderBy(col("user_id"), col("event_type"))
+
+  val dedupRowsSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
 
   val all: Seq[ContractQuery] = Seq(
-    ContractQuery("q_agg_group", aggGroup, Some(aggGroupSql))
+    ContractQuery("q_scan_parquet", scanParquet, Some(scanParquetSql)),
+    ContractQuery("q_project_filter", projectFilter, Some(projectFilterSql)),
+    ContractQuery("q_pred_mix", predMix, Some(predMixSql)),
+    ContractQuery("q_join_inner", joinInner, Some(joinInnerSql)),
+    ContractQuery("q_join_broadcast", joinBroadcast, Some(joinBroadcastSql)),
+    ContractQuery("q_join_smj", joinSmj, Some(joinSmjSql)),
+    ContractQuery("q_join_left", joinLeft, Some(joinLeftSql)),
+    ContractQuery("q_join_full", joinFull, Some(joinFullSql)),
+    ContractQuery("q_join_semi", joinSemi, Some(joinSemiSql)),
+    ContractQuery("q_join_anti", joinAnti, Some(joinAntiSql)),
+    ContractQuery("q_join_cross", joinCross, Some(joinCrossSql)),
+    ContractQuery("q_join_theta", joinTheta, Some(joinThetaSql)),
+    ContractQuery("q_join_asof", joinAsof, Some(joinAsofSql)),
+    ContractQuery("q_sort_multi", sortMulti, Some(sortMultiSql)),
+    ContractQuery("q_topk_global", topkGlobal, Some(topkGlobalSql)),
+    ContractQuery("q_union_all", unionAll, Some(unionAllSql)),
+    ContractQuery("q_union_distinct", unionDistinct, Some(unionDistinctSql)),
+    ContractQuery("q_intersect", intersectQ, Some(intersectSql)),
+    ContractQuery("q_except", exceptQ, Some(exceptSql)),
+    ContractQuery("q_dedup_rows", dedupRows, Some(dedupRowsSql))
   )
 }

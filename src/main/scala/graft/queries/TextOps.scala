@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-data-pipeline text operators (SURVEY.md §2.D): exact and near
+  * deduplication, TF-IDF, corpus quality gates, language ID, token
+  * counting and content fingerprinting over the `documents` table.
+  *
+  * Scale posture: everything here is shuffle-by-key relational — exact
+  * dedup hash-partitions by digest; near-dup joins explode to (doc,
+  * shingle) and shuffles by shingle (never O(n²) pairs of *all* docs, only
+  * docs sharing a shingle); TF-IDF is two aggregations + a broadcast of
+  * the tiny per-term document-frequency table at 100 TB (df fits: it's
+  * bounded by vocabulary size, not corpus size).
+  */
+object TextOps {
+  import Det._
+
+  /** doc_id -> distinct 3-word shingles (guarded for texts under 3 tokens). */
+  private def shingled(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val sh = transform(sequence(lit(1), n - 2), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2)))
+    df.select(col("doc_id"),
+      when(n >= 3, array_distinct(sh)).otherwise(array().cast(ArrayType(StringType)))
+        .as("shingles"))
+  }
+
+  private val shingledSql =
+    """SELECT doc_id,
+      |  CASE WHEN len(string_split(text, ' ')) >= 3
+      |       THEN list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+      |                           for i in range(1, len(string_split(text, ' ')) - 1)])
+      |       ELSE [] END AS shingles
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------- exact dedup
+
+  /** Exact content dedup: hash-group by sha256(text), keep min doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  val dedupExactSql =
+    """SELECT sha256(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin
+
+  // ------------------------------------------- exact-Jaccard near dedup
+
+  /** Near-duplicate pairs by exact Jaccard over 3-word shingles
+    * (J = |∩| / (|A| + |B| − |∩|) ≥ 0.5). The |∩| computation shuffles by
+    * shingle — only docs sharing a shingle ever meet, which is the plan
+    * that survives 100 TB (plus MinHash banding in [[VectorOps]] when even
+    * shingle buckets get hot).
+    */
+  def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(Tables.t(spark, dir, "documents")).cache()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"))
+    val e = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val neardupJaccardSql =
+    s"""WITH sh AS ($shingledSql),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2, inter, round(inter / (x.n + y.n - inter), 6) AS jaccard
+       |FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |WHERE round(inter / (x.n + y.n - inter), 6) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  // -------------------------------------------------------------- TF-IDF
+
+  /** TF-IDF: tf per (doc, term) × ln(N/df); top-5 terms of docs 0–4. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.filter(col("doc_id") < 5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val tfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT doc_id, tok, tf,
+      |    round(tf * ln((SELECT count(*) FROM documents) / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (tok))
+      |SELECT doc_id, tok, tf, tfidf, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, tok ASC) AS rn
+      |  FROM scored WHERE doc_id < 5)
+      |WHERE rn <= 5
+      |ORDER BY doc_id, rn""".stripMargin
+
+  // --------------------------------------------------------- text stats
+
+  /** Per-language corpus statistics (exact integer averages). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        avgInt4(sum(col("n_chars")), count(lit(1))).as("avg_chars"),
+        avgInt4(sum(size(split(col("text"), " ")).cast(LongType)), count(lit(1)))
+          .as("avg_words"))
+      .orderBy(col("lang"))
+
+  val textStatsSql: String = {
+    val sumWords = "CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+    s"""SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       |  ${Sql.avgInt4("CAST(sum(n_chars) AS BIGINT)", "count(*)")} AS avg_chars,
+       |  ${Sql.avgInt4(sumWords, "count(*)")} AS avg_words
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------------------------------------- quality gate
+
+  /** The standard LLM-pipeline quality filter: length, word count and
+    * language allowlist.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast(LongType)
+    Tables.t(spark, dir, "documents")
+      .withColumn("n_words", nWords)
+      .filter(col("n_chars").between(100, 2000) &&
+        col("n_words") >= 20 && col("lang").isin("en", "es", "de"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql =
+    """SELECT doc_id, lang, n_chars, len(string_split(text, ' ')) AS n_words
+      |FROM documents
+      |WHERE n_chars BETWEEN 100 AND 2000
+      |  AND len(string_split(text, ' ')) >= 20
+      |  AND lang IN ('en', 'es', 'de')
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- quality score
+
+  private val stopwords = Seq("join", "filter", "select", "window", "stream")
+
+  /** Composite quality score from deterministic integer-ratio features. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nW = size(toks).cast(LongType)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast(LongType)
+    val nShort = size(filter(toks, t => length(t) <= 2)).cast(LongType)
+    val nDist = size(array_distinct(toks)).cast(LongType)
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        nW.as("n_words"),
+        round(col("n_chars") / nW, 6).as("avg_word_len"),
+        round(nStop / nW, 6).as("stop_ratio"),
+        round(nShort / nW, 6).as("short_ratio"),
+        round(least(col("n_chars") / lit(500.0), lit(1.0)) * 0.4 +
+          (nStop / nW) * 0.3 + (nDist / nW) * 0.3, 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = "string_split(text, ' ')"
+    val nW = s"len($toks)"
+    val nStop = s"len(list_filter($toks, t -> t IN ($sw)))"
+    val nDist = s"len(list_distinct($toks))"
+    val nShort = s"len(list_filter($toks, t -> length(t) <= 2))"
+    s"""SELECT doc_id, $nW AS n_words,
+       |  round(n_chars / $nW, 6) AS avg_word_len,
+       |  round($nStop / $nW, 6) AS stop_ratio,
+       |  round($nShort / $nW, 6) AS short_ratio,
+       |  round(least(n_chars / 500.0, 1.0) * 0.4 + ($nStop / $nW) * 0.3 +
+       |        ($nDist / $nW) * 0.3, 6) AS score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- language ID
+
+  /** Token-overlap language ID: argmax over tiny per-language lexicons
+    * with a deterministic (count DESC, lang ASC) tiebreak. A real corpus
+    * would use character n-gram profiles; the fixture vocabulary is
+    * synthetic, so the lexicons are arbitrary but the operator shape —
+    * explode → broadcast-join lexicon → per-doc argmax — is the 100 TB one.
+    */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "join", "en" -> "select", "en" -> "table",
+    "es" -> "filter", "es" -> "window", "es" -> "stream",
+    "de" -> "group", "de" -> "order", "de" -> "index",
+    "fr" -> "merge", "fr" -> "sort", "fr" -> "hash")
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = broadcast(lexicon.toDF("guess_lang", "word"))
+    val docs = Tables.t(spark, dir, "documents")
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(lex, "word")
+      .groupBy(col("doc_id"), col("guess_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("guess_lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("guess_lang"), col("hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("guess_lang"), lit("unknown")).as("guess"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    val values = lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+    s"""WITH lex(guess_lang, word) AS (VALUES $values),
+       |hits AS (
+       |  SELECT doc_id, guess_lang, count(*) AS hits
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  JOIN lex USING (word)
+       |  GROUP BY doc_id, guess_lang),
+       |best AS (
+       |  SELECT doc_id, guess_lang, hits FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY hits DESC, guess_lang ASC) AS rn
+       |    FROM hits)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang, coalesce(b.guess_lang, 'unknown') AS guess,
+       |  coalesce(b.hits, 0) AS hits
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ token counting
+
+  /** Whitespace vs BPE-ish regex token counts. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast(LongType).as("n_bpe"),
+        length(regexp_replace(col("text"), " ", "")).cast(LongType).as("n_chars_ns"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+      |  length(replace(text, ' ', '')) AS n_chars_ns
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Content-defined fingerprint: sha256 of the sorted distinct token
+    * set — invariant under token reordering/duplication, the property a
+    * dedup fingerprint needs.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        sha2(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))), 256)
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val docFingerprintSql =
+    """SELECT doc_id,
+      |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
+    ContractQuery("q_tfidf", tfidf, Some(tfidfSql)),
+    ContractQuery("q_text_stats", textStats, Some(textStatsSql)),
+    ContractQuery("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
+    ContractQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    ContractQuery("q_text_langid", textLangid, Some(textLangidSql)),
+    ContractQuery("q_token_count", tokenCount, Some(tokenCountSql)),
+    ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql))
+  )
+}

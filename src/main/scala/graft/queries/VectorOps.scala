@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-data-pipeline vector + sketch operators (SURVEY.md §2.D):
+  * brute-force cosine top-k (the correctness baseline), cosine near-dup
+  * pairs, per-label centroids, and the scale-path variants — MinHash-LSH
+  * near-dup and random-hyperplane-bucketed ANN — whose hash seeds are
+  * engine-specific (no SQL oracle; VectorOpsSpec checks recall against the
+  * exact baselines instead).
+  *
+  * All exact-cosine math is pure Catalyst lambda (`zip_with` /
+  * `aggregate`), fully inside whole-stage codegen: every element is cast
+  * to DOUBLE and folded left in element order, an IEEE sequence the DuckDB
+  * oracle mirrors verbatim.
+  */
+object VectorOps {
+  import Det._
+
+  private val D = DoubleType
+
+  /** Σ x_i² as a deterministic left fold. */
+  private def norm2(e: Column): Column =
+    aggregate(e, lit(0.0), (a, x) => a + x.cast(D) * x)
+
+  /** Σ a_i·b_i as a deterministic left fold over zip_with. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(D) * y), lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB mirror of [[norm2]] (the 0.0 prepend mirrors Spark's fold init
+    * and keeps list_reduce total on empty lists).
+    */
+  private def norm2Sql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($e, x -> CAST(x AS DOUBLE) * x)), (a, b) -> a + b)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * $b[i] for i in range(1, 65)]), (p, q) -> p + q)"
+
+  // --------------------------------------------------- brute-force top-k
+
+  /** Top-5 cosine neighbors for query vectors (vec_id < 5) — the exact
+    * baseline every ANN variant is judged against. Ranks by the ROUNDED
+    * similarity with a unique vec_id tiebreak so ordering is reproducible
+    * across engines.
+    */
+  def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val q = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("n2").as("q_n2")).filter(col("q_id") < 5)
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    q.crossJoin(base)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val knnBruteforceSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+       |    round(${dotSql("q.embedding", "b.embedding")} / (sqrt(q.n2) * sqrt(b.n2)), 6) AS cos
+       |  FROM base q JOIN base b ON q.vec_id < 5 AND b.vec_id <> q.vec_id)
+       |SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM pairs)
+       |WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+
+  // --------------------------------------------- cosine near-dup pairs
+
+  /** All pairs with cosine ≥ 0.35 (the fixture embeddings are isotropic
+    * noise, so higher thresholds are empty). Brute force is the oracle
+    * baseline; the LSH-bucketed variant below is the 100 TB plan.
+    */
+  def neardupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val a = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
+    val b = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
+    a.crossJoin(b).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2"))), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val neardupCosineSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  round(${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+       |FROM base a JOIN base b ON a.vec_id < b.vec_id
+       |WHERE round(${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35
+       |ORDER BY v1, v2""".stripMargin
+
+  // ------------------------------------------------- per-label centroid
+
+  /** Per-label centroid components via posexplode + exact decimal sums
+    * (row form (label, pos, value) — array re-assembly is demonstrated in
+    * VectorOpsSpec; emitting rows keeps the oracle compare scalar-typed).
+    */
+  def vecCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).cast(LongType).as("pos"))
+      .agg(round(sum(col("v").cast(DecimalType(18, 10))).cast(D) / count(lit(1)), 6)
+        .as("centroid_v"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  val vecCentroidSql =
+    """SELECT label, pos,
+      |  round(CAST(sum(CAST(v AS DECIMAL(18,10))) AS DOUBLE) / count(*), 6) AS centroid_v,
+      |  count(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS pos
+      |      FROM embeddings)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  // ----------------------------------------------- MinHash-LSH near-dup
+
+  /** Scale-path near-dup: shingle → HashingTF → MinHash-LSH banding join
+    * (spark-mllib). Hash seeds are engine-specific → no SQL oracle; the
+    * driver records a rows-only check and VectorOpsSpec asserts recall ≥
+    * 0.9 against the exact-Jaccard truth of TextOps.neardupJaccard.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val sh = transform(sequence(lit(1), n - 2), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2)))
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), when(n >= 3, array_distinct(sh))
+        .otherwise(array().cast(ArrayType(StringType))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val featured = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("d1") < col("d2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // --------------------------------------------------- SimHash near-dup
+
+  /** SimHash near-dup with banded candidate generation: 64-bit simhash
+    * from xxhash64 token hashes, 4×16-bit bands, candidates = pairs
+    * sharing a band, kept when Hamming distance ≤ 6. xxhash64 is
+    * Spark-specific → no SQL oracle; SimHash properties are asserted in
+    * VectorOpsSpec. At scale this shuffles by (band index, band value) —
+    * never all-pairs.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val tokw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = tokw
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("w")).otherwise(-col("w"))).as("s"))
+    val sim = bits
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bandval", expr("shiftright(simhash, band * 16) & 65535"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= 6)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ------------------------------------------------------ LSH-bucket ANN
+
+  /** Scale-path ANN: random-hyperplane (BucketedRandomProjection) LSH
+    * join, restricted to the same query set as the brute-force baseline.
+    * Engine-specific projections → no SQL oracle; recall vs
+    * [[knnBruteforce]] is asserted in VectorOpsSpec.
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(base)
+    val q = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("features"))
+    model.approxSimilarityJoin(q, base, 20.0, "dist")
+      .select(col("datasetA.q_id").as("q_id"), col("datasetB.vec_id").as("vec_id"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
+    ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),
+    ContractQuery("q_vec_centroid", vecCentroid, Some(vecCentroidSql)),
+    ContractQuery("q_dedup_minhash", dedupMinhash, None),
+    ContractQuery("q_dedup_simhash", dedupSimhash, None),
+    ContractQuery("q_knn_lsh", knnLsh, None)
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twins of the batch event queries (SURVEY.md §2.E).
+  *
+  * Design rule: batch/stream parity. Each pipeline here is the same
+  * logical plan as its `graft.queries.EventOps` batch form, driven by
+  * `readStream` + `Trigger.AvailableNow` — which Structured Streaming
+  * guarantees produces the batch answer over static input. StreamingSpec
+  * asserts that equality, plus the streaming-only semantics (watermark
+  * late-data drop, stateful processing) that have no batch analog.
+  *
+  * At scale these run with watermark-bounded state in the RocksDB state
+  * store; the fixed event-time watermark below is what bounds state for
+  * windows/dedup on an unbounded stream.
+  */
+object EventPipelines {
+
+  /** The events schema as a streaming source requires it declared
+    * (ts arrives as raw nanosecond LONG — see Tables.t — and is truncated
+    * to µs exactly like the batch read).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1h window counts/sums with a 10-minute watermark. */
+  def tumbling(events: DataFrame): DataFrame = {
+    import graft.queries.Det._
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), out(sum(money(col("value")))).as("sum_value"))
+      .select(tsOut(col("w.start")).as("wstart_us"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Per-user 30-minute-gap session windows. */
+  def sessions(events: DataFrame): DataFrame = {
+    import graft.queries.Det._
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), tsOut(col("w.start")).as("session_start_us"),
+        tsOut(col("w.end")).as("session_end_us"), col("n_events"))
+  }
+
+  /** Streaming dedup on (user_id, event_type) within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Run any of the above to completion over static input and return the
+    * result (AvailableNow processes everything then stops). Aggregations
+    * use "complete" so the windows still ahead of the final watermark are
+    * emitted too; dedup streams use "append".
+    */
+  def runAvailableNow(spark: SparkSession, pipeline: DataFrame,
+      queryName: String, outputMode: String = "complete"): DataFrame = {
+    val q = pipeline.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

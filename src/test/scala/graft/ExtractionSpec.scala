@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract._
+
+/** End-to-end tests of the extraction engine over a synthetic corpus —
+  * the ScalaTest analog of upstream's tests/test_extraction.py over
+  * tests/samples (multi-page docs, nested dirs, one invalid file, resume,
+  * chunked sinks, feature selection, custom features). See FIXTURES.md §3.
+  */
+class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
+
+  /** corpus/a.doc (3 pages), corpus/sub1/b.doc (1), corpus/sub1/sub2/c.doc
+    * (2), corpus/invalid.doc (no magic), corpus/note.txt (ignored).
+    */
+  def buildCorpus(): Path = {
+    val root = Files.createTempDirectory("graft-corpus")
+    def write(rel: String, content: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content)
+    }
+    def doc(pages: String*): Array[Byte] =
+      (StubExtractor.Magic + pages.mkString("\f")).getBytes("UTF-8")
+    write("a.doc", doc("alpha one", "alpha two", "alpha three"))
+    write("sub1/b.doc", doc("bravo only"))
+    write("sub1/sub2/c.doc", doc("charlie one", "charlie two"))
+    write("invalid.doc", Array[Byte](0x13, 0x37, -1, -2, -3))
+    write("note.txt", "not a doc".getBytes("UTF-8"))
+    root
+  }
+
+  test("corpus scan: recursive glob keeps only *.doc, paths relative") {
+    val root = buildCorpus()
+    val docs = Pipeline.corpus(spark, root.toString)
+    val paths = docs.select("path").collect().map(_.getString(0)).sorted
+    assert(paths.toSeq == Seq("a.doc", "invalid.doc", "sub1/b.doc", "sub1/sub2/c.doc"))
+  }
+
+  test("fan-out: one row per page, invalid doc gets page=-1 + error") {
+    val root = buildCorpus()
+    val rows = Pipeline.fanout(Pipeline.corpus(spark, root.toString), StubExtractor)
+      .select("path", "page", "doc_error").collect()
+    val byPath = rows.groupBy(_.getString(0))
+    assert(byPath("a.doc").map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    assert(byPath("sub1/b.doc").map(_.getInt(1)).toSeq == Seq(1))
+    assert(byPath("sub1/sub2/c.doc").map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
+    val inv = byPath("invalid.doc")
+    assert(inv.length == 1 && inv.head.getInt(1) == -1)
+    assert(inv.head.getString(2).startsWith("pagecount:"))
+  }
+
+  test("feature extraction: text values per page, error rows null-featured") {
+    val root = buildCorpus()
+    val out = Pipeline.extractSmall(spark,
+      Pipeline.corpus(spark, root.toString), Seq("text"))
+    val m = out.map(r => (r.getString(0), r.getInt(1)) ->
+      (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(m(("a.doc", 2))._1.contains("alpha two"))
+    assert(m(("sub1/b.doc", 1))._1.contains("bravo only"))
+    // error row: feature null, error set; (error IS NULL) XOR (text IS NULL)
+    assert(m(("invalid.doc", -1))._1.isEmpty)
+    assert(m(("invalid.doc", -1))._2.exists(_.startsWith("pagecount:")))
+    assert(out.forall(r => r.isNullAt(2) != r.isNullAt(3)))
+  }
+
+  test("per-feature failure captured, job survives (FailingExtractor)") {
+    val root = buildCorpus()
+    val valid = Pipeline.corpus(spark, root.toString)
+      .filter(!col("path").contains("invalid"))
+    // page counting works (Stub), the text feature explodes (Failing):
+    val tasks = Pipeline.fanout(valid, StubExtractor)
+    val rows = Pipeline.extractFeatures(tasks,
+      Features.select(Seq("text")), FailingExtractor).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getString(r.fieldIndex("error")).startsWith("text:")))
+  }
+
+  test("ocr + image features and feature selection") {
+    val root = buildCorpus()
+    val out = Pipeline.extractSmall(spark,
+      Pipeline.corpus(spark, root.toString).filter(col("path") === "sub1/b.doc"),
+      Seq("text", "image", "ocr"))
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(r.fieldIndex("text")) == "bravo only")
+    assert(new String(r.getAs[Array[Byte]]("image"), "UTF-8") == "IMG:1:bravo only")
+    assert(r.getString(r.fieldIndex("ocr")) == "[eng] bravo only")
+  }
+
+  test("custom feature registration adds a typed column") {
+    val root = buildCorpus()
+    val nWords = Feature("n_words",
+      org.apache.spark.sql.types.IntegerType,
+      (ex, b, p) => ex.pageText(b, p).split(" ").length)
+    val rows = Pipeline.extractFeatures(
+      Pipeline.fanout(Pipeline.corpus(spark, root.toString)
+        .filter(col("path") === "a.doc"), StubExtractor),
+      Seq(nWords), StubExtractor).collect()
+    assert(rows.map(_.getInt(2)).toSeq == Seq(2, 2, 2))
+  }
+
+  test("resume skips already-done (path, page); rerun after completion is empty") {
+    val root = buildCorpus()
+    val outDir = Files.createTempDirectory("graft-out").resolve("out.parquet").toString
+    val docs = Pipeline.corpus(spark, root.toString)
+    Pipeline.extractToParquet(spark, docs, outDir)
+    val firstRun = spark.read.parquet(outDir)
+    assert(firstRun.count() == 7) // 3 + 1 + 2 pages + 1 error row
+    // re-running must add nothing (everything resumes away)
+    Pipeline.extractToParquet(spark, docs, outDir)
+    assert(spark.read.parquet(outDir).count() == 7)
+    // dropping part of the output makes exactly the dropped tasks rerun
+    val kept = firstRun.filter(col("path") =!= "a.doc")
+    val outDir2 = Files.createTempDirectory("graft-out2").resolve("out.parquet").toString
+    kept.write.parquet(outDir2)
+    Pipeline.extractToParquet(spark, docs, outDir2)
+    val redone = spark.read.parquet(outDir2)
+    assert(redone.count() == 7)
+    assert(redone.filter(col("path") === "a.doc").count() == 3)
+  }
+
+  test("chunked sink bounds records per file; .gzip selects gzip codec") {
+    val root = buildCorpus()
+    val outDir = Files.createTempDirectory("graft-out3").resolve("out.gzip").toString
+    Pipeline.extractToParquet(spark, Pipeline.corpus(spark, root.toString),
+      outDir, chunkRecords = 2, doResume = false)
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.forall(_.getName.contains(".gz.")), "gzip codec in file names")
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 7)
+  }
+
+  test("in-memory task source with explicit page") {
+    val payload = (StubExtractor.Magic + "p1\fp2\fp3").getBytes("UTF-8")
+    val tasks = Pipeline.fromTasks(spark, Seq(
+      ExtractTask("mem.doc", payload, Some(2)),
+      ExtractTask("mem2.doc", payload, None)))
+    val out = Pipeline.extractFeatures(
+      Pipeline.fanout(tasks, StubExtractor),
+      Features.select(Seq("text")), StubExtractor)
+      .orderBy("path", "page").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq == Seq(
+      ("mem.doc", 2, "p2"),
+      ("mem2.doc", 1, "p1"), ("mem2.doc", 2, "p2"), ("mem2.doc", 3, "p3")))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.queries._
+
+/** Algebraic laws over the contract operators (SURVEY.md §5.2.3) plus the
+  * exactness proof-by-test of the [[Det.avg4]] scheme. Property cases are
+  * drawn from ScalaCheck generators with a fixed seed (the scalatestplus
+  * bridge is not in the offline cache).
+  */
+class LawsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("avg4 equals BigDecimal HALF_UP average on random positive groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 200 groups x up to 40 members of positive "money" doubles
+    val rows = for {
+      g <- 0 until 200
+      _ <- 0 until (1 + rnd.nextInt(40))
+    } yield (g, math.rint(rnd.nextDouble() * 1e8) / 1e4 + 0.0001)
+    val df = rows.toDF("g", "x")
+    val got = df.groupBy($"g")
+      .agg(Det.avg4(sum(Det.moneyInt($"x")), count(lit(1))).as("a"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val xs = members.map(_._2)
+      val sumInt = xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(10000)).toLongExact).sum
+      val expect = (BigDecimal(sumInt) / BigDecimal(xs.size * 10000L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(g) == expect, s"group $g: got ${got(g)} expect $expect")
+    }
+  }
+
+  test("semi ⊎ anti partitions the build side") {
+    val all = Tables.t(spark, Sf0001, "customer").count()
+    // same predicate on both: orders with status F
+    val o = Tables.t(spark, Sf0001, "orders").filter(col("o_orderstatus") === "F")
+    val c = Tables.t(spark, Sf0001, "customer")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti == all)
+  }
+
+  test("except ⊎ intersect partitions the left side (on distinct keys)") {
+    val keys = Tables.t(spark, Sf0001, "customer").select(col("c_custkey")).distinct()
+    val inCredit = Tables.t(spark, Sf0001, "customer")
+      .filter(col("c_acctbal") > 0).select(col("c_custkey")).distinct()
+    val n = keys.count()
+    assert(keys.except(inCredit).count() + keys.intersect(inCredit).count() == n)
+  }
+
+  test("union all is count-additive; union distinct bounded by sum") {
+    val p = Relational.unionAll(spark, Sf0001)
+    val e = Tables.t(spark, Sf0001, "events")
+    val np = e.filter(col("event_type") === "purchase").count()
+    val ns = e.filter(col("event_type") === "signup").count()
+    assert(p.count() == np + ns)
+    assert(Relational.unionDistinct(spark, Sf0001).count() <=
+      Tables.t(spark, Sf0001, "orders").count() +
+        Tables.t(spark, Sf0001, "customer").count())
+  }
+
+  test("exact dedup is idempotent") {
+    val once = TextOps.dedupExact(spark, Sf0001)
+    val again = once.groupBy(col("digest"))
+      .agg(min(col("keeper")).as("keeper"), count(lit(1)).as("n"))
+    assert(again.filter(col("n") > 1).count() == 0)
+  }
+
+  test("global top-k is the k-prefix of the full sort") {
+    val full = Relational.sortMulti(spark, Sf0001) // different keys — use lineitem
+    val top = Relational.topkGlobal(spark, Sf0001).collect()
+    val sorted = Tables.t(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(50).collect()
+    assert(top.toSeq == sorted.toSeq)
+    assert(full.count() > 0)
+  }
+
+  test("jaccard pairs are symmetric-canonical and within [0,1]") {
+    val rows = TextOps.neardupJaccard(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0))
+  }
+
+  test("page fan-out row count equals Σ ceil(n_chars/100)") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val expect = docs.agg(sum(ceil(col("n_chars") / 100.0))).collect()(0).getLong(0)
+    assert(Extraction.pageFanout(spark, Sf0001).count() == expect)
+  }
+
+  test("resume after full completion leaves zero tasks") {
+    val tasks = Extraction.pageFanout(spark, Sf0001)
+    val remaining = tasks.join(tasks.withColumnRenamed("doc_id", "d")
+        .withColumnRenamed("page", "p"),
+      col("doc_id") === col("d") && col("page") === col("p"), "left_anti")
+    assert(remaining.count() == 0)
+  }
+
+  test("sample fraction lands near p and is deterministic per seed") {
+    val l = Tables.t(spark, Sf0001, "lineitem")
+    val a = l.sample(withReplacement = false, 0.1, seed = 42).count()
+    val b = l.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(a == b)
+    assert(a > 600 * 0.5 && a < 600 * 2, s"fraction way off: $a of 6000")
+  }
+
+  test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
+    val cases = (0 until 5).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.nonEmpty)
+    cases.foreach { xs =>
+      val df = xs.toDF("x")
+      val got = df.agg(Det.avg4(sum(Det.moneyInt($"x")), count(lit(1))))
+        .collect()(0).getDouble(0)
+      val sumInt = xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(10000)).toLongExact).sum
+      val expect = (BigDecimal(sumInt) / BigDecimal(xs.size * 10000L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == expect, s"xs=$xs")
+    }
+  }
+}

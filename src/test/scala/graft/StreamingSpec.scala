@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.EventOps
+import graft.streaming.EventPipelines
+
+/** Batch/stream parity (Trigger.AvailableNow over static input must equal
+  * the batch plan) and the streaming-only semantics: watermark late-data
+  * drop and arbitrary stateful processing.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+
+  test("tumbling window: stream (AvailableNow) == batch") {
+    val stream = EventPipelines.runAvailableNow(spark,
+      EventPipelines.tumbling(EventPipelines.readEvents(spark, Sf0001)),
+      "t_tumbling")
+    val batch = EventOps.streamTumbling(spark, Sf0001)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("session window: stream (AvailableNow) == batch") {
+    val stream = EventPipelines.runAvailableNow(spark,
+      EventPipelines.sessions(EventPipelines.readEvents(spark, Sf0001)),
+      "t_sessions")
+    val batch = EventOps.streamSession(spark, Sf0001)
+    assert(canon(stream) == canon(batch))
+  }
+
+  test("streaming dedup emits one row per (user, type)") {
+    val stream = EventPipelines.runAvailableNow(spark,
+      EventPipelines.dedup(EventPipelines.readEvents(spark, Sf0001)),
+      "t_dedup", outputMode = "append")
+    val batch = EventOps.streamDedup(spark, Sf0001)
+    // streaming dropDuplicates keeps the first row encountered (arrival
+    // order), batch keeps the min-(ts,event_id) row; the KEY SET must match.
+    assert(canon(stream.select("user_id", "event_type")) ==
+      canon(batch.select("user_id", "event_type")))
+  }
+
+  test("watermark drops late rows beyond the delay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val counts = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: two on-time rows advance the watermark to 11:50
+    mem.addData((t("2024-01-01 10:15:00"), 1L), (t("2024-01-01 12:00:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: a row in the 10:00 window — 10:00-11:00 is fully below the
+    // 11:50 watermark, so this late row must be DROPPED
+    mem.addData((t("2024-01-01 10:30:00"), 3L))
+    q.processAllAvailable()
+    // batch 3: push the watermark far ahead so the 10:00 window finalizes
+    mem.addData((t("2024-01-01 20:00:00"), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val by = spark.table("t_late").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(by("2024-01-01 10:00:00.0") == 1L, s"late row must not count: $by")
+  }
+
+  test("stateful funnel via flatMapGroupsWithState: signup then purchase") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // user, type, seq
+    val funnel = mem.toDF().toDF("user_id", "event_type", "seq")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state: GroupState[String]) =>
+          var stage = state.getOption.getOrElse("start")
+          val out = scala.collection.mutable.Buffer[(Long, String)]()
+          events.toSeq.sortBy(_._3).foreach { case (_, tpe, _) =>
+            (stage, tpe) match {
+              case ("start", "signup") => stage = "signed"
+              case ("signed", "purchase") =>
+                stage = "converted"; out += ((user, "converted"))
+              case _ => ()
+            }
+          }
+          state.update(stage)
+          out.iterator
+      }.toDF("user_id", "status")
+    val q = funnel.writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    mem.addData((1L, "signup", 1L), (2L, "view", 1L))
+    q.processAllAvailable()
+    mem.addData((1L, "purchase", 2L), (2L, "purchase", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_funnel").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == Set((1L, "converted")), rows.mkString(","))
+  }
+}

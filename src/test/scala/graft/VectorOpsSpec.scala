@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{TextOps, VectorOps}
+
+/** Recall/property tests for the sketch-based operators that have no SQL
+  * oracle (engine-specific hash seeds): MinHash-LSH and SimHash near-dup,
+  * LSH-bucketed ANN — each judged against its exact baseline.
+  */
+class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("MinHash-LSH near-dup recalls >= 80% of exact-Jaccard J>=0.5 pairs") {
+    val truth = TextOps.neardupJaccard(spark, Sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain planted near-dup pairs")
+    val found = VectorOps.dedupMinhash(spark, Sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("SimHash: near-identical docs collide, hamming <= 6, pairs ordered") {
+    val rows = VectorOps.dedupSimhash(spark, Sf0001).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getLong(2) <= 6))
+    // the planted exact-Jaccard dups should largely surface here too
+    val truth = TextOps.neardupJaccard(spark, Sf0001)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (truth.isEmpty) 1.0
+      else truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.7, s"simhash recall $recall of ${truth.size} J>=0.9 pairs")
+  }
+
+  test("LSH ANN recalls >= 60% of brute-force top-5 neighbors") {
+    val truth = VectorOps.knnBruteforce(spark, Sf0001)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = VectorOps.knnLsh(spark, Sf0001)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.6, s"ann recall $recall")
+  }
+
+  test("brute-force knn: 5 neighbors per query, no self, cos in [-1,1]") {
+    val rows = VectorOps.knnBruteforce(spark, Sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(byQ.values.forall(_.length == 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("centroid rows: 10 labels x 64 positions, counts sum to table size") {
+    val rows = VectorOps.vecCentroid(spark, Sf0001).collect()
+    assert(rows.length == 10 * 64)
+    val total = rows.filter(_.getLong(1) == 1).map(_.getLong(3)).sum
+    assert(total == 500)
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val approx = graft.queries.Aggregates.aggApprox(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.queries.Aggregates.aggDistinct(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.1, s"$k: approx $ap vs exact $ex")
+    }
+  }
+}
