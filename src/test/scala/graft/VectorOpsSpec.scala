@@ -23,7 +23,7 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
   test("SimHash: near-identical docs collide, hamming <= 6, pairs ordered") {
     val rows = VectorOps.dedupSimhash(spark, Sf0001).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(rows.forall(_.getLong(2) <= 6))
+    assert(rows.forall(r => r.getAs[Number]("hamming").intValue <= 6))
     // the planted exact-Jaccard dups should largely surface here too
     val truth = TextOps.neardupJaccard(spark, Sf0001)
       .filter(col("jaccard") >= 0.9)
