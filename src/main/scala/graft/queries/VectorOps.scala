@@ -22,13 +22,16 @@ object VectorOps {
 
   private val D = DoubleType
 
-  /** Σ x_i² as a deterministic left fold. */
-  private def norm2(e: Column): Column =
-    aggregate(e, lit(0.0), (a, x) => a + x.cast(D) * x)
-
-  /** Σ a_i·b_i as a deterministic left fold over zip_with. */
+  /** Σ a_i·b_i via the codegen'd DotProduct expression — bit-identical to
+    * the `aggregate(zip_with(...))` lambda fold (same left-to-right IEEE
+    * accumulation) but much faster: HigherOrderFunction lambdas are
+    * interpreted while this stays inside whole-stage codegen.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(D) * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
+
+  /** Σ x_i² = dot(e, e). */
+  private def norm2(e: Column): Column = dot(e, e)
 
   /** DuckDB mirror of [[norm2]] (the 0.0 prepend mirrors Spark's fold init
     * and keeps list_reduce total on empty lists).
@@ -87,21 +90,27 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     val a = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
     val b = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
-    a.crossJoin(b).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        round(dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2"))), 6).as("cos"))
-      .filter(col("cos") >= 0.35)
+    // filter on the RAW cosine: the threshold predicate is pushed into the
+    // pair loop (BNLJ join condition), where a round() would cost a
+    // BigDecimal per pair; rounding happens once, on survivors only. The
+    // oracle mirrors the raw-threshold semantics exactly.
+    val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
+    a.crossJoin(b).filter(col("v1") < col("v2") && cosRaw >= 0.35)
+      .select(col("v1"), col("v2"), round(cosRaw, 6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
 
-  val neardupCosineSql: String =
+  val neardupCosineSql: String = {
+    val cosRaw = (l: String, r: String) =>
+      s"${dotSql(s"$l.embedding", s"$r.embedding")} / (sqrt($l.n2) * sqrt($r.n2))"
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings)
        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-       |  round(${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+       |  round(${cosRaw("a", "b")}, 6) AS cos
        |FROM base a JOIN base b ON a.vec_id < b.vec_id
-       |WHERE round(${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35
+       |WHERE ${cosRaw("a", "b")} >= 0.35
        |ORDER BY v1, v2""".stripMargin
+  }
 
   // ------------------------------------------------- per-label centroid
 

@@ -1,0 +1,78 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two float-array columns.
+  *
+  * The pure-DataFrame formulation (`aggregate(zip_with(a, b, _*_), 0d,
+  * _+_)`) is semantically identical but runs interpreted — Catalyst does
+  * not codegen HigherOrderFunction lambdas, which made the brute-force
+  * cosine queries the bench hot spot (BASELINE.md r2). This expression
+  * emits a tight loop inside whole-stage codegen with the exact same
+  * left-to-right IEEE accumulation order as the lambda fold, so the DuckDB
+  * oracle mirror (an equivalent explicit fold) is unchanged.
+  *
+  * Lives under org.apache.spark.sql because `AbstractDataType` (for
+  * ExpectsInputTypes) and the Column↔Expression bridge are private[sql] —
+  * the sanctioned extension point for native expressions.
+  *
+  * Null/shape semantics: null if either array is null; elements are
+  * non-null floats (fixture schema); accumulation runs over the shorter
+  * length if they differ.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public bridge for graft code (Column ↔ Expression conversion is
+  * private[sql]).
+  */
+object VectorExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
