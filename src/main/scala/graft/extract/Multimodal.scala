@@ -1,0 +1,141 @@
+package graft.extract
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (north-star §2.D): images/audio/video ride beside
+  * text as opaque `binary` columns with typed metadata structs; per-row
+  * media ops are narrow transformations (no shuffle), so a 100 TB media
+  * corpus is just more input partitions.
+  *
+  * Image decode/resize are REAL (JDK ImageIO — PNG/JPEG/BMP/GIF, works
+  * offline); audio feature-extraction and video frame-sampling have no
+  * codec in this environment, so they are deterministic STUBS behind the
+  * [[AudioDecoder]]/[[VideoDecoder]] traits — a production deployment
+  * binds javacv/ffmpeg there, the Spark-side schema/partitioning/batch
+  * shape is real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  val imageMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("error", StringType)))
+
+  /** Decode image header → typed metadata struct. Invalid bytes yield a
+    * metadata row with `error` set — never a failed job (the pdf2dataset
+    * error-column rule applied to media).
+    */
+  val decodeImageMeta: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+      override def call(bytes: Array[Byte]): Row =
+        try {
+          val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(in)
+          if (!readers.hasNext) Row(null, null, null, "decode: unknown format")
+          else {
+            val r = readers.next()
+            r.setInput(in)
+            val row = Row(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), null)
+            r.dispose()
+            row
+          }
+        } catch {
+          case e: Throwable => Row(null, null, null, s"decode: ${e.getMessage}")
+        }
+    }, imageMetaType)
+
+  /** Real image resize (bilinear) → PNG bytes; null on undecodable input. */
+  def resizeImage(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Array[Byte]] {
+      override def call(bytes: Array[Byte]): Array[Byte] =
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            bos.toByteArray
+          }
+        } catch { case _: Throwable => null }
+    }, BinaryType)
+
+  /** Offline stand-in for an audio feature extractor (e.g. MFCC): a
+    * production binding would decode PCM and window it; the stub derives a
+    * deterministic fixed-length feature vector from the payload so the
+    * schema (array<float>) and distributed shape are exercised end-to-end.
+    */
+  trait AudioDecoder extends Serializable {
+    def features(bytes: Array[Byte], nCoeffs: Int): Array[Float]
+  }
+
+  object StubAudioDecoder extends AudioDecoder {
+    override def features(bytes: Array[Byte], nCoeffs: Int): Array[Float] = {
+      val out = new Array[Float](nCoeffs)
+      var h = 1125899906842597L // FNV-ish deterministic mix of the payload
+      bytes.foreach(b => h = h * 31 + b)
+      (0 until nCoeffs).foreach { i =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = (h >>> 40).toFloat / (1 << 24)
+      }
+      out
+    }
+  }
+
+  /** Offline stand-in for video frame sampling: a production binding
+    * returns one JPEG per sampled timestamp; the stub emits deterministic
+    * per-frame byte payloads. The fan-out (one row per sampled frame) is
+    * the real, tested part — it is the same explode shape as the page
+    * fan-out.
+    */
+  trait VideoDecoder extends Serializable {
+    def sampleFrames(bytes: Array[Byte], everyNthMs: Long, durationMs: Long): Seq[(Long, Array[Byte])]
+  }
+
+  object StubVideoDecoder extends VideoDecoder {
+    override def sampleFrames(bytes: Array[Byte], everyNthMs: Long,
+        durationMs: Long): Seq[(Long, Array[Byte])] = {
+      (0L until durationMs by everyNthMs).map { ts =>
+        ts -> s"FRAME:$ts:${bytes.length}".getBytes("UTF-8")
+      }
+    }
+  }
+
+  /** Attach decoded image metadata + a resized thumbnail to a DataFrame
+    * with a binary `content` column.
+    */
+  def withImageColumns(df: DataFrame, contentCol: String = "content",
+      thumbW: Int = 32, thumbH: Int = 32): DataFrame =
+    df.withColumn("image_meta", decodeImageMeta(col(contentCol)))
+      .withColumn("thumbnail", resizeImage(thumbW, thumbH)(col(contentCol)))
+
+  /** Audio feature column (stub-backed; see [[AudioDecoder]]). */
+  def withAudioFeatures(df: DataFrame, decoder: AudioDecoder = StubAudioDecoder,
+      contentCol: String = "content", nCoeffs: Int = 16): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => decoder.features(bytes, nCoeffs))
+    df.withColumn("audio_features", f(col(contentCol)))
+  }
+
+  /** Frame-sample fan-out: one row per sampled frame (ts_ms, frame). */
+  def sampleVideoFrames(df: DataFrame, decoder: VideoDecoder = StubVideoDecoder,
+      contentCol: String = "content", everyNthMs: Long = 1000,
+      durationMs: Long = 5000): DataFrame = {
+    val f = udf((bytes: Array[Byte]) =>
+      decoder.sampleFrames(bytes, everyNthMs, durationMs))
+    df.withColumn("frame", explode(f(col(contentCol))))
+      .withColumn("frame_ts_ms", col("frame._1"))
+      .withColumn("frame_bytes", col("frame._2"))
+      .drop("frame")
+  }
+}
