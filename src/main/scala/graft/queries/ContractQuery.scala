@@ -17,9 +17,20 @@ final case class ContractQuery(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-/** Fixture-table loaders. One parquet file per table under the sf dir. */
+/** Fixture-table loaders. One parquet file per table under the sf dir.
+  * Loads are memoized per (session, path): re-resolving the same file for
+  * each of the 67 contract queries would re-list and re-read parquet
+  * footers dozens of times per run.
+  */
 object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
       // to TimestampType; read it as a raw nanosecond LONG and truncate to

@@ -111,6 +111,18 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(a > 600 * 0.5 && a < 600 * 2, s"fraction way off: $a of 6000")
   }
 
+  test("map functions: build, keys, element_at (MapType demo, no oracle)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "k", "v")
+      .select(col("id"), map_from_arrays(array(col("k")), array(col("v"))).as("m"))
+    val rows = df.select(col("id"),
+      map_keys(col("m")).getItem(0).as("key0"),
+      element_at(col("m"), lit("a")).as("va")) // element_at on map, 'a' key
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "a" && rows(0).getInt(2) == 10)
+    assert(rows(1).getString(1) == "b" && rows(1).isNullAt(2))
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
