@@ -19,16 +19,20 @@ import org.apache.spark.sql.types._
 object TextOps {
   import Det._
 
-  /** doc_id -> distinct 3-word shingles (guarded for texts under 3 tokens). */
-  private def shingled(df: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    val sh = transform(sequence(lit(1), n - 2), i =>
-      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2)))
-    df.select(col("doc_id"),
-      when(n >= 3, array_distinct(sh)).otherwise(array().cast(ArrayType(StringType)))
-        .as("shingles"))
+  /** (doc_id, s) rows of DISTINCT 3-word shingles. Built with window
+    * lead() over exploded tokens rather than array lambdas:
+    * HigherOrderFunction transforms are interpreted (≈10 s one-time at
+    * sf0.1) while posexplode + lead + concat stay in whole-stage codegen.
+    * Texts under 3 tokens contribute no rows.
+    */
+  private[queries] def shingleRows(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .distinct()
   }
 
   private val shingledSql =
@@ -61,9 +65,8 @@ object TextOps {
     * shingle buckets get hot).
     */
   def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(Tables.t(spark, dir, "documents")).cache()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"))
-    val e = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val e = shingleRows(Tables.t(spark, dir, "documents")).cache()
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

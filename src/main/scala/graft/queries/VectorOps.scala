@@ -139,32 +139,49 @@ object VectorOps {
 
   // ----------------------------------------------- MinHash-LSH near-dup
 
-  /** Scale-path near-dup: shingle → HashingTF → MinHash-LSH banding join
-    * (spark-mllib). Hash seeds are engine-specific → no SQL oracle; the
-    * driver records a rows-only check and VectorOpsSpec asserts recall ≥
-    * 0.9 against the exact-Jaccard truth of TextOps.neardupJaccard.
+  /** Scale-path near-dup: custom MinHash + LSH banding, pure Catalyst.
+    *
+    *   shingles → k=16 min-hashes (xxhash64 seeded by slot index, one
+    *   shuffle-by-doc aggregation) → 8 bands × 2 rows, band signature =
+    *   xxhash64 of the band's minima → candidates = pairs sharing a
+    *   (band, signature) bucket (shuffle by bucket, never all-pairs) →
+    *   exact-Jaccard verification of the few candidates.
+    *
+    * Candidate recall at J: 1-(1-J²)^8 (J=0.5 → 0.90, J=0.9 → 1-3e-6);
+    * the planted fixture dups sit at J≈0.9. Replaces an earlier mllib
+    * MinHashLSH.approxSimilarityJoin version whose wall time varied 5–60 s
+    * at sf0.1 (unstable plan); this form is ~1 s and deterministic. Hash
+    * values are Spark-specific → no SQL oracle; VectorOpsSpec asserts
+    * recall against TextOps.neardupJaccard exact truth.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    val sh = transform(sequence(lit(1), n - 2), i =>
-      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2)))
-    val docs = Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), when(n >= 3, array_distinct(sh))
-        .otherwise(array().cast(ArrayType(StringType))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18)
-    val featured = tf.transform(docs)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
-      .filter(col("d1") < col("d2"))
+    val K = 16
+    val Bands = 8
+    val e = TextOps.shingleRows(Tables.t(spark, dir, "documents"))
+    val mins = e.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("m0"),
+      (1 until K).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+    val bands = mins.select(col("doc_id"), explode(array(
+      (0 until Bands).map(j => struct(lit(j).as("band"),
+        xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.sig"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact-Jaccard verification of the candidate set only
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(e.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(e.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
       .orderBy(col("d1"), col("d2"))
   }
 
