@@ -72,6 +72,25 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(by("2024-01-01 10:00:00.0") == 1L, s"late row must not count: $by")
   }
 
+  test("foreachBatch chunked parquet sink: streaming incremental writes round-trip") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+      .resolve("events.parquet").toString
+    val stream = EventPipelines.readEvents(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the streaming twin of Pipeline's bounded-memory chunked sink
+        batch.write.mode("append").option("maxRecordsPerFile", 200L).parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 1000)
+    val files = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 5, s"chunking should bound records per file, got $files files")
+  }
+
   test("stateful funnel via flatMapGroupsWithState: signup then purchase") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
