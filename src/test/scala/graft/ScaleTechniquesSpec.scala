@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** The 100 TB techniques that don't show up in oracle-checked results but
+  * define whether the plans survive scale-up: salting for skewed keys
+  * (result-identical) and bucketed tables (co-located, shuffle-free
+  * joins — asserted on the physical plan).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("salted aggregation equals plain aggregation on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val skewed = spark.range(100000)
+      .select(when($"id" % 10 === 0, $"id" % 100).otherwise(7L).as("k"))
+    val plain = skewed.groupBy($"k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(skewed.toDF(), "k", salts = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain(7L) > 89000)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    import spark.implicits._
+    val large = spark.range(50000)
+      .select(when($"id" % 5 === 0, $"id" % 20).otherwise(3L).as("k"), $"id".as("v"))
+    val small = (0L until 20L).map(k => (k, s"dim$k")).toDF("dk", "name")
+    val plain = large.join(small, $"k" === $"dk")
+      .select($"v", $"name").collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(large.toDF(), small, "k", "dk", salts = 8)
+      .select($"v", $"name").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle (co-located scan)") {
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      graft.queries.Tables.t(spark, Sf0001, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      graft.queries.Tables.t(spark, Sf0001, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect() // force execution so the adaptive plan finalizes
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located bucket scan: the join itself needs no hashpartitioning
+      // exchange on the join keys (only the post-agg exchange remains)
+      val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
+        !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle join keys:\n$plan")
+      // equality with the unbucketed join
+      val expect = graft.queries.Relational.joinSmj(spark, Sf0001)
+        .collect().map(_.toString).sorted
+      val got = spark.table("b_orders").join(spark.table("b_lineitem"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          graft.queries.Det.out(sum(graft.queries.Det.money($"l_quantity"))).as("sum_qty"))
+        .orderBy($"o_orderpriority").collect().map(_.toString).sorted
+      assert(got.toSeq == expect.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
