@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GeoMean
+
+/** Typed-Aggregator UDAF surface (SURVEY.md §2.F). */
+class UdafSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("GeoMean aggregator matches the closed form and splits over partitions") {
+    import spark.implicits._
+    val geomean = functions.udaf(GeoMean)
+    spark.udf.register("geomean", geomean)
+
+    val xs = (1 to 1000).map(_.toDouble)
+    val expect = math.exp(xs.map(math.log).sum / xs.size)
+    // many partitions → exercises partial-buffer merge
+    val got = xs.toDF("x").repartition(16)
+      .agg(geomean($"x").as("g")).collect()(0).getDouble(0)
+    assert(math.abs(got - expect) / expect < 1e-9, s"got $got expect $expect")
+
+    // grouped + SQL registration path
+    val grouped = Tables_grouped()
+    assert(grouped.forall { case (_, g) => g > 0 && !g.isNaN })
+  }
+
+  private def Tables_grouped(): Seq[(String, Double)] = {
+    val df = graft.queries.Tables.t(spark, Sf0001, "lineitem")
+    df.createOrReplaceTempView("li_udaf")
+    spark.sql("SELECT l_returnflag, geomean(l_quantity) AS g FROM li_udaf GROUP BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
+  test("non-positive inputs are skipped; all-non-positive group yields NaN") {
+    import spark.implicits._
+    val geomean = functions.udaf(GeoMean)
+    val rows = Seq(("a", 2.0), ("a", 8.0), ("a", -1.0), ("b", -5.0), ("b", 0.0))
+      .toDF("k", "x").groupBy($"k").agg(geomean($"x").as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rows("a") - 4.0) < 1e-12) // sqrt(2*8)
+    assert(rows("b").isNaN)
+  }
+}
