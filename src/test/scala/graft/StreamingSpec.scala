@@ -72,6 +72,54 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(by("2024-01-01 10:00:00.0") == 1L, s"late row must not count: $by")
   }
 
+  test("transformWithState: running per-user counts via ValueState (TWS + RocksDB)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    class CountProcessor extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+      @transient private var count: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+          tv: TimerValues): Iterator[(Long, Long)] = {
+        val n = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(n)
+        Iterator((key, n))
+      }
+    }
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(new CountProcessor, TimeMode.None(),
+          OutputMode.Update(), Encoders.product[(Long, Long)])
+        .toDF("user_id", "n")
+      val q = out.writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+      mem.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 12L), (3L, 30L))
+      q.processAllAvailable()
+      q.stop()
+      // update-mode memory sink appends one row per (batch, key): the
+      // latest row per key carries the running count across batches
+      val last = spark.table("t_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), last.toString)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch chunked parquet sink: streaming incremental writes round-trip") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
       .resolve("events.parquet").toString
