@@ -128,13 +128,18 @@ object Pipeline {
 
   /** Resume: drop tasks whose (path, page) already exist in the output
     * (upstream: anti-join against the partially-written parquet).
+    *
+    * No broadcast hint: the done-set grows with the corpus (on a resumed
+    * 100 TB run it is nearly the whole corpus), so it must stay a shuffle
+    * anti-join keyed on (path, page); AQE still downgrades to broadcast at
+    * runtime whenever the done-set is actually small.
     */
   def resume(tasks: DataFrame, outPath: String): DataFrame = {
     val spark = tasks.sparkSession
     val existing = scala.util.Try(
       spark.read.parquet(outPath).select(col("path"), col("page"))).toOption
     existing match {
-      case Some(done) => tasks.join(broadcast(done), Seq("path", "page"), "left_anti")
+      case Some(done) => tasks.join(done, Seq("path", "page"), "left_anti")
       case None => tasks
     }
   }

@@ -16,16 +16,25 @@ object Skew {
 
   /** Two-phase aggregation over a skewed grouping key: partial-aggregate
     * by (key, salt) — spreading a hot key over `salts` reducers — then
-    * final-aggregate by key. `aggs` must be algebraic (sum/count/min/max
-    * style) for the two phases to compose; the caller provides the same
-    * aggregate for both phases via re-aggregation of the partial column.
+    * final-aggregate by key. The aggregates must be algebraic (sum/count/
+    * min/max style): `partials` run in phase one and `finals` re-aggregate
+    * the phase-one columns by their output names, e.g.
+    * `partials = Seq(count(lit(1)).as("n"), sum($"x").as("s"))` with
+    * `finals = Seq(sum($"n").as("n"), sum($"s").as("s"))`.
     */
-  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+  def saltedAgg(df: DataFrame, key: String, salts: Int,
+      partials: Seq[Column], finals: Seq[Column]): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
       .groupBy(col(key), col("__salt"))
-      .agg(count(lit(1)).as("__partial"))
+      .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))
-      .agg(sum(col("__partial")).as("n"))
+      .agg(finals.head, finals.tail: _*)
+
+  /** Salted COUNT(*) by `key` — the common case of [[saltedAgg]]. */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    saltedAgg(df, key, salts,
+      partials = Seq(count(lit(1)).as("__partial")),
+      finals = Seq(sum(col("__partial")).as("n")))
 
   /** Salted inner equi-join: the large (skewed) side gets a per-row salt
     * in [0, salts); the small side is replicated `salts` times; the join

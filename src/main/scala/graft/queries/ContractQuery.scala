@@ -81,6 +81,13 @@ object Det {
     * on both engines; both perform one correctly-rounded double division,
     * so `floor` agrees bit-for-bit (quotient error ≪ distance to the next
     * integer at oracle scale). Requires sumInt >= 0.
+    *
+    * Bound: `2 * sumInt` is computed in BIGINT on the Spark side while the
+    * DuckDB mirror sums into HUGEINT, so this trick is exact only while
+    * 2·Σ(x·10^4) < 2^63 — for l_extendedprice-scale sums that holds to
+    * roughly sf 500 (≈3·10^9 lineitems × ~10^9 scaled units ≈ 6·10^18).
+    * Beyond that, cast the scaled sum to DECIMAL(38,0) on both sides
+    * before applying the 2s+n scheme.
     */
   def avg4(sumInt: Column, n: Column): Column =
     (floor((sumInt * lit(2L) + n) / (n * lit(2L))) / lit(10000.0))

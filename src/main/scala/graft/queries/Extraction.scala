@@ -16,18 +16,23 @@ object Extraction {
 
   /** Document → page fan-out (reference: one extraction task per page;
     * pages modeled as ceil(n_chars / 100)). Explode keeps the fan-out
-    * distributed — no driver-side loop.
+    * distributed — no driver-side loop. The page count is clamped to >= 1:
+    * Spark's sequence(1, 0) yields a DESCENDING [1, 0] while DuckDB's
+    * generate_series(1, 0) is empty, so an unguarded fan-out silently
+    * diverges on empty documents (every doc gets at least one page, which
+    * also matches the reference's one-task-per-unreadable-doc behavior).
     */
   def pageFanout(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(sequence(lit(1),
-          ceil(col("n_chars") / lit(100.0)).cast(IntegerType))).as("page"))
+          greatest(ceil(col("n_chars") / lit(100.0)).cast(IntegerType),
+            lit(1)))).as("page"))
       .withColumn("page", col("page").cast(LongType))
       .orderBy(col("doc_id"), col("page"))
 
   val pageFanoutSql =
-    """SELECT doc_id, CAST(unnest(generate_series(1, CAST(ceil(n_chars / 100.0) AS INT))) AS BIGINT) AS page
+    """SELECT doc_id, CAST(unnest(generate_series(1, greatest(CAST(ceil(n_chars / 100.0) AS INT), 1))) AS BIGINT) AS page
       |FROM documents
       |ORDER BY doc_id, page""".stripMargin
 
@@ -72,7 +77,7 @@ object Extraction {
 
   val resumeAntiSql =
     """WITH tasks AS (
-      |  SELECT doc_id, CAST(unnest(generate_series(1, CAST(ceil(n_chars / 100.0) AS INT))) AS BIGINT) AS page
+      |  SELECT doc_id, CAST(unnest(generate_series(1, greatest(CAST(ceil(n_chars / 100.0) AS INT), 1))) AS BIGINT) AS page
       |  FROM documents)
       |SELECT doc_id, page FROM tasks t
       |WHERE NOT EXISTS (SELECT 1 FROM tasks d

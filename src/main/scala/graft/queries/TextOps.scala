@@ -63,17 +63,26 @@ object TextOps {
     * shingle — only docs sharing a shingle ever meet, which is the plan
     * that survives 100 TB (plus MinHash banding in [[VectorOps]] when even
     * shingle buckets get hot).
+    *
+    * Each shingle row carries its doc's set size (window count — one
+    * shuffle by doc_id, no driver-bound broadcast), so (a) the join itself
+    * prunes pairs that cannot reach J ≥ 0.5: J ≤ min/max, hence
+    * max(n1,n2) ≤ 2·min(n1,n2) is necessary (+1 slack covers the rounded
+    * 0.4999995 boundary, unreachable below ~1e6 shingles/doc), and (b) no
+    * post-aggregation size joins are needed. No cache(): both join sides
+    * are the identical subplan, which Spark's exchange reuse materializes
+    * once (and nothing leaks in the block manager across invocations).
     */
   def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = shingleRows(Tables.t(spark, dir, "documents")).cache()
-    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val e = shingleRows(Tables.t(spark, dir, "documents"))
+      .withColumn("n", count(lit(1)).over(wd))
+    e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2 + 1)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"), col("inter"),
         round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
