@@ -294,18 +294,21 @@ object Aggregates {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")))
       .rangeBetween(-3600000000L, 0L)
-    val sumDec = sum(money(col("value"))).over(w).cast(DoubleType)
+    // BIGINT sliding sum of 4dp-scaled values: exact on both engines like
+    // the DECIMAL form, but the window's add/remove arithmetic stays cheap
+    // Long math instead of per-row decimal allocation.
+    val sumInt = sum(moneyInt(col("value"))).over(w)
     val cnt = count(lit(1)).over(w)
     Tables.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
-        round(sumDec / cnt, 4).as("trailing_avg"),
+        round((sumInt.cast(DoubleType) / lit(10000.0)) / cnt, 4).as("trailing_avg"),
         cnt.as("n_in_window"))
       .orderBy(col("event_id"))
   }
 
   val winRangeSql: String =
     s"""SELECT event_id, user_id,
-       |  round(CAST(sum(${Sql.money("value")}) OVER w AS DOUBLE) / count(*) OVER w, 4) AS trailing_avg,
+       |  round((CAST(sum(${Sql.moneyInt("value")}) OVER w AS DOUBLE) / 10000.0) / (count(*) OVER w), 4) AS trailing_avg,
        |  count(*) OVER w AS n_in_window
        |FROM events
        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)

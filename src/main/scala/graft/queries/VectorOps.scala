@@ -201,14 +201,16 @@ object VectorOps {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64(col("tok")))
-    val bits = tokw
-      .select(col("doc_id"), col("w"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("w")).otherwise(-col("w"))).as("s"))
-    val sim = bits
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    // One shuffle by doc_id with 64 aggregation buffers — NOT an explode
+    // into 64 rows per token (which would amplify the shuffle 64× and
+    // dominate the query at scale). All 64 conditional sums stay inside
+    // whole-stage codegen over the (doc_id, tok, w, h) rows.
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("w")).otherwise(-col("w"))).as(s"s$b"))
+    val sums = tokw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = sums.select(col("doc_id"),
+      (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bandval", expr("shiftright(simhash, band * 16) & 65535"))
