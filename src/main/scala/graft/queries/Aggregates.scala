@@ -354,6 +354,161 @@ object Aggregates {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // ------------------------------------------------- exact percentiles
+
+  /** Exact interpolated quartiles of l_quantity per return flag. Spark's
+    * `percentile` and DuckDB's `quantile_cont` both implement ANSI
+    * PERCENTILE_CONT (rank p·(n−1), linear interpolation); over integer
+    * quantities with quarter fractions every intermediate is an exact
+    * double, so the engines agree bit-for-bit with no rounding needed.
+    */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggPercentileSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------ exact correlation
+
+  /** Pearson correlation of (quantity, price) per return flag via the
+    * five-exact-sums formulation: x, y and their products are exact
+    * BIGINTs (y = price rounded to whole units keeps y² summable in
+    * BIGINT to ~sf150), every sum is order-independent, and the final
+    * expression is one identical sequence of double ops on both engines —
+    * unlike native corr(), whose per-partition co-moment accumulation is
+    * partition-order dependent.
+    */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(LongType)
+    val y = round(col("l_extendedprice"), 0).cast(LongType)
+    val n = count(lit(1))
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(n.as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            sqrt(col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
+              col("sy").cast(DoubleType) * col("sy").cast(DoubleType))), 6)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggCorrSql =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |               CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ listagg
+
+  /** Ordered string aggregation: nation names per region. collect_list
+    * order is partition-dependent, so the list is sorted before joining —
+    * the deterministic form of LISTAGG/string_agg.
+    */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "nation")
+      .join(Tables.t(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  val aggListaggSql =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ------------------------------------------------------ max_by/min_by
+
+  /** Richest/poorest customer per nation via max_by/min_by (DuckDB
+    * arg_max/arg_min) over a tie-free surrogate ordering key: acctbal
+    * quantized at 4dp × 10^6 + custkey is strictly monotonic in
+    * (acctbal, custkey) while custkey < 10^6 — composite arg_max keys are
+    * not supported by DuckDB 1.0, so the tiebreak is packed into one
+    * BIGINT.
+    */
+  def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame = {
+    val key = moneyInt(col("c_acctbal")) * lit(1000000L) + col("c_custkey")
+    Tables.t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(max_by(col("c_custkey"), key).as("richest"),
+        min_by(col("c_custkey"), key).as("poorest"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val aggMinmaxBySql: String = {
+    val key = s"${Sql.moneyInt("c_acctbal")} * 1000000 + c_custkey"
+    s"""SELECT c_nationkey,
+       |  arg_max(c_custkey, $key) AS richest,
+       |  arg_min(c_custkey, $key) AS poorest,
+       |  count(*) AS n_cust
+       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
+  // ------------------------------------------- first/last/nth window
+
+  /** first_value/last_value/nth_value over the full partition (explicit
+    * unbounded frame on both engines — last_value's default frame stops
+    * at CURRENT ROW, a classic cross-engine trap).
+    */
+  def winFirstlast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_et"),
+        last(col("event_type")).over(w).as("last_et"),
+        nth_value(col("event_type"), 2).over(w).as("second_et"))
+      .orderBy(col("event_id"))
+  }
+
+  val winFirstlastSql =
+    """SELECT event_id, user_id,
+      |  first_value(event_type) OVER w AS first_et,
+      |  last_value(event_type) OVER w AS last_et,
+      |  nth_value(event_type, 2) OVER w AS second_et
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_agg_group", aggGroup, Some(aggGroupSql)),
     ContractQuery("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
@@ -369,6 +524,11 @@ object Aggregates {
     ContractQuery("q_win_running", winRunning, Some(winRunningSql)),
     ContractQuery("q_win_range", winRange, Some(winRangeSql)),
     ContractQuery("q_win_ntile", winNtile, Some(winNtileSql)),
-    ContractQuery("q_topk_group", topkGroup, Some(topkGroupSql))
+    ContractQuery("q_topk_group", topkGroup, Some(topkGroupSql)),
+    ContractQuery("q_agg_percentile", aggPercentile, Some(aggPercentileSql)),
+    ContractQuery("q_agg_corr", aggCorr, Some(aggCorrSql)),
+    ContractQuery("q_agg_listagg", aggListagg, Some(aggListaggSql)),
+    ContractQuery("q_agg_minmax_by", aggMinmaxBy, Some(aggMinmaxBySql)),
+    ContractQuery("q_win_firstlast", winFirstlast, Some(winFirstlastSql))
   )
 }

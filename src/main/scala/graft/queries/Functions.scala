@@ -240,6 +240,51 @@ object Functions {
       |  json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
       |FROM events ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------- levenshtein
+
+  /** Edit-distance over part strings — the string-similarity primitive of
+    * fuzzy dedup (integer outputs, exact on both engines).
+    */
+  def fnLevenshtein(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "part")
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("lev_brand_type"),
+        levenshtein(col("p_name"), col("p_brand")).cast(LongType).as("lev_name_brand"),
+        levenshtein(substring(col("p_name"), 1, 8), substring(col("p_type"), 1, 8))
+          .cast(LongType).as("lev_name8_type8"))
+      .orderBy(col("p_partkey"))
+
+  val fnLevenshteinSql =
+    """SELECT p_partkey,
+      |  levenshtein(p_brand, p_type) AS lev_brand_type,
+      |  levenshtein(p_name, p_brand) AS lev_name_brand,
+      |  levenshtein(substring(p_name, 1, 8), substring(p_type, 1, 8)) AS lev_name8_type8
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------ bitwise
+
+  /** Bitwise and/or/xor/shift over event ids (DuckDB: `^` is POWER, so
+    * the oracle spells xor() by name).
+    */
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(15L)).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        shiftleft(col("event_id").bitwiseAND(lit(15L)), 2).as("shl"),
+        shiftright(col("event_id"), 3).as("shr"))
+      .orderBy(col("event_id"))
+
+  val fnBitwiseSql =
+    """SELECT event_id,
+      |  event_id & 255 AS band,
+      |  event_id | 15 AS bor,
+      |  xor(event_id, user_id) AS bxor,
+      |  (event_id & 15) << 2 AS shl,
+      |  event_id >> 3 AS shr
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_fn_string", fnString, Some(fnStringSql)),
     ContractQuery("q_fn_date", fnDate, Some(fnDateSql)),
@@ -249,6 +294,8 @@ object Functions {
     ContractQuery("q_fn_array", fnArray, Some(fnArraySql)),
     ContractQuery("q_explode", explodeQ, Some(explodeSql)),
     ContractQuery("q_fn_hof", fnHof, Some(fnHofSql)),
-    ContractQuery("q_fn_json", fnJson, Some(fnJsonSql))
+    ContractQuery("q_fn_json", fnJson, Some(fnJsonSql)),
+    ContractQuery("q_fn_levenshtein", fnLevenshtein, Some(fnLevenshteinSql)),
+    ContractQuery("q_fn_bitwise", fnBitwise, Some(fnBitwiseSql))
   )
 }

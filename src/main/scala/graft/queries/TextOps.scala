@@ -298,6 +298,33 @@ object TextOps {
       |  length(replace(text, ' ', '')) AS n_chars_ns
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- n-grams
+
+  /** Corpus-wide top-20 bigrams by occurrence count (total, not distinct)
+    * — the n-gram statistics primitive of text analysis. Same codegen'd
+    * posexplode + lead shape as [[shingleRows]]; deterministic total order
+    * (count DESC, bigram ASC) so both engines cut the same top-20.
+    */
+  def ngramTop(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .groupBy(concat_ws(" ", col("tok"), col("t1")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val ngramTopSql =
+    """WITH bg AS (
+      |  SELECT unnest([array_to_string(string_split(text, ' ')[i:i+1], ' ')
+      |                 for i in range(1, len(string_split(text, ' ')))]) AS bigram
+      |  FROM documents)
+      |SELECT bigram, count(*) AS n FROM bg
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+
   // -------------------------------------------------------- fingerprint
 
   /** Content-defined fingerprint: sha256 of the sorted distinct token
@@ -325,6 +352,7 @@ object TextOps {
     ContractQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     ContractQuery("q_text_langid", textLangid, Some(textLangidSql)),
     ContractQuery("q_token_count", tokenCount, Some(tokenCountSql)),
-    ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql))
+    ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    ContractQuery("q_ngram_top", ngramTop, Some(ngramTopSql))
   )
 }
