@@ -255,12 +255,63 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ----------------------------------------------------------- IVF ANN
+
+  /** IVF (inverted-file) ANN — the second scale path beside [[knnLsh]]:
+    *
+    *   1. coarse quantizer: 16 deterministic centroids (the vec_id < 16
+    *      embeddings — no RNG, so the query is reproducible);
+    *   2. assignment: every vector joins its nearest centroid by cosine —
+    *      a broadcast join against the tiny centroid table, one narrow
+    *      pass at 100 TB;
+    *   3. search: each query probes its nprobe=4 nearest cells and ranks
+    *      exact cosine only within those cells — the candidate join
+    *      shuffles by cell id, never all-pairs.
+    *
+    * Engine-specific only in centroid choice → no SQL oracle;
+    * VectorOpsSpec asserts recall against [[knnBruteforce]] plus
+    * structural invariants.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val NProbe = 4
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val cents = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val simToCent = dot(col("embedding"), col("c_emb")) /
+      (sqrt(col("n2")) * sqrt(col("c_n2")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("sim", simToCent)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("c_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
+    val probes = base.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
+      .withColumn("sim", simToCent)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= NProbe)
+      .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),
     ContractQuery("q_vec_centroid", vecCentroid, Some(vecCentroidSql)),
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
     ContractQuery("q_dedup_simhash", dedupSimhash, None),
-    ContractQuery("q_knn_lsh", knnLsh, None)
+    ContractQuery("q_knn_lsh", knnLsh, None),
+    ContractQuery("q_knn_ivf", knnIvf, None)
   )
 }

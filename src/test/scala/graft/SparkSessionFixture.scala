@@ -21,6 +21,9 @@ object SparkSessionFixture {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's session-extension point (graft_dot SQL function +
+      // DotProductRewrite optimizer rule), exercised by ExtensionsSpec
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

