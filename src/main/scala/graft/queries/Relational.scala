@@ -383,6 +383,52 @@ object Relational {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------- SQL surface
+
+  /** The engine's SQL entry point: TPC-H Q3-shaped text executed by
+    * `spark.sql` over temp views — same Catalyst plan as the DataFrame
+    * DSL (customer/orders broadcast-or-shuffle joins, partial+final agg,
+    * TakeOrderedAndProject for the top-10). Revenue accumulates in exact
+    * DECIMAL, rounds once, and ties break on l_orderkey, so the rounded-
+    * DESC ordering cuts identically on both engines.
+    */
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    Tables.t(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables.t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |                 (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
+        |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+        |  o_orderpriority
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  val sqlQ3Sql =
+    """SELECT l_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |                 (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
+      |  epoch_us(o_orderdate) AS odate_us,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_scan_parquet", scanParquet, Some(scanParquetSql)),
     ContractQuery("q_project_filter", projectFilter, Some(projectFilterSql)),
@@ -403,6 +449,7 @@ object Relational {
     ContractQuery("q_union_distinct", unionDistinct, Some(unionDistinctSql)),
     ContractQuery("q_intersect", intersectQ, Some(intersectSql)),
     ContractQuery("q_except", exceptQ, Some(exceptSql)),
-    ContractQuery("q_dedup_rows", dedupRows, Some(dedupRowsSql))
+    ContractQuery("q_dedup_rows", dedupRows, Some(dedupRowsSql)),
+    ContractQuery("q_sql_q3", sqlQ3, Some(sqlQ3Sql))
   )
 }

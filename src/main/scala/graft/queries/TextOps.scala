@@ -343,6 +343,33 @@ object TextOps {
       |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Polynomial rolling-hash fingerprint over the token stream — the
+    * order-SENSITIVE complement of [[docFingerprint]] (which is invariant
+    * under reordering). Pure integer math, exact on both engines: token
+    * value v = 131·len + ascii(first char); h ← (h·1000003 + v) mod
+    * 2^31−1, folded left-to-right (h < 2^31, h·1000003 < 2^51 — no Long
+    * overflow).
+    */
+  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val vals = transform(toks, t =>
+      length(t).cast(LongType) * lit(131L) + ascii(substring(t, 1, 1)).cast(LongType))
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(vals, lit(0L),
+          (acc, v) => (acc * lit(1000003L) + v) % lit(2147483647L)).as("rhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintRollingSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        t -> CAST(length(t) AS BIGINT) * 131 + CAST(ascii(substring(t, 1, 1)) AS BIGINT))),
+      |    (a, v) -> (a * 1000003 + v) % 2147483647) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
@@ -353,6 +380,7 @@ object TextOps {
     ContractQuery("q_text_langid", textLangid, Some(textLangidSql)),
     ContractQuery("q_token_count", tokenCount, Some(tokenCountSql)),
     ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
-    ContractQuery("q_ngram_top", ngramTop, Some(ngramTopSql))
+    ContractQuery("q_ngram_top", ngramTop, Some(ngramTopSql)),
+    ContractQuery("q_fingerprint_rolling", fingerprintRolling, Some(fingerprintRollingSql))
   )
 }
