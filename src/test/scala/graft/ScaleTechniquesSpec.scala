@@ -24,6 +24,57 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plain(7L) > 89000)
   }
 
+  test("generalized saltedAgg composes sum+count partials correctly") {
+    import spark.implicits._
+    val skewed = spark.range(100000)
+      .select(when($"id" % 10 === 0, $"id" % 100).otherwise(7L).as("k"),
+        ($"id" % 1000).as("x"))
+    val plain = skewed.groupBy($"k")
+      .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAgg(skewed.toDF(), "k", salts = 16,
+        partials = Seq(sum($"x").as("s"), count(lit(1)).as("n")),
+        finals = Seq(sum($"s").as("s"), sum($"n").as("n")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("AQE splits the skewed partition of a sort-merge join") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = confs.map(c => c -> spark.conf.getOption(c)).toMap
+    try {
+      // shrink thresholds so the hot key trips skew handling at test scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val large = spark.range(200000)
+        .select(when($"id" % 20 === 0, $"id" % 50).otherwise(3L).as("k"),
+          concat(lit("payload-payload-payload-"), $"id").as("v"))
+      val right = spark.range(500).select($"id".as("rk"), ($"id" * 2).as("w"))
+      // global agg (not grouped by the join key): a same-key groupBy would
+      // reuse the join partitioning and AQE skips the split to avoid an
+      // extra shuffle
+      val j = large.join(right, $"k" === $"rk")
+        .agg(count(lit(1)).as("n"), sum(length($"v")).as("bytes"))
+      val rows = j.collect()
+      assert(rows.head.getLong(0) == 200000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in plan:\n$plan")
+    } finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     import spark.implicits._
     val large = spark.range(50000)
