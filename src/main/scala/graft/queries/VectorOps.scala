@@ -170,15 +170,16 @@ object VectorOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact-Jaccard verification of the candidate set only
-    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(e.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(e.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    // exact-Jaccard verification of the candidate set only; shingle rows
+    // carry their doc's set size via window count (as in
+    // TextOps.neardupJaccard) so no post-aggregation size joins are needed
+    val wd = Window.partitionBy(col("doc_id"))
+    val es = e.withColumn("n", count(lit(1)).over(wd))
+    cands
+      .join(es.select(col("doc_id").as("d1"), col("s"), col("n").as("n1")), "d1")
+      .join(es.select(col("doc_id").as("d2"), col("s"), col("n").as("n2")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("d1"), col("d2"),
         round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
