@@ -87,6 +87,52 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("partitioned parquet write prunes partitions on read") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val events = graft.queries.Tables.t(spark, Sf0001, "events")
+        .withColumn("day", to_date($"ts"))
+      events.write.mode("overwrite").partitionBy("day").parquet(out)
+      val df = spark.read.parquet(out).filter($"day" === "2024-01-05")
+      val expected = events.filter($"day" === lit("2024-01-05").cast("date")).count()
+      assert(df.count() == expected && expected > 0)
+      val scan = df.queryExecution.executedPlan.toString
+      // the day predicate must be a PartitionFilter (directory pruning),
+      // not a data filter: at 100 TB this is the difference between
+      // listing one day and scanning the corpus
+      assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+        s"expected partition pruning in:\n$scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("broadcast bloom filter pre-prunes the big side of a selective join") {
+    import spark.implicits._
+    // the 100 TB semi-join pattern: build a bloom filter over the small
+    // side's keys, prune the big side BEFORE the shuffle, then join
+    // exactly. False positives only cost extra shuffled rows, never
+    // wrong results.
+    val keys = graft.queries.Tables.t(spark, Sf0001, "orders")
+      .filter($"o_totalprice" > 350000.0).select($"o_orderkey")
+    val nKeys = keys.count()
+    val bf = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bcast.value.mightContain(k))
+    val lineitem = graft.queries.Tables.t(spark, Sf0001, "lineitem")
+    val pruned = lineitem.filter(mightContain($"l_orderkey"))
+    val exact = lineitem.join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
+    val exactN = exact.count()
+    val prunedN = pruned.count()
+    // sound: never drops a true match; tight: bounded false positives
+    assert(pruned.join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .count() == exactN)
+    assert(prunedN >= exactN)
+    assert(prunedN <= exactN + (lineitem.count() * 0.05).toLong,
+      s"bloom let through too much: $prunedN vs exact $exactN")
+  }
+
   test("bucketed tables join without a shuffle (co-located scan)") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
