@@ -64,6 +64,32 @@ object EventPipelines {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream–stream interval join: each purchase matched to the same
+    * user's view events in the preceding hour. Both sides carry
+    * watermarks and the join predicate carries the time bound — together
+    * they let Spark expire view-side state once the watermark passes
+    * p_ts, which is what keeps join state finite on an unbounded stream.
+    * (Inner-join results are emitted as matches arrive; the watermark
+    * affects only state cleanup, so AvailableNow equals the batch join.)
+    */
+  def purchaseViewJoin(events: DataFrame, events2: DataFrame): DataFrame = {
+    import graft.queries.Det._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = events2.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        tsOut(col("p_ts")).as("p_ts_us"), tsOut(col("v_ts")).as("v_ts_us"))
+  }
+
   /** Run any of the above to completion over static input and return the
     * result (AvailableNow processes everything then stops). Aggregations
     * use "complete" so the windows still ahead of the final watermark are

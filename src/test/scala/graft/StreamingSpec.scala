@@ -33,6 +33,19 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(stream) == canon(batch))
   }
 
+  test("stream-stream interval join (purchase x prior-hour views) == batch") {
+    val stream = EventPipelines.runAvailableNow(spark,
+      EventPipelines.purchaseViewJoin(
+        EventPipelines.readEvents(spark, Sf0001),
+        EventPipelines.readEvents(spark, Sf0001)),
+      "t_ssjoin", outputMode = "append")
+    // batch twin: identical logic over the batch read
+    val ev = graft.queries.Tables.t(spark, Sf0001, "events")
+    val batch = EventPipelines.purchaseViewJoin(ev, ev)
+    assert(canon(stream) == canon(batch))
+    assert(stream.count() > 0)
+  }
+
   test("streaming dedup emits one row per (user, type)") {
     val stream = EventPipelines.runAvailableNow(spark,
       EventPipelines.dedup(EventPipelines.readEvents(spark, Sf0001)),
