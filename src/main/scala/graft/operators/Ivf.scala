@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, LongType}
+
+/** IVF (inverted-file) ANN machinery (SURVEY.md §2.D scale path).
+  *
+  * The index is a coarse quantizer: k centroid vectors partition the
+  * corpus into cells; queries probe only their nprobe nearest cells. All
+  * steps are deterministic (no RNG) and shaped for 100 TB:
+  *
+  *  - assignment = broadcast join against the tiny centroid table + one
+  *    windowed argmax — a narrow pass over the corpus;
+  *  - search = shuffle by cell id, exact cosine only within probed cells;
+  *  - training = spherical-Lloyd iterations, each a broadcast assignment
+  *    plus one posexplode aggregation (shuffle by (cell, pos)) — no
+  *    driver-side math over collected vectors.
+  *
+  * `base` must carry (vec_id, embedding: array<float>, n2); centroids
+  * carry (c_id, c_emb, c_n2).
+  */
+object Ivf {
+
+  private def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
+
+  private val simToCent: Column =
+    dot(col("embedding"), col("c_emb")) / (sqrt(col("n2")) * sqrt(col("c_n2")))
+
+  /** Deterministic seed centroids: the k lowest-id vectors. */
+  def seedCentroids(base: DataFrame, k: Int): DataFrame =
+    base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+
+  /** Nearest-centroid assignment: (cell, vec_id, embedding, n2, sim). */
+  def assign(base: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    base.crossJoin(broadcast(cents))
+      .withColumn("sim", simToCent)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_id").as("cell"), col("vec_id"), col("embedding"),
+        col("n2"), col("sim"))
+  }
+
+  /** One spherical-Lloyd iteration: new centroid = per-cell mean vector
+    * (posexplode + avg — the aggregation shuffles by (cell, pos), never
+    * collects vectors to the driver). Cells that lose all members drop
+    * out (k may shrink). Deterministic: double avg per (cell, pos) over
+    * an order-independent sum.
+    */
+  def refine(base: DataFrame, cents: DataFrame): DataFrame = {
+    val means = assign(base, cents)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast(FloatType)).as("c_emb"))
+    means.select(col("cell").as("c_id"), col("c_emb"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
+  }
+
+  /** `iters` spherical-Lloyd refinements of the seed centroids. */
+  def train(base: DataFrame, k: Int, iters: Int): DataFrame =
+    (0 until iters).foldLeft(seedCentroids(base, k))((c, _) => refine(base, c))
+
+  /** Top-k cosine search restricted to each query's nprobe nearest cells.
+    * Output: (q_id, vec_id, cos, rn) ranked per query.
+    */
+  def search(base: DataFrame, cents: DataFrame, queryPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val probes = base.filter(queryPred).crossJoin(broadcast(cents))
+      .withColumn("sim", simToCent)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val assigned = assign(base, cents)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

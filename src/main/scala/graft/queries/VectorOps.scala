@@ -274,36 +274,11 @@ object VectorOps {
     * structural invariants.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val NProbe = 4
+    import graft.operators.Ivf
     val base = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val cents = base.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
-    val simToCent = dot(col("embedding"), col("c_emb")) /
-      (sqrt(col("n2")) * sqrt(col("c_n2")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("c_id").asc)
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("sim", simToCent)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("c_id").as("cell"), col("vec_id"), col("embedding"), col("n2"))
-    val probes = base.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
-      .withColumn("sim", simToCent)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= NProbe)
-      .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val cos = round(dot(col("q_emb"), col("embedding")) /
-      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(assigned, "cell")
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 5)
-      .orderBy(col("q_id"), col("rn"))
+    Ivf.search(base, Ivf.seedCentroids(base, 16),
+      queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
   }
 
   val all: Seq[ContractQuery] = Seq(
