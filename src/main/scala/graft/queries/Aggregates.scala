@@ -509,6 +509,65 @@ object Aggregates {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------- bool / bit aggregates
+
+  /** bool_and/bool_or (ANSI EVERY/ANY) per order status. */
+  def aggBool(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val aggBoolSql =
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000) AS any_over_400k,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** bit_and/bit_or/bit_xor aggregates over order keys. */
+  def aggBitagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(l_orderkey)").as("key_and"),
+        expr("bit_or(l_orderkey)").as("key_or"),
+        expr("bit_xor(l_orderkey)").as("key_xor"))
+      .orderBy(col("l_returnflag"))
+
+  val aggBitaggSql =
+    """SELECT l_returnflag,
+      |  bit_and(l_orderkey) AS key_and,
+      |  bit_or(l_orderkey) AS key_or,
+      |  bit_xor(l_orderkey) AS key_xor
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------- distribution window functions
+
+  /** percent_rank/cume_dist over a UNIQUE ordering (totalprice, orderkey)
+    * — both are single exact-integer divisions, bit-identical across
+    * engines when the ordering is tie-free.
+    */
+  def winDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val winDistSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_agg_group", aggGroup, Some(aggGroupSql)),
     ContractQuery("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
@@ -529,6 +588,9 @@ object Aggregates {
     ContractQuery("q_agg_corr", aggCorr, Some(aggCorrSql)),
     ContractQuery("q_agg_listagg", aggListagg, Some(aggListaggSql)),
     ContractQuery("q_agg_minmax_by", aggMinmaxBy, Some(aggMinmaxBySql)),
-    ContractQuery("q_win_firstlast", winFirstlast, Some(winFirstlastSql))
+    ContractQuery("q_win_firstlast", winFirstlast, Some(winFirstlastSql)),
+    ContractQuery("q_agg_bool", aggBool, Some(aggBoolSql)),
+    ContractQuery("q_agg_bitagg", aggBitagg, Some(aggBitaggSql)),
+    ContractQuery("q_win_dist", winDist, Some(winDistSql))
   )
 }

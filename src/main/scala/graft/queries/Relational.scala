@@ -383,6 +383,27 @@ object Relational {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // -------------------------------------------------------------- unpivot
+
+  /** Unpivot (melt) — the inverse of q_pivot: wide part metrics to tall
+    * (key, metric, val) rows. The oracle mirrors via UNION ALL, the
+    * dialect-stable spelling of UNPIVOT.
+    */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast(DoubleType).as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  val unpivotSql =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   // ---------------------------------------------------------- SQL surface
 
   /** The engine's SQL entry point: TPC-H Q3-shaped text executed by
@@ -450,6 +471,7 @@ object Relational {
     ContractQuery("q_intersect", intersectQ, Some(intersectSql)),
     ContractQuery("q_except", exceptQ, Some(exceptSql)),
     ContractQuery("q_dedup_rows", dedupRows, Some(dedupRowsSql)),
-    ContractQuery("q_sql_q3", sqlQ3, Some(sqlQ3Sql))
+    ContractQuery("q_sql_q3", sqlQ3, Some(sqlQ3Sql)),
+    ContractQuery("q_unpivot", unpivotQ, Some(unpivotSql))
   )
 }
