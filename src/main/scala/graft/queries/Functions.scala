@@ -285,6 +285,28 @@ object Functions {
       |  event_id >> 3 AS shr
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- try_* functions
+
+  /** Error-tolerant scalar functions — the expression-level form of the
+    * reference's never-fail error-capture rule: division by zero and
+    * out-of-bounds access yield NULL rows, not failed jobs. DuckDB has no
+    * try_divide, so the oracle spells the identical semantics with CASE;
+    * DuckDB list indexing is natively NULL-on-out-of-bounds.
+    */
+  def fnTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "part")
+      .select(col("p_partkey"),
+        expr("try_divide(p_retailprice, p_size - 25)").as("per_size"),
+        expr("try_element_at(split(p_name, ' '), 5)").as("word5"))
+      .orderBy(col("p_partkey"))
+
+  val fnTrySql =
+    """SELECT p_partkey,
+      |  CASE WHEN p_size - 25 = 0 THEN NULL
+      |       ELSE p_retailprice / (p_size - 25) END AS per_size,
+      |  string_split(p_name, ' ')[5] AS word5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_fn_string", fnString, Some(fnStringSql)),
     ContractQuery("q_fn_date", fnDate, Some(fnDateSql)),
@@ -296,6 +318,7 @@ object Functions {
     ContractQuery("q_fn_hof", fnHof, Some(fnHofSql)),
     ContractQuery("q_fn_json", fnJson, Some(fnJsonSql)),
     ContractQuery("q_fn_levenshtein", fnLevenshtein, Some(fnLevenshteinSql)),
-    ContractQuery("q_fn_bitwise", fnBitwise, Some(fnBitwiseSql))
+    ContractQuery("q_fn_bitwise", fnBitwise, Some(fnBitwiseSql)),
+    ContractQuery("q_fn_try", fnTry, Some(fnTrySql))
   )
 }
