@@ -29,9 +29,11 @@ object Ivf {
   private val simToCent: Column =
     dot(col("embedding"), col("c_emb")) / (sqrt(col("n2")) * sqrt(col("c_n2")))
 
-  /** Deterministic seed centroids: the k lowest-id vectors. */
+  /** Deterministic seed centroids: the k lowest-id vectors (rank-based,
+    * so sparse or offset id spaces still yield k centroids).
+    */
   def seedCentroids(base: DataFrame, k: Int): DataFrame =
-    base.filter(col("vec_id") < k)
+    base.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
 
@@ -50,8 +52,11 @@ object Ivf {
   /** One spherical-Lloyd iteration: new centroid = per-cell mean vector
     * (posexplode + avg — the aggregation shuffles by (cell, pos), never
     * collects vectors to the driver). Cells that lose all members drop
-    * out (k may shrink). Deterministic: double avg per (cell, pos) over
-    * an order-independent sum.
+    * out (k may shrink). Reproducibility caveat: avg accumulates doubles
+    * in shuffle-merge order, so trained centroids can differ in final
+    * ulps across runs — training consumers must use coarse assertions
+    * (the contract query q_knn_ivf uses only the untrained seed
+    * centroids, which are exactly reproducible).
     */
   def refine(base: DataFrame, cents: DataFrame): DataFrame = {
     val means = assign(base, cents)

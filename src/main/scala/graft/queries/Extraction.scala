@@ -26,13 +26,13 @@ object Extraction {
     Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(sequence(lit(1),
-          greatest(ceil(col("n_chars") / lit(100.0)).cast(IntegerType),
+          greatest(ceil(coalesce(col("n_chars"), lit(0L)) / lit(100.0)).cast(IntegerType),
             lit(1)))).as("page"))
       .withColumn("page", col("page").cast(LongType))
       .orderBy(col("doc_id"), col("page"))
 
   val pageFanoutSql =
-    """SELECT doc_id, CAST(unnest(generate_series(1, greatest(CAST(ceil(n_chars / 100.0) AS INT), 1))) AS BIGINT) AS page
+    """SELECT doc_id, CAST(unnest(generate_series(1, greatest(CAST(ceil(coalesce(n_chars, 0) / 100.0) AS INT), 1))) AS BIGINT) AS page
       |FROM documents
       |ORDER BY doc_id, page""".stripMargin
 
@@ -77,7 +77,7 @@ object Extraction {
 
   val resumeAntiSql =
     """WITH tasks AS (
-      |  SELECT doc_id, CAST(unnest(generate_series(1, greatest(CAST(ceil(n_chars / 100.0) AS INT), 1))) AS BIGINT) AS page
+      |  SELECT doc_id, CAST(unnest(generate_series(1, greatest(CAST(ceil(coalesce(n_chars, 0) / 100.0) AS INT), 1))) AS BIGINT) AS page
       |  FROM documents)
       |SELECT doc_id, page FROM tasks t
       |WHERE NOT EXISTS (SELECT 1 FROM tasks d

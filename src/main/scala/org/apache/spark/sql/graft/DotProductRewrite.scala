@@ -12,14 +12,24 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * run interpreted, ~6× slower in the r2 bench), so a user writing the
   * idiomatic
   *
-  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)   — dot
-  *   aggregate(a, 0D, (acc, x) -> acc + x * x)                             — norm²
+  *   aggregate(zip_with(a, b, (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v) — dot
+  *   aggregate(a, 0D, (acc, x) -> acc + double(x) * x)                           — norm²
   *
   * silently leaves whole-stage codegen. Both fold left-to-right with
   * double accumulation — exactly [[DotProduct]]'s loop — so the rewrite is
   * bit-identical, not approximate: IEEE double add/multiply of the same
   * operands in the same order, with multiply/add operand order free to
   * flip (both IEEE-commutative).
+  *
+  * The guard deliberately requires the multiply itself to be
+  * DOUBLE-typed (i.e. at least one operand widened to double, which
+  * widens both under Catalyst's type coercion): a float-typed
+  * `(x, y) -> x * y` rounds every product to FLOAT before accumulating,
+  * which [[DotProduct]] does not — rewriting that shape (or its
+  * `cast(x*y as double)` variant) would silently change results, so
+  * those stay on the interpreted path. [[DotProduct]]'s null/length
+  * semantics equal the fold's (see its scaladoc), so no further guards
+  * are needed for nullable array elements.
   *
   * Registered by [[graft.extensions.GraftExtensions]]
   * (`spark.sql.extensions`) or via `spark.experimental.extraOptimizations`.
@@ -35,10 +45,14 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** x·y over the two given lambda variables (either operand order). */
+  /** DOUBLE-typed x·y over the two given lambda variables (either operand
+    * order). The dataType check is a correctness guard, not an
+    * optimization: a FloatType multiply rounds each product to float
+    * before the fold, which DotProduct's all-double loop would not.
+    */
   private def isMul(e: Expression, a: NamedLambdaVariable, b: NamedLambdaVariable): Boolean =
     e match {
-      case Multiply(VarD(x), VarD(y), _) =>
+      case Multiply(VarD(x), VarD(y), _) if e.dataType == DoubleType =>
         (x.exprId == a.exprId && y.exprId == b.exprId) ||
           (x.exprId == b.exprId && y.exprId == a.exprId)
       case _ => false

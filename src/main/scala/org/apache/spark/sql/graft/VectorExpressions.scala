@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * ExpectsInputTypes) and the Column↔Expression bridge are private[sql] —
   * the sanctioned extension point for native expressions.
   *
-  * Null/shape semantics: null if either array is null; elements are
-  * non-null floats (fixture schema); accumulation runs over the shorter
-  * length if they differ.
+  * Null/shape semantics — chosen to be EXACTLY the zip_with/aggregate
+  * fold's, so [[DotProductRewrite]] is a pure substitution: null if
+  * either array is null, if the lengths differ (zip_with would pad with
+  * nulls and poison the fold), or if any element in range is null.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -33,15 +34,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null is produced for shape/element-null mismatches even when both
+  // input arrays are non-nullable
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i)
       i += 1
     }
@@ -54,12 +61,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -49,6 +49,37 @@ class ExtensionsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.collect().forall(_.getDouble(0) >= 0.0))
   }
 
+  test("float-typed multiply lambda is NOT rewritten (would change results)") {
+    // (x, y) -> x * y over float arrays keeps FloatType products: the
+    // interpreted fold rounds each product to float, DotProduct would
+    // not — the rule must leave this shape alone
+    val df = graft.queries.Tables.t(spark, Sf0001, "embeddings")
+      .select(aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x * y)
+          .cast("array<double>"),
+        lit(0.0), (acc, v) => acc + v).as("n2_float_products"))
+    val rewritten = df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[DotProduct]))
+    assert(!rewritten, df.queryExecution.optimizedPlan.treeString)
+  }
+
+  test("graft_dot matches zip_with fold on nulls and unequal lengths") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |            CAST(array(3.0) AS ARRAY<FLOAT>)) AS len_mismatch,
+        |  graft_dot(CAST(array(1.0, NULL) AS ARRAY<FLOAT>),
+        |            CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS null_elem,
+        |  aggregate(zip_with(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                     CAST(array(3.0) AS ARRAY<FLOAT>),
+        |                     (x, y) -> CAST(x AS DOUBLE) * y),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof_len_mismatch
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0), "length mismatch must be null")
+    assert(r.isNullAt(1), "null element must poison the product")
+    assert(r.isNullAt(2), "HOF reference semantics: also null")
+  }
+
   test("rewrite preserves the contract q_fn_hof result bit-for-bit") {
     // fnHof contains both rewritable folds (norm2, dot_rev) and
     // non-rewritable ones (sum_pos); results must match the interpreted
