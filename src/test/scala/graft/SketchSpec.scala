@@ -29,6 +29,22 @@ class SketchSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("HLL sketches merge across partitions (hll_sketch_agg + hll_union)") {
+    // mergeability is what makes sketches distributable: build one sketch
+    // per half of the data, union them, and land within HLL error of the
+    // exact distinct count — the partial/final aggregation story at 100 TB
+    val l = graft.queries.Tables.t(spark, Sf001, "lineitem")
+    val exact = l.select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    val halves = l.withColumn("half", col("l_orderkey") % 2)
+      .groupBy(col("half"))
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+    val merged = halves.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().head.getLong(0)
+    val relErr = math.abs(merged - exact).toDouble / exact
+    assert(relErr < 0.05, s"merged HLL $merged vs exact $exact (err $relErr)")
+  }
+
   test("approx_percentile tracks exact percentiles within accuracy") {
     val l = graft.queries.Tables.t(spark, Sf001, "lineitem")
     val row = l.agg(
