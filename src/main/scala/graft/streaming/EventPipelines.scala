@@ -48,6 +48,17 @@ object EventPipelines {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding 1h windows every 15 min, count per window (matches the
+    * batch q_stream_sliding shape).
+    */
+  def sliding(events: DataFrame): DataFrame = {
+    import graft.queries.Det._
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(tsOut(col("w.start")).as("wstart_us"), col("n"))
+  }
+
   /** Per-user 30-minute-gap session windows. */
   def sessions(events: DataFrame): DataFrame = {
     import graft.queries.Det._

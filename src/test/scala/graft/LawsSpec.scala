@@ -103,6 +103,26 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(remaining.count() == 0)
   }
 
+  test("r3 operators: structural laws (unpivot, rolling hash, corr, percentiles, dist windows)") {
+    // unpivot doubles the row count (2 value columns)
+    val nPart = Tables.t(spark, Sf0001, "part").count()
+    assert(Relational.unpivotQ(spark, Sf0001).count() == 2 * nPart)
+    // rolling hash stays in [0, 2^31-1) and is total (no null rows)
+    val rh = TextOps.fingerprintRolling(spark, Sf0001)
+    assert(rh.filter(col("rhash").isNull ||
+      col("rhash") < 0 || col("rhash") >= 2147483647L).count() == 0)
+    // correlation within [-1, 1]
+    assert(Aggregates.aggCorr(spark, Sf0001)
+      .filter(abs(col("corr_qty_price")) > 1.0).count() == 0)
+    // quartiles are monotone
+    assert(Aggregates.aggPercentile(spark, Sf0001)
+      .filter(col("q25") > col("q50") || col("q50") > col("q75")).count() == 0)
+    // percent_rank/cume_dist in [0,1], cume_dist strictly positive
+    assert(Aggregates.winDist(spark, Sf0001)
+      .filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+        col("cume") <= 0 || col("cume") > 1).count() == 0)
+  }
+
   test("sample fraction lands near p and is deterministic per seed") {
     val l = Tables.t(spark, Sf0001, "lineitem")
     val a = l.sample(withReplacement = false, 0.1, seed = 42).count()

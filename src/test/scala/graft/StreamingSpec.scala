@@ -25,6 +25,14 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(stream) == canon(batch))
   }
 
+  test("sliding window: stream (AvailableNow) == batch") {
+    val stream = EventPipelines.runAvailableNow(spark,
+      EventPipelines.sliding(EventPipelines.readEvents(spark, Sf0001)),
+      "t_sliding")
+    val batch = EventOps.streamSliding(spark, Sf0001)
+    assert(canon(stream) == canon(batch))
+  }
+
   test("session window: stream (AvailableNow) == batch") {
     val stream = EventPipelines.runAvailableNow(spark,
       EventPipelines.sessions(EventPipelines.readEvents(spark, Sf0001)),
