@@ -97,6 +97,16 @@ object Det {
   def avgInt4(sumLong: Column, n: Column): Column =
     avg4(sumLong * lit(10000L), n)
 
+  /** Exact HALF_UP 6dp of a non-negative integer ratio a/b:
+    * floor((2·a·10^6 + b) / (2b)) / 10^6. Unlike round(a/b, 6) on the
+    * double quotient, this never sits on a rounding boundary where the
+    * engines' round() implementations can disagree by one ulp (observed
+    * on q_quality_score at sf0.1).
+    */
+  def div6(a: Column, b: Column): Column =
+    (floor((a * lit(2000000L) + b) / (b * lit(2L))) / lit(1000000.0))
+      .cast(DoubleType)
+
   /** Timestamp output convention: epoch microseconds BIGINT. */
   def tsOut(c: Column): Column = unix_micros(c)
 }
@@ -126,6 +136,10 @@ object Sql {
 
   def avgInt4(sumLong: String, n: String): String =
     avg4(s"($sumLong * 10000)", n)
+
+  /** Mirror of [[Det.div6]]. */
+  def div6(a: String, b: String): String =
+    s"CAST(floor((($a) * 2000000 + ($b)) / (($b) * 2)) / 1000000.0 AS DOUBLE)"
 
   /** Mirror of [[Det.tsOut]]. */
   def tsOut(c: String): String = s"epoch_us($c)"

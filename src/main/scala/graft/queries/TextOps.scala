@@ -189,21 +189,29 @@ object TextOps {
 
   private val stopwords = Seq("join", "filter", "select", "window", "stream")
 
-  /** Composite quality score from deterministic integer-ratio features. */
+  /** Composite quality score from deterministic integer-ratio features.
+    * Every emitted ratio uses the exact-rational HALF_UP scheme
+    * ([[Det.div6]]): score = 0.4·min(n_chars/500, 1) + 0.3·stop_ratio +
+    * 0.3·distinct_ratio over the common denominator 5000·n_words, so no
+    * per-row double ever sits on a round() boundary (a raw
+    * `round(double, 6)` diverged between engines on one sf0.1 row).
+    */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nW = size(toks).cast(LongType)
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast(LongType)
     val nShort = size(filter(toks, t => length(t) <= 2)).cast(LongType)
     val nDist = size(array_distinct(toks)).cast(LongType)
+    val scoreNum = least(col("n_chars"), lit(500L)) * lit(4L) * nW +
+      lit(1500L) * (nStop + nDist)
+    val scoreDen = lit(5000L) * nW
     Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
         nW.as("n_words"),
-        round(col("n_chars") / nW, 6).as("avg_word_len"),
-        round(nStop / nW, 6).as("stop_ratio"),
-        round(nShort / nW, 6).as("short_ratio"),
-        round(least(col("n_chars") / lit(500.0), lit(1.0)) * 0.4 +
-          (nStop / nW) * 0.3 + (nDist / nW) * 0.3, 6).as("score"))
+        div6(col("n_chars"), nW).as("avg_word_len"),
+        div6(nStop, nW).as("stop_ratio"),
+        div6(nShort, nW).as("short_ratio"),
+        div6(scoreNum, scoreDen).as("score"))
       .orderBy(col("doc_id"))
   }
 
@@ -214,12 +222,13 @@ object TextOps {
     val nStop = s"len(list_filter($toks, t -> t IN ($sw)))"
     val nDist = s"len(list_distinct($toks))"
     val nShort = s"len(list_filter($toks, t -> length(t) <= 2))"
+    val scoreNum = s"(least(n_chars, 500) * 4 * $nW + 1500 * ($nStop + $nDist))"
+    val scoreDen = s"(5000 * $nW)"
     s"""SELECT doc_id, $nW AS n_words,
-       |  round(n_chars / $nW, 6) AS avg_word_len,
-       |  round($nStop / $nW, 6) AS stop_ratio,
-       |  round($nShort / $nW, 6) AS short_ratio,
-       |  round(least(n_chars / 500.0, 1.0) * 0.4 + ($nStop / $nW) * 0.3 +
-       |        ($nDist / $nW) * 0.3, 6) AS score
+       |  ${Sql.div6("n_chars", nW)} AS avg_word_len,
+       |  ${Sql.div6(nStop, nW)} AS stop_ratio,
+       |  ${Sql.div6(nShort, nW)} AS short_ratio,
+       |  ${Sql.div6(scoreNum, scoreDen)} AS score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
