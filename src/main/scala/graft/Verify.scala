@@ -9,7 +9,9 @@ object Verify {
     // optional 3rd arg: comma-separated query subset for fast iteration
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the round-3 driver contract runs local[32] with 32 shuffle
+    // partitions; SPARK_GRAFT_CPUS overrides for local iteration
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
