@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(args.head, args(1))
       }))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,165 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native AS-OF join — the whole-operator Catalyst extension path
+  * (SURVEY.md §2.B `q_join_asof` documents the composed window-emulation
+  * form; this is the same semantics as a first-class operator):
+  *
+  *   for each left row, attach the LATEST right row of the same key with
+  *   right.ts <= left.ts (left-outer: unmatched left rows keep nulls).
+  *
+  * Why a custom operator: the composed form (union/lag or join +
+  * row_number) materializes every candidate (left, right) pair before
+  * ranking — at 100 TB a hot key with many right rows explodes the
+  * intermediate. This operator is a single merge pass over the two
+  * sides, each hash-partitioned by key and sorted by (key, ts): state
+  * per partition is ONE remembered right row, the intermediate never
+  * exists. Layering:
+  *
+  *   [[AsOfJoin]]        logical node  (what to compute)
+  *   [[AsOfJoinStrategy]] planner rule (logical → physical), injected via
+  *                        `graft.extensions.GraftExtensions`
+  *   [[AsOfJoinExec]]    physical merge (how), declaring its required
+  *                        distribution + ordering so EnsureRequirements
+  *                        inserts exactly the exchanges/sorts needed
+  *   [[AsOfJoinApi.asof]] user-facing DataFrame entry point
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching equi-key lists")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Both sides hash-clustered on the equi keys: EnsureRequirements
+    * co-partitions them (and AQE may still coalesce) — the operator never
+    * sees rows of one key split across partitions.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Sorted by (key..., ts) ascending on both sides so one forward merge
+    * pass suffices.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTsBound = BindReferences.bindReference(lTsExpr, lOut)
+      val rTsBound = BindReferences.bindReference(rTsExpr, rOut)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      def tsOf(bound: Expression, row: InternalRow): Long =
+        bound.eval(row).asInstanceOf[Number].longValue()
+
+      // current right row (always a private copy — upstream iterators
+      // reuse row objects)
+      var rCur: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var candidate: InternalRow = null
+      var candKey: UnsafeRow = null
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = tsOf(lTsBound, l)
+        if (candKey != null && keyOrd.compare(candKey, lk) != 0) {
+          candidate = null; candKey = null
+        }
+        var done = false
+        while (!done && rCur != null) {
+          val rk = rKeyProj(rCur)
+          val c = keyOrd.compare(rk, lk)
+          if (c < 0) {
+            rCur = if (rIter.hasNext) rIter.next().copy() else null
+          } else if (c == 0 && tsOf(rTsBound, rCur) <= lt) {
+            candidate = rCur
+            candKey = rk.copy()
+            rCur = if (rIter.hasNext) rIter.next().copy() else null
+          } else {
+            done = true
+          }
+        }
+        resultProj(joined(l, if (candidate != null) candidate else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point (the Column↔Expression and Dataset.ofRows
+  * bridges are private[sql], hence this package).
+  */
+object AsOfJoinApi {
+  def asof(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTs: Column, rightTs: Column): DataFrame = {
+    val spark = leftDf.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val node = AsOfJoin(
+      leftDf.queryExecution.analyzed,
+      rightDf.queryExecution.analyzed,
+      leftKeys.map(ExpressionUtils.expression),
+      rightKeys.map(ExpressionUtils.expression),
+      ExpressionUtils.expression(leftTs),
+      ExpressionUtils.expression(rightTs))
+    Dataset.ofRows(spark, node)
+  }
+}

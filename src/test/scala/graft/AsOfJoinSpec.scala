@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsOfJoinApi
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native AS-OF join operator (logical node + strategy + physical
+  * merge, registered via GraftExtensions): result parity against the
+  * composed join+row_number emulation, left-outer null semantics, and
+  * the physical plan shape (AsOfJoinExec fed by exchanges + sorts that
+  * EnsureRequirements inserted from the operator's declared
+  * requirements).
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkSessionFixture {
+
+  // one view per (user, ts): the operator breaks exact-ts ties by sort
+  // position, so the reference needs a tie-free right side
+  private def fixtures = {
+    val ev = graft.queries.Tables.t(spark, Sf0001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val wTie = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val views = ev.filter(col("event_type") === "view")
+      .withColumn("rn", row_number().over(wTie)).filter(col("rn") === 1)
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"), col("value").as("v_value"))
+    (purchases, views)
+  }
+
+  test("native as-of join equals the composed join+row_number emulation") {
+    val (purchases, views) = fixtures
+    val native = AsOfJoinApi.asof(purchases, views,
+        Seq(purchases("p_user")), Seq(views("v_user")),
+        purchases("p_ts"), views("v_ts"))
+      .select(col("p_id"), col("v_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+
+    val wPick = Window.partitionBy(col("p_id")).orderBy(col("v_ts").desc)
+    val matched = purchases.join(views,
+        col("p_user") === col("v_user") && col("v_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("p_id"), col("v_id"))
+    val reference = purchases.join(matched, Seq("p_id"), "left")
+      .select(col("p_id"), col("v_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+
+    assert(native.length == reference.length && native.nonEmpty)
+    assert(native.toSeq == reference.toSeq)
+    // left-outer: some purchase precedes any view of its user
+    assert(native.exists(_._2 == -1L) == reference.exists(_._2 == -1L))
+  }
+
+  test("as-of physical plan: AsOfJoinExec with required exchanges + sorts") {
+    val (purchases, views) = fixtures
+    val df = AsOfJoinApi.asof(purchases, views,
+      Seq(purchases("p_user")), Seq(views("v_user")),
+      purchases("p_ts"), views("v_ts"))
+    df.collect()
+    // AdaptiveSparkPlanExec hides the final plan from tree traversal;
+    // assert on its rendered final plan instead
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
+    assert(s.contains("Exchange hashpartitioning(p_user") ||
+      s.contains("Exchange hashpartitioning(v_user") ||
+      s.contains("AQEShuffleRead"), s"expected key exchanges in:\n$s")
+    assert(s.contains("Sort ["), s"expected (key, ts) sorts in:\n$s")
+  }
+
+  test("as-of inclusive bound: right row at exactly left ts matches") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L), (1L, 50L), (2L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 100L, "exact"), (1L, 40L, "older"), (3L, 5L, "otherkey"))
+      .toDF("rk", "rts", "tag")
+    val out = AsOfJoinApi.asof(l, r, Seq(l("k")), Seq(r("rk")), l("ts"), r("rts"))
+      .select(col("k"), col("ts"), col("tag"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSet
+    assert(out == Set(
+      (1L, 100L, "exact"),   // rts == ts included
+      (1L, 50L, "older"),    // latest <= 50
+      (2L, 10L, null)))      // no right rows for key 2 -> null
+  }
+}
