@@ -133,6 +133,31 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       s"bloom let through too much: $prunedN vs exact $exactN")
   }
 
+  test("banded range join equals the naive interval join, without a nested loop") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // points = event values; intervals = synthetic bands around multiples
+    val points = graft.queries.Tables.t(spark, Sf0001, "events")
+      .select($"event_id", $"value")
+    val intervals = spark.range(200)
+      .select($"id".as("iv_id"), ($"id" * 7.0).as("lo"), ($"id" * 7.0 + 5.0).as("hi"))
+    val naive = points.join(intervals,
+        $"value" >= $"lo" && $"value" <= $"hi")
+      .select($"event_id", $"iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val banded = RangeJoin.bandedIntervalJoin(
+      points, "value", intervals, "lo", "hi", bandWidth = 8.0)
+    val got = banded.select($"event_id", $"iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == naive.toSeq && got.nonEmpty)
+    // the banded form must execute as an equi join, not a nested loop
+    banded.count()
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"banding must remove the nested loop:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle (co-located scan)") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
