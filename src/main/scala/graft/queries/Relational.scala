@@ -383,6 +383,32 @@ object Relational {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ----------------------------------------------------------- range join
+
+  /** Pure range (point-in-interval) join with NO equi key — executed via
+    * [[graft.operators.RangeJoin.bandedIntervalJoin]], which rewrites the
+    * would-be nested loop into a band equi-join + residual filter
+    * (result-identical; plan-asserted in ScaleTechniquesSpec). Intervals
+    * derive from nation keys so the oracle sees the same arithmetic.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.t(spark, dir, "events").select(col("event_id"), col("value"))
+    val intervals = Tables.t(spark, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("iv_id"),
+        (col("n_nationkey") * 20.0).as("lo"),
+        (col("n_nationkey") * 20.0 + 15.0).as("hi"))
+    graft.operators.RangeJoin
+      .bandedIntervalJoin(points, "value", intervals, "lo", "hi", bandWidth = 16.0)
+      .select(col("event_id"), col("iv_id"), col("value"))
+      .orderBy(col("event_id"), col("iv_id"))
+  }
+
+  val joinRangeSql =
+    """SELECT e.event_id, CAST(n.n_nationkey AS BIGINT) AS iv_id, e.value
+      |FROM events e JOIN nation n
+      |  ON e.value >= n.n_nationkey * 20.0 AND e.value <= n.n_nationkey * 20.0 + 15.0
+      |ORDER BY event_id, iv_id""".stripMargin
+
   // -------------------------------------------------------------- unpivot
 
   /** Unpivot (melt) — the inverse of q_pivot: wide part metrics to tall
@@ -472,6 +498,7 @@ object Relational {
     ContractQuery("q_except", exceptQ, Some(exceptSql)),
     ContractQuery("q_dedup_rows", dedupRows, Some(dedupRowsSql)),
     ContractQuery("q_sql_q3", sqlQ3, Some(sqlQ3Sql)),
-    ContractQuery("q_unpivot", unpivotQ, Some(unpivotSql))
+    ContractQuery("q_unpivot", unpivotQ, Some(unpivotSql)),
+    ContractQuery("q_join_range", joinRange, Some(joinRangeSql))
   )
 }
