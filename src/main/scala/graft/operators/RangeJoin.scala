@@ -24,6 +24,8 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bandWidth: Double): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    require(!points.columns.contains("__band") && !intervals.columns.contains("__band"),
+      "__band is reserved by bandedIntervalJoin — rename the input column")
     val p = points.withColumn("__band",
       floor(col(pointCol) / lit(bandWidth)).cast("long"))
     val i = intervals.withColumn("__band",

@@ -42,6 +42,17 @@ case class AsOfJoin(
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching equi-key lists")
+  require(leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType.sameType(r.dataType) },
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType.sameType(rightTs.dataType),
+    s"as-of ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
+  require(Seq(org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType,
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.DateType).exists(_.sameType(leftTs.dataType)),
+    s"as-of ts must be an integral time type, got ${leftTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -106,36 +117,52 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
-      def tsOf(bound: Expression, row: InternalRow): Long =
-        bound.eval(row).asInstanceOf[Number].longValue()
+      // null-boxed ts: SQL comparison semantics (null ts never matches)
+      def tsOf(bound: Expression, row: InternalRow): java.lang.Long =
+        bound.eval(row) match {
+          case null => null
+          case n: Number => n.longValue()
+        }
 
-      // current right row (always a private copy — upstream iterators
-      // reuse row objects)
-      var rCur: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      // rCur holds the iterator's RAW row: upstream iterators reuse the
+      // object only across next() calls, and we copy the row if (and only
+      // if) it is retained as the candidate beyond the next advance
+      var rCur: InternalRow = if (rIter.hasNext) rIter.next() else null
       var candidate: InternalRow = null
       var candKey: UnsafeRow = null
 
       lIter.map { l =>
         val lk = lKeyProj(l)
         val lt = tsOf(lTsBound, l)
-        if (candKey != null && keyOrd.compare(candKey, lk) != 0) {
-          candidate = null; candKey = null
-        }
-        var done = false
-        while (!done && rCur != null) {
-          val rk = rKeyProj(rCur)
-          val c = keyOrd.compare(rk, lk)
-          if (c < 0) {
-            rCur = if (rIter.hasNext) rIter.next().copy() else null
-          } else if (c == 0 && tsOf(rTsBound, rCur) <= lt) {
-            candidate = rCur
-            candKey = rk.copy()
-            rCur = if (rIter.hasNext) rIter.next().copy() else null
-          } else {
-            done = true
+        // SQL equi-join semantics: a null key (or null ts) matches nothing
+        if (lk.anyNull || lt == null) {
+          resultProj(joined(l, nullRight))
+        } else {
+          if (candKey != null && keyOrd.compare(candKey, lk) != 0) {
+            candidate = null; candKey = null
           }
+          var done = false
+          while (!done && rCur != null) {
+            val rk = rKeyProj(rCur)
+            val rt = tsOf(rTsBound, rCur)
+            if (rk.anyNull || rt == null) {
+              // never a match for any left row; nulls sort first, skip
+              rCur = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                rCur = if (rIter.hasNext) rIter.next() else null
+              } else if (c == 0 && rt.longValue() <= lt.longValue()) {
+                candidate = rCur.copy()
+                candKey = rk.copy()
+                rCur = if (rIter.hasNext) rIter.next() else null
+              } else {
+                done = true
+              }
+            }
+          }
+          resultProj(joined(l, if (candidate != null) candidate else nullRight))
         }
-        resultProj(joined(l, if (candidate != null) candidate else nullRight))
       }
     }
   }
@@ -153,6 +180,14 @@ object AsOfJoinApi {
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTs: Column, rightTs: Column): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // this entry point bypasses the analyzer's DeduplicateRelations:
+    // overlapping attribute ids (self-as-of, shared lineage) would bind
+    // right columns to left ordinals — reject instead of corrupting
+    val overlap = leftDf.queryExecution.analyzed.outputSet
+      .intersect(rightDf.queryExecution.analyzed.outputSet)
+    require(overlap.isEmpty,
+      s"as-of join sides share attributes $overlap — rename one side " +
+        "(df.select(col(\"x\").as(\"x2\"), ...)) before joining")
     val node = AsOfJoin(
       leftDf.queryExecution.analyzed,
       rightDf.queryExecution.analyzed,

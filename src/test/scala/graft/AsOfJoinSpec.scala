@@ -65,10 +65,45 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionFixture {
     // assert on its rendered final plan instead
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
-    assert(s.contains("Exchange hashpartitioning(p_user") ||
-      s.contains("Exchange hashpartitioning(v_user") ||
-      s.contains("AQEShuffleRead"), s"expected key exchanges in:\n$s")
-    assert(s.contains("Sort ["), s"expected (key, ts) sorts in:\n$s")
+    // both sides must be hash-exchanged on their join key specifically
+    assert(s.contains("Exchange hashpartitioning(p_user") &&
+      s.contains("Exchange hashpartitioning(v_user"),
+      s"expected key exchanges on both sides in:\n$s")
+    assert(s.contains("Sort [p_user") && s.contains("Sort [v_user"),
+      s"expected (key, ts) sorts on both sides in:\n$s")
+  }
+
+  test("as-of SQL null semantics: null keys and null ts never match") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((Option(1L), Option(100L)), (Option.empty[Long], Option(100L)),
+        (Option(1L), Option.empty[Long]))
+      .toDF("k", "ts")
+    val r = Seq((Option(1L), Option(50L), "ok"), (Option.empty[Long], Option(40L), "nullkey"),
+        (Option(1L), Option.empty[Long], "nullts"))
+      .toDF("rk", "rts", "tag")
+    val out = AsOfJoinApi.asof(l, r, Seq(l("k")), Seq(r("rk")), l("ts"), r("rts"))
+      .select(col("k"), col("tag"))
+      .collect().map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(1)) null else x.getString(1))).toSet
+    // only the non-null (key, ts) left row matches the non-null right row;
+    // null-key and null-ts rows on either side never pair up
+    assert(out == Set((1L, "ok"), (-1L, null), (1L, null)))
+  }
+
+  test("as-of rejects mismatched key types and shared lineage") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L)).toDF("rk", "rts")
+    intercept[IllegalArgumentException] {
+      AsOfJoinApi.asof(l, r, Seq(l("k")), Seq(r("rk")), l("ts"), r("rts"))
+    }
+    val base = Seq((1L, 10L)).toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoinApi.asof(base, base, Seq(base("k")), Seq(base("k")),
+        base("ts"), base("ts"))
+    }
   }
 
   test("as-of inclusive bound: right row at exactly left ts matches") {

@@ -150,8 +150,8 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     val got = banded.select($"event_id", $"iv_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got.toSeq == naive.toSeq && got.nonEmpty)
-    // the banded form must execute as an equi join, not a nested loop
-    banded.count()
+    // join strategy is decided at initial planning — the initial adaptive
+    // plan suffices to assert no nested loop was selected
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
