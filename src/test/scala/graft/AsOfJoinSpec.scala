@@ -106,6 +106,41 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("randomized differential: native as-of equals composed on arbitrary data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 3) {
+      // keys in a small domain force many rows per key; unique right
+      // (key, ts) pairs keep the reference tiebreak-free
+      val lRows = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      val rRows = rnd.shuffle(
+        (for (k <- 0L until 20L; t <- 0L until 1000L) yield (k, t)).toList)
+        .take(300).map { case (k, t) => (k, t, s"r$k-$t") }
+      val l = lRows.toDF("k", "ts")
+      val r = rRows.toDF("rk", "rts", "tag")
+      val native = AsOfJoinApi.asof(l, r, Seq(l("k")), Seq(r("rk")), l("ts"), r("rts"))
+        .select(col("k"), col("ts"), col("tag"))
+        .collect().map(x => (x.getLong(0), x.getLong(1),
+          if (x.isNullAt(2)) null else x.getString(2)))
+        .sortBy(t => (t._1, t._2, String.valueOf(t._3))).toSeq
+      val w = Window.partitionBy(col("k"), col("ts")).orderBy(col("rts").desc)
+      val composed = l.join(r, col("k") === col("rk") && col("rts") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), col("ts"), col("tag"))
+        .collect().map(x => (x.getLong(0), x.getLong(1),
+          if (x.isNullAt(2)) null else x.getString(2)))
+        .sortBy(t => (t._1, t._2, String.valueOf(t._3))).toSeq
+      // note: the composed form dedupes per (k, ts) group; the native
+      // operator emits one row per LEFT ROW — compare multisets by
+      // expanding the composed result over duplicate left rows
+      val dupCount = lRows.groupBy(identity).view.mapValues(_.size).toMap
+      val expanded = composed.flatMap(t => Seq.fill(dupCount((t._1, t._2)))(t))
+        .sortBy(t => (t._1, t._2, String.valueOf(t._3)))
+      assert(native == expanded, s"round $round diverged")
+    }
+  }
+
   test("as-of inclusive bound: right row at exactly left ts matches") {
     val s = spark
     import s.implicits._

@@ -158,6 +158,25 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       s"banding must remove the nested loop:\n$plan")
   }
 
+  test("randomized differential: banded range join on negative/fractional domains") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(777)
+    for (w <- Seq(0.37, 3.0, 50.0)) {
+      val pts = Seq.fill(300)((rnd.nextInt(100000).toLong, rnd.nextDouble() * 400 - 200))
+        .toDF("pid", "v")
+      val ivs = Seq.fill(60) {
+        val lo = rnd.nextDouble() * 380 - 210
+        (rnd.nextInt(100000).toLong, lo, lo + rnd.nextDouble() * 25)
+      }.toDF("ivid", "lo", "hi")
+      val naive = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+        .select($"pid", $"ivid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val banded = RangeJoin.bandedIntervalJoin(pts, "v", ivs, "lo", "hi", w)
+        .select($"pid", $"ivid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(banded.toSeq == naive.toSeq, s"bandWidth $w diverged")
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located scan)") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

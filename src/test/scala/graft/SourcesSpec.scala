@@ -38,6 +38,24 @@ class SourcesSpec extends AnyFunSuite with SparkSessionFixture {
   test("json-lines round-trip")(roundTrip("json", Map.empty))
   test("orc round-trip")(roundTrip("orc", Map.empty))
 
+  test("parquet codec round-trips: snappy, gzip, zstd, lz4") {
+    for (codec <- Seq("snappy", "gzip", "zstd", "lz4")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$codec").toString
+      try {
+        sample.write.mode("overwrite").option("compression", codec).parquet(dir)
+        val back = spark.read.parquet(dir)
+        assert(back.count() == sample.count(), s"$codec round-trip lost rows")
+        val ext = Map("snappy" -> "snappy", "gzip" -> "gz",
+          "zstd" -> "zstd", "lz4" -> "lz4")(codec)
+        val files = new java.io.File(dir).listFiles.map(_.getName)
+        assert(files.exists(_.contains(s".$ext")),
+          s"$codec extension .$ext missing in ${files.toSeq}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+
   test("csv malformed rows survive as nulls in PERMISSIVE mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
     try {
