@@ -97,6 +97,18 @@ object Det {
   def avgInt4(sumLong: Column, n: Column): Column =
     avg4(sumLong * lit(10000L), n)
 
+  /** [[avg4]] beyond the Long bound: the scaled sum is carried as
+    * DECIMAL(38,0), so 2·sum stays exact past 2^63 (to ~10^37). Use when
+    * a 4dp-scaled sum can exceed ~4.6·10^18 (l_extendedprice-scale sums
+    * beyond ~sf500). DuckDB mirror: the same expression with the sum
+    * CAST to DECIMAL(38,0)/HUGEINT.
+    */
+  def avg4Big(sumInt: Column, n: Column): Column = {
+    val s = sumInt.cast(DecimalType(38, 0))
+    (floor((s * lit(2L) + n) / (n * lit(2L))) / lit(10000.0))
+      .cast(DoubleType)
+  }
+
   /** Exact HALF_UP 6dp of a non-negative integer ratio a/b:
     * floor((2·a·10^6 + b) / (2b)) / 10^6. Unlike round(a/b, 6) on the
     * double quotient, this never sits on a rounding boundary where the

@@ -35,6 +35,39 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("avg4Big matches avg4 in-range and is exact past the Long bound") {
+    import spark.implicits._
+    // in range: identical to avg4
+    val small = Seq((1L, 12345678L), (1L, 999L), (2L, 7L)).toDF("g", "s")
+      .groupBy($"g")
+      .agg(Det.avg4(sum($"s"), count(lit(1))).as("a"),
+        Det.avg4Big(sum($"s"), count(lit(1))).as("b"))
+      .collect()
+    small.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    // past the bound: 2*sum overflows Long (avg4 would wrap); avg4Big is
+    // exact — sum of two ~2^62 values averaged
+    val big = 4611686018427387000L // ~2^62, 4dp-scaled units
+    val df = Seq((1L, big), (1L, big)).toDF("g", "s")
+      .groupBy($"g").agg(Det.avg4Big(sum($"s"), count(lit(1))).as("b"))
+      .collect().head.getDouble(1)
+    val expect = (BigDecimal(big) / BigDecimal(10000L))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(df == expect, s"got $df expect $expect")
+  }
+
+  test("div6 equals BigDecimal HALF_UP on random integer ratios") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(2000000).toLong, 1L + rnd.nextInt(5000)))
+    val got = rows.toDF("a", "b")
+      .select(Det.div6($"a", $"b").as("r")).collect().map(_.getDouble(0))
+    rows.zip(got).foreach { case ((a, b), r) =>
+      val expect = (BigDecimal(a) / BigDecimal(b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r == expect, s"$a/$b: got $r expect $expect")
+    }
+  }
+
   test("semi ⊎ anti partitions the build side") {
     val all = Tables.t(spark, Sf0001, "customer").count()
     // same predicate on both: orders with status F
