@@ -127,6 +127,47 @@ object Multimodal {
     df.withColumn("audio_features", f(col(contentCol)))
   }
 
+  /** Partition-batched decode — the Scala analog of Python's
+    * `mapInPandas`: the decoder is initialized ONCE per partition (not
+    * per row, which matters when the production binding loads a native
+    * codec or model), then streamed over the partition's rows. Input
+    * (path, content) → output (path, format, width, height, error);
+    * per-row failures land in `error`, never fail the task.
+    */
+  def decodeImageMetaBatched(df: DataFrame, contentCol: String = "content",
+      pathCol: String = "path"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("error", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(pathCol), col(contentCol)).mapPartitions { it =>
+      // per-partition init happens HERE (codec/model load in production)
+      it.map { r =>
+        val path = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(in)
+          if (!readers.hasNext) Row(path, null, null, null, "decode: unknown format")
+          else {
+            val reader = readers.next()
+            reader.setInput(in)
+            val row = Row(path, reader.getFormatName,
+              reader.getWidth(0), reader.getHeight(0), null)
+            reader.dispose()
+            row
+          }
+        } catch {
+          case e: Throwable => Row(path, null, null, null, s"decode: ${e.getMessage}")
+        }
+      }
+    }(enc)
+  }
+
   /** Frame-sample fan-out: one row per sampled frame (ts_ms, frame). */
   def sampleVideoFrames(df: DataFrame, decoder: VideoDecoder = StubVideoDecoder,
       contentCol: String = "content", everyNthMs: Long = 1000,

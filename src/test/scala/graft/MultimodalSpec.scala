@@ -57,6 +57,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows(2).isNullAt(1))
   }
 
+  test("batched (mapPartitions) decode matches the per-row UDF path") {
+    import spark.implicits._
+    val df = mediaDf.withColumn("path", concat(lit("f"), $"id"))
+    val batched = Multimodal.decodeImageMetaBatched(df)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.isNullAt(4)))
+      .sortBy(_._1)
+    val perRow = Multimodal.withImageColumns(df)
+      .select($"path", $"image_meta.format", $"image_meta.width",
+        $"image_meta.height", $"image_meta.error")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.isNullAt(4)))
+      .sortBy(_._1)
+    assert(batched.toSeq == perRow.toSeq)
+    // the invalid row survived with an error, in both paths
+    assert(batched.count(!_._5) == 1)
+  }
+
   test("audio features: fixed length, deterministic, schema array<float>") {
     val df = Multimodal.withAudioFeatures(mediaDf, nCoeffs = 16)
     assert(df.schema("audio_features").dataType ==
