@@ -543,6 +543,62 @@ object Aggregates {
       |  bit_xor(l_orderkey) AS key_xor
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------ exact moment stats
+
+  /** Variance/skewness/kurtosis per return flag from exact integer power
+    * sums (Σx..Σx⁴ in BIGINT — x = l_quantity ≤ 50, so Σx⁴ fits to
+    * ~sf10⁵), finished by ONE identical double formula on both engines.
+    * The built-in skewness()/kurtosis() accumulate central moments in
+    * partition order and are not reproducible, let alone cross-engine;
+    * raw power sums are order-independent and exact.
+    */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(LongType)
+    val d: Column => Column = _.cast(DoubleType)
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), x.as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .select({
+        val n = d(col("n")); val s1 = d(col("s1")); val s2 = d(col("s2"))
+        val s3 = d(col("s3")); val s4 = d(col("s4"))
+        val mu = s1 / n
+        val m2 = s2 / n - mu * mu
+        val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+        val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+          lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+        Seq(col("l_returnflag"), col("n"),
+          round(m2, 6).as("var_pop"),
+          round(m3 / sqrt(m2 * m2 * m2), 6).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+      }: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggMomentsSql =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2,
+      |    CAST(sum(x*x*x) AS BIGINT) AS s3, CAST(sum(x*x*x*x) AS BIGINT) AS s4
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6) AS var_pop,
+      |  round((CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |         + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |        / sqrt((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |               * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |               * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))), 6) AS skewness,
+      |  round((CAST(s4 AS DOUBLE) / n - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      |         + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |         - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |        / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |           * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) - 3.0, 6) AS kurtosis
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------- distribution window functions
 
   /** percent_rank/cume_dist over a UNIQUE ordering (totalprice, orderkey)
@@ -591,6 +647,7 @@ object Aggregates {
     ContractQuery("q_win_firstlast", winFirstlast, Some(winFirstlastSql)),
     ContractQuery("q_agg_bool", aggBool, Some(aggBoolSql)),
     ContractQuery("q_agg_bitagg", aggBitagg, Some(aggBitaggSql)),
-    ContractQuery("q_win_dist", winDist, Some(winDistSql))
+    ContractQuery("q_win_dist", winDist, Some(winDistSql)),
+    ContractQuery("q_agg_moments", aggMoments, Some(aggMomentsSql))
   )
 }
