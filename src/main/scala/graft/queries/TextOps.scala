@@ -102,6 +102,73 @@ object TextOps {
        |WHERE round(inter / (x.n + y.n - inter), 6) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  // -------------------------------------------------- dedup clustering
+
+  /** Connected-component clustering over the near-dup pair graph — the
+    * step after pair detection in a real dedup pipeline: every doc gets
+    * its cluster representative (the minimum doc_id reachable through
+    * J ≥ 0.5 edges), `is_dup` marks non-representatives for dropping.
+    *
+    * Spark side: iterative min-label propagation — each round is one
+    * distributed join+agg, labels localCheckpoint()ed so lineage stays
+    * O(1) across rounds; converges in graph-diameter rounds (near-dup
+    * components are shallow). At 100 TB the identical loop runs with
+    * checkpointing to durable storage (or GraphX connectedComponents —
+    * same algorithm, prepackaged). Oracle: DuckDB recursive-CTE
+    * transitive closure, min over the reachable set.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupJaccard(spark, dir).select(col("d1"), col("d2"))
+      .localCheckpoint(true)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src")).agg(min(col("nrep")).as("minn"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("doc_id"), col("rep"),
+        (col("rep") =!= col("doc_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE sh AS ($shingledSql),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |dups AS (
+       |  SELECT d1, d2
+       |  FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE round(inter / (x.n + y.n - inter), 6) >= 0.5),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM dups
+       |          UNION ALL SELECT d2, d1 FROM dups),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src)
+       |SELECT a AS doc_id, min(b) AS rep, (min(b) <> a) AS is_dup
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- TF-IDF
 
   /** TF-IDF: tf per (doc, term) × ln(N/df); top-5 terms of docs 0–4. */
@@ -390,6 +457,7 @@ object TextOps {
     ContractQuery("q_token_count", tokenCount, Some(tokenCountSql)),
     ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     ContractQuery("q_ngram_top", ngramTop, Some(ngramTopSql)),
-    ContractQuery("q_fingerprint_rolling", fingerprintRolling, Some(fingerprintRollingSql))
+    ContractQuery("q_fingerprint_rolling", fingerprintRolling, Some(fingerprintRollingSql)),
+    ContractQuery("q_dedup_cluster", dedupCluster, Some(dedupClusterSql))
   )
 }
