@@ -125,6 +125,10 @@ object TextOps {
       .localCheckpoint(true)
     var labels = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint(true)
+    // labels only ever decrease, so Σrep is strictly monotone until the
+    // fixpoint — an unchanged sum IS convergence, one cheap agg per round
+    // instead of a join-and-count
+    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < 20) {
@@ -136,11 +140,10 @@ object TextOps {
         .select(labels("doc_id"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("rep", "old"), "doc_id")
-        .filter(col("rep") =!= col("old")).count()
+      val s = next.agg(sum(col("rep"))).head.getLong(0)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels.select(col("doc_id"), col("rep"),
