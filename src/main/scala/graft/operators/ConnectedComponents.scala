@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a (src, dst) edge list — the
+  * clustering step of a dedup pipeline (SURVEY.md §2.D: every doc gets the
+  * minimum doc_id reachable through near-dup edges as its cluster
+  * representative).
+  *
+  * Algorithm: min-label propagation fused with pointer jumping. Each round
+  *
+  *   1. propagate:  rep(v) ← min(rep(v), min over neighbors u of rep(u))
+  *   2. jump:       rep(v) ← rep(rep(v))
+  *
+  * Plain propagation needs O(diameter) synchronized rounds — a deep chain
+  * of near dups (trivially constructible at corpus scale) can chain past
+  * any fixed cap. The jump step halves every label-pointer path, so the
+  * combination converges in O(log diameter) rounds: labels only ever
+  * decrease and rep(v) ≤ v throughout (proof by induction: true initially;
+  * `least` preserves it; then rep(rep(v)) ≤ rep(v)), so Σrep is strictly
+  * monotone until the fixpoint and an unchanged sum IS convergence — one
+  * cheap scalar agg per round, no join-and-count. At the fixpoint labels
+  * are equal along every edge (propagation is a no-op both ways), hence
+  * constant per component, and the component minimum m keeps rep(m) = m.
+  *
+  * Scale posture: each round is two shuffles (edge join by dst grouped by
+  * src; label self-join by rep) over hash-partitioned Longs; lineage is cut
+  * every round with an eager localCheckpoint so round N+1 replans from
+  * materialized blocks, not a 2^N-deep plan. At 100 TB the identical loop
+  * runs with `checkpoint()` to durable storage. Non-convergence within
+  * `maxRounds` throws — never silently emits partial labels (a component
+  * needs diameter > 2^maxRounds to hit the default cap).
+  */
+object ConnectedComponents {
+
+  /** Labels `nodes` with their component representative.
+    *
+    * @param nodes (id: long) — one row per vertex; isolated vertices allowed
+    * @param edges (src: long, dst: long) — undirected, symmetrized internally
+    * @return (id, rep) with rep = min id of the component
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    runCounted(nodes, edges, maxRounds)._1
+
+  /** [[run]] plus the number of rounds executed (for tests/telemetry). */
+  def runCounted(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = e
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src")).agg(min(col("nrep")).as("minn"))
+      val prop = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
+      // rep values are always vertex ids (min of ids), so the jump join is
+      // total; left + coalesce only guards edge rows naming unknown vertices
+      val next = prop.as("l")
+        .join(prop.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
+          col("l.rep") === col("r.rid"), "left")
+        .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("rep"))).head.getLong(0)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxRounds rounds " +
+          "(component diameter > 2^maxRounds?) — refusing to emit partial labels")
+    (labels, round)
+  }
+}

@@ -238,10 +238,15 @@ object Relational {
       |ORDER BY nationkey""".stripMargin
 
   /** As-of join: for each purchase, the most recent view (ts <= purchase ts)
-    * by the same user, with its value carried over. Spark has no native
-    * ASOF operator, so both sides use the identical window emulation
-    * (rank prior views by ts desc, keep the first) — at scale this is the
-    * shuffle-by-user plan an ASOF join would pick anyway.
+    * by the same user, with its value carried over — through the native
+    * [[org.apache.spark.sql.graft.AsOfJoin]] operator: one merge pass per
+    * co-partition with O(1) state, so the O(purchases × prior-views-per-
+    * user) candidate set of the join+row_number emulation never
+    * materializes (the hot-user hazard at 100 TB). The view side is first
+    * reduced to one row per (user, ts) keeping the max event_id (exactly
+    * the oracle's `v_event_id DESC` tiebreak), which also makes the merge
+    * deterministic under exact-ts ties. The window emulation survives as
+    * the differential reference in AsOfJoinSpec.
     */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(spark, dir, "events")
@@ -249,16 +254,11 @@ object Relational {
       .select(col("event_id").as("p_event_id"), col("user_id"),
         col("ts").as("p_ts"))
     val v = e.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
-        col("event_id").as("v_event_id"), col("value").as("v_value"))
-    val joined = p.join(v,
-      col("user_id") === col("v_user_id") && col("v_ts") <= col("p_ts"),
-      "left")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p_event_id"))
-      .orderBy(col("v_ts").desc, col("v_event_id").desc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("v_event_id"),
+        max_by(col("value"), col("event_id")).as("v_value"))
+    org.apache.spark.sql.graft.AsOfJoinApi.asof(p, v,
+        Seq(p("user_id")), Seq(v("v_user_id")), p("p_ts"), v("v_ts"))
       .select(col("p_event_id"), col("user_id"), tsOut(col("p_ts")).as("p_ts_us"),
         col("v_event_id").as("prior_view_id"), col("v_value").as("prior_view_value"))
       .orderBy(col("p_event_id"))

@@ -176,25 +176,50 @@ case class AsOfJoinExec(
   * bridges are private[sql], hence this package).
   */
 object AsOfJoinApi {
+
+  /** Columns built with `functions.col("x")` arrive as UnresolvedAttribute
+    * (this entry point bypasses the analyzer) — resolve them by name
+    * against the owning side so users get either a working join or a
+    * usable error, never an opaque UnresolvedException from `.dataType`.
+    */
+  private def resolveAgainst(plan: LogicalPlan, c: Column, side: String,
+      spark: org.apache.spark.sql.classic.SparkSession): Expression = {
+    // session converter, NOT ExpressionUtils.expression: the latter wraps
+    // the column in a lazy ColumnNodeExpression that claims resolved=true
+    // (dataType NullType) even around an UnresolvedAttribute
+    val e = spark.expression(c)
+    if (e.resolved) e
+    else e match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        plan.resolve(u.nameParts, spark.sessionState.analyzer.resolver)
+          .getOrElse(throw new IllegalArgumentException(
+            s"as-of join: cannot resolve column '${u.name}' against the $side " +
+              s"side (available: ${plan.output.map(_.name).mkString(", ")})"))
+      case other => throw new IllegalArgumentException(
+        "as-of join keys must be plain columns of a join side " +
+          s"(df(\"col\") or col(\"name\")); got unresolved expression: $other")
+    }
+  }
+
   def asof(leftDf: DataFrame, rightDf: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTs: Column, rightTs: Column): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
     // this entry point bypasses the analyzer's DeduplicateRelations:
     // overlapping attribute ids (self-as-of, shared lineage) would bind
     // right columns to left ordinals — reject instead of corrupting
-    val overlap = leftDf.queryExecution.analyzed.outputSet
-      .intersect(rightDf.queryExecution.analyzed.outputSet)
+    val overlap = lPlan.outputSet.intersect(rPlan.outputSet)
     require(overlap.isEmpty,
       s"as-of join sides share attributes $overlap — rename one side " +
         "(df.select(col(\"x\").as(\"x2\"), ...)) before joining")
     val node = AsOfJoin(
-      leftDf.queryExecution.analyzed,
-      rightDf.queryExecution.analyzed,
-      leftKeys.map(ExpressionUtils.expression),
-      rightKeys.map(ExpressionUtils.expression),
-      ExpressionUtils.expression(leftTs),
-      ExpressionUtils.expression(rightTs))
+      lPlan, rPlan,
+      leftKeys.map(resolveAgainst(lPlan, _, "left", spark)),
+      rightKeys.map(resolveAgainst(rPlan, _, "right", spark)),
+      resolveAgainst(lPlan, leftTs, "left", spark),
+      resolveAgainst(rPlan, rightTs, "right", spark))
     Dataset.ofRows(spark, node)
   }
 }

@@ -141,6 +141,54 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("declared q_join_asof routes through the native AsOfJoinExec") {
+    val df = graft.queries.Relational.joinAsof(spark, Sf0001)
+    assert(df.count() > 0)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
+    // the join+row_number emulation would show a Window over the join —
+    // the whole point of the native path is that it doesn't
+    assert(!s.contains("RunningWindowFunction") && !s.contains("Window ["),
+      s"declared as-of query still carries a window:\n$s")
+  }
+
+  test("declared q_join_asof equals the window emulation (differential)") {
+    val w = Window.partitionBy(col("p_event_id"))
+      .orderBy(col("v_ts").desc, col("v_event_id").desc)
+    val e = graft.queries.Tables.t(spark, Sf0001, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    val emulated = p.join(v,
+        col("user_id") === col("v_user_id") && col("v_ts") <= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("p_event_id"), col("v_event_id").as("prior_view_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val native = graft.queries.Relational.joinAsof(spark, Sf0001)
+      .select(col("p_event_id"), col("prior_view_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(native.nonEmpty && native == emulated)
+  }
+
+  test("as-of accepts name-based col(\"x\") keys; unknown names get a usable error") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "ts")
+    val r = Seq((1L, 50L, "hit")).toDF("rk", "rts", "tag")
+    val out = AsOfJoinApi.asof(l, r, Seq(col("k")), Seq(col("rk")),
+        col("ts"), col("rts"))
+      .select(col("tag")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("hit"))
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoinApi.asof(l, r, Seq(col("nope")), Seq(col("rk")), col("ts"), col("rts"))
+    }
+    assert(err.getMessage.contains("nope") && err.getMessage.contains("available"))
+  }
+
   test("as-of inclusive bound: right row at exactly left ts matches") {
     val s = spark
     import s.implicits._

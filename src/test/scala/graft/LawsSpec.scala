@@ -176,6 +176,37 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows(1).getString(1) == "b" && rows(1).isNullAt(2))
   }
 
+  test("connected components: 60-deep chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // a chain 0-1-2-…-59 has label-propagation distance 59 — the exact shape
+    // that silently broke a fixed-cap plain-propagation loop; pointer
+    // jumping must close it in ≤ ~2·log2(60) rounds and label everything 0
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) =
+      graft.operators.ConnectedComponents.runCounted(nodes, edges)
+    assert(rounds <= 12, s"expected O(log d) rounds, got $rounds")
+    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size == 60 && reps.values.forall(_ == 0L))
+  }
+
+  test("connected components: disjoint clusters + isolated nodes; cap failure is loud") {
+    import spark.implicits._
+    // two triangles {0,1,2} {10,11,12} and isolated nodes 20, 21
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 20L, 21L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val reps = graft.operators.ConnectedComponents.run(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+    // a cap too small to converge must throw, never emit partial labels
+    val deepNodes = (0L until 40L).toDF("id")
+    val deepEdges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    assertThrows[IllegalStateException] {
+      graft.operators.ConnectedComponents.run(deepNodes, deepEdges, maxRounds = 2)
+    }
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
