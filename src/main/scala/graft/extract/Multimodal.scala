@@ -5,6 +5,7 @@ import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.util.control.NonFatal
 
 /** Multimodal columns (north-star §2.D): images/audio/video ride beside
   * text as opaque `binary` columns with typed metadata structs; per-row
@@ -45,30 +46,47 @@ object Multimodal {
             row
           }
         } catch {
-          case e: Throwable => Row(null, null, null, s"decode: ${e.getMessage}")
+          // NonFatal only: the never-fail contract covers decode errors,
+          // not OOM/interrupt — those must still fail the task
+          case NonFatal(e) => Row(null, null, null, s"decode: ${e.getMessage}")
         }
     }, imageMetaType)
 
-  /** Real image resize (bilinear) → PNG bytes; null on undecodable input. */
-  def resizeImage(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  /** Decode → optional bilinear resize → re-encode in `format` ("jpeg",
+    * "png", "bmp", "gif" — whatever ImageIO writes). THROWS on
+    * undecodable input or unknown target format, so pipeline callers
+    * capture the failure in their error column (the pdf2dataset rule);
+    * UDF wrappers that want null-on-error catch at their layer.
+    */
+  def transcode(bytes: Array[Byte], size: Option[(Int, Int)],
+      format: String): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException("transcode: not a decodable image")
+    val (w, h) = size.getOrElse((img.getWidth, img.getHeight))
+    // TYPE_INT_RGB (no alpha): the JPEG encoder rejects ARGB rasters
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(out, format, bos))
+      throw new IllegalArgumentException(s"transcode: no encoder for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Real image resize (bilinear) → `format` bytes (PNG default); null on
+    * undecodable input.
+    */
+  def resizeImage(w: Int, h: Int, format: String = "png")
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Array[Byte]] {
       override def call(bytes: Array[Byte]): Array[Byte] =
-        try {
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          if (img == null) null
-          else {
-            val out = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
-            g.dispose()
-            val bos = new ByteArrayOutputStream()
-            ImageIO.write(out, "png", bos)
-            bos.toByteArray
-          }
-        } catch { case _: Throwable => null }
+        try transcode(bytes, Some((w, h)), format)
+        catch { case NonFatal(_) => null }
     }, BinaryType)
 
   /** Offline stand-in for an audio feature extractor (e.g. MFCC): a
@@ -162,7 +180,7 @@ object Multimodal {
             row
           }
         } catch {
-          case e: Throwable => Row(path, null, null, null, s"decode: ${e.getMessage}")
+          case NonFatal(e) => Row(path, null, null, null, s"decode: ${e.getMessage}")
         }
       }
     }(enc)

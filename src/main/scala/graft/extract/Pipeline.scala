@@ -19,15 +19,50 @@ case class Feature(
     dataType: DataType,
     compute: (DocExtractor, Array[Byte], Int) => Any)
 
+/** `image` feature output options (upstream CLI `--image-size WxH` /
+  * `--image-format`, default JPEG). Both unset ⇒ the extractor's raw
+  * rendered bytes pass through untouched; either set ⇒ the rendered page
+  * is decoded, resized (if a size is given) and re-encoded — a feature
+  * row whose bytes aren't a decodable image captures the failure in the
+  * error column like any other feature exception.
+  */
+case class ImageOptions(size: Option[(Int, Int)] = None,
+    format: Option[String] = None) {
+  def active: Boolean = size.isDefined || format.isDefined
+  def fmt: String = format.getOrElse("jpeg")
+}
+
+object ImageOptions {
+  /** Parse CLI-shaped specs: size "WxH" (e.g. "64x48"), format name. */
+  def parse(sizeSpec: Option[String], format: Option[String]): ImageOptions = {
+    val size = sizeSpec.map { s =>
+      val parts = s.toLowerCase.split("x")
+      val dims = try parts.map(_.trim.toInt)
+        catch { case _: NumberFormatException => Array.empty[Int] }
+      if (dims.length != 2 || dims.exists(_ <= 0))
+        throw new IllegalArgumentException(
+          s"image size must be WxH with positive integers, got '$s'")
+      (dims(0), dims(1))
+    }
+    ImageOptions(size, format.map(_.toLowerCase))
+  }
+}
+
 object Features {
   /** Built-in feature set (upstream: text, image, ocr). */
-  def builtin(ocrLang: String = "eng"): Seq[Feature] = Seq(
+  def builtin(ocrLang: String = "eng",
+      imageOpts: ImageOptions = ImageOptions()): Seq[Feature] = Seq(
     Feature("text", StringType, (ex, b, p) => ex.pageText(b, p)),
-    Feature("image", BinaryType, (ex, b, p) => ex.pageImage(b, p)),
+    Feature("image", BinaryType, (ex, b, p) => {
+      val raw = ex.pageImage(b, p)
+      if (imageOpts.active) Multimodal.transcode(raw, imageOpts.size, imageOpts.fmt)
+      else raw
+    }),
     Feature("ocr", StringType, (ex, b, p) => ex.ocrText(b, p, ocrLang)))
 
-  def select(names: Seq[String], ocrLang: String = "eng"): Seq[Feature] = {
-    val all = builtin(ocrLang)
+  def select(names: Seq[String], ocrLang: String = "eng",
+      imageOpts: ImageOptions = ImageOptions()): Seq[Feature] = {
+    val all = builtin(ocrLang, imageOpts)
     if (names == Seq("all")) all.filterNot(_.name == "ocr")
     else names.map(n => all.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"unknown feature: $n")))
@@ -86,7 +121,9 @@ object Pipeline {
           case None => Fanout(1 to n, None)
         }
       } catch {
-        case e: Throwable => Fanout(Seq(-1), Some(s"pagecount: ${e.getMessage}"))
+        // NonFatal: never-fail covers extraction errors, not OOM/interrupt
+        case scala.util.control.NonFatal(e) =>
+          Fanout(Seq(-1), Some(s"pagecount: ${e.getMessage}"))
       }
     }
     val withOnly =
@@ -109,7 +146,8 @@ object Pipeline {
       val fUdf = udf(new org.apache.spark.sql.api.java.UDF2[Array[Byte], Int, Row] {
         override def call(content: Array[Byte], page: Int): Row =
           try { Row(f.compute(extractor, content, page), null) }
-          catch { case e: Throwable => Row(null, s"${f.name}: ${e.getMessage}") }
+          catch { case scala.util.control.NonFatal(e) =>
+            Row(null, s"${f.name}: ${e.getMessage}") }
       }, StructType(Seq(
         StructField("value", f.dataType, nullable = true),
         StructField("err", StringType, nullable = true))))
@@ -151,10 +189,11 @@ object Pipeline {
   def extractToParquet(spark: SparkSession, docs: DataFrame, outPath: String,
       features: Seq[String] = Seq("text"), extractor: DocExtractor = StubExtractor,
       chunkRecords: Int = 1000, doResume: Boolean = true,
-      ocrLang: String = "eng"): Unit = {
+      ocrLang: String = "eng", imageOpts: ImageOptions = ImageOptions()): Unit = {
     val tasks0 = fanout(docs, extractor)
     val tasks = if (doResume) resume(tasks0, outPath) else tasks0
-    val rows = extractFeatures(tasks, Features.select(features, ocrLang), extractor)
+    val rows = extractFeatures(tasks,
+      Features.select(features, ocrLang, imageOpts), extractor)
     val compression = if (outPath.endsWith(".gzip")) "gzip" else "snappy"
     rows.write.mode("append")
       .option("maxRecordsPerFile", chunkRecords.toLong)
@@ -167,8 +206,11 @@ object Pipeline {
     */
   def extractSmall(spark: SparkSession, docs: DataFrame,
       features: Seq[String] = Seq("text"),
-      extractor: DocExtractor = StubExtractor): Array[org.apache.spark.sql.Row] =
-    extractFeatures(fanout(docs, extractor), Features.select(features), extractor)
+      extractor: DocExtractor = StubExtractor,
+      ocrLang: String = "eng",
+      imageOpts: ImageOptions = ImageOptions()): Array[org.apache.spark.sql.Row] =
+    extractFeatures(fanout(docs, extractor),
+      Features.select(features, ocrLang, imageOpts), extractor)
       .orderBy(col("path"), col("page"))
       .collect()
 }

@@ -134,6 +134,48 @@ class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
     assert(back.count() == 7)
   }
 
+  test("CLI parse: flags map to config; malformed input gets usable errors") {
+    val cfg = Main.parse(Seq("/in", "/out.parquet.gzip",
+      "--features", "text,image", "--ocr", "--lang", "deu",
+      "--image-size", "64x48", "--image-format", "png",
+      "--saving-interval", "250", "--num-cpus", "4", "--no-resume",
+      "--glob", "*.pdf"))
+    assert(cfg == Main.Config("/in", "/out.parquet.gzip",
+      Seq("text", "image"), ocr = true, lang = "deu",
+      imageSize = Some("64x48"), imageFormat = Some("png"),
+      savingInterval = 250, numCpus = Some(4), resume = false, glob = "*.pdf"))
+    assert(Main.featureNames(cfg) == Seq("text", "image", "ocr"))
+    assert(Main.featureNames(Main.parse(Seq("/i", "/o", "--features", "all")))
+      == Seq("text", "image"))
+    intercept[IllegalArgumentException](Main.parse(Seq("/in"))) // missing out
+    intercept[IllegalArgumentException](Main.parse(Seq("/in", "/out", "--nope")))
+    intercept[IllegalArgumentException](
+      Main.parse(Seq("/in", "/out", "--saving-interval", "zero")))
+    intercept[IllegalArgumentException](
+      Main.parse(Seq("/in", "/out", "--image-size", "64by48")))
+    intercept[IllegalArgumentException](
+      Main.parse(Seq("/in", "/out", "--features"))) // flag without value
+  }
+
+  test("CLI e2e: gzip sink, saving interval, ocr lang, and resume") {
+    val root = buildCorpus()
+    val out = Files.createTempDirectory("graft-cli").resolve("out.parquet.gzip").toString
+    val argv = Seq(root.toString, out, "--features", "text", "--ocr",
+      "--lang", "deu", "--saving-interval", "2")
+    Main.run(spark, Main.parse(argv))
+    val first = spark.read.parquet(out)
+    assert(first.count() == 7) // 6 pages + 1 error row
+    assert(first.filter(col("ocr").startsWith("[deu]")).count() == 6)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.forall(_.getName.contains(".gz.")), "gzip codec from .gzip suffix")
+    // resume path: a second identical invocation adds nothing
+    Main.run(spark, Main.parse(argv))
+    assert(spark.read.parquet(out).count() == 7)
+    // --no-resume redoes everything (append doubles the rows)
+    Main.run(spark, Main.parse(argv :+ "--no-resume"))
+    assert(spark.read.parquet(out).count() == 14)
+  }
+
   test("in-memory task source with explicit page") {
     val payload = (StubExtractor.Magic + "p1\fp2\fp3").getBytes("UTF-8")
     val tasks = Pipeline.fromTasks(spark, Seq(

@@ -75,6 +75,59 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(batched.count(!_._5) == 1)
   }
 
+  test("image feature options: size + format plumb through the pipeline") {
+    import graft.extract._
+    // an extractor whose rendered page is a REAL 64x48 png
+    val realImage = png(64, 48, 0x0000ff)
+    object PngExtractor extends DocExtractor {
+      override def pageCount(bytes: Array[Byte]): Int = StubExtractor.pageCount(bytes)
+      override def pageText(bytes: Array[Byte], page: Int): String =
+        StubExtractor.pageText(bytes, page)
+      override def pageImage(bytes: Array[Byte], page: Int): Array[Byte] = realImage
+      override def ocrText(bytes: Array[Byte], page: Int, lang: String): String = ""
+    }
+    val payload = (StubExtractor.Magic + "one page").getBytes("UTF-8")
+    def extract(opts: ImageOptions) = {
+      val tasks = Pipeline.fanout(
+        Pipeline.fromTasks(spark, Seq(ExtractTask("d.doc", payload, None))), PngExtractor)
+      Pipeline.extractFeatures(tasks,
+        Features.select(Seq("image"), imageOpts = opts), PngExtractor)
+        .collect().head.getAs[Array[Byte]]("image")
+    }
+    // no options: raw extractor bytes pass through untouched
+    assert(extract(ImageOptions()).sameElements(realImage))
+    // --image-size alone: resized, JPEG by default (upstream default)
+    val sized = extract(ImageOptions.parse(Some("16x12"), None))
+    val sizedImg = ImageIO.read(new java.io.ByteArrayInputStream(sized))
+    assert(sizedImg.getWidth == 16 && sizedImg.getHeight == 12)
+    assert(sized.length >= 2 && (sized(0) & 0xff) == 0xff && (sized(1) & 0xff) == 0xd8,
+      "JPEG SOI magic expected for the default format")
+    // --image-format png round-trips as png at the requested size
+    val asPng = extract(ImageOptions.parse(Some("8x6"), Some("png")))
+    val pngImg = ImageIO.read(new java.io.ByteArrayInputStream(asPng))
+    assert(pngImg.getWidth == 8 && pngImg.getHeight == 6)
+    assert((asPng(1) & 0xff) == 'P' && (asPng(2) & 0xff) == 'N',
+      "PNG magic expected")
+    // options + undecodable render (Stub bytes): captured error, not a crash
+    val tasks = Pipeline.fanout(
+      Pipeline.fromTasks(spark, Seq(ExtractTask("d.doc", payload, None))), StubExtractor)
+    val row = Pipeline.extractFeatures(tasks,
+      Features.select(Seq("image"), imageOpts = ImageOptions.parse(Some("8x6"), None)),
+      StubExtractor).collect().head
+    assert(row.isNullAt(row.fieldIndex("image")))
+    assert(row.getString(row.fieldIndex("error")).startsWith("image: transcode:"))
+  }
+
+  test("transcode resizes and re-encodes; jpeg output decodes at target size") {
+    val out = Multimodal.transcode(png(64, 48, 0x00ff00), Some((32, 24)), "jpeg")
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth == 32 && back.getHeight == 24)
+    intercept[IllegalArgumentException](
+      Multimodal.transcode(Array[Byte](1, 2, 3), Some((8, 8)), "png"))
+    intercept[IllegalArgumentException](
+      Multimodal.transcode(png(8, 8, 0), None, "not-a-format"))
+  }
+
   test("audio features: fixed length, deterministic, schema array<float>") {
     val df = Multimodal.withAudioFeatures(mediaDf, nCoeffs = 16)
     assert(df.schema("audio_features").dataType ==
