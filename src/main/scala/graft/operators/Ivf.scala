@@ -37,17 +37,25 @@ object Ivf {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
 
-  /** Nearest-centroid assignment: (cell, vec_id, embedding, n2, sim). */
-  def assign(base: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("c_id").asc)
+  /** Nearest-centroid assignment: (cell, vec_id, embedding, n2, sim).
+    *
+    * Argmax over the k-amplified corpus is a `max_by` aggregation, not a
+    * row_number window: the aggregate gets map-side partial combine and
+    * no per-vector sort — at 100 TB the window variant would shuffle and
+    * sort k× the corpus. Tiebreak matches the previous window ordering
+    * (sim DESC, c_id ASC) via the (sim, -c_id) struct key, which is
+    * unique per (vec_id, c_id).
+    */
+  def assign(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("sim", simToCent)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("c_id").as("cell"), col("vec_id"), col("embedding"),
-        col("n2"), col("sim"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("embedding"), col("n2"), col("sim")),
+        struct(col("sim"), (-col("c_id")).as("neg_cid"))).as("best"))
+      .select(col("best.c_id").as("cell"), col("vec_id"),
+        col("best.embedding").as("embedding"), col("best.n2").as("n2"),
+        col("best.sim").as("sim"))
 
   /** One spherical-Lloyd iteration: new centroid = per-cell mean vector
     * (posexplode + avg — the aggregation shuffles by (cell, pos), never

@@ -19,18 +19,37 @@ object RangeJoin {
     * `bandWidth` trades replication (small w → more interval rows)
     * against band selectivity (large w → more residual comparisons);
     * a good default is the typical interval length.
+    *
+    * Per-row hygiene (the operator exists to avoid runtime cliffs, so it
+    * must not have its own): intervals with lo > hi match nothing and are
+    * filtered out up front (Spark's `sequence` would silently emit a
+    * DESCENDING band range for them); an interval spanning more than
+    * `maxBandsPerInterval` bands fails the job with a usable error
+    * instead of tripping sequence's opaque element-limit mid-stage —
+    * raise `bandWidth` (or the cap) for genuinely long intervals.
     */
   def bandedIntervalJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bandWidth: Double): DataFrame = {
+      bandWidth: Double, maxBandsPerInterval: Long = 100000L): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    require(maxBandsPerInterval > 0, "maxBandsPerInterval must be positive")
     require(!points.columns.contains("__band") && !intervals.columns.contains("__band"),
       "__band is reserved by bandedIntervalJoin — rename the input column")
     val p = points.withColumn("__band",
       floor(col(pointCol) / lit(bandWidth)).cast("long"))
-    val i = intervals.withColumn("__band",
-      explode(sequence(floor(col(loCol) / lit(bandWidth)).cast("long"),
-        floor(col(hiCol) / lit(bandWidth)).cast("long"))))
+    val loBand = floor(col(loCol) / lit(bandWidth)).cast("long")
+    val hiBand = floor(col(hiCol) / lit(bandWidth)).cast("long")
+    // assert_true is NULL when the span is fine; coalesce then yields the
+    // real upper band — the guard rides inside codegen, no extra pass
+    val hiGuarded = coalesce(
+      assert_true(hiBand - loBand < lit(maxBandsPerInterval),
+        concat(lit(s"bandedIntervalJoin: interval ["), col(loCol), lit(", "),
+          col(hiCol), lit(s"] spans >= $maxBandsPerInterval bands of width " +
+            s"$bandWidth — raise bandWidth or maxBandsPerInterval"))).cast("long"),
+      hiBand)
+    val i = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__band", explode(sequence(loBand, hiGuarded)))
     p.join(i, Seq("__band"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__band")

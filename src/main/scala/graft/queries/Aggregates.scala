@@ -457,13 +457,21 @@ object Aggregates {
 
   /** Richest/poorest customer per nation via max_by/min_by (DuckDB
     * arg_max/arg_min) over a tie-free surrogate ordering key: acctbal
-    * quantized at 4dp × 10^6 + custkey is strictly monotonic in
-    * (acctbal, custkey) while custkey < 10^6 — composite arg_max keys are
-    * not supported by DuckDB 1.0, so the tiebreak is packed into one
-    * BIGINT.
+    * quantized at 4dp × 10^10 + custkey is strictly monotonic in
+    * (acctbal, custkey) while custkey < 10^10 (~TPC-H sf 65000; the
+    * product still fits BIGINT: |acctbal·10^4| ≤ 10^8, ×10^10 = 10^18 <
+    * 2^63) — composite arg_max keys are not supported by DuckDB 1.0, so
+    * the tiebreak is packed into one BIGINT. A per-row assert_true fails
+    * the job loudly if custkey ever reaches the bleed point instead of
+    * silently mis-ranking.
     */
   def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame = {
-    val key = moneyInt(col("c_acctbal")) * lit(1000000L) + col("c_custkey")
+    val Mult = 10000000000L // 1e10
+    val guard = coalesce(
+      assert_true(col("c_custkey") >= 0 && col("c_custkey") < lit(Mult),
+        lit(s"aggMinmaxBy packed key needs 0 <= c_custkey < 1e10")).cast(LongType),
+      lit(0L))
+    val key = moneyInt(col("c_acctbal")) * lit(Mult) + col("c_custkey") + guard
     Tables.t(spark, dir, "customer")
       .groupBy(col("c_nationkey"))
       .agg(max_by(col("c_custkey"), key).as("richest"),
@@ -473,7 +481,7 @@ object Aggregates {
   }
 
   val aggMinmaxBySql: String = {
-    val key = s"${Sql.moneyInt("c_acctbal")} * 1000000 + c_custkey"
+    val key = s"${Sql.moneyInt("c_acctbal")} * 10000000000 + c_custkey"
     s"""SELECT c_nationkey,
        |  arg_max(c_custkey, $key) AS richest,
        |  arg_min(c_custkey, $key) AS poorest,

@@ -240,6 +240,36 @@ object Functions {
       |  json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Schema-full JSON parsing (SURVEY.md §1.3: `events.props` →
+    * `from_json(schema)`): props parsed BOTH as a typed struct and as a
+    * MapType, exercising struct field access and map functions over real
+    * parsed data — the companion to [[fnJson]]'s path-extraction form.
+    * Oracle: DuckDB json_extract / json_keys.
+    */
+  def fnFromJson(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), schema).as("p"),
+        from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+      .select(col("event_id"),
+        col("p.k").as("k_val"),
+        (col("p.k") % 10).as("k_mod10"),
+        map_keys(col("m")).getItem(0).as("first_key"),
+        size(map_keys(col("m"))).cast(LongType).as("n_keys"),
+        element_at(col("m"), lit("k")).as("k_from_map"))
+      .orderBy(col("event_id"))
+  }
+
+  val fnFromJsonSql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10,
+      |  (json_keys(props))[1] AS first_key,
+      |  len(json_keys(props)) AS n_keys,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map
+      |FROM events ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------- levenshtein
 
   /** Edit-distance over part strings — the string-similarity primitive of
@@ -317,6 +347,7 @@ object Functions {
     ContractQuery("q_explode", explodeQ, Some(explodeSql)),
     ContractQuery("q_fn_hof", fnHof, Some(fnHofSql)),
     ContractQuery("q_fn_json", fnJson, Some(fnJsonSql)),
+    ContractQuery("q_fn_from_json", fnFromJson, Some(fnFromJsonSql)),
     ContractQuery("q_fn_levenshtein", fnLevenshtein, Some(fnLevenshteinSql)),
     ContractQuery("q_fn_bitwise", fnBitwise, Some(fnBitwiseSql)),
     ContractQuery("q_fn_try", fnTry, Some(fnTrySql))

@@ -170,16 +170,22 @@ object VectorOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact-Jaccard verification of the candidate set only; shingle rows
-    // carry their doc's set size via window count (as in
-    // TextOps.neardupJaccard) so no post-aggregation size joins are needed
-    val wd = Window.partitionBy(col("doc_id"))
-    val es = e.withColumn("n", count(lit(1)).over(wd))
+    // exact-Jaccard verification of the candidate set only. One shingle-set
+    // aggregation per doc, then the tiny candidate list joins each side's
+    // (set, size) and intersects per row — versus the previous shape
+    // (window size count + two per-SHINGLE joins + a re-aggregation), this
+    // shuffles the shingle rows once instead of three times, and the two
+    // remaining joins carry one row per doc against one row per candidate
+    // pair (AQE broadcasts the candidate side at any scale where LSH
+    // pruned well).
+    val sets = e.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("n"))
     cands
-      .join(es.select(col("doc_id").as("d1"), col("s"), col("n").as("n1")), "d1")
-      .join(es.select(col("doc_id").as("d2"), col("s"), col("n").as("n2")), Seq("d2", "s"))
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast(LongType).as("inter"),
+        col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

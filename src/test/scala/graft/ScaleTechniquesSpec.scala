@@ -177,6 +177,29 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("banded range join hygiene: lo > hi matches nothing; runaway span fails loudly") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 5.0), (2L, 50.0)).toDF("pid", "v")
+    // a corrupt interval (lo > hi) must contribute no matches, not a
+    // silently-descending band sequence
+    val ivs = Seq((10L, 0.0, 10.0), (11L, 60.0, 40.0)).toDF("ivid", "lo", "hi")
+    val got = RangeJoin.bandedIntervalJoin(pts, "v", ivs, "lo", "hi", 4.0)
+      .select($"pid", $"ivid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+    // an interval spanning more bands than the cap fails with the
+    // operator's own error, not sequence's opaque element-limit cliff
+    val huge = Seq((12L, 0.0, 1e9)).toDF("ivid", "lo", "hi")
+    val err = intercept[Exception] {
+      RangeJoin.bandedIntervalJoin(pts, "v", huge, "lo", "hi", 1.0,
+        maxBandsPerInterval = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("bandedIntervalJoin")),
+      s"expected the operator's span error, got: ${messages(err)}")
+  }
+
   test("bucketed tables join without a shuffle (co-located scan)") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

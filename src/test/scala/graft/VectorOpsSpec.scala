@@ -84,6 +84,38 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.6, s"trained-index recall $recall (observed 0.84)")
   }
 
+  test("Ivf.assign is a partial aggregation: no Window node, one cell per vector") {
+    import graft.operators.Ivf
+    val base = graft.queries.Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions.dotProduct(
+          col("embedding"), col("embedding")).as("n2"))
+    val assigned = Ivf.assign(base, Ivf.seedCentroids(base, 16))
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assign must not sort-window the corpus:\n$plan")
+    // partial_max_by before the exchange = map-side combine: only one
+    // pre-reduced row per (task, vec_id) ever shuffles
+    assert(plan.contains("partial_max_by"),
+      s"expected partially-aggregated argmax:\n$plan")
+    // exactly one cell per vector, and the assignment is the true argmax
+    // (differential vs a window-ranked reference)
+    val n = base.count()
+    assert(assigned.count() == n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id").asc)
+    val reference = base.crossJoin(broadcast(Ivf.seedCentroids(base, 16)))
+      .withColumn("sim",
+        org.apache.spark.sql.graft.VectorExpressions.dotProduct(
+          col("embedding"), col("c_emb")) / (sqrt(col("n2")) * sqrt(col("c_n2"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference)
+  }
+
   test("brute-force knn: 5 neighbors per query, no self, cos in [-1,1]") {
     val rows = VectorOps.knnBruteforce(spark, Sf0001).collect()
     val byQ = rows.groupBy(_.getLong(0))
