@@ -489,6 +489,60 @@ object Aggregates {
        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   }
 
+  // ----------------------------------------------------------- mode
+
+  /** Per-language modal source (most frequent value, smallest source on
+    * count ties): count aggregation then a min_by over the composite
+    * (-n, source) key — fully partial-aggregatable, no window. DuckDB 1.0
+    * rejects composite arg_min keys, so the oracle spells the identical
+    * tiebreak with a nested row_number.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("lang"))
+      .agg(min_by(struct(col("source"), col("n")),
+        struct((-col("n")).as("negn"), col("source"))).as("m"),
+        sum(col("n")).as("n_docs"))
+      .select(col("lang"), col("m.source").as("mode_source"),
+        col("m.n").as("mode_n"), col("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val aggModeSql: String =
+    """WITH counts AS (
+      |  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |                               ORDER BY n DESC, source ASC) AS rn,
+      |    sum(n) OVER (PARTITION BY lang) AS n_docs
+      |  FROM counts)
+      |SELECT lang, source AS mode_source, n AS mode_n, n_docs
+      |FROM ranked WHERE rn = 1 ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------- histogram
+
+  /** Fixed-width histogram of order totals: bucket = ⌊price/50000⌋.
+    * Bucketing is one IEEE divide + floor (identical on both engines);
+    * per-bucket min/max ride exact decimal. The shape that survives
+    * 100 TB: single hash aggregation, ~tens of buckets out.
+    */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        out(min(money(col("o_totalprice")))).as("lo"),
+        out(max(money(col("o_totalprice")))).as("hi"))
+      .orderBy(col("bucket"))
+
+  val aggHistogramSql: String =
+    s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       |  count(*) AS n,
+       |  ${Sql.out(s"min(${Sql.money("o_totalprice")})")} AS lo,
+       |  ${Sql.out(s"max(${Sql.money("o_totalprice")})")} AS hi
+       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------- first/last/nth window
 
   /** first_value/last_value/nth_value over the full partition (explicit
@@ -656,6 +710,8 @@ object Aggregates {
     ContractQuery("q_agg_bool", aggBool, Some(aggBoolSql)),
     ContractQuery("q_agg_bitagg", aggBitagg, Some(aggBitaggSql)),
     ContractQuery("q_win_dist", winDist, Some(winDistSql)),
-    ContractQuery("q_agg_moments", aggMoments, Some(aggMomentsSql))
+    ContractQuery("q_agg_moments", aggMoments, Some(aggMomentsSql)),
+    ContractQuery("q_agg_mode", aggMode, Some(aggModeSql)),
+    ContractQuery("q_agg_histogram", aggHistogram, Some(aggHistogramSql))
   )
 }

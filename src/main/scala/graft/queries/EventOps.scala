@@ -98,6 +98,75 @@ object EventOps {
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ------------------------------------------- row-level sessionization
+
+  /** Row-level session assignment — the materialized complement of
+    * [[streamSession]]'s per-session aggregate: every event gets its
+    * (session_seq, event_seq) within the user's timeline, the form a
+    * pipeline persists so downstream joins can group by session. Classic
+    * gaps-and-islands: lag to mark session starts, running sum to number
+    * them. Shuffles once by user_id; both window functions share one
+    * (partition, order) so Catalyst plans a single Window node.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsu = unix_micros(col("ts"))
+    val prev = lag(tsu, 1).over(wOrd)
+    Tables.t(spark, dir, "events")
+      .withColumn("new_s",
+        when(prev.isNull || tsu - prev >= lit(GapUs), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(wRun))
+      .withColumn("event_seq", row_number().over(wOrd).cast(LongType))
+      .select(col("event_id"), col("user_id"), tsOut(col("ts")).as("ts_us"),
+        col("session_seq"), col("event_seq"))
+      .orderBy(col("event_id"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH marked AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $GapUs
+       |         THEN 1 ELSE 0 END AS new_s,
+       |    row_number() OVER w AS event_seq
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+       |SELECT event_id, user_id, ts_us,
+       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+       |  event_seq
+       |FROM marked
+       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------ time-bucket rollup
+
+  private val DayUs = 86400000000L
+
+  /** Calendar-day rollup per event type — the partition-shaped aggregate
+    * every event warehouse materializes (at 100 TB this is the query that
+    * rides parquet partitioning on date). Exact: day bucket is integer µs
+    * arithmetic, value sums ride exact decimal.
+    */
+  def rollupTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        out(sum(money(col("value")))).as("sum_value"))
+      .select(tsOut(col("day")).as("day_us"), col("event_type"),
+        col("n"), col("n_users"), col("sum_value"))
+      .orderBy(col("day_us"), col("event_type"))
+
+  val rollupTimeSql: String =
+    s"""SELECT (epoch_us(ts) // $DayUs) * $DayUs AS day_us, event_type,
+       |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  ${Sql.out(s"sum(${Sql.money("value")})")} AS sum_value
+       |FROM events
+       |GROUP BY day_us, event_type
+       |ORDER BY day_us, event_type""".stripMargin
+
   // --------------------------------------------------- streaming dedup
 
   /** First event per (user, type) — the batch twin of `dropDuplicates`
@@ -148,6 +217,8 @@ object EventOps {
     ContractQuery("q_stream_sliding", streamSliding, Some(streamSlidingSql)),
     ContractQuery("q_stream_session", streamSession, Some(streamSessionSql)),
     ContractQuery("q_stream_dedup", streamDedup, Some(streamDedupSql)),
-    ContractQuery("q_stream_join", streamJoin, Some(streamJoinSql))
+    ContractQuery("q_stream_join", streamJoin, Some(streamJoinSql)),
+    ContractQuery("q_sessionize", sessionize, Some(sessionizeSql)),
+    ContractQuery("q_rollup_time", rollupTime, Some(rollupTimeSql))
   )
 }

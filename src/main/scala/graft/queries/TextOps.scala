@@ -425,6 +425,32 @@ object TextOps {
       |    (a, v) -> (a * 1000003 + v) % 2147483647) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- redaction
+
+  /** PII-style redaction: whole-word masking of a sensitive-token list
+    * with a per-row hit count — the content-hygiene pass every training
+    * pipeline runs before publishing a corpus. Pure per-row regexp (no
+    * shuffle); the pattern uses only RE2-and-Java-common syntax
+    * (alternation + \b word boundaries) so both engines match
+    * identically. The fixture vocabulary has no digits/emails, so the
+    * masked class is a token list — the operator shape is the same.
+    */
+  private val redactPattern = "\\b(customer|key|index)\\b"
+
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), redactPattern, "<PII>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(redactPattern), lit(0)))
+          .cast(LongType).as("n_redacted"))
+      .orderBy(col("doc_id"))
+
+  val textRedactSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(text, '$redactPattern', '<PII>', 'g') AS redacted,
+       |  len(regexp_extract_all(text, '$redactPattern')) AS n_redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
@@ -437,6 +463,7 @@ object TextOps {
     ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     ContractQuery("q_ngram_top", ngramTop, Some(ngramTopSql)),
     ContractQuery("q_fingerprint_rolling", fingerprintRolling, Some(fingerprintRollingSql)),
-    ContractQuery("q_dedup_cluster", dedupCluster, Some(dedupClusterSql))
+    ContractQuery("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    ContractQuery("q_text_redact", textRedact, Some(textRedactSql))
   )
 }

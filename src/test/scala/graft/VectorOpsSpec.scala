@@ -84,6 +84,29 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.6, s"trained-index recall $recall (observed 0.84)")
   }
 
+  test("dedupMinhash job/shuffle budget: fused verify keeps the query small") {
+    // the r3 shape (window size count + two per-shingle joins +
+    // re-aggregation) ran noticeably more jobs and hash exchanges; the
+    // fused verify measured 7/7 at sf0.001 — pin an upper bound so a
+    // regression back to the multi-shuffle shape fails here
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = VectorOps.dedupMinhash(spark, Sf0001)
+      df.collect()
+      Thread.sleep(500) // listener bus drains asynchronously
+      assert(jobs <= 8, s"dedupMinhash ran $jobs jobs (expected <= 8)")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(exchanges <= 8, s"dedupMinhash plan has $exchanges hash exchanges")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("Ivf.assign is a partial aggregation: no Window node, one cell per vector") {
     import graft.operators.Ivf
     val base = graft.queries.Tables.t(spark, Sf0001, "embeddings")
