@@ -425,6 +425,39 @@ object TextOps {
       |    (a, v) -> (a * 1000003 + v) % 2147483647) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- sequence packing
+
+  /** GPT-style sequence packing (concatenate-and-chunk): documents are
+    * laid end-to-end in doc_id order and cut into fixed 2048-token
+    * training sequences; each doc reports its global token offset and the
+    * first/last chunk it lands in. The global running sum goes through
+    * [[graft.operators.PrefixSum]] — the two-phase distributed scan —
+    * NOT a partitionless window (which would collapse 100 TB into one
+    * task). Oracle: DuckDB global-window running sum, same arithmetic.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningSum(toks, "doc_id", "n_tokens", "end_off")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / 2048.0).cast(LongType).as("chunk_first"),
+        floor((col("end_off") - 1) / 2048.0).cast(LongType).as("chunk_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    sum(len(string_split(text, ' '))) OVER (
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
+      |  CAST(floor((end_off - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
+      |  CAST(floor((end_off - 1) / 2048.0) AS BIGINT) AS chunk_last
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- redaction
 
   /** PII-style redaction: whole-word masking of a sensitive-token list
@@ -464,6 +497,7 @@ object TextOps {
     ContractQuery("q_ngram_top", ngramTop, Some(ngramTopSql)),
     ContractQuery("q_fingerprint_rolling", fingerprintRolling, Some(fingerprintRollingSql)),
     ContractQuery("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
-    ContractQuery("q_text_redact", textRedact, Some(textRedactSql))
+    ContractQuery("q_text_redact", textRedact, Some(textRedactSql)),
+    ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql))
   )
 }

@@ -287,6 +287,43 @@ object VectorOps {
       queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
   }
 
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 embedding quantization — the storage-compression pass
+    * of a 100 TB vector corpus (4× smaller than float32, distance math
+    * stays monotone): q_i = ⌊x_i·127/max|x| + ½⌋, scale carried per row.
+    * Per-row lambda math, no shuffle. Deterministic: identical IEEE
+    * double ops on both engines (floor(x+0.5) rounding spelled
+    * explicitly so neither engine's round() tie rule is involved);
+    * all-zero vectors quantize to zeros with scale 0.
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val xd: Column => Column = _.cast(D)
+    Tables.t(spark, dir, "embeddings")
+      .withColumn("scale_max",
+        array_max(transform(col("embedding"), x => abs(xd(x)))))
+      .select(col("vec_id"), col("scale_max"),
+        when(col("scale_max") === 0.0,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(xd(x) * 127.0 / col("scale_max") + 0.5).cast(IntegerType)))
+          .as("q8"))
+      .orderBy(col("vec_id"))
+  }
+
+  val vecQuantizeSql: String =
+    """WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale_max
+      |  FROM embeddings)
+      |SELECT vec_id, scale_max,
+      |  CASE WHEN scale_max = 0
+      |       THEN list_transform(embedding, x -> 0)
+      |       ELSE list_transform(embedding,
+      |              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale_max + 0.5) AS INTEGER))
+      |  END AS q8
+      |FROM t ORDER BY vec_id""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),
@@ -294,6 +331,7 @@ object VectorOps {
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
     ContractQuery("q_dedup_simhash", dedupSimhash, None),
     ContractQuery("q_knn_lsh", knnLsh, None),
-    ContractQuery("q_knn_ivf", knnIvf, None)
+    ContractQuery("q_knn_ivf", knnIvf, None),
+    ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql))
   )
 }

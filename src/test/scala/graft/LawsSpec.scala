@@ -207,6 +207,28 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("distributed prefix sum equals the single-partition global window") {
+    import graft.operators.PrefixSum
+    val li = Tables.t(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey") * 100 + col("l_linenumber")).toDF("k")
+      .withColumn("v", (col("k") % 7) + 1)
+    val scalable = PrefixSum.withRunningSum(li, "k", "v", "run", numParts = 8)
+      .select(col("k"), col("run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = li.withColumn("run", sum(col("v")).over(w))
+      .select(col("k"), col("run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalable.nonEmpty && scalable == naive)
+    // result is partition-count independent
+    val other = PrefixSum.withRunningSum(li, "k", "v", "run", numParts = 3)
+      .select(col("k"), col("run"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other == naive)
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
