@@ -119,11 +119,19 @@ object TextOps {
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = neardupJaccard(spark, dir).select(col("d1"), col("d2"))
       .localCheckpoint(true)
-    val nodes = Tables.t(spark, dir, "documents").select(col("doc_id").as("id"))
-    graft.operators.ConnectedComponents
-      .run(nodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
-      .select(col("id").as("doc_id"), col("rep"),
-        (col("rep") =!= col("id")).as("is_dup"))
+    // iterate ONLY over the near-dup subgraph — docs in no pair keep
+    // rep = self and never enter the rounds. At 100 TB the label table
+    // shrinks from |corpus| to |docs with a near-dup|, typically orders
+    // of magnitude smaller, and so does every per-round shuffle.
+    val graphNodes = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    val labels = graft.operators.ConnectedComponents
+      .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    Tables.t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("rep"),
+        (coalesce(col("rep"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
       .orderBy(col("doc_id"))
   }
 
