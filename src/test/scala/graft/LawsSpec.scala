@@ -207,6 +207,51 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("sessionize rows aggregate to stream_session's per-session counts") {
+    // the row-level assignment and the session_window aggregate must
+    // describe the same sessions: counts per (user, k-th session) match
+    val rows = EventOps.sessionize(spark, Sf0001)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("session_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val agg = EventOps.streamSession(spark, Sf0001)
+      .orderBy(col("user_id"), col("session_start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(rows.nonEmpty && rows == agg)
+  }
+
+  test("pack_chunks invariants: offsets tile the token stream, chunks ordered") {
+    val rows = TextOps.packChunks(spark, Sf0001)
+      .orderBy(col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    var expectOff = 0L
+    rows.foreach { r =>
+      val (n, off, cf, cl) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(off == expectOff, s"doc ${r.getLong(0)}: offset $off != $expectOff")
+      assert(cf <= cl && cf == off / 2048 && cl == (off + n - 1) / 2048)
+      expectOff += n
+    }
+  }
+
+  test("vec_quantize: q8 in [-127,127], dequantization error within half a step") {
+    val rows = VectorOps.vecQuantize(spark, Sf0001).limit(50).collect()
+    val embs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(50)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      val x = embs(r.getLong(0))
+      q.zip(x).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale / 127.0 - xi) <= scale / 254.0 + 1e-9,
+          s"vec ${r.getLong(0)}: q=$qi x=$xi scale=$scale")
+      }
+    }
+  }
+
   test("distributed prefix sum equals the single-partition global window") {
     import graft.operators.PrefixSum
     val li = Tables.t(spark, Sf0001, "lineitem")
