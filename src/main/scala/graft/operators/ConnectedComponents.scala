@@ -68,7 +68,9 @@ object ConnectedComponents {
           col("l.rep") === col("r.rid"), "left")
         .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("rep"))).head.getLong(0)
+      // coalesce: sum over an EMPTY label set (corpus with no dup pairs)
+      // is NULL — treat as 0 so the loop converges instead of NPEing
+      val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -205,6 +205,10 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assertThrows[IllegalStateException] {
       graft.operators.ConnectedComponents.run(deepNodes, deepEdges, maxRounds = 2)
     }
+    // empty graph (a corpus with no dup pairs): empty result, no failure
+    val none = spark.emptyDataset[Long].toDF("id")
+    val noEdges = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.ConnectedComponents.run(none, noEdges).count() == 0)
   }
 
   test("sessionize rows aggregate to stream_session's per-session counts") {
