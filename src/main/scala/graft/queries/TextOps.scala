@@ -433,6 +433,67 @@ object TextOps {
       |    (a, v) -> (a * 1000003 + v) % 2147483647) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- deterministic splits
+
+  /** Engine-portable deterministic pseudo-random key: multiplicative hash
+    * in a 1000003 (prime) residue ring — exact BIGINT math on both
+    * engines (max intermediate ≈ 2.7e15 ≪ 2^63), stable across runs,
+    * partitionings and engines, which is precisely what a reproducible
+    * train/test split needs (a `rand(seed)` would be engine-specific).
+    * Collisions across ids congruent mod 1000003 only tie the sort; the
+    * id tiebreak keeps results exact.
+    */
+  private def detHash(c: Column): Column =
+    (c % 1000003L) * 2654435761L % 1000003L
+
+  private val detHashSql = (c: String) => s"(($c) % 1000003) * 2654435761 % 1000003"
+
+  /** Reproducible 80/10/10 train/valid/test assignment by hash bucket —
+    * the split every training pipeline materializes. Pure per-row
+    * integer math: no shuffle, no RNG state, identical on any engine or
+    * cluster size.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (detHash(col("doc_id")) % 10L).as("bucket"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") < 9, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  val sampleSplitSql: String =
+    s"""SELECT doc_id, lang, ${detHashSql("doc_id")} % 10 AS bucket,
+       |  CASE WHEN ${detHashSql("doc_id")} % 10 < 8 THEN 'train'
+       |       WHEN ${detHashSql("doc_id")} % 10 < 9 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sample: 10 docs per language, chosen by the
+    * hash order (uniform-ish, reproducible) with doc_id tiebreak. The
+    * per-stratum window is the 100 TB shape too: shuffle by stratum,
+    * WindowGroupLimit prunes each partition to the top-k before the sort
+    * completes.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(detHash(col("doc_id")).asc, col("doc_id").asc)
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${detHashSql("doc_id")} ASC, doc_id ASC) AS rk
+       |  FROM documents)
+       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   // --------------------------------------------------- sequence packing
 
   /** GPT-style sequence packing (concatenate-and-chunk): documents are
@@ -506,6 +567,8 @@ object TextOps {
     ContractQuery("q_fingerprint_rolling", fingerprintRolling, Some(fingerprintRollingSql)),
     ContractQuery("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     ContractQuery("q_text_redact", textRedact, Some(textRedactSql)),
-    ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql))
+    ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql)),
+    ContractQuery("q_sample_split", sampleSplit, Some(sampleSplitSql)),
+    ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql))
   )
 }

@@ -69,6 +69,21 @@ object EventPipelines {
         tsOut(col("w.end")).as("session_end_us"), col("n_events"))
   }
 
+  /** Calendar-day rollup per event type — the streaming twin of the batch
+    * q_rollup_time MINUS the distinct-user column: COUNT(DISTINCT) is
+    * unsupported in streaming aggregations, so the stream form carries
+    * approx_count_distinct at scale; the parity test compares only the
+    * exact columns.
+    */
+  def rollupDaily(events: DataFrame): DataFrame = {
+    import graft.queries.Det._
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), out(sum(money(col("value")))).as("sum_value"))
+      .select(tsOut(col("w.start")).as("day_us"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Streaming dedup on (user_id, event_type) within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -41,6 +41,17 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(stream) == canon(batch))
   }
 
+  test("daily rollup: stream (AvailableNow) == batch on the exact columns") {
+    val stream = EventPipelines.runAvailableNow(spark,
+      EventPipelines.rollupDaily(EventPipelines.readEvents(spark, Sf0001)),
+      "t_rollup_daily")
+    // the batch form also carries countDistinct(user_id) — unsupported in
+    // streaming aggregation — so parity covers the exact shared columns
+    val batch = EventOps.rollupTime(spark, Sf0001)
+      .select(col("day_us"), col("event_type"), col("n"), col("sum_value"))
+    assert(canon(stream) == canon(batch))
+  }
+
   test("stream-stream interval join (purchase x prior-hour views) == batch") {
     val stream = EventPipelines.runAvailableNow(spark,
       EventPipelines.purchaseViewJoin(
