@@ -494,6 +494,67 @@ object TextOps {
        |  FROM documents)
        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  // --------------------------------------------- decontamination check
+
+  /** Benchmark decontamination: for every document in the `test` split
+    * ([[sampleSplit]]'s hash buckets), count the distinct 3-shingles it
+    * shares with ANY `train` document — nonzero means the eval example
+    * leaks into training data. The join shuffles by shingle (docs only
+    * meet through a shared shingle, as in [[neardupJaccard]]), the train
+    * side is reduced to distinct shingles first — at 100 TB that's the
+    * decontamination pass run before every model release.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = detHash(col("doc_id")) % 10L
+    val docs = Tables.t(spark, dir, "documents")
+    val sh = shingleRows(docs)
+    val trainSh = sh.filter(bucket < 8L).select(col("s")).distinct()
+    val testSh = sh.filter(bucket >= 9L)
+    val sizes = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = testSh.join(trainSh, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val nSh = coalesce(col("n_sh"), lit(0L))
+    val nShared = coalesce(col("n_shared"), lit(0L))
+    // contaminated = at least half the doc's shingles appear in train —
+    // an exact integer predicate (2·shared >= total), no double boundary
+    docs.filter(bucket >= 9L).select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), nShared.as("n_shared"), nSh.as("n_sh"),
+        when(nSh === 0L, lit(0.0)).otherwise(div6(nShared, nSh)).as("overlap"),
+        (nShared * 2L >= nSh && nSh > 0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val bucket = (c: String) => s"${detHashSql(c)} % 10"
+    s"""WITH sh AS ($shingledSql),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |train_sh AS (SELECT DISTINCT s FROM e WHERE ${bucket("doc_id")} < 8),
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM e
+       |  WHERE ${bucket("doc_id")} >= 9 GROUP BY doc_id),
+       |shared AS (
+       |  SELECT e.doc_id, count(*) AS n_shared
+       |  FROM e JOIN train_sh USING (s)
+       |  WHERE ${bucket("e.doc_id")} >= 9
+       |  GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(shared.n_shared, 0) AS n_shared,
+       |  coalesce(sizes.n_sh, 0) AS n_sh,
+       |  CASE WHEN coalesce(sizes.n_sh, 0) = 0 THEN 0.0
+       |       ELSE ${Sql.div6("coalesce(shared.n_shared, 0)", "coalesce(sizes.n_sh, 0)")}
+       |  END AS overlap,
+       |  (coalesce(shared.n_shared, 0) * 2 >= coalesce(sizes.n_sh, 0)
+       |   AND coalesce(sizes.n_sh, 0) > 0) AS contaminated
+       |FROM documents d
+       |LEFT JOIN sizes ON d.doc_id = sizes.doc_id
+       |LEFT JOIN shared ON d.doc_id = shared.doc_id
+       |WHERE ${bucket("d.doc_id")} >= 9
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- sequence packing
 
   /** GPT-style sequence packing (concatenate-and-chunk): documents are
@@ -569,6 +630,7 @@ object TextOps {
     ContractQuery("q_text_redact", textRedact, Some(textRedactSql)),
     ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql)),
     ContractQuery("q_sample_split", sampleSplit, Some(sampleSplitSql)),
-    ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql))
+    ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql))
   )
 }
