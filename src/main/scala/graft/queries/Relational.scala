@@ -442,15 +442,19 @@ object Relational {
   private val q3Views =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
 
-  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
-    // register the views once per (session, sf dir) — repeated bench/verify
-    // invocations skip the catalog round-trips
+  /** Register the SQL-surface temp views once per (session, sf dir) —
+    * repeated bench/verify invocations skip the catalog round-trips.
+    */
+  private def ensureViews(spark: SparkSession, dir: String): Unit =
     q3Views.computeIfAbsent((spark, dir), _ => {
       Tables.t(spark, dir, "customer").createOrReplaceTempView("v_customer")
       Tables.t(spark, dir, "orders").createOrReplaceTempView("v_orders")
       Tables.t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
       true
     })
+
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    ensureViews(spark, dir)
     spark.sql(
       """SELECT l_orderkey,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
@@ -484,6 +488,64 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Correlated subqueries through the SQL surface: two correlated scalar
+    * subqueries (decorrelated by Catalyst into joins) + EXISTS, selecting
+    * customers whose balance strictly exceeds their nation's average.
+    * The average compare is spelled as exact integers (bal·10⁴·n > Σbal·10⁴)
+    * so no double quotient sits on the decision boundary.
+    */
+  def sqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    ensureViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey,
+        |  CAST(round(CAST(c_acctbal AS DECIMAL(12,4)), 4) AS DOUBLE) AS acctbal
+        |FROM v_customer c
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 10000 AS BIGINT) *
+        |      (SELECT count(*) FROM v_customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT sum(CAST(CAST(c2.c_acctbal AS DECIMAL(12,4)) * 10000 AS BIGINT))
+        |       FROM v_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val sqlSubqueriesSql =
+    """SELECT c_custkey,
+      |  CAST(round(CAST(c_acctbal AS DECIMAL(12,4)), 4) AS DOUBLE) AS acctbal
+      |FROM customer c
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 10000 AS BIGINT) *
+      |      (SELECT count(*) FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT CAST(sum(CAST(CAST(c2.c_acctbal AS DECIMAL(12,4)) * 10000 AS BIGINT)) AS BIGINT)
+      |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): a calendar spine over
+    * 1995-Q1 left-joined to per-day order counts — the gap-filling
+    * pattern (emit zero rows for days with no orders) that windowed
+    * aggregation alone can't produce.
+    */
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    ensureViews(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-31')
+        |SELECT datediff(d, DATE '1970-01-01') AS day_num,
+        |  count(o_orderkey) AS n_orders
+        |FROM days LEFT JOIN v_orders ON CAST(o_orderdate AS DATE) = d
+        |GROUP BY d ORDER BY day_num""".stripMargin)
+  }
+
+  val sqlRecursiveSql =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1995-03-31')
+      |SELECT d - DATE '1970-01-01' AS day_num, count(o_orderkey) AS n_orders
+      |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+      |GROUP BY d ORDER BY day_num""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_scan_parquet", scanParquet, Some(scanParquetSql)),
     ContractQuery("q_project_filter", projectFilter, Some(projectFilterSql)),
@@ -506,6 +568,8 @@ object Relational {
     ContractQuery("q_except", exceptQ, Some(exceptSql)),
     ContractQuery("q_dedup_rows", dedupRows, Some(dedupRowsSql)),
     ContractQuery("q_sql_q3", sqlQ3, Some(sqlQ3Sql)),
+    ContractQuery("q_sql_subqueries", sqlSubqueries, Some(sqlSubqueriesSql)),
+    ContractQuery("q_sql_recursive", sqlRecursive, Some(sqlRecursiveSql)),
     ContractQuery("q_unpivot", unpivotQ, Some(unpivotSql)),
     ContractQuery("q_join_range", joinRange, Some(joinRangeSql))
   )
