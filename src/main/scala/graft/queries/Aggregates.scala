@@ -543,6 +543,32 @@ object Aggregates {
        |  ${Sql.out(s"max(${Sql.money("o_totalprice")})")} AS hi
        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ filtered aggregates
+
+  /** Filtered aggregation (the SQL FILTER clause surface): per-status
+    * order counts and sums restricted by independent predicates inside
+    * ONE aggregation pass — versus the naive multi-scan union. count_if /
+    * sum(when) compile to the same partial-aggregatable plan.
+    */
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        out(sum(when(col("o_totalprice") > 200000.0, money(col("o_totalprice")))))
+          .as("sum_big"))
+      .orderBy(col("o_orderstatus"))
+
+  val aggFilteredSql: String =
+    s"""SELECT o_orderstatus,
+       |  count(*) AS n_all,
+       |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+       |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       |  ${Sql.out(s"sum(${Sql.money("o_totalprice")}) FILTER (WHERE o_totalprice > 200000.0)")} AS sum_big
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------- first/last/nth window
 
   /** first_value/last_value/nth_value over the full partition (explicit
@@ -712,6 +738,7 @@ object Aggregates {
     ContractQuery("q_win_dist", winDist, Some(winDistSql)),
     ContractQuery("q_agg_moments", aggMoments, Some(aggMomentsSql)),
     ContractQuery("q_agg_mode", aggMode, Some(aggModeSql)),
-    ContractQuery("q_agg_histogram", aggHistogram, Some(aggHistogramSql))
+    ContractQuery("q_agg_histogram", aggHistogram, Some(aggHistogramSql)),
+    ContractQuery("q_agg_filtered", aggFiltered, Some(aggFilteredSql))
   )
 }
