@@ -88,15 +88,11 @@ object Main {
     cfg.copy(in = pos(0), out = pos(1))
   }
 
-  /** Resolved feature list: `all` expands to every non-OCR builtin;
-    * `--ocr` appends the OCR feature.
+  /** Resolved feature list — delegates to [[Features.expand]], the single
+    * owner of the `all` / `--ocr` policy.
     */
-  def featureNames(cfg: Config): Seq[String] = {
-    val base =
-      if (cfg.features == Seq("all")) Features.builtin().map(_.name).filterNot(_ == "ocr")
-      else cfg.features
-    if (cfg.ocr && !base.contains("ocr")) base :+ "ocr" else base
-  }
+  def featureNames(cfg: Config): Seq[String] =
+    Features.expand(cfg.features, cfg.ocr)
 
   /** Drive the pipeline on an existing session (the testable core). */
   def run(spark: SparkSession, cfg: Config): Unit =

@@ -33,7 +33,11 @@ case class ImageOptions(size: Option[(Int, Int)] = None,
 }
 
 object ImageOptions {
-  /** Parse CLI-shaped specs: size "WxH" (e.g. "64x48"), format name. */
+  /** Parse CLI-shaped specs: size "WxH" (e.g. "64x48"), format name.
+    * An unknown format (no ImageIO encoder) fails HERE — a usage error
+    * before any Spark work, not an error column full of
+    * "no encoder for format" after a complete run.
+    */
   def parse(sizeSpec: Option[String], format: Option[String]): ImageOptions = {
     val size = sizeSpec.map { s =>
       val parts = s.toLowerCase.split("x")
@@ -44,7 +48,13 @@ object ImageOptions {
           s"image size must be WxH with positive integers, got '$s'")
       (dims(0), dims(1))
     }
-    ImageOptions(size, format.map(_.toLowerCase))
+    val fmt = format.map(_.toLowerCase)
+    fmt.foreach { f =>
+      if (!javax.imageio.ImageIO.getImageWritersByFormatName(f).hasNext)
+        throw new IllegalArgumentException(
+          s"no image encoder for format '$f' (try png/jpeg/bmp/gif)")
+    }
+    ImageOptions(size, fmt)
   }
 }
 
@@ -60,11 +70,20 @@ object Features {
     }),
     Feature("ocr", StringType, (ex, b, p) => ex.ocrText(b, p, ocrLang)))
 
+  /** The single place the `all` policy lives: `all` = every builtin
+    * except OCR (upstream's default set); the ocr flag appends it.
+    */
+  def expand(names: Seq[String], ocr: Boolean = false): Seq[String] = {
+    val base =
+      if (names == Seq("all")) builtin().map(_.name).filterNot(_ == "ocr")
+      else names
+    if (ocr && !base.contains("ocr")) base :+ "ocr" else base
+  }
+
   def select(names: Seq[String], ocrLang: String = "eng",
       imageOpts: ImageOptions = ImageOptions()): Seq[Feature] = {
     val all = builtin(ocrLang, imageOpts)
-    if (names == Seq("all")) all.filterNot(_.name == "ocr")
-    else names.map(n => all.find(_.name == n)
+    expand(names).map(n => all.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"unknown feature: $n")))
   }
 }

@@ -33,8 +33,16 @@ object PrefixSum {
       outCol: String, numParts: Int = 32): DataFrame = {
     require(!df.columns.exists(_.startsWith("__ps_")),
       "__ps_* columns are reserved by PrefixSum")
+    // eager localCheckpoint: BOTH downstream branches (local sums and
+    // per-partition totals) must see the SAME partition boundaries, and
+    // repartitionByRange samples nondeterministically — without the
+    // materialization, disabling exchange reuse (or any plan divergence)
+    // would execute the range exchange twice with different boundaries
+    // and silently mis-assign offsets. The checkpoint also makes the
+    // two branches one scan instead of two.
     val parted = df.repartitionByRange(numParts, col(orderCol))
       .withColumn("__ps_pid", spark_partition_id())
+      .localCheckpoint(true)
     val wIn = Window.partitionBy(col("__ps_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__ps_local", sum(col(valueCol)).over(wIn))
@@ -48,6 +56,6 @@ object PrefixSum {
       .select(col("__ps_pid"), col("__ps_offset"))
     local.join(broadcast(offsets), "__ps_pid")
       .withColumn(outCol, col("__ps_local") + col("__ps_offset"))
-      .drop("__ps_pid", "__ps_local")
+      .drop("__ps_pid", "__ps_local", "__ps_offset")
   }
 }

@@ -41,11 +41,12 @@ object RangeJoin {
     val hiBand = floor(col(hiCol) / lit(bandWidth)).cast("long")
     // assert_true is NULL when the span is fine; coalesce then yields the
     // real upper band — the guard rides inside codegen, no extra pass
+    // an interval touching B bands explodes B rows; enforce B <= cap
     val hiGuarded = coalesce(
-      assert_true(hiBand - loBand < lit(maxBandsPerInterval),
+      assert_true(hiBand - loBand + 1 <= lit(maxBandsPerInterval),
         concat(lit(s"bandedIntervalJoin: interval ["), col(loCol), lit(", "),
-          col(hiCol), lit(s"] spans >= $maxBandsPerInterval bands of width " +
-            s"$bandWidth — raise bandWidth or maxBandsPerInterval"))).cast("long"),
+          col(hiCol), lit(s"] spans more than $maxBandsPerInterval bands of " +
+            s"width $bandWidth — raise bandWidth or maxBandsPerInterval"))).cast("long"),
       hiBand)
     val i = intervals
       .filter(col(loCol) <= col(hiCol))

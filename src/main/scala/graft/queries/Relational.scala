@@ -439,18 +439,25 @@ object Relational {
     * DECIMAL, rounds once, and ties break on l_orderkey, so the rounded-
     * DESC ordering cuts identically on both engines.
     */
+  // tracks which sf dir each session's v_* views currently point at; the
+  // value (not just key presence) matters: switching dirs in one session
+  // MUST re-register or the views would silently serve the other dir's
+  // data
   private val q3Views =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register the SQL-surface temp views once per (session, sf dir) —
-    * repeated bench/verify invocations skip the catalog round-trips.
+    * repeated same-dir invocations skip the catalog round-trips, a dir
+    * change re-registers.
     */
   private def ensureViews(spark: SparkSession, dir: String): Unit =
-    q3Views.computeIfAbsent((spark, dir), _ => {
-      Tables.t(spark, dir, "customer").createOrReplaceTempView("v_customer")
-      Tables.t(spark, dir, "orders").createOrReplaceTempView("v_orders")
-      Tables.t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
-      true
+    q3Views.compute(spark, (_, prev) => {
+      if (prev != dir) {
+        Tables.t(spark, dir, "customer").createOrReplaceTempView("v_customer")
+        Tables.t(spark, dir, "orders").createOrReplaceTempView("v_orders")
+        Tables.t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      }
+      dir
     })
 
   def sqlQ3(spark: SparkSession, dir: String): DataFrame = {

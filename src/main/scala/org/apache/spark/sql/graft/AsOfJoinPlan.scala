@@ -205,6 +205,12 @@ object AsOfJoinApi {
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTs: Column, rightTs: Column): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // self-register the planner strategy for vanilla sessions (no
+    // GraftExtensions in spark.sql.extensions) — otherwise the AsOfJoin
+    // node fails planning with an opaque assertion at action time
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = AsOfJoinStrategy +: em.extraStrategies
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     // this entry point bypasses the analyzer's DeduplicateRelations:

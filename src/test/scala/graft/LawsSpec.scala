@@ -211,6 +211,17 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(graft.operators.ConnectedComponents.run(none, noEdges).count() == 0)
   }
 
+  test("SQL-surface views re-register when the sf dir changes in one session") {
+    // regression: the view cache must key on the CURRENT dir, not on
+    // (session, dir) ever-seen — otherwise switching back silently
+    // serves the other dir's data
+    val first = Relational.sqlQ3(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val other = Relational.sqlQ3(spark, Sf001).collect().map(_.toSeq).toSeq
+    val back = Relational.sqlQ3(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(first != other, "different SFs must differ (fixture sanity)")
+    assert(back == first, "returning to a previously-used dir must re-register views")
+  }
+
   test("sessionize rows aggregate to stream_session's per-session counts") {
     // the row-level assignment and the session_window aggregate must
     // describe the same sessions: counts per (user, k-th session) match
