@@ -155,6 +155,9 @@ class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
       Main.parse(Seq("/in", "/out", "--image-size", "64by48")))
     intercept[IllegalArgumentException](
       Main.parse(Seq("/in", "/out", "--features"))) // flag without value
+    // unknown encoder fails at parse time, not after a full Spark run
+    intercept[IllegalArgumentException](
+      Main.parse(Seq("/in", "/out", "--image-format", "webp")))
   }
 
   test("CLI e2e: gzip sink, saving interval, ocr lang, and resume") {
