@@ -510,13 +510,15 @@ object Aggregates {
       .orderBy(col("lang"))
   }
 
+  // CAST: DuckDB sum(BIGINT) is HUGEINT, which the driver's pandas bridge
+  // widens to float64 ("218.0" vs Spark's "218" — r4 hash mismatch)
   val aggModeSql: String =
     """WITH counts AS (
       |  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY lang
       |                               ORDER BY n DESC, source ASC) AS rn,
-      |    sum(n) OVER (PARTITION BY lang) AS n_docs
+      |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
       |  FROM counts)
       |SELECT lang, source AS mode_source, n AS mode_n, n_docs
       |FROM ranked WHERE rn = 1 ORDER BY lang""".stripMargin

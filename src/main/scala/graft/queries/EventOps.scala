@@ -134,8 +134,8 @@ object EventOps {
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
        |SELECT event_id, user_id, ts_us,
-       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+       |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
        |  event_seq
        |FROM marked
        |ORDER BY event_id""".stripMargin

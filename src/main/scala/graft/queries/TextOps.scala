@@ -583,7 +583,8 @@ object TextOps {
       |    sum(len(string_split(text, ' '))) OVER (
       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
       |  FROM documents)
-      |SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
+      |SELECT doc_id, n_tokens,
+      |  CAST(end_off - n_tokens AS BIGINT) AS start_off,
       |  CAST(floor((end_off - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
       |  CAST(floor((end_off - 1) / 2048.0) AS BIGINT) AS chunk_last
       |FROM t ORDER BY doc_id""".stripMargin

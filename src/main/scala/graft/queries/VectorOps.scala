@@ -295,11 +295,12 @@ object VectorOps {
     * Per-row lambda math, no shuffle. Deterministic: identical IEEE
     * double ops on both engines (floor(x+0.5) rounding spelled
     * explicitly so neither engine's round() tie rule is involved);
-    * all-zero vectors quantize to zeros with scale 0.
+    * all-zero vectors quantize to zeros with scale 0. Returns
+    * (vec_id, scale_max double, q8 array<int>) — the engine surface.
     */
-  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+  def quantizeVectors(vecs: DataFrame): DataFrame = {
     val xd: Column => Column = _.cast(D)
-    Tables.t(spark, dir, "embeddings")
+    vecs
       .withColumn("scale_max",
         array_max(transform(col("embedding"), x => abs(xd(x)))))
       .select(col("vec_id"), col("scale_max"),
@@ -308,21 +309,49 @@ object VectorOps {
           .otherwise(transform(col("embedding"),
             x => floor(xd(x) * 127.0 / col("scale_max") + 0.5).cast(IntegerType)))
           .as("q8"))
-      .orderBy(col("vec_id"))
   }
+
+  /** Contract form of [[quantizeVectors]]: scalar digest columns only.
+    * The driver's compare sorts/hashes rows with pandas, which cannot
+    * order numpy arrays (r4: `TypeError: unhashable type numpy.ndarray`),
+    * so the array itself must not appear in the output. The digests pin
+    * every element anyway: q8_wsum is position-weighted (Σ q_i·i), so any
+    * single-element or order change at fixed sum still shifts the hash.
+    * All columns integer — no float repr hazard across engines (scale is
+    * carried as ⌊scale·10⁴+½⌋ basis points, explicit floor rounding).
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantizeVectors(Tables.t(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        floor(col("scale_max") * 10000.0 + 0.5).cast(LongType).as("scale_e4"),
+        aggregate(col("q8"), lit(0L), (acc, x) => acc + x).as("q8_sum"),
+        aggregate(zip_with(col("q8"), sequence(lit(1), size(col("q8"))),
+          (q, i) => q.cast(LongType) * i), lit(0L), (acc, x) => acc + x)
+          .as("q8_wsum"),
+        array_min(col("q8")).cast(LongType).as("q8_min"),
+        array_max(col("q8")).cast(LongType).as("q8_max"))
+      .orderBy(col("vec_id"))
 
   val vecQuantizeSql: String =
     """WITH t AS (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale_max
-      |  FROM embeddings)
-      |SELECT vec_id, scale_max,
-      |  CASE WHEN scale_max = 0
-      |       THEN list_transform(embedding, x -> 0)
-      |       ELSE list_transform(embedding,
-      |              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale_max + 0.5) AS INTEGER))
-      |  END AS q8
-      |FROM t ORDER BY vec_id""".stripMargin
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale_max,
+      |    CASE WHEN scale_max = 0
+      |         THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale_max + 0.5) AS INTEGER))
+      |    END AS q8
+      |  FROM t)
+      |SELECT vec_id,
+      |  CAST(floor(scale_max * 10000.0 + 0.5) AS BIGINT) AS scale_e4,
+      |  CAST(list_sum(q8) AS BIGINT) AS q8_sum,
+      |  CAST(list_sum(list_transform(q8, (x, i) -> CAST(x AS BIGINT) * i)) AS BIGINT) AS q8_wsum,
+      |  CAST(list_min(q8) AS BIGINT) AS q8_min,
+      |  CAST(list_max(q8) AS BIGINT) AS q8_max
+      |FROM q ORDER BY vec_id""".stripMargin
 
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
