@@ -324,9 +324,15 @@ object VectorOps {
     quantizeVectors(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"),
         floor(col("scale_max") * 10000.0 + 0.5).cast(LongType).as("scale_e4"),
-        aggregate(col("q8"), lit(0L), (acc, x) => acc + x).as("q8_sum"),
-        aggregate(zip_with(col("q8"), sequence(lit(1), size(col("q8"))),
-          (q, i) => q.cast(LongType) * i), lit(0L), (acc, x) => acc + x)
+        // empty-array parity: DuckDB list_sum([]) is NULL, Spark aggregate
+        // folds to the 0 seed — emit NULL on empty so both engines agree
+        when(size(col("q8")) === 0, lit(null).cast(LongType))
+          .otherwise(aggregate(col("q8"), lit(0L), (acc, x) => acc + x))
+          .as("q8_sum"),
+        when(size(col("q8")) === 0, lit(null).cast(LongType))
+          .otherwise(aggregate(
+            zip_with(col("q8"), sequence(lit(1), size(col("q8"))),
+              (q, i) => q.cast(LongType) * i), lit(0L), (acc, x) => acc + x))
           .as("q8_wsum"),
         array_min(col("q8")).cast(LongType).as("q8_min"),
         array_max(col("q8")).cast(LongType).as("q8_max"))

@@ -250,7 +250,9 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("vec_quantize: q8 in [-127,127], dequantization error within half a step") {
-    val rows = VectorOps.vecQuantize(spark, Sf0001).limit(50).collect()
+    val rows = VectorOps
+      .quantizeVectors(Tables.t(spark, Sf0001, "embeddings"))
+      .orderBy(col("vec_id")).limit(50).collect()
     val embs = Tables.t(spark, Sf0001, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(50)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
@@ -264,6 +266,22 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
         assert(math.abs(qi * scale / 127.0 - xi) <= scale / 254.0 + 1e-9,
           s"vec ${r.getLong(0)}: q=$qi x=$xi scale=$scale")
       }
+    }
+  }
+
+  test("vec_quantize digests are consistent with the engine's q8 arrays") {
+    val digests = VectorOps.vecQuantize(spark, Sf0001).limit(50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val full = VectorOps
+      .quantizeVectors(Tables.t(spark, Sf0001, "embeddings"))
+      .orderBy(col("vec_id")).limit(50).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val (scaleE4, sum, wsum) = digests(r.getLong(0))
+      val q = r.getSeq[Int](2)
+      assert(scaleE4 == math.floor(r.getDouble(1) * 10000.0 + 0.5).toLong)
+      assert(sum == q.map(_.toLong).sum)
+      assert(wsum == q.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
     }
   }
 
