@@ -21,14 +21,38 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Values rounded to 3dp and emitted as ONE short line: the driver
-    // captures only a bounded tail of the run output and parses the JSON
-    // line out of it — a long line risks being truncated mid-JSON.
+    // The driver captures only the LAST ~2000 chars of run output and
+    // parses the JSON line out of that tail. With 100 queries a full
+    // per-query map is ~2.2k chars, so its head (the `{"metric"` prefix)
+    // fell outside the window in rounds 4–5 → `parsed: null`. Emit the
+    // full detail to a file + an early stdout line (greppable, allowed to
+    // be truncated in the tail), and keep the FINAL line — the one inside
+    // the tail window — compact: total + the slowest queries that fit.
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def line(entries: Iterable[(String, Double)], total: Double): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = line(results, total)
+    println(full)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    // Final compact line: slowest queries first, capped so the whole line
+    // stays well inside the driver's tail window even after sbt's
+    // `[success] Total time ...` trailer (~80 chars) is appended.
+    val budget = 1700
+    val slowest = results.toSeq.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var len = line(Nil, total).length
+    slowest.foreach { case (k, v) =>
+      val add = k.length + f(v).length + 5
+      if (len + add <= budget) { kept += ((k, v)); len += add }
+    }
+    println(line(kept, total))
     spark.stop()
   }
 }
