@@ -212,6 +212,138 @@ object EventOps {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------- funnel analysis
+
+  /** Ordered-step funnel (signup → view → purchase): each step counts only
+    * if it happens strictly AFTER the user's previous step and within a
+    * 24-hour conversion window of it (real funnels always carry a step
+    * deadline — and it is what creates drop-off). The sequencing
+    * is three min-aggregations chained by user_id joins — every shuffle is
+    * on the same key, so at scale the exchanges line up (no re-partition
+    * between steps) and each step's input shrinks to the surviving cohort.
+    * No window over the whole user timeline is needed — the per-step
+    * aggregate is partial-aggregatable (map-side combine), which a
+    * row_number() formulation would forfeit.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "view")
+      .join(t1, Seq("user_id"))
+      .filter(col("tsu") > col("t1") && col("tsu") <= col("t1") + lit(DayUs))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("tsu") > col("t2") && col("tsu") <= col("t2") + lit(DayUs))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        when(col("t3").isNotNull, lit(3L))
+          .when(col("t2").isNotNull, lit(2L))
+          .when(col("t1").isNotNull, lit(1L))
+          .otherwise(lit(0L)).as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_stage"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |t1 AS (SELECT user_id, min(tsu) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (SELECT ev.user_id, min(tsu) AS t2 FROM ev JOIN t1 USING (user_id)
+      |       WHERE event_type = 'view' AND tsu > t1
+      |         AND tsu <= t1 + 86400000000 GROUP BY ev.user_id),
+      |t3 AS (SELECT ev.user_id, min(tsu) AS t3 FROM ev JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tsu > t2
+      |         AND tsu <= t2 + 86400000000 GROUP BY ev.user_id),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+      |                 WHEN t2 IS NOT NULL THEN 2
+      |                 WHEN t1 IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS funnel_stage,
+      |  count(*) AS n_users
+      |FROM u LEFT JOIN t1 USING (user_id)
+      |       LEFT JOIN t2 USING (user_id)
+      |       LEFT JOIN t3 USING (user_id)
+      |GROUP BY funnel_stage
+      |ORDER BY funnel_stage""".stripMargin
+
+  // --------------------------------------------------- cohort retention
+
+  private val WeekUs = 604800000000L
+
+  /** Weekly cohort retention: users bucketed by first-active week, then
+    * (cohort, week-offset) distinct-user counts — the triangle matrix
+    * behind every retention chart. All bucket math is exact integer µs
+    * (`div`, not double division). Two shuffles, both on user_id, then one
+    * on the (cohort, offset) pair; the cohort table is a pure aggregate of
+    * the same events scan (exchange-reusable), never a driver collect.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $WeekUs").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+
+  val retentionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekUs AS wk FROM events),
+       |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+       |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM ev JOIN cohort USING (user_id)
+       |GROUP BY cohort_wk, offset_wk
+       |ORDER BY cohort_wk, offset_wk""".stripMargin
+
+  // ------------------------------------------------- SCD2 state history
+
+  /** Slowly-changing-dimension (type 2) intervals from an event stream:
+    * collapse each user's consecutive same-state runs, then emit
+    * [valid_from, valid_to) ranges (NULL valid_to = current state). Two
+    * window passes share one (user_id, ts, event_id) sort — the change
+    * filter preserves partitioning AND order, so Catalyst plans a single
+    * exchange+sort for both Window nodes. This is the CDC-compaction shape
+    * a 100 TB event log rolls into a dimension table.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.t(spark, dir, "events")
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("event_type") =!= col("prev_state"))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        tsOut(col("ts")).as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH chg AS (
+      |  SELECT user_id, event_type AS state, event_id, epoch_us(ts) AS tsu,
+      |    lag(event_type) OVER w AS prev_state
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |kept AS (
+      |  SELECT user_id, state, event_id, tsu FROM chg
+      |  WHERE prev_state IS NULL OR state <> prev_state)
+      |SELECT user_id, state, tsu AS valid_from_us,
+      |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+      |    AS valid_to_us
+      |FROM kept
+      |ORDER BY user_id, valid_from_us""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     ContractQuery("q_stream_sliding", streamSliding, Some(streamSlidingSql)),
@@ -219,6 +351,9 @@ object EventOps {
     ContractQuery("q_stream_dedup", streamDedup, Some(streamDedupSql)),
     ContractQuery("q_stream_join", streamJoin, Some(streamJoinSql)),
     ContractQuery("q_sessionize", sessionize, Some(sessionizeSql)),
-    ContractQuery("q_rollup_time", rollupTime, Some(rollupTimeSql))
+    ContractQuery("q_rollup_time", rollupTime, Some(rollupTimeSql)),
+    ContractQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
+    ContractQuery("q_retention", retention, Some(retentionSql)),
+    ContractQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql))
   )
 }

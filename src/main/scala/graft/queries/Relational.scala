@@ -553,6 +553,39 @@ object Relational {
       |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
       |GROUP BY d ORDER BY day_num""".stripMargin
 
+  // -------------------------------------------------------- salted join
+
+  /** Skew-safe salted join: the fact side routes each row to one of
+    * `SaltBuckets` deterministic sub-keys (`o_orderkey % S` — uniform and
+    * reproducible, no rand()), the dimension side is replicated ×S with an
+    * `explode`, and the join key becomes (custkey, salt). A hot customer
+    * key that would pin one reducer now spreads across S partitions; the
+    * post-join aggregate is unchanged, so the oracle is the PLAIN join —
+    * the rewrite must be result-identical by construction. This is the
+    * manual form of what AQE skew-join does adaptively; it also works
+    * where AQE can't see the skew (first shuffle of a stage, or a
+    * broadcast-ineligible mid-size dim).
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val o = Tables.t(spark, dir, "orders")
+      .withColumn("salt", pmod(col("o_orderkey"), lit(S)).cast(IntegerType))
+    val c = Tables.t(spark, dir, "customer")
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        out(sum(money(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val joinSaltedSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${Sql.out(s"sum(${Sql.money("o_totalprice")})")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_scan_parquet", scanParquet, Some(scanParquetSql)),
     ContractQuery("q_project_filter", projectFilter, Some(projectFilterSql)),
@@ -577,6 +610,7 @@ object Relational {
     ContractQuery("q_sql_q3", sqlQ3, Some(sqlQ3Sql)),
     ContractQuery("q_sql_subqueries", sqlSubqueries, Some(sqlSubqueriesSql)),
     ContractQuery("q_sql_recursive", sqlRecursive, Some(sqlRecursiveSql)),
+    ContractQuery("q_join_salted", joinSalted, Some(joinSaltedSql)),
     ContractQuery("q_unpivot", unpivotQ, Some(unpivotSql)),
     ContractQuery("q_join_range", joinRange, Some(joinRangeSql))
   )
