@@ -586,6 +586,43 @@ object Relational {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------- z-order layout
+
+  /** Z-order (Morton) clustering key over (customer, order-day): 10 bits
+    * of each dimension bit-interleaved, rows ordered by the resulting
+    * z-value. This is the data-LAYOUT primitive — writing a 100 TB table
+    * sorted by zval gives parquet row-groups whose min/max stats are tight
+    * in BOTH dimensions, so either predicate prunes; a plain sort is tight
+    * in one. Pure integer bit math (shift/and/or), identical on both
+    * engines; top-100 keeps the contract output bounded and the plan a
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(1024L))
+    val y = pmod(datediff(col("o_orderdate").cast(DateType),
+      lit("1970-01-01").cast(DateType)).cast(LongType), lit(1024L))
+    val z = (0 until 10).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), x.as("xb"), y.as("yb"), z.as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val zorderLayoutSql: String = {
+    val z = (0 until 10).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT o_orderkey, o_custkey % 1024 AS x,
+       |    CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) % 1024 AS y
+       |  FROM orders)
+       |SELECT o_orderkey, x AS xb, y AS yb, CAST($z AS BIGINT) AS zval
+       |FROM t ORDER BY zval, o_orderkey LIMIT 100""".stripMargin
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_scan_parquet", scanParquet, Some(scanParquetSql)),
     ContractQuery("q_project_filter", projectFilter, Some(projectFilterSql)),
@@ -611,6 +648,7 @@ object Relational {
     ContractQuery("q_sql_subqueries", sqlSubqueries, Some(sqlSubqueriesSql)),
     ContractQuery("q_sql_recursive", sqlRecursive, Some(sqlRecursiveSql)),
     ContractQuery("q_join_salted", joinSalted, Some(joinSaltedSql)),
+    ContractQuery("q_zorder", zorderLayout, Some(zorderLayoutSql)),
     ContractQuery("q_unpivot", unpivotQ, Some(unpivotSql)),
     ContractQuery("q_join_range", joinRange, Some(joinRangeSql))
   )

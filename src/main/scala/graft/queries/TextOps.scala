@@ -615,6 +615,128 @@ object TextOps {
        |  len(regexp_extract_all(text, '$redactPattern')) AS n_redacted
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ duplicated spans
+
+  /** Repeated-span detection (the within-corpus duplicated-substring
+    * signal used to strip boilerplate before training): every 8-token
+    * window of every doc, windows shared by ≥2 DISTINCT docs, and per-doc
+    * counts of duplicated-window occurrences. Shuffles by window string —
+    * the bounded candidate key, same scale shape as the shingle join: docs
+    * never meet unless they share a full 8-gram. The window list is built
+    * with slice() over an index sequence (guarded for <8-token docs —
+    * Spark's sequence(1, n) with n<1 counts DOWN rather than returning
+    * empty).
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val wins = when(size(tk) >= 8,
+      transform(sequence(lit(1), size(tk) - lit(7)),
+        i => concat_ws(" ", slice(tk, i, lit(8)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val w = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(wins).as("win"))
+    val dup = w.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("win"))
+    w.join(dup, Seq("win"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+      .join(Tables.t(spark, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(tk) - lit(7), lit(0)).cast(LongType).as("n_windows")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpansSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest([array_to_string(string_split(text, ' ')[i:i+7], ' ')
+      |                 for i in range(1, len(string_split(text, ' ')) - 6)]) AS win
+      |  FROM documents),
+      |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_dup_windows
+      |  FROM w JOIN dup USING (win) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(greatest(len(string_split(text, ' ')) - 7, 0) AS BIGINT) AS n_windows,
+      |  n_dup_windows
+      |FROM documents d JOIN per_doc ON d.doc_id = per_doc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------- inverted index
+
+  /** Inverted-index build, digest form: per-token document frequency,
+    * total term frequency and posting-list summary (min/max/sum of
+    * doc_ids — scalars instead of the list itself because the driver's
+    * hash-compare cannot order array cells). One explode + one groupBy
+    * token: partial aggregation absorbs the head tokens' skew map-side,
+    * which is why the index build survives a Zipfian vocabulary at 100 TB.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        min(col("doc_id")).as("doc_min"),
+        max(col("doc_id")).as("doc_max"),
+        sum(col("doc_id")).as("doc_sum"))
+      .orderBy(col("tok"))
+
+  val invertedIndexSql: String =
+    """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+      |  min(doc_id) AS doc_min, max(doc_id) AS doc_max,
+      |  CAST(sum(doc_id) AS BIGINT) AS doc_sum
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY tok""".stripMargin
+
+  // -------------------------------------------- Gopher quality rules
+
+  /** Gopher-style rule-based quality gate (word count, mean word length,
+    * short-word ratio, repetition), emitted as per-rule verdicts so a
+    * pipeline can report *why* documents fail. Every ratio test is a
+    * cross-multiplied integer comparison — no division, so no float
+    * boundary can disagree between engines. With single-space text,
+    * Σ(token length) = n_chars − (n_words − 1) exactly.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val nW = size(tk).cast(LongType)
+    val sumLen = col("n_chars") - (nW - lit(1L))
+    val nShort = size(filter(tk, t => length(t) <= 2)).cast(LongType)
+    val nDist = size(array_distinct(tk)).cast(LongType)
+    val b = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    val r1 = nW.between(30L, 10000L)
+    val r2 = sumLen >= nW * 4L && sumLen <= nW * 10L
+    val r3 = nShort * 20L <= nW
+    val r4 = nDist * 2L >= nW
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), nW.as("n_words"),
+        b(r1).as("r_wordcount"), b(r2).as("r_meanlen"),
+        b(r3).as("r_shortratio"), b(r4).as("r_repetition"),
+        b(r1 && r2 && r3 && r4).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGopherSql: String = {
+    val nW = "len(string_split(text, ' '))"
+    val sumLen = s"(n_chars - ($nW - 1))"
+    val nShort = s"len(list_filter(string_split(text, ' '), t -> length(t) <= 2))"
+    val nDist = s"len(list_distinct(string_split(text, ' ')))"
+    val r1 = s"($nW BETWEEN 30 AND 10000)"
+    val r2 = s"($sumLen >= $nW * 4 AND $sumLen <= $nW * 10)"
+    val r3 = s"($nShort * 20 <= $nW)"
+    val r4 = s"($nDist * 2 >= $nW)"
+    def b(c: String) = s"CAST(CASE WHEN $c THEN 1 ELSE 0 END AS BIGINT)"
+    s"""SELECT doc_id, CAST($nW AS BIGINT) AS n_words,
+       |  ${b(r1)} AS r_wordcount, ${b(r2)} AS r_meanlen,
+       |  ${b(r3)} AS r_shortratio, ${b(r4)} AS r_repetition,
+       |  ${b(s"$r1 AND $r2 AND $r3 AND $r4")} AS pass
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
@@ -632,6 +754,9 @@ object TextOps {
     ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql)),
     ContractQuery("q_sample_split", sampleSplit, Some(sampleSplitSql)),
     ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
-    ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql))
+    ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql))
   )
 }
