@@ -186,6 +186,78 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) of an image: decode (real ImageIO),
+    * bilinear-downsample to 8×8, luma = (299r + 587g + 114b)/1000 in
+    * exact integer math, bit i set iff pixel i's luma > the 64-pixel
+    * mean. Near-duplicate images (re-encodes, small edits, format
+    * changes) land within a few bits; unrelated images differ in ~32.
+    * Returns null (not a throw) on undecodable bytes — the media leaf
+    * rule. This is the only non-relational step of [[imageDedup]].
+    */
+  def imageAHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], java.lang.Long] {
+      override def call(bytes: Array[Byte]): java.lang.Long =
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val small = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = small.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 8, 8, null)
+            g.dispose()
+            val luma = new Array[Long](64)
+            var sum = 0L
+            var i = 0
+            while (i < 64) {
+              val rgb = small.getRGB(i % 8, i / 8)
+              luma(i) = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)) / 1000L
+              sum += luma(i)
+              i += 1
+            }
+            var h = 0L
+            i = 0
+            while (i < 64) { // strict '>' vs mean*64 keeps it all-integer
+              if (luma(i) * 64L > sum) h |= (1L << i)
+              i += 1
+            }
+            java.lang.Long.valueOf(h)
+          }
+        } catch { case NonFatal(_) => null }
+    }, LongType)
+
+  /** Image near-duplicate pairs over a (`idCol`, binary `contentCol`)
+    * frame: aHash per image (the only decode pass — one narrow map over
+    * the corpus), then the SAME banded candidate plan as text SimHash
+    * dedup — 4×16-bit bands of the 64-bit hash, pairs meet only in a
+    * shared band bucket (shuffle by (band, value), never all-pairs),
+    * Hamming ≤ `maxHamming` verified by bit_count on candidates only.
+    * Undecodable rows drop out before banding instead of poisoning a
+    * bucket with null values.
+    */
+  def imageDedup(df: DataFrame, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("img_id"), imageAHash(col(contentCol)).as("ahash"))
+      .filter(col("ahash").isNotNull)
+    val banded = hashed
+      .select(col("img_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bandval", expr("shiftright(ahash, band * 16) & 65535"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("id1"), col("b.img_id").as("id2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Frame-sample fan-out: one row per sampled frame (ts_ms, frame). */
   def sampleVideoFrames(df: DataFrame, decoder: VideoDecoder = StubVideoDecoder,
       contentCol: String = "content", everyNthMs: Long = 1000,

@@ -262,6 +262,54 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ----------------------------------------- LSH-bucketed cosine near-dup
+
+  /** Scale path for [[neardupCosine]]: random-hyperplane signatures (16
+    * fixed seeded Gaussian planes → sign bits), banded 8×2 bits; only
+    * pairs sharing a band meet (shuffle by (band, 2-bit value)), then the
+    * exact cosine verifies survivors — so the O(n²) loop of the brute
+    * force becomes candidate-bucket joins. Each plane projection is one
+    * codegen'd DotProduct against a literal vector (no interpreted
+    * lambdas).
+    *
+    * Band sizing is threshold-matched: at the fixture's cos ≥ 0.35 gate
+    * (θ ≈ 69°, p_sep ≈ 0.39) 2-bit bands give ≈0.98 candidate recall; at a
+    * production near-dup gate (cos ≥ 0.9, p_sep ≈ 0.14) 4×16-bit banding
+    * prunes ≈97 % of random pairs at the same recall — band width is the
+    * knob, the plan shape is unchanged. Plane signs are engine-specific →
+    * no SQL oracle; VectorOpsSpec asserts recall vs the exact baseline and
+    * that every emitted pair passes the exact threshold.
+    */
+  def neardupCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    val H = 16
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(H, 64)(rnd.nextGaussian().toFloat)
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val bits = (0 until H).map { i =>
+      when(dot(col("embedding"), typedlit(planes(i).toSeq)) >= 0.0, lit(1L))
+        .otherwise(lit(0L)).as(s"bit$i")
+    }
+    val sig = base.select((col("vec_id") +: bits): _*)
+    val banded = sig.select(col("vec_id"),
+      explode(array((0 until 8).map(j =>
+        struct(lit(j).as("band"),
+          (col(s"bit${2 * j}") * 2L + col(s"bit${2 * j + 1}")).as("bv"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.bv"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val lhs = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
+    val rhs = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
+    val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
+    cands.join(lhs, "v1").join(rhs, "v2")
+      .filter(cosRaw >= 0.35)
+      .select(col("v1"), col("v2"), round(cosRaw, 6).as("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   // ----------------------------------------------------------- IVF ANN
 
   /** IVF (inverted-file) ANN — the second scale path beside [[knnLsh]]:
@@ -366,6 +414,7 @@ object VectorOps {
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
     ContractQuery("q_dedup_simhash", dedupSimhash, None),
     ContractQuery("q_knn_lsh", knnLsh, None),
+    ContractQuery("q_neardup_cosine_lsh", neardupCosineLsh, None),
     ContractQuery("q_knn_ivf", knnIvf, None),
     ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql))
   )

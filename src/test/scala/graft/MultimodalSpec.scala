@@ -31,6 +31,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     ).toDF("id", "content")
   }
 
+  /** Patterned image so the aHash has structure (a flat fill hashes to 0,
+    * which would make ALL flat images mutual "duplicates").
+    */
+  private def gradient(w: Int, h: Int, horizontal: Boolean,
+      tweak: Option[(Int, Int)] = None, format: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val v = if (horizontal) x * 255 / (w - 1) else y * 255 / (h - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    tweak.foreach { case (tx, ty) => img.setRGB(tx, ty, 0x808080) }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("image dedup: re-encoded/perturbed copies pair up, distinct images don't") {
+    import spark.implicits._
+    val imgs = Seq(
+      ("a", gradient(64, 64, horizontal = true)),
+      ("a_jpeg", gradient(64, 64, horizontal = true, format = "jpg")),
+      ("a_tweak", gradient(64, 64, horizontal = true, tweak = Some((3, 3)))),
+      ("b_vert", gradient(64, 64, horizontal = false)),
+      ("bad", "not an image".getBytes("UTF-8"))
+    ).toDF("path", "content")
+    val pairs = Multimodal.imageDedup(imgs, maxHamming = 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the three 'a' variants form a near-dup clique; nothing pairs with the
+    // vertical gradient and the undecodable row is dropped, not crashed on
+    assert(pairs == Set(("a", "a_jpeg"), ("a", "a_tweak"), ("a_jpeg", "a_tweak")),
+      s"got $pairs")
+  }
+
+  test("image aHash is luma-structured: transpose flips ~half the bits") {
+    import spark.implicits._
+    val df = Seq(
+      ("h", gradient(64, 64, horizontal = true)),
+      ("v", gradient(64, 64, horizontal = false))
+    ).toDF("path", "content")
+    val h = df.select(col("path"), Multimodal.imageAHash(col("content")).as("ah"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ham = java.lang.Long.bitCount(h("h") ^ h("v"))
+    assert(ham >= 16, s"orthogonal gradients should differ widely, hamming=$ham")
+  }
+
   test("image decode yields typed metadata; invalid bytes get error, not a crash") {
     val rows = Multimodal.withImageColumns(mediaDf)
       .select("id", "image_meta.format", "image_meta.width",

@@ -34,6 +34,18 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.7, s"simhash recall $recall of ${truth.size} J>=0.9 pairs")
   }
 
+  test("LSH cosine near-dup: subset of exact pairs, recall >= 80%") {
+    val exact = VectorOps.neardupCosine(spark, Sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact baseline must find cos>=0.35 pairs")
+    val lsh = VectorOps.neardupCosineLsh(spark, Sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-verify step makes every emitted pair a true pair (precision 1)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"lsh near-dup recall $recall over ${exact.size} pairs")
+  }
+
   test("LSH ANN recalls >= 60% of brute-force top-5 neighbors") {
     val truth = VectorOps.knnBruteforce(spark, Sf0001)
       .select("q_id", "vec_id").collect()
