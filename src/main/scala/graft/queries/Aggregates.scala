@@ -714,6 +714,47 @@ object Aggregates {
       |             ORDER BY o_totalprice ASC, o_orderkey ASC)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------ mergeable sketches
+
+  /** HLL sketch build + MERGE — the two-level distinct-count pattern of a
+    * 100 TB warehouse: daily user sketches materialize once (partial
+    * aggregation, bytes per day, not users per day), then ANY rollup
+    * (here weekly) unions sketches instead of rescanning raw events.
+    * Sketch bytes are Datasketches-version-specific → no SQL oracle;
+    * AggregatesSketchSpec bounds the estimates against exact distincts.
+    */
+  def aggHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .select(unix_micros(col("week")).as("week_us"),
+        col("approx_users"), col("n_days"))
+      .orderBy(col("week_us"))
+  }
+
+  /** Approximate quantiles (KLL-style `approx_percentile`) per order
+    * status — the sketch path for the exact [[aggPercentile]]; at scale
+    * the exact ANSI percentile needs a per-group sort while the sketch is
+    * one mergeable pass. Sketch internals are engine-specific → no SQL
+    * oracle; AggregatesSketchSpec bounds each approx quartile against the
+    * exact one.
+    */
+  def aggApproxPct(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      .select(col("o_orderstatus"),
+        round(col("q").getItem(0), 4).as("p25"),
+        round(col("q").getItem(1), 4).as("p50"),
+        round(col("q").getItem(2), 4).as("p75"))
+      .orderBy(col("o_orderstatus"))
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_agg_group", aggGroup, Some(aggGroupSql)),
     ContractQuery("q_agg_distinct", aggDistinct, Some(aggDistinctSql)),
@@ -741,6 +782,8 @@ object Aggregates {
     ContractQuery("q_agg_moments", aggMoments, Some(aggMomentsSql)),
     ContractQuery("q_agg_mode", aggMode, Some(aggModeSql)),
     ContractQuery("q_agg_histogram", aggHistogram, Some(aggHistogramSql)),
-    ContractQuery("q_agg_filtered", aggFiltered, Some(aggFilteredSql))
+    ContractQuery("q_agg_filtered", aggFiltered, Some(aggFilteredSql)),
+    ContractQuery("q_agg_hll_merge", aggHllMerge, None),
+    ContractQuery("q_agg_approx_pct", aggApproxPct, None)
   )
 }

@@ -739,6 +739,74 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- BM25 ranking
+
+  private val bm25Terms = Seq("join", "filter", "window", "stream", "select")
+
+  /** BM25 document ranking for a fixed query-term set (k1=1.2, b=0.75) —
+    * the retrieval scorer a corpus search/decontamination pass runs. Same
+    * plan family as [[tfidf]]: tf aggregate → broadcast df + corpus stats
+    * → per-row score. Determinism: each per-row double score (ln idf ×
+    * saturation — identical IEEE formulation both engines, the tfidf
+    * precedent) is quantized to an exact BIGINT at 6dp BEFORE the per-doc
+    * sum, so the cross-term addition is integer and order-independent —
+    * raw double sums would depend on shuffle arrival order.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(bm25Terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(0.3) + lit(0.9) * (col("dl") / col("avgdl")))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("s6", floor(score * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s6")).as("e6"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"),
+        (col("e6") / lit(1000000.0)).cast(DoubleType).as("bm25"), col("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val bm25Sql: String = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |         count(*) AS n_docs FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 0.3 + 0.9 * (dl / avgdl))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+       |  FROM tf
+       |  JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id,
+       |  CAST(CAST(sum(s6) AS BIGINT) / 1000000.0 AS DOUBLE) AS bm25,
+       |  count(*) AS n_terms
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
@@ -759,6 +827,7 @@ object TextOps {
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
     ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
-    ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql))
+    ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql)),
+    ContractQuery("q_bm25", bm25, Some(bm25Sql))
   )
 }

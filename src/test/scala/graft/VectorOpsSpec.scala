@@ -177,4 +177,39 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
       assert(math.abs(ap - ex).toDouble / ex < 0.1, s"$k: approx $ap vs exact $ex")
     }
   }
+
+  test("HLL merged weekly estimates within 5% of exact weekly distincts") {
+    import graft.queries.Tables
+    val approx = graft.queries.Aggregates.aggHllMerge(spark, Sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.t(spark, Sf001, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(unix_micros(col("week")), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (wk, ex) =>
+      assert(math.abs(approx(wk) - ex) / ex < 0.05,
+        s"week $wk: approx ${approx(wk)} vs exact $ex")
+    }
+  }
+
+  test("approx quartiles sit between exact neighbors (rank error <= 1%)") {
+    import graft.queries.Tables
+    val rows = graft.queries.Aggregates.aggApproxPct(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val status = r.getString(0)
+      val vals = Tables.t(spark, Sf001, "orders")
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+      Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2), 0.75 -> r.getDouble(3))
+        .foreach { case (q, ap) =>
+          val lo = vals(math.max(0, (q * vals.length).toInt - vals.length / 100 - 1))
+          val hi = vals(math.min(vals.length - 1,
+            (q * vals.length).toInt + vals.length / 100))
+          assert(ap >= lo && ap <= hi, s"$status p$q: $ap outside [$lo, $hi]")
+        }
+    }
+  }
 }
