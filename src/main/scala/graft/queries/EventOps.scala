@@ -282,16 +282,18 @@ object EventOps {
   /** Weekly cohort retention: users bucketed by first-active week, then
     * (cohort, week-offset) distinct-user counts — the triangle matrix
     * behind every retention chart. All bucket math is exact integer µs
-    * (`div`, not double division). Two shuffles, both on user_id, then one
-    * on the (cohort, offset) pair; the cohort table is a pure aggregate of
-    * the same events scan (exchange-reusable), never a driver collect.
+    * (`div`, not double division). The cohort week rides a min() window
+    * over the user partition — one shuffle by user_id and NO self-join
+    * (the agg+join form costs an extra exchange and a join of the events
+    * scan against itself) — then one distinct-agg shuffle on the
+    * (cohort, offset) pair.
     */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+    Tables.t(spark, dir, "events")
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $WeekUs").as("wk"))
-    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
-    ev.join(cohort, Seq("user_id"))
+      .withColumn("cohort_wk", min(col("wk")).over(w))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_wk"), col("offset_wk"))
