@@ -346,6 +346,47 @@ object EventOps {
       |FROM kept
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  // ------------------------------------------------- anomaly detection
+
+  /** Daily-volume anomaly flags — the pipeline-monitoring op that guards
+    * a 100 TB ingest (a stuck upstream shows up as a volume z-score
+    * excursion). `|z| > 2` is tested as a CROSS-MULTIPLIED integer
+    * predicate: (x·n − Σx)² > 4·(n·Σx² − (Σx)²) — with population σ² =
+    * (n·Σx² − (Σx)²)/n², that is exactly z² > 4 — so both engines compare
+    * exact BIGINTs and no float rounding can disagree. One day-bucket
+    * aggregate, one broadcast 1-row stats table.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy((expr(s"unix_micros(ts) div $DayUs") * DayUs).as("day_us"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(count(lit(1)).as("nd"),
+      sum(col("n_events")).as("s"),
+      sum(col("n_events") * col("n_events")).as("ss"))
+    val dev = col("n_events") * col("nd") - col("s")
+    daily.crossJoin(broadcast(stats))
+      .select(col("day_us"), col("n_events"),
+        when(dev * dev > (col("nd") * col("ss") - col("s") * col("s")) * 4L,
+          lit(1L)).otherwise(lit(0L)).as("is_spike"))
+      .orderBy(col("day_us"))
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT (epoch_us(ts) // $DayUs) * $DayUs AS day_us,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY day_us),
+       |stats AS (
+       |  SELECT count(*) AS nd, CAST(sum(n_events) AS BIGINT) AS s,
+       |    CAST(sum(n_events * n_events) AS BIGINT) AS ss
+       |  FROM daily)
+       |SELECT day_us, n_events,
+       |  CAST(CASE WHEN (n_events * nd - s) * (n_events * nd - s)
+       |                 > (nd * ss - s * s) * 4
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+       |FROM daily CROSS JOIN stats
+       |ORDER BY day_us""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     ContractQuery("q_stream_sliding", streamSliding, Some(streamSlidingSql)),
@@ -356,6 +397,7 @@ object EventOps {
     ContractQuery("q_rollup_time", rollupTime, Some(rollupTimeSql)),
     ContractQuery("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     ContractQuery("q_retention", retention, Some(retentionSql)),
-    ContractQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql))
+    ContractQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql)),
+    ContractQuery("q_events_anomaly", eventsAnomaly, Some(eventsAnomalySql))
   )
 }
