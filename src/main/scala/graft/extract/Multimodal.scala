@@ -243,19 +243,8 @@ object Multimodal {
     val hashed = df
       .select(col(idCol).as("img_id"), imageAHash(col(contentCol)).as("ahash"))
       .filter(col("ahash").isNotNull)
-    val banded = hashed
-      .select(col("img_id"), col("ahash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bandval", expr("shiftright(ahash, band * 16) & 65535"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
-          col("a.img_id") < col("b.img_id"))
-      .select(col("a.img_id").as("id1"), col("b.img_id").as("id2"),
-        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+    graft.operators.BandedHamming
+      .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming)
   }
 
   /** Frame-sample fan-out: one row per sampled frame (ts_ms, frame). */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded-Hamming near-duplicate candidate generation over a 64-bit
+  * hash column — the shared plan behind SimHash text dedup
+  * ([[graft.queries.VectorOps.dedupSimhash]]) and perceptual-hash image
+  * dedup ([[graft.extract.Multimodal.imageDedup]]).
+  *
+  * The 64-bit hash splits into `bands` equal slices; two rows become a
+  * candidate pair iff they agree on at least one whole slice, so pairs
+  * meet in a shuffle keyed by (band index, band value) — never all-pairs —
+  * and only candidates pay the exact `bit_count` Hamming check. With
+  * `maxHamming < bands` the pigeonhole guarantees recall 1; above it
+  * (e.g. the 6-vs-4 defaults) recall stays high because near-dup bit
+  * flips rarely spread across every band.
+  */
+object BandedHamming {
+
+  /** Pairs (id1, id2, hamming ≤ maxHamming), id1 < id2, over
+    * `df(idCol, hashCol)`. The id column may be any orderable type.
+    */
+  def pairs(df: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, maxHamming: Int = 6): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val banded = df
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        col("a.__h").as("h1"), col("b.__h").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

@@ -253,16 +253,16 @@ object EventOps {
   }
 
   val eventsFunnelSql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
       |t1 AS (SELECT user_id, min(tsu) AS t1 FROM ev
       |       WHERE event_type = 'signup' GROUP BY user_id),
       |t2 AS (SELECT ev.user_id, min(tsu) AS t2 FROM ev JOIN t1 USING (user_id)
       |       WHERE event_type = 'view' AND tsu > t1
-      |         AND tsu <= t1 + 86400000000 GROUP BY ev.user_id),
+      |         AND tsu <= t1 + $DayUs GROUP BY ev.user_id),
       |t3 AS (SELECT ev.user_id, min(tsu) AS t3 FROM ev JOIN t2 USING (user_id)
       |       WHERE event_type = 'purchase' AND tsu > t2
-      |         AND tsu <= t2 + 86400000000 GROUP BY ev.user_id),
+      |         AND tsu <= t2 + $DayUs GROUP BY ev.user_id),
       |u AS (SELECT DISTINCT user_id FROM ev)
       |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
       |                 WHEN t2 IS NOT NULL THEN 2
@@ -326,9 +326,12 @@ object EventOps {
       .withColumn("prev_state", lag(col("event_type"), 1).over(w))
       .filter(col("prev_state").isNull || col("event_type") =!= col("prev_state"))
       .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
-      .select(col("user_id"), col("event_type").as("state"),
+      // event_id rides along as change provenance AND the ORDER BY
+      // tiebreak — (user_id, valid_from_us) alone can tie when two state
+      // changes land on the same microsecond
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
         tsOut(col("ts")).as("valid_from_us"), col("valid_to_us"))
-      .orderBy(col("user_id"), col("valid_from_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
   val scd2IntervalsSql: String =
@@ -340,11 +343,11 @@ object EventOps {
       |kept AS (
       |  SELECT user_id, state, event_id, tsu FROM chg
       |  WHERE prev_state IS NULL OR state <> prev_state)
-      |SELECT user_id, state, tsu AS valid_from_us,
+      |SELECT user_id, event_id, state, tsu AS valid_from_us,
       |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
       |    AS valid_to_us
       |FROM kept
-      |ORDER BY user_id, valid_from_us""".stripMargin
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
   // ------------------------------------------------- anomaly detection
 

@@ -218,19 +218,9 @@ object VectorOps {
     val sim = sums.select(col("doc_id"),
       (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bandval", expr("shiftright(simhash, band * 16) & 65535"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
-      .distinct()
-    cands
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter(col("hamming") <= 6)
-      .select(col("d1"), col("d2"), col("hamming"))
+    graft.operators.BandedHamming
+      .pairs(sim, "doc_id", "simhash", bands = 4, maxHamming = 6)
+      .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
 
