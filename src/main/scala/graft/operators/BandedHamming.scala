@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object BandedHamming {
 
+  /** Distinct candidate pairs (id1 < id2) of rows sharing a bucket — the
+    * generic LSH candidate join: rows meet iff every `bucketCols` value
+    * matches, i.e. the shuffle is keyed by the bucket tuple, never
+    * all-pairs. Shared by MinHash (bucket = (band, sig)), SimHash/aHash
+    * (via [[pairs]]) and hyperplane cosine LSH (bucket = (band, bits)).
+    */
+  def bucketedPairs(df: DataFrame, idCol: String,
+      bucketCols: Seq[String]): DataFrame = {
+    val d = df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*)
+    val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.__id") < col("b.__id")
+    d.as("a").join(d.as("b"), cond)
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+  }
+
   /** Pairs (id1, id2, hamming ≤ maxHamming), id1 < id2, over
     * `df(idCol, hashCol)`. The id column may be any orderable type.
     */

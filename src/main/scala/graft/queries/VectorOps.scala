@@ -165,11 +165,9 @@ object VectorOps {
       (0 until Bands).map(j => struct(lit(j).as("band"),
         xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.sig"))
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    val cands = graft.operators.BandedHamming
+      .bucketedPairs(bands, "doc_id", Seq("band", "sig"))
+      .select(col("id1").as("d1"), col("id2").as("d2"))
     // exact-Jaccard verification of the candidate set only. One shingle-set
     // aggregation per doc, then the tiny candidate list joins each side's
     // (set, size) and intersects per row — versus the previous shape
@@ -286,11 +284,9 @@ object VectorOps {
         struct(lit(j).as("band"),
           (col(s"bit${2 * j}") * 2L + col(s"bit${2 * j + 1}")).as("bv"))): _*)).as("b"))
       .select(col("vec_id"), col("b.band"), col("b.bv"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      .distinct()
+    val cands = graft.operators.BandedHamming
+      .bucketedPairs(banded, "vec_id", Seq("band", "bv"))
+      .select(col("id1").as("v1"), col("id2").as("v2"))
     val lhs = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
     val rhs = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
     val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
