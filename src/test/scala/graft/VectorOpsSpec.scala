@@ -178,6 +178,27 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("BandedHamming pigeonhole: maxHamming < bands finds EVERY close pair") {
+    import spark.implicits._
+    import graft.operators.BandedHamming
+    // 64-bit hashes with planted pairwise distances straddling the cutoff
+    val base = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, base),
+      (2L, base ^ 0x7L),                  // hamming 3 from id 1
+      (3L, base ^ (1L << 63)),            // hamming 1 from id 1
+      (4L, base ^ 0x0101010101010101L),   // hamming 8 — out of range
+      (5L, ~base)                         // hamming 64
+    ).toDF("id", "h")
+    val got = BandedHamming.pairs(rows, "id", "h", bands = 4, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    // with maxHamming(3) < bands(4), at least one 16-bit band must be
+    // untouched, so recall is exactly 1 — both close pairs, nothing else
+    // (pair (2,3) sits at hamming 4, just past the cutoff)
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 1L)), s"got $got")
+  }
+
   test("HLL merged weekly estimates within 5% of exact weekly distincts") {
     import graft.queries.Tables
     val approx = graft.queries.Aggregates.aggHllMerge(spark, Sf001)
