@@ -34,6 +34,24 @@ object BandedHamming {
       .distinct()
   }
 
+  /** Asymmetric probe form of [[bucketedPairs]] — the ANN-query shape:
+    * candidate (probe id, base id) pairs sharing a bucket, deduplicated
+    * across bands. The join is keyed by the bucket tuple, so at corpus
+    * scale it shuffles by bucket — never probe × corpus — and when the
+    * probe side is small (the usual ANN case) AQE broadcasts it so the
+    * corpus never moves at all. Self-matches are NOT filtered here; the
+    * caller owns identity semantics (probe ids need not be base ids).
+    */
+  def probedPairs(probe: DataFrame, base: DataFrame, probeIdCol: String,
+      baseIdCol: String, bucketCols: Seq[String]): DataFrame = {
+    val p = probe.select((col(probeIdCol).as("__pid") +: bucketCols.map(col)): _*)
+    val b = base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*)
+    val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    p.as("a").join(b.as("b"), cond)
+      .select(col("a.__pid").as("id1"), col("b.__bid").as("id2"))
+      .distinct()
+  }
+
   /** Pairs (id1, id2, hamming ≤ maxHamming), id1 < id2, over
     * `df(idCol, hashCol)`. The id column may be any orderable type.
     */

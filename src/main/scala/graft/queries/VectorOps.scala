@@ -224,26 +224,59 @@ object VectorOps {
 
   // ------------------------------------------------------ LSH-bucket ANN
 
-  /** Scale-path ANN: random-hyperplane (BucketedRandomProjection) LSH
-    * join, restricted to the same query set as the brute-force baseline.
-    * Engine-specific projections → no SQL oracle; recall vs
-    * [[knnBruteforce]] is asserted in VectorOpsSpec.
+  /** Scale-path ANN: in-house random-hyperplane LSH probe — the same
+    * hyperplane-sign + banding machinery as [[neardupCosineLsh]], in the
+    * asymmetric query→corpus shape:
+    *
+    *   16 seeded Gaussian planes → sign bits (each a codegen'd DotProduct
+    *   against a literal vector) → 8 bands × 2 bits → candidates = base
+    *   rows sharing ≥1 (band, value) bucket with a query
+    *   ([[graft.operators.BandedHamming.probedPairs]]; AQE broadcasts the
+    *   tiny query side, so the corpus never shuffles for the probe) →
+    *   exact Euclidean distance ranks the candidates, top-5 per query.
+    *
+    * Replaces an mllib `BucketedRandomProjectionLSH.approxSimilarityJoin`
+    * version: its hash/distance path is interpreted ScalaUDFs with a plan
+    * that swung 5–60 s at sf0.1 (driver r6: 51.8 s vs 2.0 s in r5 on
+    * near-identical code — the same instability that made MinHash drop
+    * mllib in r2). This form is pure codegen'd Catalyst, deterministic,
+    * and the last mllib runtime dependency in the declared set. Candidate
+    * recall for a cos≈0.45 neighbor (the fixture's top-5 regime) is
+    * 1-(1-p²)⁸ ≈ 0.99 at p = 1-θ/π ≈ 0.65; at corpus scale widen bands
+    * (e.g. 4×16 bits, see [[neardupCosineLshAt]]) — the knob changes, the
+    * plan shape doesn't. Plane signs are engine-specific → no SQL oracle;
+    * VectorOpsSpec asserts recall vs [[knnBruteforce]] and that the
+    * physical plan carries no interpreted UDF nodes.
     */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
+    val H = 16
+    val rnd = new scala.util.Random(7)
+    val planes = Array.fill(H, 64)(rnd.nextGaussian().toFloat)
     val base = Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(base)
-    val q = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("features"))
-    model.approxSimilarityJoin(q, base, 20.0, "dist")
-      .select(col("datasetA.q_id").as("q_id"), col("datasetB.vec_id").as("vec_id"),
-        round(col("dist"), 6).as("dist"))
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val bits = (0 until H).map { i =>
+      when(dot(col("embedding"), typedlit(planes(i).toSeq)) >= 0.0, lit(1L))
+        .otherwise(lit(0L)).as(s"bit$i")
+    }
+    val banded = base.select((col("vec_id") +: bits): _*)
+      .select(col("vec_id"), explode(array((0 until 8).map(j =>
+        struct(lit(j).as("band"),
+          (col(s"bit${2 * j}") * 2L + col(s"bit${2 * j + 1}")).as("bv"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.bv"))
+    val probes = banded.filter(col("vec_id") < 5)
+    val cands = graft.operators.BandedHamming
+      .probedPairs(probes, banded, "vec_id", "vec_id", Seq("band", "bv"))
+      .select(col("id1").as("q_id"), col("id2").as("vec_id"))
       .filter(col("q_id") =!= col("vec_id"))
+    val q = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("n2").as("q_n2"))
+    // ‖q−x‖ = √(‖q‖² + ‖x‖² − 2·q·x): one codegen'd dot per candidate,
+    // reusing the norms computed once per row at scan time
+    val dist = sqrt(greatest(
+      col("q_n2") + col("n2") - lit(2.0) * dot(col("q_emb"), col("embedding")),
+      lit(0.0)))
+    cands.join(q, "q_id").join(base, "vec_id")
+      .select(col("q_id"), col("vec_id"), round(dist, 6).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)))
       .filter(col("rn") <= 5)
@@ -268,30 +301,57 @@ object VectorOps {
     * no SQL oracle; VectorOpsSpec asserts recall vs the exact baseline and
     * that every emitted pair passes the exact threshold.
     */
-  def neardupCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    val H = 16
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(H, 64)(rnd.nextGaussian().toFloat)
-    val base = Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val bits = (0 until H).map { i =>
+  def neardupCosineLsh(spark: SparkSession, dir: String): DataFrame =
+    neardupCosineLshAt(
+      Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")),
+      threshold = 0.35, numPlanes = 16, bands = 8)
+
+  /** Banded hyperplane-signature candidate pairs over `base(vec_id,
+    * embedding, n2)` — the pruning stage of [[neardupCosineLshAt]],
+    * exposed so specs can measure the candidate count against all-pairs
+    * directly. `numPlanes / bands` sign bits per band; two rows are a
+    * candidate iff they agree on every bit of ≥1 band
+    * ([[graft.operators.BandedHamming.bucketedPairs]] keyed by
+    * (band, value) — never all-pairs).
+    */
+  def cosineLshCandidates(base: DataFrame, numPlanes: Int, bands: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0, s"bands ($bands) must divide planes ($numPlanes)")
+    val k = numPlanes / bands
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, 64)(rnd.nextGaussian().toFloat)
+    val bits = (0 until numPlanes).map { i =>
       when(dot(col("embedding"), typedlit(planes(i).toSeq)) >= 0.0, lit(1L))
         .otherwise(lit(0L)).as(s"bit$i")
     }
     val sig = base.select((col("vec_id") +: bits): _*)
     val banded = sig.select(col("vec_id"),
-      explode(array((0 until 8).map(j =>
+      explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
-          (col(s"bit${2 * j}") * 2L + col(s"bit${2 * j + 1}")).as("bv"))): _*)).as("b"))
+          (0 until k).map(i => col(s"bit${j * k + i}"))
+            .reduce((acc, b) => acc * 2L + b).as("bv"))): _*)).as("b"))
       .select(col("vec_id"), col("b.band"), col("b.bv"))
-    val cands = graft.operators.BandedHamming
+    graft.operators.BandedHamming
       .bucketedPairs(banded, "vec_id", Seq("band", "bv"))
       .select(col("id1").as("v1"), col("id2").as("v2"))
+  }
+
+  /** [[neardupCosineLsh]] generalized over the band-sizing knobs: LSH
+    * candidates at `numPlanes`/`bands`, then the exact cosine verifies
+    * survivors against `threshold`. Wider bands (more bits each) prune
+    * harder at high thresholds — e.g. 4×16 bits at cos ≥ 0.9 keeps random
+    * pairs with probability ≈ 4·2⁻¹⁶ while near-identical pairs survive
+    * ≥ 0.99 of the time (VectorOpsSpec measures both on planted data).
+    */
+  def neardupCosineLshAt(base: DataFrame, threshold: Double, numPlanes: Int,
+      bands: Int, seed: Long = 42L): DataFrame = {
+    val cands = cosineLshCandidates(base, numPlanes, bands, seed)
     val lhs = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
     val rhs = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
     val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
     cands.join(lhs, "v1").join(rhs, "v2")
-      .filter(cosRaw >= 0.35)
+      .filter(cosRaw >= threshold)
       .select(col("v1"), col("v2"), round(cosRaw, 6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
