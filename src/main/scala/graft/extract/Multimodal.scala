@@ -236,15 +236,22 @@ object Multimodal {
     * shared band bucket (shuffle by (band, value), never all-pairs),
     * Hamming ≤ `maxHamming` verified by bit_count on candidates only.
     * Undecodable rows drop out before banding instead of poisoning a
-    * bucket with null values.
+    * bucket with null values. Degenerate hashes — flat/low-contrast
+    * images all aHash to 0 (strict '>' vs the mean), so every such image
+    * shares every band bucket — are defused by BandedHamming's hot-bucket
+    * guard: any (band, value) bucket holding more than `maxBucket` rows
+    * is dropped with a warning rather than going quadratic.
     */
   def imageDedup(df: DataFrame, idCol: String = "path",
-      contentCol: String = "content", maxHamming: Int = 6): DataFrame = {
+      contentCol: String = "content", maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
     val hashed = df
       .select(col(idCol).as("img_id"), imageAHash(col(contentCol)).as("ahash"))
       .filter(col("ahash").isNotNull)
     graft.operators.BandedHamming
-      .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming)
+      .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming,
+        maxBucket = maxBucket)
   }
 
   /** Frame-sample fan-out: one row per sampled frame (ts_ms, frame). */

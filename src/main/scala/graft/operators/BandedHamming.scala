@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Banded-Hamming near-duplicate candidate generation over a 64-bit
@@ -15,18 +16,75 @@ import org.apache.spark.sql.functions._
   * `maxHamming < bands` the pigeonhole guarantees recall 1; above it
   * (e.g. the 6-vs-4 defaults) recall stays high because near-dup bit
   * flips rarely spread across every band.
+  *
+  * Hot-bucket guard: the "never all-pairs" claim has a standard LSH
+  * failure mode — a degenerate band value shared by a large row
+  * population (the all-zero band of short docs, the aHash of flat/
+  * low-contrast images) makes in-bucket pairs quadratic. Every candidate
+  * join here therefore drops buckets whose population exceeds
+  * `maxBucket`, with one loud warning per dropped bucket: such a bucket
+  * carries no discriminative signal (its members still meet through any
+  * other, non-degenerate band), and at cap B the per-bucket pair cost is
+  * bounded by B². The count rides the same shuffle the join needs (a
+  * window over the bucket key), not an extra scan.
   */
 object BandedHamming {
+
+  /** Buckets above this population are dropped from candidate
+    * generation. 10⁵ bounds any single bucket's pair blow-up at 10¹⁰
+    * comparisons — loud long before that — while sitting far above any
+    * non-degenerate LSH bucket at sane banding (buckets should hold
+    * tens of rows; a miscalibrated scheme shows up in the warning).
+    */
+  val DefaultMaxBucket: Int = 100000
+
+  /** Rows dropped by the hot-bucket guard — telemetry for tests and
+    * local-mode runs (per-executor counts in a real cluster; the
+    * authoritative signal is the per-bucket WARN log line).
+    */
+  val droppedHotBucketRows = new java.util.concurrent.atomic.AtomicLong
+
+  /** Logs one warning per over-cap bucket (invoked on the bucket's
+    * row_number()=1 row only) and drops the row by returning false.
+    */
+  private val warnHotBucket =
+    udf { (bucket: String, n: Long) =>
+      droppedHotBucketRows.addAndGet(n)
+      org.slf4j.LoggerFactory.getLogger(BandedHamming.getClass).warn(
+        s"dropping hot bucket [$bucket] with $n rows (> maxBucket cap); " +
+          "degenerate hash value — members can still pair via other bands")
+      false
+    }
+
+  /** Drops rows of buckets whose population exceeds `maxBucket`, warning
+    * once per dropped bucket. One window pass keyed by the bucket tuple —
+    * the exact shuffle key the downstream candidate join uses.
+    */
+  private def capHotBuckets(d: DataFrame, idCol: String,
+      bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    d.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
+      .filter(col("__n") <= maxBucket ||
+        (col("__rn") === 1 &&
+          warnHotBucket(concat_ws(",", bucketCols.map(c => col(c).cast("string")): _*),
+            col("__n"))))
+      .drop("__n", "__rn")
+  }
 
   /** Distinct candidate pairs (id1 < id2) of rows sharing a bucket — the
     * generic LSH candidate join: rows meet iff every `bucketCols` value
     * matches, i.e. the shuffle is keyed by the bucket tuple, never
     * all-pairs. Shared by MinHash (bucket = (band, sig)), SimHash/aHash
     * (via [[pairs]]) and hyperplane cosine LSH (bucket = (band, bits)).
+    * Buckets above `maxBucket` rows are dropped with a warning (see the
+    * hot-bucket guard note above).
     */
-  def bucketedPairs(df: DataFrame, idCol: String,
-      bucketCols: Seq[String]): DataFrame = {
-    val d = df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*)
+  def bucketedPairs(df: DataFrame, idCol: String, bucketCols: Seq[String],
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val d = capHotBuckets(
+      df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*),
+      "__id", bucketCols, maxBucket)
     val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__id") < col("b.__id")
     d.as("a").join(d.as("b"), cond)
@@ -39,13 +97,18 @@ object BandedHamming {
     * across bands. The join is keyed by the bucket tuple, so at corpus
     * scale it shuffles by bucket — never probe × corpus — and when the
     * probe side is small (the usual ANN case) AQE broadcasts it so the
-    * corpus never moves at all. Self-matches are NOT filtered here; the
-    * caller owns identity semantics (probe ids need not be base ids).
+    * corpus never moves at all. The corpus side gets the hot-bucket
+    * guard (a degenerate bucket would otherwise cost |probe|·|bucket|);
+    * self-matches are NOT filtered here — the caller owns identity
+    * semantics (probe ids need not be base ids).
     */
   def probedPairs(probe: DataFrame, base: DataFrame, probeIdCol: String,
-      baseIdCol: String, bucketCols: Seq[String]): DataFrame = {
+      baseIdCol: String, bucketCols: Seq[String],
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val p = probe.select((col(probeIdCol).as("__pid") +: bucketCols.map(col)): _*)
-    val b = base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*)
+    val b = capHotBuckets(
+      base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*),
+      "__bid", bucketCols, maxBucket)
     val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     p.as("a").join(b.as("b"), cond)
       .select(col("a.__pid").as("id1"), col("b.__bid").as("id2"))
@@ -54,16 +117,19 @@ object BandedHamming {
 
   /** Pairs (id1, id2, hamming ≤ maxHamming), id1 < id2, over
     * `df(idCol, hashCol)`. The id column may be any orderable type.
+    * Over-cap (band, value) buckets are dropped with a warning.
     */
   def pairs(df: DataFrame, idCol: String, hashCol: String,
-      bands: Int = 4, maxHamming: Int = 6): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val banded = df
-      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
+    val banded = capHotBuckets(
+      df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask")),
+      "__id", Seq("band", "bandval"), maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
           col("a.__id") < col("b.__id"))

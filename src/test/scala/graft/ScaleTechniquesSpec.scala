@@ -200,6 +200,40 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       s"expected the operator's span error, got: ${messages(err)}")
   }
 
+  test("hot-bucket guard: a degenerate band value cannot go quadratic") {
+    import spark.implicits._
+    import graft.operators.BandedHamming
+    // 200 rows with the SAME hash (the flat-image / all-zero-band
+    // degenerate case: every band bucket holds all 200) + one small
+    // planted near-dup trio that must still surface through its own,
+    // non-degenerate buckets
+    val degenerate = (0L until 200L).map(i => (i, 0L))
+    val trio = Seq((1001L, 0x0123456789abcdefL),
+      (1002L, 0x0123456789abcdeeL),  // hamming 1 from 1001
+      (1003L, 0x0123456789abcdefL ^ 0x6L)) // hamming 2 from 1001
+    val rows = (degenerate ++ trio).toDF("id", "h")
+    val before = BandedHamming.droppedHotBucketRows.get()
+    val got = BandedHamming.pairs(rows, "id", "h", bands = 4, maxHamming = 6,
+      maxBucket = 50).collect()
+    // without the guard the degenerate value alone yields 200*199/2 =
+    // 19900 pairs; with it, only the trio's 3 pairs survive
+    assert(got.length == 3, s"expected 3 trio pairs, got ${got.length}")
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1001L, 1002L), (1001L, 1003L), (1002L, 1003L)))
+    // the guard warned (loudly) about the dropped rows: 200 rows x 4 bands
+    assert(BandedHamming.droppedHotBucketRows.get() - before >= 800,
+      "hot-bucket warn path did not fire")
+    // same guard on the generic bucket join: a 200-row bucket is dropped,
+    // the 2-row bucket pairs normally
+    val banded = ((0L until 200L).map(i => (i, 0L)) ++
+      Seq((1001L, 42L), (1003L, 42L))).toDF("id", "bv")
+      .withColumn("band", lit(0))
+    val capped = BandedHamming.bucketedPairs(banded, "id", Seq("band", "bv"),
+      maxBucket = 50).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1001L, 1003L)), s"got ${capped.toSeq}")
+  }
+
   test("bucketed tables join without a shuffle (co-located scan)") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
