@@ -18,7 +18,15 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be LOUD, not a suspiciously-fast -1 s row:
+      // print the query + exception to stderr (outside the driver's
+      // JSON-tail parse window) and keep the timing row so the JSON line
+      // format is unchanged
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver captures only the LAST ~2000 chars of run output and

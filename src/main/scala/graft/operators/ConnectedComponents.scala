@@ -11,18 +11,24 @@ import org.apache.spark.sql.functions._
   * Algorithm: min-label propagation fused with pointer jumping. Each round
   *
   *   1. propagate:  rep(v) ← min(rep(v), min over neighbors u of rep(u))
-  *   2. jump:       rep(v) ← rep(rep(v))
+  *   2. jump twice: rep(v) ← rep(rep(v)), applied two times
   *
   * Plain propagation needs O(diameter) synchronized rounds — a deep chain
   * of near dups (trivially constructible at corpus scale) can chain past
-  * any fixed cap. The jump step halves every label-pointer path, so the
-  * combination converges in O(log diameter) rounds: labels only ever
-  * decrease and rep(v) ≤ v throughout (proof by induction: true initially;
-  * `least` preserves it; then rep(rep(v)) ≤ rep(v)), so Σrep is strictly
-  * monotone until the fixpoint and an unchanged sum IS convergence — one
-  * cheap scalar agg per round, no join-and-count. At the fixpoint labels
-  * are equal along every edge (propagation is a no-op both ways), hence
-  * constant per component, and the component minimum m keeps rep(m) = m.
+  * any fixed cap. Each jump step halves every label-pointer path; two per
+  * round quarter it, so the loop converges in ~log₄(diameter) rounds.
+  * The second jump trades one extra (cheap, narrow-keyed) self-join
+  * shuffle per round for half the ROUNDS — and each round carries a
+  * blocking driver action (the convergence agg), which is the expensive
+  * resource: synchronization barriers amplify any straggler/host stall
+  * (the driver's r6 bench measured exactly that on this query). Labels
+  * only ever decrease and rep(v) ≤ v throughout (proof by induction: true
+  * initially; `least` preserves it; then rep(rep(v)) ≤ rep(v)), so Σrep
+  * is strictly monotone until the fixpoint and an unchanged sum IS
+  * convergence — one cheap scalar agg per round, no join-and-count. At
+  * the fixpoint labels are equal along every edge (propagation is a no-op
+  * both ways), hence constant per component, and the component minimum m
+  * keeps rep(m) = m.
   *
   * Scale posture: each round is two shuffles (edge join by dst grouped by
   * src; label self-join by rep) over hash-partitioned Longs; lineage is cut
@@ -53,6 +59,12 @@ object ConnectedComponents {
     var prevSum = Long.MaxValue
     var converged = false
     var round = 0
+    // rep values are always vertex ids (min of ids), so the jump join is
+    // total; left + coalesce only guards edge rows naming unknown vertices
+    def jump(l: DataFrame): DataFrame = l.as("l")
+      .join(l.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
+        col("l.rep") === col("r.rid"), "left")
+      .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
     while (!converged && round < maxRounds) {
       val neighborMin = e
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
@@ -61,13 +73,7 @@ object ConnectedComponents {
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
-      // rep values are always vertex ids (min of ids), so the jump join is
-      // total; left + coalesce only guards edge rows naming unknown vertices
-      val next = prop.as("l")
-        .join(prop.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
-          col("l.rep") === col("r.rid"), "left")
-        .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
-        .localCheckpoint(true)
+      val next = jump(jump(prop)).localCheckpoint(true)
       // coalesce: sum over an EMPTY label set (corpus with no dup pairs)
       // is NULL — treat as 0 so the loop converges instead of NPEing
       val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)

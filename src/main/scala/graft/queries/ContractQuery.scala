@@ -36,9 +36,20 @@ object Tables {
       // to TimestampType; read it as a raw nanosecond LONG and truncate to
       // microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP read
       // of the same file does, so both engines see identical µs values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // The conf is session-global, so set/restore it around the one read
+      // that needs it: schema resolution happens eagerly inside
+      // spark.read.parquet, and leaving it set would silently truncate any
+      // FUTURE nanos table that must NOT be read as long.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

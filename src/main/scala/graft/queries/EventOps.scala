@@ -217,13 +217,25 @@ object EventOps {
   /** Ordered-step funnel (signup → view → purchase): each step counts only
     * if it happens strictly AFTER the user's previous step and within a
     * 24-hour conversion window of it (real funnels always carry a step
-    * deadline — and it is what creates drop-off). The sequencing
-    * is three min-aggregations chained by user_id joins — every shuffle is
-    * on the same key, so at scale the exchanges line up (no re-partition
-    * between steps) and each step's input shrinks to the surviving cohort.
-    * No window over the whole user timeline is needed — the per-step
-    * aggregate is partial-aggregatable (map-side combine), which a
-    * row_number() formulation would forfeit.
+    * deadline — and it is what creates drop-off).
+    *
+    * Step semantics are GREEDY FIRST-QUALIFYING-EVENT (the Amplitude-style
+    * convention, not exists-a-chain): step k anchors on the EARLIEST
+    * event satisfying step k−1's window, and step k+1's window is measured
+    * from that anchor only. A user whose purchase falls within 24 h of a
+    * LATER view — but outside the window of the earliest qualifying
+    * view — counts as stage 2, even though some ordered chain exists.
+    * The oracle SQL encodes the identical greedy rule, so this is a
+    * documented convention, not an engine divergence; exists-a-chain
+    * semantics would need a per-user ordered scan (window/UDAF) instead
+    * of the partial-aggregatable min-chain below.
+    *
+    * The sequencing is three min-aggregations chained by user_id joins —
+    * every shuffle is on the same key, so at scale the exchanges line up
+    * (no re-partition between steps) and each step's input shrinks to the
+    * surviving cohort. No window over the whole user timeline is needed —
+    * the per-step aggregate is partial-aggregatable (map-side combine),
+    * which a row_number() formulation would forfeit.
     */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(spark, dir, "events")
@@ -356,17 +368,23 @@ object EventOps {
     * excursion). `|z| > 2` is tested as a CROSS-MULTIPLIED integer
     * predicate: (x·n − Σx)² > 4·(n·Σx² − (Σx)²) — with population σ² =
     * (n·Σx² − (Σx)²)/n², that is exactly z² > 4 — so both engines compare
-    * exact BIGINTs and no float rounding can disagree. One day-bucket
-    * aggregate, one broadcast 1-row stats table.
+    * exact integers and no float rounding can disagree. The squares and
+    * cross-products are carried in DECIMAL(38,0) (DuckDB: HUGEINT), not
+    * BIGINT: at the ingest scale this op is pitched at, Σx² and dev²
+    * blow past Int64 near ~3·10⁹ events/day, while the 38-digit
+    * intermediates stay exact to ~10¹⁶ events/day — past any real
+    * corpus. One day-bucket aggregate, one broadcast 1-row stats table.
     */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
     val daily = Tables.t(spark, dir, "events")
       .groupBy((expr(s"unix_micros(ts) div $DayUs") * DayUs).as("day_us"))
       .agg(count(lit(1)).as("n_events"))
-    val stats = daily.agg(count(lit(1)).as("nd"),
-      sum(col("n_events")).as("s"),
-      sum(col("n_events") * col("n_events")).as("ss"))
-    val dev = col("n_events") * col("nd") - col("s")
+    val x = col("n_events").cast(d38)
+    val stats = daily.agg(count(lit(1)).cast(d38).as("nd"),
+      sum(x).cast(d38).as("s"),
+      sum(x * x).cast(d38).as("ss"))
+    val dev = x * col("nd") - col("s")
     daily.crossJoin(broadcast(stats))
       .select(col("day_us"), col("n_events"),
         when(dev * dev > (col("nd") * col("ss") - col("s") * col("s")) * 4L,
@@ -380,11 +398,13 @@ object EventOps {
        |    count(*) AS n_events
        |  FROM events GROUP BY day_us),
        |stats AS (
-       |  SELECT count(*) AS nd, CAST(sum(n_events) AS BIGINT) AS s,
-       |    CAST(sum(n_events * n_events) AS BIGINT) AS ss
+       |  SELECT CAST(count(*) AS HUGEINT) AS nd,
+       |    CAST(sum(CAST(n_events AS HUGEINT)) AS HUGEINT) AS s,
+       |    CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS ss
        |  FROM daily)
        |SELECT day_us, n_events,
-       |  CAST(CASE WHEN (n_events * nd - s) * (n_events * nd - s)
+       |  CAST(CASE WHEN (CAST(n_events AS HUGEINT) * nd - s)
+       |                 * (CAST(n_events AS HUGEINT) * nd - s)
        |                 > (nd * ss - s * s) * 4
        |            THEN 1 ELSE 0 END AS BIGINT) AS is_spike
        |FROM daily CROSS JOIN stats

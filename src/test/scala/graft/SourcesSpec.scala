@@ -71,4 +71,18 @@ class SourcesSpec extends AnyFunSuite with SparkSessionFixture {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("events nanos conf is scoped to the load, not leaked into the session") {
+    // the events loader needs spark.sql.legacy.parquet.nanosAsLong=true for
+    // its one TIMESTAMP(NANOS) read; leaking it would silently truncate any
+    // future nanos table that must NOT be read as long. After the load the
+    // session must be back to strict Spark-4 behavior: the same nanos file
+    // read directly is refused, not silently long-ified.
+    val events = graft.queries.Tables.t(spark, Sf0001, "events")
+    assert(events.count() > 0)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false")
+    intercept[Exception] {
+      spark.read.parquet(s"$Sf0001/events.parquet").schema
+    }
+  }
 }
