@@ -203,21 +203,35 @@ object Pipeline {
 
   /** Full pipeline to a parquet sink. `chunkRecords` bounds rows per
     * output file (upstream saving_interval); a path ending in `.gzip`
-    * selects gzip compression (upstream CLI convention).
+    * selects gzip compression (upstream CLI convention). While the write
+    * job runs, a [[ProgressListener]] reports task completions through
+    * `progress` (stderr by default; None disables) — the upstream tqdm
+    * analog, per-task granularity tunable via `progressEvery`.
     */
   def extractToParquet(spark: SparkSession, docs: DataFrame, outPath: String,
       features: Seq[String] = Seq("text"), extractor: DocExtractor = StubExtractor,
       chunkRecords: Int = 1000, doResume: Boolean = true,
-      ocrLang: String = "eng", imageOpts: ImageOptions = ImageOptions()): Unit = {
+      ocrLang: String = "eng", imageOpts: ImageOptions = ImageOptions(),
+      progress: Option[String => Unit] = Some(ProgressListener.stderr),
+      progressEvery: Int = 1): Unit = {
     val tasks0 = fanout(docs, extractor)
     val tasks = if (doResume) resume(tasks0, outPath) else tasks0
     val rows = extractFeatures(tasks,
       Features.select(features, ocrLang, imageOpts), extractor)
     val compression = if (outPath.endsWith(".gzip")) "gzip" else "snappy"
-    rows.write.mode("append")
-      .option("maxRecordsPerFile", chunkRecords.toLong)
-      .option("compression", compression)
-      .parquet(outPath)
+    val listener = progress.map(new ProgressListener(outPath, _, progressEvery))
+    listener.foreach(spark.sparkContext.addSparkListener)
+    try
+      rows.write.mode("append")
+        .option("maxRecordsPerFile", chunkRecords.toLong)
+        .option("compression", compression)
+        .parquet(outPath)
+    finally listener.foreach { l =>
+      // the listener bus delivers asynchronously; give in-flight task-end
+      // events a bounded drain before detaching so the final line prints
+      org.apache.spark.sql.graft.ListenerBusHook.drain(spark.sparkContext, 2000)
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   /** Small mode: materialize locally instead of writing (upstream

@@ -134,6 +134,26 @@ class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
     assert(back.count() == 7)
   }
 
+  test("progress listener reports task completions for a chunked run") {
+    val root = buildCorpus()
+    val outDir = Files.createTempDirectory("graft-prog").resolve("out.parquet").toString
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Pipeline.extractToParquet(spark, Pipeline.corpus(spark, root.toString),
+      outDir, chunkRecords = 2, doResume = false,
+      progress = Some(lines.add(_: String)))
+    assert(spark.read.parquet(outDir).count() == 7)
+    val got = lines.toArray(Array.empty[String])
+    // the tqdm analog: at least one line per finished task of the write
+    // job, each carrying the sink label and a done/total counter
+    assert(got.nonEmpty, "progress listener emitted no lines")
+    assert(got.forall(l => l.startsWith("[progress] ") && l.contains(outDir)))
+    val counter = """(\d+)/(\d+) tasks$""".r.unanchored
+    assert(got.forall(counter.matches(_)), s"malformed lines: ${got.take(3).toSeq}")
+    // the final line reports a completed bar: done == total > 0
+    val (d, t) = got.last match { case counter(a, b) => (a.toLong, b.toLong) }
+    assert(d == t && t > 0, s"final progress $d/$t")
+  }
+
   test("CLI parse: flags map to config; malformed input gets usable errors") {
     val cfg = Main.parse(Seq("/in", "/out.parquet.gzip",
       "--features", "text,image", "--ocr", "--lang", "deu",
