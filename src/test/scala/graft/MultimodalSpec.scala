@@ -66,6 +66,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       s"got $pairs")
   }
 
+  test("image dedup: a pile of flat images cannot go quadratic (hot-bucket cap)") {
+    import spark.implicits._
+    // flat fills all aHash to 0 (strict '>' vs mean) — the degenerate
+    // value every band bucket shares; without the guard, n flat images
+    // produce n(n-1)/2 phantom "duplicate" pairs
+    def flat(v: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(x => (0 until 32).foreach(y =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val flats = (0 until 40).map(i => (s"flat_$i", flat(64 + i)))
+    val real = Seq(
+      ("a", gradient(64, 64, horizontal = true)),
+      ("a_jpeg", gradient(64, 64, horizontal = true, format = "jpg")))
+    val imgs = (flats ++ real).toDF("path", "content")
+    val pairs = Multimodal.imageDedup(imgs, maxHamming = 6, maxBucket = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the 40-image degenerate bucket is dropped (no flat-flat phantom
+    // pairs); the genuine near-dup pair still surfaces via its own buckets
+    assert(pairs == Set(("a", "a_jpeg")), s"got ${pairs.size} pairs: ${pairs.take(5)}")
+  }
+
   test("image aHash is luma-structured: transpose flips ~half the bits") {
     import spark.implicits._
     val df = Seq(
