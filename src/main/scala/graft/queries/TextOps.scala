@@ -807,8 +807,110 @@ object TextOps {
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------- dedup w/ representative choice
+
+  /** Exact dedup with a representative-selection POLICY: per content
+    * digest keep the longest copy, ties to the smallest doc_id — what a
+    * real pipeline keeps (the longest copy usually carries the least
+    * truncation). The composite order is encoded as one injective BIGINT
+    * (n_chars·10⁹ − doc_id, exact while doc_id < 10⁹ — far past the
+    * fixtures; at larger id spaces widen the multiplier), so a single
+    * max_by/arg_max carries the policy through the partial aggregation —
+    * no window over the cluster, and the map-side combine keeps one
+    * candidate row per (task, digest) before the only shuffle.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val score = col("n_chars") * lit(1000000000L) - col("doc_id")
+    Tables.t(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(max_by(col("doc_id"), score).as("keeper"),
+        max(col("n_chars")).as("keeper_chars"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+  }
+
+  val dedupKeepBestSql: String =
+    """SELECT sha256(text) AS digest,
+      |  arg_max(doc_id, n_chars * 1000000000 - doc_id) AS keeper,
+      |  max(n_chars) AS keeper_chars,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin
+
+  // ----------------------------------------------- intra-doc repetition
+
+  /** Per-doc duplicate-shingle fraction — the Gopher-family repetition
+    * signal (a doc whose 3-gram stream is mostly repeats is boilerplate/
+    * spam): dup_frac = (total − distinct)/total 3-shingles, as an exact
+    * HALF-UP 6dp ratio ([[Det.div6]] — never a float boundary). Total
+    * count is pure per-row arithmetic (n_tokens − 2); only the DISTINCT
+    * count aggregates, riding [[shingleRows]]'s one shuffle by doc_id.
+    * Docs under 3 tokens have no shingle stream → NULL fraction.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val nSh = greatest(size(split(col("text"), " ")) - 2, lit(0)).cast(LongType)
+    val uniq = shingleRows(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    docs.select(col("doc_id"), nSh.as("n_sh"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_uniq"), lit(0L)).as("n_uniq"),
+        when(col("n_sh") > 0,
+          div6(col("n_sh") - coalesce(col("n_uniq"), lit(0L)), col("n_sh")))
+          .otherwise(lit(null).cast(DoubleType)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionRatioSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |n AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_sh
+       |  FROM documents)
+       |SELECT n.doc_id, n.n_sh, CAST(len(sh.shingles) AS BIGINT) AS n_uniq,
+       |  CASE WHEN n.n_sh > 0
+       |       THEN ${Sql.div6("n.n_sh - len(sh.shingles)", "n.n_sh")}
+       |  END AS dup_frac
+       |FROM n JOIN sh ON n.doc_id = sh.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
+  // -------------------------------------------------- domain composition
+
+  /** Corpus composition by source domain — the mixing report a training
+    * run is weighted from: per source, docs, exact token total, and the
+    * corpus token share as an exact HALF-UP 6dp fraction. The share
+    * divides by a broadcast 1-row total (the bm25-stats shape) — NOT a
+    * partitionless window, which would funnel the whole corpus through
+    * one task at scale.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("tot"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        div6(col("n_tokens"), col("tot")).as("share"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixSql: String =
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |total AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per_source)
+       |SELECT source, n_docs, n_tokens,
+       |  ${Sql.div6("n_tokens", "tot")} AS share
+       |FROM per_source CROSS JOIN total
+       |ORDER BY source""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    ContractQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
+    ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
     ContractQuery("q_tfidf", tfidf, Some(tfidfSql)),
     ContractQuery("q_text_stats", textStats, Some(textStatsSql)),

@@ -381,6 +381,44 @@ object VectorOps {
       queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
   }
 
+  // -------------------------------------------------- kNN label voting
+
+  /** k-NN majority-vote labeling — the application layer over similarity
+    * search (weak labeling / label propagation in a training-data
+    * pipeline): each query vector takes the modal label of its top-5
+    * cosine neighbors, ties to the smallest label. The vote is one
+    * count-aggregate over the (tiny) top-k set followed by an injective
+    * max_by (votes·1000 − label, exact while labels < 1000 — the fixture
+    * has 10), so the policy survives partial aggregation with no window.
+    * Exact top-k (the [[knnBruteforce]] shape) keeps it SQL-oracled; at
+    * corpus scale the same vote composes over [[knnLsh]]/[[knnIvf]]
+    * candidates instead.
+    */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("nb_label"))
+    val votes = knnBruteforce(spark, dir)
+      .join(labels, "vec_id")
+      .groupBy(col("q_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("q_id"))
+      .agg(max_by(col("nb_label"), col("votes") * 1000L - col("nb_label"))
+        .as("pred_label"),
+        max(col("votes")).as("top_votes"))
+      .orderBy(col("q_id"))
+  }
+
+  val knnLabelSql: String =
+    s"""WITH top5 AS ($knnBruteforceSql),
+       |votes AS (
+       |  SELECT t.q_id, CAST(e.label AS BIGINT) AS nb_label, count(*) AS votes
+       |  FROM top5 t JOIN embeddings e ON t.vec_id = e.vec_id
+       |  GROUP BY t.q_id, e.label)
+       |SELECT q_id,
+       |  arg_max(nb_label, votes * 1000 - nb_label) AS pred_label,
+       |  max(votes) AS top_votes
+       |FROM votes GROUP BY q_id ORDER BY q_id""".stripMargin
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 embedding quantization — the storage-compression pass
@@ -455,6 +493,7 @@ object VectorOps {
 
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
+    ContractQuery("q_knn_label", knnLabel, Some(knnLabelSql)),
     ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),
     ContractQuery("q_vec_centroid", vecCentroid, Some(vecCentroidSql)),
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
