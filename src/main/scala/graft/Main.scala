@@ -17,6 +17,8 @@ import graft.extract.{Features, ImageOptions, Pipeline, StubExtractor}
   *   [--num-cpus N]                local parallelism (default: all cores)
   *   [--no-resume]                 ignore existing output, redo everything
   *   [--glob PAT]                  corpus file glob (default *.doc)
+  *   [--progress-every N]          report every N-th task (default 1)
+  *   [--no-progress]               disable the task-progress reporter
   * }}}
   *
   * An output path ending in `.gzip` selects gzip parquet compression
@@ -37,13 +39,16 @@ object Main {
       savingInterval: Int = 1000,
       numCpus: Option[Int] = None,
       resume: Boolean = true,
-      glob: String = "*.doc")
+      glob: String = "*.doc",
+      progress: Boolean = true,
+      progressEvery: Int = 1)
 
   val usage: String =
     """usage: graft.Main <inputDir> <out.parquet[.gzip]>
       |  [--features text,image,ocr|all] [--ocr] [--lang LANG]
       |  [--image-size WxH] [--image-format FMT]
-      |  [--saving-interval N] [--num-cpus N] [--no-resume] [--glob PAT]""".stripMargin
+      |  [--saving-interval N] [--num-cpus N] [--no-resume] [--glob PAT]
+      |  [--progress-every N] [--no-progress]""".stripMargin
 
   /** Pure argument parser — throws IllegalArgumentException with a usable
     * message on malformed input (tested directly in ExtractionSpec).
@@ -75,6 +80,9 @@ object Main {
         case "--num-cpus" => cfg = cfg.copy(numCpus = Some(intVal("--num-cpus", take("--num-cpus"))))
         case "--no-resume" => cfg = cfg.copy(resume = false)
         case "--glob" => cfg = cfg.copy(glob = take("--glob"))
+        case "--progress-every" =>
+          cfg = cfg.copy(progressEvery = intVal("--progress-every", take("--progress-every")))
+        case "--no-progress" => cfg = cfg.copy(progress = false)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $f")
         case p => pos += p
@@ -101,7 +109,10 @@ object Main {
       features = featureNames(cfg), extractor = StubExtractor,
       chunkRecords = cfg.savingInterval, doResume = cfg.resume,
       ocrLang = cfg.lang,
-      imageOpts = ImageOptions.parse(cfg.imageSize, cfg.imageFormat))
+      imageOpts = ImageOptions.parse(cfg.imageSize, cfg.imageFormat),
+      progress = if (cfg.progress)
+        Some(graft.extract.ProgressListener.stderr) else None,
+      progressEvery = cfg.progressEvery)
 
   def main(args: Array[String]): Unit = {
     val cfg =

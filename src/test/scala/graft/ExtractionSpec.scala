@@ -159,11 +159,12 @@ class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
       "--features", "text,image", "--ocr", "--lang", "deu",
       "--image-size", "64x48", "--image-format", "png",
       "--saving-interval", "250", "--num-cpus", "4", "--no-resume",
-      "--glob", "*.pdf"))
+      "--glob", "*.pdf", "--progress-every", "100", "--no-progress"))
     assert(cfg == Main.Config("/in", "/out.parquet.gzip",
       Seq("text", "image"), ocr = true, lang = "deu",
       imageSize = Some("64x48"), imageFormat = Some("png"),
-      savingInterval = 250, numCpus = Some(4), resume = false, glob = "*.pdf"))
+      savingInterval = 250, numCpus = Some(4), resume = false, glob = "*.pdf",
+      progress = false, progressEvery = 100))
     assert(Main.featureNames(cfg) == Seq("text", "image", "ocr"))
     assert(Main.featureNames(Main.parse(Seq("/i", "/o", "--features", "all")))
       == Seq("text", "image"))
