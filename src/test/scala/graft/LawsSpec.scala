@@ -213,6 +213,49 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(graft.operators.ConnectedComponents.run(none, noEdges).count() == 0)
   }
 
+  test("r7 ops: keep-best dominance, bounded ratios, vote consistency") {
+    // keep-best: the keeper really is the longest copy of its content
+    // (ties to min doc_id) — check against an independent per-digest max
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(sha2(col("text"), 256).as("digest"), col("doc_id"), col("n_chars"))
+    val best = docs.groupBy("digest")
+      .agg(max(col("n_chars")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.dedupKeepBest(spark, Sf0001).collect()
+    kept.foreach { r =>
+      assert(r.getLong(2) == best(r.getString(0)),
+        s"keeper_chars ${r.getLong(2)} != group max for ${r.getString(0)}")
+    }
+    assert(kept.map(_.getLong(3)).sum == 500, "copies must partition the corpus")
+    // repetition ratio: distinct <= total, fraction in [0,1] (or null on
+    // sub-shingle docs)
+    TextOps.repetitionRatio(spark, Sf0001).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // domain mix: doc counts partition the corpus; shares sum to ~1
+    val mix = TextOps.domainMix(spark, Sf0001).collect()
+    assert(mix.map(_.getLong(1)).sum == 500)
+    val shareSum = mix.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // knn label: the vote really is the neighbor-label mode (tie -> min)
+    val nbLabels = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = graft.queries.VectorOps.knnBruteforce(spark, Sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        val counts = rows.map(r => nbLabels(r.getLong(1)).toLong)
+          .groupBy(identity).map { case (l, v) => l -> v.length }
+        val bestVotes = counts.values.max
+        q -> (counts.filter(_._2 == bestVotes).keys.min, bestVotes.toLong)
+      }
+    graft.queries.VectorOps.knnLabel(spark, Sf0001).collect().foreach { r =>
+      assert(topk(r.getLong(0)) == (r.getLong(1), r.getLong(2)),
+        s"q ${r.getLong(0)}: engine vote (${r.getLong(1)}, ${r.getLong(2)}) " +
+          s"vs recomputed ${topk(r.getLong(0))}")
+    }
+  }
+
   test("SQL-surface views re-register when the sf dir changes in one session") {
     // regression: the view cache must key on the CURRENT dir, not on
     // (session, dir) ever-seen — otherwise switching back silently
