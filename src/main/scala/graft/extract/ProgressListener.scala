@@ -1,19 +1,23 @@
 package graft.extract
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Task-level progress reporting — the Spark analog of upstream's tqdm
   * bar (pdf2dataset prints per-task progress while the Ray pool drains;
   * with the Spark UI off by harness mandate, this listener is the only
   * runtime progress signal).
   *
-  * Counts every task the session finishes while attached and emits
-  * `[progress] label: done/total tasks` through `sink` (stderr by
-  * default) every `every`-th completion AND on the task that reaches the
-  * current total, so short runs always print a final line. `total` grows
-  * as jobs are submitted — like tqdm with a growing totals bar; on a
-  * shared session concurrent jobs' tasks are counted too (attach around
-  * a dedicated job, as [[Pipeline.extractToParquet]] does).
+  * Emits `[progress] label: done/total tasks` through `sink` (stderr by
+  * default) every `every`-th SUCCESSFUL task completion, plus a
+  * `job done` line on each job end. `total` is the sum of submitted
+  * jobs' planned task counts — an upper-bound estimate, like tqdm with
+  * a growing totals bar: stages skipped via shuffle reuse keep their
+  * planned tasks in the denominator, so `done` can finish below
+  * `total`; the job-end line is the authoritative completion signal.
+  * Failed/killed/speculative-duplicate attempts are not counted (only
+  * `Success` task ends), so `done` never overshoots real work. On a
+  * shared session concurrent jobs' tasks are counted too — attach
+  * around a dedicated job, as [[Pipeline.extractToParquet]] does.
   *
   * At corpus scale pass `every` ≈ total/1000: a 100 TB run is millions
   * of tasks and a line per task is log spam, not progress.
@@ -28,12 +32,14 @@ final class ProgressListener(label: String,
   override def onJobStart(js: SparkListenerJobStart): Unit =
     total.addAndGet(js.stageInfos.map(_.numTasks.toLong).sum)
 
-  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-    val d = done.incrementAndGet()
-    val t = total.get()
-    if (d % every == 0 || d == t)
-      sink(s"[progress] $label: $d/$t tasks")
-  }
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+    if (te.reason == org.apache.spark.Success) {
+      val d = done.incrementAndGet()
+      if (d % every == 0) sink(s"[progress] $label: $d/${total.get()} tasks")
+    }
+
+  override def onJobEnd(je: SparkListenerJobEnd): Unit =
+    sink(s"[progress] $label: job done (${done.get()}/${total.get()} tasks)")
 }
 
 object ProgressListener {

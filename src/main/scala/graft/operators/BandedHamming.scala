@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * population (the all-zero band of short docs, the aHash of flat/
   * low-contrast images) makes in-bucket pairs quadratic. Every candidate
   * join here therefore drops buckets whose population exceeds
-  * `maxBucket`, with one loud warning per dropped bucket: such a bucket
+  * `maxBucket`, with a loud warning per dropped bucket: such a bucket
   * carries no discriminative signal (its members still meet through any
   * other, non-degenerate band), and at cap B the per-bucket pair cost is
   * bounded by B². The count rides the same shuffle the join needs (a
@@ -38,27 +38,21 @@ object BandedHamming {
     */
   val DefaultMaxBucket: Int = 100000
 
-  /** Rows dropped by the hot-bucket guard — telemetry for tests and
-    * local-mode runs (per-executor counts in a real cluster; the
-    * authoritative signal is the per-bucket WARN log line).
+  /** Rows dropped by the hot-bucket guard — diagnostic telemetry for
+    * tests and local-mode runs. At-least-once: the candidate self-join
+    * evaluates the guarded subtree from both branches (and retries
+    * re-run filters), so counts can double; per-executor in a real
+    * cluster. The authoritative signal is the per-bucket WARN log line.
     */
-  val droppedHotBucketRows = new java.util.concurrent.atomic.AtomicLong
-
-  /** Logs one warning per over-cap bucket (invoked on the bucket's
-    * row_number()=1 row only) and drops the row by returning false.
-    */
-  private val warnHotBucket =
-    udf { (bucket: String, n: Long) =>
-      droppedHotBucketRows.addAndGet(n)
-      org.slf4j.LoggerFactory.getLogger(BandedHamming.getClass).warn(
-        s"dropping hot bucket [$bucket] with $n rows (> maxBucket cap); " +
-          "degenerate hash value — members can still pair via other bands")
-      false
-    }
+  def droppedHotBucketRows: java.util.concurrent.atomic.AtomicLong =
+    org.apache.spark.sql.graft.WarnHotBucket.droppedRows
 
   /** Drops rows of buckets whose population exceeds `maxBucket`, warning
-    * once per dropped bucket. One window pass keyed by the bucket tuple —
-    * the exact shuffle key the downstream candidate join uses.
+    * at least once per dropped bucket (via the codegen'd WarnHotBucket
+    * expression on the bucket's row_number()=1 marker row — no
+    * interpreted UDF enters the plan). One window pass keyed by the
+    * bucket tuple — the exact shuffle key the downstream candidate join
+    * uses.
     */
   private def capHotBuckets(d: DataFrame, idCol: String,
       bucketCols: Seq[String], maxBucket: Int): DataFrame = {
@@ -67,7 +61,8 @@ object BandedHamming {
       .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
       .filter(col("__n") <= maxBucket ||
         (col("__rn") === 1 &&
-          warnHotBucket(concat_ws(",", bucketCols.map(c => col(c).cast("string")): _*),
+          org.apache.spark.sql.graft.WarnHotBucket.column(
+            concat_ws(",", bucketCols.map(c => col(c).cast("string")): _*),
             col("__n"))))
       .drop("__n", "__rn")
   }

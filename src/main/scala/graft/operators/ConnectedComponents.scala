@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   * every round with an eager localCheckpoint so round N+1 replans from
   * materialized blocks, not a 2^N-deep plan. At 100 TB the identical loop
   * runs with `checkpoint()` to durable storage. Non-convergence within
-  * `maxRounds` throws — never silently emits partial labels (a component
-  * needs diameter > 2^maxRounds to hit the default cap).
+  * `maxRounds` throws — never silently emits partial labels (with two
+  * jumps per round a component needs diameter ≳ 4^maxRounds to hit the
+  * default cap).
   */
 object ConnectedComponents {
 
@@ -85,7 +86,7 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"ConnectedComponents did not converge in $maxRounds rounds " +
-          "(component diameter > 2^maxRounds?) — refusing to emit partial labels")
+          "(component diameter ~ 4^maxRounds?) — refusing to emit partial labels")
     (labels, round)
   }
 }

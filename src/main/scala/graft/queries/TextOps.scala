@@ -135,7 +135,11 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClusterSql: String =
+  /** Shared recursive-closure CTE prefix: defines `reach(a, b)` = doc b
+    * reachable from doc a through J ≥ 0.5 near-dup edges. Used by the
+    * cluster-labeling oracle and the keep-best representative oracle.
+    */
+  private val clusterCteSql: String =
     s"""WITH RECURSIVE sh AS ($shingledSql),
        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -152,7 +156,10 @@ object TextOps {
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src)
+       |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src)""".stripMargin
+
+  val dedupClusterSql: String =
+    s"""$clusterCteSql
        |SELECT a AS doc_id, min(b) AS rep, (min(b) <> a) AS is_dup
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
@@ -809,32 +816,41 @@ object TextOps {
 
   // --------------------------------------- dedup w/ representative choice
 
-  /** Exact dedup with a representative-selection POLICY: per content
-    * digest keep the longest copy, ties to the smallest doc_id — what a
-    * real pipeline keeps (the longest copy usually carries the least
-    * truncation). The composite order is encoded as one injective BIGINT
-    * (n_chars·10⁹ − doc_id, exact while doc_id < 10⁹ — far past the
-    * fixtures; at larger id spaces widen the multiplier), so a single
-    * max_by/arg_max carries the policy through the partial aggregation —
-    * no window over the cluster, and the map-side combine keeps one
-    * candidate row per (task, digest) before the only shuffle.
+  /** Representative selection over NEAR-dup clusters — the step after
+    * [[dedupCluster]] in a real pipeline: the cluster label is the min
+    * doc_id (a stable key), but the copy a pipeline KEEPS is the longest
+    * member (least truncation), ties to the smallest doc_id. Grouping by
+    * exact-content digest would make the policy vacuous (identical text ⇒
+    * identical length); near-dup clusters are where member lengths
+    * genuinely differ. The composite order is encoded as one injective
+    * BIGINT (n_chars·10⁹ − doc_id, exact while doc_id < 10⁹ — far past
+    * the fixtures; widen the multiplier for larger id spaces), so a
+    * single max_by/arg_max carries the policy through partial
+    * aggregation — no window over the cluster, and the map-side combine
+    * keeps one candidate row per (task, cluster) before the only
+    * post-clustering shuffle.
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val score = col("n_chars") * lit(1000000000L) - col("doc_id")
-    Tables.t(spark, dir, "documents")
-      .groupBy(sha2(col("text"), 256).as("digest"))
+    dedupCluster(spark, dir)
+      .join(Tables.t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("rep"))
       .agg(max_by(col("doc_id"), score).as("keeper"),
         max(col("n_chars")).as("keeper_chars"),
-        count(lit(1)).as("n_copies"))
-      .orderBy(col("keeper"))
+        count(lit(1)).as("n_members"))
+      .orderBy(col("rep"))
   }
 
   val dedupKeepBestSql: String =
-    """SELECT sha256(text) AS digest,
-      |  arg_max(doc_id, n_chars * 1000000000 - doc_id) AS keeper,
-      |  max(n_chars) AS keeper_chars,
-      |  count(*) AS n_copies
-      |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin
+    s"""$clusterCteSql,
+       |clusters AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a)
+       |SELECT rep,
+       |  arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS keeper,
+       |  max(d.n_chars) AS keeper_chars,
+       |  count(*) AS n_members
+       |FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY rep ORDER BY rep""".stripMargin
 
   // ----------------------------------------------- intra-doc repetition
 

@@ -249,20 +249,9 @@ object VectorOps {
     * physical plan carries no interpreted UDF nodes.
     */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val H = 16
-    val rnd = new scala.util.Random(7)
-    val planes = Array.fill(H, 64)(rnd.nextGaussian().toFloat)
     val base = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val bits = (0 until H).map { i =>
-      when(dot(col("embedding"), typedlit(planes(i).toSeq)) >= 0.0, lit(1L))
-        .otherwise(lit(0L)).as(s"bit$i")
-    }
-    val banded = base.select((col("vec_id") +: bits): _*)
-      .select(col("vec_id"), explode(array((0 until 8).map(j =>
-        struct(lit(j).as("band"),
-          (col(s"bit${2 * j}") * 2L + col(s"bit${2 * j + 1}")).as("bv"))): _*)).as("b"))
-      .select(col("vec_id"), col("b.band"), col("b.bv"))
+    val banded = bandedSignatures(base, numPlanes = 16, bands = 8, seed = 7L)
     val probes = banded.filter(col("vec_id") < 5)
     val cands = graft.operators.BandedHamming
       .probedPairs(probes, banded, "vec_id", "vec_id", Seq("band", "bv"))
@@ -315,8 +304,15 @@ object VectorOps {
     * ([[graft.operators.BandedHamming.bucketedPairs]] keyed by
     * (band, value) — never all-pairs).
     */
-  def cosineLshCandidates(base: DataFrame, numPlanes: Int, bands: Int,
-      seed: Long = 42L): DataFrame = {
+  /** (vec_id, band, bv) hyperplane-signature rows over `base(vec_id,
+    * embedding, ...)` — the ONE construction of the banded LSH signature
+    * (seeded Gaussian planes → sign bits via codegen'd DotProduct →
+    * `numPlanes / bands`-bit band values), shared by the symmetric
+    * near-dup candidates and the asymmetric ANN probe so the encoding
+    * cannot drift between them.
+    */
+  private def bandedSignatures(base: DataFrame, numPlanes: Int, bands: Int,
+      seed: Long): DataFrame = {
     require(numPlanes % bands == 0, s"bands ($bands) must divide planes ($numPlanes)")
     val k = numPlanes / bands
     val rnd = new scala.util.Random(seed)
@@ -325,17 +321,21 @@ object VectorOps {
       when(dot(col("embedding"), typedlit(planes(i).toSeq)) >= 0.0, lit(1L))
         .otherwise(lit(0L)).as(s"bit$i")
     }
-    val sig = base.select((col("vec_id") +: bits): _*)
-    val banded = sig.select(col("vec_id"),
-      explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          (0 until k).map(i => col(s"bit${j * k + i}"))
-            .reduce((acc, b) => acc * 2L + b).as("bv"))): _*)).as("b"))
+    base.select((col("vec_id") +: bits): _*)
+      .select(col("vec_id"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            (0 until k).map(i => col(s"bit${j * k + i}"))
+              .reduce((acc, b) => acc * 2L + b).as("bv"))): _*)).as("b"))
       .select(col("vec_id"), col("b.band"), col("b.bv"))
-    graft.operators.BandedHamming
-      .bucketedPairs(banded, "vec_id", Seq("band", "bv"))
-      .select(col("id1").as("v1"), col("id2").as("v2"))
   }
+
+  def cosineLshCandidates(base: DataFrame, numPlanes: Int, bands: Int,
+      seed: Long = 42L): DataFrame =
+    graft.operators.BandedHamming
+      .bucketedPairs(bandedSignatures(base, numPlanes, bands, seed),
+        "vec_id", Seq("band", "bv"))
+      .select(col("id1").as("v1"), col("id2").as("v2"))
 
   /** [[neardupCosineLsh]] generalized over the band-sizing knobs: LSH
     * candidates at `numPlanes`/`bands`, then the exact cosine verifies

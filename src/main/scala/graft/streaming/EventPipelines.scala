@@ -29,13 +29,25 @@ object EventPipelines {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming scan of an events parquet directory. */
+  /** Streaming scan of an events parquet directory. The nanosAsLong conf
+    * is set/restored around the source construction — same leak
+    * discipline as the batch loader (graft.queries.Tables): the explicit
+    * LongType schema carries the nanos→long mapping through microbatch
+    * execution, so the session conf need not stay mutated.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Tumbling 1h window counts/sums with a 10-minute watermark. */

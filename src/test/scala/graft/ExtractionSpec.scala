@@ -143,13 +143,16 @@ class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
       progress = Some(lines.add(_: String)))
     assert(spark.read.parquet(outDir).count() == 7)
     val got = lines.toArray(Array.empty[String])
-    // the tqdm analog: at least one line per finished task of the write
-    // job, each carrying the sink label and a done/total counter
+    // the tqdm analog: per-task counter lines plus an authoritative
+    // job-done line, each carrying the sink label
     assert(got.nonEmpty, "progress listener emitted no lines")
     assert(got.forall(l => l.startsWith("[progress] ") && l.contains(outDir)))
-    val counter = """(\d+)/(\d+) tasks$""".r.unanchored
+    val counter = """(\d+)/(\d+) tasks""".r.unanchored
     assert(got.forall(counter.matches(_)), s"malformed lines: ${got.take(3).toSeq}")
-    // the final line reports a completed bar: done == total > 0
+    assert(got.exists(!_.contains("job done")), "no per-task counter lines")
+    // the completion signal is the job-end line; this 1-job run has no
+    // skipped stages, so its counter is also complete (done == total > 0)
+    assert(got.last.contains("job done"), s"last line: ${got.last}")
     val (d, t) = got.last match { case counter(a, b) => (a.toLong, b.toLong) }
     assert(d == t && t > 0, s"final progress $d/$t")
   }

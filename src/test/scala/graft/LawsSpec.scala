@@ -214,19 +214,31 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("r7 ops: keep-best dominance, bounded ratios, vote consistency") {
-    // keep-best: the keeper really is the longest copy of its content
-    // (ties to min doc_id) — check against an independent per-digest max
-    val docs = Tables.t(spark, Sf0001, "documents")
-      .select(sha2(col("text"), 256).as("digest"), col("doc_id"), col("n_chars"))
-    val best = docs.groupBy("digest")
-      .agg(max(col("n_chars")).as("mx"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep-best: the keeper really is the longest member of its near-dup
+    // cluster (ties to min doc_id) — recompute the policy per cluster
+    // from the cluster labels + lengths independently of the aggregate
+    val lens = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = TextOps.dedupCluster(spark, Sf0001).collect()
+      .groupBy(_.getLong(1)).map { case (rep, rows) => rep -> rows.map(_.getLong(0)) }
     val kept = TextOps.dedupKeepBest(spark, Sf0001).collect()
+    assert(kept.map(_.getLong(0)).toSet == members.keySet)
     kept.foreach { r =>
-      assert(r.getLong(2) == best(r.getString(0)),
-        s"keeper_chars ${r.getLong(2)} != group max for ${r.getString(0)}")
+      val (rep, keeper, chars, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ms = members(rep)
+      assert(ms.length == n && ms.contains(keeper))
+      val mx = ms.map(lens).max
+      assert(chars == mx, s"cluster $rep: keeper_chars $chars != member max $mx")
+      assert(keeper == ms.filter(lens(_) == mx).min,
+        s"cluster $rep: keeper $keeper is not the min-id longest member")
     }
-    assert(kept.map(_.getLong(3)).sum == 500, "copies must partition the corpus")
+    assert(kept.map(_.getLong(3)).sum == 500, "members must partition the corpus")
+    // the policy is non-vacuous on the fixture: some cluster keeps a
+    // member that is NOT its min-id label (longer copy wins)
+    assert(kept.exists(r => r.getLong(1) != r.getLong(0)),
+      "fixture has no cluster where the longest member differs from the label — policy untested")
     // repetition ratio: distinct <= total, fraction in [0,1] (or null on
     // sub-shingle docs)
     TextOps.repetitionRatio(spark, Sf0001).collect().foreach { r =>

@@ -58,9 +58,13 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     // the r6 verdict's pin: the mllib approxSimilarityJoin this replaced
     // ran interpreted ScalaUDF hash/distance nodes with an unstable plan
     // (5-60 s swings at sf0.1); the in-house path must stay pure codegen'd
-    // Catalyst — no interpreted UDF anywhere in the physical plan
+    // Catalyst. ScalaUDF renders as "UDF(...)" in plan strings (checking
+    // the class name alone would be vacuous), so assert on both spellings
+    // — the hot-bucket guard's warn is a native expression precisely so
+    // this holds.
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+    assert(!plan.contains("ScalaUDF") && !plan.contains("UDF(") &&
+      !plan.contains("BatchEvalPython"),
       s"knnLsh plan must not carry interpreted UDF nodes:\n$plan")
   }
 
