@@ -116,24 +116,37 @@ object TextOps {
     * Oracle: DuckDB recursive-CTE transitive closure, min over the
     * reachable set.
     */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = neardupJaccard(spark, dir).select(col("d1"), col("d2"))
-      .localCheckpoint(true)
-    // iterate ONLY over the near-dup subgraph — docs in no pair keep
-    // rep = self and never enter the rounds. At 100 TB the label table
-    // shrinks from |corpus| to |docs with a near-dup|, typically orders
-    // of magnitude smaller, and so does every per-round shuffle.
-    val graphNodes = pairs
-      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
-    val labels = graft.operators.ConnectedComponents
-      .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
+  /** Memoized (id, rep) cluster labels per (session, dir). The CC loop
+    * materializes eagerly (localCheckpoint + per-round actions) at
+    * DataFrame-build time, so without memoization every query composing
+    * over clusters ([[dedupCluster]], [[dedupKeepBest]]) would re-run the
+    * whole pair-detection + iteration pipeline; labels are deterministic,
+    * so sharing the checkpointed result is sound.
+    */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent((spark, dir), _ => {
+      val pairs = neardupJaccard(spark, dir).select(col("d1"), col("d2"))
+        .localCheckpoint(true)
+      // iterate ONLY over the near-dup subgraph — docs in no pair keep
+      // rep = self and never enter the rounds. At 100 TB the label table
+      // shrinks from |corpus| to |docs with a near-dup|, typically orders
+      // of magnitude smaller, and so does every per-round shuffle.
+      val graphNodes = pairs
+        .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+      graft.operators.ConnectedComponents
+        .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    })
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
+      .join(clusterLabels(spark, dir), col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("rep"), col("doc_id")).as("rep"),
         (coalesce(col("rep"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
       .orderBy(col("doc_id"))
-  }
 
   /** Shared recursive-closure CTE prefix: defines `reach(a, b)` = doc b
     * reachable from doc a through J ≥ 0.5 near-dup edges. Used by the
