@@ -723,39 +723,52 @@ object TextOps {
     * boundary can disagree between engines. With single-space text,
     * Σ(token length) = n_chars − (n_words − 1) exactly.
     */
+  /** The four Gopher rules as boolean Columns over (text, n_chars) rows —
+    * hoisted so [[qualityGopher]] (per-rule verdicts) and [[curate]] (the
+    * composed pipeline gate) apply the IDENTICAL predicates.
+    */
+  private object Gopher {
+    private val tk = split(col("text"), " ")
+    val nW: Column = size(tk).cast(LongType)
+    private val sumLen = col("n_chars") - (nW - lit(1L))
+    private val nShort = size(filter(tk, t => length(t) <= 2)).cast(LongType)
+    private val nDist = size(array_distinct(tk)).cast(LongType)
+    val r1: Column = nW.between(30L, 10000L)
+    val r2: Column = sumLen >= nW * 4L && sumLen <= nW * 10L
+    val r3: Column = nShort * 20L <= nW
+    val r4: Column = nDist * 2L >= nW
+    val all: Column = r1 && r2 && r3 && r4
+
+    private val nWS = "len(string_split(text, ' '))"
+    private val sumLenS = s"(n_chars - ($nWS - 1))"
+    private val nShortS = "len(list_filter(string_split(text, ' '), t -> length(t) <= 2))"
+    private val nDistS = "len(list_distinct(string_split(text, ' ')))"
+    val nWSql: String = nWS
+    val r1Sql = s"($nWS BETWEEN 30 AND 10000)"
+    val r2Sql = s"($sumLenS >= $nWS * 4 AND $sumLenS <= $nWS * 10)"
+    val r3Sql = s"($nShortS * 20 <= $nWS)"
+    val r4Sql = s"($nDistS * 2 >= $nWS)"
+    // parenthesized: callers negate it (`NOT allSql` must not re-bind as
+    // `(NOT r1) AND r2 AND ...`)
+    val allSql = s"($r1Sql AND $r2Sql AND $r3Sql AND $r4Sql)"
+  }
+
   def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
-    val tk = split(col("text"), " ")
-    val nW = size(tk).cast(LongType)
-    val sumLen = col("n_chars") - (nW - lit(1L))
-    val nShort = size(filter(tk, t => length(t) <= 2)).cast(LongType)
-    val nDist = size(array_distinct(tk)).cast(LongType)
     val b = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
-    val r1 = nW.between(30L, 10000L)
-    val r2 = sumLen >= nW * 4L && sumLen <= nW * 10L
-    val r3 = nShort * 20L <= nW
-    val r4 = nDist * 2L >= nW
     Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), nW.as("n_words"),
-        b(r1).as("r_wordcount"), b(r2).as("r_meanlen"),
-        b(r3).as("r_shortratio"), b(r4).as("r_repetition"),
-        b(r1 && r2 && r3 && r4).as("pass"))
+      .select(col("doc_id"), Gopher.nW.as("n_words"),
+        b(Gopher.r1).as("r_wordcount"), b(Gopher.r2).as("r_meanlen"),
+        b(Gopher.r3).as("r_shortratio"), b(Gopher.r4).as("r_repetition"),
+        b(Gopher.all).as("pass"))
       .orderBy(col("doc_id"))
   }
 
   val qualityGopherSql: String = {
-    val nW = "len(string_split(text, ' '))"
-    val sumLen = s"(n_chars - ($nW - 1))"
-    val nShort = s"len(list_filter(string_split(text, ' '), t -> length(t) <= 2))"
-    val nDist = s"len(list_distinct(string_split(text, ' ')))"
-    val r1 = s"($nW BETWEEN 30 AND 10000)"
-    val r2 = s"($sumLen >= $nW * 4 AND $sumLen <= $nW * 10)"
-    val r3 = s"($nShort * 20 <= $nW)"
-    val r4 = s"($nDist * 2 >= $nW)"
     def b(c: String) = s"CAST(CASE WHEN $c THEN 1 ELSE 0 END AS BIGINT)"
-    s"""SELECT doc_id, CAST($nW AS BIGINT) AS n_words,
-       |  ${b(r1)} AS r_wordcount, ${b(r2)} AS r_meanlen,
-       |  ${b(r3)} AS r_shortratio, ${b(r4)} AS r_repetition,
-       |  ${b(s"$r1 AND $r2 AND $r3 AND $r4")} AS pass
+    s"""SELECT doc_id, CAST(${Gopher.nWSql} AS BIGINT) AS n_words,
+       |  ${b(Gopher.r1Sql)} AS r_wordcount, ${b(Gopher.r2Sql)} AS r_meanlen,
+       |  ${b(Gopher.r3Sql)} AS r_shortratio, ${b(Gopher.r4Sql)} AS r_repetition,
+       |  ${b(Gopher.allSql)} AS pass
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -935,9 +948,110 @@ object TextOps {
        |FROM per_source CROSS JOIN total
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ curation pipeline
+
+  /** The composed corpus-curation pipeline — the end-to-end pass a
+    * training run executes, as ONE auditable query: every document gets
+    * `kept` plus the FIRST stage that dropped it.
+    *
+    *   1. quality   — the Gopher gate ([[qualityGopher]]'s identical
+    *                  predicates via [[Gopher]]);
+    *   2. exact_dup — min-doc_id keeper per content digest, computed
+    *                  AMONG QUALITY SURVIVORS (a dropped min-id copy
+    *                  must not doom its group);
+    *   3. near_dup  — keep-best per near-dup cluster among stage-2
+    *                  survivors (longest member, ties min doc_id) —
+    *                  corpus-wide cluster labels (memoized, sound:
+    *                  filtering upstream only removes members);
+    *   4. decontaminated — test-bucket docs with ≥ half their shingles
+    *                  in the train split ([[decontaminate]]'s exact
+    *                  integer predicate).
+    *
+    * Stages 2–4 are marker left-joins on doc_id + one `when` chain — the
+    * whole pipeline is a handful of single-key shuffles over an
+    * ever-shrinking survivor set, and every stage's predicate is the
+    * same expression its standalone contract query oracles.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val qOk = docs.filter(Gopher.all)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val exKeep = qOk
+      .groupBy(sha2(col("text"), 256)).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("ex_keep"))
+    val stage2 = qOk.join(exKeep.select(col("doc_id")), Seq("doc_id"))
+    val ndKeep = stage2
+      .join(dedupCluster(spark, dir).select(col("doc_id"), col("rep")), "doc_id")
+      .groupBy(col("rep"))
+      .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
+        .as("doc_id"))
+      .select(col("doc_id"), lit(true).as("nd_keep"))
+    val contam = decontaminate(spark, dir).filter(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("contam"))
+    docs.select(col("doc_id"), Gopher.all.as("q_ok"))
+      .join(exKeep, Seq("doc_id"), "left")
+      .join(ndKeep, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("q_ok"), "quality")
+          .when(col("ex_keep").isNull, "exact_dup")
+          .when(col("nd_keep").isNull, "near_dup")
+          .when(col("contam").isNotNull, "decontaminated")
+          .as("drop_reason"))
+      .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
+        col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curateSql: String = {
+    val bucket = (c: String) => s"${detHashSql(c)} % 10"
+    s"""$clusterCteSql,
+       |clusters AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+       |q_ok AS (
+       |  SELECT doc_id, text, n_chars FROM documents WHERE ${Gopher.allSql}),
+       |ex_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM q_ok GROUP BY sha256(text)),
+       |stage2 AS (SELECT q.* FROM q_ok q JOIN ex_keep USING (doc_id)),
+       |nd_keep AS (
+       |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
+       |  FROM stage2 s JOIN clusters c ON s.doc_id = c.doc_id
+       |  GROUP BY c.rep),
+       |train_sh AS (
+       |  SELECT DISTINCT s FROM e WHERE ${bucket("doc_id")} < 8),
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM e
+       |  WHERE ${bucket("doc_id")} >= 9 GROUP BY doc_id),
+       |shared AS (
+       |  SELECT e.doc_id, count(*) AS n_shared
+       |  FROM e JOIN train_sh USING (s)
+       |  WHERE ${bucket("e.doc_id")} >= 9
+       |  GROUP BY e.doc_id),
+       |contam AS (
+       |  SELECT d.doc_id FROM documents d
+       |  LEFT JOIN sizes ON d.doc_id = sizes.doc_id
+       |  LEFT JOIN shared ON d.doc_id = shared.doc_id
+       |  WHERE ${bucket("d.doc_id")} >= 9
+       |    AND coalesce(shared.n_shared, 0) * 2 >= coalesce(sizes.n_sh, 0)
+       |    AND coalesce(sizes.n_sh, 0) > 0),
+       |reasons AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN NOT ${Gopher.allSql} THEN 'quality'
+       |         WHEN ek.doc_id IS NULL THEN 'exact_dup'
+       |         WHEN nk.doc_id IS NULL THEN 'near_dup'
+       |         WHEN ct.doc_id IS NOT NULL THEN 'decontaminated'
+       |    END AS drop_reason
+       |  FROM documents d
+       |  LEFT JOIN ex_keep ek ON d.doc_id = ek.doc_id
+       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id
+       |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id)
+       |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
+       |FROM reasons ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    ContractQuery("q_curate", curate, Some(curateSql)),
     ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),

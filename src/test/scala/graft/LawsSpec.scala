@@ -268,6 +268,36 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("curation pipeline: reasons partition the corpus, survivors clean") {
+    val rows = TextOps.curate(spark, Sf0001).collect()
+    assert(rows.length == 500)
+    val kept = rows.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    // kept <=> no drop_reason; dropped rows carry exactly one first-stage reason
+    rows.foreach(r => assert(r.getBoolean(1) == r.isNullAt(2)))
+    val reasons = rows.filter(!_.isNullAt(2)).groupBy(_.getString(2))
+      .map { case (k, v) => k -> v.length }
+    assert(reasons.keySet.subsetOf(
+      Set("quality", "exact_dup", "near_dup", "decontaminated")))
+    assert(reasons.getOrElse("quality", 0) > 0, "fixture must exercise the gate")
+    assert(reasons.getOrElse("near_dup", 0) > 0, "fixture must exercise near-dup drops")
+    assert(kept.nonEmpty)
+    // survivors pass the quality gate
+    val pass = TextOps.qualityGopher(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    kept.foreach(id => assert(pass(id) == 1L, s"survivor $id fails gopher"))
+    // at most one survivor per near-dup cluster
+    val rep = TextOps.dedupCluster(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCluster = kept.groupBy(rep)
+    perCluster.foreach { case (c, m) =>
+      assert(m.size == 1, s"cluster $c kept ${m.size} members: $m")
+    }
+    // no survivor is contaminated
+    val contam = TextOps.decontaminate(spark, Sf0001)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(contam).isEmpty)
+  }
+
   test("SQL-surface views re-register when the sf dir changes in one session") {
     // regression: the view cache must key on the CURRENT dir, not on
     // (session, dir) ever-seen — otherwise switching back silently
