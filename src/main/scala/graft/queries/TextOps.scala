@@ -119,9 +119,20 @@ object TextOps {
   /** Memoized (id, rep) cluster labels per (session, dir). The CC loop
     * materializes eagerly (localCheckpoint + per-round actions) at
     * DataFrame-build time, so without memoization every query composing
-    * over clusters ([[dedupCluster]], [[dedupKeepBest]]) would re-run the
-    * whole pair-detection + iteration pipeline; labels are deterministic,
-    * so sharing the checkpointed result is sound.
+    * over clusters ([[dedupCluster]], [[dedupKeepBest]], [[curate]])
+    * would re-run the whole pair-detection + iteration pipeline; labels
+    * are deterministic, so sharing the checkpointed result is sound.
+    *
+    * Same lifecycle assumptions as the [[Tables]] loader cache: inputs
+    * under `dir` are immutable for the session (rewriting them mid-
+    * session serves stale labels — rebuild the session), and entries
+    * live for the session (one corpus per session in the driver
+    * contract; a long-lived multi-corpus service would want eviction).
+    * localCheckpoint blocks are non-reliable storage: on a cluster with
+    * executor churn, swap the CC loop to durable `checkpoint()` (see
+    * [[graft.operators.ConnectedComponents]] scale posture) — a lost
+    * block otherwise fails every later cluster query in the session
+    * where an unmemoized build would have recomputed.
     */
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -170,6 +181,12 @@ object TextOps {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src)""".stripMargin
+
+  /** `clusters(doc_id, rep)` on top of [[clusterCteSql]]'s `reach` —
+    * shared by every oracle composing over cluster labels.
+    */
+  private val clustersCteSql: String =
+    "clusters AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a)"
 
   val dedupClusterSql: String =
     s"""$clusterCteSql
@@ -547,19 +564,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val decontaminateSql: String = {
-    val bucket = (c: String) => s"${detHashSql(c)} % 10"
-    s"""WITH sh AS ($shingledSql),
-       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |train_sh AS (SELECT DISTINCT s FROM e WHERE ${bucket("doc_id")} < 8),
+  private val bucketSql = (c: String) => s"${detHashSql(c)} % 10"
+
+  /** Decontamination CTE fragment over an in-scope `e(doc_id, s)` shingle
+    * relation — ONE copy of the train-shingle set, test-doc sizes and
+    * overlap counts, shared by [[decontaminateSql]] and [[curateSql]] so
+    * the contamination predicate cannot drift between the standalone
+    * query and the composed pipeline.
+    */
+  private val contamCtesSql: String =
+    s"""train_sh AS (SELECT DISTINCT s FROM e WHERE ${bucketSql("doc_id")} < 8),
        |sizes AS (
        |  SELECT doc_id, count(*) AS n_sh FROM e
-       |  WHERE ${bucket("doc_id")} >= 9 GROUP BY doc_id),
+       |  WHERE ${bucketSql("doc_id")} >= 9 GROUP BY doc_id),
        |shared AS (
        |  SELECT e.doc_id, count(*) AS n_shared
        |  FROM e JOIN train_sh USING (s)
-       |  WHERE ${bucket("e.doc_id")} >= 9
-       |  GROUP BY e.doc_id)
+       |  WHERE ${bucketSql("e.doc_id")} >= 9
+       |  GROUP BY e.doc_id)""".stripMargin
+
+  val decontaminateSql: String = {
+    val bucket = bucketSql
+    s"""WITH sh AS ($shingledSql),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |$contamCtesSql
        |SELECT d.doc_id,
        |  coalesce(shared.n_shared, 0) AS n_shared,
        |  coalesce(sizes.n_sh, 0) AS n_sh,
@@ -870,7 +898,7 @@ object TextOps {
 
   val dedupKeepBestSql: String =
     s"""$clusterCteSql,
-       |clusters AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a)
+       |$clustersCteSql
        |SELECT rep,
        |  arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS keeper,
        |  max(d.n_chars) AS keeper_chars,
@@ -954,18 +982,23 @@ object TextOps {
     * training run executes, as ONE auditable query: every document gets
     * `kept` plus the FIRST stage that dropped it.
     *
-    *   1. quality   — the Gopher gate ([[qualityGopher]]'s identical
-    *                  predicates via [[Gopher]]);
-    *   2. exact_dup — min-doc_id keeper per content digest, computed
-    *                  AMONG QUALITY SURVIVORS (a dropped min-id copy
-    *                  must not doom its group);
-    *   3. near_dup  — keep-best per near-dup cluster among stage-2
-    *                  survivors (longest member, ties min doc_id) —
-    *                  corpus-wide cluster labels (memoized, sound:
-    *                  filtering upstream only removes members);
-    *   4. decontaminated — test-bucket docs with ≥ half their shingles
-    *                  in the train split ([[decontaminate]]'s exact
-    *                  integer predicate).
+    *   1. quality        — the Gopher gate ([[qualityGopher]]'s identical
+    *                       predicates via [[Gopher]]);
+    *   2. exact_dup      — min-doc_id keeper per content digest, computed
+    *                       AMONG QUALITY SURVIVORS (a dropped min-id copy
+    *                       must not doom its group);
+    *   3. decontaminated — test-bucket docs with ≥ half their shingles in
+    *                       the train split ([[decontaminate]]'s exact
+    *                       integer predicate) leave BEFORE representative
+    *                       selection, for the same reason stage 2 runs
+    *                       on survivors: a contaminated member must not
+    *                       win keep-best and doom its cluster's clean
+    *                       copies;
+    *   4. near_dup       — keep-best per near-dup cluster among the
+    *                       remaining survivors (longest member, ties min
+    *                       doc_id) — corpus-wide cluster labels
+    *                       (memoized; sound: upstream filtering only
+    *                       removes members).
     *
     * Stages 2–4 are marker left-joins on doc_id + one `when` chain — the
     * whole pipeline is a handful of single-key shuffles over an
@@ -979,74 +1012,66 @@ object TextOps {
     val exKeep = qOk
       .groupBy(sha2(col("text"), 256)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("ex_keep"))
-    val stage2 = qOk.join(exKeep.select(col("doc_id")), Seq("doc_id"))
-    val ndKeep = stage2
+    val contam = decontaminate(spark, dir).filter(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("contam"))
+    val stage3 = qOk.join(exKeep.select(col("doc_id")), Seq("doc_id"))
+      .join(contam.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val ndKeep = stage3
       .join(dedupCluster(spark, dir).select(col("doc_id"), col("rep")), "doc_id")
       .groupBy(col("rep"))
       .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
         .as("doc_id"))
       .select(col("doc_id"), lit(true).as("nd_keep"))
-    val contam = decontaminate(spark, dir).filter(col("contaminated"))
-      .select(col("doc_id"), lit(true).as("contam"))
     docs.select(col("doc_id"), Gopher.all.as("q_ok"))
       .join(exKeep, Seq("doc_id"), "left")
-      .join(ndKeep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(ndKeep, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("q_ok"), "quality")
           .when(col("ex_keep").isNull, "exact_dup")
-          .when(col("nd_keep").isNull, "near_dup")
           .when(col("contam").isNotNull, "decontaminated")
+          .when(col("nd_keep").isNull, "near_dup")
           .as("drop_reason"))
       .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
         col("drop_reason"))
       .orderBy(col("doc_id"))
   }
 
-  val curateSql: String = {
-    val bucket = (c: String) => s"${detHashSql(c)} % 10"
+  val curateSql: String =
     s"""$clusterCteSql,
-       |clusters AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+       |$clustersCteSql,
        |q_ok AS (
        |  SELECT doc_id, text, n_chars FROM documents WHERE ${Gopher.allSql}),
        |ex_keep AS (
        |  SELECT min(doc_id) AS doc_id FROM q_ok GROUP BY sha256(text)),
-       |stage2 AS (SELECT q.* FROM q_ok q JOIN ex_keep USING (doc_id)),
-       |nd_keep AS (
-       |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
-       |  FROM stage2 s JOIN clusters c ON s.doc_id = c.doc_id
-       |  GROUP BY c.rep),
-       |train_sh AS (
-       |  SELECT DISTINCT s FROM e WHERE ${bucket("doc_id")} < 8),
-       |sizes AS (
-       |  SELECT doc_id, count(*) AS n_sh FROM e
-       |  WHERE ${bucket("doc_id")} >= 9 GROUP BY doc_id),
-       |shared AS (
-       |  SELECT e.doc_id, count(*) AS n_shared
-       |  FROM e JOIN train_sh USING (s)
-       |  WHERE ${bucket("e.doc_id")} >= 9
-       |  GROUP BY e.doc_id),
+       |$contamCtesSql,
        |contam AS (
        |  SELECT d.doc_id FROM documents d
        |  LEFT JOIN sizes ON d.doc_id = sizes.doc_id
        |  LEFT JOIN shared ON d.doc_id = shared.doc_id
-       |  WHERE ${bucket("d.doc_id")} >= 9
+       |  WHERE ${bucketSql("d.doc_id")} >= 9
        |    AND coalesce(shared.n_shared, 0) * 2 >= coalesce(sizes.n_sh, 0)
        |    AND coalesce(sizes.n_sh, 0) > 0),
+       |stage3 AS (
+       |  SELECT q.* FROM q_ok q JOIN ex_keep USING (doc_id)
+       |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |nd_keep AS (
+       |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
+       |  FROM stage3 s JOIN clusters c ON s.doc_id = c.doc_id
+       |  GROUP BY c.rep),
        |reasons AS (
        |  SELECT d.doc_id,
        |    CASE WHEN NOT ${Gopher.allSql} THEN 'quality'
        |         WHEN ek.doc_id IS NULL THEN 'exact_dup'
-       |         WHEN nk.doc_id IS NULL THEN 'near_dup'
        |         WHEN ct.doc_id IS NOT NULL THEN 'decontaminated'
+       |         WHEN nk.doc_id IS NULL THEN 'near_dup'
        |    END AS drop_reason
        |  FROM documents d
        |  LEFT JOIN ex_keep ek ON d.doc_id = ek.doc_id
-       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id
-       |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id)
+       |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id)
        |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
        |FROM reasons ORDER BY doc_id""".stripMargin
-  }
 
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -298,6 +298,42 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(kept.intersect(contam).isEmpty)
   }
 
+  test("curation on a planted corpus: every stage fires; contaminated keeper cannot doom its cluster") {
+    import spark.implicits._
+    // the fixture has no exact dups and no contaminated survivor, so
+    // stages 2 and 4 would otherwise be vacuously green — plant a corpus
+    // that exercises every reason, including the ordering hazard: a
+    // contaminated doc that is the LONGEST member of its near-dup
+    // cluster must not win keep-best and doom the cluster's clean copy
+    def bucket(id: Long): Long = ((id % 1000003L) * 2654435761L % 1000003L) % 10L
+    val trainIds = (0L until 200L).filter(bucket(_) < 8L)
+    val testIds = (0L until 200L).filter(bucket(_) >= 9L)
+    val Seq(qf, p1, p2, t) = trainIds.take(4).toSeq
+    val c = testIds.head
+    def doc(id: Long, text: String) = (id, text, "en", "planted", text.length.toLong)
+    val pairText = (1 to 40).map(i => f"pw$i%02d").mkString(" ")
+    val tWords = (1 to 43).map(i => f"tw$i%02d")
+    val rows = Seq(
+      doc(qf, "too short to pass"),                    // fails the Gopher gate
+      doc(p1, pairText), doc(p2, pairText),            // exact dups, both quality-ok
+      doc(t, tWords.mkString(" ")),                    // clean train doc
+      // C ⊃ T's shingles (41 of its 51 -> contaminated) and LONGER than T
+      doc(c, (tWords ++ (1 to 10).map(i => f"cx$i%02d")).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.curate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(got(qf) == (false, Some("quality")))
+    assert(got(math.max(p1, p2)) == (false, Some("exact_dup")))
+    assert(got(math.min(p1, p2)) == (true, None))
+    assert(got(c) == (false, Some("decontaminated")),
+      s"contaminated doc $c: ${got(c)}")
+    // the ordering pin: T shares a J>=0.5 cluster with the longer,
+    // contaminated C; decontamination runs BEFORE keep-best, so T survives
+    assert(got(t) == (true, None), s"clean cluster member $t: ${got(t)}")
+  }
+
   test("SQL-surface views re-register when the sf dir changes in one session") {
     // regression: the view cache must key on the CURRENT dir, not on
     // (session, dir) ever-seen — otherwise switching back silently
