@@ -190,6 +190,36 @@ object VectorOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ------------------------------------------- MinHash-edge clustering
+
+  /** The 100 TB dedup-clustering path: connected components over
+    * MINHASH-LSH-verified near-dup edges — [[dedupMinhash]]'s banded
+    * candidates + exact-Jaccard verify supply the pair graph, so no
+    * all-pairs (or even all-shared-shingle) join ever runs; the exact
+    * shuffle-by-shingle q_dedup_cluster is the oracle baseline this is
+    * judged against. Verified edges are a SUBSET of the exact J ≥ 0.5
+    * pairs (candidates can be missed, never wrongly admitted), so LSH
+    * clusters only ever under-merge — every LSH cluster is contained in
+    * an exact cluster, with recall bounded by the banding law
+    * (1-(1-J²)^8 ≈ 1-3e-6 at the J≈0.9 planted dups). Hash-seeded
+    * candidates → no SQL oracle; VectorOpsSpec asserts containment and
+    * recall vs the exact clustering.
+    */
+  def dedupClusterLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("d1"), col("d2"))
+      .localCheckpoint(true)
+    val graphNodes = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    val labels = graft.operators.ConnectedComponents
+      .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    Tables.t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("rep"),
+        (coalesce(col("rep"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- SimHash near-dup
 
   /** SimHash near-dup with banded candidate generation: 64-bit simhash
@@ -497,6 +527,7 @@ object VectorOps {
     ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),
     ContractQuery("q_vec_centroid", vecCentroid, Some(vecCentroidSql)),
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
+    ContractQuery("q_dedup_cluster_lsh", dedupClusterLsh, None),
     ContractQuery("q_dedup_simhash", dedupSimhash, None),
     ContractQuery("q_knn_lsh", knnLsh, None),
     ContractQuery("q_neardup_cosine_lsh", neardupCosineLsh, None),

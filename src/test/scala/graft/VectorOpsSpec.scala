@@ -34,6 +34,29 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.7, s"simhash recall $recall of ${truth.size} J>=0.9 pairs")
   }
 
+  test("LSH clustering: contained in exact clusters, dup recall >= 80%") {
+    val exact = graft.queries.TextOps.dedupCluster(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val lsh = VectorOps.dedupClusterLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(lsh.length == exact.length)
+    val exactRep = exact.map(t => t._1 -> t._2).toMap
+    // containment: verified LSH edges ⊆ exact pairs, so two docs an LSH
+    // cluster merges must share an exact cluster — under-merge only
+    lsh.groupBy(_._2).values.foreach { members =>
+      val exactReps = members.map(m => exactRep(m._1)).distinct
+      assert(exactReps.length == 1,
+        s"LSH cluster spans exact clusters $exactReps")
+    }
+    // recall: most exact-dup docs are still flagged through LSH edges
+    val exactDups = exact.filter(_._3).map(_._1).toSet
+    assert(exactDups.nonEmpty, "fixture must contain clustered dups")
+    val lshDups = lsh.filter(_._3).map(_._1).toSet
+    assert(lshDups.subsetOf(exactDups))
+    val recall = exactDups.count(lshDups.contains).toDouble / exactDups.size
+    assert(recall >= 0.8, s"cluster-dup recall $recall over ${exactDups.size}")
+  }
+
   test("LSH cosine near-dup: subset of exact pairs, recall >= 80%") {
     val exact = VectorOps.neardupCosine(spark, Sf0001)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
