@@ -22,11 +22,24 @@ import org.apache.spark.sql.functions._
   * population (the all-zero band of short docs, the aHash of flat/
   * low-contrast images) makes in-bucket pairs quadratic. Every candidate
   * join here therefore drops buckets whose population exceeds
-  * `maxBucket`, with a loud warning per dropped bucket: such a bucket
-  * carries no discriminative signal (its members still meet through any
-  * other, non-degenerate band), and at cap B the per-bucket pair cost is
-  * bounded by B². The count rides the same shuffle the join needs (a
-  * window over the bucket key), not an extra scan.
+  * `maxBucket`, with a loud warning per dropped bucket; at cap B the
+  * per-bucket pair cost is bounded by B². The count rides the same
+  * shuffle the join needs (a window over the bucket key), not an extra
+  * scan.
+  *
+  * Recall cost of the guard, stated precisely: members of an over-cap
+  * bucket can still meet through any OTHER band whose value is not
+  * itself over-cap — but when a cluster of > `maxBucket` rows carries
+  * IDENTICAL hashes (boilerplate/empty docs, flat images), every band
+  * bucket of that cluster is the same degenerate population, all of them
+  * are dropped, and every true near-dup pair among those rows is LOST
+  * (the WARN log is the only trace). Mitigations, in preference order:
+  * run exact dedup first so identical content collapses to one member
+  * before any LSH pass (the [[graft.queries.TextOps.curate]] stage
+  * order); or handle over-cap buckets with a grouped exact-equality
+  * reduction (group identical hashes, keep one representative edge per
+  * group) instead of relying on banding for content that hashes
+  * identically.
   */
 object BandedHamming {
 

@@ -32,12 +32,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: each round is two shuffles (edge join by dst grouped by
   * src; label self-join by rep) over hash-partitioned Longs; lineage is cut
-  * every round with an eager localCheckpoint so round N+1 replans from
-  * materialized blocks, not a 2^N-deep plan. At 100 TB the identical loop
-  * runs with `checkpoint()` to durable storage. Non-convergence within
-  * `maxRounds` throws — never silently emits partial labels (with two
-  * jumps per round a component needs diameter ≳ 4^maxRounds to hit the
-  * default cap).
+  * every round with an eager checkpoint so round N+1 replans from
+  * materialized blocks, not a 2^N-deep plan. Two checkpoint modes:
+  * `reliable = false` (default) uses `localCheckpoint` — executor-local
+  * blocks, right for local mode and short-lived jobs, but a lost executor
+  * loses its blocks and fails every downstream consumer; `reliable = true`
+  * uses durable `checkpoint()` to the session's configured checkpoint dir
+  * (HDFS/object storage on a cluster) — the 100 TB mode, where executor
+  * churn over a multi-round iteration is a certainty, not a tail risk.
+  * Requires `SparkContext.setCheckpointDir` and fails loudly up front if
+  * it is unset (Spark's own error would otherwise surface mid-round 1).
+  * Non-convergence within `maxRounds` throws — never silently emits
+  * partial labels (with two jumps per round a component needs diameter
+  * ≳ 4^maxRounds to hit the default cap).
   */
 object ConnectedComponents {
 
@@ -45,18 +52,27 @@ object ConnectedComponents {
     *
     * @param nodes (id: long) — one row per vertex; isolated vertices allowed
     * @param edges (src: long, dst: long) — undirected, symmetrized internally
+    * @param reliable cut lineage with durable `checkpoint()` instead of
+    *   `localCheckpoint()` — survives executor loss; needs a checkpoint dir
     * @return (id, rep) with rep = min id of the component
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame =
-    runCounted(nodes, edges, maxRounds)._1
+  def run(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    runCounted(nodes, edges, maxRounds, reliable)._1
 
   /** [[run]] plus the number of rounds executed (for tests/telemetry). */
-  def runCounted(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50)
-      : (DataFrame, Int) = {
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("rep")).localCheckpoint(true)
+  def runCounted(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    if (reliable)
+      require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "ConnectedComponents(reliable = true) needs a durable checkpoint dir: " +
+          "call SparkContext.setCheckpointDir(<HDFS/object-store path>) first")
+    // identical loop in both modes — only the block durability differs
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = cut(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = cut(nodes.select(col("id"), col("id").as("rep")))
     var prevSum = Long.MaxValue
     var converged = false
     var round = 0
@@ -74,7 +90,7 @@ object ConnectedComponents {
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
-      val next = jump(jump(prop)).localCheckpoint(true)
+      val next = cut(jump(jump(prop)))
       // coalesce: sum over an EMPTY label set (corpus with no dup pairs)
       // is NULL — treat as 0 so the loop converges instead of NPEing
       val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)

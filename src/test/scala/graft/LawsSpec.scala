@@ -213,6 +213,43 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(graft.operators.ConnectedComponents.run(none, noEdges).count() == 0)
   }
 
+  test("connected components: durable-checkpoint mode = same labels, same rounds") {
+    import spark.implicits._
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    // reliable mode refuses to start without a durable checkpoint dir —
+    // Spark's own failure would otherwise surface mid-round-1 as an
+    // opaque SparkException from deep inside the first cut()
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val err = intercept[IllegalArgumentException] {
+        graft.operators.ConnectedComponents.run(nodes, edges, reliable = true)
+      }
+      assert(err.getMessage.contains("checkpoint dir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      // the loop is mode-agnostic by construction (only cut() differs);
+      // pin that durable blocks change neither the labels nor the number
+      // of blocking rounds (the expensive resource the algorithm manages)
+      val (local, lr) = graft.operators.ConnectedComponents
+        .runCounted(nodes, edges)
+      val (durable, dr) = graft.operators.ConnectedComponents
+        .runCounted(nodes, edges, reliable = true)
+      assert(dr == lr, s"durable mode took $dr rounds vs local $lr")
+      val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dm = durable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dm == lm)
+      assert(dm.values.forall(_ == 0L))
+      // the durable blocks really went to the configured dir
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty,
+        "durable mode must write RDD checkpoints under the checkpoint dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("r7 ops: keep-best dominance, bounded ratios, vote consistency") {
     // keep-best: the keeper really is the longest member of its near-dup
     // cluster (ties to min doc_id) — recompute the policy per cluster
