@@ -254,6 +254,63 @@ object Multimodal {
         maxBucket = maxBucket)
   }
 
+  /** Cluster labels over [[imageDedup]]'s verified near-dup pairs —
+    * image parity with the text path
+    * ([[graft.queries.VectorOps.dedupClusterLsh]]): every decodable
+    * image gets (img_id, rep_id, is_dup), so a group of mutual
+    * near-dups (re-encodes, pixel tweaks, format changes) collapses to
+    * ONE representative instead of a bag of pairwise edges.
+    *
+    * [[graft.operators.ConnectedComponents]] iterates over Long node
+    * ids (its convergence check sums labels), so string ids are mapped
+    * through xxhash64 — deterministic across runs, and injectivity over
+    * THIS corpus is asserted with one cheap aggregate (p(any collision)
+    * ≈ n²/2⁶⁴; a silent collision would wrongly merge two clusters, so
+    * it fails loudly instead). The representative is the member with
+    * the minimum id hash — arbitrary but stable; resolve a
+    * domain-preferred keeper downstream (the [[graft.queries.TextOps
+    * .dedupKeepBest]] pattern) if representative choice matters.
+    * The hash pass is materialized once (eager localCheckpoint): decode
+    * is the expensive step on a media corpus, and it feeds the pair
+    * join, the id map and the iterative CC rounds.
+    */
+  def imageDedupClusters(df: DataFrame, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("img_id"), imageAHash(col(contentCol)).as("ahash"))
+      .filter(col("ahash").isNotNull)
+      .localCheckpoint(true)
+    val ids = hashed.select(col("img_id"), xxhash64(col("img_id")).as("nid"))
+    val collided = ids.groupBy(col("nid"))
+      .agg(countDistinct(col("img_id")).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(collided == 0L,
+      "imageDedupClusters: xxhash64(img_id) collision — two distinct ids share " +
+        "a 64-bit hash on this corpus; disambiguate the id column")
+    val pairs = graft.operators.BandedHamming
+      .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming,
+        maxBucket = maxBucket)
+    val edges = pairs
+      .join(ids.select(col("img_id").as("id1"), col("nid").as("src")), "id1")
+      .join(ids.select(col("img_id").as("id2"), col("nid").as("dst")), "id2")
+      .select(col("src"), col("dst"))
+    // iterate ONLY the near-dup subgraph (the text-path posture): images
+    // in no pair keep rep = self via the left join and never enter the
+    // rounds, so the per-round shuffles scale with |dup candidates|, not
+    // |corpus|
+    val graphNodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+    val labels = graft.operators.ConnectedComponents.run(graphNodes, edges)
+    val repNames = ids.select(col("nid").as("rep_nid"), col("img_id").as("rep_id"))
+    ids.join(labels, col("nid") === col("id"), "left")
+      .withColumn("rep_n", coalesce(col("rep"), col("nid")))
+      .join(repNames, col("rep_n") === col("rep_nid"))
+      .select(col("img_id"), col("rep_id"),
+        (col("img_id") =!= col("rep_id")).as("is_dup"))
+  }
+
   /** Frame-sample fan-out: one row per sampled frame (ts_ms, frame). */
   def sampleVideoFrames(df: DataFrame, decoder: VideoDecoder = StubVideoDecoder,
       contentCol: String = "content", everyNthMs: Long = 1000,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components over a (src, dst) edge list — the
   * clustering step of a dedup pipeline (SURVEY.md §2.D: every doc gets the
@@ -73,7 +74,7 @@ object ConnectedComponents {
     val e = cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = cut(nodes.select(col("id"), col("id").as("rep")))
-    var prevSum = Long.MaxValue
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var round = 0
     // rep values are always vertex ids (min of ids), so the jump join is
@@ -91,12 +92,21 @@ object ConnectedComponents {
         .select(labels("id"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
       val next = cut(jump(jump(prop)))
-      // coalesce: sum over an EMPTY label set (corpus with no dup pairs)
-      // is NULL — treat as 0 so the loop converges instead of NPEing
-      val s = next.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
+      // convergence check: every per-vertex rep is non-increasing, so an
+      // UNCHANGED sum proves an unchanged labeling — but only in exact
+      // arithmetic. Decimal(38,0), not Long: ids may span the full 64-bit
+      // range (e.g. xxhash64-mapped string ids), where a Long sum
+      // overflows (ANSI mode throws; legacy mode would wrap and could
+      // alias two different labelings). coalesce: sum over an EMPTY
+      // label set (corpus with no dup pairs) is NULL — treat as 0 so the
+      // loop converges instead of NPEing.
+      val s = next
+        .agg(coalesce(sum(col("rep").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)))
+        .head.getDecimal(0)
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       round += 1
     }
     if (!converged)

@@ -16,6 +16,36 @@ import org.apache.spark.sql.types._
   * the tiny per-term document-frequency table at 100 TB (df fits: it's
   * bounded by vocabulary size, not corpus size).
   */
+/** Tunable knobs of the curation pipeline ([[TextOps.curateOn]]) — the
+  * engine surface behind the pinned contract queries. Every ratio gate
+  * is an exact rational `(numerator, denominator)` compared by Long
+  * cross-multiplication, so no configuration can introduce a float
+  * boundary the oracle might round differently; the defaults are
+  * EXACTLY the contract constants (q_quality_gopher / q_decontaminate /
+  * q_curate oracle their instantiation).
+  *
+  * @param minWords / maxWords        Gopher word-count gate
+  * @param minMeanWordLen / maxMeanWordLen  Gopher mean-word-length gate
+  * @param maxShortRatio   short (≤2-char) words ≤ num/den of all words
+  * @param minDistinctRatio distinct words ≥ num/den of all words
+  * @param jaccardThreshold near-dup edge gate for cluster keep-best
+  * @param trainBucketsBelow / testBucketsFrom  deterministic-hash split
+  *   (bucket < trainBucketsBelow → train; ≥ testBucketsFrom → test)
+  * @param minContamRatio  test doc is contaminated when shared shingles
+  *   ≥ num/den of its shingles
+  */
+case class CurateConfig(
+    minWords: Long = 30L,
+    maxWords: Long = 10000L,
+    minMeanWordLen: Long = 4L,
+    maxMeanWordLen: Long = 10L,
+    maxShortRatio: (Long, Long) = (1L, 20L),
+    minDistinctRatio: (Long, Long) = (1L, 2L),
+    jaccardThreshold: Double = 0.5,
+    trainBucketsBelow: Long = 8L,
+    testBucketsFrom: Long = 9L,
+    minContamRatio: (Long, Long) = (1L, 2L))
+
 object TextOps {
   import Det._
 
@@ -73,19 +103,32 @@ object TextOps {
     * are the identical subplan, which Spark's exchange reuse materializes
     * once (and nothing leaks in the block manager across invocations).
     */
-  def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def neardupJaccard(spark: SparkSession, dir: String): DataFrame =
+    neardupJaccardAt(Tables.t(spark, dir, "documents"), threshold = 0.5)
+
+  /** [[neardupJaccard]] generalized over corpus and threshold — the
+    * engine surface: exact-Jaccard ≥ `threshold` pairs of any
+    * (doc_id, text) frame. The size-ratio prune generalizes with the
+    * threshold (J ≤ min/max, so max·t ≤ min + 1 is necessary; the +1
+    * keeps the rounded boundary safe) and stays inside the join
+    * condition, so the shuffle-by-shingle scale shape is unchanged at
+    * any setting.
+    */
+  def neardupJaccardAt(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     val wd = Window.partitionBy(col("doc_id"))
-    val e = shingleRows(Tables.t(spark, dir, "documents"))
-      .withColumn("n", count(lit(1)).over(wd))
+    val e = shingleRows(docs).withColumn("n", count(lit(1)).over(wd))
     e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2 + 1)
+          greatest(col("a.n"), col("b.n")) * threshold <=
+            least(col("a.n"), col("b.n")) + 1)
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
       .select(col("d1"), col("d2"), col("inter"),
         round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -137,19 +180,46 @@ object TextOps {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelCache.computeIfAbsent((spark, dir), _ => {
-      val pairs = neardupJaccard(spark, dir).select(col("d1"), col("d2"))
-        .localCheckpoint(true)
-      // iterate ONLY over the near-dup subgraph — docs in no pair keep
-      // rep = self and never enter the rounds. At 100 TB the label table
-      // shrinks from |corpus| to |docs with a near-dup|, typically orders
-      // of magnitude smaller, and so does every per-round shuffle.
-      val graphNodes = pairs
-        .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
-      graft.operators.ConnectedComponents
-        .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
-    })
+  /** Evict cache entries whose session fails `alive` — called with
+    * `!sparkContext.isStopped` on every [[clusterLabels]] access, so a
+    * long-lived multi-session service cannot pin stopped sessions (and
+    * their checkpointed blocks' metadata) through this map. The
+    * predicate is injectable because a spec cannot stop the suite's one
+    * shared SparkContext to exercise the real signal.
+    */
+  private[graft] def purgeLabelCache(alive: SparkSession => Boolean): Unit = {
+    val it = labelCache.keySet.iterator()
+    while (it.hasNext) if (!alive(it.next()._1)) it.remove()
+  }
+
+  private[graft] def labelCacheSize: Int = labelCache.size
+
+  /** Near-dup cluster labels (id, rep) over an arbitrary (doc_id, text)
+    * frame at `threshold` — the unmemoized engine form of the label
+    * build. Iterates ONLY over the near-dup subgraph: docs in no pair
+    * keep rep = self and never enter the rounds, so at 100 TB the label
+    * table shrinks from |corpus| to |docs with a near-dup| — typically
+    * orders of magnitude smaller — and so does every per-round shuffle.
+    * `reliable = true` routes every lineage cut to durable
+    * `checkpoint()` (see [[graft.operators.ConnectedComponents]]) — the
+    * cluster mode, where executor churn over the iteration is expected.
+    */
+  def clusterLabelsOn(docs: DataFrame, threshold: Double = 0.5,
+      reliable: Boolean = false): DataFrame = {
+    val raw = neardupJaccardAt(docs, threshold).select(col("d1"), col("d2"))
+    val pairs = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
+    val graphNodes = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    graft.operators.ConnectedComponents
+      .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")),
+        reliable = reliable)
+  }
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    purgeLabelCache(s => !s.sparkContext.isStopped)
+    labelCache.computeIfAbsent((spark, dir),
+      _ => clusterLabelsOn(Tables.t(spark, dir, "documents"), threshold = 0.5))
+  }
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents").select(col("doc_id"))
@@ -541,26 +611,34 @@ object TextOps {
     * side is reduced to distinct shingles first — at 100 TB that's the
     * decontamination pass run before every model release.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOn(Tables.t(spark, dir, "documents"), CurateConfig())
+
+  /** [[decontaminate]] generalized over corpus and config: train/test
+    * assignment by the deterministic hash split (bucket <
+    * `trainBucketsBelow` trains, ≥ `testBucketsFrom` is eval) and the
+    * contamination gate as the config's exact rational (shared shingles
+    * ≥ num/den of the doc's shingles — Long cross-multiplication, no
+    * double boundary). The defaults are the contract constants.
+    */
+  def decontaminateOn(docs: DataFrame, cfg: CurateConfig): DataFrame = {
     val bucket = detHash(col("doc_id")) % 10L
-    val docs = Tables.t(spark, dir, "documents")
     val sh = shingleRows(docs)
-    val trainSh = sh.filter(bucket < 8L).select(col("s")).distinct()
-    val testSh = sh.filter(bucket >= 9L)
+    val trainSh = sh.filter(bucket < cfg.trainBucketsBelow).select(col("s")).distinct()
+    val testSh = sh.filter(bucket >= cfg.testBucketsFrom)
     val sizes = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = testSh.join(trainSh, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
     val nSh = coalesce(col("n_sh"), lit(0L))
     val nShared = coalesce(col("n_shared"), lit(0L))
-    // contaminated = at least half the doc's shingles appear in train —
-    // an exact integer predicate (2·shared >= total), no double boundary
-    docs.filter(bucket >= 9L).select(col("doc_id"))
+    docs.filter(bucket >= cfg.testBucketsFrom).select(col("doc_id"))
       .join(sizes, Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), nShared.as("n_shared"), nSh.as("n_sh"),
         when(nSh === 0L, lit(0.0)).otherwise(div6(nShared, nSh)).as("overlap"),
-        (nShared * 2L >= nSh && nSh > 0L).as("contaminated"))
+        (nShared * cfg.minContamRatio._2 >= nSh * cfg.minContamRatio._1 && nSh > 0L)
+          .as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -751,21 +829,31 @@ object TextOps {
     * boundary can disagree between engines. With single-space text,
     * Σ(token length) = n_chars − (n_words − 1) exactly.
     */
-  /** The four Gopher rules as boolean Columns over (text, n_chars) rows —
-    * hoisted so [[qualityGopher]] (per-rule verdicts) and [[curate]] (the
-    * composed pipeline gate) apply the IDENTICAL predicates.
+  /** The four Gopher rules as boolean Columns over (text, n_chars) rows,
+    * parameterized by [[CurateConfig]] — [[qualityGopher]] (per-rule
+    * verdicts), [[curate]] and [[curateOn]] (the composed pipeline gate)
+    * all build from here, so the predicates cannot drift between
+    * surfaces. All comparisons are Long cross-multiplications of the
+    * config's rational knobs.
     */
-  private object Gopher {
+  private[queries] class GopherRules(cfg: CurateConfig) {
     private val tk = split(col("text"), " ")
     val nW: Column = size(tk).cast(LongType)
     private val sumLen = col("n_chars") - (nW - lit(1L))
     private val nShort = size(filter(tk, t => length(t) <= 2)).cast(LongType)
     private val nDist = size(array_distinct(tk)).cast(LongType)
-    val r1: Column = nW.between(30L, 10000L)
-    val r2: Column = sumLen >= nW * 4L && sumLen <= nW * 10L
-    val r3: Column = nShort * 20L <= nW
-    val r4: Column = nDist * 2L >= nW
+    val r1: Column = nW.between(cfg.minWords, cfg.maxWords)
+    val r2: Column = sumLen >= nW * cfg.minMeanWordLen && sumLen <= nW * cfg.maxMeanWordLen
+    val r3: Column = nShort * cfg.maxShortRatio._2 <= nW * cfg.maxShortRatio._1
+    val r4: Column = nDist * cfg.minDistinctRatio._2 >= nW * cfg.minDistinctRatio._1
     val all: Column = r1 && r2 && r3 && r4
+  }
+
+  /** Default-config instantiation + the oracle's fixed-SQL mirrors (the
+    * SQL strings pin the DEFAULT constants — the contract queries are
+    * exactly that instantiation).
+    */
+  private object Gopher extends GopherRules(CurateConfig()) {
 
     private val nWS = "len(string_split(text, ' '))"
     private val sumLenS = s"(n_chars - ($nWS - 1))"
@@ -1005,24 +1093,42 @@ object TextOps {
     * ever-shrinking survivor set, and every stage's predicate is the
     * same expression its standalone contract query oracles.
     */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
-    val qOk = docs.filter(Gopher.all)
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curateOn(Tables.t(spark, dir, "documents"), CurateConfig(),
+      labels = Some(clusterLabels(spark, dir)))
+
+  /** [[curate]] generalized over corpus and config — the engine surface
+    * a user points at their own documents frame: identical stage order
+    * and semantics, every gate drawn from `cfg` (see [[CurateConfig]];
+    * the defaults are the contract instantiation the oracle checks).
+    * `labels` lets a caller share precomputed cluster labels across
+    * pipeline runs (the contract path passes the session-memoized
+    * table); when absent they are built from `docs` at
+    * `cfg.jaccardThreshold`.
+    */
+  def curateOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+      labels: Option[DataFrame] = None): DataFrame = {
+    val g = new GopherRules(cfg)
+    val qOk = docs.filter(g.all)
       .select(col("doc_id"), col("text"), col("n_chars"))
     val exKeep = qOk
       .groupBy(sha2(col("text"), 256)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("ex_keep"))
-    val contam = decontaminate(spark, dir).filter(col("contaminated"))
+    val contam = decontaminateOn(docs, cfg).filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))
     val stage3 = qOk.join(exKeep.select(col("doc_id")), Seq("doc_id"))
       .join(contam.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val labelDf = labels.getOrElse(clusterLabelsOn(docs, cfg.jaccardThreshold))
+    val clusters = docs.select(col("doc_id"))
+      .join(labelDf, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
     val ndKeep = stage3
-      .join(dedupCluster(spark, dir).select(col("doc_id"), col("rep")), "doc_id")
+      .join(clusters, "doc_id")
       .groupBy(col("rep"))
       .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
         .as("doc_id"))
       .select(col("doc_id"), lit(true).as("nd_keep"))
-    docs.select(col("doc_id"), Gopher.all.as("q_ok"))
+    docs.select(col("doc_id"), g.all.as("q_ok"))
       .join(exKeep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(ndKeep, Seq("doc_id"), "left")
@@ -1037,7 +1143,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val curateSql: String =
+  // ------------------------------------------------- incremental curate
+
+  /** Resume semantics lifted to the curation pipeline — q_resume_anti at
+    * pipeline level, which is what a continuously-ingesting corpus
+    * actually runs: rows already present in `done` (a previous run's
+    * output, or any set of already-emitted doc_ids) are not re-emitted;
+    * the delta is the pipeline's output anti-joined on those ids.
+    *
+    * Exactness contract: `done ∪ delta == full run` holds EXACTLY when
+    * `done` came from a run over the same corpus (resume after an
+    * interrupted write — the pdf2dataset case), and when new documents
+    * share no content (shingles/digests) with the already-curated ones —
+    * both pinned in LawsSpec. When a new ingest DOES touch an existing
+    * cluster (e.g. a longer member arrives), the full re-run may flip
+    * that cluster's keeper while the delta leaves `done` rows untouched:
+    * curation labels are corpus-dependent, so incremental reuse trades
+    * bounded staleness on touched clusters for not recomputing the
+    * corpus — the standard incremental-dedup tradeoff, made explicit.
+    */
+  def curateDeltaOn(docs: DataFrame, done: DataFrame,
+      cfg: CurateConfig = CurateConfig(),
+      labels: Option[DataFrame] = None): DataFrame =
+    curateOn(docs, cfg, labels)
+      .join(done.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+
+  /** Contract form of [[curateDeltaOn]]: resume a curation run that was
+    * interrupted after writing the deterministic-hash buckets 0–4 (half
+    * the corpus, the same split machinery as [[sampleSplit]]) — the
+    * emitted delta is every remaining document's label, and the union
+    * with the already-written half is bit-identical to the full run by
+    * construction.
+    */
+  def curateDelta(spark: SparkSession, dir: String): DataFrame =
+    curateDeltaOn(Tables.t(spark, dir, "documents"),
+      Tables.t(spark, dir, "documents").select(col("doc_id"))
+        .filter(detHash(col("doc_id")) % 10L < 5L),
+      labels = Some(clusterLabels(spark, dir)))
+
+  /** Everything through the `reasons` CTE — shared by [[curateSql]] and
+    * [[curateDeltaSql]] so the pipeline semantics cannot drift between
+    * the full and the resumed oracle.
+    */
+  private val curateReasonsSql: String =
     s"""$clusterCteSql,
        |$clustersCteSql,
        |q_ok AS (
@@ -1069,14 +1218,25 @@ object TextOps {
        |  FROM documents d
        |  LEFT JOIN ex_keep ek ON d.doc_id = ek.doc_id
        |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
-       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id)
+       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id)""".stripMargin
+
+  val curateSql: String =
+    s"""$curateReasonsSql
        |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
        |FROM reasons ORDER BY doc_id""".stripMargin
+
+  val curateDeltaSql: String =
+    s"""$curateReasonsSql
+       |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
+       |FROM reasons
+       |WHERE ${detHashSql("doc_id")} % 10 >= 5
+       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     ContractQuery("q_curate", curate, Some(curateSql)),
+    ContractQuery("q_curate_delta", curateDelta, Some(curateDeltaSql)),
     ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),

@@ -45,24 +45,37 @@ object VectorOps {
   // --------------------------------------------------- brute-force top-k
 
   /** Top-5 cosine neighbors for query vectors (vec_id < 5) — the exact
-    * baseline every ANN variant is judged against. Ranks by the ROUNDED
-    * similarity with a unique vec_id tiebreak so ordering is reproducible
-    * across engines.
+    * baseline every ANN variant is judged against, as a pinned
+    * instantiation of the [[knn]] engine surface.
     */
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(spark, dir, "embeddings")
+    val emb = Tables.t(spark, dir, "embeddings")
+    knn(emb, emb.filter(col("vec_id") < 5), k = 5)
+  }
+
+  /** Exact cosine top-`k` of every `queries` row against `base` — the
+    * engine surface a user points at their own frames (both need
+    * (vec_id, embedding)). Ranks by the ROUNDED similarity with a
+    * unique vec_id tiebreak so ordering is reproducible across engines;
+    * pairs with equal ids on both sides are excluded (the self-match
+    * when queries ⊆ base — disjoint id spaces are unaffected).
+    * Deliberate crossJoin: this is the exact baseline; [[knnLshAt]] and
+    * [[knnIvf]] are the scale paths judged against it.
+    */
+  def knn(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val b = base
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val q = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("n2").as("q_n2")).filter(col("q_id") < 5)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm2(col("embedding")).as("q_n2"))
     val cos = round(dot(col("q_emb"), col("embedding")) /
       (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    q.crossJoin(base)
+    q.crossJoin(b)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -279,26 +292,43 @@ object VectorOps {
     * physical plan carries no interpreted UDF nodes.
     */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(spark, dir, "embeddings")
+    val emb = Tables.t(spark, dir, "embeddings")
+    knnLshAt(emb, emb.filter(col("vec_id") < 5), k = 5)
+  }
+
+  /** [[knnLsh]] generalized over frames and banding knobs — the engine
+    * surface: approximate top-`k` of every `queries` row against `base`
+    * (both (vec_id, embedding)). Queries and corpus are signed with the
+    * SAME seeded planes, so external query frames probe the corpus's
+    * buckets correctly; pairs with equal ids are excluded (self-match
+    * when queries ⊆ base). Candidate recall for a neighbor at angle θ
+    * is 1-(1-p^(numPlanes/bands))^bands at p = 1-θ/π — widen bands for
+    * high-threshold regimes; the plan shape (probe-broadcast bucketed
+    * join, corpus never shuffles) is unchanged by the knobs.
+    */
+  def knnLshAt(base: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 16, bands: Int = 8, seed: Long = 7L): DataFrame = {
+    val b = base
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val banded = bandedSignatures(base, numPlanes = 16, bands = 8, seed = 7L)
-    val probes = banded.filter(col("vec_id") < 5)
+    val banded = bandedSignatures(b, numPlanes, bands, seed)
+    val probes = bandedSignatures(
+      queries.select(col("vec_id"), col("embedding")), numPlanes, bands, seed)
     val cands = graft.operators.BandedHamming
       .probedPairs(probes, banded, "vec_id", "vec_id", Seq("band", "bv"))
       .select(col("id1").as("q_id"), col("id2").as("vec_id"))
       .filter(col("q_id") =!= col("vec_id"))
-    val q = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("n2").as("q_n2"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm2(col("embedding")).as("q_n2"))
     // ‖q−x‖ = √(‖q‖² + ‖x‖² − 2·q·x): one codegen'd dot per candidate,
     // reusing the norms computed once per row at scan time
     val dist = sqrt(greatest(
       col("q_n2") + col("n2") - lit(2.0) * dot(col("q_emb"), col("embedding")),
       lit(0.0)))
-    cands.join(q, "q_id").join(base, "vec_id")
+    cands.join(q, "q_id").join(b, "vec_id")
       .select(col("q_id"), col("vec_id"), round(dist, 6).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
 

@@ -91,6 +91,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(pairs == Set(("a", "a_jpeg")), s"got ${pairs.size} pairs: ${pairs.take(5)}")
   }
 
+  test("image cluster dedup: planted dup groups collapse to one representative") {
+    import spark.implicits._
+    // two planted groups — {a, a_jpeg, a_tweak} and {c, c_jpeg} — plus a
+    // distinct singleton and an undecodable row
+    val imgs = Seq(
+      ("a", gradient(64, 64, horizontal = true)),
+      ("a_jpeg", gradient(64, 64, horizontal = true, format = "jpg")),
+      ("a_tweak", gradient(64, 64, horizontal = true, tweak = Some((3, 3)))),
+      ("c", gradient(64, 64, horizontal = false)),
+      ("c_jpeg", gradient(64, 64, horizontal = false, format = "jpg")),
+      ("bad", "not an image".getBytes("UTF-8"))
+    ).toDF("path", "content")
+    val rows = Multimodal.imageDedupClusters(imgs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    // undecodable row dropped; each decodable image labeled exactly once
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("a", "a_jpeg", "a_tweak", "c", "c_jpeg"))
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    // each planted group collapses to ONE representative drawn from the
+    // group itself — jpeg re-encode and pixel tweak land in the same
+    // cluster even if only pairwise-linked through the original
+    val aGroup = Set("a", "a_jpeg", "a_tweak")
+    assert(aGroup.map(rep).size == 1 && aGroup.contains(rep("a")))
+    val cGroup = Set("c", "c_jpeg")
+    assert(cGroup.map(rep).size == 1 && cGroup.contains(rep("c")))
+    assert(rep("a") != rep("c"), "distinct groups must not merge")
+    // exactly one non-dup (the representative) per cluster
+    rows.groupBy(_._2).values.foreach { members =>
+      assert(members.count(!_._3) == 1)
+      assert(members.filter(!_._3).head._1 == members.head._2)
+    }
+  }
+
   test("image aHash is luma-structured: transpose flips ~half the bits") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{CurateConfig, Tables, TextOps, VectorOps}
+
+/** The parameterized engine surfaces behind the fixture-pinned contract
+  * queries (r7 VERDICT task 2): a user pointing this engine at their own
+  * corpus calls these with their own frames/thresholds — the contract
+  * queries are pinned instantiations, so every test here also guards the
+  * instantiation identity.
+  */
+class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
+
+  // the engine's deterministic split hash (TextOps.detHash), mirrored so
+  // tests can place synthetic docs in known train/test buckets
+  private def bucketOf(id: Long): Long =
+    (id % 1000003L) * 2654435761L % 1000003L % 10L
+
+  /** Synthetic (doc_id, text, n_chars) corpus rows that pass the default
+    * Gopher gate: `n` unique ~5-char words drawn from a per-doc prefix so
+    * vocabularies are disjoint across prefixes.
+    */
+  private def doc(id: Long, prefix: String, n: Int, extra: Seq[String] = Nil) = {
+    val words = (0 until n).map(i => s"${prefix}w$i") ++ extra
+    val text = words.mkString(" ")
+    (id, text, text.length.toLong)
+  }
+
+  private def docsDf(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "n_chars")
+  }
+
+  // ------------------------------------------------------ jaccard
+
+  test("neardupJaccardAt: thresholds are monotone and every pair passes its gate") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    def pairs(t: Double) = TextOps.neardupJaccardAt(docs, t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val loose = pairs(0.3)
+    val mid = pairs(0.5)
+    val tight = pairs(0.8)
+    assert(loose.nonEmpty && mid.nonEmpty, "fixture has planted near-dups")
+    assert(mid.keySet.subsetOf(loose.keySet), "0.5 pairs must appear at 0.3")
+    assert(tight.keySet.subsetOf(mid.keySet), "0.8 pairs must appear at 0.5")
+    assert(loose.values.forall(_ >= 0.3) && tight.values.forall(_ >= 0.8))
+    // the contract query IS the 0.5 instantiation
+    val contract = TextOps.neardupJaccard(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contract == mid.keySet)
+  }
+
+  // ------------------------------------------------------ knn
+
+  test("knn: external query frame gets exact top-k against the corpus") {
+    val base = Tables.t(spark, Sf0001, "embeddings")
+    // external ids: same vectors, disjoint id space — exercises the
+    // queries-not-subset-of-base path (no self-exclusion applies)
+    val queries = base.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val out = VectorOps.knn(base, queries, k = 3).collect()
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.keySet == Set(1000005L, 1000006L, 1000007L))
+    perQ.values.foreach { rows =>
+      assert(rows.length == 3)
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+      // each query's own source vector (cos = 1) must rank first
+      assert(rows.find(_.getInt(3) == 1).get.getDouble(2) == 1.0)
+    }
+    // k is a true prefix: top-3 of each query == first 3 of top-5
+    val k5 = VectorOps.knn(base, queries, k = 5).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val k3 = out.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(k3 == k5)
+  }
+
+  test("knnLshAt: external query frame recalls the exact top-k") {
+    val base = Tables.t(spark, Sf0001, "embeddings")
+    val queries = base.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val truth = VectorOps.knn(base, queries, k = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = VectorOps.knnLshAt(base, queries, k = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    // each query's identical twin shares every band, so recall is far
+    // above the random-pair floor; 0.6 mirrors the contract-path bound
+    assert(recall >= 0.6, s"external-probe recall $recall over ${truth.size}")
+  }
+
+  // ------------------------------------------------------ curate
+
+  test("curateOn: generic path at defaults is bit-identical to the contract query") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSeq
+    // labels built from scratch (no memoization) — proves the engine
+    // surface needs nothing from the contract scaffolding
+    val generic = rows(TextOps.curateOn(docs))
+    val contract = rows(TextOps.curate(spark, Sf0001))
+    assert(generic == contract)
+  }
+
+  test("curateOn: tightening the quality gate never keeps more documents") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val labels = Some(TextOps.clusterLabelsOn(docs))
+    def kept(cfg: CurateConfig) = TextOps.curateOn(docs, cfg, labels)
+      .filter(col("kept")).count()
+    val default = kept(CurateConfig())
+    val tight = kept(CurateConfig(minWords = 60L, maxShortRatio = (1L, 40L)))
+    assert(default > 0)
+    // survivor set shrinks; clusters-with-survivors can only shrink with it
+    assert(tight <= default, s"tight=$tight default=$default")
+  }
+
+  test("curateDeltaOn: disjoint-vocabulary ingest resumes exactly (union == full rerun)") {
+    // all ids in train buckets so decontamination cannot couple the
+    // old and new corpora through the split
+    val trainIds = Iterator.iterate(1L)(_ + 1).filter(bucketOf(_) < 8)
+    val oldIds = trainIds.take(6).toSeq
+    val newIds = Iterator.iterate(oldIds.max + 1)(_ + 1)
+      .filter(bucketOf(_) < 8).take(4).toSeq
+    val d0 = oldIds.zipWithIndex.map { case (id, i) => doc(id, s"old$i", 40) } ++
+      // a near-dup pair inside the old corpus (one keeps, one drops)
+      Seq(doc(oldIds.head + 1000003L, "old0", 40, extra = Seq("tail")))
+    val dNew = newIds.zipWithIndex.map { case (id, i) => doc(id, s"new$i", 40) }
+    val prev = TextOps.curateOn(docsDf(d0)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    val full = TextOps.curateOn(docsDf(d0 ++ dNew)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    val delta = TextOps.curateDeltaOn(docsDf(d0 ++ dNew),
+        docsDf(d0).select(col("doc_id"))).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    // delta emits exactly the new ids, and prev ∪ delta is the full rerun
+    assert(delta.map(_._1).toSet == newIds.toSet)
+    assert((prev ++ delta).toSet == full.toSet)
+    // resume over the SAME corpus: done ∪ delta == full, by construction
+    val resume = TextOps.curateDeltaOn(docsDf(d0),
+        docsDf(d0.take(3)).select(col("doc_id"))).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    assert((prev.filter(r => d0.take(3).map(_._1).contains(r._1)) ++ resume).toSet
+      == prev.toSet)
+    // fully-done corpus → empty delta (idempotent resume)
+    assert(TextOps.curateDeltaOn(docsDf(d0), docsDf(d0).select(col("doc_id")))
+      .count() == 0)
+  }
+
+  test("curateDeltaOn: ingest touching an existing cluster diverges as documented") {
+    val ids = Iterator.iterate(1L)(_ + 1).filter(bucketOf(_) < 8)
+    val oldId = ids.next()
+    val newId = ids.next()
+    val d0 = Seq(doc(oldId, "base", 40))
+    // the new doc is a LONGER near-dup of the old keeper (J ≈ 38/41 on
+    // 3-shingles); extra words are >2 chars so the Gopher short-word
+    // gate stays green
+    val dNew = Seq(doc(newId, "base", 40, extra = Seq("extraa", "extrab", "extrac")))
+    val prevKept = TextOps.curateOn(docsDf(d0)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(prevKept(oldId), "old doc is kept before the ingest")
+    val full = TextOps.curateOn(docsDf(d0 ++ dNew)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // full rerun flips the keeper to the longer new member …
+    assert(full(newId) && !full(oldId))
+    // … while the delta path leaves the old row untouched (both "kept"):
+    // the documented bounded-staleness tradeoff of incremental curation
+    val delta = TextOps.curateDeltaOn(docsDf(d0 ++ dNew),
+        docsDf(d0).select(col("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(delta.keySet == Set(newId) && delta(newId))
+  }
+
+  // ------------------------------------------------- label-cache lifecycle
+
+  test("label cache: dead-session entries are purged, live ones survive and rebuild") {
+    // populate (any cluster-composed query builds + memoizes the labels)
+    TextOps.dedupCluster(spark, Sf0001).count()
+    assert(TextOps.labelCacheSize >= 1)
+    // live predicate keeps the entry
+    TextOps.purgeLabelCache(s => !s.sparkContext.isStopped)
+    assert(TextOps.labelCacheSize >= 1)
+    // a service whose sessions all died drops every entry …
+    TextOps.purgeLabelCache(_ => false)
+    assert(TextOps.labelCacheSize == 0)
+    // … and a fresh access rebuilds from scratch, same answer
+    val rebuilt = TextOps.dedupCluster(spark, Sf0001)
+    assert(rebuilt.count() > 0 && TextOps.labelCacheSize >= 1)
+  }
+}
