@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointStats
 import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components over a (src, dst) edge list — the
@@ -34,7 +35,12 @@ import org.apache.spark.sql.types.DecimalType
   * Scale posture: each round is two shuffles (edge join by dst grouped by
   * src; label self-join by rep) over hash-partitioned Longs; lineage is cut
   * every round with an eager checkpoint so round N+1 replans from
-  * materialized blocks, not a 2^N-deep plan. Two checkpoint modes:
+  * materialized blocks, not a 2^N-deep plan — and each cut replaces the
+  * checkpoint's inherited ESTIMATED stats with measured ones
+  * ([[org.apache.spark.sql.graft.CheckpointStats]]), without which the
+  * size estimate compounds multiplicatively across rounds until planning
+  * itself (BigInteger arithmetic on the estimate) dwarfs execution.
+  * Two checkpoint modes:
   * `reliable = false` (default) uses `localCheckpoint` — executor-local
   * blocks, right for local mode and short-lived jobs, but a lost executor
   * loses its blocks and fails every downstream consumer; `reliable = true`
@@ -68,12 +74,27 @@ object ConnectedComponents {
       require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "ConnectedComponents(reliable = true) needs a durable checkpoint dir: " +
           "call SparkContext.setCheckpointDir(<HDFS/object-store path>) first")
-    // identical loop in both modes — only the block durability differs
-    def cut(df: DataFrame): DataFrame =
+    // identical loop in both modes — only the block durability differs.
+    // Every cut REPLACES the checkpoint's inherited origin stats with
+    // measured truth (row count × 24-byte rows of two Longs): Spark's
+    // checkpoint carries the origin plan's ESTIMATED Statistics forward,
+    // and in an iterative loop that estimate compounds multiplicatively
+    // (join size estimate = product of children) until the driver stalls
+    // for minutes inside BigInteger.multiply just planning round ~8+ —
+    // see CheckpointStats for the full diagnosis. Label propagation is
+    // row-preserving, so the label count is measured once and reused
+    // every round; truthful constant stats also keep the optimizer's
+    // broadcast-vs-SMJ choice correct at any graph size.
+    def cutRaw(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = cut(edges.select(col("src"), col("dst"))
+    val e0 = cutRaw(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = cut(nodes.select(col("id"), col("id").as("rep")))
+    val e = CheckpointStats.withMeasuredStats(e0, e0.count(), 24)
+    val l0 = cutRaw(nodes.select(col("id"), col("id").as("rep")))
+    val nNodes = l0.count()
+    def cut(df: DataFrame): DataFrame =
+      CheckpointStats.withMeasuredStats(cutRaw(df), nNodes, 24)
+    var labels = CheckpointStats.withMeasuredStats(l0, nNodes, 24)
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var round = 0
@@ -83,7 +104,9 @@ object ConnectedComponents {
       .join(l.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
         col("l.rep") === col("r.rid"), "left")
       .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val neighborMin = e
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src")).agg(min(col("nrep")).as("minn"))
@@ -92,6 +115,7 @@ object ConnectedComponents {
         .select(labels("id"),
           least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
       val next = cut(jump(jump(prop)))
+      if (debug) println(f"[cc] round $round cut: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // convergence check: every per-vertex rep is non-increasing, so an
       // UNCHANGED sum proves an unchanged labeling — but only in exact
       // arithmetic. Decimal(38,0), not Long: ids may span the full 64-bit

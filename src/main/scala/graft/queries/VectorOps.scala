@@ -233,6 +233,71 @@ object VectorOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------ semantic dedup clustering
+
+  /** Embedding-space dedup clustering (the SemDeDup-style pass of a
+    * training pipeline): connected components over the EXACT cosine
+    * near-dup pairs ([[neardupCosine]], cos ≥ 0.35) — every vector gets
+    * its cluster representative (min reachable vec_id) and `is_dup`
+    * marks non-representatives for dropping. This is the oracle-checked
+    * baseline (recursive-CTE closure over the same pairs);
+    * [[dedupSemantic]] is the LSH-bucketed 100 TB path judged against
+    * it. Same scale posture as the text clustering: CC iterates ONLY
+    * the near-dup subgraph.
+    */
+  def dedupClusterCosine(spark: SparkSession, dir: String): DataFrame =
+    clusterVectors(spark, dir, neardupCosine(spark, dir))
+
+  val dedupClusterCosineSql: String = {
+    val cosRaw = (l: String, r: String) =>
+      s"${dotSql(s"$l.embedding", s"$r.embedding")} / (sqrt($l.n2) * sqrt($r.n2))"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |dups AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+       |  WHERE ${cosRaw("a", "b")} >= 0.35),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM dups
+       |          UNION ALL SELECT d2, d1 FROM dups),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src)
+       |SELECT a AS vec_id, min(b) AS rep, (min(b) <> a) AS is_dup
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+  }
+
+  /** The 100 TB semantic-dedup path: CC over the LSH-BUCKETED verified
+    * cosine pairs ([[neardupCosineLsh]]) instead of the exact all-pairs
+    * baseline. Verified pairs are a SUBSET of the exact cos ≥ 0.35
+    * pairs (candidates can be missed, never wrongly admitted), so
+    * clusters only ever under-merge — every LSH cluster is contained in
+    * an exact cluster (VectorOpsSpec asserts containment + dup recall,
+    * the q_dedup_cluster_lsh discipline applied to embeddings). Plane
+    * signs are engine-specific → no SQL oracle.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    clusterVectors(spark, dir, neardupCosineLsh(spark, dir))
+
+  /** Shared label/assignment step of the two semantic-clustering paths:
+    * CC over `pairs(v1, v2)`'s subgraph, left-joined back to the corpus
+    * so isolated vectors keep rep = self without entering the rounds.
+    */
+  private def clusterVectors(spark: SparkSession, dir: String,
+      pairDf: DataFrame): DataFrame = {
+    val pairs = pairDf.select(col("v1"), col("v2")).localCheckpoint(true)
+    val graphNodes = pairs
+      .select(explode(array(col("v1"), col("v2"))).as("id")).distinct()
+    val labels = graft.operators.ConnectedComponents
+      .run(graphNodes, pairs.select(col("v1").as("src"), col("v2").as("dst")))
+    Tables.t(spark, dir, "embeddings").select(col("vec_id"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep"),
+        (coalesce(col("rep"), col("vec_id")) =!= col("vec_id")).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   // --------------------------------------------------- SimHash near-dup
 
   /** SimHash near-dup with banded candidate generation: 64-bit simhash
@@ -555,6 +620,8 @@ object VectorOps {
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     ContractQuery("q_knn_label", knnLabel, Some(knnLabelSql)),
     ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),
+    ContractQuery("q_dedup_cluster_cosine", dedupClusterCosine, Some(dedupClusterCosineSql)),
+    ContractQuery("q_dedup_semantic", dedupSemantic, None),
     ContractQuery("q_vec_centroid", vecCentroid, Some(vecCentroidSql)),
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
     ContractQuery("q_dedup_cluster_lsh", dedupClusterLsh, None),

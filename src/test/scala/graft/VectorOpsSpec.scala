@@ -57,6 +57,27 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.8, s"cluster-dup recall $recall over ${exactDups.size}")
   }
 
+  test("semantic clustering: LSH path contained in exact clusters, dup recall >= 80%") {
+    val exact = VectorOps.dedupClusterCosine(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val lsh = VectorOps.dedupSemantic(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(lsh.length == exact.length, "both paths label every vector")
+    val exactRep = exact.map(t => t._1 -> t._2).toMap
+    // verified LSH pairs ⊆ exact cos ≥ 0.35 pairs ⇒ under-merge only:
+    // an LSH cluster can never span two exact clusters
+    lsh.groupBy(_._2).values.foreach { members =>
+      val reps = members.map(m => exactRep(m._1)).distinct
+      assert(reps.length == 1, s"LSH semantic cluster spans exact clusters $reps")
+    }
+    val exactDups = exact.filter(_._3).map(_._1).toSet
+    assert(exactDups.nonEmpty, "fixture has cos >= 0.35 pairs at sf0.001")
+    val lshDups = lsh.filter(_._3).map(_._1).toSet
+    assert(lshDups.subsetOf(exactDups))
+    val recall = exactDups.count(lshDups.contains).toDouble / exactDups.size
+    assert(recall >= 0.8, s"semantic dup recall $recall over ${exactDups.size}")
+  }
+
   test("LSH cosine near-dup: subset of exact pairs, recall >= 80%") {
     val exact = VectorOps.neardupCosine(spark, Sf0001)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
