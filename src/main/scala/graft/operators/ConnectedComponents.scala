@@ -50,8 +50,9 @@ import org.apache.spark.sql.types.DecimalType
   * Requires `SparkContext.setCheckpointDir` and fails loudly up front if
   * it is unset (Spark's own error would otherwise surface mid-round 1).
   * Non-convergence within `maxRounds` throws — never silently emits
-  * partial labels (with two jumps per round a component needs diameter
-  * ≳ 4^maxRounds to hit the default cap).
+  * partial labels (each counted round batches TWO propagation rounds
+  * between blocking actions, so a component needs diameter
+  * ≳ 16^maxRounds to hit the default cap).
   */
 object ConnectedComponents {
 
@@ -104,17 +105,32 @@ object ConnectedComponents {
       .join(l.select(col("id").as("rid"), col("rep").as("rrep")).as("r"),
         col("l.rep") === col("r.rid"), "left")
       .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
+    // one propagation round: neighbor-min + two pointer jumps
+    def propagate(l: DataFrame): DataFrame = {
+      val neighborMin = e
+        .join(l.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src")).agg(min(col("nrep")).as("minn"))
+      val prop = l
+        .join(neighborMin, l("id") === neighborMin("src"), "left")
+        .select(l("id"),
+          least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
+      jump(jump(prop))
+    }
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && round < maxRounds) {
       val t0 = System.nanoTime()
-      val neighborMin = e
-        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
-        .groupBy(col("src")).agg(min(col("nrep")).as("minn"))
-      val prop = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(col("rep"), coalesce(col("minn"), col("rep"))).as("rep"))
-      val next = cut(jump(jump(prop)))
+      // TWO propagation rounds per blocking action: the dominant
+      // per-round cost at the convergence tail is not data but the
+      // barrier pair (checkpoint-materialize job + convergence-sum job)
+      // and the broadcast round-trips inside each join — batching two
+      // rounds per cut halves the barriers for the same total work.
+      // Convergence stays sound: labels are per-vertex monotone
+      // non-increasing, so an unchanged SUM across a double round means
+      // no vertex changed in EITHER half (any decrease would strictly
+      // lower the sum) — the fixpoint test cannot be fooled by the
+      // batching. Plan depth per cut is two rounds, a constant, so the
+      // planning-cost bound is unchanged.
+      val next = cut(propagate(propagate(labels)))
       if (debug) println(f"[cc] round $round cut: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // convergence check: every per-vertex rep is non-increasing, so an
       // UNCHANGED sum proves an unchanged labeling — but only in exact
@@ -135,8 +151,8 @@ object ConnectedComponents {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"ConnectedComponents did not converge in $maxRounds rounds " +
-          "(component diameter ~ 4^maxRounds?) — refusing to emit partial labels")
+        s"ConnectedComponents did not converge in $maxRounds double-rounds " +
+          "(component diameter ~ 16^maxRounds?) — refusing to emit partial labels")
     (labels, round)
   }
 }
