@@ -190,9 +190,12 @@ object TextOps {
   private[graft] def purgeLabelCache(alive: SparkSession => Boolean): Unit = {
     val it = labelCache.keySet.iterator()
     while (it.hasNext) if (!alive(it.next()._1)) it.remove()
+    val rt = reasonsCache.keySet.iterator()
+    while (rt.hasNext) if (!alive(rt.next()._1)) rt.remove()
   }
 
   private[graft] def labelCacheSize: Int = labelCache.size
+  private[graft] def reasonsCacheSize: Int = reasonsCache.size
 
   /** Near-dup cluster labels (id, rep) over an arbitrary (doc_id, text)
     * frame at `threshold` — the unmemoized engine form of the label
@@ -1094,8 +1097,30 @@ object TextOps {
     * same expression its standalone contract query oracles.
     */
   def curate(spark: SparkSession, dir: String): DataFrame =
-    curateOn(Tables.t(spark, dir, "documents"), CurateConfig(),
-      labels = Some(clusterLabels(spark, dir)))
+    curateReasons(spark, dir).orderBy(col("doc_id"))
+
+  /** Memoized contract-pipeline reasons per (session, dir), same
+    * lifecycle and rationale as [[labelCache]]: the full and the
+    * incremental curate query share every stage (Gopher gate, exact
+    * dedup, decontamination, keep-best), differing only in the final
+    * filter/sort — without memoization whichever runs second re-executes
+    * the whole pipeline. Materialized via eager localCheckpoint with
+    * measured stats (one row per doc, see
+    * [[org.apache.spark.sql.graft.CheckpointStats]]).
+    */
+  private val reasonsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def curateReasons(spark: SparkSession, dir: String): DataFrame = {
+    purgeLabelCache(s => !s.sparkContext.isStopped)
+    reasonsCache.computeIfAbsent((spark, dir), _ => {
+      val r = curateReasonsOn(Tables.t(spark, dir, "documents"), CurateConfig(),
+        labels = Some(clusterLabels(spark, dir))).localCheckpoint(true)
+      // doc_id (8) + kept (1) + short reason string + row overhead
+      org.apache.spark.sql.graft.CheckpointStats
+        .withMeasuredStats(r, r.count(), 40)
+    })
+  }
 
   /** [[curate]] generalized over corpus and config — the engine surface
     * a user points at their own documents frame: identical stage order
@@ -1107,6 +1132,14 @@ object TextOps {
     * `cfg.jaccardThreshold`.
     */
   def curateOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+      labels: Option[DataFrame] = None): DataFrame =
+    curateReasonsOn(docs, cfg, labels).orderBy(col("doc_id"))
+
+  /** [[curateOn]] without the final presentation sort — the reusable
+    * frame both the full and the incremental contract queries memoize
+    * ([[curateReasons]]): one (doc_id, kept, drop_reason) row per doc.
+    */
+  def curateReasonsOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
       labels: Option[DataFrame] = None): DataFrame = {
     val g = new GopherRules(cfg)
     val qOk = docs.filter(g.all)
@@ -1140,7 +1173,6 @@ object TextOps {
           .as("drop_reason"))
       .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
         col("drop_reason"))
-      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------- incremental curate
@@ -1177,10 +1209,11 @@ object TextOps {
     * construction.
     */
   def curateDelta(spark: SparkSession, dir: String): DataFrame =
-    curateDeltaOn(Tables.t(spark, dir, "documents"),
-      Tables.t(spark, dir, "documents").select(col("doc_id"))
+    curateReasons(spark, dir)
+      .join(Tables.t(spark, dir, "documents").select(col("doc_id"))
         .filter(detHash(col("doc_id")) % 10L < 5L),
-      labels = Some(clusterLabels(spark, dir)))
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
 
   /** Everything through the `reasons` CTE — shared by [[curateSql]] and
     * [[curateDeltaSql]] so the pipeline semantics cannot drift between

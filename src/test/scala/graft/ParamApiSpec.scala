@@ -189,5 +189,11 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     // … and a fresh access rebuilds from scratch, same answer
     val rebuilt = TextOps.dedupCluster(spark, Sf0001)
     assert(rebuilt.count() > 0 && TextOps.labelCacheSize >= 1)
+    // the curate-reasons cache shares the same lifecycle: populated by
+    // either curate query, dropped by the same purge
+    TextOps.curate(spark, Sf0001).count()
+    assert(TextOps.reasonsCacheSize >= 1)
+    TextOps.purgeLabelCache(_ => false)
+    assert(TextOps.reasonsCacheSize == 0 && TextOps.labelCacheSize == 0)
   }
 }
