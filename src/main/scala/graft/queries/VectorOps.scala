@@ -95,11 +95,19 @@ object VectorOps {
   // --------------------------------------------- cosine near-dup pairs
 
   /** All pairs with cosine ≥ 0.35 (the fixture embeddings are isotropic
-    * noise, so higher thresholds are empty). Brute force is the oracle
-    * baseline; the LSH-bucketed variant below is the 100 TB plan.
+    * noise, so higher thresholds are empty) — pinned instantiation of
+    * [[neardupCosineAt]]. Brute force is the oracle baseline; the
+    * LSH-bucketed variant below is the 100 TB plan.
     */
-  def neardupCosine(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(spark, dir, "embeddings")
+  def neardupCosine(spark: SparkSession, dir: String): DataFrame =
+    neardupCosineAt(Tables.t(spark, dir, "embeddings"), threshold = 0.35)
+
+  /** Exact cosine near-dup pairs of an arbitrary `vecs(vec_id,
+    * embedding)` frame at `threshold` — the engine surface a user points
+    * at their own vectors.
+    */
+  def neardupCosineAt(vecs: DataFrame, threshold: Double): DataFrame = {
+    val base = vecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     val a = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
     val b = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
@@ -108,7 +116,7 @@ object VectorOps {
     // BigDecimal per pair; rounding happens once, on survivors only. The
     // oracle mirrors the raw-threshold semantics exactly.
     val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
-    a.crossJoin(b).filter(col("v1") < col("v2") && cosRaw >= 0.35)
+    a.crossJoin(b).filter(col("v1") < col("v2") && cosRaw >= threshold)
       .select(col("v1"), col("v2"), round(cosRaw, 6).as("cos"))
       .orderBy(col("v1"), col("v2"))
   }
@@ -246,7 +254,7 @@ object VectorOps {
     * the near-dup subgraph.
     */
   def dedupClusterCosine(spark: SparkSession, dir: String): DataFrame =
-    clusterVectors(spark, dir, neardupCosine(spark, dir))
+    semanticClustersOn(Tables.t(spark, dir, "embeddings"), threshold = 0.35)
 
   val dedupClusterCosineSql: String = {
     val cosRaw = (l: String, r: String) =>
@@ -277,20 +285,42 @@ object VectorOps {
     * signs are engine-specific → no SQL oracle.
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    clusterVectors(spark, dir, neardupCosineLsh(spark, dir))
+    semanticClustersLshOn(Tables.t(spark, dir, "embeddings"),
+      threshold = 0.35, numPlanes = 16, bands = 8)
+
+  /** Semantic-dedup cluster labels of an arbitrary `vecs(vec_id,
+    * embedding)` frame at `threshold`, exact-pair baseline form — the
+    * engine surface behind [[dedupClusterCosine]].
+    */
+  def semanticClustersOn(vecs: DataFrame, threshold: Double): DataFrame =
+    clusterVectors(vecs, neardupCosineAt(vecs, threshold))
+
+  /** LSH-bucketed form of [[semanticClustersOn]] (the scale path behind
+    * [[dedupSemantic]]): candidates from banded hyperplane signatures,
+    * exact-cosine verification, then CC — verified pairs ⊆ exact pairs,
+    * so clusters under-merge only, at any knob setting.
+    */
+  def semanticClustersLshOn(vecs: DataFrame, threshold: Double,
+      numPlanes: Int, bands: Int, seed: Long = 42L): DataFrame =
+    clusterVectors(vecs, neardupCosineLshAt(
+      vecs.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")),
+      threshold, numPlanes, bands, seed))
 
   /** Shared label/assignment step of the two semantic-clustering paths:
     * CC over `pairs(v1, v2)`'s subgraph, left-joined back to the corpus
     * so isolated vectors keep rep = self without entering the rounds.
+    * The pair checkpoint gets measured stats (the crossJoin/LSH origin
+    * estimate is garbage — see CheckpointStats).
     */
-  private def clusterVectors(spark: SparkSession, dir: String,
-      pairDf: DataFrame): DataFrame = {
-    val pairs = pairDf.select(col("v1"), col("v2")).localCheckpoint(true)
+  private def clusterVectors(vecs: DataFrame, pairDf: DataFrame): DataFrame = {
+    val p0 = pairDf.select(col("v1"), col("v2")).localCheckpoint(true)
+    val pairs = org.apache.spark.sql.graft.CheckpointStats
+      .withMeasuredStats(p0, p0.count(), 24)
     val graphNodes = pairs
       .select(explode(array(col("v1"), col("v2"))).as("id")).distinct()
     val labels = graft.operators.ConnectedComponents
       .run(graphNodes, pairs.select(col("v1").as("src"), col("v2").as("dst")))
-    Tables.t(spark, dir, "embeddings").select(col("vec_id"))
+    vecs.select(col("vec_id"))
       .join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"),
         coalesce(col("rep"), col("vec_id")).as("rep"),

@@ -174,6 +174,40 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(delta.keySet == Set(newId) && delta(newId))
   }
 
+  // ------------------------------------------------ semantic clustering
+
+  test("semanticClustersOn: dup set shrinks monotonically with threshold; contract = 0.35 instantiation") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+    def dups(t: Double) = VectorOps.semanticClustersOn(vecs, t).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val loose = dups(0.30)
+    val mid = dups(0.35)
+    val tight = dups(0.45)
+    assert(loose.nonEmpty, "fixture has cos >= 0.30 pairs")
+    // fewer edges ⇒ fewer paths to a smaller id ⇒ is_dup can only flip off
+    assert(mid.subsetOf(loose) && tight.subsetOf(mid))
+    // the contract query IS the 0.35 instantiation
+    val contract = VectorOps.dedupClusterCosine(spark, Sf0001).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(contract == mid)
+  }
+
+  test("semanticClustersLshOn: a non-contract banding still under-merges the exact clusters") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+    val exactRep = VectorOps.semanticClustersOn(vecs, 0.35).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // different planes/bands/seed than the contract pin: the under-merge
+    // containment is a property of verify-then-cluster, not of the knobs
+    val lsh = VectorOps.semanticClustersLshOn(vecs, 0.35,
+      numPlanes = 32, bands = 4, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.length == exactRep.size, "every vector labeled")
+    lsh.groupBy(_._2).values.foreach { members =>
+      val reps = members.map(m => exactRep(m._1)).distinct
+      assert(reps.length == 1, s"LSH cluster spans exact clusters $reps")
+    }
+  }
+
   // ------------------------------------------------- label-cache lifecycle
 
   test("label cache: dead-session entries are purged, live ones survive and rebuild") {
