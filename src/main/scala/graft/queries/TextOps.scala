@@ -629,10 +629,57 @@ object TextOps {
     val sh = shingleRows(docs)
     val trainSh = sh.filter(bucket < cfg.trainBucketsBelow).select(col("s")).distinct()
     val testSh = sh.filter(bucket >= cfg.testBucketsFrom)
-    val sizes = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = testSh.join(trainSh, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+    contamVerdicts(docs, cfg, testSh, shared)
+  }
+
+  /** [[decontaminateOn]] with bloom-filter semi-join pruning — the
+    * explicit 100 TB form. The exact pass shuffles EVERY train and test
+    * shingle by `s` just to discover that almost none match; here each
+    * side is first probed against a bloom filter of the other
+    * ([[org.apache.spark.sql.graft.BloomFunctions]] — the same
+    * expression pair Catalyst's own InjectRuntimeFilter wires in above
+    * its 10 GB threshold, built deliberately so the plan exists at any
+    * scale). Blooms are built from RAW rows (duplicates don't change a
+    * bloom — no distinct before the build; the train-side distinct runs
+    * AFTER pruning, over survivors only), then the pruned sides meet in
+    * the same exact join. Bloom filters have no false negatives, so the
+    * output is bit-identical to [[decontaminateOn]] at ANY sizing —
+    * `expectedShingles`/`numBits` trade only shuffle volume (false-
+    * positive rate), never correctness. Oracled by the SAME SQL as the
+    * exact query.
+    */
+  def decontaminateBloomOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+      expectedShingles: Long = 1L << 22, numBits: Long = 1L << 26): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val bucket = detHash(col("doc_id")) % 10L
+    val sh = shingleRows(docs)
+    val trainShRaw = sh.filter(bucket < cfg.trainBucketsBelow).select(col("s"))
+    val testSh = sh.filter(bucket >= cfg.testBucketsFrom)
+    val bTrain = trainShRaw
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("s")), expectedShingles, numBits).as("bf"))
+    val bTest = testSh.select(col("s"))
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("s")), expectedShingles, numBits).as("bf"))
+    val prunedTrain = trainShRaw
+      .filter(BloomFunctions.mightContain(bTest, xxhash64(col("s")))).distinct()
+    val prunedTest = testSh
+      .filter(BloomFunctions.mightContain(bTrain, xxhash64(col("s"))))
+    val shared = prunedTest.join(prunedTrain, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    contamVerdicts(docs, cfg, testSh, shared)
+  }
+
+  /** Shared verdict tail of the exact and bloom-pruned decontamination
+    * paths: per-test-doc shingle sizes, overlap ratio, and the exact
+    * rational contamination gate.
+    */
+  private def contamVerdicts(docs: DataFrame, cfg: CurateConfig,
+      testSh: DataFrame, shared: DataFrame): DataFrame = {
+    val bucket = detHash(col("doc_id")) % 10L
+    val sizes = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val nSh = coalesce(col("n_sh"), lit(0L))
     val nShared = coalesce(col("n_shared"), lit(0L))
     docs.filter(bucket >= cfg.testBucketsFrom).select(col("doc_id"))
@@ -644,6 +691,10 @@ object TextOps {
           .as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Pinned contract instantiation of [[decontaminateBloomOn]]. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomOn(Tables.t(spark, dir, "documents"))
 
   private val bucketSql = (c: String) => s"${detHashSql(c)} % 10"
 
@@ -1288,6 +1339,7 @@ object TextOps {
     ContractQuery("q_sample_split", sampleSplit, Some(sampleSplitSql)),
     ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    ContractQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
     ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql)),

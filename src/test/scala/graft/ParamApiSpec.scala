@@ -174,6 +174,21 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(delta.keySet == Set(newId) && delta(newId))
   }
 
+  // ------------------------------------------------ bloom decontamination
+
+  test("decontaminateBloomOn: bit-identical to exact at default AND degenerate sizing") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val exact = TextOps.decontaminateOn(docs, CurateConfig()).collect().toSeq
+    assert(exact.nonEmpty)
+    val bloom = TextOps.decontaminateBloomOn(docs).collect().toSeq
+    assert(bloom == exact)
+    // a comically undersized filter (near-100% false-positive rate)
+    // degrades pruning, never results: no false negatives by construction
+    val tiny = TextOps.decontaminateBloomOn(docs,
+      expectedShingles = 16L, numBits = 64L).collect().toSeq
+    assert(tiny == exact)
+  }
+
   // ------------------------------------------------ semantic clustering
 
   test("semanticClustersOn: dup set shrinks monotonically with threshold; contract = 0.35 instantiation") {
