@@ -296,13 +296,13 @@ object Multimodal {
       .join(ids.select(col("img_id").as("id1"), col("nid").as("src")), "id1")
       .join(ids.select(col("img_id").as("id2"), col("nid").as("dst")), "id2")
       .select(col("src"), col("dst"))
-    // iterate ONLY the near-dup subgraph (the text-path posture): images
-    // in no pair keep rep = self via the left join and never enter the
-    // rounds, so the per-round shuffles scale with |dup candidates|, not
-    // |corpus|
-    val graphNodes = edges
-      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
-    val labels = graft.operators.ConnectedComponents.run(graphNodes, edges)
+    // iterate ONLY the near-dup subgraph (the text-path posture):
+    // runOnPairs checkpoints the banded pair join once (it would
+    // otherwise re-execute for the node scan and every CC round) and
+    // images in no pair keep rep = self via the left join, never
+    // entering the rounds — per-round shuffles scale with
+    // |dup candidates|, not |corpus|
+    val labels = graft.operators.ConnectedComponents.runOnPairs(edges)
     val repNames = ids.select(col("nid").as("rep_nid"), col("img_id").as("rep_id"))
     ids.join(labels, col("nid") === col("id"), "left")
       .withColumn("rep_n", coalesce(col("rep"), col("nid")))

@@ -68,6 +68,37 @@ object ConnectedComponents {
       reliable: Boolean = false): DataFrame =
     runCounted(nodes, edges, maxRounds, reliable)._1
 
+  /** The shared front half of every dedup-clustering path: checkpoint
+    * the verified pair frame once (measured stats — the pair plan is an
+    * expensive banded/exact join whose origin estimate is garbage and
+    * which would otherwise re-execute for the node scan, the edge union,
+    * and every CC round), derive the node set, and iterate ONLY the pair
+    * subgraph. Members in no pair never enter the rounds — compose with
+    * [[assignClusters]] to label the full universe.
+    *
+    * @param pairs (src: long, dst: long) — one row per verified near-dup pair
+    * @return (id, rep) for every id appearing in ≥ 1 pair
+    */
+  def runOnPairs(pairs: DataFrame, maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    val raw = pairs.select(col("src"), col("dst"))
+    val p0 = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
+    val p = CheckpointStats.withMeasuredStats(p0, p0.count(), 24)
+    val nodes = p.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+    run(nodes, p, maxRounds, reliable)
+  }
+
+  /** The shared back half: label the full `universe` from a subgraph-only
+    * label table — members absent from `labels` keep rep = self via the
+    * left join, `is_dup` marks non-representatives for dropping.
+    */
+  def assignClusters(universe: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame =
+    universe.join(labels, universe(idCol) === labels("id"), "left")
+      .select(universe(idCol),
+        coalesce(col("rep"), universe(idCol)).as("rep"),
+        (coalesce(col("rep"), universe(idCol)) =!= universe(idCol)).as("is_dup"))
+
   /** [[run]] plus the number of rounds executed (for tests/telemetry). */
   def runCounted(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
       reliable: Boolean = false): (DataFrame, Int) = {
@@ -144,6 +175,21 @@ object ConnectedComponents {
         .agg(coalesce(sum(col("rep").cast(DecimalType(38, 0))),
           lit(java.math.BigDecimal.ZERO)))
         .head.getDecimal(0)
+      // reliable mode: the outgoing round's durable checkpoint is now
+      // superseded — `next` is fully materialized to its OWN checkpoint
+      // (lineage cut, nothing re-reads the old files) — so delete it.
+      // Spark never cleans reliable checkpoints itself (the reference-
+      // tracking cleaner is off by default and GC-driven at best), and
+      // one full label-table copy per round is exactly the storage blowup
+      // the 100 TB mode cannot afford; this keeps live copies at O(1)
+      // (edges + current labels). The FINAL round's files are never
+      // deleted here — they back the returned DataFrame.
+      if (reliable)
+        CheckpointStats.checkpointFile(labels).foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(
+            nodes.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+        }
       labels = next
       converged = prevSum.exists(_.compareTo(s) == 0)
       prevSum = Some(s)

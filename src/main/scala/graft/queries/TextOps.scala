@@ -96,9 +96,11 @@ object TextOps {
     *
     * Each shingle row carries its doc's set size (window count — one
     * shuffle by doc_id, no driver-bound broadcast), so (a) the join itself
-    * prunes pairs that cannot reach J ≥ 0.5: J ≤ min/max, hence
-    * max(n1,n2) ≤ 2·min(n1,n2) is necessary (+1 slack covers the rounded
-    * 0.4999995 boundary, unreachable below ~1e6 shingles/doc), and (b) no
+    * prunes pairs that cannot reach J ≥ 0.5: J ≤ min/max, so
+    * max·(t − 5·10⁻⁷) ≤ min + 1 is necessary EVEN for the rounded
+    * boundary (round-to-6dp admits J ≥ t − 5·10⁻⁷; the relative term
+    * keeps the bound valid past 2·10⁶ shingles/doc, where a flat +1
+    * slack stops covering it — max·5·10⁻⁷ > 1 there), and (b) no
     * post-aggregation size joins are needed. No cache(): both join sides
     * are the identical subplan, which Spark's exchange reuse materializes
     * once (and nothing leaks in the block manager across invocations).
@@ -109,10 +111,10 @@ object TextOps {
   /** [[neardupJaccard]] generalized over corpus and threshold — the
     * engine surface: exact-Jaccard ≥ `threshold` pairs of any
     * (doc_id, text) frame. The size-ratio prune generalizes with the
-    * threshold (J ≤ min/max, so max·t ≤ min + 1 is necessary; the +1
-    * keeps the rounded boundary safe) and stays inside the join
-    * condition, so the shuffle-by-shingle scale shape is unchanged at
-    * any setting.
+    * threshold (J ≤ min/max, so max·(t − 5·10⁻⁷) ≤ min + 1 is necessary —
+    * the 5·10⁻⁷ term admits every pair whose ROUNDED jaccard can still
+    * meet t, at any shingle count) and stays inside the join condition,
+    * so the shuffle-by-shingle scale shape is unchanged at any setting.
     */
   def neardupJaccardAt(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -121,7 +123,7 @@ object TextOps {
     val e = shingleRows(docs).withColumn("n", count(lit(1)).over(wd))
     e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) * threshold <=
+          greatest(col("a.n"), col("b.n")) * (threshold - 5e-7) <=
             least(col("a.n"), col("b.n")) + 1)
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
@@ -208,15 +210,11 @@ object TextOps {
     * cluster mode, where executor churn over the iteration is expected.
     */
   def clusterLabelsOn(docs: DataFrame, threshold: Double = 0.5,
-      reliable: Boolean = false): DataFrame = {
-    val raw = neardupJaccardAt(docs, threshold).select(col("d1"), col("d2"))
-    val pairs = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
-    val graphNodes = pairs
-      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
-    graft.operators.ConnectedComponents
-      .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")),
-        reliable = reliable)
-  }
+      reliable: Boolean = false): DataFrame =
+    graft.operators.ConnectedComponents.runOnPairs(
+      neardupJaccardAt(docs, threshold)
+        .select(col("d1").as("src"), col("d2").as("dst")),
+      reliable = reliable)
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     purgeLabelCache(s => !s.sparkContext.isStopped)
@@ -225,11 +223,9 @@ object TextOps {
   }
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(clusterLabels(spark, dir), col("doc_id") === col("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("rep"), col("doc_id")).as("rep"),
-        (coalesce(col("rep"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
+    graft.operators.ConnectedComponents.assignClusters(
+      Tables.t(spark, dir, "documents").select(col("doc_id")), "doc_id",
+      clusterLabels(spark, dir))
       .orderBy(col("doc_id"))
 
   /** Shared recursive-closure CTE prefix: defines `reach(a, b)` = doc b
@@ -1163,10 +1159,14 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def curateReasons(spark: SparkSession, dir: String): DataFrame = {
-    purgeLabelCache(s => !s.sparkContext.isStopped)
+    // resolve the labels BEFORE entering computeIfAbsent: clusterLabels
+    // purges BOTH caches on access, and ConcurrentHashMap forbids the
+    // mapping function mutating the map it is computing into (recursive
+    // update — deadlock or corruption when the purged key shares a bin)
+    val labels = clusterLabels(spark, dir)
     reasonsCache.computeIfAbsent((spark, dir), _ => {
       val r = curateReasonsOn(Tables.t(spark, dir, "documents"), CurateConfig(),
-        labels = Some(clusterLabels(spark, dir))).localCheckpoint(true)
+        labels = Some(labels)).localCheckpoint(true)
       // doc_id (8) + kept (1) + short reason string + row overhead
       org.apache.spark.sql.graft.CheckpointStats
         .withMeasuredStats(r, r.count(), 40)

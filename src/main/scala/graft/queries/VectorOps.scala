@@ -307,24 +307,16 @@ object VectorOps {
       threshold, numPlanes, bands, seed))
 
   /** Shared label/assignment step of the two semantic-clustering paths:
-    * CC over `pairs(v1, v2)`'s subgraph, left-joined back to the corpus
-    * so isolated vectors keep rep = self without entering the rounds.
-    * The pair checkpoint gets measured stats (the crossJoin/LSH origin
-    * estimate is garbage — see CheckpointStats).
+    * CC over `pairs(v1, v2)`'s subgraph ([[graft.operators
+    * .ConnectedComponents.runOnPairs]] — checkpointed pairs with
+    * measured stats), left-joined back to the corpus so isolated
+    * vectors keep rep = self without entering the rounds.
     */
   private def clusterVectors(vecs: DataFrame, pairDf: DataFrame): DataFrame = {
-    val p0 = pairDf.select(col("v1"), col("v2")).localCheckpoint(true)
-    val pairs = org.apache.spark.sql.graft.CheckpointStats
-      .withMeasuredStats(p0, p0.count(), 24)
-    val graphNodes = pairs
-      .select(explode(array(col("v1"), col("v2"))).as("id")).distinct()
-    val labels = graft.operators.ConnectedComponents
-      .run(graphNodes, pairs.select(col("v1").as("src"), col("v2").as("dst")))
-    vecs.select(col("vec_id"))
-      .join(labels, col("vec_id") === col("id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("rep"), col("vec_id")).as("rep"),
-        (coalesce(col("rep"), col("vec_id")) =!= col("vec_id")).as("is_dup"))
+    val labels = graft.operators.ConnectedComponents.runOnPairs(
+      pairDf.select(col("v1").as("src"), col("v2").as("dst")))
+    graft.operators.ConnectedComponents
+      .assignClusters(vecs.select(col("vec_id")), "vec_id", labels)
       .orderBy(col("vec_id"))
   }
 

@@ -49,4 +49,16 @@ object CheckpointStats {
             lr.outputOrdering, lr.isStreaming, lr.stream)(spark, Some(stats), None))
       case _ => df
     }
+
+  /** The durable-checkpoint directory backing `df`, if `df` is the
+    * result of a reliable `checkpoint()` (None for `localCheckpoint` —
+    * executor-local blocks have no file). Lets an iterative caller
+    * delete superseded rounds' checkpoints instead of accumulating one
+    * full copy per round.
+    */
+  def checkpointFile(df: DataFrame): Option[String] =
+    df.queryExecution.logical match {
+      case lr: LogicalRDD => lr.rdd.getCheckpointFile
+      case _ => None
+    }
 }

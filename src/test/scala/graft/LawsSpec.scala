@@ -245,6 +245,14 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       assert(new java.io.File(dir).listFiles != null &&
         new java.io.File(dir).listFiles.nonEmpty,
         "durable mode must write RDD checkpoints under the checkpoint dir")
+      // superseded rounds are deleted as they go: live rdd-* checkpoints
+      // stay O(1) (edges + final labels), not O(rounds) — at 100 TB one
+      // label-table copy per round fills the checkpoint store mid-job
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs <= 3,
+        s"expected O(1) live checkpoints (edges + final labels), found $rddDirs")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
