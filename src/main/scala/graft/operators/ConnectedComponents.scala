@@ -117,15 +117,18 @@ object ConnectedComponents {
     // row-preserving, so the label count is measured once and reused
     // every round; truthful constant stats also keep the optimizer's
     // broadcast-vs-SMJ choice correct at any graph size.
-    def cutRaw(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def cutRaw(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
     val e0 = cutRaw(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))), eager = false)
     val e = CheckpointStats.withMeasuredStats(e0, e0.count(), 24)
-    val l0 = cutRaw(nodes.select(col("id"), col("id").as("rep")))
+    val l0 = cutRaw(nodes.select(col("id"), col("id").as("rep")), eager = false)
     val nNodes = l0.count()
+    // per-round cuts are LAZY: the convergence-sum action right after is
+    // what materializes the blocks (and truncates lineage) — one job per
+    // round instead of a checkpoint job plus a sum job
     def cut(df: DataFrame): DataFrame =
-      CheckpointStats.withMeasuredStats(cutRaw(df), nNodes, 24)
+      CheckpointStats.withMeasuredStats(cutRaw(df, eager = false), nNodes, 24)
     var labels = CheckpointStats.withMeasuredStats(l0, nNodes, 24)
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
@@ -162,19 +165,21 @@ object ConnectedComponents {
       // batching. Plan depth per cut is two rounds, a constant, so the
       // planning-cost bound is unchanged.
       val next = cut(propagate(propagate(labels)))
-      if (debug) println(f"[cc] round $round cut: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      // convergence check: every per-vertex rep is non-increasing, so an
-      // UNCHANGED sum proves an unchanged labeling — but only in exact
-      // arithmetic. Decimal(38,0), not Long: ids may span the full 64-bit
-      // range (e.g. xxhash64-mapped string ids), where a Long sum
-      // overflows (ANSI mode throws; legacy mode would wrap and could
-      // alias two different labelings). coalesce: sum over an EMPTY
-      // label set (corpus with no dup pairs) is NULL — treat as 0 so the
-      // loop converges instead of NPEing.
+      // convergence check — this action also materializes the lazy
+      // checkpoint above (blocks written + lineage truncated in the same
+      // job). Every per-vertex rep is non-increasing, so an UNCHANGED
+      // sum proves an unchanged labeling — but only in exact arithmetic.
+      // Decimal(38,0), not Long: ids may span the full 64-bit range
+      // (e.g. xxhash64-mapped string ids), where a Long sum overflows
+      // (ANSI mode throws; legacy mode would wrap and could alias two
+      // different labelings). coalesce: sum over an EMPTY label set
+      // (corpus with no dup pairs) is NULL — treat as 0 so the loop
+      // converges instead of NPEing.
       val s = next
         .agg(coalesce(sum(col("rep").cast(DecimalType(38, 0))),
           lit(java.math.BigDecimal.ZERO)))
         .head.getDecimal(0)
+      if (debug) println(f"[cc] round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // reliable mode: the outgoing round's durable checkpoint is now
       // superseded — `next` is fully materialized to its OWN checkpoint
       // (lineage cut, nothing re-reads the old files) — so delete it.
