@@ -331,6 +331,19 @@ object VectorOps {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
+    graft.operators.BandedHamming
+      .pairs(simhashSignatures(docs), "doc_id", "simhash",
+        bands = 4, maxHamming = 6)
+      .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** (doc_id, simhash) 64-bit SimHash signatures over whitespace tokens —
+    * the batch signature builder behind [[dedupSimhash]], shared with the
+    * streaming twin's parity spec ([[graft.streaming.NeardupStream]]
+    * computes the same signature per-row).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     val tokw = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -343,13 +356,9 @@ object VectorOps {
     val bitSums = (0 until 64).map(b =>
       sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("w")).otherwise(-col("w"))).as(s"s$b"))
     val sums = tokw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = sums.select(col("doc_id"),
+    sums.select(col("doc_id"),
       (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    graft.operators.BandedHamming
-      .pairs(sim, "doc_id", "simhash", bands = 4, maxHamming = 6)
-      .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   // ------------------------------------------------------ LSH-bucket ANN

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One (band, band value) bucket row of a banded SimHash signature. */
+final case class BandedDoc(band: Int, bandval: Long, doc_id: Long, simhash: Long)
+
+/** A bucket member retained in stream state: (doc id, full signature). */
+final case class BucketMember(id: Long, h: Long)
+
+/** An emitted near-dup candidate pair, verified to `hamming ≤ maxHamming`
+  * (d1 < d2, matching the batch [[graft.operators.BandedHamming.pairs]]
+  * orientation).
+  */
+final case class NeardupPair(d1: Long, d2: Long, hamming: Int)
+
+/** Streaming near-duplicate detection — the Structured-Streaming twin of
+  * the batch SimHash dedup ([[graft.queries.VectorOps.dedupSimhash]]):
+  * documents arrive on an unbounded stream and each one is checked against
+  * everything seen so far, without ever holding the corpus in one place.
+  *
+  * Plan shape (the streaming analog of the batch banded join):
+  *
+  *   1. per-row 64-bit SimHash ([[simhashCol]] — bit-identical to the
+  *      batch aggregate signature, see note there);
+  *   2. explode to `bands` (band, band value) bucket keys — the same
+  *      bucketing as [[graft.operators.BandedHamming.pairs]], so two docs
+  *      meet iff they agree on a whole band;
+  *   3. `flatMapGroupsWithState` keyed by bucket: state holds the bucket's
+  *      first-seen members (id, signature); each arriving doc is
+  *      Hamming-checked against them and verified pairs are emitted.
+  *
+  * State is partitioned by bucket key — at scale it lives in the RocksDB
+  * state store sharded across executors, and a doc only ever meets the
+  * members of its own `bands` buckets, never the corpus.
+  *
+  * Caveats, stated precisely:
+  *
+  *  - A pair agreeing on multiple bands is emitted once per agreeing
+  *    band (the batch form dedups with `distinct()`); downstream either
+  *    tolerates duplicates (dedup decisions are idempotent) or appends a
+  *    `dropDuplicates("d1","d2")` — itself stateful, so at scale prefer
+  *    idempotent consumption.
+  *  - State per bucket is capped at `maxBucket` first-seen members — the
+  *    streaming analog of the batch hot-bucket guard. Docs arriving after
+  *    a bucket is full still CHECK against the retained members (so dups
+  *    of early docs are always caught) but are not retained, so a pair of
+  *    two late arrivals that meet ONLY in an over-cap bucket is lost —
+  *    same degraded-but-bounded posture as the batch guard, and the same
+  *    mitigation applies (exact-dedup upstream so identical content
+  *    collapses before LSH).
+  *  - Group iterator order within a micro-batch is not defined, so rows
+  *    are processed in doc_id order inside each (bucket, batch) — output
+  *    is deterministic given the batch boundaries.
+  */
+object NeardupStream {
+
+  /** Per-row 64-bit SimHash over whitespace tokens, bit-identical to the
+    * batch [[graft.queries.VectorOps.simhashSignatures]]: bit b is set
+    * iff Σ over token occurrences of (+1 if bit b of xxhash64(token) else
+    * −1) is positive. The batch form aggregates (doc, token) rows in a
+    * 64-buffer codegen'd aggregate — the right shape when a shuffle by
+    * doc exists anyway; this form folds the token array per row with
+    * higher-order functions (interpreted, but row-local) — the right
+    * shape for a stream, where signatures must be computed without a
+    * pre-aggregation in front of the stateful operator. NULL text →
+    * NULL signature (the batch explode likewise emits no rows for it).
+    */
+  def simhashCol(text: Column): Column = {
+    val sums = aggregate(
+      split(text, " "),
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val contrib = array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, lit(1L))
+            .otherwise(lit(-1L))): _*)
+        zip_with(acc, contrib, (a, x) => a + x)
+      })
+    (0 until 64).map(b =>
+      when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Near-dup candidate pairs over a (doc_id, text) stream (or batch
+    * frame — `flatMapGroupsWithState` degrades to empty-state groups in
+    * batch mode, which is exactly the one-shot semantics). Same banding
+    * defaults as the batch [[graft.queries.VectorOps.dedupSimhash]].
+    */
+  def pairsStream(docs: DataFrame, bands: Int = 4, maxHamming: Int = 6,
+      maxBucket: Int = 100000): Dataset[NeardupPair] = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withColumn("simhash", simhashCol(col("text")))
+      .filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(simhash, band * $bits) & $mask"))
+      .select(col("band").cast("int").as("band"), col("bandval"),
+        col("doc_id"), col("simhash"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(r => (r.band, r.bandval))
+      .flatMapGroupsWithState[List[BucketMember], NeardupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val members = scala.collection.mutable.ArrayBuffer
+            .from(state.getOption.getOrElse(Nil))
+          val seen = scala.collection.mutable.HashSet.from(members.map(_.id))
+          val out = Seq.newBuilder[NeardupPair]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!seen(r.doc_id)) {
+              members.foreach { m =>
+                val ham = java.lang.Long.bitCount(m.h ^ r.simhash)
+                if (ham <= maxHamming)
+                  out += NeardupPair(
+                    math.min(m.id, r.doc_id), math.max(m.id, r.doc_id), ham)
+              }
+              if (members.size < maxBucket) {
+                members += BucketMember(r.doc_id, r.simhash)
+                seen += r.doc_id
+              }
+            }
+          }
+          state.update(members.toList)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Tables, VectorOps}
+import graft.streaming.NeardupStream
+
+/** Streaming near-dup dedup (NeardupStream) against the batch SimHash
+  * truth: the per-row signature must be bit-identical to the batch
+  * aggregate signature, and the stateful banded pipeline must find
+  * exactly the batch pair set — including pairs whose members arrive in
+  * different micro-batches (the whole point of the state).
+  */
+class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("per-row simhash expression == batch 64-buffer aggregate signature") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val batch = VectorOps.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = docs
+      .select(col("doc_id"), NeardupStream.simhashCol(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow.size == 500)
+    assert(perRow == batch)
+  }
+
+  test("streamed pairs across two micro-batches == batch dedup_simhash") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val want = VectorOps.dedupSimhash(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "fixture must contain planted near-dups")
+
+    // Split so at least one known pair spans the batch boundary: its d1
+    // arrives in batch 1, its d2 in batch 2 — found only via state.
+    val (lo, hi) = (want.head._1, want.head._2)
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch1 = docs.filter(d => d._1 % 2 == 0 && d._1 != hi)
+    val batch2 = docs.filterNot(batch1.contains)
+    assert(batch1.exists(_._1 == lo) && batch2.exists(_._1 == hi))
+
+    val input = MemoryStream[(Long, String)]
+    val pairs = NeardupStream.pairsStream(
+      input.toDF().toDF("doc_id", "text"))
+    val q = pairs.writeStream.format("memory").queryName("nd_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1.toSeq)
+      q.processAllAvailable()
+      val afterB1 = spark.table("nd_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!afterB1.contains((lo, hi)),
+        "the planted cross-batch pair must not exist before batch 2")
+
+      input.addData(batch2.toSeq)
+      q.processAllAvailable()
+      // A pair agreeing on several bands emits once per band — dedup on
+      // collect (documented caveat; batch `pairs` dedups with distinct).
+      val got = spark.table("nd_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want)
+      assert(got.contains(want.head))
+    } finally q.stop()
+  }
+
+  test("bucket cap: late arrivals still match retained members; late-late pairs lost") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 5 identical docs → every band bucket is the same degenerate
+    // population. Cap 3: ids 1..3 are retained, 4 and 5 only probe, so
+    // every pair except (4,5) is found — degraded but bounded, exactly
+    // the documented posture.
+    val input = MemoryStream[(Long, String)]
+    val pairs = NeardupStream.pairsStream(
+      input.toDF().toDF("doc_id", "text"), maxBucket = 3)
+    val q = pairs.writeStream.format("memory").queryName("nd_cap")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 5L).map(i => (i, "same boilerplate text here")))
+      q.processAllAvailable()
+      val got = spark.table("nd_cap")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSet
+      assert(got == all - ((4L, 5L)))
+    } finally q.stop()
+  }
+}
