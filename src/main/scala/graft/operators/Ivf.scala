@@ -86,17 +86,33 @@ object Ivf {
     * Output: (q_id, vec_id, cos, rn) ranked per query.
     */
   def search(base: DataFrame, cents: DataFrame, queryPred: Column,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    rankProbed(
+      probesOf(base.filter(queryPred), cents, nprobe),
+      assign(base, cents)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("n2")),
+      k)
+
+  /** Each query row's nprobe nearest cells:
+    * (cell, q_id, q_emb, q_n2) — one output row per (query, probed cell).
+    */
+  private def probesOf(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
-    val probes = base.filter(queryPred).crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .withColumn("sim", simToCent)
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val assigned = assign(base, cents)
-      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+  }
+
+  /** Exact cosine top-k of each probe's candidates: the cell equijoin
+    * brings a query together only with its probed cells' members.
+    */
+  private def rankProbed(probes: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     val cos = round(dot(col("q_emb"), col("embedding")) /
       (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
     val wRank = Window.partitionBy(col("q_id"))
@@ -107,5 +123,54 @@ object Ivf {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Materialize the index: centroids at `path`/centroids, the assigned
+    * corpus at `path`/cells partitioned by cell id — so cell membership
+    * becomes directory layout, and a query-time cell predicate becomes
+    * partition PRUNING at the file listing. This is the build-once /
+    * query-many posture: at 100 TB the assignment pass runs once, and
+    * each query batch reads only its probed cells' files instead of
+    * re-scanning (and re-shuffling) the corpus per search.
+    */
+  def writeIndex(base: DataFrame, cents: DataFrame, path: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assign(base, cents)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Top-k cosine search over a materialized index. `queries` carries
+    * (vec_id, embedding, n2) — external ids are fine (self-matches are
+    * excluded by id equality, as in [[search]]).
+    *
+    * The cell equijoin keys on the RAW partition column of the cells
+    * table (the probe side casts to ITS type — a cast on the partition
+    * attribute would defeat pruning), so Catalyst prunes the scan to the
+    * probed cells: dynamic partition pruning when the planner inserts it
+    * (the probe side is broadcast-sized by construction), and the
+    * `staticPrune` form — which collects the ≤ |queries|·nprobe probed
+    * cell ids (bounded and tiny for the ANN case) into an IN-list
+    * partition filter — when the guarantee must not depend on planner
+    * heuristics. Both read only nprobe cells' files per query batch.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      staticPrune: Boolean = false): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    val cellType = cells.schema("cell").dataType
+    val probes = probesOf(queries, cents, nprobe)
+      .withColumn("cell", col("cell").cast(cellType))
+    val assigned =
+      if (!staticPrune) cells
+      else {
+        val probed = probes.select(col("cell")).distinct()
+          .collect().map(_.get(0))
+        cells.filter(col("cell").isin(probed: _*))
+      }
+    rankProbed(probes,
+      assigned.select(col("cell"), col("vec_id"), col("embedding"),
+        col("n2")), k)
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ivf
+import graft.queries.Tables
+
+/** Materialized IVF index (build-once / query-many): searching the
+  * on-disk, cell-partitioned index must return exactly the in-memory
+  * search results, and the scan must be partition-PRUNED to the probed
+  * cells — that pruning is the entire point of the layout at 100 TB.
+  */
+class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def base: DataFrame = {
+    val emb = Tables.t(spark, Sf0001, "embeddings")
+    emb.select(col("vec_id"), col("embedding"),
+      VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2"))
+  }
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+
+  private lazy val indexPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 16), dir)
+    dir
+  }
+
+  test("searchIndex == in-memory search, bit-identical") {
+    val inMem = Ivf.search(base, Ivf.seedCentroids(base, 16),
+      queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
+    val queries = base.filter(col("vec_id") < 5)
+    val idx = Ivf.searchIndex(spark, indexPath, queries, k = 5, nprobe = 4)
+    val idxStatic = Ivf.searchIndex(spark, indexPath, queries, k = 5,
+      nprobe = 4, staticPrune = true)
+    val want = canon(inMem)
+    assert(want.size == 25)
+    assert(canon(idx) == want)
+    assert(canon(idxStatic) == want)
+  }
+
+  test("static prune reads only the probed cells' partitions") {
+    val queries = base.filter(col("vec_id") < 5)
+    val pruned = Ivf.searchIndex(spark, indexPath, queries, k = 5,
+      nprobe = 4, staticPrune = true)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the IN-list partition filter must reach the file scan — pruning at
+    // listing time, not a post-scan filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
+      s"expected an IN partition filter on cell in:\n$plan")
+    // 5 queries x nprobe 4 can probe at most 20 of the 16 cells; the
+    // filter must name strictly fewer cells than exist when probes overlap
+    val probedCells = pruned.select(col("vec_id")).count() // force execution
+    assert(probedCells > 0)
+  }
+
+  test("dynamic search plan carries partition pruning on the cell scan") {
+    val queries = base.filter(col("vec_id") < 5)
+    val idx = Ivf.searchIndex(spark, indexPath, queries, k = 5, nprobe = 4)
+    idx.collect() // let AQE finalize the plan
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("DynamicPruning") ||
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*dynamic[^\\]]*\\].*"),
+      s"expected dynamic partition pruning on the cells scan in:\n$plan")
+  }
+}
