@@ -106,7 +106,31 @@ object TextOps {
     * once (and nothing leaks in the block manager across invocations).
     */
   def neardupJaccard(spark: SparkSession, dir: String): DataFrame =
-    neardupJaccardAt(Tables.t(spark, dir, "documents"), threshold = 0.5)
+    jaccardPairs(spark, dir)
+
+  /** Memoized J ≥ 0.5 verified pair frame per (session, dir) — shared by
+    * the contract query and the cluster-label build ([[clusterLabels]]),
+    * which would otherwise each run the full shuffle-by-shingle pipeline.
+    * Same lifecycle as [[labelCache]] (deterministic result, immutable
+    * inputs per session, dead-session purge on access); the parameterized
+    * [[neardupJaccardAt]] stays pure.
+    */
+  private val jaccardPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def jaccardPairsCacheSize: Int = jaccardPairsCache.size
+
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // purge BEFORE computeIfAbsent (no mutation inside the mapping fn)
+    purgeLabelCache(s => !s.sparkContext.isStopped)
+    jaccardPairsCache.computeIfAbsent((spark, dir), _ => {
+      val p = neardupJaccardAt(Tables.t(spark, dir, "documents"),
+        threshold = 0.5).localCheckpoint(true)
+      // two id Longs + inter Long + jaccard double + row overhead
+      org.apache.spark.sql.graft.CheckpointStats
+        .withMeasuredStats(p, p.count(), 40)
+    })
+  }
 
   /** [[neardupJaccard]] generalized over corpus and threshold — the
     * engine surface: exact-Jaccard ≥ `threshold` pairs of any
@@ -194,6 +218,8 @@ object TextOps {
     while (it.hasNext) if (!alive(it.next()._1)) it.remove()
     val rt = reasonsCache.keySet.iterator()
     while (rt.hasNext) if (!alive(rt.next()._1)) rt.remove()
+    val pt = jaccardPairsCache.keySet.iterator()
+    while (pt.hasNext) if (!alive(pt.next()._1)) pt.remove()
   }
 
   private[graft] def labelCacheSize: Int = labelCache.size
@@ -217,9 +243,12 @@ object TextOps {
       reliable = reliable)
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    purgeLabelCache(s => !s.sparkContext.isStopped)
+    // resolve the (memoized) pair frame BEFORE computeIfAbsent — its own
+    // purge-on-access must not run inside this map's mapping function
+    val pairs = jaccardPairs(spark, dir)
     labelCache.computeIfAbsent((spark, dir),
-      _ => clusterLabelsOn(Tables.t(spark, dir, "documents"), threshold = 0.5))
+      _ => graft.operators.ConnectedComponents.runOnPairs(
+        pairs.select(col("d1").as("src"), col("d2").as("dst"))))
   }
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =

@@ -42,6 +42,43 @@ object VectorOps {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * $b[i] for i in range(1, 65)]), (p, q) -> p + q)"
 
+  /** Memoized VERIFIED near-dup pair frames per (session, dir, kind) —
+    * the [[TextOps]] labelCache discipline applied to the three pair
+    * builds each shared by TWO contract queries: exact-cosine(0.35)
+    * ([[neardupCosine]] + [[dedupClusterCosine]]), cosine-LSH(0.35,16,8)
+    * ([[neardupCosineLsh]] + [[dedupSemantic]]), MinHash-verified
+    * ([[dedupMinhash]] + [[dedupClusterLsh]]) — without memoization
+    * whichever of each pair runs second re-executes the whole candidate
+    * + verify pipeline. Pair frames are deterministic (seeded planes,
+    * xxhash64), inputs under `dir` are immutable for the session, and
+    * dead-session entries are purged on access — the same lifecycle as
+    * [[TextOps.purgeLabelCache]]. Memoization applies ONLY to the pinned
+    * contract instantiations; the parameterized engine surfaces
+    * ([[neardupCosineAt]], [[neardupCosineLshAt]], ...) stay pure.
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private[graft] def purgePairCache(alive: SparkSession => Boolean): Unit = {
+    val it = pairCache.keySet.iterator()
+    while (it.hasNext) if (!alive(it.next()._1)) it.remove()
+  }
+
+  private[graft] def pairCacheSize: Int = pairCache.size
+
+  private def memoPairs(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    // purge BEFORE computeIfAbsent: the mapping function must not mutate
+    // the map it is computing into (same hazard as TextOps.labelCache)
+    purgePairCache(s => !s.sparkContext.isStopped)
+    pairCache.computeIfAbsent((spark, dir, kind), _ => {
+      val p = build.localCheckpoint(true)
+      // two id Longs + one double + row overhead
+      org.apache.spark.sql.graft.CheckpointStats
+        .withMeasuredStats(p, p.count(), 32)
+    })
+  }
+
   // --------------------------------------------------- brute-force top-k
 
   /** Top-5 cosine neighbors for query vectors (vec_id < 5) — the exact
@@ -100,7 +137,8 @@ object VectorOps {
     * LSH-bucketed variant below is the 100 TB plan.
     */
   def neardupCosine(spark: SparkSession, dir: String): DataFrame =
-    neardupCosineAt(Tables.t(spark, dir, "embeddings"), threshold = 0.35)
+    memoPairs(spark, dir, "cosine_0.35")(
+      neardupCosineAt(Tables.t(spark, dir, "embeddings"), threshold = 0.35))
 
   /** Exact cosine near-dup pairs of an arbitrary `vecs(vec_id,
     * embedding)` frame at `threshold` — the engine surface a user points
@@ -175,7 +213,10 @@ object VectorOps {
     * values are Spark-specific → no SQL oracle; VectorOpsSpec asserts
     * recall against TextOps.neardupJaccard exact truth.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    memoPairs(spark, dir, "minhash_16_8")(dedupMinhashBuild(spark, dir))
+
+  private def dedupMinhashBuild(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
     val Bands = 8
     val e = TextOps.shingleRows(Tables.t(spark, dir, "documents"))
@@ -227,8 +268,8 @@ object VectorOps {
     * recall vs the exact clustering.
     */
   def dedupClusterLsh(spark: SparkSession, dir: String): DataFrame = {
+    // the memoized frame is already an eagerly-checkpointed pair table
     val pairs = dedupMinhash(spark, dir).select(col("d1"), col("d2"))
-      .localCheckpoint(true)
     val graphNodes = pairs
       .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
     val labels = graft.operators.ConnectedComponents
@@ -254,7 +295,8 @@ object VectorOps {
     * the near-dup subgraph.
     */
   def dedupClusterCosine(spark: SparkSession, dir: String): DataFrame =
-    semanticClustersOn(Tables.t(spark, dir, "embeddings"), threshold = 0.35)
+    clusterVectors(Tables.t(spark, dir, "embeddings"),
+      neardupCosine(spark, dir))
 
   val dedupClusterCosineSql: String = {
     val cosRaw = (l: String, r: String) =>
@@ -285,8 +327,8 @@ object VectorOps {
     * signs are engine-specific → no SQL oracle.
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    semanticClustersLshOn(Tables.t(spark, dir, "embeddings"),
-      threshold = 0.35, numPlanes = 16, bands = 8)
+    clusterVectors(Tables.t(spark, dir, "embeddings"),
+      neardupCosineLsh(spark, dir))
 
   /** Semantic-dedup cluster labels of an arbitrary `vecs(vec_id,
     * embedding)` frame at `threshold`, exact-pair baseline form — the
@@ -447,10 +489,11 @@ object VectorOps {
     * that every emitted pair passes the exact threshold.
     */
   def neardupCosineLsh(spark: SparkSession, dir: String): DataFrame =
-    neardupCosineLshAt(
-      Tables.t(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")),
-      threshold = 0.35, numPlanes = 16, bands = 8)
+    memoPairs(spark, dir, "cosine_lsh_0.35_16_8")(
+      neardupCosineLshAt(
+        Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2")),
+        threshold = 0.35, numPlanes = 16, bands = 8))
 
   /** Banded hyperplane-signature candidate pairs over `base(vec_id,
     * embedding, n2)` — the pruning stage of [[neardupCosineLshAt]],

@@ -242,7 +242,34 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     // either curate query, dropped by the same purge
     TextOps.curate(spark, Sf0001).count()
     assert(TextOps.reasonsCacheSize >= 1)
+    // the label build went through the memoized jaccard pair frame
+    assert(TextOps.jaccardPairsCacheSize >= 1)
     TextOps.purgeLabelCache(_ => false)
-    assert(TextOps.reasonsCacheSize == 0 && TextOps.labelCacheSize == 0)
+    assert(TextOps.reasonsCacheSize == 0 && TextOps.labelCacheSize == 0 &&
+      TextOps.jaccardPairsCacheSize == 0)
+  }
+
+  test("pair cache: memoized contract pairs == pure engine paths; same lifecycle") {
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+    VectorOps.purgePairCache(_ => false)
+    assert(VectorOps.pairCacheSize == 0)
+    // the memoized cluster queries must be bit-identical to the pure
+    // (uncached) parameterized engine surfaces they pin
+    val emb = Tables.t(spark, Sf0001, "embeddings")
+    assert(canon(VectorOps.dedupClusterCosine(spark, Sf0001)) ==
+      canon(VectorOps.semanticClustersOn(emb, 0.35)))
+    assert(canon(VectorOps.dedupSemantic(spark, Sf0001)) ==
+      canon(VectorOps.semanticClustersLshOn(emb, 0.35, numPlanes = 16, bands = 8)))
+    // each shared pair frame was built once for its two consumers
+    assert(VectorOps.pairCacheSize == 2)
+    VectorOps.dedupMinhash(spark, Sf0001).count()
+    assert(VectorOps.pairCacheSize == 3)
+    // repeated access hits the cache; purge-all rebuilds the same answer
+    val first = canon(VectorOps.neardupCosine(spark, Sf0001))
+    assert(VectorOps.pairCacheSize == 3)
+    VectorOps.purgePairCache(_ => false)
+    assert(VectorOps.pairCacheSize == 0)
+    assert(canon(VectorOps.neardupCosine(spark, Sf0001)) == first)
   }
 }
