@@ -216,39 +216,118 @@ object VectorOps {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     memoPairs(spark, dir, "minhash_16_8")(dedupMinhashBuild(spark, dir))
 
-  private def dedupMinhashBuild(spark: SparkSession, dir: String): DataFrame = {
-    val K = 16
-    val Bands = 8
-    val e = TextOps.shingleRows(Tables.t(spark, dir, "documents"))
+  private def dedupMinhashBuild(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOn(Tables.t(spark, dir, "documents"))
+
+  /** (doc_id, band, sig) banded MinHash signature rows: k=16 xxhash64
+    * minima computed in ONE aggregation over the shingle rows, paired
+    * into 8 two-minima band signatures. The ONE construction of the
+    * text-LSH signature — shared by the symmetric near-dup pairs, the
+    * delta probe, and the persisted index, so the encoding cannot drift.
+    */
+  private def minhashBands(docs: DataFrame, k: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val e = TextOps.shingleRows(docs)
     val mins = e.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("m0"),
-      (1 until K).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
-    val bands = mins.select(col("doc_id"), explode(array(
-      (0 until Bands).map(j => struct(lit(j).as("band"),
+      (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+    mins.select(col("doc_id"), explode(array(
+      (0 until bands).map(j => struct(lit(j).as("band"),
         xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.sig"))
-    val cands = graft.operators.BandedHamming
-      .bucketedPairs(bands, "doc_id", Seq("band", "sig"))
-      .select(col("id1").as("d1"), col("id2").as("d2"))
-    // exact-Jaccard verification of the candidate set only. One shingle-set
-    // aggregation per doc, then the tiny candidate list joins each side's
-    // (set, size) and intersects per row — versus the previous shape
-    // (window size count + two per-SHINGLE joins + a re-aggregation), this
-    // shuffles the shingle rows once instead of three times, and the two
-    // remaining joins carry one row per doc against one row per candidate
-    // pair (AQE broadcasts the candidate side at any scale where LSH
-    // pruned well).
-    val sets = e.groupBy(col("doc_id"))
+  }
+
+  /** (doc_id, sh, n) distinct-shingle sets + sizes — the verification
+    * side of every MinHash path (exact Jaccard needs the real sets).
+    */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    TextOps.shingleRows(docs).groupBy(col("doc_id"))
       .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("n"))
+
+  /** Exact-Jaccard verification of a candidate pair list: each (d1, d2)
+    * joins its sides' (set, size) rows and intersects per pair — the
+    * candidate list is small wherever LSH pruned well, so AQE broadcasts
+    * it and the set tables never shuffle for the verify.
+    */
+  private def verifyJaccard(cands: DataFrame, setsL: DataFrame,
+      setsR: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2")), "d2")
+      .join(setsL.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1")), "d1")
+      .join(setsR.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast(LongType).as("inter"),
         col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash-LSH verified near-dup pairs of an arbitrary (doc_id, text)
+    * frame — the engine surface behind [[dedupMinhash]]. One shingle-set
+    * aggregation per doc; banded candidates meet in a shuffle keyed by
+    * (band, sig), never all-pairs; exact Jaccard verifies candidates
+    * only.
+    */
+  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cands = graft.operators.BandedHamming
+      .bucketedPairs(minhashBands(docs), "doc_id", Seq("band", "sig"))
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val sets = shingleSets(docs)
+    verifyJaccard(cands, sets, sets, threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ------------------------------------------------ incremental near-dup
+
+  /** Persist a MinHash dedup index of `docs` under `path`: the banded
+    * signatures (what candidates probe) and the shingle sets (what exact
+    * verification needs). The build-once / probe-many posture for a
+    * continuously-ingesting corpus: at 100 TB the corpus signatures are
+    * computed exactly once, and each ingest batch probes them instead of
+    * re-shingling the corpus ([[neardupDeltaIndexed]]).
+    */
+  def writeNeardupIndex(docs: DataFrame, path: String): Unit = {
+    minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands")
+    shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets")
+  }
+
+  /** Near-dup pairs of an ingest batch against an existing corpus PLUS
+    * within the batch itself — the incremental form of [[minhashPairsOn]]
+    * (every returned pair touches ≥1 new doc; corpus-internal pairs are
+    * the previous runs' business). Cross pairs come from the asymmetric
+    * bucket probe ([[graft.operators.BandedHamming.probedPairs]] — the
+    * corpus side never shuffles when the batch is small); within-batch
+    * pairs from the symmetric join over the batch only. Exact law, spec-
+    * pinned: result == [[minhashPairsOn]] over (corpus ∪ batch) minus the
+    * corpus-internal pairs (identical signatures ⇒ identical buckets).
+    * Ids must be disjoint between batch and corpus.
+    *
+    * @return (d1, d2, jaccard) — d1 the new doc on cross pairs; d1 < d2
+    *   (both new) on within-batch pairs
+    */
+  def neardupDelta(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    neardupDeltaFrames(newDocs, minhashBands(corpus), shingleSets(corpus),
+      threshold)
+
+  /** [[neardupDelta]] against a persisted index ([[writeNeardupIndex]]). */
+  def neardupDeltaIndexed(spark: SparkSession, path: String,
+      newDocs: DataFrame, threshold: Double = 0.5): DataFrame =
+    neardupDeltaFrames(newDocs,
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/sets"), threshold)
+
+  private def neardupDeltaFrames(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, threshold: Double): DataFrame = {
+    val nb = minhashBands(newDocs)
+    val nsets = shingleSets(newDocs)
+    val cross = graft.operators.BandedHamming
+      .probedPairs(nb, corpusBands, "doc_id", "doc_id", Seq("band", "sig"))
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val within = graft.operators.BandedHamming
+      .bucketedPairs(nb, "doc_id", Seq("band", "sig"))
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    verifyJaccard(cross, nsets, corpusSets, threshold)
+      .union(verifyJaccard(within, nsets, nsets, threshold))
       .orderBy(col("d1"), col("d2"))
   }
 

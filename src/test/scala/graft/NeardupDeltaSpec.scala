@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Tables, VectorOps}
+
+/** Incremental near-dup (ingest batch vs corpus) and its persisted-index
+  * form: the delta must equal the full symmetric run restricted to pairs
+  * touching the batch — no rescan of the corpus, same answer.
+  */
+class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
+
+  // unordered-pair canonicalization: cross pairs orient (new, corpus),
+  // the symmetric form orients (min, max)
+  private def canon(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b), r.getDouble(2))
+    }.toSet
+
+  test("delta == full symmetric pairs restricted to the batch (exact law)") {
+    val docs = Tables.t(spark, Sf0001, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val full = VectorOps.minhashPairsOn(docs)
+      .filter(col("d1") >= 400 || col("d2") >= 400)
+    val delta = VectorOps.neardupDelta(batch, corpus)
+    assert(canon(delta) == canon(full))
+    assert(canon(delta).nonEmpty,
+      "fixture split must leave at least one pair touching the batch")
+  }
+
+  test("planted ingest: cross-corpus dup, within-batch dup found; clean doc silent") {
+    import spark.implicits._
+    val corpusText = Tables.t(spark, Sf0001, "documents")
+      .filter(col("doc_id") === 0).select(col("text")).head.getString(0)
+    val nearCopy = corpusText + " tail"
+    val batch = Seq(
+      (10000L, nearCopy),                        // near-dup of corpus doc 0
+      (10001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (10002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+      (10003L, "completely unrelated words nothing shared with anything here")
+    ).toDF("doc_id", "text")
+    val corpus = Tables.t(spark, Sf0001, "documents").select(col("doc_id"), col("text"))
+    val got = canon(VectorOps.neardupDelta(batch, corpus))
+    assert(got.exists(p => p._1 == 0L && p._2 == 10000L),
+      s"cross-corpus near-dup not found in $got")
+    assert(got.exists(p => p._1 == 10001L && p._2 == 10002L),
+      s"within-batch near-dup not found in $got")
+    assert(!got.exists(p => p._1 == 10003L || p._2 == 10003L),
+      "clean doc must produce no pair")
+  }
+
+  test("persisted index probe == in-memory delta") {
+    import spark.implicits._
+    val docs = Tables.t(spark, Sf0001, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val path = java.nio.file.Files.createTempDirectory("nd_index").toString
+    VectorOps.writeNeardupIndex(corpus, path)
+    val indexed = VectorOps.neardupDeltaIndexed(spark, path, batch)
+    assert(canon(indexed) == canon(VectorOps.neardupDelta(batch, corpus)))
+  }
+}
