@@ -625,12 +625,87 @@ object VectorOps {
   def neardupCosineLshAt(base: DataFrame, threshold: Double, numPlanes: Int,
       bands: Int, seed: Long = 42L): DataFrame = {
     val cands = cosineLshCandidates(base, numPlanes, bands, seed)
-    val lhs = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
-    val rhs = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
+    verifyCosine(cands, base, base, threshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Exact-cosine verification of a candidate (v1, v2) list against the
+    * two sides' (vec_id, embedding, n2) tables — candidate lists are
+    * small wherever LSH pruned well, so AQE broadcasts them.
+    */
+  private def verifyCosine(cands: DataFrame, baseL: DataFrame,
+      baseR: DataFrame, threshold: Double): DataFrame = {
+    val lhs = baseL.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
+    val rhs = baseR.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))
     val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
     cands.join(lhs, "v1").join(rhs, "v2")
       .filter(cosRaw >= threshold)
       .select(col("v1"), col("v2"), round(cosRaw, 6).as("cos"))
+  }
+
+  // ------------------------------------------ incremental semantic dedup
+
+  /** Persist a cosine-LSH dedup index of `vecs(vec_id, embedding)` under
+    * `path`: banded hyperplane signatures (what candidates probe) and the
+    * (vec_id, embedding, n2) rows (what exact verification needs) — the
+    * embedding-space twin of [[writeNeardupIndex]]. New batches signed
+    * with the SAME seeded planes probe these signatures directly, so an
+    * ingest never re-signs or re-shuffles the corpus.
+    */
+  def writeCosineIndex(vecs: DataFrame, path: String, numPlanes: Int = 16,
+      bands: Int = 8, seed: Long = 42L): Unit = {
+    val base = vecs
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    bandedSignatures(base, numPlanes, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    base.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Cosine near-dup pairs of an ingest batch against an existing corpus
+    * PLUS within the batch — the embedding-space twin of
+    * [[neardupDelta]], with the same exact law (spec-pinned): result ==
+    * [[neardupCosineLshAt]] over (corpus ∪ batch) restricted to pairs
+    * touching the batch (same seeded planes ⇒ identical signatures ⇒
+    * identical buckets). Ids must be disjoint between batch and corpus.
+    *
+    * @return (v1, v2, cos) — v1 the new vector on cross pairs; v1 < v2
+    *   (both new) on within-batch pairs
+    */
+  def cosineDelta(newVecs: DataFrame, corpus: DataFrame,
+      threshold: Double, numPlanes: Int = 16, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cbase = corpus
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    cosineDeltaFrames(newVecs,
+      bandedSignatures(cbase, numPlanes, bands, seed), cbase,
+      threshold, numPlanes, bands, seed)
+  }
+
+  /** [[cosineDelta]] against a persisted index ([[writeCosineIndex]]) —
+    * `numPlanes`/`bands`/`seed` must match the index build.
+    */
+  def cosineDeltaIndexed(spark: SparkSession, path: String,
+      newVecs: DataFrame, threshold: Double, numPlanes: Int = 16,
+      bands: Int = 8, seed: Long = 42L): DataFrame =
+    cosineDeltaFrames(newVecs,
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/vectors"),
+      threshold, numPlanes, bands, seed)
+
+  private def cosineDeltaFrames(newVecs: DataFrame, corpusBands: DataFrame,
+      corpusBase: DataFrame, threshold: Double, numPlanes: Int, bands: Int,
+      seed: Long): DataFrame = {
+    val nbase = newVecs
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val nb = bandedSignatures(nbase, numPlanes, bands, seed)
+    val cross = graft.operators.BandedHamming
+      .probedPairs(nb, corpusBands, "vec_id", "vec_id", Seq("band", "bv"))
+      .select(col("id1").as("v1"), col("id2").as("v2"))
+    val within = graft.operators.BandedHamming
+      .bucketedPairs(nb, "vec_id", Seq("band", "bv"))
+      .select(col("id1").as("v1"), col("id2").as("v2"))
+    verifyCosine(cross, nbase, corpusBase, threshold)
+      .union(verifyCosine(within, nbase, nbase, threshold))
       .orderBy(col("v1"), col("v2"))
   }
 

@@ -62,4 +62,25 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     val indexed = VectorOps.neardupDeltaIndexed(spark, path, batch)
     assert(canon(indexed) == canon(VectorOps.neardupDelta(batch, corpus)))
   }
+
+  // ------------------------------------------ embedding-space (cosine) twin
+
+  test("cosineDelta == full LSH pairs restricted to the batch; index probe equal") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = vecs.filter(col("vec_id") < 150)
+    val batch = vecs.filter(col("vec_id") >= 150)
+    val n2 = org.apache.spark.sql.graft.VectorExpressions
+      .dotProduct(col("embedding"), col("embedding"))
+    val full = VectorOps.neardupCosineLshAt(
+      vecs.withColumn("n2", n2), threshold = 0.35, numPlanes = 16, bands = 8)
+      .filter(col("v1") >= 150 || col("v2") >= 150)
+    val delta = VectorOps.cosineDelta(batch, corpus, threshold = 0.35)
+    assert(canon(delta) == canon(full))
+    assert(canon(delta).nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("cos_index").toString
+    VectorOps.writeCosineIndex(corpus, path)
+    val indexed = VectorOps.cosineDeltaIndexed(spark, path, batch, threshold = 0.35)
+    assert(canon(indexed) == canon(delta))
+  }
 }
