@@ -1143,6 +1143,53 @@ object TextOps {
        |FROM per_source CROSS JOIN total
        |ORDER BY source""".stripMargin
 
+  /** Deterministic weighted resampling to a target domain mix — the data-
+    * mixing pass a training run executes once per corpus snapshot: each
+    * source gets an integer target weight; a document survives iff its
+    * deterministic hash falls under its source's sampling rate
+    * rate_s = min(1, (w_s / Σw) · N / n_s), so the kept corpus approaches
+    * the target share per source without any RNG. The keep test runs as
+    * one exact cross-multiplication — hash · Σw · n_s < w_s · N · 10⁰⁶ —
+    * in DECIMAL(38,0) (the DuckDB mirror computes HUGEINT), so there is
+    * no double boundary to diverge on and no overflow to ~10¹² rows per
+    * source. Plan: one per-source count aggregate, a broadcast join of
+    * the ~|sources| rate rows, a broadcast 1-row total, then a per-row
+    * integer predicate — the q_domain_mix shape, never a partitionless
+    * window; min(1,·) is implicit (rate ≥ 1 ⇒ the bound exceeds every
+    * hash value).
+    */
+  def domainResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val w = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 4L)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2L)
+      .otherwise(1L)
+    val sumW = 5L * 4 + 5 * 2 + 10 * 1 // the fixture's 20 sources
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = docs.agg(count(lit(1)).as("n_tot"))
+    val dec = DecimalType(38, 0)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(total))
+      .filter(
+        detHash(col("doc_id")).cast(dec) * lit(sumW) * col("n_s") <
+          w.cast(dec) * col("n_tot") * lit(1000003L))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val domainResampleSql: String = {
+    val w = """CASE WHEN d.source IN ('src0','src1','src2','src3','src4') THEN 4
+              |       WHEN d.source IN ('src5','src6','src7','src8','src9') THEN 2
+              |       ELSE 1 END""".stripMargin
+    s"""WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       |total AS (SELECT count(*) AS n_tot FROM documents)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN total
+       |WHERE CAST(${detHashSql("d.doc_id")} AS HUGEINT) * 40 * c.n_s <
+       |      CAST(($w) AS HUGEINT) * n_tot * 1000003
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ curation pipeline
 
   /** The composed corpus-curation pipeline — the end-to-end pass a
@@ -1352,6 +1399,7 @@ object TextOps {
     ContractQuery("q_curate_delta", curateDelta, Some(curateDeltaSql)),
     ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
+    ContractQuery("q_domain_resample", domainResample, Some(domainResampleSql)),
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
     ContractQuery("q_tfidf", tfidf, Some(tfidfSql)),
     ContractQuery("q_text_stats", textStats, Some(textStatsSql)),
