@@ -66,6 +66,39 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("bucket state survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("nd_out").toString
+    val input = MemoryStream[(Long, String)]
+    val pairs = NeardupStream.pairsStream(input.toDF().toDF("doc_id", "text"))
+    // memory sink cannot recover from a checkpoint — a durable sink is
+    // what a restartable production pipeline writes to anyway
+    def start() = pairs.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, doc)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // the restarted query must find the cross-restart pair — possible
+    // only if doc 1's bucket members were recovered from the state store
+    val q2 = start()
+    try {
+      input.addData(Seq((2L, doc + " tail")))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)),
+        s"pair across restart not found (state lost?): $got")
+    } finally q2.stop()
+  }
+
   test("bucket cap: late arrivals still match retained members; late-late pairs lost") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
