@@ -309,6 +309,15 @@ object VectorOps {
     neardupDeltaFrames(newDocs, minhashBands(corpus), shingleSets(corpus),
       threshold)
 
+  /** Append `docs`' signatures + shingle sets to an existing index — how
+    * a continuously-ingesting pipeline grows the corpus after admitting a
+    * batch's survivors ([[graft.streaming.IngestDedup]]).
+    */
+  def appendNeardupIndex(docs: DataFrame, path: String): Unit = {
+    minhashBands(docs).write.mode("append").parquet(s"$path/bands")
+    shingleSets(docs).write.mode("append").parquet(s"$path/sets")
+  }
+
   /** [[neardupDelta]] against a persisted index ([[writeNeardupIndex]]). */
   def neardupDeltaIndexed(spark: SparkSession, path: String,
       newDocs: DataFrame, threshold: Double = 0.5): DataFrame =

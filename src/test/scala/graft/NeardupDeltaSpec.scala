@@ -63,6 +63,41 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(indexed) == canon(VectorOps.neardupDelta(batch, corpus)))
   }
 
+  test("streaming ingest dedup: cross-batch dups dropped via the growing index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexPath = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("ingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    // fresh corpus: empty index
+    VectorOps.writeNeardupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexPath)
+
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = "red orange yellow green blue indigo violet cyan magenta black white gray"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestDedup.run(
+      input.toDF().toDF("doc_id", "text"), indexPath, outPath, ckpt)
+    try {
+      // batch 1: A and B distinct; C a near-copy of A (within-batch dup)
+      input.addData(Seq((1L, a), (2L, b), (3L, a + " tail")))
+      q.processAllAvailable()
+      // batch 2: D a near-copy of B (caught ONLY via the index), E clean
+      input.addData(Seq(
+        (4L, b + " extra"),
+        (5L, "totally different words sharing nothing with previous documents at all")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(outPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L), s"expected survivors {1,2,5}, got $out")
+    // the index holds exactly the admitted corpus
+    val indexed = spark.read.parquet(s"$indexPath/sets")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 5L))
+  }
+
   // ------------------------------------------ embedding-space (cosine) twin
 
   test("cosineDelta == full LSH pairs restricted to the batch; index probe equal") {
