@@ -77,13 +77,20 @@ object ConnectedComponents {
     * [[assignClusters]] to label the full universe.
     *
     * @param pairs (src: long, dst: long) — one row per verified near-dup pair
+    * @param precut the pair frame is ALREADY eagerly materialized with
+    *   measured stats (e.g. a memoized checkpointed pair table) — skip
+    *   the redundant second checkpoint + count here
     * @return (id, rep) for every id appearing in ≥ 1 pair
     */
   def runOnPairs(pairs: DataFrame, maxRounds: Int = 50,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, precut: Boolean = false): DataFrame = {
     val raw = pairs.select(col("src"), col("dst"))
-    val p0 = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
-    val p = CheckpointStats.withMeasuredStats(p0, p0.count(), 24)
+    val p =
+      if (precut) raw
+      else {
+        val p0 = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
+        CheckpointStats.withMeasuredStats(p0, p0.count(), 24)
+      }
     val nodes = p.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
     run(nodes, p, maxRounds, reliable)
   }

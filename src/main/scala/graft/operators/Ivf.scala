@@ -160,8 +160,11 @@ object Ivf {
     val cents = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
     val cellType = cells.schema("cell").dataType
-    val probes = probesOf(queries, cents, nprobe)
+    val probes0 = probesOf(queries, cents, nprobe)
       .withColumn("cell", col("cell").cast(cellType))
+    // static mode materializes the probes once: the IN-list collect and
+    // the ranking join must not each re-execute the probe subplan
+    val probes = if (staticPrune) probes0.localCheckpoint(true) else probes0
     val assigned =
       if (!staticPrune) cells
       else {

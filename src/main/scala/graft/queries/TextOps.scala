@@ -248,7 +248,8 @@ object TextOps {
     val pairs = jaccardPairs(spark, dir)
     labelCache.computeIfAbsent((spark, dir),
       _ => graft.operators.ConnectedComponents.runOnPairs(
-        pairs.select(col("d1").as("src"), col("d2").as("dst"))))
+        pairs.select(col("d1").as("src"), col("d2").as("dst")),
+        precut = true))
   }
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =

@@ -296,13 +296,20 @@ object VectorOps {
     * the previous runs' business). Cross pairs come from the asymmetric
     * bucket probe ([[graft.operators.BandedHamming.probedPairs]] — the
     * corpus side never shuffles when the batch is small); within-batch
-    * pairs from the symmetric join over the batch only. Exact law, spec-
-    * pinned: result == [[minhashPairsOn]] over (corpus ∪ batch) minus the
-    * corpus-internal pairs (identical signatures ⇒ identical buckets).
-    * Ids must be disjoint between batch and corpus.
+    * pairs from the symmetric join over the batch only. Restriction law,
+    * spec-pinned: result == [[minhashPairsOn]] over (corpus ∪ batch)
+    * minus the corpus-internal pairs (identical signatures ⇒ identical
+    * buckets). The law is exact while no (band, sig) bucket exceeds the
+    * hot-bucket cap in the UNION population: the guard caps each side
+    * separately here (corpus side of the probe, batch side of the
+    * symmetric join) but the combined population in the full run, so a
+    * bucket degenerate only in the union diverges — same mitigation as
+    * the batch guard (exact-dedup upstream so identical content
+    * collapses first). Ids must be disjoint between batch and corpus.
     *
-    * @return (d1, d2, jaccard) — d1 the new doc on cross pairs; d1 < d2
-    *   (both new) on within-batch pairs
+    * @return (d1, d2, jaccard, cross) — cross = true marks corpus pairs
+    *   (d1 the new doc, d2 the corpus doc); cross = false marks
+    *   within-batch pairs (d1 < d2, both new)
     */
   def neardupDelta(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.5): DataFrame =
@@ -336,7 +343,9 @@ object VectorOps {
       .bucketedPairs(nb, "doc_id", Seq("band", "sig"))
       .select(col("id1").as("d1"), col("id2").as("d2"))
     verifyJaccard(cross, nsets, corpusSets, threshold)
-      .union(verifyJaccard(within, nsets, nsets, threshold))
+      .withColumn("cross", lit(true))
+      .union(verifyJaccard(within, nsets, nsets, threshold)
+        .withColumn("cross", lit(false)))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -357,16 +366,14 @@ object VectorOps {
     */
   def dedupClusterLsh(spark: SparkSession, dir: String): DataFrame = {
     // the memoized frame is already an eagerly-checkpointed pair table
-    val pairs = dedupMinhash(spark, dir).select(col("d1"), col("d2"))
-    val graphNodes = pairs
-      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
-    val labels = graft.operators.ConnectedComponents
-      .run(graphNodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
-    Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("rep"), col("doc_id")).as("rep"),
-        (coalesce(col("rep"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
+    val labels = graft.operators.ConnectedComponents.runOnPairs(
+      dedupMinhash(spark, dir)
+        .select(col("d1").as("src"), col("d2").as("dst")),
+      precut = true)
+    graft.operators.ConnectedComponents
+      .assignClusters(
+        Tables.t(spark, dir, "documents").select(col("doc_id")),
+        "doc_id", labels)
       .orderBy(col("doc_id"))
   }
 
@@ -384,7 +391,7 @@ object VectorOps {
     */
   def dedupClusterCosine(spark: SparkSession, dir: String): DataFrame =
     clusterVectors(Tables.t(spark, dir, "embeddings"),
-      neardupCosine(spark, dir))
+      neardupCosine(spark, dir), precut = true)
 
   val dedupClusterCosineSql: String = {
     val cosRaw = (l: String, r: String) =>
@@ -416,7 +423,7 @@ object VectorOps {
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     clusterVectors(Tables.t(spark, dir, "embeddings"),
-      neardupCosineLsh(spark, dir))
+      neardupCosineLsh(spark, dir), precut = true)
 
   /** Semantic-dedup cluster labels of an arbitrary `vecs(vec_id,
     * embedding)` frame at `threshold`, exact-pair baseline form — the
@@ -442,9 +449,11 @@ object VectorOps {
     * measured stats), left-joined back to the corpus so isolated
     * vectors keep rep = self without entering the rounds.
     */
-  private def clusterVectors(vecs: DataFrame, pairDf: DataFrame): DataFrame = {
+  private def clusterVectors(vecs: DataFrame, pairDf: DataFrame,
+      precut: Boolean = false): DataFrame = {
     val labels = graft.operators.ConnectedComponents.runOnPairs(
-      pairDf.select(col("v1").as("src"), col("v2").as("dst")))
+      pairDf.select(col("v1").as("src"), col("v2").as("dst")),
+      precut = precut)
     graft.operators.ConnectedComponents
       .assignClusters(vecs.select(col("vec_id")), "vec_id", labels)
       .orderBy(col("vec_id"))
@@ -672,13 +681,16 @@ object VectorOps {
 
   /** Cosine near-dup pairs of an ingest batch against an existing corpus
     * PLUS within the batch — the embedding-space twin of
-    * [[neardupDelta]], with the same exact law (spec-pinned): result ==
-    * [[neardupCosineLshAt]] over (corpus ∪ batch) restricted to pairs
-    * touching the batch (same seeded planes ⇒ identical signatures ⇒
-    * identical buckets). Ids must be disjoint between batch and corpus.
+    * [[neardupDelta]], with the same restriction law (spec-pinned):
+    * result == [[neardupCosineLshAt]] over (corpus ∪ batch) restricted to
+    * pairs touching the batch (same seeded planes ⇒ identical signatures
+    * ⇒ identical buckets; exact below the hot-bucket cap in the union
+    * population — see [[neardupDelta]]). Ids must be disjoint between
+    * batch and corpus.
     *
-    * @return (v1, v2, cos) — v1 the new vector on cross pairs; v1 < v2
-    *   (both new) on within-batch pairs
+    * @return (v1, v2, cos, cross) — cross = true marks corpus pairs (v1
+    *   the new vector, v2 the corpus one); cross = false within-batch
+    *   pairs (v1 < v2, both new)
     */
   def cosineDelta(newVecs: DataFrame, corpus: DataFrame,
       threshold: Double, numPlanes: Int = 16, bands: Int = 8,
@@ -714,7 +726,9 @@ object VectorOps {
       .bucketedPairs(nb, "vec_id", Seq("band", "bv"))
       .select(col("id1").as("v1"), col("id2").as("v2"))
     verifyCosine(cross, nbase, corpusBase, threshold)
-      .union(verifyCosine(within, nbase, nbase, threshold))
+      .withColumn("cross", lit(true))
+      .union(verifyCosine(within, nbase, nbase, threshold)
+        .withColumn("cross", lit(false)))
       .orderBy(col("v1"), col("v2"))
   }
 

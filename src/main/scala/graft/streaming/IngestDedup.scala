@@ -43,7 +43,7 @@ object IngestDedup {
       }
       .start()
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
     // materialized once: the batch feeds the probe, the survivor
@@ -51,15 +51,12 @@ object IngestDedup {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
     val pairs = VectorOps.neardupDeltaIndexed(spark, indexPath, b, threshold)
       .filter(col("d1") =!= col("d2")) // replayed batch vs its own indexed copy
-    val ids = b.select(col("doc_id"))
-    // d2 outside the batch -> cross pair -> drop the new end (d1);
-    // d2 inside the batch  -> within pair -> drop the larger end (d2)
-    val dropCross = pairs
-      .join(ids, pairs("d2") === ids("doc_id"), "left_anti")
-      .select(col("d1").as("doc_id"))
-    val dropWithin = pairs
-      .join(ids, pairs("d2") === ids("doc_id"), "left_semi")
-      .select(col("d2").as("doc_id"))
+    // the `cross` marker, not batch membership, classifies the pair: on a
+    // replayed batch the survivors are ALREADY in the index, so a cross
+    // pair's d2 can be a batch id too — inferring "within" from membership
+    // would drop the previously-admitted doc (replay data loss)
+    val dropCross = pairs.filter(col("cross")).select(col("d1").as("doc_id"))
+    val dropWithin = pairs.filter(!col("cross")).select(col("d2").as("doc_id"))
     val survivors = b
       .join(dropCross.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)

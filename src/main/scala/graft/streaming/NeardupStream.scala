@@ -79,9 +79,13 @@ object NeardupStream {
             .otherwise(lit(-1L))): _*)
         zip_with(acc, contrib, (a, x) => a + x)
       })
-    (0 until 64).map(b =>
-      when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // fold NULL through explicitly: `when(NULL > 0, x).otherwise(0)` is 0,
+    // not NULL, so without this guard a NULL text would hash to 0 and
+    // collide with every all-zero signature instead of being dropped
+    when(text.isNull, lit(null).cast("long")).otherwise(
+      (0 until 64).map(b =>
+        when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
   }
 
   /** Near-dup candidate pairs over a (doc_id, text) stream (or batch

@@ -54,10 +54,15 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plan.contains("PartitionFilters") &&
       plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
       s"expected an IN partition filter on cell in:\n$plan")
-    // 5 queries x nprobe 4 can probe at most 20 of the 16 cells; the
-    // filter must name strictly fewer cells than exist when probes overlap
-    val probedCells = pruned.select(col("vec_id")).count() // force execution
-    assert(probedCells > 0)
+    // one query at nprobe = 2 must prune the listing to EXACTLY its two
+    // probed cells — the partition filter names them, not all 16
+    val one = Ivf.searchIndex(spark, indexPath,
+      base.filter(col("vec_id") === 0), k = 5, nprobe = 2, staticPrune = true)
+    val onePlan = one.queryExecution.executedPlan.toString
+    val inList = "cell[^\\[\\]]*? IN \\(([^)]*)\\)".r.findFirstMatchIn(onePlan)
+    assert(inList.isDefined, s"no IN partition filter in:\n$onePlan")
+    assert(inList.get.group(1).split(",").length == 2,
+      s"expected exactly 2 probed cells, got: ${inList.get.group(1)}")
   }
 
   test("dynamic search plan carries partition pruning on the cell scan") {

@@ -98,6 +98,26 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(indexed == Set(1L, 2L, 5L))
   }
 
+  test("ingest replay is idempotent: previously admitted docs stay admitted") {
+    import spark.implicits._
+    val indexPath = java.nio.file.Files.createTempDirectory("replay_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("replay_out").toString
+    VectorOps.writeNeardupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexPath)
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val batch = Seq((1L, a), (2L, "unrelated words entirely different content here okay"),
+      (3L, a + " tail")).toDF("doc_id", "text")
+    def outIds = spark.read.parquet(s"$outPath/batch=0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    graft.streaming.IngestDedup.processBatch(batch, 0L, indexPath, outPath, 0.5)
+    assert(outIds == Set(1L, 2L))
+    // foreachBatch is at-least-once: the same batch replays against an
+    // index that ALREADY contains its survivors — doc 1 must not be lost
+    // to a cross pair (3, 1) misclassified as within-batch
+    graft.streaming.IngestDedup.processBatch(batch, 0L, indexPath, outPath, 0.5)
+    assert(outIds == Set(1L, 2L))
+  }
+
   // ------------------------------------------ embedding-space (cosine) twin
 
   test("cosineDelta == full LSH pairs restricted to the batch; index probe equal") {

@@ -66,6 +66,22 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("NULL text -> NULL signature; null docs emit no pairs") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val sigs = df
+      .select(col("doc_id"), NeardupStream.simhashCol(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sigs(1L).isDefined && sigs(2L).isEmpty)
+    // two null docs must NOT collide on an all-zero signature
+    // (flatMapGroupsWithState runs in batch mode with empty state)
+    val nulls = Seq((3L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(NeardupStream.pairsStream(nulls).count() == 0)
+  }
+
   test("bucket state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
