@@ -1159,20 +1159,37 @@ object TextOps {
     * window; min(1,·) is implicit (rate ≥ 1 ⇒ the bound exceeds every
     * hash value).
     */
-  def domainResample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
-    val w = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 4L)
-      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2L)
-      .otherwise(1L)
-    val sumW = 5L * 4 + 5 * 2 + 10 * 1 // the fixture's 20 sources
+  def domainResample(spark: SparkSession, dir: String): DataFrame =
+    domainResampleOn(Tables.t(spark, dir, "documents"),
+      weights = (0 to 4).map(i => s"src$i" -> 4L).toMap ++
+        (5 to 9).map(i => s"src$i" -> 2L).toMap,
+      defaultWeight = 1L)
+
+  /** [[domainResample]] generalized over corpus and target weights — the
+    * engine surface a user points at their own mix: every gate stays an
+    * exact integer (Σw is summed over the corpus's OBSERVED sources, so
+    * the rates renormalize to whatever domains actually exist; weight 0
+    * drops a source entirely — 0 · anything < a non-negative bound never
+    * holds). The contract query is the pinned fixture instantiation.
+    */
+  def domainResampleOn(docs: DataFrame, weights: Map[String, Long],
+      defaultWeight: Long = 1L): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "resample weights must be non-negative")
+    val w = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+        when(col("source") === s, lit(wt)).otherwise(acc)
+      }
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val sumW = counts.agg(sum(w).as("sum_w"))
     val total = docs.agg(count(lit(1)).as("n_tot"))
     val dec = DecimalType(38, 0)
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(counts), "source")
+      .crossJoin(broadcast(sumW))
       .crossJoin(broadcast(total))
       .filter(
-        detHash(col("doc_id")).cast(dec) * lit(sumW) * col("n_s") <
+        detHash(col("doc_id")).cast(dec) * col("sum_w") * col("n_s") <
           w.cast(dec) * col("n_tot") * lit(1000003L))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))

@@ -249,6 +249,26 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       TextOps.jaccardPairsCacheSize == 0)
   }
 
+  test("domainResampleOn: contract pin, own-weight monotonicity, zero-weight drop") {
+    def ids(df: DataFrame) = df.collect().map(_.getLong(0)).toSet
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val contractW = ((0 to 4).map(i => s"src$i" -> 4L) ++
+      (5 to 9).map(i => s"src$i" -> 2L)).toMap
+    // the contract query is the pinned instantiation (Σw computed from
+    // observed sources == the old hardcoded 40)
+    assert(ids(TextOps.domainResampleOn(docs, contractW)) ==
+      ids(TextOps.domainResample(spark, Sf0001)))
+    // raising ONE source's weight never shrinks ITS kept set
+    val before = ids(TextOps.domainResampleOn(docs, contractW)
+      .filter(col("source") === "src15"))
+    val after = ids(TextOps.domainResampleOn(docs, contractW + ("src15" -> 2L))
+      .filter(col("source") === "src15"))
+    assert(before.subsetOf(after))
+    // weight 0 drops the source entirely
+    assert(ids(TextOps.domainResampleOn(docs, contractW + ("src15" -> 0L))
+      .filter(col("source") === "src15")).isEmpty)
+  }
+
   test("pair cache: memoized contract pairs == pure engine paths; same lifecycle") {
     def canon(df: DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
