@@ -702,6 +702,20 @@ object VectorOps {
       threshold, numPlanes, bands, seed)
   }
 
+  /** Append `vecs`' signatures + (vec_id, embedding, n2) rows to an
+    * existing cosine index — how the vector ingest loop grows the corpus
+    * after admitting a batch ([[graft.streaming.IngestDedup.runVectors]]).
+    * Knobs must match the index build.
+    */
+  def appendCosineIndex(vecs: DataFrame, path: String, numPlanes: Int = 16,
+      bands: Int = 8, seed: Long = 42L): Unit = {
+    val base = vecs
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    bandedSignatures(base, numPlanes, bands, seed)
+      .write.mode("append").parquet(s"$path/bands")
+    base.write.mode("append").parquet(s"$path/vectors")
+  }
+
   /** [[cosineDelta]] against a persisted index ([[writeCosineIndex]]) —
     * `numPlanes`/`bands`/`seed` must match the index build.
     */

@@ -11,6 +11,8 @@ import graft.queries.VectorOps
   * ([[graft.queries.VectorOps.neardupDeltaIndexed]] — the corpus is never
   * re-shingled), near-dups are dropped, survivors are written out and
   * their signatures appended to the index so the NEXT batch sees them.
+  * [[runVectors]] is the embedding-space twin over the persisted cosine
+  * index (semantic ingest dedup), sharing the same drop policy.
   *
   * Drop policy (keep-first, the cluster-rep convention): a batch doc is
   * dropped iff it near-dups an already-admitted corpus doc (cross pair —
@@ -43,24 +45,60 @@ object IngestDedup {
       }
       .start()
 
+  /** The embedding-space twin of [[run]]: a streaming (vec_id, embedding)
+    * frame deduplicated against (and growing) a persisted cosine index
+    * ([[graft.queries.VectorOps.writeCosineIndex]]). Same drop policy,
+    * same fault-tolerance posture; `numPlanes`/`bands`/`seed` must match
+    * the index build.
+    */
+  def runVectors(vecs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, threshold: Double, numPlanes: Int = 16,
+      bands: Int = 8, seed: Long = 42L): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processVectorBatch(batch.toDF(), batchId, indexPath, outPath,
+          threshold, numPlanes, bands, seed)
+      }
+      .start()
+
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, threshold: Double): Unit = {
-    val spark = batch.sparkSession
     // materialized once: the batch feeds the probe, the survivor
     // anti-join, the output write and the index append
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-    val pairs = VectorOps.neardupDeltaIndexed(spark, indexPath, b, threshold)
-      .filter(col("d1") =!= col("d2")) // replayed batch vs its own indexed copy
-    // the `cross` marker, not batch membership, classifies the pair: on a
-    // replayed batch the survivors are ALREADY in the index, so a cross
-    // pair's d2 can be a batch id too — inferring "within" from membership
-    // would drop the previously-admitted doc (replay data loss)
-    val dropCross = pairs.filter(col("cross")).select(col("d1").as("doc_id"))
-    val dropWithin = pairs.filter(!col("cross")).select(col("d2").as("doc_id"))
-    val survivors = b
-      .join(dropCross.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val pairs = VectorOps.neardupDeltaIndexed(
+      batch.sparkSession, indexPath, b, threshold)
+    val survivors = admit(b, pairs, "doc_id", "d1", "d2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     VectorOps.appendNeardupIndex(survivors, indexPath)
+  }
+
+  private[graft] def processVectorBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, threshold: Double,
+      numPlanes: Int, bands: Int, seed: Long): Unit = {
+    val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val pairs = VectorOps.cosineDeltaIndexed(
+      batch.sparkSession, indexPath, b, threshold, numPlanes, bands, seed)
+    val survivors = admit(b, pairs, "vec_id", "v1", "v2")
+    survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    VectorOps.appendCosineIndex(survivors, indexPath, numPlanes, bands, seed)
+  }
+
+  /** Shared drop policy over a delta pair frame carrying the `cross`
+    * marker. The marker, not batch membership, classifies the pair: on a
+    * replayed batch the survivors are ALREADY in the index, so a cross
+    * pair's far end can be a batch id too — inferring "within" from
+    * membership would drop the previously-admitted doc (replay data
+    * loss). The id-equality filter keeps a replayed survivor from
+    * matching its own indexed copy.
+    */
+  private def admit(b: DataFrame, pairDf: DataFrame, idCol: String,
+      c1: String, c2: String): DataFrame = {
+    val pairs = pairDf.filter(col(c1) =!= col(c2))
+    val dropCross = pairs.filter(col("cross")).select(col(c1).as(idCol))
+    val dropWithin = pairs.filter(!col("cross")).select(col(c2).as(idCol))
+    b.join(dropCross.union(dropWithin).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
   }
 }

@@ -118,6 +118,40 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(outIds == Set(1L, 2L))
   }
 
+  test("vector ingest loop: cross-batch semantic dups dropped via the cosine index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def unit(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    def near(i: Int, j: Int): Array[Float] =
+      Array.tabulate(64)(k => (if (k == i) 1f else 0f) + (if (k == j) 0.1f else 0f))
+    val indexPath = java.nio.file.Files.createTempDirectory("ving_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("ving_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ving_ckpt").toString
+    VectorOps.writeCosineIndex(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), indexPath)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IngestDedup.runVectors(
+      input.toDF().toDF("vec_id", "embedding"), indexPath, outPath, ckpt,
+      threshold = 0.8)
+    try {
+      // batch 1: two orthogonal vectors + a near-copy of the first
+      input.addData(Seq((1L, unit(0)), (2L, unit(2)), (3L, near(0, 1))))
+      q.processAllAvailable()
+      // batch 2: a near-copy of vec 2 (caught ONLY via the index) + clean
+      input.addData(Seq((4L, near(2, 3)), (5L, unit(5))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(outPath)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L), s"expected survivors {1,2,5}, got $out")
+    val indexed = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 5L))
+  }
+
   // ------------------------------------------ embedding-space (cosine) twin
 
   test("cosineDelta == full LSH pairs restricted to the batch; index probe equal") {
