@@ -1170,27 +1170,35 @@ object TextOps {
     * exact integer (Σw is summed over the corpus's OBSERVED sources, so
     * the rates renormalize to whatever domains actually exist; weight 0
     * drops a source entirely — 0 · anything < a non-negative bound never
-    * holds). The contract query is the pinned fixture instantiation.
+    * holds, because the hash is forced non-negative via pmod, which also
+    * keeps negative doc_ids sampled instead of unconditionally kept).
+    * The weights travel as a broadcast (source, w) table, not a
+    * when-chain — O(1) per row at any number of domains — and Σw / N
+    * come from the same per-source aggregate, so the corpus is scanned
+    * once for stats. The contract query is the pinned fixture
+    * instantiation (identical output: fixture ids are non-negative, so
+    * pmod is the identity there).
     */
   def domainResampleOn(docs: DataFrame, weights: Map[String, Long],
       defaultWeight: Long = 1L): DataFrame = {
     require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
       "resample weights must be non-negative")
-    val w = weights.toSeq.sortBy(_._1)
-      .foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
-        when(col("source") === s, lit(wt)).otherwise(acc)
-      }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wTab = weights.toSeq.toDF("source", "w")
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val sumW = counts.agg(sum(w).as("sum_w"))
-    val total = docs.agg(count(lit(1)).as("n_tot"))
+      .join(broadcast(wTab), Seq("source"), "left")
+      .withColumn("w", coalesce(col("w"), lit(defaultWeight)))
+    val totals = counts.agg(sum(col("w")).as("sum_w"),
+      sum(col("n_s")).as("n_tot"))
     val dec = DecimalType(38, 0)
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(counts), "source")
-      .crossJoin(broadcast(sumW))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(totals))
       .filter(
-        detHash(col("doc_id")).cast(dec) * col("sum_w") * col("n_s") <
-          w.cast(dec) * col("n_tot") * lit(1000003L))
+        pmod(detHash(col("doc_id")), lit(1000003L)).cast(dec) *
+          col("sum_w") * col("n_s") <
+          col("w").cast(dec) * col("n_tot") * lit(1000003L))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }

@@ -286,8 +286,12 @@ object VectorOps {
     * re-shingling the corpus ([[neardupDeltaIndexed]]).
     */
   def writeNeardupIndex(docs: DataFrame, path: String): Unit = {
-    minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands")
-    shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets")
+    // batch=… subdirectories from day one: appends land in their own
+    // partition dir, so the initial build and every increment share one
+    // discoverable layout (readers see an extra `batch` partition column
+    // and select past it)
+    minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=init")
+    shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=init")
   }
 
   /** Near-dup pairs of an ingest batch against an existing corpus PLUS
@@ -316,13 +320,19 @@ object VectorOps {
     neardupDeltaFrames(newDocs, minhashBands(corpus), shingleSets(corpus),
       threshold)
 
-  /** Append `docs`' signatures + shingle sets to an existing index — how
-    * a continuously-ingesting pipeline grows the corpus after admitting a
-    * batch's survivors ([[graft.streaming.IngestDedup]]).
+  /** Append `docs`' signatures + shingle sets to an existing index under
+    * the increment's own `batch=tag` partition dir — how a continuously-
+    * ingesting pipeline grows the corpus after admitting a batch's
+    * survivors ([[graft.streaming.IngestDedup]]). OVERWRITE of the tag's
+    * dir, not a blind append: an at-least-once replay of the same batch
+    * rewrites its own increment instead of duplicating every row in the
+    * index (duplicates would stay correct — candidate pairs dedup and
+    * drop-ids are DISTINCT — but inflate bucket populations toward the
+    * hot-bucket cap and double verify cost forever).
     */
-  def appendNeardupIndex(docs: DataFrame, path: String): Unit = {
-    minhashBands(docs).write.mode("append").parquet(s"$path/bands")
-    shingleSets(docs).write.mode("append").parquet(s"$path/sets")
+  def appendNeardupIndex(docs: DataFrame, path: String, tag: String): Unit = {
+    minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
+    shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$tag")
   }
 
   /** [[neardupDelta]] against a persisted index ([[writeNeardupIndex]]). */
@@ -674,9 +684,10 @@ object VectorOps {
       bands: Int = 8, seed: Long = 42L): Unit = {
     val base = vecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    // batch=… layout from day one — see [[writeNeardupIndex]]
     bandedSignatures(base, numPlanes, bands, seed)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    base.write.mode("overwrite").parquet(s"$path/vectors")
+      .write.mode("overwrite").parquet(s"$path/bands/batch=init")
+    base.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
   }
 
   /** Cosine near-dup pairs of an ingest batch against an existing corpus
@@ -703,17 +714,19 @@ object VectorOps {
   }
 
   /** Append `vecs`' signatures + (vec_id, embedding, n2) rows to an
-    * existing cosine index — how the vector ingest loop grows the corpus
-    * after admitting a batch ([[graft.streaming.IngestDedup.runVectors]]).
-    * Knobs must match the index build.
+    * existing cosine index under the increment's own `batch=tag` dir —
+    * how the vector ingest loop grows the corpus after admitting a batch
+    * ([[graft.streaming.IngestDedup.runVectors]]). Replay-idempotent by
+    * overwrite, like [[appendNeardupIndex]]. Knobs must match the index
+    * build.
     */
-  def appendCosineIndex(vecs: DataFrame, path: String, numPlanes: Int = 16,
-      bands: Int = 8, seed: Long = 42L): Unit = {
+  def appendCosineIndex(vecs: DataFrame, path: String, tag: String,
+      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
     val base = vecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     bandedSignatures(base, numPlanes, bands, seed)
-      .write.mode("append").parquet(s"$path/bands")
-    base.write.mode("append").parquet(s"$path/vectors")
+      .write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
+    base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tag")
   }
 
   /** [[cosineDelta]] against a persisted index ([[writeCosineIndex]]) —

@@ -23,12 +23,12 @@ import graft.queries.VectorOps
   *
   * Fault tolerance: the INDEX is the pipeline's state — durable parquet,
   * not stream-internal state, so a restart resumes from the checkpoint
-  * with the corpus intact. foreachBatch is at-least-once: a replayed
-  * batch overwrites its own `batch=<id>` output directory (idempotent)
-  * and re-appends index rows — duplicated index rows only duplicate
-  * candidates (deduplicated downstream) and verified pairs reduce
-  * through DISTINCT drop-ids, while the d1 ≠ d2 guard keeps a replayed
-  * survivor from near-dup-matching its own indexed copy.
+  * with the corpus intact. foreachBatch is at-least-once, and every
+  * write a replay re-executes is an OVERWRITE of that batch's own
+  * partition dir — the survivor output AND the index increment — so a
+  * replayed batch leaves both byte-equivalent (no duplicated index
+  * rows); the id-equality guard keeps a replayed survivor from
+  * near-dup-matching its own already-indexed copy.
   */
 object IngestDedup {
 
@@ -71,7 +71,7 @@ object IngestDedup {
       batch.sparkSession, indexPath, b, threshold)
     val survivors = admit(b, pairs, "doc_id", "d1", "d2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-    VectorOps.appendNeardupIndex(survivors, indexPath)
+    VectorOps.appendNeardupIndex(survivors, indexPath, batchId.toString)
   }
 
   private[graft] def processVectorBatch(batch: DataFrame, batchId: Long,
@@ -82,7 +82,8 @@ object IngestDedup {
       batch.sparkSession, indexPath, b, threshold, numPlanes, bands, seed)
     val survivors = admit(b, pairs, "vec_id", "v1", "v2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-    VectorOps.appendCosineIndex(survivors, indexPath, numPlanes, bands, seed)
+    VectorOps.appendCosineIndex(survivors, indexPath, batchId.toString,
+      numPlanes, bands, seed)
   }
 
   /** Shared drop policy over a delta pair frame carrying the `cross`

@@ -111,11 +111,14 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     graft.streaming.IngestDedup.processBatch(batch, 0L, indexPath, outPath, 0.5)
     assert(outIds == Set(1L, 2L))
+    val setsRowsBefore = spark.read.parquet(s"$indexPath/sets").count()
     // foreachBatch is at-least-once: the same batch replays against an
     // index that ALREADY contains its survivors — doc 1 must not be lost
     // to a cross pair (3, 1) misclassified as within-batch
     graft.streaming.IngestDedup.processBatch(batch, 0L, indexPath, outPath, 0.5)
     assert(outIds == Set(1L, 2L))
+    // …and the index increment was OVERWRITTEN, not duplicated
+    assert(spark.read.parquet(s"$indexPath/sets").count() == setsRowsBefore)
   }
 
   test("vector ingest loop: cross-batch semantic dups dropped via the cosine index") {

@@ -254,10 +254,18 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     val docs = Tables.t(spark, Sf0001, "documents")
     val contractW = ((0 to 4).map(i => s"src$i" -> 4L) ++
       (5 to 9).map(i => s"src$i" -> 2L)).toMap
-    // the contract query is the pinned instantiation (Σw computed from
-    // observed sources == the old hardcoded 40)
-    assert(ids(TextOps.domainResampleOn(docs, contractW)) ==
-      ids(TextOps.domainResample(spark, Sf0001)))
+    // independent truth, NOT the engine path: replicate the keep rule
+    // with the hardcoded Σw = 40 the oracle SQL pins, over collected rows
+    val bySource = docs.select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nS = bySource.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTot = bySource.length.toLong
+    def hash(id: Long) = (id % 1000003L) * 2654435761L % 1000003L
+    val expected = bySource.collect { case (id, s)
+      if BigInt(hash(id)) * 40 * nS(s) <
+        BigInt(contractW.getOrElse(s, 1L)) * nTot * 1000003L => id }.toSet
+    assert(ids(TextOps.domainResampleOn(docs, contractW)) == expected)
+    assert(ids(TextOps.domainResample(spark, Sf0001)) == expected)
     // raising ONE source's weight never shrinks ITS kept set
     val before = ids(TextOps.domainResampleOn(docs, contractW)
       .filter(col("source") === "src15"))
