@@ -31,15 +31,25 @@ import org.apache.spark.sql.functions._
   * bucket can still meet through any OTHER band whose value is not
   * itself over-cap — but when a cluster of > `maxBucket` rows carries
   * IDENTICAL hashes (boilerplate/empty docs, flat images), every band
-  * bucket of that cluster is the same degenerate population, all of them
-  * are dropped, and every true near-dup pair among those rows is LOST
-  * (the WARN log is the only trace). Mitigations, in preference order:
-  * run exact dedup first so identical content collapses to one member
-  * before any LSH pass (the [[graft.queries.TextOps.curate]] stage
-  * order); or handle over-cap buckets with a grouped exact-equality
-  * reduction (group identical hashes, keep one representative edge per
-  * group) instead of relying on banding for content that hashes
-  * identically.
+  * bucket of that cluster is the same degenerate population and the
+  * quadratic join alone would lose every pair among them. The
+  * `rescueHot` star-edge rescue closes that hole where it is sound:
+  * each over-cap bucket additionally emits (min-id member, every other
+  * member) candidate pairs — LINEAR in bucket population, so an
+  * identical-content cluster still collapses (every member meets the
+  * representative; connected components closes the rest) at O(B) extra
+  * verifies instead of O(B²) join rows. Rescue defaults ON for
+  * [[bucketedPairs]]/[[probedPairs]] because every caller there runs an
+  * exact verify (Jaccard / cosine / knn distance) on candidates, so a
+  * star edge between merely-band-colliding rows costs one verify and is
+  * then discarded — it can never admit a false pair. It defaults OFF
+  * for [[pairs]], where the 64-bit hash IS the verdict (SimHash text,
+  * aHash images): an over-cap bucket there means a degenerate hash
+  * value (flat images, empty docs) whose members would "verify" at
+  * Hamming 0 despite being genuinely different content — the drop is
+  * the correct semantic, and exact dedup beforehand (the
+  * [[graft.queries.TextOps.curate]] stage order) is the sanctioned way
+  * to collapse truly identical content first.
   */
 object BandedHamming {
 
@@ -51,7 +61,8 @@ object BandedHamming {
     */
   val DefaultMaxBucket: Int = 100000
 
-  /** Rows dropped by the hot-bucket guard — diagnostic telemetry for
+  /** Rows the guard pulled out of the quadratic candidate join (they may
+    * still surface through star-edge rescue) — diagnostic telemetry for
     * tests and local-mode runs. At-least-once: the candidate self-join
     * evaluates the guarded subtree from both branches (and retries
     * re-run filters), so counts can double; per-executor in a real
@@ -80,24 +91,46 @@ object BandedHamming {
       .drop("__n", "__rn")
   }
 
+  /** Star edges of over-cap buckets: (bucket min id, each other member),
+    * one window pass on the same bucket-tuple shuffle key the capped
+    * join uses. Linear in bucket population — the rescue that keeps an
+    * identical-content cluster connected after [[capHotBuckets]] pulls
+    * it out of the quadratic join (see the guard note above). Distinct
+    * is the caller's job (the same cluster is over-cap in every band, so
+    * each band re-emits the same edges).
+    */
+  private def hotBucketStarEdges(d: DataFrame, idCol: String,
+      bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    d.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(col(idCol)).over(w))
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id1"), col(idCol).as("id2"))
+  }
+
   /** Distinct candidate pairs (id1 < id2) of rows sharing a bucket — the
     * generic LSH candidate join: rows meet iff every `bucketCols` value
     * matches, i.e. the shuffle is keyed by the bucket tuple, never
     * all-pairs. Shared by MinHash (bucket = (band, sig)), SimHash/aHash
     * (via [[pairs]]) and hyperplane cosine LSH (bucket = (band, bits)).
-    * Buckets above `maxBucket` rows are dropped with a warning (see the
-    * hot-bucket guard note above).
+    * Buckets above `maxBucket` rows leave the quadratic join with a
+    * warning; with `rescueHot` (default — all callers exact-verify
+    * candidates) they contribute linear star edges instead of vanishing
+    * (see the hot-bucket guard note above).
     */
   def bucketedPairs(df: DataFrame, idCol: String, bucketCols: Seq[String],
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val d = capHotBuckets(
-      df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*),
-      "__id", bucketCols, maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      rescueHot: Boolean = true): DataFrame = {
+    val sel = df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*)
+    val d = capHotBuckets(sel, "__id", bucketCols, maxBucket)
     val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__id") < col("b.__id")
-    d.as("a").join(d.as("b"), cond)
+    val quad = d.as("a").join(d.as("b"), cond)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-      .distinct()
+    val all = if (rescueHot)
+      quad.union(hotBucketStarEdges(sel, "__id", bucketCols, maxBucket))
+    else quad
+    all.distinct()
   }
 
   /** Asymmetric probe form of [[bucketedPairs]] — the ANN-query shape:
@@ -108,42 +141,76 @@ object BandedHamming {
     * corpus never moves at all. The corpus side gets the hot-bucket
     * guard (a degenerate bucket would otherwise cost |probe|·|bucket|);
     * self-matches are NOT filtered here — the caller owns identity
-    * semantics (probe ids need not be base ids).
+    * semantics (probe ids need not be base ids). With `rescueHot`
+    * (default — every caller exact-verifies), an over-cap BASE bucket
+    * still surfaces through its min-id representative: probes landing in
+    * it pair with the rep (one candidate instead of |bucket| — for the
+    * degenerate identical-content bucket that one verify is exactly as
+    * informative, and for a mere band collision it is one wasted verify
+    * instead of zero recall).
     */
   def probedPairs(probe: DataFrame, base: DataFrame, probeIdCol: String,
       baseIdCol: String, bucketCols: Seq[String],
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      rescueHot: Boolean = true): DataFrame = {
     val p = probe.select((col(probeIdCol).as("__pid") +: bucketCols.map(col)): _*)
-    val b = capHotBuckets(
-      base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*),
-      "__bid", bucketCols, maxBucket)
+    val bSel = base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*)
+    val b = capHotBuckets(bSel, "__bid", bucketCols, maxBucket)
     val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    p.as("a").join(b.as("b"), cond)
+    val quad = p.as("a").join(b.as("b"), cond)
       .select(col("a.__pid").as("id1"), col("b.__bid").as("id2"))
-      .distinct()
+    val all = if (rescueHot) {
+      // over-cap buckets reduced to (bucket tuple, rep) — a tiny frame
+      // (few degenerate values by construction) the probe side joins on
+      // the same bucket key; AQE broadcasts it
+      val w = Window.partitionBy(bucketCols.map(col): _*)
+      val reps = bSel.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") > maxBucket)
+        .groupBy(bucketCols.map(col): _*).agg(min(col("__bid")).as("__rep"))
+      quad.union(p.as("a").join(reps.as("b"), cond)
+        .select(col("a.__pid").as("id1"), col("b.__rep").as("id2")))
+    } else quad
+    all.distinct()
   }
 
   /** Pairs (id1, id2, hamming ≤ maxHamming), id1 < id2, over
     * `df(idCol, hashCol)`. The id column may be any orderable type.
-    * Over-cap (band, value) buckets are dropped with a warning.
+    * Over-cap (band, value) buckets leave the quadratic join with a
+    * warning. `rescueHot` defaults OFF here — the hash IS the verdict on
+    * this surface (SimHash text, aHash images), so star edges inside a
+    * degenerate bucket would "verify" at Hamming 0 despite genuinely
+    * different content (flat images); see the guard note above. Turn it
+    * on only when the caller exact-verifies pairs on the underlying
+    * content afterwards.
     */
   def pairs(df: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxHamming: Int = 6,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      rescueHot: Boolean = false): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val banded = capHotBuckets(
-      df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"))
-        .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask")),
-      "__id", Seq("band", "bandval"), maxBucket)
-    banded.as("a").join(banded.as("b"),
+    val sel = df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
+    val banded = capHotBuckets(sel, "__id", Seq("band", "bandval"), maxBucket)
+    val quad = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
         col("a.__h").as("h1"), col("b.__h").as("h2"))
-      .distinct()
+    val all = if (rescueHot) {
+      // min(struct) carries the representative's hash alongside its id
+      val w = Window.partitionBy(col("band"), col("bandval"))
+      val star = sel.withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__rep", min(struct(col("__id"), col("__h"))).over(w))
+        .filter(col("__n") > maxBucket &&
+          col("__id") =!= col("__rep").getField("__id"))
+        .select(col("__rep").getField("__id").as("id1"), col("__id").as("id2"),
+          col("__rep").getField("__h").as("h1"), col("__h").as("h2"))
+      quad.union(star)
+    } else quad
+    all.distinct()
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))

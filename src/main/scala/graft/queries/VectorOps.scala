@@ -265,11 +265,18 @@ object VectorOps {
     * frame — the engine surface behind [[dedupMinhash]]. One shingle-set
     * aggregation per doc; banded candidates meet in a shuffle keyed by
     * (band, sig), never all-pairs; exact Jaccard verifies candidates
-    * only.
+    * only. `maxBucket` is the hot-bucket cap — over-cap buckets (a
+    * boilerplate cluster whose every band collides) contribute linear
+    * star edges to their min-id member instead of a quadratic join, and
+    * the exact verify downstream keeps the rescue sound
+    * ([[graft.operators.BandedHamming]] guard note).
     */
-  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.5,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
     val cands = graft.operators.BandedHamming
-      .bucketedPairs(minhashBands(docs), "doc_id", Seq("band", "sig"))
+      .bucketedPairs(minhashBands(docs), "doc_id", Seq("band", "sig"),
+        maxBucket)
       .select(col("id1").as("d1"), col("id2").as("d2"))
     val sets = shingleSets(docs)
     verifyJaccard(cands, sets, sets, threshold)

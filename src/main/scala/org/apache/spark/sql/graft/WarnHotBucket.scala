@@ -57,8 +57,9 @@ object WarnHotBucket {
   /** Invoked from codegen'd filters on over-cap marker rows only. */
   def hit(desc: String, n: Long): Boolean = {
     droppedRows.addAndGet(n)
-    log.warn(s"dropping hot bucket [$desc] with $n rows (> maxBucket cap); " +
-      "degenerate hash value — members can still pair via other bands")
+    log.warn(s"hot bucket [$desc] with $n rows (> maxBucket cap) pulled " +
+      "out of the quadratic candidate join; members pair via other bands " +
+      "or, where rescueHot is on, via linear star edges to the bucket rep")
     false
   }
 

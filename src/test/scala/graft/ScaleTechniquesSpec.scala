@@ -223,15 +223,65 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     // the guard warned (loudly) about the dropped rows: 200 rows x 4 bands
     assert(BandedHamming.droppedHotBucketRows.get() - before >= 800,
       "hot-bucket warn path did not fire")
-    // same guard on the generic bucket join: a 200-row bucket is dropped,
-    // the 2-row bucket pairs normally
+    // with rescueHot the identical-hash cluster is NOT lost: every member
+    // reaches the min-id rep through a linear star edge (hamming 0), and
+    // the quadratic blow-up still never happens (199 star pairs, not 19900)
+    val rescued = BandedHamming.pairs(rows, "id", "h", bands = 4,
+      maxHamming = 6, maxBucket = 50, rescueHot = true).collect()
+    assert(rescued.length == 199 + 3, s"got ${rescued.length}")
+    assert(rescued.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      ((1L until 200L).map(i => (0L, i)).toSet ++
+        Set((1001L, 1002L), (1001L, 1003L), (1002L, 1003L))))
+    // the generic bucket join rescues by default (all callers
+    // exact-verify): the 200-row bucket contributes exactly its 199 star
+    // edges, the 2-row bucket pairs normally
     val banded = ((0L until 200L).map(i => (i, 0L)) ++
       Seq((1001L, 42L), (1003L, 42L))).toDF("id", "bv")
       .withColumn("band", lit(0))
     val capped = BandedHamming.bucketedPairs(banded, "id", Seq("band", "bv"),
       maxBucket = 50).collect()
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
-      Set((1001L, 1003L)), s"got ${capped.toSeq}")
+      ((1L until 200L).map(i => (0L, i)).toSet + ((1001L, 1003L))),
+      s"got ${capped.length} pairs")
+    // …and with rescue off it is dropped entirely (the hash-is-verdict
+    // posture imageDedup/dedupSimhash pin)
+    val dropped = BandedHamming.bucketedPairs(banded, "id", Seq("band", "bv"),
+      maxBucket = 50, rescueHot = false).collect()
+    assert(dropped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1001L, 1003L)), s"got ${dropped.toSeq}")
+  }
+
+  test("hot-bucket star rescue: an over-cap identical-content cluster still " +
+      "collapses through exact verify") {
+    import spark.implicits._
+    import graft.queries.VectorOps
+    // 60 byte-identical docs — every (band, sig) bucket holds all 60,
+    // far over a cap of 20 — plus a verbatim near-dup pair and a loner
+    val boiler = (0L until 60L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val pairDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every single day"),
+      (101L, "the quick brown fox jumps over the lazy dog every single night"),
+      (200L, "completely unrelated text about spark shuffle partitioning"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val verified = VectorOps.minhashPairsOn(docs, 0.5, maxBucket = 20)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every boilerplate member meets rep 0 (star edges → Jaccard 1.0);
+    // without rescue ALL 59 of these true-dup edges would be lost
+    assert((1L until 60L).forall(i => verified.contains((0L, i))),
+      s"star edges missing from verified set (${verified.size} pairs)")
+    // the near-dup pair outside the hot bucket still surfaces normally
+    assert(verified.contains((100L, 101L)))
+    // any band-collision star edge was verified away, never admitted: no
+    // boilerplate doc links outside the cluster, nothing touches the loner
+    assert(!verified.exists { case (a, b) =>
+      (a < 60L) != (b < 60L) || a == 200L || b == 200L })
+    // connected components over the verified edges collapses the cluster
+    val labels = graft.operators.ConnectedComponents.runOnPairs(
+      verified.toSeq.toDF("src", "dst"))
+    val reps = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 60L).map(reps).toSet.size == 1,
+      "boilerplate cluster did not collapse to one rep")
   }
 
   test("bucketed tables join without a shuffle (co-located scan)") {
