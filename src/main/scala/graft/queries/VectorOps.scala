@@ -349,6 +349,63 @@ object VectorOps {
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/sets"), threshold)
 
+  /** Fold an index component's accumulated `batch=` increments into a
+    * single fresh `batch=init` partition of `numFiles` files (0 → the
+    * session's default parallelism) — the small-files compaction a
+    * continuously-ingesting index needs: one parquet dir per micro-batch
+    * is exactly how an object store accumulates millions of kilobyte
+    * files whose LISTing eventually dwarfs the probe itself. DISTINCT
+    * during the fold restores nominal bucket populations if a replayed
+    * increment was ever re-created after a compaction folded it away
+    * (the one at-least-once window the per-batch overwrite can't cover) —
+    * duplicates are correct but inflate verify cost, so compaction is
+    * also the self-healing pass.
+    *
+    * Swap discipline: write everything to `<dir>.compacting`, then
+    * delete + rename. NOT atomic for concurrent readers — run it from
+    * the index's single writer between batches (the foreachBatch loop
+    * serializes, so [[graft.streaming.IngestDedup]]'s `compactEvery`
+    * slot is safe by construction). A crash between delete and rename
+    * leaves the finished `.compacting` dir; the next call finds the
+    * component missing and finishes the swap before proceeding. On
+    * rename-as-copy stores (S3 proper) prefer a versioned-prefix layout
+    * outside this helper.
+    */
+  private[graft] def compactComponent(spark: SparkSession, dir: String,
+      numFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + ".compacting")
+    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p) // finish a crashed swap
+    fs.delete(tmp, true) // stale partial write from a crash mid-compaction
+    val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
+    spark.read.parquet(dir).drop("batch").distinct().repartition(n)
+      .write.parquet(new Path(tmp, "batch=init").toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Compact a persisted MinHash dedup index ([[writeNeardupIndex]] +
+    * [[appendNeardupIndex]] increments) in place — see
+    * [[compactComponent]] for the when-and-why.
+    */
+  def compactNeardupIndex(spark: SparkSession, path: String,
+      numFiles: Int = 0): Unit = {
+    compactComponent(spark, s"$path/bands", numFiles)
+    compactComponent(spark, s"$path/sets", numFiles)
+  }
+
+  /** Compact a persisted cosine index ([[writeCosineIndex]] +
+    * [[appendCosineIndex]] increments) in place — see
+    * [[compactComponent]].
+    */
+  def compactCosineIndex(spark: SparkSession, path: String,
+      numFiles: Int = 0): Unit = {
+    compactComponent(spark, s"$path/bands", numFiles)
+    compactComponent(spark, s"$path/vectors", numFiles)
+  }
+
   private def neardupDeltaFrames(newDocs: DataFrame, corpusBands: DataFrame,
       corpusSets: DataFrame, threshold: Double): DataFrame = {
     val nb = minhashBands(newDocs)

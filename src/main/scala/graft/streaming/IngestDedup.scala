@@ -35,13 +35,21 @@ object IngestDedup {
   /** Start the pipeline over a streaming (doc_id, text) frame. The index
     * at `indexPath` must exist ([[graft.queries.VectorOps.writeNeardupIndex]]
     * over the existing corpus, or over an empty frame for a fresh start).
+    * `compactEvery` > 0 folds the index's accumulated `batch=` increments
+    * into one partition after every N batches
+    * ([[graft.queries.VectorOps.compactNeardupIndex]]) — safe here
+    * because foreachBatch serializes, so the compaction swap never races
+    * a probe.
     */
   def run(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, threshold: Double = 0.5): StreamingQuery =
+      checkpoint: String, threshold: Double = 0.5,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, indexPath, outPath, threshold)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          VectorOps.compactNeardupIndex(batch.sparkSession, indexPath)
       }
       .start()
 
@@ -53,12 +61,15 @@ object IngestDedup {
     */
   def runVectors(vecs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, threshold: Double, numPlanes: Int = 16,
-      bands: Int = 8, seed: Long = 42L): StreamingQuery =
+      bands: Int = 8, seed: Long = 42L,
+      compactEvery: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processVectorBatch(batch.toDF(), batchId, indexPath, outPath,
           threshold, numPlanes, bands, seed)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          VectorOps.compactCosineIndex(batch.sparkSession, indexPath)
       }
       .start()
 

@@ -155,6 +155,85 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(indexed == Set(1L, 2L, 5L))
   }
 
+  test("index compaction folds batch= increments into one partition; " +
+      "probes unchanged; recompaction heals replay duplicates") {
+    val docs = Tables.t(spark, Sf0001, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 300)
+    val inc = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val path = java.nio.file.Files.createTempDirectory("compact_idx").toString
+    VectorOps.writeNeardupIndex(corpus, path)
+    VectorOps.appendNeardupIndex(inc, path, "1")
+    val before = canon(VectorOps.neardupDeltaIndexed(spark, path, batch))
+    val rowsBefore = spark.read.parquet(s"$path/sets").count()
+    VectorOps.compactNeardupIndex(spark, path, numFiles = 2)
+    def batchDirs(c: String) = new java.io.File(s"$path/$c").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs("sets") == Set("batch=init") &&
+      batchDirs("bands") == Set("batch=init"))
+    assert(spark.read.parquet(s"$path/sets").count() == rowsBefore)
+    assert(canon(VectorOps.neardupDeltaIndexed(spark, path, batch)) == before)
+    // the one window per-batch overwrite can't cover: a replay re-creates
+    // an increment AFTER compaction folded its rows into init. Duplicate
+    // index rows must not change any probe answer, and the next
+    // compaction's DISTINCT restores nominal populations.
+    VectorOps.appendNeardupIndex(inc, path, "1")
+    assert(spark.read.parquet(s"$path/sets").count() == rowsBefore + inc.count())
+    assert(canon(VectorOps.neardupDeltaIndexed(spark, path, batch)) == before,
+      "duplicated index rows changed probe results")
+    VectorOps.compactNeardupIndex(spark, path, numFiles = 2)
+    assert(spark.read.parquet(s"$path/sets").count() == rowsBefore)
+    assert(canon(VectorOps.neardupDeltaIndexed(spark, path, batch)) == before)
+  }
+
+  test("ingest loop with compactEvery: same survivors, index ends compacted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexPath = java.nio.file.Files.createTempDirectory("cmp_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("cmp_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cmp_ckpt").toString
+    VectorOps.writeNeardupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexPath)
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = "red orange yellow green blue indigo violet cyan magenta black white gray"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestDedup.run(
+      input.toDF().toDF("doc_id", "text"), indexPath, outPath, ckpt,
+      compactEvery = 1)
+    try {
+      input.addData(Seq((1L, a), (2L, b), (3L, a + " tail")))
+      q.processAllAvailable()
+      // batch 2's dup of b is caught via the COMPACTED index
+      input.addData(Seq((4L, b + " extra"), (5L, "nothing shared with any earlier document at all here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L), s"expected survivors {1,2,5}, got $out")
+    val dirs = new java.io.File(s"$indexPath/sets").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=init"), s"index not compacted: $dirs")
+    assert(spark.read.parquet(s"$indexPath/sets")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+  }
+
+  test("cosine index compaction preserves probe results") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = vecs.filter(col("vec_id") < 100)
+    val inc = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    val batch = vecs.filter(col("vec_id") >= 150)
+    val path = java.nio.file.Files.createTempDirectory("cmp_cos_idx").toString
+    VectorOps.writeCosineIndex(corpus, path)
+    VectorOps.appendCosineIndex(inc, path, "1")
+    val before = canon(VectorOps.cosineDeltaIndexed(spark, path, batch, threshold = 0.35))
+    VectorOps.compactCosineIndex(spark, path)
+    assert(canon(VectorOps.cosineDeltaIndexed(spark, path, batch, threshold = 0.35)) == before)
+    val dirs = new java.io.File(s"$path/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=init"))
+  }
+
   // ------------------------------------------ embedding-space (cosine) twin
 
   test("cosineDelta == full LSH pairs restricted to the batch; index probe equal") {
