@@ -135,10 +135,41 @@ object Ivf {
     */
   def writeIndex(base: DataFrame, cents: DataFrame, path: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // batch=… above the cell dirs, like the dedup indexes: increments
+    // ([[appendIndex]]) land in their own discoverable partition level,
+    // replays overwrite themselves, and the cell partition column — the
+    // one pruning keys on — is preserved at every level
     assign(base, cents)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=init")
   }
+
+  /** Grow a materialized index: assign `vecs` (vec_id, embedding, n2)
+    * against the INDEX's OWN centroids and write them into their cells
+    * under the increment's `batch=tag` dir — the corpus-growth path
+    * (rebuild cadence = centroid drift, not corpus size; new vectors
+    * just join their nearest cell). Overwrite of the tag's dir makes an
+    * at-least-once replay rewrite itself, as with the dedup indexes.
+    */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, vecs: DataFrame,
+      path: String, tag: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    assign(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=$tag")
+  }
+
+  /** Fold the cells table's accumulated `batch=` increments into one
+    * fresh `batch=init` level, keeping the `cell=` directory layout
+    * pruning depends on — same small-files/self-healing rationale and
+    * swap discipline as [[graft.queries.VectorOps.compactNeardupIndex]].
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int = 0): Unit =
+    graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
+      numFiles, Seq("cell"))
 
   /** Top-k cosine search over a materialized index. `queries` carries
     * (vec_id, embedding, n2) — external ids are fine (self-matches are

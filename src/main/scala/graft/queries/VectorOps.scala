@@ -372,7 +372,7 @@ object VectorOps {
     * outside this helper.
     */
   private[graft] def compactComponent(spark: SparkSession, dir: String,
-      numFiles: Int): Unit = {
+      numFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -380,8 +380,15 @@ object VectorOps {
     if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p) // finish a crashed swap
     fs.delete(tmp, true) // stale partial write from a crash mid-compaction
     val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
-    spark.read.parquet(dir).drop("batch").distinct().repartition(n)
-      .write.parquet(new Path(tmp, "batch=init").toString)
+    val folded = spark.read.parquet(dir).drop("batch").distinct()
+    // a partitioned component (IVF cells) must keep its directory layout,
+    // and hashing the write by the partition cols lands each partition's
+    // rows in few tasks → few files per dir instead of tasks × dirs
+    val arranged =
+      if (partitionCols.isEmpty) folded.repartition(n)
+      else folded.repartition(n, partitionCols.map(col): _*)
+    arranged.write.partitionBy(partitionCols: _*)
+      .parquet(new Path(tmp, "batch=init").toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
   }

@@ -65,6 +65,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
       s"expected exactly 2 probed cells, got: ${inList.get.group(1)}")
   }
 
+  test("appendIndex grows cells in place: searches see the union, replay " +
+      "overwrites itself, compaction keeps the cell layout") {
+    // seed centroids are the 16 lowest-id vectors — identical whether
+    // taken from the initial half or the full corpus, so the grown index
+    // must answer exactly like a full rebuild
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_grow").toString
+    Ivf.writeIndex(init, Ivf.seedCentroids(init, 16), dir)
+    Ivf.appendIndex(spark, extra, dir, "g1")
+    val queries = base.filter(col("vec_id") < 5)
+    val want = canon(Ivf.search(base, Ivf.seedCentroids(base, 16),
+      queryPred = col("vec_id") < 5, k = 5, nprobe = 4))
+    assert(canon(Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4)) == want)
+    // at-least-once replay of the same increment rewrites its own dir
+    Ivf.appendIndex(spark, extra, dir, "g1")
+    assert(spark.read.parquet(s"$dir/cells").count() == base.count())
+    assert(canon(Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4)) == want)
+    // compaction folds increments but keeps cell= dirs (pruning layout)
+    Ivf.compactIndex(spark, dir)
+    def dirsIn(p: String) = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsIn(s"$dir/cells") == Set("batch=init"))
+    val cellDirs = dirsIn(s"$dir/cells/batch=init")
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")),
+      s"cell layout lost: $cellDirs")
+    assert(canon(Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4)) == want)
+    assert(canon(Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+      staticPrune = true)) == want)
+  }
+
   test("dynamic search plan carries partition pruning on the cell scan") {
     val queries = base.filter(col("vec_id") < 5)
     val idx = Ivf.searchIndex(spark, indexPath, queries, k = 5, nprobe = 4)
