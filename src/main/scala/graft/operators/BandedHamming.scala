@@ -71,42 +71,52 @@ object BandedHamming {
   def droppedHotBucketRows: java.util.concurrent.atomic.AtomicLong =
     org.apache.spark.sql.graft.WarnHotBucket.droppedRows
 
-  /** Drops rows of buckets whose population exceeds `maxBucket`, warning
-    * at least once per dropped bucket (via the codegen'd WarnHotBucket
-    * expression on the bucket's row_number()=1 marker row — no
-    * interpreted UDF enters the plan). One window pass keyed by the
-    * bucket tuple — the exact shuffle key the downstream candidate join
-    * uses.
+  /** The single bucket-population pass every guard/rescue shape derives
+    * from: one UNORDERED window keyed by the bucket tuple (the exact
+    * shuffle key the downstream candidate join uses — no extra scan, and
+    * no sort: the r7 guard's `row_number` marker forced a per-bucket
+    * sort; the min-id row is the same unique marker for free) computing
+    * each row's bucket population `__n` and the bucket representative
+    * `__rep` = min (id, carried cols) struct. The quadratic-join input,
+    * the star-edge rescue, the probe-side rep table and the warn marker
+    * are all filters over THIS one frame, so their physical plans share
+    * the same exchange+window subtree (exchange reuse) instead of
+    * re-shuffling per shape.
     */
-  private def capHotBuckets(d: DataFrame, idCol: String,
-      bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+  private def markBuckets(d: DataFrame, idCol: String,
+      bucketCols: Seq[String], carryCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(bucketCols.map(col): _*)
     d.withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
-      .filter(col("__n") <= maxBucket ||
-        (col("__rn") === 1 &&
+      .withColumn("__rep",
+        min(struct((col(idCol) +: carryCols.map(col)): _*)).over(w))
+  }
+
+  /** Rows of small-enough buckets — the quadratic join's input. The
+    * over-cap bucket's min-id row carries the warning (codegen'd
+    * WarnHotBucket — no interpreted UDF enters the plan; `hit` returns
+    * false so the marker row is dropped with the rest).
+    */
+  private def keepSmall(marked: DataFrame, idCol: String,
+      bucketCols: Seq[String], maxBucket: Int): DataFrame =
+    marked.filter(col("__n") <= maxBucket ||
+        (col(idCol) === col("__rep").getField(idCol) &&
           org.apache.spark.sql.graft.WarnHotBucket.column(
             concat_ws(",", bucketCols.map(c => col(c).cast("string")): _*),
             col("__n"))))
-      .drop("__n", "__rn")
-  }
+      .drop("__n", "__rep")
 
-  /** Star edges of over-cap buckets: (bucket min id, each other member),
-    * one window pass on the same bucket-tuple shuffle key the capped
-    * join uses. Linear in bucket population — the rescue that keeps an
-    * identical-content cluster connected after [[capHotBuckets]] pulls
-    * it out of the quadratic join (see the guard note above). Distinct
-    * is the caller's job (the same cluster is over-cap in every band, so
-    * each band re-emits the same edges).
+  /** Star edges of over-cap buckets: (bucket min id, each other member) —
+    * linear in bucket population, the rescue that keeps an identical-
+    * content cluster connected after [[keepSmall]] pulls it out of the
+    * quadratic join (see the guard note above). Distinct is the caller's
+    * job (the same cluster is over-cap in every band, so each band
+    * re-emits the same edges).
     */
-  private def hotBucketStarEdges(d: DataFrame, idCol: String,
-      bucketCols: Seq[String], maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(bucketCols.map(col): _*)
-    d.withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rep", min(col(idCol)).over(w))
-      .filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
-      .select(col("__rep").as("id1"), col(idCol).as("id2"))
-  }
+  private def starEdges(marked: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame =
+    marked.filter(col("__n") > maxBucket &&
+        col(idCol) =!= col("__rep").getField(idCol))
+      .select(col("__rep").getField(idCol).as("id1"), col(idCol).as("id2"))
 
   /** Distinct candidate pairs (id1 < id2) of rows sharing a bucket — the
     * generic LSH candidate join: rows meet iff every `bucketCols` value
@@ -121,14 +131,15 @@ object BandedHamming {
   def bucketedPairs(df: DataFrame, idCol: String, bucketCols: Seq[String],
       maxBucket: Int = DefaultMaxBucket,
       rescueHot: Boolean = true): DataFrame = {
-    val sel = df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*)
-    val d = capHotBuckets(sel, "__id", bucketCols, maxBucket)
+    val marked = markBuckets(
+      df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*),
+      "__id", bucketCols, Nil)
+    val d = keepSmall(marked, "__id", bucketCols, maxBucket)
     val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__id") < col("b.__id")
     val quad = d.as("a").join(d.as("b"), cond)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-    val all = if (rescueHot)
-      quad.union(hotBucketStarEdges(sel, "__id", bucketCols, maxBucket))
+    val all = if (rescueHot) quad.union(starEdges(marked, "__id", maxBucket))
     else quad
     all.distinct()
   }
@@ -154,19 +165,20 @@ object BandedHamming {
       maxBucket: Int = DefaultMaxBucket,
       rescueHot: Boolean = true): DataFrame = {
     val p = probe.select((col(probeIdCol).as("__pid") +: bucketCols.map(col)): _*)
-    val bSel = base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*)
-    val b = capHotBuckets(bSel, "__bid", bucketCols, maxBucket)
+    val marked = markBuckets(
+      base.select((col(baseIdCol).as("__bid") +: bucketCols.map(col)): _*),
+      "__bid", bucketCols, Nil)
+    val b = keepSmall(marked, "__bid", bucketCols, maxBucket)
     val cond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     val quad = p.as("a").join(b.as("b"), cond)
       .select(col("a.__pid").as("id1"), col("b.__bid").as("id2"))
     val all = if (rescueHot) {
-      // over-cap buckets reduced to (bucket tuple, rep) — a tiny frame
-      // (few degenerate values by construction) the probe side joins on
-      // the same bucket key; AQE broadcasts it
-      val w = Window.partitionBy(bucketCols.map(col): _*)
-      val reps = bSel.withColumn("__n", count(lit(1)).over(w))
-        .filter(col("__n") > maxBucket)
-        .groupBy(bucketCols.map(col): _*).agg(min(col("__bid")).as("__rep"))
+      // over-cap buckets reduced to their rep row — a tiny frame (few
+      // degenerate values by construction) the probe side joins on the
+      // same bucket key; AQE broadcasts it
+      val reps = marked.filter(col("__n") > maxBucket &&
+          col("__bid") === col("__rep").getField("__bid"))
+        .select((col("__bid").as("__rep") +: bucketCols.map(col)): _*)
       quad.union(p.as("a").join(reps.as("b"), cond)
         .select(col("a.__pid").as("id1"), col("b.__rep").as("id2")))
     } else quad
@@ -190,21 +202,20 @@ object BandedHamming {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val sel = df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
-    val banded = capHotBuckets(sel, "__id", Seq("band", "bandval"), maxBucket)
+    val marked = markBuckets(
+      df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask")),
+      "__id", Seq("band", "bandval"), Seq("__h"))
+    val banded = keepSmall(marked, "__id", Seq("band", "bandval"), maxBucket)
     val quad = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
         col("a.__h").as("h1"), col("b.__h").as("h2"))
     val all = if (rescueHot) {
-      // min(struct) carries the representative's hash alongside its id
-      val w = Window.partitionBy(col("band"), col("bandval"))
-      val star = sel.withColumn("__n", count(lit(1)).over(w))
-        .withColumn("__rep", min(struct(col("__id"), col("__h"))).over(w))
-        .filter(col("__n") > maxBucket &&
+      // the rep struct carries the representative's hash alongside its id
+      val star = marked.filter(col("__n") > maxBucket &&
           col("__id") =!= col("__rep").getField("__id"))
         .select(col("__rep").getField("__id").as("id1"), col("__id").as("id2"),
           col("__rep").getField("__h").as("h1"), col("__h").as("h2"))
