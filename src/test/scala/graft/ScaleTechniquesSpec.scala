@@ -251,6 +251,21 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       Set((1001L, 1003L)), s"got ${dropped.toSeq}")
   }
 
+  test("guard + rescue derive from one exchange: the candidate plan reuses " +
+      "the bucket shuffle instead of re-shuffling per shape") {
+    import graft.queries.VectorOps
+    val docs = graft.queries.Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val pairs = VectorOps.minhashPairsOn(docs)
+    pairs.collect() // let AQE finalize
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the quadratic join input and the star-edge branch both sit on the
+    // markBuckets window — physical planning must reuse that exchange,
+    // not shuffle the signature subtree once per shape
+    assert(plan.contains("ReusedExchange"),
+      s"expected ReusedExchange in the candidate plan:\n${plan.take(4000)}")
+  }
+
   test("hot-bucket star rescue: an over-cap identical-content cluster still " +
       "collapses through exact verify") {
     import spark.implicits._
