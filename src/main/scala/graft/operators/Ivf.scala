@@ -154,6 +154,9 @@ object Ivf {
     */
   def appendIndex(spark: org.apache.spark.sql.SparkSession, vecs: DataFrame,
       path: String, tag: String): Unit = {
+    graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     assign(vecs, cents)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
@@ -188,6 +191,7 @@ object Ivf {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int,
       staticPrune: Boolean = false): DataFrame = {
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
     val cellType = cells.schema("cell").dataType

@@ -338,6 +338,11 @@ object VectorOps {
     * hot-bucket cap and double verify cost forever).
     */
   def appendNeardupIndex(docs: DataFrame, path: String, tag: String): Unit = {
+    requireTag(tag)
+    val spark = docs.sparkSession
+    Seq(s"$path/bands", s"$path/sets").foreach { c =>
+      finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
+    }
     minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
     shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$tag")
   }
@@ -362,12 +367,19 @@ object VectorOps {
     * also the self-healing pass.
     *
     * Swap discipline: write everything to `<dir>.compacting`, then
-    * delete + rename. NOT atomic for concurrent readers — run it from
-    * the index's single writer between batches (the foreachBatch loop
-    * serializes, so [[graft.streaming.IngestDedup]]'s `compactEvery`
-    * slot is safe by construction). A crash between delete and rename
-    * leaves the finished `.compacting` dir; the next call finds the
-    * component missing and finishes the swap before proceeding. On
+    * delete + rename, CHECKING both results (Hadoop FileSystems report
+    * most failures by returning false — an unchecked failed delete would
+    * rename the new data INSIDE the old dir; an unchecked failed rename
+    * would strand the corpus in `.compacting`). NOT atomic for
+    * concurrent readers — run it from the index's single writer between
+    * batches (the foreachBatch loop serializes, so
+    * [[graft.streaming.IngestDedup]]'s `compactEvery` slot is safe by
+    * construction). A crash between delete and rename leaves the
+    * finished `.compacting` dir; [[finishCrashedSwap]] completes it —
+    * called here, by every append, and by the ingest loop's probe path
+    * ([[recoverNeardupIndex]]/[[recoverCosineIndex]] at the top of each
+    * batch), so a restart after such a crash self-repairs before the
+    * first read instead of dying on a missing directory. On
     * rename-as-copy stores (S3 proper) prefer a versioned-prefix layout
     * outside this helper.
     */
@@ -377,8 +389,9 @@ object VectorOps {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + ".compacting")
-    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p) // finish a crashed swap
+    finishCrashedSwap(spark, dir)
     fs.delete(tmp, true) // stale partial write from a crash mid-compaction
+    ensureBatchLayout(spark, dir)
     val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
     val folded = spark.read.parquet(dir).drop("batch").distinct()
     // a partitioned component (IVF cells) must keep its directory layout,
@@ -389,9 +402,80 @@ object VectorOps {
       else folded.repartition(n, partitionCols.map(col): _*)
     arranged.write.partitionBy(partitionCols: _*)
       .parquet(new Path(tmp, "batch=init").toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    require(fs.delete(p, true), s"compaction could not delete $dir; " +
+      s"new data is intact at $tmp — resolve the FS issue and re-run")
+    require(fs.rename(tmp, p), s"compaction could not swap $tmp into $dir; " +
+      "the corpus is intact there — re-running any compact/append/ingest " +
+      "call finishes the swap")
   }
+
+  /** Complete a compaction swap interrupted between delete and rename:
+    * the component dir is missing but its finished `.compacting` twin
+    * exists. Safe (and cheap — two exists calls) to run before any read
+    * or write of the component.
+    */
+  private[graft] def finishCrashedSwap(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + ".compacting")
+    if (!fs.exists(p) && fs.exists(tmp))
+      require(fs.rename(tmp, p),
+        s"could not finish the crashed compaction swap $tmp -> $dir")
+  }
+
+  /** Finish any crashed compaction swap on a MinHash index — the ingest
+    * loop runs this before probing so a restart after a mid-swap crash
+    * self-repairs ([[graft.streaming.IngestDedup]]).
+    */
+  def recoverNeardupIndex(spark: SparkSession, path: String): Unit = {
+    finishCrashedSwap(spark, s"$path/bands")
+    finishCrashedSwap(spark, s"$path/sets")
+  }
+
+  /** [[recoverNeardupIndex]] for the cosine index. */
+  def recoverCosineIndex(spark: SparkSession, path: String): Unit = {
+    finishCrashedSwap(spark, s"$path/bands")
+    finishCrashedSwap(spark, s"$path/vectors")
+  }
+
+  /** Migrate a flat (pre-`batch=`-layout) component in place: root-level
+    * entries that are not already a `batch=` dir — parquet part files,
+    * or an old IVF component's `cell=` dirs — move into `dir/batch=init`,
+    * so an increment's `batch=` dir never lands beside them (Spark
+    * partition discovery rejects that mix as conflicting structures).
+    * Metadata-only renames; a no-op on the current layout. Every append
+    * and compaction runs this first, so an index written by an older
+    * build is upgraded the moment it is grown.
+    */
+  private[graft] def ensureBatchLayout(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val flat = fs.listStatus(p).filter { e =>
+      val n = e.getPath.getName
+      !n.startsWith("batch=") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (flat.nonEmpty) {
+      val init = new Path(p, "batch=init")
+      fs.mkdirs(init)
+      flat.foreach { e =>
+        require(fs.rename(e.getPath, new Path(init, e.getPath.getName)),
+          s"could not migrate ${e.getPath} into the batch=init layout")
+      }
+    }
+  }
+
+  /** Increment tags name `batch=` partition dirs: path-safe charset, and
+    * `init` is reserved for the corpus component ([[writeNeardupIndex]] /
+    * compaction) — appending under it would OVERWRITE the whole corpus.
+    */
+  private[graft] def requireTag(tag: String): Unit =
+    require(tag.nonEmpty && tag != "init" &&
+        tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"index increment tag must be [A-Za-z0-9_-]+ and not the reserved " +
+        s"'init', got '$tag'")
 
   /** Compact a persisted MinHash dedup index ([[writeNeardupIndex]] +
     * [[appendNeardupIndex]] increments) in place — see
@@ -793,6 +877,11 @@ object VectorOps {
     */
   def appendCosineIndex(vecs: DataFrame, path: String, tag: String,
       numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
+    requireTag(tag)
+    val spark = vecs.sparkSession
+    Seq(s"$path/bands", s"$path/vectors").foreach { c =>
+      finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
+    }
     val base = vecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     bandedSignatures(base, numPlanes, bands, seed)

@@ -75,6 +75,10 @@ object IngestDedup {
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, threshold: Double): Unit = {
+    // a restart after a crash mid-compaction-swap must self-repair
+    // BEFORE the probe reads the index, or every replay dies on the
+    // missing component dir
+    VectorOps.recoverNeardupIndex(batch.sparkSession, indexPath)
     // materialized once: the batch feeds the probe, the survivor
     // anti-join, the output write and the index append
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
@@ -88,6 +92,7 @@ object IngestDedup {
   private[graft] def processVectorBatch(batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, threshold: Double,
       numPlanes: Int, bands: Int, seed: Long): Unit = {
+    VectorOps.recoverCosineIndex(batch.sparkSession, indexPath)
     val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val pairs = VectorOps.cosineDeltaIndexed(
       batch.sparkSession, indexPath, b, threshold, numPlanes, bands, seed)

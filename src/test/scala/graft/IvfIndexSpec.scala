@@ -96,6 +96,27 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
       staticPrune = true)) == want)
   }
 
+  test("appendIndex migrates an old flat cells layout (cell= dirs at the root)") {
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_flat").toString
+    Ivf.writeIndex(init, Ivf.seedCentroids(init, 16), dir)
+    // old build's layout: cell= dirs directly under cells/ — lift them
+    // out of batch=init; an un-migrated append would mix batch= and
+    // cell= at one level and break partition discovery
+    val root = new java.io.File(s"$dir/cells")
+    val initDir = new java.io.File(root, "batch=init")
+    initDir.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(root, f.getName).toPath)
+    }
+    assert(initDir.delete())
+    Ivf.appendIndex(spark, extra, dir, "g1")
+    val queries = base.filter(col("vec_id") < 5)
+    val want = canon(Ivf.search(base, Ivf.seedCentroids(base, 16),
+      queryPred = col("vec_id") < 5, k = 5, nprobe = 4))
+    assert(canon(Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4)) == want)
+  }
+
   test("dynamic search plan carries partition pruning on the cell scan") {
     val queries = base.filter(col("vec_id") < 5)
     val idx = Ivf.searchIndex(spark, indexPath, queries, k = 5, nprobe = 4)

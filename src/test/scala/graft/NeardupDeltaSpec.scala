@@ -217,6 +217,73 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
 
+  test("append guards: reserved/unsafe tags rejected; a flat pre-batch-layout " +
+      "index is migrated in place by the first append") {
+    val docs = Tables.t(spark, Sf0001, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 300)
+    val inc = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // 'init' names the corpus component; a path char would nest dirs —
+    // both must fail loudly instead of silently clobbering the index
+    val guarded = java.nio.file.Files.createTempDirectory("tag_idx").toString
+    VectorOps.writeNeardupIndex(corpus, guarded)
+    intercept[IllegalArgumentException](
+      VectorOps.appendNeardupIndex(inc, guarded, "init"))
+    intercept[IllegalArgumentException](
+      VectorOps.appendNeardupIndex(inc, guarded, "a/b"))
+    // reference: normal layout, normal append
+    VectorOps.appendNeardupIndex(inc, guarded, "1")
+    val want = canon(VectorOps.neardupDeltaIndexed(spark, guarded, batch))
+    // old build's FLAT layout: part files directly under bands/ and sets/
+    // (simulated by lifting batch=init's files to the component root) —
+    // an un-migrated append would create the conflicting-structures mix
+    val flat = java.nio.file.Files.createTempDirectory("flat_idx").toString
+    VectorOps.writeNeardupIndex(corpus, flat)
+    Seq("bands", "sets").foreach { c =>
+      val root = new java.io.File(s"$flat/$c")
+      val init = new java.io.File(root, "batch=init")
+      init.listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(root, f.getName).toPath)
+      }
+      assert(init.delete())
+    }
+    VectorOps.appendNeardupIndex(inc, flat, "1")
+    assert(canon(VectorOps.neardupDeltaIndexed(spark, flat, batch)) == want)
+    // the migration happened structurally: no data files left at the root
+    // (only marker/checksum files, which partition discovery ignores)
+    assert(new java.io.File(s"$flat/sets").listFiles().filter(_.isFile)
+      .forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")))
+  }
+
+  test("ingest loop self-repairs a crash between compaction delete and rename") {
+    import spark.implicits._
+    val indexPath = java.nio.file.Files.createTempDirectory("crash_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("crash_out").toString
+    VectorOps.writeNeardupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexPath)
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b0 = Seq((1L, a), (2L, "unrelated words entirely different content here okay"))
+      .toDF("doc_id", "text")
+    graft.streaming.IngestDedup.processBatch(b0, 0L, indexPath, outPath, 0.5)
+    // crash window: component deleted, finished .compacting twin present
+    Seq("bands", "sets").foreach { c =>
+      assert(new java.io.File(s"$indexPath/$c")
+        .renameTo(new java.io.File(s"$indexPath/$c.compacting")))
+    }
+    // the NEXT batch must self-repair before probing, not die on a
+    // missing directory
+    val b1 = Seq((3L, a + " tail"), (4L, "fresh clean content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    graft.streaming.IngestDedup.processBatch(b1, 1L, indexPath, outPath, 0.5)
+    val out = spark.read.parquet(outPath)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // 3 is a near-dup of already-indexed 1 — only caught if the repaired
+    // index was actually probed
+    assert(out == Set(1L, 2L, 4L), s"expected survivors {1,2,4}, got $out")
+    assert(!new java.io.File(s"$indexPath/bands.compacting").exists())
+  }
+
   test("cosine index compaction preserves probe results") {
     val vecs = Tables.t(spark, Sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))
