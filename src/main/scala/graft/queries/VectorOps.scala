@@ -792,10 +792,12 @@ object VectorOps {
   }
 
   def cosineLshCandidates(base: DataFrame, numPlanes: Int, bands: Int,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame =
     graft.operators.BandedHamming
       .bucketedPairs(bandedSignatures(base, numPlanes, bands, seed),
-        "vec_id", Seq("band", "bv"))
+        "vec_id", Seq("band", "bv"), maxBucket)
       .select(col("id1").as("v1"), col("id2").as("v2"))
 
   /** [[neardupCosineLsh]] generalized over the band-sizing knobs: LSH
@@ -806,8 +808,10 @@ object VectorOps {
     * ≥ 0.99 of the time (VectorOpsSpec measures both on planted data).
     */
   def neardupCosineLshAt(base: DataFrame, threshold: Double, numPlanes: Int,
-      bands: Int, seed: Long = 42L): DataFrame = {
-    val cands = cosineLshCandidates(base, numPlanes, bands, seed)
+      bands: Int, seed: Long = 42L,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    val cands = cosineLshCandidates(base, numPlanes, bands, seed, maxBucket)
     verifyCosine(cands, base, base, threshold)
       .orderBy(col("v1"), col("v2"))
   }

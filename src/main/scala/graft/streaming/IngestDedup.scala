@@ -80,10 +80,14 @@ object IngestDedup {
     // missing component dir
     VectorOps.recoverNeardupIndex(batch.sparkSession, indexPath)
     // materialized once: the batch feeds the probe, the survivor
-    // anti-join, the output write and the index append
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
+    // anti-join, the output write and the index append. The FULL batch
+    // schema rides through — the probe only needs (doc_id, text), but a
+    // production batch carries metadata (source, fetch time, license)
+    // that must survive into the output
+    val b = batch.localCheckpoint(true)
     val pairs = VectorOps.neardupDeltaIndexed(
-      batch.sparkSession, indexPath, b, threshold)
+      batch.sparkSession, indexPath, b.select(col("doc_id"), col("text")),
+      threshold)
     val survivors = admit(b, pairs, "doc_id", "d1", "d2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     VectorOps.appendNeardupIndex(survivors, indexPath, batchId.toString)
@@ -93,9 +97,11 @@ object IngestDedup {
       indexPath: String, outPath: String, threshold: Double,
       numPlanes: Int, bands: Int, seed: Long): Unit = {
     VectorOps.recoverCosineIndex(batch.sparkSession, indexPath)
-    val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val b = batch.localCheckpoint(true)
     val pairs = VectorOps.cosineDeltaIndexed(
-      batch.sparkSession, indexPath, b, threshold, numPlanes, bands, seed)
+      batch.sparkSession, indexPath,
+      b.select(col("vec_id"), col("embedding")), threshold, numPlanes,
+      bands, seed)
     val survivors = admit(b, pairs, "vec_id", "v1", "v2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     VectorOps.appendCosineIndex(survivors, indexPath, batchId.toString,

@@ -256,6 +256,24 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
       .forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")))
   }
 
+  test("ingest batches keep their full schema: metadata columns survive " +
+      "to the output") {
+    import spark.implicits._
+    val indexPath = java.nio.file.Files.createTempDirectory("meta_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("meta_out").toString
+    VectorOps.writeNeardupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexPath)
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val batch = Seq((1L, a, "web"), (2L, a + " tail", "books"))
+      .toDF("doc_id", "text", "source")
+    graft.streaming.IngestDedup.processBatch(batch, 0L, indexPath, outPath, 0.5)
+    val out = spark.read.parquet(s"$outPath/batch=0")
+    assert(out.columns.toSet == Set("doc_id", "text", "source"))
+    // 2 dropped as the within-batch dup; 1 keeps its metadata
+    assert(out.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "web")))
+  }
+
   test("ingest loop self-repairs a crash between compaction delete and rename") {
     import spark.implicits._
     val indexPath = java.nio.file.Files.createTempDirectory("crash_idx").toString
