@@ -96,7 +96,7 @@ object Ivf {
   /** Each query row's nprobe nearest cells:
     * (cell, q_id, q_emb, q_n2) — one output row per (query, probed cell).
     */
-  private def probesOf(queries: DataFrame, cents: DataFrame,
+  private[operators] def probesOf(queries: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("c_id").asc)

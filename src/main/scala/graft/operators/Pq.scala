@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType}
+
+/** Product quantization (PQ) ANN machinery — the memory-compression leg
+  * of the similarity-search family (SURVEY.md §2.D). IVF
+  * ([[Ivf]]) makes search sublinear by probing cells; PQ makes the
+  * per-vector footprint constant: a D-dim float vector (4·D bytes)
+  * becomes `m` sub-codebook ids (one small int each), and approximate
+  * scores are computed from the codes alone via asymmetric distance
+  * computation (ADC). At 100 TB of embeddings the corpus the search
+  * actually scans shrinks ~32× (64-dim float → 8 codes), which is the
+  * difference between an in-page-cache scan and re-reading the corpus
+  * per query batch.
+  *
+  * Shapes, all deterministic (no RNG) and distributed:
+  *
+  *  - codebooks: the embedding splits into `m` equal-width subspaces;
+  *    each subspace gets `ks` centroids. Seeding takes the `ks`
+  *    lowest-id vectors' subvectors (exactly reproducible — the same
+  *    posture as [[Ivf.seedCentroids]]); optional Lloyd refinement is
+  *    per-(subspace, code) mean aggregation, never driver-side math.
+  *  - encode: nearest sub-centroid per (vector, subspace) by L2 —
+  *    argmin ‖s−c‖² = argmax (s·c − ‖c‖²/2) since ‖s‖² is constant per
+  *    row — as a broadcast join against the tiny codebook table plus one
+  *    `max_by` aggregation (map-side combinable; no per-vector sort).
+  *  - ADC: a query's score table (q · c for every (subspace, code)) is
+  *    |Q|·m·ks rows — broadcast; exploded codes equi-join it on
+  *    (subspace, code), and the per-(query, vector) approximate dot is a
+  *    sum of m looked-up parts. The fold is applied over the parts
+  *    sorted by subspace index, so the double accumulation order is
+  *    fixed — approximate scores are bit-reproducible across runs and
+  *    partitionings.
+  *  - search: ADC shortlist (top `shortlist` per query by approximate
+  *    dot) → exact cosine re-rank of shortlist candidates only, same
+  *    output contract as [[Ivf.search]]: (q_id, vec_id, cos, rn).
+  *
+  * Approximation quality note: ADC approximates the DOT product, and the
+  * re-rank uses exact cosine; for near-unit-norm corpora (the usual
+  * embedding case) dot ranks ≈ cosine ranks and the shortlist absorbs
+  * the difference. `ks` must stay modest relative to the corpus slice
+  * that trains it (seeding uses the `ks` lowest ids); recall vs the
+  * exact baseline is the acceptance test ([[graft.VectorOpsSpec]]), as
+  * with every sketch operator here.
+  */
+object Pq {
+
+  private def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
+
+  /** One row per (id, subspace j): the j-th of `m` equal slices of
+    * `embCol`. The embedding width must be divisible by `m` (the last
+    * slice silently shortens otherwise — callers assert via
+    * [[codebookWidth]] in specs).
+    */
+  private def subvectors(vecs: DataFrame, idCol: String, embCol: String,
+      m: Int): DataFrame = {
+    val d = (size(col(embCol)) / m).cast(IntegerType)
+    vecs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(embCol), j * d + 1, d))).as(Seq("j", "sub")))
+  }
+
+  /** Subspace width the codebook table was built with (for assertions). */
+  def codebookWidth(books: DataFrame): Int =
+    books.select(max(size(col("c_emb")))).head().getInt(0)
+
+  /** Deterministic seed codebooks: for every subspace j, the `ks`
+    * lowest-id vectors' j-subvectors, coded 0..ks−1 in id order.
+    * Output: (j, c_id, c_emb array<float>, c_n2).
+    */
+  def seedCodebooks(base: DataFrame, m: Int, ks: Int): DataFrame = {
+    val low = base.orderBy(col("vec_id")).limit(ks)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("j")).orderBy(col("vec_id"))
+    subvectors(low, "vec_id", "embedding", m)
+      .withColumn("c_id", row_number().over(w) - 1)
+      .select(col("j"), col("c_id"), col("sub").as("c_emb"),
+        dot(col("sub"), col("sub")).as("c_n2"))
+  }
+
+  /** Nearest sub-centroid per (vec_id, j): L2 argmin as a `max_by` over
+    * score = s·c − ‖c‖²/2 with a (score, −c_id) struct key — smaller
+    * c_id wins exact ties, and the aggregate gets map-side partial
+    * combine (no per-vector sort, same rationale as [[Ivf.assign]]).
+    */
+  private def assignSubs(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "j")
+      .withColumn("score", dot(col("sub"), col("c_emb")) - col("c_n2") / 2)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(max_by(struct(col("c_id"), col("sub")),
+        struct(col("score"), (-col("c_id")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.sub").as("sub"),
+        col("best.c_id").as("code"))
+
+  /** PQ-encode the corpus: (vec_id, codes array<int> of length m, codes
+    * ordered by subspace index).
+    */
+  def encode(base: DataFrame, books: DataFrame, m: Int): DataFrame =
+    assignSubs(subvectors(base, "vec_id", "embedding", m), books)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** One Lloyd refinement: new sub-centroid = per-(j, code) mean
+    * subvector (posexplode + avg — shuffles by (j, code, pos), never
+    * collects to the driver). Codes that lose all members drop out.
+    * Same reproducibility caveat as [[Ivf.refine]]: avg accumulates
+    * doubles in shuffle-merge order, so trained books can differ in
+    * final ulps across runs — contract queries use seed books only.
+    */
+  def refine(base: DataFrame, books: DataFrame, m: Int): DataFrame =
+    assignSubs(subvectors(base, "vec_id", "embedding", m), books)
+      .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("j"), col("code"), col("pos"))
+      .agg(avg(col("v")).as("mv"))
+      .groupBy(col("j"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv").cast(FloatType)).as("c_emb"))
+      .select(col("j"), col("code").as("c_id"), col("c_emb"),
+        dot(col("c_emb"), col("c_emb")).as("c_n2"))
+
+  /** `iters` Lloyd refinements of the seed codebooks. */
+  def train(base: DataFrame, m: Int, ks: Int, iters: Int): DataFrame =
+    (0 until iters).foldLeft(seedCodebooks(base, m, ks))(
+      (b, _) => refine(base, b, m))
+
+  /** Per-query ADC lookup table: (q_id, j, code, part = q_j · c). At
+    * |Q|·m·ks rows it is broadcast-sized by construction for any sane
+    * query batch.
+    */
+  private def lutOf(queries: DataFrame, books: DataFrame, m: Int): DataFrame =
+    subvectors(
+      queries.select(col("vec_id").as("q_id"), col("embedding")),
+      "q_id", "embedding", m)
+      .join(books, "j")
+      .select(col("q_id"), col("j"), col("c_id").as("code"),
+        dot(col("sub"), col("c_emb")).as("part"))
+
+  /** ADC shortlist: top `shortlist` corpus vectors per query by
+    * approximate dot, scored from codes alone. `pairs` is the exploded
+    * (vec_id, j, code) ⋈ broadcast LUT equi-join on (j, code) — the
+    * probe side never touches raw embeddings. The per-pair sum folds the
+    * m parts sorted by j, so scores are order-deterministic.
+    */
+  private def shortlistOf(codes: DataFrame, books: DataFrame,
+      queries: DataFrame, m: Int, shortlist: Int): DataFrame = {
+    val pairs = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(lutOf(queries, books, m)), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("part")))),
+          s => s.getField("part")),
+        lit(0.0), (a, x) => a + x).as("approx"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    pairs.withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** Exact-cosine re-rank of the ADC shortlist: only shortlist
+    * candidates pay a raw-vector read. `raw` carries
+    * (vec_id, embedding, n2); queries likewise. Output matches
+    * [[Ivf.search]]: (q_id, vec_id, cos, rn) with rn ≤ k.
+    */
+  def searchWithCodes(codes: DataFrame, raw: DataFrame, books: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int, m: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlistOf(codes, books, queries, m, shortlist)
+      .join(raw.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Encode-and-search in one call (the in-memory form). */
+  def search(base: DataFrame, books: DataFrame, queries: DataFrame,
+      k: Int, shortlist: Int, m: Int): DataFrame =
+    searchWithCodes(encode(base, books, m), base, books, queries,
+      k, shortlist, m)
+
+  // ------------------------------------------------ IVF-PQ index on disk
+
+  /** Materialize an IVF-PQ index: coarse centroids route vectors to
+    * cells ([[Ivf.assign]]), PQ codes compress them within cells. Layout
+    * mirrors [[Ivf.writeIndex]] (`batch=init/cell=…` dirs so cell
+    * membership is directory layout and probes prune at file listing);
+    * rows carry (vec_id, codes, embedding, n2) — parquet is columnar,
+    * so the ADC scan reads ONLY the codes column (~16 B/row) while the
+    * re-rank join reads embeddings for shortlist resolution alone. At
+    * 100 TB the raw-embedding column can live in a separate store keyed
+    * by vec_id; the search shape is unchanged.
+    */
+  def writeIndex(base: DataFrame, cents: DataFrame, books: DataFrame,
+      path: String, m: Int): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/books")
+    Ivf.assign(base, cents)
+      .join(encode(base, books, m), "vec_id")
+      .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=init")
+  }
+
+  /** IVF-PQ search over a materialized index: each query probes its
+    * `nprobe` nearest cells (partition-pruned scan — the [[Ivf]]
+    * machinery), ADC-scores ONLY the probed cells' codes, and re-ranks
+    * its shortlist exactly. The candidate join keys on the raw `cell`
+    * partition column (probe side casts to its type), preserving
+    * partition pruning exactly as [[Ivf.searchIndex]].
+    */
+  def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, shortlist: Int, m: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/books")
+    val cells = spark.read.parquet(s"$path/cells")
+    val cellType = cells.schema("cell").dataType
+    val probes = Ivf.probesOf(queries, cents, nprobe)
+      .withColumn("cell", col("cell").cast(cellType))
+      .select(col("cell"), col("q_id"))
+    // ADC over probed cells only: the lut join key carries q_id, so a
+    // vector appearing in two queries' probed cells scores once per query
+    val cand = probes
+      .join(cells.select(col("cell"), col("vec_id"), col("codes")), "cell")
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(lutOf(queries, books, m)), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("part")))),
+          s => s.getField("part")),
+        lit(0.0), (a, x) => a + x).as("approx"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val short = cand.withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val wR = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .join(cells.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

@@ -948,6 +948,91 @@ object VectorOps {
       queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
   }
 
+  // ------------------------------------------------- PQ-compressed ANN
+
+  /** Product-quantized ANN — the memory-compression scale path beside
+    * [[knnLsh]] (prunes candidates) and [[knnIvf]] (prunes cells): the
+    * corpus the approximate stage scans is m=8 code ids per vector
+    * instead of 64 floats (~32× smaller), scored by ADC table lookup,
+    * with exact-cosine re-rank of each query's top-50 shortlist.
+    * Codebooks are the deterministic seeds (the 16 lowest-id vectors'
+    * subvectors — no RNG, reproducible); engine-specific in codebook
+    * choice → no SQL oracle; VectorOpsSpec asserts recall against
+    * [[knnBruteforce]] plus structural invariants, and [[vecPq]] pins
+    * the encode math cross-engine.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    Pq.search(base, Pq.seedCodebooks(base, m = 8, ks = 16),
+      base.filter(col("vec_id") < 5), k = 5, shortlist = 50, m = 8)
+  }
+
+  /** PQ encode digests — the SQL-oracled face of [[knnPq]]'s compression
+    * stage: every vector's m=8 nearest-sub-centroid code, reduced to
+    * scalar digests (the driver's pandas compare cannot hash arrays —
+    * the [[vecQuantize]] convention; code_wsum is position-weighted so
+    * any reordering at fixed sum still shifts the hash).
+    *
+    * Cross-engine determinism: both engines compute sub-centroid scores
+    * s·c − ‖c‖²/2 as the identical left-to-right IEEE double fold
+    * (codegen'd DotProduct here, `list_reduce` over the same element
+    * order in DuckDB), so argmax decisions are bit-identical; exact
+    * score ties resolve to the smallest code on both sides (max_by
+    * (score, −c_id) struct key here; max-score + min-c_id two-step in
+    * the oracle — DuckDB's arg_max rejects composite keys).
+    */
+  def vecPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Pq.encode(base, Pq.seedCodebooks(base, m = 8, ks = 16), m = 8)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(1), size(col("codes"))),
+            (c, i) => c.cast(LongType) * i),
+          lit(0L), (a, x) => a + x).as("code_wsum"),
+        array_min(col("codes")).cast(LongType).as("code_min"),
+        array_max(col("codes")).cast(LongType).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Width-8 dot for the PQ oracle's subvectors (same fold shape as
+    * [[dotSql]], which is pinned to the full 64-dim width).
+    */
+  private def dotSql8(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * $b[i] for i in range(1, 9)]), (p, q) -> p + q)"
+
+  val vecPqSql: String =
+    s"""WITH sub AS (
+       |  SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+       |         embedding[CAST(t.j*8+1 AS INTEGER):CAST(t.j*8+8 AS INTEGER)] AS sub
+       |  FROM embeddings, range(0, 8) t(j)),
+       |seed AS (
+       |  SELECT j,
+       |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INTEGER) AS c_id,
+       |         sub AS c_emb, ${norm2Sql("sub")} AS c_n2
+       |  FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |scored AS (
+       |  SELECT s.vec_id, s.j, b.c_id,
+       |         ${dotSql8("s.sub", "b.c_emb")} - b.c_n2 / 2 AS score
+       |  FROM sub s JOIN seed b USING (j)),
+       |mx AS (SELECT vec_id, j, max(score) AS ms FROM scored GROUP BY vec_id, j),
+       |assigned AS (
+       |  SELECT s.vec_id, s.j, min(s.c_id) AS code
+       |  FROM scored s JOIN mx
+       |    ON s.vec_id = mx.vec_id AND s.j = mx.j AND s.score = mx.ms
+       |  GROUP BY s.vec_id, s.j)
+       |SELECT vec_id,
+       |  CAST(sum(code) AS BIGINT) AS code_sum,
+       |  CAST(sum(code * (j + 1)) AS BIGINT) AS code_wsum,
+       |  CAST(min(code) AS BIGINT) AS code_min,
+       |  CAST(max(code) AS BIGINT) AS code_max
+       |FROM assigned GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------- kNN label voting
 
   /** k-NN majority-vote labeling — the application layer over similarity
@@ -1071,6 +1156,8 @@ object VectorOps {
     ContractQuery("q_knn_lsh", knnLsh, None),
     ContractQuery("q_neardup_cosine_lsh", neardupCosineLsh, None),
     ContractQuery("q_knn_ivf", knnIvf, None),
+    ContractQuery("q_knn_pq", knnPq, None),
+    ContractQuery("q_vec_pq", vecPq, Some(vecPqSql)),
     ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql))
   )
 }

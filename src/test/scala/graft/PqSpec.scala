@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ivf, Pq}
+import graft.queries.{Tables, VectorOps}
+
+/** Product-quantization ANN: recall against the exact baseline (the
+  * acceptance test for every sketch operator), structural invariants of
+  * the code table, and the IVF-PQ materialized index — whose point at
+  * 100 TB is that the ADC stage scans ONLY the codes column of ONLY the
+  * probed cells (column pruning × partition pruning).
+  */
+class PqSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val M = 8
+  private val Ks = 16
+
+  private def base: DataFrame = {
+    val emb = Tables.t(spark, Sf0001, "embeddings")
+    emb.select(col("vec_id"), col("embedding"),
+      VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2"))
+  }
+
+  private def books: DataFrame = Pq.seedCodebooks(base, M, Ks)
+
+  private def topkPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("codes: one row per vector, m codes each, all in [0, ks)") {
+    val dim = base.select(max(size(col("embedding")))).head().getInt(0)
+    assert(dim % M == 0, s"embedding width $dim must divide into $M subspaces")
+    val codes = Pq.encode(base, books, M).cache()
+    assert(codes.count() == base.count())
+    val stats = codes.select(
+      min(size(col("codes"))), max(size(col("codes"))),
+      min(array_min(col("codes"))), max(array_max(col("codes")))).head()
+    assert(stats.getInt(0) == M && stats.getInt(1) == M)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < Ks)
+    // codebook table itself: ks entries per subspace, width dim/m
+    assert(books.count() == M.toLong * Ks)
+    assert(Pq.codebookWidth(books) == dim / M)
+    codes.unpersist()
+  }
+
+  test("ADC shortlist + exact re-rank recalls >= 60% of brute-force top-5") {
+    val truth = topkPairs(VectorOps.knnBruteforce(spark, Sf0001))
+    assert(truth.size == 25)
+    val got = VectorOps.knnPq(spark, Sf0001)
+    val rows = got.collect()
+    assert(rows.length == 25, "5 queries x top-5")
+    assert(rows.forall(_.getInt(3) >= 1) && rows.forall(_.getInt(3) <= 5))
+    val recall = truth.count(topkPairs(got).contains).toDouble / truth.size
+    assert(recall >= 0.6, s"pq recall $recall over ${truth.size} pairs")
+  }
+
+  test("a wide-open shortlist degrades PQ to the exact answer") {
+    // shortlist = corpus: ADC ordering becomes irrelevant and the exact
+    // re-rank must reproduce brute force bit-identically — pins that the
+    // re-rank math equals the baseline's
+    val n = base.count().toInt
+    val exact = VectorOps.knnBruteforce(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val wide = Pq.search(base, books, base.filter(col("vec_id") < 5),
+      k = 5, shortlist = n, m = M).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(wide == exact)
+  }
+
+  test("IVF-PQ index: recall holds, ADC scan reads codes without " +
+      "embeddings, cells scan is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Pq.writeIndex(base, Ivf.seedCentroids(base, 16), books, dir, M)
+    val queries = base.filter(col("vec_id") < 5)
+    val res = Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = M)
+    res.collect() // finalize AQE before reading the executed plan
+    val truth = topkPairs(Ivf.search(base, Ivf.seedCentroids(base, 16),
+      queryPred = col("vec_id") < 5, k = 5, nprobe = 4))
+    val recall = truth.count(topkPairs(res).contains).toDouble / truth.size
+    assert(recall >= 0.6, s"ivf-pq recall $recall vs ivf over ${truth.size}")
+    val plan = res.queryExecution.executedPlan.toString
+    // compression is real only if the ADC stage reads codes, not vectors:
+    // there must be a cells scan whose ReadSchema has codes and no
+    // embedding column (the re-rank scan reads embedding separately)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only scan in:\n$schemas")
+    // the probe side is broadcast-sized by construction: the cells scan
+    // must carry partition pruning (dynamic, from that broadcast)
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning on the cells scan in:\n$plan")
+  }
+
+  test("refined codebooks keep the search well-formed and recall intact") {
+    val trained = Pq.train(base, M, Ks, iters = 1)
+    // refinement may drop empty codes but never exceeds ks per subspace
+    val perJ = trained.groupBy(col("j")).count().collect()
+    assert(perJ.nonEmpty && perJ.forall(_.getLong(1) <= Ks))
+    val truth = topkPairs(VectorOps.knnBruteforce(spark, Sf0001))
+    val got = Pq.search(base, trained, base.filter(col("vec_id") < 5),
+      k = 5, shortlist = 50, m = M)
+    val recall = truth.count(topkPairs(got).contains).toDouble / truth.size
+    assert(recall >= 0.6, s"trained-books recall $recall")
+  }
+}
