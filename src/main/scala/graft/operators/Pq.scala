@@ -216,6 +216,38 @@ object Pq {
       .parquet(s"$path/cells/batch=init")
   }
 
+  /** Grow a materialized IVF-PQ index: assign and encode `vecs`
+    * (vec_id, embedding, n2) against the INDEX's OWN centroids and
+    * codebooks, writing them into their cells under the increment's
+    * `batch=tag` dir — the same corpus-growth path as
+    * [[Ivf.appendIndex]] (rebuild cadence = centroid/codebook drift, not
+    * corpus size; replays of a tag overwrite themselves).
+    */
+  def appendIndex(spark: SparkSession, vecs: DataFrame, path: String,
+      tag: String, m: Int): Unit = {
+    graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/books")
+    Ivf.assign(vecs, cents)
+      .join(encode(vecs, books, m), "vec_id")
+      .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=$tag")
+  }
+
+  /** Fold accumulated `batch=` increments into one fresh `batch=init`
+    * level, preserving the `cell=` layout pruning depends on — the
+    * shared small-files/self-healing discipline of
+    * [[graft.queries.VectorOps.compactNeardupIndex]].
+    */
+  def compactIndex(spark: SparkSession, path: String,
+      numFiles: Int = 0): Unit =
+    graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
+      numFiles, Seq("cell"))
+
   /** IVF-PQ search over a materialized index: each query probes its
     * `nprobe` nearest cells (partition-pruned scan — the [[Ivf]]
     * machinery), ADC-scores ONLY the probed cells' codes, and re-ranks
@@ -225,6 +257,7 @@ object Pq {
     */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, shortlist: Int, m: Int): DataFrame = {
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")

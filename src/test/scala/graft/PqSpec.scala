@@ -96,6 +96,43 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       s"expected dynamic partition pruning on the cells scan in:\n$plan")
   }
 
+  test("appendIndex grows cells in place: searches see the union, replay " +
+      "overwrites itself, compaction keeps the cell layout") {
+    // seed centroids AND seed codebooks take the 16 lowest-id vectors —
+    // identical whether derived from the initial half or the full
+    // corpus, so the grown index must answer exactly like a full rebuild
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val dir = java.nio.file.Files.createTempDirectory("pq_grow").toString
+    Pq.writeIndex(init, Ivf.seedCentroids(init, 16),
+      Pq.seedCodebooks(init, M, Ks), dir, M)
+    Pq.appendIndex(spark, extra, dir, "g1", M)
+    val queries = base.filter(col("vec_id") < 5)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val full = java.nio.file.Files.createTempDirectory("pq_full").toString
+    Pq.writeIndex(base, Ivf.seedCentroids(base, 16), books, full, M)
+    val want = canon(Pq.searchIndex(spark, full, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = M))
+    assert(want.size == 25)
+    assert(canon(Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = M)) == want)
+    // at-least-once replay of the same increment rewrites its own dir
+    Pq.appendIndex(spark, extra, dir, "g1", M)
+    assert(spark.read.parquet(s"$dir/cells").count() == base.count())
+    // compaction folds increments but keeps cell= dirs (pruning layout)
+    Pq.compactIndex(spark, dir)
+    def dirsIn(p: String) = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirsIn(s"$dir/cells") == Set("batch=init"))
+    val cellDirs = dirsIn(s"$dir/cells/batch=init")
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")),
+      s"cell layout lost: $cellDirs")
+    assert(canon(Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = M)) == want)
+  }
+
   test("refined codebooks keep the search well-formed and recall intact") {
     val trained = Pq.train(base, M, Ks, iters = 1)
     // refinement may drop empty codes but never exceeds ks per subspace
