@@ -68,13 +68,52 @@ object ConnectedComponents {
       reliable: Boolean = false): DataFrame =
     runCounted(nodes, edges, maxRounds, reliable)._1
 
+  /** Pair-count gate under which [[runOnPairs]] finishes the components
+    * on the driver ([[localFinish]]) instead of iterating. 2·10⁶ pairs ≈
+    * a ~100 MB transient collect and a ≤ ~32 MB label LocalRelation —
+    * the same order as Spark's own broadcast ceiling, far under any
+    * sane driver heap.
+    */
+  val DefaultLocalFinishMaxPairs: Long = 2000000L
+
   /** The shared front half of every dedup-clustering path: checkpoint
     * the verified pair frame once (measured stats — the pair plan is an
     * expensive banded/exact join whose origin estimate is garbage and
     * which would otherwise re-execute for the node scan, the edge union,
-    * and every CC round), derive the node set, and iterate ONLY the pair
-    * subgraph. Members in no pair never enter the rounds — compose with
-    * [[assignClusters]] to label the full universe.
+    * and every CC round), then cluster ONLY the pair subgraph. Members
+    * in no pair never enter the rounds — compose with [[assignClusters]]
+    * to label the full universe.
+    *
+    * Runtime-adaptive finish (the AQE philosophy applied to the
+    * iteration): the pair frame is materialized with an exact row count
+    * before clustering starts, and when that count is at most
+    * `localFinishMaxPairs` the components are finished with a driver
+    * union-find over the collected pairs and returned as a broadcastable
+    * label LocalRelation — one collect of an already-materialized small
+    * frame instead of an O(log diameter) cascade of blocking
+    * propagate/checkpoint/convergence jobs, whose per-round fixed cost
+    * (scheduling + codegen + barrier) dominates exactly when the graph
+    * is small. This two-phase shape — contract distributedly, finish the
+    * small remainder centrally — is the standard scalable-CC design
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). A verified near-dup EDGE set orders of magnitude
+    * smaller than the corpus is the common case (dups are the exception,
+    * and upstream exact-dedup collapses identical content first), but it
+    * is a runtime property, not a promise: over the gate — the 100 TB
+    * regime, or any corpus whose duplicate graph is itself huge — the
+    * unchanged distributed loop of [[run]] executes, with `reliable`
+    * durable checkpoints available as documented there. The local finish
+    * needs neither checkpoint mode (there is no multi-round lineage to
+    * cut). Labels are identical in both regimes: union-by-min with path
+    * halving keeps every tree root the component minimum, which is
+    * [[run]]'s fixpoint. Set `localFinishMaxPairs = 0` to force the
+    * distributed loop at any size.
+    *
+    * This adaptivity is sound ONLY because nodes ≡ pair endpoints here —
+    * the generic [[run]] keeps its exact semantics (edges naming
+    * vertices outside `nodes` are ignored entirely), which a collected
+    * union-find cannot replicate without also collecting `nodes`; do not
+    * lift the local finish there.
     *
     * @param pairs (src: long, dst: long) — one row per verified near-dup pair
     * @param precut the pair frame is ALREADY eagerly materialized with
@@ -83,16 +122,58 @@ object ConnectedComponents {
     * @return (id, rep) for every id appearing in ≥ 1 pair
     */
   def runOnPairs(pairs: DataFrame, maxRounds: Int = 50,
-      reliable: Boolean = false, precut: Boolean = false): DataFrame = {
+      reliable: Boolean = false, precut: Boolean = false,
+      localFinishMaxPairs: Long = DefaultLocalFinishMaxPairs): DataFrame = {
     val raw = pairs.select(col("src"), col("dst"))
-    val p =
-      if (precut) raw
+    val (p, nPairs) =
+      if (precut)
+        // measured stats were attached by the memoizing caller; fall back
+        // to a count over the materialized frame if absent (cheap: blocks)
+        (raw, raw.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong).getOrElse(raw.count()))
       else {
         val p0 = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
-        CheckpointStats.withMeasuredStats(p0, p0.count(), 24)
+        val n = p0.count()
+        (CheckpointStats.withMeasuredStats(p0, n, 24), n)
       }
-    val nodes = p.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
-    run(nodes, p, maxRounds, reliable)
+    if (nPairs <= localFinishMaxPairs) localFinish(p)
+    else {
+      val nodes = p.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      run(nodes, p, maxRounds, reliable)
+    }
+  }
+
+  /** Driver union-find over a materialized small pair frame (gated by
+    * [[runOnPairs]]): union by min root + path halving, so the root of
+    * every tree is its component's minimum id at all times. Returns the
+    * (id, rep) labels as a LocalRelation — exact known size, so every
+    * downstream join against a corpus-scale frame plans as a broadcast.
+    */
+  private def localFinish(p: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def root(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        val g = parent(parent(x)); parent(x) = g; x = g
+      }
+      x
+    }
+    p.collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = root(a); val rb = root(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val spark = p.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rep",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keysIterator.toArray.sorted
+      .foreach(id => rows.add(org.apache.spark.sql.Row(id, root(id))))
+    spark.createDataFrame(rows, schema)
   }
 
   /** The shared back half: label the full `universe` from a subgraph-only

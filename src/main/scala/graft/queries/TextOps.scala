@@ -158,6 +158,77 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** [[neardupJaccardAt]] with AllPairs/PPJoin-style prefix filtering —
+    * the same EXACT result (bit-identical frame: d1, d2, inter, jaccard
+    * rounded to 6dp, ordered by pair) through a candidate join that is
+    * immune to Zipf-hot shingles.
+    *
+    * Candidate generation: rank each doc's shingles by a global
+    * (frequency, shingle) order — rarest first — and join only each
+    * doc's PREFIX, the first `n − ⌈t·n⌉ + 2` shingles. Soundness: a
+    * surviving pair has unrounded J ≥ t = threshold − 5·10⁻⁷ (the
+    * rounded-boundary slack [[neardupJaccardAt]] documents), and since
+    * |A∪B| ≥ max(n₁,n₂) that forces |∩| ≥ ⌈t·nᵢ⌉ for BOTH docs; the
+    * prefix-filtering lemma (Chaudhuri et al. SSJoin 2006; Bayardo et
+    * al. AllPairs WWW'07) then guarantees the pair meets inside the two
+    * prefixes under any shared total order. One extra prefix token (+2
+    * instead of +1) absorbs double-rounding in `ceil`; extra tokens can
+    * only ADD candidates, never lose a pair.
+    *
+    * Verification is exact and per-candidate: `array_intersect` of the
+    * two docs' sorted distinct-shingle arrays (each bounded by its
+    * document's length — the same bound the shingle explode already
+    * carries), so no count can be approximate and the final filter is
+    * the identical rounded-jaccard predicate.
+    *
+    * Scale shape vs the direct join: the direct form joins EVERY shingle
+    * occurrence, so one shingle shared by B docs contributes B² joined
+    * rows — boilerplate text makes the join quadratic in the hottest
+    * bucket. Here frequent shingles sort to the END of the global order
+    * and fall OUT of every prefix: a hot shingle enters the candidate
+    * join only for docs where it ranks among the rarest few, which at
+    * corpus scale is a vanishing fraction. The extra cost is one
+    * count-by-shingle aggregate (map-side combinable) and the verify
+    * joins, each shuffling only candidates. Use this form when the
+    * corpus is large or repetitive; [[neardupJaccardAt]] remains the
+    * minimal two-shuffle plan for small/ad-hoc frames and is the shape
+    * the DuckDB oracle mirrors.
+    */
+  def neardupJaccardPrefixAt(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val t = threshold - 5e-7
+    val sh = shingleRows(docs)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = sh.join(freq, "s")
+      .select(col("doc_id"), col("s"),
+        count(lit(1)).over(wd).as("n"), row_number().over(wo).as("r"))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * t <=
+            least(col("a.n"), col("b.n")) + 1)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"),
+        count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("arr").as("arr1"),
+        col("n").as("n1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("arr").as("arr2"),
+        col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("arr1"), col("arr2"))).cast("long").as("inter"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val neardupJaccardSql =
     s"""WITH sh AS ($shingledSql),
        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),

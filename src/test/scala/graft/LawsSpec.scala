@@ -213,6 +213,27 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(graft.operators.ConnectedComponents.run(none, noEdges).count() == 0)
   }
 
+  test("connected components: local finish ≡ distributed loop on the pair graph") {
+    import spark.implicits._
+    // chain + triangle + isolated pair + a late edge merging 777 into the
+    // chain's component — shapes that exercise cross-component unions
+    val pairs = ((0L until 29L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L),
+        (200L, 201L), (777L, 5L))).toDF("src", "dst")
+    val local = graft.operators.ConnectedComponents.runOnPairs(pairs)
+    // under the gate the labels are a LocalRelation: exact known size,
+    // so every downstream corpus join plans as a broadcast
+    assert(local.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "local finish must return a LocalRelation label table")
+    val dist = graft.operators.ConnectedComponents
+      .runOnPairs(pairs, localFinishMaxPairs = 0)
+    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == dm, "local finish diverged from the distributed loop")
+    assert(lm(777L) == 0L && lm(102L) == 100L && lm(201L) == 200L)
+  }
+
   test("connected components: durable-checkpoint mode = same labels, same rounds") {
     import spark.implicits._
     val nodes = (0L until 60L).toDF("id")

@@ -52,6 +52,39 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(contract == mid.keySet)
   }
 
+  test("neardupJaccardPrefixAt: bit-identical to the direct join at every threshold") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val direct = TextOps.neardupJaccardAt(docs, t).collect().toSeq
+      val pref = TextOps.neardupJaccardPrefixAt(docs, t).collect().toSeq
+      assert(pref == direct, s"prefix-filtered join diverged at t=$t")
+      if (t == 0.5) assert(direct.nonEmpty, "fixture has planted near-dups")
+    }
+  }
+
+  test("neardupJaccardPrefixAt: hot shared shingle does not lose pairs") {
+    // every doc shares one boilerplate 3-gram (max-frequency shingle, the
+    // degenerate case for the direct join); true near-dup pairs differ
+    // only in their rare tail — prefix filtering must still find exactly
+    // the direct join's pairs, including a J=1.0 identical pair
+    val boiler = Seq("all", "rights", "reserved")
+    val rows = (0L until 40L).map { i =>
+      val words = boiler ++ (0 until 8).map(j => s"d${i}w$j")
+      (i, words.mkString(" "), 0L)
+    } ++ Seq(
+      (100L, (boiler ++ (0 until 8).map(j => s"d7w$j")).mkString(" "), 0L),
+      (101L, (boiler ++ (0 until 7).map(j => s"d9w$j") :+ "zz").mkString(" "), 0L))
+    val docs = docsDf(rows)
+    for (t <- Seq(0.4, 0.5, 1.0)) {
+      val direct = TextOps.neardupJaccardAt(docs, t).collect().toSeq
+      val pref = TextOps.neardupJaccardPrefixAt(docs, t).collect().toSeq
+      assert(pref == direct, s"hot-shingle corpus diverged at t=$t")
+    }
+    val at1 = TextOps.neardupJaccardPrefixAt(docs, 1.0).collect()
+    assert(at1.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 100L)),
+      "the planted identical pair must survive threshold 1.0")
+  }
+
   // ------------------------------------------------------ knn
 
   test("knn: external query frame gets exact top-k against the corpus") {
