@@ -176,6 +176,37 @@ object ConnectedComponents {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Incremental label maintenance for a continuously-ingesting corpus:
+    * merge newly-verified near-dup pairs into an existing subgraph label
+    * table WITHOUT re-clustering the history. Each existing component is
+    * re-entered as its star edges (member → rep; connectivity-equivalent
+    * to however many pairs originally built it, and linear in members),
+    * unioned with the new pairs, and re-clustered — so only components
+    * the new pairs actually touch can change, and
+    * `mergeLabels(runOnPairs(p1), p2) == runOnPairs(p1 ∪ p2)` exactly
+    * (spec-pinned in LawsSpec). Cost shape: the star edges are one pass
+    * over the label table (|labeled ids| rows, no join), and the gate of
+    * [[runOnPairs]] applies to the union — a small delta against a small
+    * dup subgraph finishes locally; a huge one runs the distributed
+    * loop. Labels rows with rep = id (components already collapsed to
+    * themselves elsewhere, or universe-style tables) contribute no edge:
+    * an id reappears in the output only if the new pairs touch it.
+    *
+    * @param labels (id, rep) — a previous [[runOnPairs]]/[[mergeLabels]]
+    *   output (extra columns such as `is_dup` are ignored)
+    * @param newPairs (src, dst) — newly verified pairs, e.g. one ingest
+    *   batch's probe output
+    * @return (id, rep) for every id in ≥ 1 old or new pair
+    */
+  def mergeLabels(labels: DataFrame, newPairs: DataFrame,
+      maxRounds: Int = 50, reliable: Boolean = false,
+      localFinishMaxPairs: Long = DefaultLocalFinishMaxPairs): DataFrame =
+    runOnPairs(
+      labels.filter(col("id") =!= col("rep"))
+        .select(col("id").as("src"), col("rep").as("dst"))
+        .union(newPairs.select(col("src"), col("dst"))),
+      maxRounds, reliable, precut = false, localFinishMaxPairs)
+
   /** The shared back half: label the full `universe` from a subgraph-only
     * label table — members absent from `labels` keep rep = self via the
     * left join, `is_dup` marks non-representatives for dropping.

@@ -423,6 +423,42 @@ object TextOps {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------ corpus report
+
+  /** Per-(source, lang) corpus data card — the first pass a dataset
+    * engineer runs before training: volume, exact-duplicate mass,
+    * quality-gate pass rate, token mass, size envelope, all in one
+    * aggregate. Every measure is an exact integer (counts, Long sums,
+    * distinct digests — rates are left to the reader as n_x/n_docs), so
+    * the card is hash-stable cross-engine with no rounding convention.
+    * One shuffle by the grouping key; the per-row predicates (Gopher
+    * gate, tokenization, sha256) are absorbed map-side by partial
+    * aggregation, and the output is |sources|·|langs| rows — card-sized
+    * at any corpus scale. The distinct-digest count adds the standard
+    * two-phase distinct-aggregate expansion; everything else is a plain
+    * combinable sum.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_uniq"),
+        sum(when(Gopher.all, lit(1L)).otherwise(lit(0L))).as("n_quality"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  val corpusReportSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  count(DISTINCT sha256(text)) AS n_uniq,
+       |  CAST(sum(CASE WHEN ${Gopher.allSql} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  max(n_chars) AS max_chars
+       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   // ------------------------------------------------------- quality gate
 
   /** The standard LLM-pipeline quality filter: length, word count and
@@ -1500,6 +1536,7 @@ object TextOps {
     ContractQuery("q_neardup_jaccard", neardupJaccard, Some(neardupJaccardSql)),
     ContractQuery("q_tfidf", tfidf, Some(tfidfSql)),
     ContractQuery("q_text_stats", textStats, Some(textStatsSql)),
+    ContractQuery("q_corpus_report", corpusReport, Some(corpusReportSql)),
     ContractQuery("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     ContractQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     ContractQuery("q_text_langid", textLangid, Some(textLangidSql)),

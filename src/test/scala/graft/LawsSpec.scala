@@ -234,6 +234,23 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(lm(777L) == 0L && lm(102L) == 100L && lm(201L) == 200L)
   }
 
+  test("connected components: mergeLabels ≡ full re-cluster on the union") {
+    import spark.implicits._
+    val p1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    // p2 bridges {1,2,3} with {10,11}, adds a fresh cluster {30,31},
+    // and leaves {20,21} untouched — the three incremental cases
+    val p2 = Seq((3L, 10L), (30L, 31L)).toDF("src", "dst")
+    val cc = graft.operators.ConnectedComponents
+    val inc = cc.mergeLabels(cc.runOnPairs(p1), p2)
+    val full = cc.runOnPairs(p1.union(p2))
+    assert(inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "incremental merge diverged from full re-clustering")
+    val m = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(11L) == 1L, "bridged cluster must adopt the global min rep")
+    assert(m(31L) == 30L && m(21L) == 20L)
+  }
+
   test("connected components: durable-checkpoint mode = same labels, same rounds") {
     import spark.implicits._
     val nodes = (0L until 60L).toDF("id")
