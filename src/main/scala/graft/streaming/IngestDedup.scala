@@ -43,11 +43,12 @@ object IngestDedup {
     */
   def run(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, threshold: Double = 0.5,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, pairLog: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, indexPath, outPath, threshold)
+        processBatch(batch.toDF(), batchId, indexPath, outPath, threshold,
+          pairLog)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           VectorOps.compactNeardupIndex(batch.sparkSession, indexPath)
       }
@@ -62,19 +63,20 @@ object IngestDedup {
   def runVectors(vecs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, threshold: Double, numPlanes: Int = 16,
       bands: Int = 8, seed: Long = 42L,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, pairLog: Option[String] = None): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processVectorBatch(batch.toDF(), batchId, indexPath, outPath,
-          threshold, numPlanes, bands, seed)
+          threshold, numPlanes, bands, seed, pairLog)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           VectorOps.compactCosineIndex(batch.sparkSession, indexPath)
       }
       .start()
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
-      indexPath: String, outPath: String, threshold: Double): Unit = {
+      indexPath: String, outPath: String, threshold: Double,
+      pairLog: Option[String] = None): Unit = {
     // a restart after a crash mid-compaction-swap must self-repair
     // BEFORE the probe reads the index, or every replay dies on the
     // missing component dir
@@ -88,6 +90,7 @@ object IngestDedup {
     val pairs = VectorOps.neardupDeltaIndexed(
       batch.sparkSession, indexPath, b.select(col("doc_id"), col("text")),
       threshold)
+    logPairs(pairs, "d1", "d2", pairLog, batchId)
     val survivors = admit(b, pairs, "doc_id", "d1", "d2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     VectorOps.appendNeardupIndex(survivors, indexPath, batchId.toString)
@@ -95,18 +98,56 @@ object IngestDedup {
 
   private[graft] def processVectorBatch(batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, threshold: Double,
-      numPlanes: Int, bands: Int, seed: Long): Unit = {
+      numPlanes: Int, bands: Int, seed: Long,
+      pairLog: Option[String] = None): Unit = {
     VectorOps.recoverCosineIndex(batch.sparkSession, indexPath)
     val b = batch.localCheckpoint(true)
     val pairs = VectorOps.cosineDeltaIndexed(
       batch.sparkSession, indexPath,
       b.select(col("vec_id"), col("embedding")), threshold, numPlanes,
       bands, seed)
+    logPairs(pairs, "v1", "v2", pairLog, batchId)
     val survivors = admit(b, pairs, "vec_id", "v1", "v2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     VectorOps.appendCosineIndex(survivors, indexPath, batchId.toString,
       numPlanes, bands, seed)
   }
+
+  /** Optional dedup provenance: every verified near-dup pair a batch saw
+    * (cross AND within), written to `$dir/batch=<id>` — the same
+    * replay-idempotent overwrite convention as the survivor output and
+    * the index increments, so at-least-once foreachBatch leaves the log
+    * byte-equivalent. The log is append-only EVENT state; cluster labels
+    * are DERIVED from it on demand ([[clusterLabelsFromLog]]) rather
+    * than maintained as a mutable table each batch would have to
+    * read-modify-rewrite (and could crash-corrupt mid-swap). The log
+    * answers the audit question the drop policy erases: which admitted
+    * document each dropped one duplicated.
+    */
+  private def logPairs(pairs: DataFrame, c1: String, c2: String,
+      pairLog: Option[String], batchId: Long): Unit =
+    pairLog.foreach { dir =>
+      pairs.filter(col(c1) =!= col(c2))
+        .select(col(c1).as("src"), col(c2).as("dst"), col("cross"))
+        .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    }
+
+  /** Cluster labels over everything the ingest loop has ever matched:
+    * connected components of the full pair log ((id, rep), rep = min id
+    * of the duplicate cluster — the same labels a from-scratch
+    * [[graft.queries.VectorOps]] cluster query would assign to these
+    * pairs). Small logs finish as a driver union-find, huge ones run the
+    * distributed loop (see
+    * [[graft.operators.ConnectedComponents.runOnPairs]]); for a
+    * standing label table, feed the previous result and only the new
+    * batches' pairs to [[graft.operators.ConnectedComponents.mergeLabels]].
+    */
+  def clusterLabelsFromLog(spark: org.apache.spark.sql.SparkSession,
+      pairLogDir: String, maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    graft.operators.ConnectedComponents.runOnPairs(
+      spark.read.parquet(pairLogDir).select(col("src"), col("dst")),
+      maxRounds, reliable)
 
   /** Shared drop policy over a delta pair frame carrying the `cross`
     * marker. The marker, not batch membership, classifies the pair: on a

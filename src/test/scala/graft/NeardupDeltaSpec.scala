@@ -121,6 +121,39 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.parquet(s"$indexPath/sets").count() == setsRowsBefore)
   }
 
+  test("ingest pair log: derived cluster labels; replayed batch leaves the log unchanged") {
+    import spark.implicits._
+    val indexPath = java.nio.file.Files.createTempDirectory("plog_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("plog_out").toString
+    val logPath = java.nio.file.Files.createTempDirectory("plog_log").toString
+    VectorOps.writeNeardupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexPath)
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b0 = Seq((1L, a),
+      (2L, "unrelated words entirely different content here okay"),
+      (3L, a + " tail")).toDF("doc_id", "text")
+    graft.streaming.IngestDedup.processBatch(
+      b0, 0L, indexPath, outPath, 0.5, Some(logPath))
+    // batch 1: another near-copy of a — a cross pair found via the index
+    val b1 = Seq((4L, a + " coda")).toDF("doc_id", "text")
+    graft.streaming.IngestDedup.processBatch(
+      b1, 1L, indexPath, outPath, 0.5, Some(logPath))
+    // labels derived from the log: {1,3,4} collapse to rep 1; the clean
+    // doc 2 appears in no pair and so in no label row
+    val m = graft.streaming.IngestDedup.clusterLabelsFromLog(spark, logPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"derived labels wrong: $m")
+    // at-least-once replay: the batch's log dir is overwritten with the
+    // same rows, never appended
+    def logRows = spark.read.parquet(logPath)
+      .collect().map(_.toString).sorted.toSeq
+    val before = logRows
+    graft.streaming.IngestDedup.processBatch(
+      b1, 1L, indexPath, outPath, 0.5, Some(logPath))
+    assert(logRows == before, "replay must leave the pair log unchanged")
+  }
+
   test("vector ingest loop: cross-batch semantic dups dropped via the cosine index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
