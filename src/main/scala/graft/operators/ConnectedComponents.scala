@@ -118,7 +118,10 @@ object ConnectedComponents {
     * @param pairs (src: long, dst: long) — one row per verified near-dup pair
     * @param precut the pair frame is ALREADY eagerly materialized with
     *   measured stats (e.g. a memoized checkpointed pair table) — skip
-    *   the redundant second checkpoint + count here
+    *   the redundant second checkpoint + count here. The frame must be
+    *   that materialized table or a row-preserving projection of it
+    *   (the gate reads the leaf's measured row count; a row-EXPANDING
+    *   plan over the leaf would under-gate)
     * @return (id, rep) for every id appearing in ≥ 1 pair
     */
   def runOnPairs(pairs: DataFrame, maxRounds: Int = 50,
@@ -126,11 +129,18 @@ object ConnectedComponents {
       localFinishMaxPairs: Long = DefaultLocalFinishMaxPairs): DataFrame = {
     val raw = pairs.select(col("src"), col("dst"))
     val (p, nPairs) =
-      if (precut)
-        // measured stats were attached by the memoizing caller; fall back
-        // to a count over the materialized frame if absent (cheap: blocks)
-        (raw, raw.queryExecution.optimizedPlan.stats.rowCount
-          .map(_.toLong).getOrElse(raw.count()))
+      if (precut) {
+        // measured stats were attached by the memoizing caller to the
+        // checkpointed LEAF; read them there (a single-leaf plan under a
+        // rename projection — the default non-CBO stats visitor drops
+        // rowCount at the Project, so the frame's own stats are bare).
+        // Fall back to a count over the materialized blocks if absent.
+        val leaves = raw.queryExecution.optimizedPlan.collectLeaves()
+        val known =
+          if (leaves.size == 1) leaves.head.stats.rowCount.map(_.toLong)
+          else None
+        (raw, known.getOrElse(raw.count()))
+      }
       else {
         val p0 = if (reliable) raw.checkpoint(true) else raw.localCheckpoint(true)
         val n = p0.count()

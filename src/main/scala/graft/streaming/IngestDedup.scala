@@ -87,9 +87,12 @@ object IngestDedup {
     // production batch carries metadata (source, fetch time, license)
     // that must survive into the output
     val b = batch.localCheckpoint(true)
-    val pairs = VectorOps.neardupDeltaIndexed(
+    val pairs0 = VectorOps.neardupDeltaIndexed(
       batch.sparkSession, indexPath, b.select(col("doc_id"), col("text")),
       threshold)
+    // with the log on, the probe plan (the batch's costliest join) feeds
+    // two actions — materialize it once instead of executing it twice
+    val pairs = if (pairLog.isDefined) pairs0.localCheckpoint(true) else pairs0
     logPairs(pairs, "d1", "d2", pairLog, batchId)
     val survivors = admit(b, pairs, "doc_id", "d1", "d2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -102,10 +105,11 @@ object IngestDedup {
       pairLog: Option[String] = None): Unit = {
     VectorOps.recoverCosineIndex(batch.sparkSession, indexPath)
     val b = batch.localCheckpoint(true)
-    val pairs = VectorOps.cosineDeltaIndexed(
+    val pairs0 = VectorOps.cosineDeltaIndexed(
       batch.sparkSession, indexPath,
       b.select(col("vec_id"), col("embedding")), threshold, numPlanes,
       bands, seed)
+    val pairs = if (pairLog.isDefined) pairs0.localCheckpoint(true) else pairs0
     logPairs(pairs, "v1", "v2", pairLog, batchId)
     val survivors = admit(b, pairs, "vec_id", "v1", "v2")
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -116,19 +120,28 @@ object IngestDedup {
   /** Optional dedup provenance: every verified near-dup pair a batch saw
     * (cross AND within), written to `$dir/batch=<id>` — the same
     * replay-idempotent overwrite convention as the survivor output and
-    * the index increments, so at-least-once foreachBatch leaves the log
-    * byte-equivalent. The log is append-only EVENT state; cluster labels
-    * are DERIVED from it on demand ([[clusterLabelsFromLog]]) rather
-    * than maintained as a mutable table each batch would have to
-    * read-modify-rewrite (and could crash-corrupt mid-swap). The log
-    * answers the audit question the drop policy erases: which admitted
-    * document each dropped one duplicated.
+    * the index increments. Pairs are logged CANONICALIZED — unordered
+    * (min, max) ids, deduplicated, no orientation marker — because the
+    * raw probe output is NOT replay-stable: on a replayed batch the
+    * original run's survivors are already indexed, so a doc first
+    * dropped via a within-batch pair now ALSO matches its keeper's
+    * indexed copy as a cross pair. As unordered ids those are the same
+    * edge, so the canonical row set is identical on any replay; the
+    * `cross` marker stays an admit()-internal concern. The log is
+    * append-only EVENT state; cluster labels are DERIVED from it on
+    * demand ([[clusterLabelsFromLog]]) rather than maintained as a
+    * mutable table each batch would have to read-modify-rewrite (and
+    * could crash-corrupt mid-swap). The log answers the audit question
+    * the drop policy erases: which admitted document each dropped one
+    * duplicated.
     */
   private def logPairs(pairs: DataFrame, c1: String, c2: String,
       pairLog: Option[String], batchId: Long): Unit =
     pairLog.foreach { dir =>
       pairs.filter(col(c1) =!= col(c2))
-        .select(col(c1).as("src"), col(c2).as("dst"), col("cross"))
+        .select(least(col(c1), col(c2)).as("src"),
+          greatest(col(c1), col(c2)).as("dst"))
+        .distinct()
         .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
 

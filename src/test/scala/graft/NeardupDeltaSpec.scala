@@ -145,13 +145,20 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(m == Map(1L -> 1L, 3L -> 1L, 4L -> 1L),
       s"derived labels wrong: $m")
     // at-least-once replay: the batch's log dir is overwritten with the
-    // same rows, never appended
+    // same canonical rows, never appended or reoriented
     def logRows = spark.read.parquet(logPath)
       .collect().map(_.toString).sorted.toSeq
     val before = logRows
     graft.streaming.IngestDedup.processBatch(
       b1, 1L, indexPath, outPath, 0.5, Some(logPath))
     assert(logRows == before, "replay must leave the pair log unchanged")
+    // the hard replay case: batch 0's drop was a WITHIN pair (1,3) — on
+    // replay doc 3 ALSO matches doc 1's now-indexed copy as a cross
+    // pair; canonicalization must collapse both to the same logged edge
+    graft.streaming.IngestDedup.processBatch(
+      b0, 0L, indexPath, outPath, 0.5, Some(logPath))
+    assert(logRows == before,
+      "within-pair batch replay must leave the canonical pair log unchanged")
   }
 
   test("vector ingest loop: cross-batch semantic dups dropped via the cosine index") {
