@@ -299,6 +299,25 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       "boilerplate cluster did not collapse to one rep")
   }
 
+  test("local-finish labels broadcast into the cluster-assignment join") {
+    import spark.implicits._
+    // under the gate, runOnPairs returns a LocalRelation of exact known
+    // size — the full-universe assignment join must plan as a broadcast
+    // (the corpus side never shuffles for its labels)
+    val pairs = (0L until 50L).map(i => (i, i + 1000L)).toDF("src", "dst")
+    val labels = graft.operators.ConnectedComponents.runOnPairs(pairs)
+    val universe = graft.queries.Tables.t(spark, Sf0001, "documents")
+      .select($"doc_id")
+    val assigned = graft.operators.ConnectedComponents
+      .assignClusters(universe, "doc_id", labels)
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label assignment should broadcast the LocalRelation labels:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus must not shuffle for its cluster labels")
+  }
+
   test("bucketed tables join without a shuffle (co-located scan)") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
