@@ -444,7 +444,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(sha2(col("text"), 256)).as("n_uniq"),
-        sum(when(Gopher.all, lit(1L)).otherwise(lit(0L))).as("n_quality"),
+        sum(Gopher.all.cast(LongType)).as("n_quality"),
         sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
         sum(col("n_chars")).as("sum_chars"),
         max(col("n_chars")).as("max_chars"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.queries.VectorOps
@@ -155,7 +155,7 @@ object IngestDedup {
     * standing label table, feed the previous result and only the new
     * batches' pairs to [[graft.operators.ConnectedComponents.mergeLabels]].
     */
-  def clusterLabelsFromLog(spark: org.apache.spark.sql.SparkSession,
+  def clusterLabelsFromLog(spark: SparkSession,
       pairLogDir: String, maxRounds: Int = 50,
       reliable: Boolean = false): DataFrame =
     graft.operators.ConnectedComponents.runOnPairs(
