@@ -251,6 +251,31 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(m(31L) == 30L && m(21L) == 20L)
   }
 
+  test("property: mergeLabels ≡ full re-cluster on random pair graphs") {
+    import spark.implicits._
+    // random graphs over a small id space force heavy component overlap
+    // between the two batches — bridges, absorptions, and fresh clusters
+    // all occur across the seeds
+    // filter-free generator (a suchThat can exhaust retries): src in
+    // 0..40, dst = src + 1..20 — distinct by construction
+    val genPairs = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 40L)
+      d <- Gen.chooseNum(1L, 20L)
+    } yield (a, a + d))
+    val cc = graft.operators.ConnectedComponents
+    (0 until 4).foreach { i =>
+      val p1s = genPairs(Gen.Parameters.default, Seed(i.toLong)).get
+      val p2s = genPairs(Gen.Parameters.default, Seed(1000L + i)).get
+      val p1 = p1s.toDF("src", "dst")
+      val p2 = p2s.toDF("src", "dst")
+      val inc = cc.mergeLabels(cc.runOnPairs(p1), p2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = cc.runOnPairs(p1.union(p2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc == full, s"seed $i: p1=$p1s p2=$p2s")
+    }
+  }
+
   test("connected components: durable-checkpoint mode = same labels, same rounds") {
     import spark.implicits._
     val nodes = (0L until 60L).toDF("id")
