@@ -439,16 +439,28 @@ object TextOps {
     * combinable sum.
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
-      .groupBy(col("source"), col("lang"))
+    corpusReportOn(Tables.t(spark, dir, "documents"))
+
+  /** [[corpusReport]] generalized over corpus and quality config — the
+    * engine surface (the contract query is the default-config
+    * instantiation over the fixture's (source, lang) grouping). `by`
+    * chooses the card's grouping columns; the quality counter applies
+    * `cfg`'s Gopher gate.
+    */
+  def corpusReportOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+      by: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val byCols = by.map(col)
+    docs
+      .groupBy(byCols: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(sha2(col("text"), 256)).as("n_uniq"),
-        sum(Gopher.all.cast(LongType)).as("n_quality"),
+        sum(new GopherRules(cfg).all.cast(LongType)).as("n_quality"),
         sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
         sum(col("n_chars")).as("sum_chars"),
         max(col("n_chars")).as("max_chars"))
-      .orderBy(col("source"), col("lang"))
+      .orderBy(byCols: _*)
+  }
 
   val corpusReportSql: String =
     s"""SELECT source, lang, count(*) AS n_docs,

@@ -216,4 +216,50 @@ class ExtractionSpec extends AnyFunSuite with SparkSessionFixture {
       ("mem.doc", 2, "p2"),
       ("mem2.doc", 1, "p1"), ("mem2.doc", 2, "p2"), ("mem2.doc", 3, "p3")))
   }
+
+  test("extraction output feeds the curation pipeline end-to-end") {
+    import graft.queries.{CurateConfig, TextOps}
+    import org.apache.spark.sql.expressions.Window
+    // the pdf2dataset half composes with the LLM-pipeline half: extract
+    // per-page text, then curate the resulting corpus frame directly.
+    // pageA appears in d1 and (exactly) d2; d3 is a near-dup of pageB.
+    val pageA = "alpha bravo carol delta eagle frank gusto hotel"
+    val pageB = "mango nectar ocelot papaya quartz rhubarb salmon tomato"
+    val root = Files.createTempDirectory("curate_corpus")
+    def write(rel: String, pages: String*): Unit =
+      Files.write(root.resolve(rel),
+        (StubExtractor.Magic + pages.mkString("\f")).getBytes("UTF-8"))
+    write("d1.doc", pageA, pageB)
+    write("d2.doc", pageA)
+    write("d3.doc", pageB + " tail")
+    val extracted = Pipeline.extractFeatures(
+      Pipeline.fanout(Pipeline.corpus(spark, root.toString), StubExtractor),
+      Features.select(Seq("text")), StubExtractor)
+    // page rows → the curation pipeline's (doc_id, text, n_chars) shape;
+    // row_number keeps ids dense (keep-best's injective key needs < 1e9)
+    val w = Window.orderBy(col("path"), col("page"))
+    val docs = extracted.filter(col("error").isNull)
+      .withColumn("doc_id", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+    // ids: 1=(d1,pageA) 2=(d1,pageB) 3=(d2,pageA) 4=(d3,pageB+tail).
+    // Deterministic split hash puts doc 1 in a TEST bucket (9) with its
+    // exact copy doc 3 in train — so curation flags doc 1 as benchmark
+    // contamination, doc 3 as the exact dup, and keep-best keeps the
+    // longer member (doc 4) of the pageB near-dup cluster
+    val curated = TextOps.curateOn(docs, CurateConfig(minWords = 1L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(curated == Map(
+      1L -> (false, Some("decontaminated")),
+      2L -> (false, Some("near_dup")),
+      3L -> (false, Some("exact_dup")),
+      4L -> (true, None)), s"got $curated")
+    // and the data card composes over the same frame (global grouping)
+    val card = TextOps.corpusReportOn(docs, CurateConfig(minWords = 1L),
+      by = Seq.empty).collect()(0)
+    assert(card.getLong(0) == 4L, "n_docs")
+    assert(card.getLong(1) == 3L, "n_uniq: pageA duplicated exactly")
+    assert(card.getLong(2) == 4L, "n_quality: all pass the relaxed gate")
+  }
 }

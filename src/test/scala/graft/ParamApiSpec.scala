@@ -85,6 +85,26 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       "the planted identical pair must survive threshold 1.0")
   }
 
+  test("corpusReportOn: contract pin, config monotonicity, custom grouping") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    // the contract query IS the default instantiation
+    val contract = TextOps.corpusReport(spark, Sf0001).collect().toSeq
+    assert(contract == TextOps.corpusReportOn(docs).collect().toSeq)
+    assert(contract.nonEmpty)
+    // a stricter Gopher gate can only lower each group's quality count
+    val strict = TextOps.corpusReportOn(docs,
+      CurateConfig(minWords = 60L)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    contract.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(strict(k) <= r.getLong(4), s"stricter gate raised n_quality at $k")
+    }
+    // custom grouping: per-lang card sums to the same corpus totals
+    val byLang = TextOps.corpusReportOn(docs, by = Seq("lang")).collect()
+    assert(byLang.map(_.getLong(1)).sum == contract.map(_.getLong(2)).sum,
+      "per-lang doc counts must sum to the corpus total")
+  }
+
   // ------------------------------------------------------ knn
 
   test("knn: external query frame gets exact top-k against the corpus") {
