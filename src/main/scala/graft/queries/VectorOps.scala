@@ -354,6 +354,31 @@ object VectorOps {
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/sets"), threshold)
 
+  /** Symmetric verified near-dup pairs of the ENTIRE indexed corpus, from
+    * the persisted index alone — [[minhashPairsOn]] with the shingling
+    * already paid: candidates come from the stored banded signatures,
+    * exact-Jaccard verification from the stored shingle sets, so the
+    * corpus text is never re-read and never re-shingled. This is the pair
+    * source behind durable curation state
+    * ([[graft.queries.TextOps.writeCurateState]]): at 100 TB the shingle
+    * pass is the dominant cost of the dedup pipeline, and it is paid
+    * exactly once, at index build, per corpus — every later label
+    * (re)build starts here.
+    */
+  def minhashPairsIndexed(spark: SparkSession, path: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    recoverNeardupIndex(spark, path)
+    val cands = graft.operators.BandedHamming
+      .bucketedPairs(spark.read.parquet(s"$path/bands"), "doc_id",
+        Seq("band", "sig"), maxBucket)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val sets = spark.read.parquet(s"$path/sets")
+    verifyJaccard(cands, sets, sets, threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Fold an index component's accumulated `batch=` increments into a
     * single fresh `batch=init` partition of `numFiles` files (0 → the
     * session's default parallelism) — the small-files compaction a
