@@ -16,16 +16,18 @@ object Bench {
     // Warm the session (scheduler, codegen, shuffle machinery) so the
     // first timed query doesn't absorb one-time boot cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query must be LOUD, not a suspiciously-fast -1 s row:
-      // print the query + exception to stderr (outside the driver's
-      // JSON-tail parse window) and keep the timing row so the JSON line
-      // format is unchanged
+      // a failed query must be LOUD *inside the JSON*, not a
+      // suspiciously-fast row distinguishable only on stderr (round 9:
+      // 26 fixture-broken queries looked like 0.07 s successes in
+      // BENCH_r09.json). Record the name for the "failed" field and keep
+      // the timing row so the queries map stays complete.
       try { fn(spark, sfDir).count() } catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-          -1L
+          failed += name
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -37,10 +39,15 @@ object Bench {
     // be truncated in the tail), and keep the FINAL line — the one inside
     // the tail window — compact: total + the slowest queries that fit.
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // any failure is carried in-band: a "failed" name array plus a count,
+    // present in BOTH the detail file and the compact tail line, so a
+    // broken query can never masquerade as a fast success in BENCH_r*.json
+    val failJson =
+      s""","n_failed":${failed.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(entries: Iterable[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size}$failJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = line(results, total)

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{CurateConfig, TextOps}
+
+/** `graft.Main curate` — the composed curation pipeline (quality gate →
+  * exact dedup → decontamination → near-dup keep-best, [[TextOps.curateOn]])
+  * as an end-to-end CLI run over a documents parquet, with the same
+  * resume discipline as the extraction CLI: an interrupted run re-executed
+  * with the same arguments emits ONLY the missing verdicts.
+  *
+  * {{{
+  * graft.Main curate <documents.parquet> <outDir>
+  *   [--state DIR]   durable curation state (index/labels/reasons). Built
+  *                   on first use, REUSED afterwards: later runs and
+  *                   resumes read the persisted labels instead of
+  *                   re-shingling the corpus ([[TextOps.writeCurateState]]).
+  *   [--jaccard T]   near-dup cluster threshold (default 0.5)
+  *   [--no-resume]   ignore existing output, rewrite every verdict
+  *   [--num-cpus N]  local parallelism (default: all cores)
+  * }}}
+  *
+  * Exit codes: 0 success, 2 usage error — matching the extract CLI.
+  */
+object CurateCli {
+
+  case class Config(
+      in: String = "",
+      out: String = "",
+      state: Option[String] = None,
+      jaccard: Double = 0.5,
+      resume: Boolean = true,
+      numCpus: Option[Int] = None)
+
+  val usage: String =
+    """usage: graft.Main curate <documents.parquet> <outDir>
+      |  [--state DIR] [--jaccard T] [--no-resume] [--num-cpus N]""".stripMargin
+
+  /** Pure argument parser — IllegalArgumentException on malformed input
+    * (same contract as [[Main.parse]]; CliCurateSpec tests it directly).
+    */
+  def parse(args: Seq[String]): Config = {
+    var cfg = Config()
+    val pos = scala.collection.mutable.ListBuffer[String]()
+    var rest = args.toList
+    def take(flag: String): String = rest match {
+      case v :: t if !v.startsWith("--") => rest = t; v
+      case _ => throw new IllegalArgumentException(s"$flag needs a value")
+    }
+    while (rest.nonEmpty) {
+      val head = rest.head
+      rest = rest.tail
+      head match {
+        case "--state" => cfg = cfg.copy(state = Some(take("--state")))
+        case "--jaccard" =>
+          val v = take("--jaccard")
+          val t = try v.toDouble catch { case _: Exception =>
+            throw new IllegalArgumentException(s"--jaccard needs a number, got '$v'") }
+          if (t <= 0.0 || t > 1.0)
+            throw new IllegalArgumentException(s"--jaccard must be in (0, 1], got $v")
+          cfg = cfg.copy(jaccard = t)
+        case "--no-resume" => cfg = cfg.copy(resume = false)
+        case "--num-cpus" =>
+          val v = take("--num-cpus")
+          val n = try { val n = v.toInt; require(n > 0); n }
+            catch { case _: Exception =>
+              throw new IllegalArgumentException(s"--num-cpus needs a positive integer, got '$v'") }
+          cfg = cfg.copy(numCpus = Some(n))
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag: $f")
+        case p => pos += p
+      }
+    }
+    if (pos.size != 2)
+      throw new IllegalArgumentException(
+        s"expected exactly <documents.parquet> <outDir>, got ${pos.size} positional args")
+    cfg.copy(in = pos(0), out = pos(1))
+  }
+
+  /** Drive a curation run on an existing session — the testable core.
+    * Returns the number of verdicts written THIS run (0 when the output
+    * was already complete).
+    */
+  def run(spark: SparkSession, cfg: Config): Long = {
+    val docs = spark.read.parquet(cfg.in)
+    val curateCfg = CurateConfig(jaccardThreshold = cfg.jaccard)
+
+    // durable state: build once, reuse afterwards — presence of labels/
+    // marks a completed build (it is written after index/)
+    val stateLabels: Option[String] = cfg.state.map { s =>
+      val done = new java.io.File(s"$s/labels").exists() &&
+        new java.io.File(s"$s/reasons").exists()
+      if (!done) TextOps.writeCurateState(docs, s, curateCfg)
+      s
+    }
+
+    def fullRun: DataFrame = stateLabels match {
+      case Some(s) => TextOps.curateFromState(docs, s, curateCfg)
+      case None => TextOps.curateOn(docs, curateCfg)
+    }
+
+    val existing: Option[DataFrame] = {
+      val dir = new java.io.File(cfg.out)
+      if (cfg.resume && dir.exists() &&
+          dir.listFiles != null && dir.listFiles.exists(_.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(cfg.out))
+      else None
+    }
+
+    existing match {
+      case Some(done) =>
+        val delta = stateLabels match {
+          case Some(s) => TextOps.resumeCurateFromState(docs, s, done, curateCfg)
+          case None => TextOps.curateDeltaOn(docs, done, curateCfg)
+        }
+        val n = delta.count()
+        if (n > 0) delta.write.mode("append").parquet(cfg.out)
+        n
+      case None =>
+        val full = fullRun
+        full.write.mode("overwrite").parquet(cfg.out)
+        full.count()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg =
+      try parse(args.toSeq)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(e.getMessage)
+          System.err.println(usage)
+          sys.exit(2)
+      }
+    val builder = SparkSession.builder()
+      .appName("graft-curate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+    val spark = (cfg.numCpus match {
+      case Some(n) => builder.master(s"local[$n]")
+      case None if sys.props.contains("spark.master") => builder
+      case None => builder.master("local[*]")
+    }).getOrCreate()
+    try {
+      val n = run(spark, cfg)
+      System.err.println(s"[curate] wrote $n verdicts to ${cfg.out}")
+    } finally spark.stop()
+  }
+}

@@ -115,6 +115,9 @@ object Main {
       progressEvery = cfg.progressEvery)
 
   def main(args: Array[String]): Unit = {
+    // subcommand dispatch: `graft.Main curate …` is the curation CLI
+    // ([[CurateCli]]); everything else is the historical extract surface
+    if (args.headOption.contains("curate")) return CurateCli.main(args.tail)
     val cfg =
       try parse(args.toSeq)
       catch {

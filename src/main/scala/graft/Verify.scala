@@ -58,6 +58,18 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // quantitative differentials for the no-oracle queries (recall /
+    // precision / sketch error vs their exact oracled baselines) — the
+    // per-round signal the driver's DuckDB compare can't produce. Full
+    // runs only; best-effort so a differential bug can never zero the
+    // correctness dump itself.
+    if (only.isEmpty) try {
+      val cj = Containment.toJson(Containment.metrics(spark, sfDir))
+      Files.writeString(Paths.get(s"$outDir/containment.json"), cj)
+      println(s"[containment] $cj")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] containment differentials failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

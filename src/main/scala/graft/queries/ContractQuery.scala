@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** One driver-contract query: a DataFrame builder plus (when the semantics
   * are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL that the
@@ -31,28 +31,60 @@ object Tables {
       _ => load(spark, sfDir, name))
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType; read it as a raw nanosecond LONG and truncate to
-      // microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP read
-      // of the same file does, so both engines see identical µs values.
-      // The conf is session-global, so set/restore it around the one read
-      // that needs it: schema resolution happens eagerly inside
-      // spark.read.parquet, and leaving it set would silently truncate any
-      // FUTURE nanos table that must NOT be read as long.
+    if (name == "events") loadEvents(spark, s"$sfDir/events.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events fixture has shipped in two parquet flavors across driver
+    * regenerations: `ts` as TIMESTAMP(NANOS) — which Spark 4 refuses to map
+    * to TimestampType — and TIMESTAMP(MICROS, isAdjustedToUTC=false) — which
+    * Spark infers as TIMESTAMP_NTZ. Both must land as one canonical
+    * TimestampType column whose epoch-µs values equal DuckDB's read of the
+    * same file (`epoch_us(ts)` truncates ns → µs identically), so every
+    * downstream consumer (windows, as-of joins, unix_micros) is
+    * flavor-agnostic. Branch on what the footer actually declares:
+    *  - µs flavor: re-read with an explicit TimestampType schema. The stored
+    *    int64 µs values ARE epoch µs; forcing the catalyst type at scan keeps
+    *    the read session-timezone-independent (an NTZ read followed by a cast
+    *    would shift by the session zone on non-UTC hosts).
+    *  - ns flavor: scoped nanosAsLong read + truncate. The conf is
+    *    session-global, so it is set/restored around the one read that needs
+    *    it — leaking it would silently long-ify any future nanos table that
+    *    must NOT be read as long.
+    */
+  private[graft] def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    def nanosRead(): DataFrame = {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prior = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try
-        spark.read.parquet(s"$sfDir/events.parquet")
+        spark.read.parquet(path)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       finally prior match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
     }
+    scala.util.Try(spark.read.parquet(path).schema) match {
+      case scala.util.Success(s) => s("ts").dataType match {
+        case TimestampType => spark.read.parquet(path)
+        case TimestampNTZType =>
+          val forced = StructType(s.map {
+            case StructField("ts", TimestampNTZType, n, m) =>
+              StructField("ts", TimestampType, n, m)
+            case f => f
+          })
+          spark.read.schema(forced).parquet(path)
+        case LongType =>
+          // nanosAsLong already on session-globally: raw ns longs
+          spark.read.parquet(path)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case other =>
+          sys.error(s"events.ts: unhandled fixture type $other")
+      }
+      // plain read refused the footer: the TIMESTAMP(NANOS) flavor
+      case scala.util.Failure(_) => nanosRead()
+    }
+  }
 }
 
 /** Determinism helpers for oracle-checked outputs (SURVEY.md §7.6 R1-R3).

@@ -1487,6 +1487,92 @@ object TextOps {
         Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
 
+  // --------------------------------------------- durable curation state
+
+  /** Persist the durable state of a curation run under `path` — what a
+    * RESTARTED pipeline (new session, new cluster) needs so no stage is
+    * recomputed from raw text:
+    *
+    *   - `index/`   the MinHash dedup index — banded signatures + shingle
+    *                sets in the [[VectorOps.writeNeardupIndex]] layout
+    *                (growable via appendNeardupIndex, compactable,
+    *                crash-swap-recoverable);
+    *   - `labels/`  (id, rep) near-dup cluster labels, rebuilt from the
+    *                index's verified pairs
+    *                ([[VectorOps.minhashPairsIndexed]]) — the corpus text
+    *                is shingled exactly once, at index build;
+    *   - `reasons/` the (doc_id, kept, drop_reason) verdicts — the `done`
+    *                set a resumed run anti-joins
+    *                ([[resumeCurateFromState]]).
+    *
+    * The session caches ([[jaccardPairsCache]]/[[labelCache]]/
+    * [[reasonsCache]]) die with the session; this is their durable twin.
+    * At 100 TB the shingle pass dominates the dedup pipeline — here it is
+    * paid once per CORPUS, not once per session, and every later rebuild,
+    * resume, or ingest delta starts from the persisted artifacts.
+    *
+    * Exactness: candidates come from banded MinHash signatures but every
+    * surviving pair is verified by EXACT Jaccard over the stored shingle
+    * sets, so state-derived labels differ from the in-session exact
+    * pipeline only where ALL bands of a true pair miss — the standard
+    * LSH recall bound, spec-pinned equal on the fixture corpus
+    * (CurateStateSpec) and measured per-round by the containment
+    * differentials (Verify).
+    */
+  def writeCurateState(docs: DataFrame, path: String,
+      cfg: CurateConfig = CurateConfig()): Unit = {
+    val spark = docs.sparkSession
+    VectorOps.writeNeardupIndex(docs, s"$path/index")
+    stateLabels(spark, s"$path/index", cfg)
+      .write.mode("overwrite").parquet(s"$path/labels")
+    curateReasonsOn(docs, cfg, Some(spark.read.parquet(s"$path/labels")))
+      .write.mode("overwrite").parquet(s"$path/reasons")
+  }
+
+  /** Rebuild `labels/` and `reasons/` from the CURRENT `index/` — the
+    * refresh step after [[VectorOps.appendNeardupIndex]] admitted an
+    * ingest batch (labels are corpus-dependent, so growth invalidates
+    * them; see [[curateDeltaOn]]'s exactness contract). Reads the index
+    * artifacts and `docs`' metadata columns — never re-shingles.
+    */
+  def refreshCurateState(docs: DataFrame, path: String,
+      cfg: CurateConfig = CurateConfig()): Unit = {
+    val spark = docs.sparkSession
+    stateLabels(spark, s"$path/index", cfg)
+      .write.mode("overwrite").parquet(s"$path/labels")
+    curateReasonsOn(docs, cfg, Some(spark.read.parquet(s"$path/labels")))
+      .write.mode("overwrite").parquet(s"$path/reasons")
+  }
+
+  /** Cluster labels from a persisted index alone: candidates from the
+    * stored banded signatures, exact-Jaccard verification from the
+    * stored shingle sets, CC over the verified edges. Zero text reads.
+    */
+  private def stateLabels(spark: SparkSession, indexPath: String,
+      cfg: CurateConfig): DataFrame =
+    graft.operators.ConnectedComponents.runOnPairs(
+      VectorOps.minhashPairsIndexed(spark, indexPath, cfg.jaccardThreshold)
+        .select(col("d1").as("src"), col("d2").as("dst")))
+
+  /** [[curateOn]] with the persisted state's cluster labels — the full
+    * verdict frame with zero shingle work in this pass.
+    */
+  def curateFromState(docs: DataFrame, path: String,
+      cfg: CurateConfig = CurateConfig()): DataFrame =
+    curateOn(docs, cfg,
+      Some(docs.sparkSession.read.parquet(s"$path/labels")))
+
+  /** Resume an interrupted curation from persisted state: only verdicts
+    * whose doc_id is NOT in `done` (e.g. the partial output already on
+    * disk) are re-emitted — [[curateDeltaOn]] with the state's labels, so
+    * the resume pass shingles nothing and `done ∪ delta` equals the full
+    * state-backed run bit-for-bit.
+    */
+  def resumeCurateFromState(docs: DataFrame, path: String, done: DataFrame,
+      cfg: CurateConfig = CurateConfig()): DataFrame =
+    curateDeltaOn(docs, done, cfg,
+      Some(docs.sparkSession.read.parquet(s"$path/labels")))
+
   /** Everything through the `reasons` CTE — shared by [[curateSql]] and
     * [[curateDeltaSql]] so the pipeline semantics cannot drift between
     * the full and the resumed oracle.

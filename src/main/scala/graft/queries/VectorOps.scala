@@ -376,6 +376,12 @@ object VectorOps {
       .select(col("id1").as("d1"), col("id2").as("d2"))
     val sets = spark.read.parquet(s"$path/sets")
     verifyJaccard(cands, sets, sets, threshold)
+      // a doc_id present in TWO batch partitions of sets/ (the documented
+      // at-least-once window: a replayed increment re-created after a
+      // compaction folded it away) multiplies the verify joins into
+      // identical (d1, d2, jaccard) rows; minhashPairsOn never emits
+      // duplicates, so fold them here to keep the equivalence law exact
+      .distinct()
       .orderBy(col("d1"), col("d2"))
   }
 

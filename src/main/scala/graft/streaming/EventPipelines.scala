@@ -20,33 +20,52 @@ import org.apache.spark.sql.types._
   */
 object EventPipelines {
 
-  /** The events schema as a streaming source requires it declared
-    * (ts arrives as raw nanosecond LONG — see Tables.t — and is truncated
-    * to µs exactly like the batch read).
+  /** The events schema as a streaming source requires it declared. `ts` is
+    * declared per fixture flavor by [[readEvents]]: LongType for the
+    * TIMESTAMP(NANOS) flavor (truncated to µs in the plan), TimestampType
+    * for the TIMESTAMP(MICROS) flavor (read directly).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming scan of an events parquet directory. The nanosAsLong conf
-    * is set/restored around the source construction — same leak
-    * discipline as the batch loader (graft.queries.Tables): the explicit
-    * LongType schema carries the nanos→long mapping through microbatch
-    * execution, so the session conf need not stay mutated.
+  /** [[rawSchema]] with `ts` already a TimestampType — the µs-flavor read. */
+  val microsSchema: StructType = StructType(rawSchema.map {
+    case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
+    case f => f
+  })
+
+  /** Streaming scan of an events parquet directory, flavor-aware like the
+    * batch loader (graft.queries.Tables.loadEvents): a one-footer batch
+    * sniff picks the declared stream schema. µs-flavor files are read with
+    * an explicit TimestampType `ts` (stored µs == epoch µs, independent of
+    * session timezone); ns-flavor files are read as raw ns LONG — the
+    * nanosAsLong conf is set/restored around source construction, same
+    * leak discipline as the batch loader — and truncated to µs in-plan.
+    * Either way downstream pipelines see one canonical TimestampType `ts`.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try
-      spark.readStream.schema(rawSchema)
+    val microsFlavor =
+      scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+        .toOption.exists(t => t == TimestampType || t == TimestampNTZType)
+    if (microsFlavor)
+      spark.readStream.schema(microsSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    else {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 

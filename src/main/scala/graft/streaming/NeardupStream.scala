@@ -7,8 +7,17 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** One (band, band value) bucket row of a banded SimHash signature. */
 final case class BandedDoc(band: Int, bandval: Long, doc_id: Long, simhash: Long)
 
+/** [[BandedDoc]] with the document's event time (epoch ms) — the
+  * watermarked pipeline's row shape.
+  */
+final case class BandedDocT(band: Int, bandval: Long, doc_id: Long,
+    simhash: Long, ts: java.sql.Timestamp)
+
 /** A bucket member retained in stream state: (doc id, full signature). */
 final case class BucketMember(id: Long, h: Long)
+
+/** A bucket member with its event time (epoch ms) — watermarked state. */
+final case class BucketMemberT(id: Long, h: Long, tsMs: Long)
 
 /** An emitted near-dup candidate pair, verified to `hamming ≤ maxHamming`
   * (d1 < d2, matching the batch [[graft.operators.BandedHamming.pairs]]
@@ -133,6 +142,84 @@ object NeardupStream {
             }
           }
           state.update(members.toList)
+          out.result().iterator
+      }
+  }
+
+  /** [[pairsStream]] with an event-time watermark — the bounded-state form
+    * an UNBOUNDED production stream must run: without it, every bucket's
+    * member list grows with the corpus forever. `docs` needs a `ts`
+    * timestamp column; `delay` is the watermark delay (e.g. "10 minutes").
+    *
+    * State bound and the EXACT loss contract, both spec-pinned
+    * (StreamingNeardupSpec):
+    *
+    *  - a member is EVICTED once the watermark passes its event time, so
+    *    per-bucket state holds only docs within (watermark-delay + skew)
+    *    of the stream head — the state-size bound;
+    *  - a row arriving with `ts` < current watermark is DROPPED by the
+    *    engine before the stateful operator (standard late-data rule);
+    *  - therefore pair (a, b), ts_a ≤ ts_b, SURVIVES iff when b's
+    *    micro-batch runs, watermark ≤ ts_a — i.e. the near-dups arrive
+    *    within the delay window of each other (plus batch-boundary
+    *    slack). A "late-late" pair — b so late that the watermark passed
+    *    ts_a (or ts_b itself) — is lost, by design, and ONLY those are.
+    *
+    * Choose `delay` as the max expected ingest disorder, exactly like the
+    * windowed event pipelines ([[EventPipelines]]).
+    */
+  def pairsStreamWatermarked(docs: DataFrame, delay: String, bands: Int = 4,
+      maxHamming: Int = 6, maxBucket: Int = 100000): Dataset[NeardupPair] = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withColumn("simhash", simhashCol(col("text")))
+      .filter(col("simhash").isNotNull)
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("simhash"), col("ts"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(simhash, band * $bits) & $mask"))
+      .select(col("band").cast("int").as("band"), col("bandval"),
+        col("doc_id"), col("simhash"), col("ts"))
+      .as[BandedDocT]
+    banded
+      .groupByKey(r => (r.band, r.bandval))
+      .flatMapGroupsWithState[List[BucketMemberT], NeardupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          // evict members the watermark has passed — no ON-TIME row can
+          // still arrive with a smaller event time, so dropping them
+          // loses exactly the late-late pairs the contract gives up
+          val members = scala.collection.mutable.ArrayBuffer
+            .from(state.getOption.getOrElse(Nil).filter(_.tsMs >= wm))
+          val seen = scala.collection.mutable.HashSet.from(members.map(_.id))
+          val out = Seq.newBuilder[NeardupPair]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+            if (!seen(r.doc_id)) {
+              members.foreach { m =>
+                val ham = java.lang.Long.bitCount(m.h ^ r.simhash)
+                if (ham <= maxHamming)
+                  out += NeardupPair(
+                    math.min(m.id, r.doc_id), math.max(m.id, r.doc_id), ham)
+              }
+              if (members.size < maxBucket) {
+                members += BucketMemberT(r.doc_id, r.simhash, r.ts.getTime)
+                seen += r.doc_id
+              }
+            }
+          }
+          if (members.isEmpty) state.remove()
+          else {
+            state.update(members.toList)
+            // wake when the watermark passes the oldest member so idle
+            // buckets shed state without waiting for a new arrival
+            state.setTimeoutTimestamp(
+              math.max(members.map(_.tsMs).min, wm + 1L))
+          }
           out.result().iterator
       }
   }

@@ -115,6 +115,42 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q2.stop()
   }
 
+  test("watermarked stream: in-window pairs survive, late-late pairs are " +
+      "lost, and ONLY those — the exact loss bound") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val aText = "the quick brown fox jumps over the lazy dog every single day"
+    val cText = "completely different words about spark shuffle partitioning here now"
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pairs = NeardupStream.pairsStreamWatermarked(
+      input.toDF().toDF("doc_id", "text", "ts"), delay = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("nd_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: A and A' arrive 5 min apart — inside the delay window
+      input.addData(Seq((1L, aText, ts("10:00")), (2L, aText + " tail", ts("10:05"))))
+      q.processAllAvailable()
+      // batch 2: C advances the watermark to 10:50 (11:00 − 10 min)
+      input.addData(Seq((3L, cText, ts("11:00"))))
+      q.processAllAvailable()
+      // batch 3: B is byte-identical to A (hamming 0 — every band agrees,
+      // so content can NEVER be why its pairs are missed) but arrives
+      // with ts < watermark — dropped as late, so (A, B)/(A', B) are the
+      // late-late pairs lost; D is byte-identical to C and inside the
+      // window — found via state
+      input.addData(Seq(
+        (4L, aText, ts("10:00")),
+        (5L, cText, ts("10:55"))))
+      q.processAllAvailable()
+      val got = spark.table("nd_wm")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (3L, 5L)),
+        s"watermark loss bound violated: $got")
+    } finally q.stop()
+  }
+
   test("bucket cap: late arrivals still match retained members; late-late pairs lost") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
