@@ -49,21 +49,23 @@ case class CurateConfig(
 object TextOps {
   import Det._
 
-  /** (doc_id, s) rows of DISTINCT 3-word shingles. Built with window
-    * lead() over exploded tokens rather than array lambdas:
-    * HigherOrderFunction transforms are interpreted (≈10 s one-time at
-    * sf0.1) while posexplode + lead + concat stay in whole-stage codegen.
-    * Texts under 3 tokens contribute no rows.
+  /** (doc_id, shingles) with the DISTINCT 3-word shingle array computed
+    * per row by the native [[org.apache.spark.sql.graft.DistinctShingles]]
+    * expression — zero shuffles and whole-stage codegen (the r1 window
+    * shape paid a sort-by-doc shuffle plus a distinct; array lambdas run
+    * interpreted — the measurements live on the expression's doc). Texts
+    * under 3 tokens get an empty array.
     */
-  private[queries] def shingleRows(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    df.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
-      .distinct()
-  }
+  private[queries] def shingleArrs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      org.apache.spark.sql.graft.ShingleExpressions.shingles(col("text"))
+        .as("shingles"))
+
+  /** (doc_id, s) rows of DISTINCT 3-word shingles — [[shingleArrs]]
+    * exploded. Texts under 3 tokens contribute no rows.
+    */
+  private[queries] def shingleRows(df: DataFrame): DataFrame =
+    shingleArrs(df).select(col("doc_id"), explode(col("shingles")).as("s"))
 
   private val shingledSql =
     """SELECT doc_id,
@@ -143,8 +145,12 @@ object TextOps {
   def neardupJaccardAt(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    val wd = Window.partitionBy(col("doc_id"))
-    val e = shingleRows(docs).withColumn("n", count(lit(1)).over(wd))
+    // per-doc set size rides the shingle array (size before explode) —
+    // the r1 shape recounted it with a window over the exploded rows,
+    // paying a sort-by-doc shuffle before the join
+    val e = shingleArrs(docs)
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
     e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * (threshold - 5e-7) <=
@@ -198,13 +204,13 @@ object TextOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     val t = threshold - 5e-7
-    val sh = shingleRows(docs)
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wd = Window.partitionBy(col("doc_id"))
+    val withN = shingleArrs(docs)
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+    val freq = withN.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wo = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = sh.join(freq, "s")
-      .select(col("doc_id"), col("s"),
-        count(lit(1)).over(wd).as("n"), row_number().over(wo).as("r"))
+    val prefix = withN.join(freq, "s")
+      .select(col("doc_id"), col("s"), col("n"), row_number().over(wo).as("r"))
       .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -212,9 +218,9 @@ object TextOps {
             least(col("a.n"), col("b.n")) + 1)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("s"))).as("arr"),
-        count(lit(1)).as("n"))
+    val sets = shingleArrs(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), sort_array(col("shingles")).as("arr"),
+        size(col("shingles")).cast(LongType).as("n"))
     cand
       .join(sets.select(col("doc_id").as("d1"), col("arr").as("arr1"),
         col("n").as("n1")), Seq("d1"))
@@ -619,21 +625,20 @@ object TextOps {
   // ---------------------------------------------------------- n-grams
 
   /** Corpus-wide top-20 bigrams by occurrence count (total, not distinct)
-    * — the n-gram statistics primitive of text analysis. Same codegen'd
-    * posexplode + lead shape as [[shingleRows]]; deterministic total order
-    * (count DESC, bigram ASC) so both engines cut the same top-20.
+    * — the n-gram statistics primitive of text analysis. The bigram
+    * stream rides the native [[org.apache.spark.sql.graft.Ngrams]]
+    * expression (per row, no window shuffle); only the count aggregate
+    * shuffles, map-side combined. Deterministic total order (count DESC,
+    * bigram ASC) so both engines cut the same top-20.
     */
-  def ngramTop(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  def ngramTop(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
-      .groupBy(concat_ws(" ", col("tok"), col("t1")).as("bigram"))
+      .select(explode(org.apache.spark.sql.graft.ShingleExpressions
+        .ngrams(col("text"), 2, distinct = false)).as("bigram"))
+      .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
-  }
 
   val ngramTopSql =
     """WITH bg AS (
@@ -954,14 +959,12 @@ object TextOps {
     */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val tk = split(col("text"), " ")
-    val wSpec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 to 7).map(i => lead(col("tok"), i).over(wSpec).as(s"l$i"))
+    // the 8-token window stream rides the native Ngrams expression (the
+    // r1 shape was posexplode + 7 lead()s — a sort-by-doc shuffle just
+    // to reassemble adjacency the row already had)
     val w = Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
-      .select((col("doc_id") +: col("tok") +: leads): _*)
-      .filter(col("l7").isNotNull)
-      .select(col("doc_id"), concat_ws(" ",
-        col("tok") +: (1 to 7).map(i => col(s"l$i")): _*).as("win"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft
+        .ShingleExpressions.ngrams(col("text"), 8, distinct = false)).as("win"))
     val dup = w.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
@@ -1206,14 +1209,14 @@ object TextOps {
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
     val nSh = greatest(size(split(col("text"), " ")) - 2, lit(0)).cast(LongType)
-    val uniq = shingleRows(docs)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
-    docs.select(col("doc_id"), nSh.as("n_sh"))
-      .join(uniq, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_uniq"), lit(0L)).as("n_uniq"),
-        when(col("n_sh") > 0,
-          div6(col("n_sh") - coalesce(col("n_uniq"), lit(0L)), col("n_sh")))
+    // both counts ride the row (total = n_tokens − 2, distinct = size of
+    // the native shingle array) — the r1 shape shuffled the exploded
+    // shingles just to count them back per doc
+    docs.select(col("doc_id"), nSh.as("n_sh"),
+        size(org.apache.spark.sql.graft.ShingleExpressions.shingles(col("text")))
+          .cast(LongType).as("n_uniq"))
+      .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+        when(col("n_sh") > 0, div6(col("n_sh") - col("n_uniq"), col("n_sh")))
           .otherwise(lit(null).cast(DoubleType)).as("dup_frac"))
       .orderBy(col("doc_id"))
   }

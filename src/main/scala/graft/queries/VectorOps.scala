@@ -227,13 +227,19 @@ object VectorOps {
     */
   private def minhashBands(docs: DataFrame, k: Int = 16,
       bands: Int = 8): DataFrame = {
-    val e = TextOps.shingleRows(docs)
-    val mins = e.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("s"))).as("m0"),
-      (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+    // k minima per row via the native MinhashMins expression (bit-equal
+    // to min(xxhash64(i, s)) over the exploded shingles — the contract
+    // on ShingleUtil.minhashMins) — the signature build used to be an
+    // explode + groupBy + k min() aggregations, i.e. a full shuffle of
+    // every shingle row; now it never leaves the scan's partitions.
+    // Null mins = no shingles = the doc the groupBy never emitted.
+    val mins = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.ShingleExpressions.minhashMins(col("text"), k)
+          .as("m"))
+      .filter(col("m").isNotNull)
     mins.select(col("doc_id"), explode(array(
       (0 until bands).map(j => struct(lit(j).as("band"),
-        xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))): _*)).as("b"))
+        xxhash64(col("m")(2 * j), col("m")(2 * j + 1)).as("sig"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.sig"))
   }
 
@@ -241,8 +247,9 @@ object VectorOps {
     * side of every MinHash path (exact Jaccard needs the real sets).
     */
   private def shingleSets(docs: DataFrame): DataFrame =
-    TextOps.shingleRows(docs).groupBy(col("doc_id"))
-      .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("n"))
+    TextOps.shingleArrs(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles").as("sh"),
+        size(col("shingles")).cast("long").as("n"))
 
   /** Exact-Jaccard verification of a candidate pair list: each (d1, d2)
     * joins its sides' (set, size) rows and intersects per pair — the
@@ -678,23 +685,15 @@ object VectorOps {
     * streaming twin's parity spec ([[graft.streaming.NeardupStream]]
     * computes the same signature per-row).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tokw = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    // One shuffle by doc_id with 64 aggregation buffers — NOT an explode
-    // into 64 rows per token (which would amplify the shuffle 64× and
-    // dominate the query at scale). All 64 conditional sums stay inside
-    // whole-stage codegen over the (doc_id, tok, w, h) rows.
-    val bitSums = (0 until 64).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("w")).otherwise(-col("w"))).as(s"s$b"))
-    val sums = tokw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    sums.select(col("doc_id"),
-      (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
-  }
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    // one per-row pass via the native SimHash64 expression — the r1
+    // shape exploded tokens and aggregated 64 conditional sums through
+    // two shuffles (by (doc, token), then by doc); the bit contract is
+    // pinned on ShingleUtil.simhash64 and the streaming twin shares the
+    // expression, so batch/stream parity is structural
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), org.apache.spark.sql.graft.ShingleExpressions
+        .simhash64(col("text")).as("simhash"))
 
   // ------------------------------------------------------ LSH-bucket ANN
 

@@ -66,36 +66,15 @@ final case class NeardupPair(d1: Long, d2: Long, hamming: Int)
   */
 object NeardupStream {
 
-  /** Per-row 64-bit SimHash over whitespace tokens, bit-identical to the
-    * batch [[graft.queries.VectorOps.simhashSignatures]]: bit b is set
-    * iff Σ over token occurrences of (+1 if bit b of xxhash64(token) else
-    * −1) is positive. The batch form aggregates (doc, token) rows in a
-    * 64-buffer codegen'd aggregate — the right shape when a shuffle by
-    * doc exists anyway; this form folds the token array per row with
-    * higher-order functions (interpreted, but row-local) — the right
-    * shape for a stream, where signatures must be computed without a
-    * pre-aggregation in front of the stateful operator. NULL text →
-    * NULL signature (the batch explode likewise emits no rows for it).
+  /** Per-row 64-bit SimHash over whitespace tokens: bit b is set iff Σ
+    * over token occurrences of (+1 if bit b of xxhash64(token) else −1)
+    * is positive. Delegates to the same native expression the batch
+    * signature build ([[graft.queries.VectorOps.simhashSignatures]])
+    * uses, so batch/stream parity is structural rather than
+    * spec-enforced. NULL text → NULL signature.
     */
-  def simhashCol(text: Column): Column = {
-    val sums = aggregate(
-      split(text, " "),
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        val contrib = array((0 until 64).map(b =>
-          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, lit(1L))
-            .otherwise(lit(-1L))): _*)
-        zip_with(acc, contrib, (a, x) => a + x)
-      })
-    // fold NULL through explicitly: `when(NULL > 0, x).otherwise(0)` is 0,
-    // not NULL, so without this guard a NULL text would hash to 0 and
-    // collide with every all-zero signature instead of being dropped
-    when(text.isNull, lit(null).cast("long")).otherwise(
-      (0 until 64).map(b =>
-        when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _))
-  }
+  def simhashCol(text: Column): Column =
+    org.apache.spark.sql.graft.ShingleExpressions.simhash64(text)
 
   /** Near-dup candidate pairs over a (doc_id, text) stream (or batch
     * frame — `flatMapGroupsWithState` degrades to empty-state groups in
