@@ -129,6 +129,33 @@ object VectorOps {
        |WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Seeded corpus expansion for scale testing: each base row emits
+    * `factor` variants — copy 0 is the original bit-for-bit; copies
+    * 1..factor-1 add a deterministic per-element jitter drawn uniformly
+    * from [-noise, +noise) via xxhash64(parent, copy, element, seed), so
+    * the expanded corpus is reproducible across sessions and partitions
+    * with no RNG state. New ids are `parent*factor + copy` (collision-free
+    * for dense parent ids). At noise ≈ 0.05 on unit-norm vectors every
+    * copy sits at cosine ≈ 0.97 to its parent — a near-duplicate cloud,
+    * the workload shape ANN/dedup sees in a real crawl corpus. Distributed
+    * generation: one narrow explode per input row, no shuffle.
+    */
+  def expandEmbeddings(base: DataFrame, factor: Int, noise: Double,
+      seed: Long = 11L): DataFrame = {
+    val copies = base
+      .select(col("vec_id").as("parent"), col("embedding"),
+        explode(sequence(lit(0), lit(factor - 1))).as("copy"))
+    val jittered = transform(col("embedding"), (x, i) => {
+      val u = pmod(xxhash64(col("parent"), col("copy"), i, lit(seed)),
+        lit(2000000L)).cast(D) / lit(1000000.0) - lit(1.0)
+      when(col("copy") === 0, x)
+        .otherwise((x.cast(D) + u * lit(noise)).cast(FloatType))
+    })
+    copies.select(
+      (col("parent") * factor + col("copy")).as("vec_id"),
+      jittered.as("embedding"), col("parent"), col("copy"))
+  }
+
   // --------------------------------------------- cosine near-dup pairs
 
   /** All pairs with cosine ≥ 0.35 (the fixture embeddings are isotropic

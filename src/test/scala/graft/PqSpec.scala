@@ -133,6 +133,28 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       shortlist = 50, m = M)) == want)
   }
 
+  test("10x corpus (20k vectors): PQ and IVF-PQ index recall floors") {
+    // r8 verdict task 2 at the 20k near-duplicate cloud: full-scan ADC
+    // (shortlist 50) and the partition-pruned IVF-PQ index (nprobe 8,
+    // shortlist 200). Floors sit under observed values (PQ 1.0,
+    // IVF-PQ 0.99 on this corpus; tools/AnnScale re-measures with wall
+    // times for BASELINE.md).
+    val b = AnnScaleFixture.base
+    val books = Pq.train(b, M, Ks, iters = 2).localCheckpoint(true)
+    val pq = AnnScaleFixture.recallOf(
+      Pq.search(b, books, AnnScaleFixture.queries, k = 5,
+        shortlist = 50, m = M))
+    assert(pq >= 0.85, s"pq shortlist=50 recall@5 $pq at 20k corpus")
+    val cents = graft.operators.Ivf.train(b, k = 64, iters = 2)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("annscale_pq").toString
+    Pq.writeIndex(b, cents, books, dir, m = M)
+    val ivfpq = AnnScaleFixture.recallOf(
+      Pq.searchIndex(spark, dir, AnnScaleFixture.queries, k = 5,
+        nprobe = 8, shortlist = 200, m = M))
+    assert(ivfpq >= 0.85, s"ivf-pq np8/s200 recall@5 $ivfpq at 20k corpus")
+  }
+
   test("refined codebooks keep the search well-formed and recall intact") {
     val trained = Pq.train(base, M, Ks, iters = 1)
     // refinement may drop empty codes but never exceeds ks per subspace
