@@ -56,21 +56,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("as-of physical plan: AsOfJoinExec with required exchanges + sorts") {
-    val (purchases, views) = fixtures
-    val df = AsOfJoinApi.asof(purchases, views,
-      Seq(purchases("p_user")), Seq(views("v_user")),
-      purchases("p_ts"), views("v_ts"))
-    df.collect()
-    // AdaptiveSparkPlanExec hides the final plan from tree traversal;
-    // assert on its rendered final plan instead
-    val s = df.queryExecution.executedPlan.toString
-    assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
-    // both sides must be hash-exchanged on their join key specifically
-    assert(s.contains("Exchange hashpartitioning(p_user") &&
-      s.contains("Exchange hashpartitioning(v_user"),
-      s"expected key exchanges on both sides in:\n$s")
-    assert(s.contains("Sort [p_user") && s.contains("Sort [v_user"),
-      s"expected (key, ts) sorts on both sides in:\n$s")
+    // plan pin re-asserted at both shuffle settings (fresh frame each)
+    atPinnedShuffleSettings {
+      val (purchases, views) = fixtures
+      val df = AsOfJoinApi.asof(purchases, views,
+        Seq(purchases("p_user")), Seq(views("v_user")),
+        purchases("p_ts"), views("v_ts"))
+      df.collect()
+      // AdaptiveSparkPlanExec hides the final plan from tree traversal;
+      // assert on its rendered final plan instead
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
+      // both sides must be hash-exchanged on their join key specifically
+      assert(s.contains("Exchange hashpartitioning(p_user") &&
+        s.contains("Exchange hashpartitioning(v_user"),
+        s"expected key exchanges on both sides in:\n$s")
+      assert(s.contains("Sort [p_user") && s.contains("Sort [v_user"),
+        s"expected (key, ts) sorts on both sides in:\n$s")
+    }
   }
 
   test("as-of SQL null semantics: null keys and null ts never match") {
@@ -142,14 +145,16 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("declared q_join_asof routes through the native AsOfJoinExec") {
-    val df = graft.queries.Relational.joinAsof(spark, Sf0001)
-    assert(df.count() > 0)
-    val s = df.queryExecution.executedPlan.toString
-    assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
-    // the join+row_number emulation would show a Window over the join —
-    // the whole point of the native path is that it doesn't
-    assert(!s.contains("RunningWindowFunction") && !s.contains("Window ["),
-      s"declared as-of query still carries a window:\n$s")
+    atPinnedShuffleSettings {
+      val df = graft.queries.Relational.joinAsof(spark, Sf0001)
+      assert(df.count() > 0)
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("AsOfJoin ["), s"expected AsOfJoinExec in:\n$s")
+      // the join+row_number emulation would show a Window over the join —
+      // the whole point of the native path is that it doesn't
+      assert(!s.contains("RunningWindowFunction") && !s.contains("Window ["),
+        s"declared as-of query still carries a window:\n$s")
+    }
   }
 
   test("declared q_join_asof equals the window emulation (differential)") {

@@ -45,24 +45,28 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("static prune reads only the probed cells' partitions") {
-    val queries = base.filter(col("vec_id") < 5)
-    val pruned = Ivf.searchIndex(spark, indexPath, queries, k = 5,
-      nprobe = 4, staticPrune = true)
-    val plan = pruned.queryExecution.executedPlan.toString
-    // the IN-list partition filter must reach the file scan — pruning at
-    // listing time, not a post-scan filter
-    assert(plan.contains("PartitionFilters") &&
-      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
-      s"expected an IN partition filter on cell in:\n$plan")
-    // one query at nprobe = 2 must prune the listing to EXACTLY its two
-    // probed cells — the partition filter names them, not all 16
-    val one = Ivf.searchIndex(spark, indexPath,
-      base.filter(col("vec_id") === 0), k = 5, nprobe = 2, staticPrune = true)
-    val onePlan = one.queryExecution.executedPlan.toString
-    val inList = "cell[^\\[\\]]*? IN \\(([^)]*)\\)".r.findFirstMatchIn(onePlan)
-    assert(inList.isDefined, s"no IN partition filter in:\n$onePlan")
-    assert(inList.get.group(1).split(",").length == 2,
-      s"expected exactly 2 probed cells, got: ${inList.get.group(1)}")
+    // frames are built INSIDE the wrap: Dataset plans are cached on first
+    // use, so each shuffle setting must plan its own instance
+    atPinnedShuffleSettings {
+      val queries = base.filter(col("vec_id") < 5)
+      val pruned = Ivf.searchIndex(spark, indexPath, queries, k = 5,
+        nprobe = 4, staticPrune = true)
+      val plan = pruned.queryExecution.executedPlan.toString
+      // the IN-list partition filter must reach the file scan — pruning at
+      // listing time, not a post-scan filter
+      assert(plan.contains("PartitionFilters") &&
+        plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
+        s"expected an IN partition filter on cell in:\n$plan")
+      // one query at nprobe = 2 must prune the listing to EXACTLY its two
+      // probed cells — the partition filter names them, not all 16
+      val one = Ivf.searchIndex(spark, indexPath,
+        base.filter(col("vec_id") === 0), k = 5, nprobe = 2, staticPrune = true)
+      val onePlan = one.queryExecution.executedPlan.toString
+      val inList = "cell[^\\[\\]]*? IN \\(([^)]*)\\)".r.findFirstMatchIn(onePlan)
+      assert(inList.isDefined, s"no IN partition filter in:\n$onePlan")
+      assert(inList.get.group(1).split(",").length == 2,
+        s"expected exactly 2 probed cells, got: ${inList.get.group(1)}")
+    }
   }
 
   test("appendIndex grows cells in place: searches see the union, replay " +
@@ -136,13 +140,15 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("dynamic search plan carries partition pruning on the cell scan") {
-    val queries = base.filter(col("vec_id") < 5)
-    val idx = Ivf.searchIndex(spark, indexPath, queries, k = 5, nprobe = 4)
-    idx.collect() // let AQE finalize the plan
-    val plan = idx.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") ||
-      plan.contains("DynamicPruning") ||
-      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*dynamic[^\\]]*\\].*"),
-      s"expected dynamic partition pruning on the cells scan in:\n$plan")
+    atPinnedShuffleSettings {
+      val queries = base.filter(col("vec_id") < 5)
+      val idx = Ivf.searchIndex(spark, indexPath, queries, k = 5, nprobe = 4)
+      idx.collect() // let AQE finalize the plan
+      val plan = idx.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") ||
+        plan.contains("DynamicPruning") ||
+        plan.matches("(?s).*PartitionFilters: \\[[^\\]]*dynamic[^\\]]*\\].*"),
+        s"expected dynamic partition pruning on the cells scan in:\n$plan")
+    }
   }
 }

@@ -74,12 +74,14 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       "embeddings, cells scan is partition-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
     Pq.writeIndex(base, Ivf.seedCentroids(base, 16), books, dir, M)
+    val truth = topkPairs(Ivf.search(base, Ivf.seedCentroids(base, 16),
+      queryPred = col("vec_id") < 5, k = 5, nprobe = 4))
+    // plan pins re-assert at both shuffle settings (frames built inside)
+    atPinnedShuffleSettings {
     val queries = base.filter(col("vec_id") < 5)
     val res = Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
       shortlist = 50, m = M)
     res.collect() // finalize AQE before reading the executed plan
-    val truth = topkPairs(Ivf.search(base, Ivf.seedCentroids(base, 16),
-      queryPred = col("vec_id") < 5, k = 5, nprobe = 4))
     val recall = truth.count(topkPairs(res).contains).toDouble / truth.size
     assert(recall >= 0.6, s"ivf-pq recall $recall vs ivf over ${truth.size}")
     val plan = res.queryExecution.executedPlan.toString
@@ -94,6 +96,7 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
     // must carry partition pruning (dynamic, from that broadcast)
     assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
       s"expected dynamic partition pruning on the cells scan in:\n$plan")
+    }
   }
 
   test("appendIndex grows cells in place: searches see the union, replay " +

@@ -55,20 +55,25 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      val large = spark.range(200000)
-        .select(when($"id" % 20 === 0, $"id" % 50).otherwise(3L).as("k"),
-          concat(lit("payload-payload-payload-"), $"id").as("v"))
-      val right = spark.range(500).select($"id".as("rk"), ($"id" * 2).as("w"))
-      // global agg (not grouped by the join key): a same-key groupBy would
-      // reuse the join partitioning and AQE skips the split to avoid an
-      // extra shuffle
-      val j = large.join(right, $"k" === $"rk")
-        .agg(count(lit(1)).as("n"), sum(length($"v")).as("bytes"))
-      val rows = j.collect()
-      assert(rows.head.getLong(0) == 200000L)
-      val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"expected AQE skew-join split in plan:\n$plan")
+      // the hot key lands in ONE post-shuffle partition at any partition
+      // count — the split must trigger at the suite default and at the
+      // driver's 32 alike (fresh frames per setting: plans are cached)
+      atPinnedShuffleSettings {
+        val large = spark.range(200000)
+          .select(when($"id" % 20 === 0, $"id" % 50).otherwise(3L).as("k"),
+            concat(lit("payload-payload-payload-"), $"id").as("v"))
+        val right = spark.range(500).select($"id".as("rk"), ($"id" * 2).as("w"))
+        // global agg (not grouped by the join key): a same-key groupBy would
+        // reuse the join partitioning and AQE skips the split to avoid an
+        // extra shuffle
+        val j = large.join(right, $"k" === $"rk")
+          .agg(count(lit(1)).as("n"), sum(length($"v")).as("bytes"))
+        val rows = j.collect()
+        assert(rows.head.getLong(0) == 200000L)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("skew=true"),
+          s"expected AQE skew-join split in plan:\n$plan")
+      }
     } finally prev.foreach {
       case (c, Some(v)) => spark.conf.set(c, v)
       case (c, None) => spark.conf.unset(c)
@@ -94,15 +99,17 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       val events = graft.queries.Tables.t(spark, Sf0001, "events")
         .withColumn("day", to_date($"ts"))
       events.write.mode("overwrite").partitionBy("day").parquet(out)
-      val df = spark.read.parquet(out).filter($"day" === "2024-01-05")
       val expected = events.filter($"day" === lit("2024-01-05").cast("date")).count()
-      assert(df.count() == expected && expected > 0)
-      val scan = df.queryExecution.executedPlan.toString
-      // the day predicate must be a PartitionFilter (directory pruning),
-      // not a data filter: at 100 TB this is the difference between
-      // listing one day and scanning the corpus
-      assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
-        s"expected partition pruning in:\n$scan")
+      atPinnedShuffleSettings {
+        val df = spark.read.parquet(out).filter($"day" === "2024-01-05")
+        assert(df.count() == expected && expected > 0)
+        val scan = df.queryExecution.executedPlan.toString
+        // the day predicate must be a PartitionFilter (directory pruning),
+        // not a data filter: at 100 TB this is the difference between
+        // listing one day and scanning the corpus
+        assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"),
+          s"expected partition pruning in:\n$scan")
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
@@ -145,17 +152,19 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
         $"value" >= $"lo" && $"value" <= $"hi")
       .select($"event_id", $"iv_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val banded = RangeJoin.bandedIntervalJoin(
-      points, "value", intervals, "lo", "hi", bandWidth = 8.0)
-    val got = banded.select($"event_id", $"iv_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    assert(got.toSeq == naive.toSeq && got.nonEmpty)
-    // join strategy is decided at initial planning — the initial adaptive
-    // plan suffices to assert no nested loop was selected
-    val plan = banded.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"banding must remove the nested loop:\n$plan")
+    atPinnedShuffleSettings {
+      val banded = RangeJoin.bandedIntervalJoin(
+        points, "value", intervals, "lo", "hi", bandWidth = 8.0)
+      val got = banded.select($"event_id", $"iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == naive.toSeq && got.nonEmpty)
+      // join strategy is decided at initial planning — the initial adaptive
+      // plan suffices to assert no nested loop was selected
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"banding must remove the nested loop:\n$plan")
+    }
   }
 
   test("randomized differential: banded range join on negative/fractional domains") {
@@ -256,14 +265,16 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     import graft.queries.VectorOps
     val docs = graft.queries.Tables.t(spark, Sf0001, "documents")
       .select(col("doc_id"), col("text"))
-    val pairs = VectorOps.minhashPairsOn(docs)
-    pairs.collect() // let AQE finalize
-    val plan = pairs.queryExecution.executedPlan.toString
-    // the quadratic join input and the star-edge branch both sit on the
-    // markBuckets window — physical planning must reuse that exchange,
-    // not shuffle the signature subtree once per shape
-    assert(plan.contains("ReusedExchange"),
-      s"expected ReusedExchange in the candidate plan:\n${plan.take(4000)}")
+    atPinnedShuffleSettings {
+      val pairs = VectorOps.minhashPairsOn(docs)
+      pairs.collect() // let AQE finalize
+      val plan = pairs.queryExecution.executedPlan.toString
+      // the quadratic join input and the star-edge branch both sit on the
+      // markBuckets window — physical planning must reuse that exchange,
+      // not shuffle the signature subtree once per shape
+      assert(plan.contains("ReusedExchange"),
+        s"expected ReusedExchange in the candidate plan:\n${plan.take(4000)}")
+    }
   }
 
   test("hot-bucket star rescue: an over-cap identical-content cluster still " +
@@ -308,14 +319,16 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
     val labels = graft.operators.ConnectedComponents.runOnPairs(pairs)
     val universe = graft.queries.Tables.t(spark, Sf0001, "documents")
       .select($"doc_id")
-    val assigned = graft.operators.ConnectedComponents
-      .assignClusters(universe, "doc_id", labels)
-    assigned.collect()
-    val plan = assigned.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"label assignment should broadcast the LocalRelation labels:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      "corpus must not shuffle for its cluster labels")
+    atPinnedShuffleSettings {
+      val assigned = graft.operators.ConnectedComponents
+        .assignClusters(universe, "doc_id", labels)
+      assigned.collect()
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"label assignment should broadcast the LocalRelation labels:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        "corpus must not shuffle for its cluster labels")
+    }
   }
 
   test("bucketed tables join without a shuffle (co-located scan)") {
@@ -331,17 +344,19 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       graft.queries.Tables.t(spark, Sf0001, "lineitem")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("b_lineitem")
-      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
-        $"o_orderkey" === $"l_orderkey")
-        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
-      j.collect() // force execution so the adaptive plan finalizes
-      val plan = j.queryExecution.executedPlan.toString
-      // co-located bucket scan: the join itself needs no hashpartitioning
-      // exchange on the join keys (only the post-agg exchange remains)
-      val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").last
-      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
-        !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
-        s"bucketed join must not shuffle join keys:\n$plan")
+      atPinnedShuffleSettings {
+        val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+          $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        j.collect() // force execution so the adaptive plan finalizes
+        val plan = j.queryExecution.executedPlan.toString
+        // co-located bucket scan: the join itself needs no hashpartitioning
+        // exchange on the join keys (only the post-agg exchange remains)
+        val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").last
+        assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
+          !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+          s"bucketed join must not shuffle join keys:\n$plan")
+      }
       // equality with the unbucketed join
       val expect = graft.queries.Relational.joinSmj(spark, Sf0001)
         .collect().map(_.toString).sorted

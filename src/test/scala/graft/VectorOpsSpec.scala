@@ -94,6 +94,8 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     val truth = VectorOps.knnBruteforce(spark, Sf0001)
       .select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plan pin re-asserted at both shuffle settings (fresh frame each)
+    atPinnedShuffleSettings {
     val df = VectorOps.knnLsh(spark, Sf0001)
     val found = df.select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -110,6 +112,7 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!plan.contains("ScalaUDF") && !plan.contains("UDF(") &&
       !plan.contains("BatchEvalPython"),
       s"knnLsh plan must not carry interpreted UDF nodes:\n$plan")
+    }
   }
 
   test("expandEmbeddings: deterministic, copy-0 exact, factor x rows") {
@@ -261,14 +264,18 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
       .select(col("vec_id"), col("embedding"),
         org.apache.spark.sql.graft.VectorExpressions.dotProduct(
           col("embedding"), col("embedding")).as("n2"))
+    // plan pins re-asserted at both shuffle settings (fresh frame each)
+    atPinnedShuffleSettings {
+      val a = Ivf.assign(base, Ivf.seedCentroids(base, 16))
+      a.collect()
+      val plan = a.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"assign must not sort-window the corpus:\n$plan")
+      // partial_max_by before the exchange = map-side combine: only one
+      // pre-reduced row per (task, vec_id) ever shuffles
+      assert(plan.contains("partial_max_by"),
+        s"expected partially-aggregated argmax:\n$plan")
+    }
     val assigned = Ivf.assign(base, Ivf.seedCentroids(base, 16))
-    assigned.collect()
-    val plan = assigned.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"assign must not sort-window the corpus:\n$plan")
-    // partial_max_by before the exchange = map-side combine: only one
-    // pre-reduced row per (task, vec_id) ever shuffles
-    assert(plan.contains("partial_max_by"),
-      s"expected partially-aggregated argmax:\n$plan")
     // exactly one cell per vector, and the assignment is the true argmax
     // (differential vs a window-ranked reference)
     val n = base.count()
