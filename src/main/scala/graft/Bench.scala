@@ -16,6 +16,18 @@ object Bench {
     // Warm the session (scheduler, codegen, shuffle machinery) so the
     // first timed query doesn't absorb one-time boot cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Host-speed calibration probe: a fixed synthetic workload (hash +
+    // shuffle + sort over 20M longs) whose cost depends only on the
+    // machine, never on engine code or fixtures. Rounds 7-9 each burned
+    // an adjudication on "regression or host drift?" (BASELINE.md's
+    // commit A/B re-benched an identical commit 27% slower day-over-day);
+    // carrying the probe in-band lets any future A/B normalize:
+    // total/calibration is comparable across windows, total alone is not.
+    val cal0 = System.nanoTime()
+    spark.range(20000000L)
+      .selectExpr("xxhash64(id) % 1024 as k", "id")
+      .groupBy("k").count().orderBy("k").collect()
+    val calibration = (System.nanoTime() - cal0) / 1e9
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -47,7 +59,7 @@ object Bench {
     def line(entries: Iterable[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size}$failJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)}$failJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = line(results, total)
