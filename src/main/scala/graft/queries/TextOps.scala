@@ -995,6 +995,112 @@ object TextOps {
       |FROM documents d JOIN per_doc ON d.doc_id = per_doc.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------- segment (paragraph) dedup
+
+  /** Global first occurrence of each distinct segment string: the
+    * lexicographically least (doc_id, idx) over `segs(doc_id, idx,
+    * seg)`; every other occurrence — later docs AND later repeats
+    * inside the same doc — is dropped. groupBy-min + equi-join rather
+    * than a row_number window: the aggregation is map-side combinable,
+    * so a segment repeated across millions of docs (boilerplate) is
+    * pre-reduced to one row per task before the only shuffle, where the
+    * window form would sort the hottest segment's occurrences in one
+    * partition.
+    */
+  private def firstSegmentOccurrences(segs: DataFrame): DataFrame = {
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("seg"), col("f.doc_id").as("f_doc"), col("f.idx").as("f_idx"))
+    segs.join(firsts, Seq("seg"))
+      .filter(col("doc_id") === col("f_doc") && col("idx") === col("f_idx"))
+      .select(col("doc_id"), col("idx"), col("seg"))
+  }
+
+  /** Reassemble each doc from its surviving segments (in original
+    * order, joined by `joiner`) plus kept/total counts; docs whose
+    * every segment was dropped stay present with empty text — the
+    * pipeline downstream decides whether to discard them.
+    */
+  private def assembleKept(segs: DataFrame, joiner: String): DataFrame = {
+    val kept = firstSegmentOccurrences(segs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(joiner,
+          transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+            x => x.getField("seg"))).as("clean_text"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_seg"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide segment dedup with text reassembly — the
+    * paragraph-dedup pass of production training-data pipelines (drop
+    * every paragraph already seen anywhere in the corpus, keep only its
+    * first occurrence, stitch the survivors back into the document),
+    * with deterministic fixed-width segmentation: segment i of a doc is
+    * tokens [i·width, (i+1)·width). The fixture texts carry no newlines,
+    * so width-token segments stand in for paragraphs here;
+    * [[dedupParagraphsAt]] is the delimiter-split surface for real
+    * corpora. Scale shape: explode to (doc, segment) and shuffle by
+    * segment string — docs never meet unless they share a full segment —
+    * then one shuffle by doc to reassemble; both aggregations partial.
+    */
+  def dedupSegmentsAt(docs: DataFrame, width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    val toks = split(col("text"), " ")
+    val nseg = ceil(size(toks).cast(DoubleType) / width).cast(IntegerType)
+    // slice is 1-based; the final partial segment keeps its short tail
+    val segArr = transform(sequence(lit(0), nseg - 1),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+    assembleKept(
+      docs.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg"))),
+      joiner = " ")
+  }
+
+  /** [[dedupSegmentsAt]] with natural paragraph boundaries — split on a
+    * literal delimiter (default blank line), dedup corpus-wide, rejoin
+    * survivors with the same delimiter. The engine surface a user points
+    * at a real crawl corpus.
+    */
+  def dedupParagraphsAt(docs: DataFrame, delim: String = "\n\n"): DataFrame = {
+    require(delim.nonEmpty, "paragraph delimiter must be non-empty")
+    val paras = split(col("text"), java.util.regex.Pattern.quote(delim))
+    assembleKept(
+      docs.select(col("doc_id"), posexplode(paras).as(Seq("idx", "seg"))),
+      joiner = delim)
+  }
+
+  /** Pinned contract instantiation: width-8 segments over `documents`. */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame =
+    dedupSegmentsAt(Tables.t(spark, dir, "documents"), width = 8)
+
+  val dedupSegmentsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) AS idx, s.seg FROM (
+      |    SELECT doc_id,
+      |      unnest([{'i': i - 1,
+      |               'seg': array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ')}
+      |              for i in range(1, CAST(ceil(len(t)/8.0) AS BIGINT) + 1)]) AS s
+      |    FROM toks)),
+      |kept AS (
+      |  SELECT doc_id, idx, seg FROM (
+      |    SELECT doc_id, idx, seg,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      |    FROM segs) WHERE rn = 1),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(seg, ' ' ORDER BY idx) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       t.n_seg, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------- inverted index
 
   /** Inverted-index build, digest form: per-token document frequency,
@@ -1653,6 +1759,7 @@ object TextOps {
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     ContractQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    ContractQuery("q_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
     ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     ContractQuery("q_bm25", bm25, Some(bm25Sql))

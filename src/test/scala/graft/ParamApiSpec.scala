@@ -353,4 +353,52 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(VectorOps.pairCacheSize == 0)
     assert(canon(VectorOps.neardupCosine(spark, Sf0001)) == first)
   }
+
+  // --------------------------------------- segment / paragraph dedup
+
+  test("dedupParagraphsAt: corpus-wide first occurrence wins, docs reassemble") {
+    import spark.implicits._
+    // doc 1 owns paragraphs A and B; doc 2 repeats A (cross-doc dup) and
+    // adds C; doc 3 repeats B twice (intra-doc dup) and is otherwise
+    // empty of new content; doc 4 is entirely paragraph A (fully dropped)
+    val docs = Seq(
+      (1L, "alpha beta\n\ngamma delta"),
+      (2L, "alpha beta\n\nepsilon zeta"),
+      (3L, "gamma delta\n\ngamma delta"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val got = TextOps.dedupParagraphsAt(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "alpha beta\n\ngamma delta", 2L, 2L),
+      (2L, "epsilon zeta", 2L, 1L),
+      (3L, "", 2L, 0L),
+      (4L, "", 1L, 0L)))
+  }
+
+  test("dedupSegmentsAt: widths partition the token stream; unique corpus keeps everything") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, (0 until 17).map(i => s"u$i").mkString(" ")),
+      (11L, (100 until 105).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.dedupSegmentsAt(docs, width = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // 17 tokens at width 8 -> 3 segments (8 + 8 + 1); all vocab unique
+    // so nothing drops and reassembly is the identity
+    assert(got == Seq(
+      (10L, (0 until 17).map(i => s"u$i").mkString(" "), 3L, 3L),
+      (11L, (100 until 105).map(i => s"u$i").mkString(" "), 1L, 1L)))
+  }
+
+  test("q_dedup_segments contract pin: width-8 instantiation over documents") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val pinned = TextOps.dedupSegments(spark, Sf0001).collect().map(_.toString)
+    val generic = TextOps.dedupSegmentsAt(docs, width = 8).collect().map(_.toString)
+    assert(pinned.toSeq == generic.toSeq)
+    // conservation: kept never exceeds total, and the corpus loses
+    // SOMETHING (the fixture vocabulary is tiny, so dup segments exist)
+    val rows = TextOps.dedupSegments(spark, Sf0001)
+      .agg(sum(col("n_seg")), sum(col("n_kept"))).head()
+    assert(rows.getLong(1) < rows.getLong(0),
+      s"expected drops on the fixture corpus: ${rows.toString}")
+  }
 }
