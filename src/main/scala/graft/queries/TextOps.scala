@@ -1050,11 +1050,11 @@ object TextOps {
     */
   def dedupSegmentsAt(docs: DataFrame, width: Int): DataFrame = {
     require(width > 0, s"segment width must be positive, got $width")
-    val toks = split(col("text"), " ")
-    val nseg = ceil(size(toks).cast(DoubleType) / width).cast(IntegerType)
-    // slice is 1-based; the final partial segment keeps its short tail
-    val segArr = transform(sequence(lit(0), nseg - 1),
-      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+    // segmentation rides the codegen'd Segments expression (the
+    // transform/sequence/slice lambda it replaces runs interpreted per
+    // element; ShingleExprSpec pins the equivalence law)
+    val segArr = org.apache.spark.sql.graft.ShingleExpressions
+      .segments(col("text"), width)
     assembleKept(
       docs.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg"))),
       joiner = " ")

@@ -124,6 +124,30 @@ object ShingleUtil {
     new GenericArrayData(mins)
   }
 
+  /** Fixed-width NON-overlapping token segments, final partial segment
+    * included — the segmentation [[graft.queries.TextOps.dedupSegmentsAt]]
+    * dedups corpus-wide. Bit-identical to the HOF formulation
+    * `transform(sequence(0, ceil(n/w)-1), i -> concat_ws(" ",
+    * slice(tokens, i*w+1, w)))`: same Pattern.split(" ", -1) token
+    * semantics (empty text → one empty token → one empty segment), same
+    * single-space join. Unlike n-grams, every token lands in exactly one
+    * segment.
+    */
+  def segments(text: UTF8String, width: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = (toks.length + width - 1) / width
+    val out = new Array[AnyRef](m)
+    var seg = 0
+    while (seg < m) {
+      val len = math.min(width, toks.length - seg * width)
+      val gram = new Array[UTF8String](len)
+      System.arraycopy(toks, seg * width, gram, 0, len)
+      out(seg) = UTF8String.concatWs(SEP, gram: _*)
+      seg += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b is set iff Σ over token
     * OCCURRENCES of (+1 if bit b of xxhash64(token) else −1) is positive
     * — bit-identical to both prior formulations (the batch explode +
@@ -209,6 +233,30 @@ case class MinhashMins(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** array<string> of a text's fixed-width non-overlapping token segments
+  * (tail-inclusive) — the codegen'd form of the segment-dedup
+  * segmentation; the array-lambda formulation it replaces runs
+  * interpreted per element (see [[ShingleUtil]] measurements).
+  */
+case class Segments(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width >= 1, s"segment width must be >= 1, got $width")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_segments"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.segments(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ShingleUtil.segments($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Segments =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a text (null text → null) — one per-row pass shared
   * by the batch signature build and the streaming dedup, replacing a
   * shuffle-by-token aggregate in batch and an interpreted lambda fold in
@@ -245,4 +293,7 @@ object ShingleExpressions {
 
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
+  def segments(text: Column, width: Int): Column =
+    ExpressionUtils.column(Segments(ExpressionUtils.expression(text), width))
 }

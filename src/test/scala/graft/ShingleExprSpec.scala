@@ -116,4 +116,34 @@ class ShingleExprSpec extends AnyFunSuite with SparkSessionFixture {
     assert(out(2L).isEmpty, "null text must produce null signature")
     assert(out(1L).nonEmpty)
   }
+
+  test("segments matches the transform+slice lambda formulation") {
+    import spark.implicits._
+    // the HOF formulation dedupSegmentsAt shipped with, kept as the
+    // law's oracle (and the shape the DuckDB oracle mirrors)
+    def hofSegments(df: DataFrame, width: Int): DataFrame = {
+      val toks = split(col("text"), " ")
+      val nseg = ceil(size(toks).cast("double") / width).cast("int")
+      df.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ", slice(toks, i * width + 1, lit(width)))))
+        .as(Seq("idx", "seg")))
+    }
+    val edge = Seq(
+      (1L, ""), (2L, "a"), (3L, (1 to 8).map("t" + _).mkString(" ")),
+      (4L, (1 to 9).map("t" + _).mkString(" ")),   // 8 + 1 tail
+      (5L, "a  b c "),                             // empty tokens survive
+      (6L, "héllo wörld ünïcode")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(edge, docs); w <- Seq(3, 8)) {
+      val native = df.select(col("doc_id"), posexplode(
+        ShingleExpressions.segments(col("text"), w)).as(Seq("idx", "seg")))
+      assertSameRows(hofSegments(df, w), native, s"segments w=$w")
+    }
+    // every token lands in exactly one segment: rejoining reproduces text
+    val rejoined = docs.select(col("doc_id"), col("text"),
+      concat_ws(" ", ShingleExpressions.segments(col("text"), 8)).as("re"))
+      .filter(col("re") =!= col("text"))
+    assert(rejoined.isEmpty)
+  }
 }
