@@ -137,6 +137,33 @@ object Containment {
     }
     out += "q_agg_hll_merge" -> Seq("max_rel_err" -> hllMergeErr)
 
+    // ---- diversity sampling: the law is balance, not recall — equal
+    // per-cell quotas must flatten the cell distribution (sample max
+    // share ≤ corpus max share) while covering every non-empty cell
+    val diverse = {
+      import graft.operators.Ivf
+      val base = Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          org.apache.spark.sql.graft.VectorExpressions
+            .dotProduct(col("embedding"), col("embedding")).as("n2"))
+      val assigned = Ivf.assign(base, Ivf.train(base, 16, 2))
+        .select(col("vec_id"), col("cell"))
+      val n = assigned.count()
+      val corpusMax = assigned.groupBy(col("cell")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val sample = VectorOps.sampleDiverse(spark, dir)
+      val m = sample.count()
+      val sampleMax = sample.groupBy(col("cell")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val covered = sample.select(col("cell")).distinct().count()
+      val nonEmpty = assigned.select(col("cell")).distinct().count()
+      Seq("rows" -> m.toDouble,
+        "cells_covered" -> ratio(covered, nonEmpty),
+        "max_cell_share_corpus" -> ratio(corpusMax, n),
+        "max_cell_share_sample" -> ratio(sampleMax, m))
+    }
+    out += "q_sample_diverse" -> diverse
+
     out.toSeq
   }
 

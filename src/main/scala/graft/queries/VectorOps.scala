@@ -1005,6 +1005,46 @@ object VectorOps {
       queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
   }
 
+  // -------------------------------------- diversity-balanced sampling
+
+  /** Cluster-balanced downsampling in EMBEDDING space — the curation
+    * step that keeps a corpus's rare modes when shrinking it (the
+    * SemDeDup-family complement of [[graft.queries.TextOps.domainMix]]'s
+    * metadata balancing: source tags can't see that 90% of a corpus is
+    * one semantic cluster). Vectors are k-means-assigned to `cells`
+    * ([[graft.operators.Ivf]] — same trained centroids as the ANN
+    * index, so a pipeline that built one reuses it), then each cell
+    * keeps its `perCell` lowest-xxhash members: an equal per-cell quota
+    * oversamples rare clusters by construction, and the hash order makes
+    * the pick deterministic and uniform-within-cell. Scale shape: one
+    * shuffle by cell for the quota window (per-cell groups, never a
+    * global sort); the train/assign passes are the IVF build already
+    * audited in PLANS.md.
+    */
+  def sampleDiverseAt(vecs: DataFrame, cells: Int, perCell: Int,
+      iters: Int = 2): DataFrame = {
+    require(cells > 0 && perCell > 0, s"cells=$cells perCell=$perCell")
+    import graft.operators.Ivf
+    val base = vecs
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val assigned = Ivf.assign(base, Ivf.train(base, cells, iters))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rank").cast(LongType).as("rank"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  /** Pinned contract instantiation: 16 cells × 8 keepers over
+    * `embeddings`. Engine-specific in centroid choice and hash order →
+    * no SQL oracle; LawsSpec pins determinism, exact per-cell quotas,
+    * full-cell coverage, and the balance improvement vs the raw corpus.
+    */
+  def sampleDiverse(spark: SparkSession, dir: String): DataFrame =
+    sampleDiverseAt(Tables.t(spark, dir, "embeddings"), cells = 16, perCell = 8)
+
   // ------------------------------------------------- PQ-compressed ANN
 
   /** Product-quantized ANN — the memory-compression scale path beside
@@ -1215,6 +1255,7 @@ object VectorOps {
     ContractQuery("q_knn_ivf", knnIvf, None),
     ContractQuery("q_knn_pq", knnPq, None),
     ContractQuery("q_vec_pq", vecPq, Some(vecPqSql)),
+    ContractQuery("q_sample_diverse", sampleDiverse, None),
     ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql))
   )
 }

@@ -538,6 +538,36 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(other == naive)
   }
 
+  test("sampleDiverse: deterministic, quota-exact per cell, covers every cell") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    import graft.operators.Ivf
+    val emb = Tables.t(spark, Sf001, "embeddings")
+    val s1 = VectorOps.sampleDiverse(spark, Sf001).collect().map(_.toString)
+    val s2 = VectorOps.sampleDiverse(spark, Sf001).collect().map(_.toString)
+    assert(s1.nonEmpty && s1.toSeq == s2.toSeq, "hash-order pick must be deterministic")
+    // per-cell count == min(perCell, cell size) against the same
+    // train/assign the operator runs, and every non-empty cell appears
+    val base = emb.select(col("vec_id"), col("embedding"),
+      VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2"))
+    val cellSizes = Ivf.assign(base, Ivf.train(base, 16, 2))
+      .groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sample = VectorOps.sampleDiverse(spark, Sf001)
+    val got = sample.groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == cellSizes.keySet, "every non-empty cell must be sampled")
+    got.foreach { case (cell, n) =>
+      assert(n == math.min(8L, cellSizes(cell)), s"cell $cell quota: $n")
+    }
+    // ranks are dense 1..quota, ids come from the corpus
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val rows = sample.collect()
+    assert(rows.forall(r => ids.contains(r.getLong(0))))
+    assert(rows.groupBy(_.getLong(1)).values.forall { cellRows =>
+      cellRows.map(_.getLong(2)).sorted.toSeq == (1L to cellRows.length).toSeq
+    })
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
