@@ -88,6 +88,49 @@ object TextOps {
     """SELECT sha256(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
       |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin
 
+  // ------------------------------------------------ text normalization
+
+  /** Canonical text normalization — the pass fuzzy-dedup pipelines run
+    * BEFORE hashing (lowercase → strip non-alphanumerics → collapse
+    * whitespace runs → trim), so documents differing only in case,
+    * punctuation or spacing canonicalize identically. Pure per-row
+    * codegen'd string expressions, no shuffle; composes ahead of any
+    * dedup stage — [[dedupNormalized]] is the composed contract form.
+    */
+  private def normCol(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", " "), " +", " "))
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), normCol(col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast(LongType).as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+      |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** [[dedupExact]] over NORMALIZED text — catches the duplicates raw
+    * hashing misses (case/punctuation/spacing variants of one document),
+    * same digest-groupBy scale shape.
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .groupBy(sha2(normCol(col("text")), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  val dedupNormalizedSql: String =
+    """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest,
+      |  min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
   // ------------------------------------------- exact-Jaccard near dedup
 
   /** Near-duplicate pairs by exact Jaccard over 3-word shingles
@@ -1760,6 +1803,8 @@ object TextOps {
     ContractQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
     ContractQuery("q_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
+    ContractQuery("q_text_normalize", textNormalize, Some(textNormalizeSql)),
+    ContractQuery("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     ContractQuery("q_bm25", bm25, Some(bm25Sql))

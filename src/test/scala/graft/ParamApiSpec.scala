@@ -354,6 +354,32 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(VectorOps.neardupCosine(spark, Sf0001)) == first)
   }
 
+  // ------------------------------------------------ text normalization
+
+  test("normalization canonicalizes case/punctuation/spacing variants to one digest") {
+    import spark.implicits._
+    // the fixture corpus is already lowercase single-spaced (normalize is
+    // the identity there, which the oracle pins); the operator's point
+    // shows on a dirty corpus: all three variants of one document must
+    // collapse to a single keeper, the distinct doc must survive
+    val dirty = Seq(
+      (1L, "Hello, World!  This is   GREAT."),
+      (2L, "hello world this is great"),
+      (3L, "HELLO WORLD — this is great"),
+      (4L, "entirely different content")).toDF("doc_id", "text")
+    val dirName = java.nio.file.Files.createTempDirectory("norm_docs").toString
+    dirty.write.mode("overwrite").parquet(s"$dirName/documents.parquet")
+    val groups = TextOps.dedupNormalized(spark, dirName).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(groups == Seq((1L, 3L), (4L, 1L)),
+      s"variants must collapse under one keeper: $groups")
+    val norm = TextOps.textNormalize(spark, dirName).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world this is great")
+    assert(norm(3L) == "hello world this is great")
+    assert(norm(4L) == "entirely different content")
+  }
+
   // --------------------------------------- segment / paragraph dedup
 
   test("dedupParagraphsAt: corpus-wide first occurrence wins, docs reassemble") {
