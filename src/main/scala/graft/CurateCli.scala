@@ -17,6 +17,8 @@ import graft.queries.{CurateConfig, TextOps}
   *                   resumes read the persisted labels instead of
   *                   re-shingling the corpus ([[TextOps.writeCurateState]]).
   *   [--jaccard T]   near-dup cluster threshold (default 0.5)
+  *   [--normalize-hash] exact-dup stage hashes normalized text (case/
+  *                   punctuation/spacing variants collapse to one keeper)
   *   [--no-resume]   ignore existing output, rewrite every verdict
   *   [--num-cpus N]  local parallelism (default: all cores)
   * }}}
@@ -30,12 +32,13 @@ object CurateCli {
       out: String = "",
       state: Option[String] = None,
       jaccard: Double = 0.5,
+      normalizeHash: Boolean = false,
       resume: Boolean = true,
       numCpus: Option[Int] = None)
 
   val usage: String =
     """usage: graft.Main curate <documents.parquet> <outDir>
-      |  [--state DIR] [--jaccard T] [--no-resume] [--num-cpus N]""".stripMargin
+      |  [--state DIR] [--jaccard T] [--normalize-hash] [--no-resume] [--num-cpus N]""".stripMargin
 
   /** Pure argument parser — IllegalArgumentException on malformed input
     * (same contract as [[Main.parse]]; CliCurateSpec tests it directly).
@@ -60,6 +63,7 @@ object CurateCli {
           if (t <= 0.0 || t > 1.0)
             throw new IllegalArgumentException(s"--jaccard must be in (0, 1], got $v")
           cfg = cfg.copy(jaccard = t)
+        case "--normalize-hash" => cfg = cfg.copy(normalizeHash = true)
         case "--no-resume" => cfg = cfg.copy(resume = false)
         case "--num-cpus" =>
           val v = take("--num-cpus")
@@ -84,7 +88,8 @@ object CurateCli {
     */
   def run(spark: SparkSession, cfg: Config): Long = {
     val docs = spark.read.parquet(cfg.in)
-    val curateCfg = CurateConfig(jaccardThreshold = cfg.jaccard)
+    val curateCfg = CurateConfig(jaccardThreshold = cfg.jaccard,
+      normalizeForHash = cfg.normalizeHash)
 
     // durable state: build once, reuse afterwards — presence of labels/
     // marks a completed build (it is written after index/)

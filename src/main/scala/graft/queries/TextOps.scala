@@ -33,6 +33,10 @@ import org.apache.spark.sql.types._
   *   (bucket < trainBucketsBelow → train; ≥ testBucketsFrom → test)
   * @param minContamRatio  test doc is contaminated when shared shingles
   *   ≥ num/den of its shingles
+  * @param normalizeForHash exact-dup stage hashes the NORMALIZED text
+  *   ([[TextOps.textNormalize]]'s canonicalization), so case/punctuation/
+  *   spacing variants of one document collapse to one keeper. Default
+  *   off — the contract oracle pins raw-hash semantics.
   */
 case class CurateConfig(
     minWords: Long = 30L,
@@ -44,7 +48,8 @@ case class CurateConfig(
     jaccardThreshold: Double = 0.5,
     trainBucketsBelow: Long = 8L,
     testBucketsFrom: Long = 9L,
-    minContamRatio: (Long, Long) = (1L, 2L))
+    minContamRatio: (Long, Long) = (1L, 2L),
+    normalizeForHash: Boolean = false)
 
 object TextOps {
   import Det._
@@ -1568,8 +1573,9 @@ object TextOps {
     val g = new GopherRules(cfg)
     val qOk = docs.filter(g.all)
       .select(col("doc_id"), col("text"), col("n_chars"))
+    val hashInput = if (cfg.normalizeForHash) normCol(col("text")) else col("text")
     val exKeep = qOk
-      .groupBy(sha2(col("text"), 256)).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(sha2(hashInput, 256)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("ex_keep"))
     val contam = decontaminateOn(docs, cfg).filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))

@@ -17,8 +17,11 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
 
   test("parse: positional args + flags") {
     val cfg = CurateCli.parse(Seq("in.parquet", "out", "--state", "s",
-      "--jaccard", "0.7", "--no-resume", "--num-cpus", "4"))
-    assert(cfg == CurateCli.Config("in.parquet", "out", Some("s"), 0.7, false, Some(4)))
+      "--jaccard", "0.7", "--normalize-hash", "--no-resume", "--num-cpus", "4"))
+    assert(cfg == CurateCli.Config("in.parquet", "out", Some("s"), 0.7,
+      normalizeHash = true, resume = false, Some(4)))
+    assert(!CurateCli.parse(Seq("a", "b")).normalizeHash,
+      "normalized hashing must be opt-in")
   }
 
   test("parse: malformed input throws with a usable message") {

@@ -380,6 +380,27 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(norm(4L) == "entirely different content")
   }
 
+  test("curateOn normalizeForHash: case/punct variants collapse only when enabled") {
+    // doc 11 repeats doc 10's content uppercased with punctuation — raw
+    // sha256 sees two documents, the normalized hash sees one
+    val base = doc(10L, "nf", 40)
+    val variant = {
+      val (_, text, _) = base
+      val loud = text.split(" ").map(w => w.toUpperCase + ",").mkString(" ")
+      (11L, loud, loud.length.toLong)
+    }
+    val docs = docsDf(Seq(base, variant, doc(12L, "other", 40)))
+    def keptIds(cfg: CurateConfig) = TextOps.curateOn(docs, cfg)
+      .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    def reasonOf(cfg: CurateConfig, id: Long) = TextOps.curateOn(docs, cfg)
+      .filter(col("doc_id") === id).collect().head.getString(2)
+    assert(keptIds(CurateConfig()) == Set(10L, 11L, 12L),
+      "raw hashing must keep the variant")
+    assert(keptIds(CurateConfig(normalizeForHash = true)) == Set(10L, 12L),
+      "normalized hashing must collapse the variant under the first doc")
+    assert(reasonOf(CurateConfig(normalizeForHash = true), 11L) == "exact_dup")
+  }
+
   // --------------------------------------- segment / paragraph dedup
 
   test("dedupParagraphsAt: corpus-wide first occurrence wins, docs reassemble") {
