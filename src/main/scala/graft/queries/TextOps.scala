@@ -1149,6 +1149,35 @@ object TextOps {
       |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------- frequent-items sketch
+
+  /** Token top-20 via the mergeable Misra–Gries heavy-hitters sketch
+    * ([[graft.functions.TopKFreq]], m = 256 counters) — the
+    * frequent-items member of the sketch family (HLL distincts, KLL
+    * quantiles, MG frequencies). The summary is the designed
+    * driver-sized artifact (≤ m entries), collected once and presented
+    * relationally; at 100 TB the exact alternative shuffles the full
+    * vocabulary, the sketch shuffles m counters per partial. MG is
+    * EXACT whenever the distinct-token count fits the budget — the
+    * fixture vocabulary is 31 tokens, so this query carries a full
+    * DuckDB oracle; UdafSpec pins the lossy regime's error/retention
+    * bounds on planted Zipf data across 1/4/32-partition layouts.
+    */
+  def topkSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).as[String]
+    val summary = toks.select(new graft.functions.TopKFreq(256).toColumn).head()
+    summary.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .toDF("tok", "est")
+      .orderBy(col("est").desc, col("tok"))
+  }
+
+  val topkSketchSql: String =
+    """SELECT tok, CAST(count(*) AS BIGINT) AS est
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY est DESC, tok LIMIT 20""".stripMargin
+
   // ------------------------------------------------- inverted index
 
   /** Inverted-index build, digest form: per-token document frequency,
@@ -1811,6 +1840,7 @@ object TextOps {
     ContractQuery("q_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
     ContractQuery("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     ContractQuery("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
+    ContractQuery("q_topk_sketch", topkSketch, Some(topkSketchSql)),
     ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     ContractQuery("q_bm25", bm25, Some(bm25Sql))

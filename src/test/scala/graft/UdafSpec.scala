@@ -41,4 +41,39 @@ class UdafSpec extends AnyFunSuite with SparkSessionFixture {
     assert(math.abs(rows("a") - 4.0) < 1e-12) // sqrt(2*8)
     assert(rows("b").isNaN)
   }
+
+  test("TopKFreq: MG error bound and heavy-hitter retention at every layout") {
+    import spark.implicits._
+    import graft.functions.TopKFreq
+    // planted Zipf-ish stream: 3 heavy hitters over a 200-term tail,
+    // deterministically shuffled so partitions see mixed order
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .shuffle(
+        Seq.fill(3000)("hot0") ++ Seq.fill(2000)("hot1") ++
+        Seq.fill(1500)("hot2") ++
+        (0 until 200).flatMap(i => Seq.fill(10)(s"rare$i")))
+    val n = stream.size.toLong
+    val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val m = 8
+    for (parts <- Seq(1, 4, 32)) {
+      val got: Map[String, Long] = stream.toDS().repartition(parts)
+        .select(new TopKFreq(m).toColumn).head()
+      assert(got.size <= m, s"parts=$parts: ${got.size} counters")
+      // undercount only, bounded by n/(m+1)
+      got.foreach { case (t, est) =>
+        val tru = truth(t)
+        assert(est <= tru && est >= tru - n / (m + 1),
+          s"parts=$parts term=$t est=$est true=$tru bound=${n / (m + 1)}")
+      }
+      // every term with true frequency above the bound is retained
+      truth.filter(_._2 > n / (m + 1)).keys.foreach { t =>
+        assert(got.contains(t), s"parts=$parts lost heavy hitter $t")
+      }
+    }
+    // exact regime: vocabulary fits the budget → sketch IS the count
+    // (the property that lets q_topk_sketch carry a full DuckDB oracle)
+    val exact: Map[String, Long] = stream.toDS().repartition(32)
+      .select(new TopKFreq(1024).toColumn).head()
+    assert(exact == truth)
+  }
 }
