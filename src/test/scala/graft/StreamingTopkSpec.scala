@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.TopkStream
+
+/** Streaming heavy-hitters monitor (TopkStream): the sharded MG state
+  * must accumulate across micro-batches, emit each touched shard's full
+  * summary per batch, and — in the exact regime (shard vocabulary ≤ m) —
+  * report the true running counts of everything seen so far. The lossy
+  * bound itself is TopKFreq's law (UdafSpec); here the contract is the
+  * streaming lifecycle: cross-batch accumulation, disjoint shard
+  * vocabularies, bounded per-batch emission.
+  */
+class StreamingTopkSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("sharded MG state accumulates across batches; exact regime reports true counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = TopkStream.heavyHitters(mem.toDF().toDF("tok"),
+        m = 64, shards = 4)
+      .writeStream.format("memory").queryName("t_topk")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+      val batch2 = Seq.fill(4)("alpha") ++ Seq.fill(2)("delta")
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val after1 = spark.table("t_topk").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(after1 == Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L))
+
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // per-batch emissions are cumulative snapshots: the LATEST estimate
+      // per token is the running count over both batches
+      val latest = spark.table("t_topk").collect()
+        .map(r => r.getString(1) -> r.getLong(2))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      assert(latest == Map(
+        "alpha" -> 9L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 2L))
+
+      // shard vocabularies are disjoint: no token reports under two shards
+      val perTokShards = spark.table("t_topk").collect()
+        .map(r => r.getString(1) -> r.getInt(0)).distinct
+        .groupBy(_._1).map { case (t, xs) => t -> xs.length }
+      assert(perTokShards.values.forall(_ == 1), s"token in 2 shards: $perTokShards")
+
+      // bounded emission: each batch emitted at most (touched shards × m)
+      assert(spark.table("t_topk").count() <= 2L * 4 * 64)
+    } finally q.stop()
+  }
+
+  test("a hot token floods only its own shard's state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    // m=2: the hot token's shard is under eviction pressure, other
+    // shards' summaries must be untouched by it
+    val q = TopkStream.heavyHitters(mem.toDF().toDF("tok"),
+        m = 2, shards = 8)
+      .writeStream.format("memory").queryName("t_topk_hot")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq.fill(100)("hot") ++ Seq("calm1", "calm2", "calm3"): _*)
+      q.processAllAvailable()
+      val rows = spark.table("t_topk_hot").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val hotShard = rows.find(_._2 == "hot").get._1
+      // MG undercount bound inside the hot shard: n_shard ≤ 103, m=2 →
+      // est ≥ 100 − 103/3; in practice the hot count dominates
+      assert(rows.find(_._2 == "hot").get._3 >= 100L - 103L / 3)
+      // every calm token in ANOTHER shard is reported exactly once
+      rows.filter(t => t._1 != hotShard).foreach { case (_, tok, est) =>
+        assert(est == 1L, s"calm token $tok distorted: $est")
+      }
+    } finally q.stop()
+  }
+}
