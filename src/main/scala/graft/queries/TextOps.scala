@@ -1069,8 +1069,9 @@ object TextOps {
     * every segment was dropped stay present with empty text — the
     * pipeline downstream decides whether to discard them.
     */
-  private def assembleKept(segs: DataFrame, joiner: String): DataFrame = {
-    val kept = firstSegmentOccurrences(segs)
+  private def assembleKept(segs: DataFrame, keptSegs: DataFrame,
+      joiner: String): DataFrame = {
+    val kept = keptSegs
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(joiner,
@@ -1096,16 +1097,21 @@ object TextOps {
     * segment string — docs never meet unless they share a full segment —
     * then one shuffle by doc to reassemble; both aggregations partial.
     */
-  def dedupSegmentsAt(docs: DataFrame, width: Int): DataFrame = {
+  /** (doc_id, idx, seg) rows of fixed-width segments — the codegen'd
+    * Segments expression (the transform/sequence/slice lambda it
+    * replaces runs interpreted per element; ShingleExprSpec pins the
+    * equivalence law).
+    */
+  private def segmentRows(docs: DataFrame, width: Int): DataFrame = {
     require(width > 0, s"segment width must be positive, got $width")
-    // segmentation rides the codegen'd Segments expression (the
-    // transform/sequence/slice lambda it replaces runs interpreted per
-    // element; ShingleExprSpec pins the equivalence law)
     val segArr = org.apache.spark.sql.graft.ShingleExpressions
       .segments(col("text"), width)
-    assembleKept(
-      docs.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg"))),
-      joiner = " ")
+    docs.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg")))
+  }
+
+  def dedupSegmentsAt(docs: DataFrame, width: Int): DataFrame = {
+    val segs = segmentRows(docs, width)
+    assembleKept(segs, firstSegmentOccurrences(segs), joiner = " ")
   }
 
   /** [[dedupSegmentsAt]] with natural paragraph boundaries — split on a
@@ -1116,10 +1122,61 @@ object TextOps {
   def dedupParagraphsAt(docs: DataFrame, delim: String = "\n\n"): DataFrame = {
     require(delim.nonEmpty, "paragraph delimiter must be non-empty")
     val paras = split(col("text"), java.util.regex.Pattern.quote(delim))
-    assembleKept(
-      docs.select(col("doc_id"), posexplode(paras).as(Seq("idx", "seg"))),
-      joiner = delim)
+    val segs = docs.select(col("doc_id"), posexplode(paras).as(Seq("idx", "seg")))
+    assembleKept(segs, firstSegmentOccurrences(segs), joiner = delim)
   }
+
+  /** Incremental segment dedup against a PERSISTED seen-set — the
+    * production posture of paragraph dedup: a continuously-ingesting
+    * corpus dedups each new batch against everything already admitted,
+    * never re-reading old text. The index at `path/seen` holds one
+    * sha256 per admitted segment (batch= layout, [[VectorOps]]'s
+    * replay-idempotent increment discipline: re-running a tag overwrites
+    * itself; [[compactSegmentIndex]] folds increments). A batch's output
+    * = within-batch first occurrences anti-joined against the seen-set;
+    * its novel hashes are appended under `batch=tag` so the NEXT batch
+    * sees them. When batches arrive in doc_id order this equals the
+    * global [[dedupSegmentsAt]] restricted to the batch's docs —
+    * spec-pinned (NeardupDeltaSpec discipline).
+    *
+    * Scale: the seen-set is the only corpus-sized artifact touched per
+    * batch, and only through one hash anti-join (shuffle by hash); old
+    * documents are never re-segmented.
+    */
+  def segmentDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
+      width: Int, tag: String): DataFrame = {
+    VectorOps.requireTag(tag)
+    VectorOps.finishCrashedSwap(spark, s"$path/seen")
+    VectorOps.ensureBatchLayout(spark, s"$path/seen")
+    val segs = segmentRows(batch, width)
+    val within = firstSegmentOccurrences(segs)
+      .withColumn("h", sha2(col("seg"), 256))
+    val seenDir = new org.apache.hadoop.fs.Path(s"$path/seen")
+    val fs = seenDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      (if (fs.exists(seenDir))
+        // the batch's OWN tag partition is excluded from the seen-set:
+        // an at-least-once replay of this tag must see exactly the state
+        // its first run saw, not its own first run's output
+        within.join(spark.read.parquet(s"$path/seen")
+            .filter(col("batch") =!= lit(tag)).select(col("h")),
+          Seq("h"), "left_anti")
+      else within)
+        // materialize BEFORE appending: the returned frame must not
+        // lazily re-read an index that now contains its own hashes
+        .localCheckpoint(true)
+    kept.select(col("h"))
+      .write.mode("overwrite").parquet(s"$path/seen/batch=$tag")
+    assembleKept(segs, kept.select(col("doc_id"), col("idx"), col("seg")),
+      joiner = " ")
+  }
+
+  /** Fold a segment index's accumulated increments into one fresh
+    * `batch=init` level — [[VectorOps.compactComponent]]'s discipline.
+    */
+  def compactSegmentIndex(spark: SparkSession, path: String,
+      numFiles: Int = 0): Unit =
+    VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil)
 
   /** Pinned contract instantiation: width-8 segments over `documents`. */
   def dedupSegments(spark: SparkSession, dir: String): DataFrame =

@@ -379,4 +379,41 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     val indexed = VectorOps.cosineDeltaIndexed(spark, path, batch, threshold = 0.35)
     assert(canon(indexed) == canon(delta))
   }
+
+  test("segment dedup delta: id-ordered batches == global dedup; replay idempotent") {
+    import graft.queries.TextOps
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val cut = 250L
+    val batch1 = docs.filter(col("doc_id") < cut)
+    val batch2 = docs.filter(col("doc_id") >= cut)
+    val path = java.nio.file.Files.createTempDirectory("seg_index").toString
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq
+
+    // batch 1 against an empty index is pure within-batch dedup
+    val out1 = TextOps.segmentDedupDelta(spark, path, batch1, width = 8, tag = "b1")
+    assert(rows(out1) == rows(TextOps.dedupSegmentsAt(batch1, 8)))
+
+    // batch 2 sees batch 1's seen-set: with id-ordered arrival this IS
+    // the global first-occurrence dedup restricted to batch 2's docs
+    val out2 = TextOps.segmentDedupDelta(spark, path, batch2, width = 8, tag = "b2")
+    val globalTail = TextOps.dedupSegments(spark, Sf0001)
+      .filter(col("doc_id") >= cut)
+    assert(rows(out2) == rows(globalTail))
+    assert(out2.filter(col("n_kept") < col("n_seg")).count() > 0,
+      "cross-batch duplicates must exist on the fixture corpus")
+
+    // at-least-once replay of a tag: same output, index unchanged
+    val seenBefore = spark.read.parquet(s"$path/seen").count()
+    val replay = TextOps.segmentDedupDelta(spark, path, batch2, width = 8, tag = "b2")
+    assert(rows(replay) == rows(out2))
+    assert(spark.read.parquet(s"$path/seen").count() == seenBefore)
+
+    // compaction folds increments, preserving the seen-set
+    TextOps.compactSegmentIndex(spark, path)
+    assert(spark.read.parquet(s"$path/seen").count() == seenBefore)
+    val out3 = TextOps.segmentDedupDelta(spark, path,
+      batch2.withColumn("doc_id", col("doc_id") + 10000L), width = 8, tag = "b3")
+    assert(out3.agg(sum(col("n_kept"))).head.getLong(0) == 0L,
+      "every batch-2 segment is already in the compacted seen-set")
+  }
 }
