@@ -401,6 +401,29 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(reasonOf(CurateConfig(normalizeForHash = true), 11L) == "exact_dup")
   }
 
+  test("normalization is idempotent: a second pass changes nothing") {
+    import spark.implicits._
+    // the canonicalization must be a projection (norm ∘ norm == norm) or
+    // chained pipeline stages would keep mutating text
+    val edge = Seq((1L, "A--B  c!!"), (2L, ""), (3L, "  x  "), (4L, "ok"))
+      .toDF("doc_id", "text")
+    val dir1 = java.nio.file.Files.createTempDirectory("norm_idem1").toString
+    edge.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val once = TextOps.textNormalize(spark, dir1)
+    val dir2 = java.nio.file.Files.createTempDirectory("norm_idem2").toString
+    once.select(col("doc_id"), col("norm_text").as("text"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val twice = TextOps.textNormalize(spark, dir2)
+    assert(once.collect().map(_.toString).sorted.toSeq ==
+      twice.collect().map(_.toString).sorted.toSeq)
+    // and on the real corpus
+    val fixOnce = TextOps.textNormalize(spark, Sf0001)
+    val dir3 = java.nio.file.Files.createTempDirectory("norm_idem3").toString
+    fixOnce.select(col("doc_id"), col("norm_text").as("text"))
+      .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+    assert(TextOps.textNormalize(spark, dir3).exceptAll(fixOnce).isEmpty)
+  }
+
   // --------------------------------------- segment / paragraph dedup
 
   test("dedupParagraphsAt: corpus-wide first occurrence wins, docs reassemble") {
