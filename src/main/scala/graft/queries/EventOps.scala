@@ -410,7 +410,45 @@ object EventOps {
        |FROM daily CROSS JOIN stats
        |ORDER BY day_us""".stripMargin
 
+  // ------------------------------------ frequent-items sketch rollup
+
+  /** Daily Misra–Gries summaries merged to a global event-type top-10 —
+    * the frequencies analogue of [[Aggregates.aggHllMerge]]'s sketch
+    * rollup: a production pipeline stores one ≤ m-entry summary per
+    * day/partition and answers "top items overall" by MERGING summaries
+    * (PODS'12 rule via [[graft.functions.TopKFreq.merge]]), never
+    * rescanning raw events. Per-day fold in sorted order, merge in day
+    * order — deterministic; the day summaries are the designed
+    * driver-sized artifacts (≤ m entries each). The fixture stream has
+    * 5 event types over ~30 days, so m = 64 is the EXACT regime (per-day
+    * and merged vocab fit) and the query carries a full DuckDB oracle;
+    * UdafSpec pins the lossy regime's merge bound.
+    */
+  def topkMergeDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mg = new graft.functions.TopKFreq(64)
+    val daily = Tables.t(spark, dir, "events")
+      .select(to_date(col("ts")).cast(StringType).as("day"), col("event_type"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (day, rows) =>
+        day -> rows.map(_._2).toSeq.sorted
+          .foldLeft(Map.empty[String, Long])(mg.reduce)
+      }
+    val merged = daily.collect().sortBy(_._1).map(_._2)
+      .foldLeft(Map.empty[String, Long])(mg.merge)
+    merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+      .toDF("event_type", "est")
+      .orderBy(col("est").desc, col("event_type"))
+  }
+
+  val topkMergeDailySql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS est
+      |FROM events GROUP BY event_type
+      |ORDER BY est DESC, event_type LIMIT 10""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_topk_merge", topkMergeDaily, Some(topkMergeDailySql)),
     ContractQuery("q_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     ContractQuery("q_stream_sliding", streamSliding, Some(streamSlidingSql)),
     ContractQuery("q_stream_session", streamSession, Some(streamSessionSql)),
