@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -417,29 +417,53 @@ object EventOps {
     * rollup: a production pipeline stores one ≤ m-entry summary per
     * day/partition and answers "top items overall" by MERGING summaries
     * (PODS'12 rule via [[graft.functions.TopKFreq.merge]]), never
-    * rescanning raw events. Per-day fold in sorted order, merge in day
-    * order — deterministic; the day summaries are the designed
-    * driver-sized artifacts (≤ m entries each). The fixture stream has
-    * 5 event types over ~30 days, so m = 64 is the EXACT regime (per-day
-    * and merged vocab fit) and the query carries a full DuckDB oracle;
-    * UdafSpec pins the lossy regime's merge bound.
+    * rescanning raw events. The per-day summaries build as PER-TASK
+    * PARTIALS through the typed-Aggregator path (the same
+    * ObjectHashAggregate shape as [[TextOps.topkSketch]]): every task
+    * folds its slice of a day into a ≤ m-counter buffer and only buffers
+    * shuffle — at 100 TB a day is billions of rows across thousands of
+    * tasks and no task ever materializes one (the r10 `mapGroups` form
+    * did exactly that — one executor sorted a whole day). Day summaries
+    * merge on the driver in day order — ≤ days × m entries by
+    * construction. The fixture stream has 5 event types over ~30 days,
+    * so m = 64 is the EXACT regime (per-day and merged vocab fit, and MG
+    * is order/layout-independent there — UdafSpec pins layout invariance
+    * for this rollup) and the query carries a full DuckDB oracle; the
+    * lossy regime's counter values are partition-dependent like every
+    * mergeable sketch, bounded by the pinned n/(m+1) law.
     */
-  def topkMergeDaily(spark: SparkSession, dir: String): DataFrame = {
+  def topkMergeDaily(spark: SparkSession, dir: String): DataFrame =
+    topkMergeDailyOn(Tables.t(spark, dir, "events"))
+
+  /** Engine surface of [[topkMergeDaily]] over any (ts, event_type)
+    * frame; exposed for the spec's layout-invariance law.
+    */
+  def topkMergeDailyOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val mg = new graft.functions.TopKFreq(64)
-    val daily = Tables.t(spark, dir, "events")
-      .select(to_date(col("ts")).cast(StringType).as("day"), col("event_type"))
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .mapGroups { (day, rows) =>
-        day -> rows.map(_._2).toSeq.sorted
-          .foldLeft(Map.empty[String, Long])(mg.reduce)
-      }
-    val merged = daily.collect().sortBy(_._1).map(_._2)
+    val merged = dailySummaries(events, mg).collect().sortBy(_._1).map(_._2)
       .foldLeft(Map.empty[String, Long])(mg.merge)
     merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
       .toDF("event_type", "est")
       .orderBy(col("est").desc, col("event_type"))
+  }
+
+  /** The per-day summary aggregation of [[topkMergeDailyOn]] — exposed
+    * so the spec can pin its PLAN (partial-mode ObjectHashAggregate, no
+    * MapGroups) and its exact-regime layout invariance directly on the
+    * production dataflow.
+    */
+  private[graft] def dailySummaries(events: DataFrame,
+      mg: graft.functions.TopKFreq): Dataset[(String, Map[String, Long])] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(to_date(col("ts")).cast(StringType).as("day"), col("event_type"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(mg.toColumn)
   }
 
   val topkMergeDailySql: String =

@@ -76,4 +76,40 @@ class UdafSpec extends AnyFunSuite with SparkSessionFixture {
       .select(new TopKFreq(1024).toColumn).head()
     assert(exact == truth)
   }
+
+  test("day-rollup summaries: partial-agg plan, layout-invariant in the exact regime") {
+    import graft.functions.TopKFreq
+    import graft.queries.{EventOps, Tables}
+    val events = Tables.t(spark, Sf0001, "events")
+    val mg = new TopKFreq(64)
+
+    // the r10 shape materialized each day in one task via mapGroups; the
+    // production shape must build per-task partials through the
+    // object-hash aggregate path and carry no (Flat)MapGroups operator
+    val daily = EventOps.dailySummaries(events, mg)
+    val plan = daily.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"day summaries must aggregate through ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("MapGroups"),
+      s"day summaries must not materialize a day per task:\n$plan")
+
+    // exact regime (fixture vocab fits m=64): the summary is the exact
+    // per-day count, so it cannot depend on partition layout
+    def summaries(parts: Int): Map[String, Map[String, Long]] =
+      EventOps.dailySummaries(events.repartition(parts), mg)
+        .collect().toMap
+    val at1 = summaries(1)
+    assert(at1.nonEmpty && at1.valuesIterator.forall(_.nonEmpty))
+    for (parts <- Seq(4, 32))
+      assert(summaries(parts) == at1, s"day-rollup drifted at parts=$parts")
+
+    // and the full contract query is unchanged by the reshape: the
+    // merged top-10 equals the exact global count
+    val got = EventOps.topkMergeDaily(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exactTop = events.groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(10).toSeq
+    assert(got == exactTop)
+  }
 }
