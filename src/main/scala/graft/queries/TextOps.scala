@@ -1137,7 +1137,10 @@ object TextOps {
     * its novel hashes are appended under `batch=tag` so the NEXT batch
     * sees them. When batches arrive in doc_id order this equals the
     * global [[dedupSegmentsAt]] restricted to the batch's docs —
-    * spec-pinned (NeardupDeltaSpec discipline).
+    * spec-pinned (NeardupDeltaSpec discipline). Replay window:
+    * re-running a live tag reproduces its first run bit-identically;
+    * [[compactSegmentIndex]] CLOSES that window for the tags it folds
+    * (recorded in-index), and replaying a closed tag fails fast.
     *
     * Scale: the seen-set is the only corpus-sized artifact touched per
     * batch, and only through one hash anti-join (shuffle by hash); old
@@ -1148,6 +1151,16 @@ object TextOps {
     VectorOps.requireTag(tag)
     VectorOps.finishCrashedSwap(spark, s"$path/seen")
     VectorOps.ensureBatchLayout(spark, s"$path/seen")
+    // compaction ENDS the replay window: once a tag's increment is folded
+    // into batch=init its own-hash exclusion below can no longer identify
+    // that tag's contribution, so an at-least-once replay would see its
+    // first run's output in the seen-set and emit a silently different
+    // (empty-novel) result. Compacted tags are recorded in the index
+    // ([[compactSegmentIndex]]); replaying one fails fast here instead.
+    require(!compactedSegmentTags(spark, path).contains(tag),
+      s"tag '$tag' was folded into batch=init by compactSegmentIndex — " +
+        "its replay window is closed; re-ingest under a fresh tag " +
+        "(output would differ from the original run, not repeat it)")
     val segs = segmentRows(batch, width)
     val within = firstSegmentOccurrences(segs)
       .withColumn("h", sha2(col("seg"), 256))
@@ -1157,8 +1170,13 @@ object TextOps {
       (if (fs.exists(seenDir))
         // the batch's OWN tag partition is excluded from the seen-set:
         // an at-least-once replay of this tag must see exactly the state
-        // its first run saw, not its own first run's output
-        within.join(spark.read.parquet(s"$path/seen")
+        // its first run saw, not its own first run's output. The explicit
+        // schema keeps the batch partition column a STRING — inference
+        // would type an all-numeric tag population as int, collapsing
+        // distinct tags like '1'/'01' to one value and making this
+        // exclusion filter drop the wrong partitions.
+        within.join(spark.read.schema("h STRING, batch STRING")
+            .parquet(s"$path/seen")
             .filter(col("batch") =!= lit(tag)).select(col("h")),
           Seq("h"), "left_anti")
       else within)
@@ -1172,11 +1190,48 @@ object TextOps {
   }
 
   /** Fold a segment index's accumulated increments into one fresh
-    * `batch=init` level — [[VectorOps.compactComponent]]'s discipline.
+    * `batch=init` level — [[VectorOps.compactComponent]]'s discipline —
+    * and record the folded tags in the `_compacted_tags` sidecar (written
+    * inside the compaction swap, so tag record and fold are atomic
+    * together): [[segmentDedupDelta]] consults it to reject a replay of a
+    * compacted tag, whose exclusion filter could no longer see the tag's
+    * own first-run contribution.
     */
   def compactSegmentIndex(spark: SparkSession, path: String,
-      numFiles: Int = 0): Unit =
-    VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil)
+      numFiles: Int = 0): Unit = {
+    val seenDir = new org.apache.hadoop.fs.Path(s"$path/seen")
+    val fs = seenDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (!fs.exists(seenDir)) Set.empty[String]
+      else fs.listStatus(seenDir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") && n != "batch=init")
+        .map(_.stripPrefix("batch=")).toSet
+    val folded = (compactedSegmentTags(spark, path) ++ live).toSeq.sorted
+    VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil,
+      sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+  }
+
+  /** Tags whose increments a past [[compactSegmentIndex]] folded into
+    * `batch=init` — the `_compacted_tags` sidecar, empty set if never
+    * compacted.
+    */
+  private[graft] def compactedSegmentTags(spark: SparkSession,
+      path: String): Set[String] = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/seen/_compacted_tags")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8")
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+      } finally in.close()
+    }
+  }
 
   /** Pinned contract instantiation: width-8 segments over `documents`. */
   def dedupSegments(spark: SparkSession, dir: String): DataFrame =

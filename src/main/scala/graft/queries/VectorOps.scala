@@ -449,7 +449,8 @@ object VectorOps {
     * outside this helper.
     */
   private[graft] def compactComponent(spark: SparkSession, dir: String,
-      numFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
+      numFiles: Int, partitionCols: Seq[String] = Nil,
+      sidecarFiles: Map[String, String] = Map.empty): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -467,6 +468,16 @@ object VectorOps {
       else folded.repartition(n, partitionCols.map(col): _*)
     arranged.write.partitionBy(partitionCols: _*)
       .parquet(new Path(tmp, "batch=init").toString)
+    // component metadata rides INSIDE the swap: written to the tmp twin
+    // before delete+rename, so it is exactly as durable as the fold it
+    // describes (a crash can lose both or neither, never just one).
+    // Names must be _-prefixed — parquet readers and ensureBatchLayout
+    // both skip those.
+    sidecarFiles.foreach { case (name, content) =>
+      require(name.startsWith("_"), s"sidecar file must be _-prefixed: $name")
+      val out = fs.create(new Path(tmp, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
     require(fs.delete(p, true), s"compaction could not delete $dir; " +
       s"new data is intact at $tmp — resolve the FS issue and re-run")
     require(fs.rename(tmp, p), s"compaction could not swap $tmp into $dir; " +

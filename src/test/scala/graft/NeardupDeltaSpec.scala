@@ -415,5 +415,40 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
       batch2.withColumn("doc_id", col("doc_id") + 10000L), width = 8, tag = "b3")
     assert(out3.agg(sum(col("n_kept"))).head.getLong(0) == 0L,
       "every batch-2 segment is already in the compacted seen-set")
+
+    // compaction CLOSES the replay window for the tags it folded: a
+    // replay of b2 can no longer be excluded from the seen-set (its
+    // hashes live in batch=init now), so it must fail fast instead of
+    // silently emitting an output different from its first run
+    val closed = intercept[IllegalArgumentException] {
+      TextOps.segmentDedupDelta(spark, path, batch2, width = 8, tag = "b2")
+    }
+    assert(closed.getMessage.contains("replay window is closed"))
+    // ...while the still-live post-compaction tag b3 replays exactly
+    val replay3 = TextOps.segmentDedupDelta(spark, path,
+      batch2.withColumn("doc_id", col("doc_id") + 10000L), width = 8, tag = "b3")
+    assert(rows(replay3) == rows(out3))
+    // and a second compaction carries b2's closure forward alongside b3's
+    TextOps.compactSegmentIndex(spark, path)
+    assert(TextOps.compactedSegmentTags(spark, path) == Set("b2", "b3", "b1"))
+  }
+
+  test("segment dedup delta: all-digit tags keep string partition semantics") {
+    import graft.queries.TextOps
+    val docs = Tables.t(spark, Sf0001, "documents").limit(50)
+    val path = java.nio.file.Files.createTempDirectory("seg_idx_num").toString
+    // ingest under tag '01': with partition-type INFERENCE the all-digit
+    // population would read back as int 1, and tag '01' could never match
+    // its own partition again
+    val out01 = TextOps.segmentDedupDelta(spark, path, docs, width = 8, tag = "01")
+    val replay01 = TextOps.segmentDedupDelta(spark, path, docs, width = 8, tag = "01")
+    assert(replay01.collect().toSeq.map(_.toString) ==
+      out01.collect().toSeq.map(_.toString),
+      "replay of tag '01' must exclude exactly its own partition")
+    // the distinct numeric tag '1' must NOT be conflated with '01': it
+    // sees 01's hashes as prior state, so nothing in it is novel
+    val out1 = TextOps.segmentDedupDelta(spark, path, docs, width = 8, tag = "1")
+    assert(out1.agg(sum(col("n_kept"))).head.getLong(0) == 0L,
+      "tag '1' must see tag '01' as prior seen-state, not as itself")
   }
 }
