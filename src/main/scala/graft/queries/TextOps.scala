@@ -1237,6 +1237,41 @@ object TextOps {
   def dedupSegments(spark: SparkSession, dir: String): DataFrame =
     dedupSegmentsAt(Tables.t(spark, dir, "documents"), width = 8)
 
+  /** Pinned contract instantiation of the DELIMITER surface
+    * ([[dedupParagraphsAt]]) — the form users point at real corpora. The
+    * fixture texts carry no newlines, so the literal token sentinel
+    * `" the "` (≈2 occurrences per doc) stands in for the blank-line
+    * boundary: same split/dedup/rejoin dataflow, every paragraph
+    * variable-width, and both engines split on the literal string
+    * (Spark's regex split quotes it; DuckDB's string_split is literal),
+    * so the oracle exercises exactly the production code path.
+    */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphsAt(Tables.t(spark, dir, "documents"), delim = " the ")
+
+  val dedupParagraphsSql: String =
+    """WITH parts AS (
+      |  SELECT doc_id, string_split(text, ' the ') AS p FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) AS idx, s.seg FROM (
+      |    SELECT doc_id,
+      |      unnest([{'i': i - 1, 'seg': p[i]} for i in range(1, len(p) + 1)]) AS s
+      |    FROM parts)),
+      |kept AS (
+      |  SELECT doc_id, idx, seg FROM (
+      |    SELECT doc_id, idx, seg,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      |    FROM segs) WHERE rn = 1),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(seg, ' the ' ORDER BY idx) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       t.n_seg, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val dedupSegmentsSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |segs AS (
@@ -1950,6 +1985,7 @@ object TextOps {
     ContractQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
     ContractQuery("q_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
+    ContractQuery("q_dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     ContractQuery("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     ContractQuery("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     ContractQuery("q_topk_sketch", topkSketch, Some(topkSketchSql)),
