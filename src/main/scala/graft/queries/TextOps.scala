@@ -37,6 +37,14 @@ import org.apache.spark.sql.types._
   *   ([[TextOps.textNormalize]]'s canonicalization), so case/punctuation/
   *   spacing variants of one document collapse to one keeper. Default
   *   off — the contract oracle pins raw-hash semantics.
+  * @param segmentDedupWidth when set, a corpus-wide segment (paragraph)
+  *   dedup pass ([[TextOps.dedupSegmentsAt]] at this width) runs as the
+  *   FIRST curation stage and every later stage — quality gate, exact
+  *   dedup, decontamination, keep-best — sees the REWRITTEN text
+  *   (boilerplate segments distort quality/repetition signals and exact
+  *   hashes, so the stages measure the unique content). Docs whose every
+  *   segment was seen earlier drop with reason `segment_dup`. Default
+  *   off — the contract oracle pins the document-granularity pipeline.
   */
 case class CurateConfig(
     minWords: Long = 30L,
@@ -49,7 +57,8 @@ case class CurateConfig(
     trainBucketsBelow: Long = 8L,
     testBucketsFrom: Long = 9L,
     minContamRatio: (Long, Long) = (1L, 2L),
-    normalizeForHash: Boolean = false)
+    normalizeForHash: Boolean = false,
+    segmentDedupWidth: Option[Int] = None)
 
 object TextOps {
   import Det._
@@ -1126,6 +1135,22 @@ object TextOps {
     assembleKept(segs, firstSegmentOccurrences(segs), joiner = delim)
   }
 
+  /** Rewritten-corpus view of [[dedupSegmentsAt]]: the input frame with
+    * `text` replaced by the survivor reassembly and `n_chars` recomputed,
+    * every other column carried through — the shape a curation stage (or
+    * any downstream consumer) composes over. Docs whose every segment
+    * was dropped stay present with empty text; callers decide their fate
+    * ([[curateOn]] drops them as `segment_dup`). Same two-shuffle scale
+    * shape as the underlying dedup plus one join back on doc_id.
+    */
+  def rewriteSegmentsAt(docs: DataFrame, width: Int): DataFrame =
+    docs.drop("text", "n_chars")
+      .join(dedupSegmentsAt(docs, width)
+          .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      .withColumn("text", col("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast(LongType))
+      .drop("clean_text")
+
   /** Incremental segment dedup against a PERSISTED seen-set — the
     * production posture of paragraph dedup: a continuously-ingesting
     * corpus dedups each new batch against everything already admitted,
@@ -1745,7 +1770,28 @@ object TextOps {
     * ([[curateReasons]]): one (doc_id, kept, drop_reason) row per doc.
     */
   def curateReasonsOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
-      labels: Option[DataFrame] = None): DataFrame = {
+      labels: Option[DataFrame] = None): DataFrame =
+    cfg.segmentDedupWidth match {
+      case None => curateReasonsDocLevel(docs, cfg, labels)
+      case Some(w) =>
+        // segment dedup as the leading stage: rewrite the corpus once
+        // (reusing dedupSegmentsAt's exact dataflow, so the composed and
+        // standalone forms cannot drift), then run the document-level
+        // pipeline over the rewritten text. A doc emptied by the rewrite
+        // (pure boilerplate — every segment seen earlier) is verdicted
+        // segment_dup; everything else flows through the unchanged
+        // stages, now measuring the unique content.
+        val rw = rewriteSegmentsAt(docs, w)
+        val segDropped = rw.filter(col("text") === "")
+          .select(col("doc_id"), lit(false).as("kept"),
+            lit("segment_dup").as("drop_reason"))
+        curateReasonsDocLevel(rw.filter(col("text") =!= ""),
+            cfg.copy(segmentDedupWidth = None), labels)
+          .unionByName(segDropped)
+    }
+
+  private def curateReasonsDocLevel(docs: DataFrame, cfg: CurateConfig,
+      labels: Option[DataFrame]): DataFrame = {
     val g = new GopherRules(cfg)
     val qOk = docs.filter(g.all)
       .select(col("doc_id"), col("text"), col("n_chars"))

@@ -159,6 +159,53 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(generic == contract)
   }
 
+  test("curateOn segmentDedupWidth: composed == segment-rewrite then doc-level curate") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    def verdicts(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    val composed =
+      verdicts(TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(8))))
+    assert(composed.size == 500, "every doc verdicted exactly once")
+
+    // staged equivalent through the standalone public surfaces: rewrite
+    // the corpus with segment dedup, doc-level-curate the non-empty
+    // remainder, verdict the emptied docs segment_dup
+    val rw = TextOps.rewriteSegmentsAt(docs, 8)
+    val emptied = rw.filter(col("text") === "")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val staged =
+      verdicts(TextOps.curateOn(rw.filter(col("text") =!= ""), CurateConfig())) ++
+        emptied.map(_ -> ((false, Option("segment_dup"))))
+    assert(composed == staged)
+
+    // the fixture exercises the stage non-trivially: fully-boilerplate
+    // docs (exact copies of earlier docs) drop as segment_dup, and the
+    // stage changes verdicts beyond those (stages downstream measure the
+    // REWRITTEN text)
+    assert(emptied.nonEmpty, "fixture must contain fully-duplicate docs")
+    val default = verdicts(TextOps.curateOn(docs))
+    assert(composed.exists { case (id, (kept, _)) => default(id)._1 != kept },
+      "segment stage must affect downstream verdicts on the fixture")
+
+    // survivor invariant: every survivor's REWRITTEN text passes the
+    // Gopher gate (the gate judged unique content, not boilerplate)
+    def gopherPass(text: String): Boolean = {
+      val tk = text.split(" ", -1)
+      val nW = tk.length.toLong
+      val sumLen = text.length.toLong - (nW - 1)
+      nW >= 30 && nW <= 10000 &&
+        sumLen >= nW * 4 && sumLen <= nW * 10 &&
+        tk.count(_.length <= 2) * 20L <= nW &&
+        tk.distinct.length * 2L >= nW
+    }
+    val rwText = rw.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val survivors = composed.collect { case (id, (true, _)) => id }
+    assert(survivors.nonEmpty)
+    survivors.foreach(id => assert(gopherPass(rwText(id)),
+      s"survivor $id fails the gate on its rewritten text"))
+  }
+
   test("curateOn: tightening the quality gate never keeps more documents") {
     val docs = Tables.t(spark, Sf0001, "documents")
     val labels = Some(TextOps.clusterLabelsOn(docs))
