@@ -7,7 +7,18 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** One (shard, term, estimate) row per summary entry per micro-batch. */
 case class HeavyHitter(shard: Int, tok: String, est: Long)
 
+/** [[TopkStream.heavyHittersWindowed]] output: one summary entry of one
+  * (window, shard) state. `ws_ms` = window start, epoch millis;
+  * `closed = true` marks the FINAL snapshot emitted when the watermark
+  * sealed the window (its state is dropped in the same step).
+  */
+case class WindowedHeavyHitter(ws_ms: Long, shard: Int, tok: String,
+    est: Long, closed: Boolean)
+
 private[streaming] case class ShardedTok(shard: Int, tok: String)
+
+private[streaming] case class WinShardTok(ws_ms: Long, shard: Int, tok: String,
+    ts: java.sql.Timestamp)
 
 /** Streaming heavy-hitters monitor — the "what is trending in the
   * ingest right now" view of a token/URL/event-type stream, as a SHARDED
@@ -52,6 +63,78 @@ object TopkStream {
           rows.toSeq.sortBy(_.tok).foreach { r => buf = mg.reduce(buf, r.tok) }
           state.update(buf)
           buf.iterator.map { case (t, c) => HeavyHitter(shard, t, c) }
+      }
+  }
+
+  /** [[heavyHitters]] with a STATE LIFECYCLE for unbounded day-scale
+    * streams — the snapshot-and-reset convention [[NeardupStream]] got
+    * in r10: [[heavyHitters]]'s per-shard state lives forever (bounded
+    * in SIZE by m counters, unbounded in TIME), so "what trended
+    * TODAY" is unanswerable and state never retires. Here state is
+    * keyed by (event-time window, shard) and sealed by the watermark:
+    *
+    *  - while a window is open, each touched (window, shard) re-emits
+    *    its current ≤ m counters per micro-batch (`closed = false`) —
+    *    the live trending view;
+    *  - once the watermark passes window end + delay, the state FIRES
+    *    ITS SNAPSHOT (`closed = true`, the window's final MG summary)
+    *    and is REMOVED — the reset. Closed snapshots are immutable:
+    *    exactly the per-window ≤ m-entry artifacts a rollup merges
+    *    ([[graft.queries.EventOps.topkMergeDailyOn]]'s input shape);
+    *  - a row arriving after its window sealed is dropped by the
+    *    engine's late-data rule BEFORE the operator — it neither
+    *    reopens the window nor starts fresh state, so a sealed
+    *    window's summary can never be contradicted downstream
+    *    (StreamingTopkSpec pins exactly what the reset drops).
+    *
+    * Live state is bounded by (windows inside the watermark horizon) ×
+    * shards × m counters; choose `delayMs` as the max ingest disorder,
+    * like every watermarked pipeline here.
+    */
+  def heavyHittersWindowed(events: DataFrame, tokCol: String = "tok",
+      tsCol: String = "ts", windowMs: Long = 86400000L,
+      delayMs: Long = 3600000L, m: Int = 256,
+      shards: Int = 16): Dataset[WindowedHeavyHitter] = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(windowMs > 0 && delayMs >= 0,
+      s"window/delay must be sane, got $windowMs/$delayMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.TopKFreq(m)
+    events
+      .select(col(tsCol).as("ts"), col(tokCol).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(
+        unix_millis(window(col("ts"), s"$windowMs milliseconds")
+          .getField("start")).as("ws_ms"),
+        pmod(xxhash64(col("tok")), lit(shards)).cast("int").as("shard"),
+        // ts rides along: the event-time-timeout checker needs the
+        // watermarked column to reach the stateful operator
+        col("tok"), col("ts"))
+      .as[WinShardTok]
+      .groupByKey(r => (r.ws_ms, r.shard))
+      .flatMapGroupsWithState[Map[String, Long], WindowedHeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((wsMs, shard), rows, state) =>
+          if (state.hasTimedOut) {
+            // the watermark sealed this window: final snapshot, then reset
+            val buf = state.get
+            state.remove()
+            buf.iterator.map { case (t, c) =>
+              WindowedHeavyHitter(wsMs, shard, t, c, closed = true)
+            }
+          } else {
+            var buf = state.getOption.getOrElse(Map.empty[String, Long])
+            rows.toSeq.sortBy(_.tok).foreach { r => buf = mg.reduce(buf, r.tok) }
+            state.update(buf)
+            // seal when the watermark passes window end + delay (the
+            // engine admits no more rows for this window after that)
+            state.setTimeoutTimestamp(wsMs + windowMs + delayMs)
+            buf.iterator.map { case (t, c) =>
+              WindowedHeavyHitter(wsMs, shard, t, c, closed = false)
+            }
+          }
       }
   }
 }

@@ -53,6 +53,53 @@ class StreamingTopkSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("windowed lifecycle: watermark seals a window into a final snapshot and resets state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000L
+    val hour = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = TopkStream.heavyHittersWindowed(mem.toDF().toDF("ts", "tok"),
+        windowMs = day, delayMs = hour, m = 64, shards = 4)
+      .writeStream.format("memory").queryName("t_topk_win")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("t_topk_win").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      // day 0 traffic: alpha×3, beta×1
+      mem.addData((ts(1000), "alpha"), (ts(2000), "alpha"), (ts(3000), "alpha"),
+        (ts(4000), "beta"))
+      q.processAllAvailable()
+      assert(rows().toSet == Set((0L, "alpha", 3L, false), (0L, "beta", 1L, false)),
+        "open window emits live (closed=false) summaries")
+
+      // day 2 traffic advances the watermark past day-0's end + delay...
+      mem.addData((ts(2 * day + 1000), "gamma"))
+      q.processAllAvailable()
+      // ...and the NEXT batch (timeouts fire against the previous
+      // batch's watermark) seals day 0: final snapshot, state removed
+      mem.addData((ts(2 * day + 2000), "gamma"))
+      q.processAllAvailable()
+      val sealedRows = rows().filter(_._4)
+      assert(sealedRows.toSet == Set((0L, "alpha", 3L, true), (0L, "beta", 1L, true)),
+        s"day-0 must seal with its exact final counts, got ${sealedRows.toSeq}")
+
+      // what the reset drops: a day-0 straggler behind the watermark is
+      // discarded by the engine — it neither reopens the sealed window
+      // nor starts fresh state, so the snapshot stays uncontradicted
+      val day0Before = rows().count(_._1 == 0L)
+      mem.addData((ts(5000), "alpha"))
+      q.processAllAvailable()
+      val after = rows()
+      assert(after.count(_._1 == 0L) == day0Before,
+        "no new day-0 rows may appear after its window sealed")
+      assert(!after.exists(r => r._1 == 0L && r._2 == "alpha" && r._3 > 3L),
+        "sealed day-0 counts must never grow")
+      assert(after.filter(_._4).toSet == sealedRows.toSet, "exactly one seal per window")
+    } finally q.stop()
+  }
+
   test("a hot token floods only its own shard's state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
