@@ -59,7 +59,12 @@ object Bench {
     def line(entries: Iterable[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)}$failJson,"queries":$qs,"sf":"$sfDir"}"""
+      // normalized = total / calibration: host-speed-free trend number.
+      // Two rounds whose RAW totals differ but whose normalized values
+      // agree ran the same engine on different hosts/load (the r9 "90 s
+      // scare" adjudicates itself); a normalized shift is a code change.
+      val norm = if (calibration > 0) total / calibration else 0.0
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)},"normalized":${f(norm)}$failJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = line(results, total)

@@ -257,6 +257,9 @@ object Pq {
     */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, shortlist: Int, m: Int): DataFrame = {
+    require(!isResidualIndex(spark, path),
+      s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
+        "residual codes would rank garbage; use searchIndexResidual")
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
@@ -277,6 +280,122 @@ object Pq {
         transform(array_sort(collect_list(struct(col("j"), col("part")))),
           s => s.getField("part")),
         lit(0.0), (a, x) => a + x).as("approx"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val short = cand.withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val wR = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .join(cells.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // ------------------------------------- residual-encoded IVF-PQ (IVFADC)
+
+  /** Residuals of `base` against its assigned IVF cells: r = x − c(cell),
+    * as (vec_id, cell, embedding = r, n2 = ‖r‖²). The centroid absorbs
+    * the cell's shared direction, so residual norms are a fraction of
+    * raw norms and the SAME m×ks code budget quantizes a much tighter
+    * cloud — the IVFADC refinement of Jégou et al. (PAMI'11, "Product
+    * quantization for nearest neighbor search"): recall at a given
+    * shortlist rises, or equivalently the shortlist (and the exact
+    * re-rank's raw-vector reads) can shrink at held recall. One
+    * broadcast join + per-row lambda math; no extra shuffle over
+    * [[Ivf.assign]].
+    */
+  def residuals(base: DataFrame, cents: DataFrame): DataFrame =
+    Ivf.assign(base, cents)
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_emb"))),
+        "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => (x - c).cast(FloatType)).as("embedding"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
+
+  private def residualMarker(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_pq_residual")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) ->
+      new org.apache.hadoop.fs.Path(s"$path/_pq_residual")
+
+  /** [[writeIndex]] with RESIDUAL encoding: codebooks are trained on and
+    * codes quantize x − c(cell), not x. Layout is identical (cells carry
+    * raw embeddings for the re-rank; codes are the only ADC input) plus
+    * a `_pq_residual` marker so the two search entry points cannot be
+    * crossed: ADC against residual codes needs the q·c(cell) term
+    * ([[searchIndexResidual]]), and plain ADC math over residual codes
+    * would silently rank garbage.
+    */
+  def writeIndexResidual(base: DataFrame, cents: DataFrame, path: String,
+      m: Int, ks: Int, iters: Int): Unit = {
+    val res = residuals(base, cents).localCheckpoint(true)
+    val books = train(res, m, ks, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/books")
+    base.join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .join(encode(res, books, m), "vec_id")
+      .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=init")
+    val (fs, marker) = residualMarker(base.sparkSession, path)
+    fs.create(marker, true).close()
+  }
+
+  private[operators] def isResidualIndex(spark: SparkSession,
+      path: String): Boolean = {
+    val (fs, marker) = residualMarker(spark, path)
+    fs.exists(marker)
+  }
+
+  /** [[searchIndex]] over a RESIDUAL index ([[writeIndexResidual]]):
+    * q·x ≈ q·c(cell) + Σⱼ q_j · book_j[code_j]. The per-(query, probed
+    * cell) q·c term is one broadcast join against the centroid table the
+    * probe step already holds; the residual-part LUT is the unchanged
+    * |Q|·m·ks broadcast. Everything else — partition-pruned codes-only
+    * ADC scan, order-fixed part fold, exact re-rank of the shortlist —
+    * is [[searchIndex]]'s shape.
+    */
+  def searchIndexResidual(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+      m: Int): DataFrame = {
+    require(isResidualIndex(spark, path),
+      s"$path is not a residual-encoded index — use searchIndex, or " +
+        "rebuild with writeIndexResidual")
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/books")
+    val cells = spark.read.parquet(s"$path/cells")
+    val cellType = cells.schema("cell").dataType
+    val probes = Ivf.probesOf(queries, cents, nprobe)
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_emb"))),
+        "cell")
+      .withColumn("qc", dot(col("q_emb"), col("c_emb")))
+      .withColumn("cell", col("cell").cast(cellType))
+      .select(col("cell"), col("q_id"), col("qc"))
+    val cand = probes
+      .join(cells.select(col("cell"), col("vec_id"), col("codes")), "cell")
+      .select(col("q_id"), col("qc"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(lutOf(queries, books, m)), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // a vector lives in exactly one cell, so qc is constant per group
+      .agg(max(col("qc")).as("qc"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("j"), col("part")))),
+            s => s.getField("part")),
+          lit(0.0), (a, x) => a + x).as("approx_res"))
+      .withColumn("approx", col("qc") + col("approx_res"))
       .filter(col("vec_id") =!= col("q_id"))
     val wS = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("vec_id").asc)

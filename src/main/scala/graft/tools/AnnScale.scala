@@ -14,12 +14,18 @@ import graft.queries.{Tables, VectorOps}
   * top-5 truth for 20 query vectors. Prints one JSON line per
   * (method, setting) plus a summary line for BASELINE.md.
   *
-  * Usage: scripts/run.sh graft.tools.AnnScale [sfDir] [factor]
+  * Usage: scripts/run.sh graft.tools.AnnScale [sfDir] [factor] [noise]
+  *
+  * `noise` (default 0.05) sets the near-duplicate jitter: 0.05 is the
+  * easy regime (recall saturates at the probe ceiling for every coding),
+  * 0.3 the hard regime where quantization error is the bottleneck and
+  * residual (IVFADC) coding separates from plain PQ.
   */
 object AnnScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    val noise = if (args.length > 2) args(2).toDouble else 0.05
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +35,7 @@ object AnnScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val emb = Tables.t(spark, sfDir, "embeddings")
-    val corpus = VectorOps.expandEmbeddings(emb, factor, noise = 0.05)
+    val corpus = VectorOps.expandEmbeddings(emb, factor, noise = noise)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
     val n = corpus.count()
@@ -85,14 +91,27 @@ object AnnScale {
     val ti0 = System.nanoTime()
     Pq.writeIndex(base, cents, books, idxDir, m = 8)
     val tIdx = (System.nanoTime() - ti0) / 1e9
+    // residual-encoded twin (IVFADC): same centroids, codebooks trained
+    // on x − c(cell). Tight-shortlist rows for BOTH codings expose where
+    // residual pays (hard regime) and where both saturate (easy regime).
+    val resDir = java.nio.file.Files.createTempDirectory("annscale_res").toString
+    val tr0 = System.nanoTime()
+    Pq.writeIndexResidual(base, cents, resDir, m = 8, ks = 16, iters = 2)
+    val tRes = (System.nanoTime() - tr0) / 1e9
     val idxRuns = Seq(
       ("ivfpq_np4_s50", () => Pq.searchIndex(spark, idxDir, queries, k = 5,
         nprobe = 4, shortlist = 50, m = 8)),
       ("ivfpq_np8_s200", () => Pq.searchIndex(spark, idxDir, queries, k = 5,
-        nprobe = 8, shortlist = 200, m = 8)))
+        nprobe = 8, shortlist = 200, m = 8)),
+      ("ivfpq_np8_s10", () => Pq.searchIndex(spark, idxDir, queries, k = 5,
+        nprobe = 8, shortlist = 10, m = 8)),
+      ("ivfpqres_np8_s10", () => Pq.searchIndexResidual(spark, resDir,
+        queries, k = 5, nprobe = 8, shortlist = 10, m = 8)),
+      ("ivfpqres_np8_s200", () => Pq.searchIndexResidual(spark, resDir,
+        queries, k = 5, nprobe = 8, shortlist = 200, m = 8)))
 
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"corpus":$n,"queries":$nq,"brute_s":${f(tBrute)},"ivf_train_s":${f(tCents)},"pq_train_s":${f(tBooks)},"ivfpq_index_s":${f(tIdx)}}""")
+    println(s"""{"corpus":$n,"queries":$nq,"noise":$noise,"brute_s":${f(tBrute)},"ivf_train_s":${f(tCents)},"pq_train_s":${f(tBooks)},"ivfpq_index_s":${f(tIdx)},"ivfpqres_index_s":${f(tRes)}}""")
     (runs ++ idxRuns).foreach { case (name, run) =>
       val (got, secs) = timed(name)(run())
       println(s"""{"method":"$name","recall_at_5":${f(recall(got))},"search_s":${f(secs)}}""")
