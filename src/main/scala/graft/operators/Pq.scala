@@ -230,8 +230,15 @@ object Pq {
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
+    // a residual index ([[writeIndexResidual]]) quantizes x − c(cell):
+    // the increment must encode residuals too, or its codes would be
+    // raw vectors scored against residual codebooks — silent corruption
+    // the _pq_residual marker exists to prevent
+    val enc =
+      if (isResidualIndex(spark, path)) encode(residuals(vecs, cents), books, m)
+      else encode(vecs, books, m)
     Ivf.assign(vecs, cents)
-      .join(encode(vecs, books, m), "vec_id")
+      .join(enc, "vec_id")
       .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")

@@ -234,6 +234,39 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       s"residual ($rRes) must beat plain ($rPlain) where codes are the bottleneck")
   }
 
+  test("residual index growth: appended increments encode residuals; compaction keeps the marker") {
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val cents = Ivf.train(init, 16, iters = 2).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("pq_res_grow").toString
+    Pq.writeIndexResidual(init, cents, dir, M, Ks, iters = 0)
+    Pq.appendIndex(spark, extra, dir, "g1", M)
+    // grown == full residual rebuild over the SAME centroids: seed books
+    // come from the 16 lowest-id residuals (all inside init) and encode
+    // depends only on (vector, cents, books) — so if appendIndex encoded
+    // raw vectors against the residual books, this equality would break
+    val full = java.nio.file.Files.createTempDirectory("pq_res_full").toString
+    Pq.writeIndexResidual(base, cents, full, M, Ks, iters = 0)
+    val queries = base.filter(col("vec_id") < 5)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val want = canon(Pq.searchIndexResidual(spark, full, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M))
+    assert(want.size == 25)
+    assert(canon(Pq.searchIndexResidual(spark, dir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M)) == want)
+    // compaction folds batch= increments under cells/ and must leave the
+    // root-level residual marker (and therefore search semantics) intact
+    Pq.compactIndex(spark, dir)
+    assert(canon(Pq.searchIndexResidual(spark, dir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M)) == want)
+    intercept[IllegalArgumentException] {
+      Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M)
+    }
+  }
+
   test("refined codebooks keep the search well-formed and recall intact") {
     val trained = Pq.train(base, M, Ks, iters = 1)
     // refinement may drop empty codes but never exceeds ks per subspace
