@@ -100,6 +100,52 @@ class StreamingTopkSpec extends AnyFunSuite with SparkSessionFixture {
     } finally q.stop()
   }
 
+  test("closed snapshots merge to the batch daily rollup (stream/batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // two days of typed events, deliberately skewed differently per day
+    val day0 = Seq.fill(3)("alpha") ++ Seq.fill(2)("beta") ++ Seq("gamma")
+    val day1 = Seq.fill(1)("alpha") ++ Seq.fill(4)("beta") ++ Seq.fill(2)("delta")
+    val rows0 = day0.zipWithIndex.map { case (t, i) => (ts(1000L + i), t) }
+    val rows1 = day1.zipWithIndex.map { case (t, i) => (ts(day + 1000L + i), t) }
+
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = TopkStream.heavyHittersWindowed(mem.toDF().toDF("ts", "tok"),
+        windowMs = day, delayMs = 3600000L, m = 64, shards = 4)
+      .writeStream.format("memory").queryName("t_topk_par")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows0: _*); q.processAllAvailable()
+      mem.addData(rows1: _*); q.processAllAvailable()
+      // flush rows in a far window: first advances the watermark past
+      // both days, second fires their timeouts (seals)
+      mem.addData((ts(10 * day), "flush")); q.processAllAvailable()
+      mem.addData((ts(10 * day + 1), "flush")); q.processAllAvailable()
+
+      // consumer contract: per sealed window, union the shard snapshots
+      // (disjoint vocab slices); merge windows in order via TopKFreq.merge
+      val mg = new graft.functions.TopKFreq(64)
+      val closed = spark.table("t_topk_par").collect()
+        .filter(r => r.getBoolean(4) && r.getLong(0) < 10 * day)
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(closed.map(_._1).toSet == Set(0L, day), "both days sealed")
+      val perWindow = closed.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, xs) => xs.map(x => x._2 -> x._3).toMap }
+      val merged = perWindow.foldLeft(Map.empty[String, Long])(mg.merge)
+      val streamTop = merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+
+      // the batch twin over the same rows must agree exactly (exact
+      // regime): sealed snapshots ARE topkMergeDailyOn's day artifacts
+      val batchTop = graft.queries.EventOps.topkMergeDailyOn(
+          (rows0 ++ rows1).toDF("ts", "event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamTop == batchTop,
+        s"stream $streamTop vs batch $batchTop")
+    } finally q.stop()
+  }
+
   test("a hot token floods only its own shard's state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
