@@ -2003,11 +2003,68 @@ object TextOps {
        |WHERE ${detHashSql("doc_id")} % 10 >= 5
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- composed curation (segments)
+
+  /** The COMPOSED pipeline as a contract query: [[curateOn]] with the
+    * r11 `segmentDedupWidth` stage on — corpus-wide width-8 segment
+    * dedup rewrites every doc first, fully-boilerplate docs drop as
+    * `segment_dup`, and the full document-level pipeline (gate, exact
+    * dedup, decontamination, keep-best) runs over the REWRITTEN text.
+    * The oracle rebuilds the rewritten corpus as a CTE and re-runs the
+    * ENTIRE [[curateReasonsSql]] chain against it (the fragment's
+    * `documents` references are re-pointed at the rewritten CTE), so
+    * every downstream stage is oracled against the text it actually saw
+    * — not just the stage composition.
+    */
+  def curateSegments(spark: SparkSession, dir: String): DataFrame =
+    curateOn(Tables.t(spark, dir, "documents"),
+      CurateConfig(segmentDedupWidth = Some(8)))
+
+  /** The rewritten corpus (`rwdocs`) as oracle CTEs: [[dedupSegmentsSql]]'s
+    * chain, names prefixed seg- to stay clear of the curate fragment's.
+    */
+  private val rwDocsCteSql: String =
+    """segtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) AS idx, s.seg FROM (
+      |    SELECT doc_id,
+      |      unnest([{'i': i - 1,
+      |               'seg': array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ')}
+      |              for i in range(1, CAST(ceil(len(t)/8.0) AS BIGINT) + 1)]) AS s
+      |    FROM segtoks)),
+      |segkept AS (
+      |  SELECT doc_id, idx, seg FROM (
+      |    SELECT doc_id, idx, seg,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      |    FROM segs) WHERE rn = 1),
+      |segagg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(seg, ' ' ORDER BY idx) AS clean_text
+      |  FROM segkept GROUP BY doc_id),
+      |segtot AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id),
+      |rwdocs AS (
+      |  SELECT t.doc_id, a.clean_text AS text,
+      |         CAST(length(a.clean_text) AS BIGINT) AS n_chars
+      |  FROM segtot t JOIN segagg a ON t.doc_id = a.doc_id
+      |  WHERE a.n_kept > 0)""".stripMargin
+
+  val curateSegmentsSql: String =
+    s"""WITH RECURSIVE $rwDocsCteSql,
+       |${curateReasonsSql.replace("documents", "rwdocs")
+           .stripPrefix("WITH RECURSIVE ")}
+       |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason FROM reasons
+       |UNION ALL
+       |SELECT t.doc_id, false AS kept, 'segment_dup' AS drop_reason
+       |FROM segtot t LEFT JOIN segagg a ON t.doc_id = a.doc_id
+       |WHERE coalesce(a.n_kept, 0) = 0
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     ContractQuery("q_curate", curate, Some(curateSql)),
     ContractQuery("q_curate_delta", curateDelta, Some(curateDeltaSql)),
+    ContractQuery("q_curate_segments", curateSegments, Some(curateSegmentsSql)),
     ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
     ContractQuery("q_domain_resample", domainResample, Some(domainResampleSql)),
