@@ -1780,8 +1780,15 @@ object TextOps {
         // pipeline over the rewritten text. A doc emptied by the rewrite
         // (pure boilerplate — every segment seen earlier) is verdicted
         // segment_dup; everything else flows through the unchanged
-        // stages, now measuring the unique content.
-        val rw = rewriteSegmentsAt(docs, w)
+        // stages, now measuring the unique content. MATERIALIZED once:
+        // the doc-level pipeline references its corpus ≥5 times (gate,
+        // exact dedup, decontamination, clusters, verdict join) — cheap
+        // re-scans when the corpus is a parquet table, but here each
+        // reference would replay the two-shuffle rewrite. Neutral at
+        // fixture scale (the rewrite is ~0.2 s; the Jaccard pair build
+        // dominates this query), load-bearing at corpus scale where
+        // 5× re-deriving the rewritten corpus is 5 extra full passes.
+        val rw = rewriteSegmentsAt(docs, w).localCheckpoint(true)
         val segDropped = rw.filter(col("text") === "")
           .select(col("doc_id"), lit(false).as("kept"),
             lit("segment_dup").as("drop_reason"))
