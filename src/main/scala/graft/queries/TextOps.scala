@@ -1144,9 +1144,19 @@ object TextOps {
     * shape as the underlying dedup plus one join back on doc_id.
     */
   def rewriteSegmentsAt(docs: DataFrame, width: Int): DataFrame =
+    rewriteSegmentsCounted(docs, width).drop("n_kept")
+
+  /** [[rewriteSegmentsAt]] plus the surviving-segment count — `n_kept = 0`
+    * is the "emptied by the rewrite" criterion ([[curateOn]]'s
+    * segment_dup). NOT `text == ""`: an empty-text doc carries one empty
+    * segment, and its first occurrence legitimately survives with
+    * `n_kept = 1` while still reassembling to "" — that doc was empty on
+    * arrival, not emptied by dedup, and belongs to the quality gate.
+    */
+  private def rewriteSegmentsCounted(docs: DataFrame, width: Int): DataFrame =
     docs.drop("text", "n_chars")
       .join(dedupSegmentsAt(docs, width)
-          .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text"), col("n_kept")), Seq("doc_id"))
       .withColumn("text", col("clean_text"))
       .withColumn("n_chars", length(col("clean_text")).cast(LongType))
       .drop("clean_text")
@@ -1788,11 +1798,11 @@ object TextOps {
         // fixture scale (the rewrite is ~0.2 s; the Jaccard pair build
         // dominates this query), load-bearing at corpus scale where
         // 5× re-deriving the rewritten corpus is 5 extra full passes.
-        val rw = rewriteSegmentsAt(docs, w).localCheckpoint(true)
-        val segDropped = rw.filter(col("text") === "")
+        val rw = rewriteSegmentsCounted(docs, w).localCheckpoint(true)
+        val segDropped = rw.filter(col("n_kept") === 0L)
           .select(col("doc_id"), lit(false).as("kept"),
             lit("segment_dup").as("drop_reason"))
-        curateReasonsDocLevel(rw.filter(col("text") =!= ""),
+        curateReasonsDocLevel(rw.filter(col("n_kept") > 0L).drop("n_kept"),
             cfg.copy(segmentDedupWidth = None), labels)
           .unionByName(segDropped)
     }

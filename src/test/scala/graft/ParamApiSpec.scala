@@ -167,14 +167,19 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       verdicts(TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(8))))
     assert(composed.size == 500, "every doc verdicted exactly once")
 
-    // staged equivalent through the standalone public surfaces: rewrite
-    // the corpus with segment dedup, doc-level-curate the non-empty
-    // remainder, verdict the emptied docs segment_dup
-    val rw = TextOps.rewriteSegmentsAt(docs, 8)
-    val emptied = rw.filter(col("text") === "")
+    // staged equivalent through the standalone public surfaces: rebuild
+    // the rewritten corpus from dedupSegmentsAt, doc-level-curate the
+    // docs with surviving segments, verdict the emptied (n_kept = 0 —
+    // the "emptied BY DEDUP" criterion, not text emptiness) segment_dup
+    val seg = TextOps.dedupSegmentsAt(docs, 8)
+    val emptied = seg.filter(col("n_kept") === 0L)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rwdocs = docs.drop("text", "n_chars")
+      .join(seg.filter(col("n_kept") > 0L)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          length(col("clean_text")).cast("long").as("n_chars")), Seq("doc_id"))
     val staged =
-      verdicts(TextOps.curateOn(rw.filter(col("text") =!= ""), CurateConfig())) ++
+      verdicts(TextOps.curateOn(rwdocs, CurateConfig())) ++
         emptied.map(_ -> ((false, Option("segment_dup"))))
     assert(composed == staged)
 
@@ -198,12 +203,28 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
         tk.count(_.length <= 2) * 20L <= nW &&
         tk.distinct.length * 2L >= nW
     }
-    val rwText = rw.select(col("doc_id"), col("text")).collect()
+    val rwText = rwdocs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val survivors = composed.collect { case (id, (true, _)) => id }
     assert(survivors.nonEmpty)
     survivors.foreach(id => assert(gopherPass(rwText(id)),
       s"survivor $id fails the gate on its rewritten text"))
+  }
+
+  test("curateOn segmentDedupWidth: empty-on-arrival docs are quality drops, not segment_dup") {
+    import spark.implicits._
+    // two empty docs + clean unique docs: the FIRST empty doc's lone ""
+    // segment survives dedup (n_kept = 1, still reassembles to "") —
+    // it was empty on arrival, so it belongs to the quality gate; the
+    // SECOND empty doc's "" segment IS a dup of the first's → segment_dup
+    val rows = Seq(doc(1L, "alpha", 40), doc(2L, "bravo", 40),
+      (90L, "", 0L), (91L, "", 0L))
+    val docs = rows.toDF("doc_id", "text", "n_chars")
+    val got = TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(8)))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(90L) == Some("quality"), s"first empty doc: ${got(90L)}")
+    assert(got(91L) == Some("segment_dup"), s"second empty doc: ${got(91L)}")
+    assert(got(1L).isEmpty && got(2L).isEmpty, "clean docs survive")
   }
 
   test("curateOn: tightening the quality gate never keeps more documents") {
