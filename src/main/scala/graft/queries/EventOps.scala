@@ -471,6 +471,54 @@ object EventOps {
       |FROM events GROUP BY event_type
       |ORDER BY est DESC, event_type LIMIT 10""".stripMargin
 
+  /** Persist per-day MG summaries under `path/day=<day>` — the durable
+    * form of the rollup's design: a pipeline stores ONE ≤ m-entry
+    * summary per day as it lands (each day's dir written independently,
+    * so backfilling or re-running a day overwrites only that day — the
+    * `batch=` replay discipline, keyed by day), and every later "top
+    * items over [range]" answer reads summaries, never raw events.
+    */
+  def writeDailySummaries(events: DataFrame, path: String,
+      m: Int = 64): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    dailySummaries(events, new graft.functions.TopKFreq(m))
+      .flatMap { case (day, summary) =>
+        summary.toSeq.map { case (tok, est) => (day, tok, est) }
+      }
+      .toDF("day", "tok", "est")
+      .repartition(col("day"))
+      // dynamic overwrite: only the days present in THIS batch are
+      // replaced — a backfill rewrites its own day dirs and leaves the
+      // rest of the history untouched (replay-idempotent per day)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+  }
+
+  /** Global top-k from PERSISTED day summaries ([[writeDailySummaries]]):
+    * reads ≤ days × m rows, folds each day's rows back into its summary
+    * map and merges in day order ([[graft.functions.TopKFreq.merge]]) —
+    * the raw event stream is never rescanned, which is the entire point
+    * of storing mergeable sketches at 100 TB. Exact whenever each day's
+    * vocabulary fit its budget (then summaries ARE the counts and the
+    * merge is a pointwise sum); lossy regime carries the PODS'12 bound.
+    */
+  def topkFromSummaries(spark: SparkSession, path: String,
+      k: Int = 10, m: Int = 64): DataFrame = {
+    import spark.implicits._
+    val mg = new graft.functions.TopKFreq(m)
+    val days = spark.read
+      .schema("tok STRING, est BIGINT, day STRING").parquet(path)
+      .select(col("day"), col("tok"), col("est"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => r._2 -> r._3).toMap }
+    val merged = days.foldLeft(Map.empty[String, Long])(mg.merge)
+    merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+      .toDF("event_type", "est")
+      .orderBy(col("est").desc, col("event_type"))
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_topk_merge", topkMergeDaily, Some(topkMergeDailySql)),
     ContractQuery("q_stream_tumbling", streamTumbling, Some(streamTumblingSql)),

@@ -59,4 +59,32 @@ class SketchSpec extends AnyFunSuite with SparkSessionFixture {
       assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
     }
   }
+
+  test("persisted day summaries: merge == in-session rollup; backfill rewrites only its day") {
+    import graft.queries.{EventOps, Tables}
+    val events = Tables.t(spark, Sf0001, "events")
+    val path = java.nio.file.Files.createTempDirectory("topk_days").toString
+    EventOps.writeDailySummaries(events, path)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = top(EventOps.topkMergeDaily(spark, Sf0001))
+    assert(top(EventOps.topkFromSummaries(spark, path)) == want,
+      "summary merge must equal the in-session rollup (exact regime)")
+    // layout: one dir per day, summaries driver-sized
+    val dayDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("day="))
+    assert(dayDirs.length > 1, s"fixture spans multiple days: ${dayDirs.toSeq}")
+    // dynamic-overwrite backfill: re-writing ONE day touches only its dir
+    val d0 = dayDirs.map(_.stripPrefix("day=")).min
+    val others = dayDirs.filter(_ != s"day=$d0")
+      .map(n => n -> new java.io.File(path, n).lastModified()).toMap
+    EventOps.writeDailySummaries(
+      events.filter(to_date(col("ts")).cast("string") === d0), path)
+    others.foreach { case (n, ts0) =>
+      assert(new java.io.File(path, n).lastModified() == ts0,
+        s"backfill of day=$d0 must not rewrite $n")
+    }
+    assert(top(EventOps.topkFromSummaries(spark, path)) == want,
+      "history unchanged by an identical single-day backfill")
+  }
 }
