@@ -17,6 +17,12 @@ import graft.queries.{CurateConfig, TextOps}
   *                   resumes read the persisted labels instead of
   *                   re-shingling the corpus ([[TextOps.writeCurateState]]).
   *   [--jaccard T]   near-dup cluster threshold (default 0.5)
+  *   [--segment-width N] run corpus-wide segment (paragraph) dedup as the
+  *                   leading stage (width-N token segments; later stages
+  *                   see the rewritten text, fully-boilerplate docs drop
+  *                   as segment_dup). Incompatible with --state: durable
+  *                   state stores raw-text labels, the stage needs
+  *                   rewritten-text labels.
   *   [--normalize-hash] exact-dup stage hashes normalized text (case/
   *                   punctuation/spacing variants collapse to one keeper)
   *   [--no-resume]   ignore existing output, rewrite every verdict
@@ -32,13 +38,15 @@ object CurateCli {
       out: String = "",
       state: Option[String] = None,
       jaccard: Double = 0.5,
+      segmentWidth: Option[Int] = None,
       normalizeHash: Boolean = false,
       resume: Boolean = true,
       numCpus: Option[Int] = None)
 
   val usage: String =
     """usage: graft.Main curate <documents.parquet> <outDir>
-      |  [--state DIR] [--jaccard T] [--normalize-hash] [--no-resume] [--num-cpus N]""".stripMargin
+      |  [--state DIR] [--jaccard T] [--segment-width N] [--normalize-hash]
+      |  [--no-resume] [--num-cpus N]""".stripMargin
 
   /** Pure argument parser — IllegalArgumentException on malformed input
     * (same contract as [[Main.parse]]; CliCurateSpec tests it directly).
@@ -63,6 +71,12 @@ object CurateCli {
           if (t <= 0.0 || t > 1.0)
             throw new IllegalArgumentException(s"--jaccard must be in (0, 1], got $v")
           cfg = cfg.copy(jaccard = t)
+        case "--segment-width" =>
+          val v = take("--segment-width")
+          val w = try { val w = v.toInt; require(w > 0); w }
+            catch { case _: Exception =>
+              throw new IllegalArgumentException(s"--segment-width needs a positive integer, got '$v'") }
+          cfg = cfg.copy(segmentWidth = Some(w))
         case "--normalize-hash" => cfg = cfg.copy(normalizeHash = true)
         case "--no-resume" => cfg = cfg.copy(resume = false)
         case "--num-cpus" =>
@@ -79,6 +93,10 @@ object CurateCli {
     if (pos.size != 2)
       throw new IllegalArgumentException(
         s"expected exactly <documents.parquet> <outDir>, got ${pos.size} positional args")
+    if (cfg.segmentWidth.isDefined && cfg.state.isDefined)
+      throw new IllegalArgumentException(
+        "--segment-width cannot be combined with --state: durable state " +
+          "stores raw-text labels, the segment stage curates rewritten text")
     cfg.copy(in = pos(0), out = pos(1))
   }
 
@@ -89,7 +107,8 @@ object CurateCli {
   def run(spark: SparkSession, cfg: Config): Long = {
     val docs = spark.read.parquet(cfg.in)
     val curateCfg = CurateConfig(jaccardThreshold = cfg.jaccard,
-      normalizeForHash = cfg.normalizeHash)
+      normalizeForHash = cfg.normalizeHash,
+      segmentDedupWidth = cfg.segmentWidth)
 
     // durable state: build once, reuse afterwards — presence of labels/
     // marks a completed build (it is written after index/)

@@ -19,7 +19,10 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
     val cfg = CurateCli.parse(Seq("in.parquet", "out", "--state", "s",
       "--jaccard", "0.7", "--normalize-hash", "--no-resume", "--num-cpus", "4"))
     assert(cfg == CurateCli.Config("in.parquet", "out", Some("s"), 0.7,
-      normalizeHash = true, resume = false, Some(4)))
+      segmentWidth = None, normalizeHash = true, resume = false,
+      numCpus = Some(4)))
+    assert(CurateCli.parse(Seq("a", "b", "--segment-width", "6"))
+      .segmentWidth == Some(6))
     assert(!CurateCli.parse(Seq("a", "b")).normalizeHash,
       "normalized hashing must be opt-in")
   }
@@ -32,6 +35,8 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
         Seq("a", "b", "--jaccard", "1.5"),
         Seq("a", "b", "--num-cpus", "0"),
         Seq("a", "b", "--state"),
+        Seq("a", "b", "--segment-width", "0"),
+        Seq("a", "b", "--segment-width", "8", "--state", "s"),
         Seq("a", "b", "--frobnicate")))
       intercept[IllegalArgumentException](CurateCli.parse(bad))
   }
@@ -49,6 +54,22 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
       TextOps.curateOn(docs).filter(col("kept")).count())
     // complete output + resume on: nothing to do
     assert(CurateCli.run(spark, CurateCli.Config(in, out)) == 0L)
+  }
+
+  test("--segment-width runs the composed pipeline") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val in = tmp("cli_seg_in")
+    val out = s"${tmp("cli_seg_out")}/verdicts"
+    docs.write.mode("overwrite").parquet(in)
+    val cfg = CurateCli.parse(Seq(in, out, "--segment-width", "8"))
+    assert(CurateCli.run(spark, cfg) == docs.count())
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("drop_reason") === "segment_dup").count() > 0,
+      "the fixture's full copies must drop as segment_dup")
+    val want = TextOps.curateOn(docs,
+      graft.queries.CurateConfig(segmentDedupWidth = Some(8)))
+    assert(got.orderBy(col("doc_id")).collect().toSeq.map(_.toString) ==
+      want.collect().toSeq.map(_.toString))
   }
 
   test("resume: an interrupted run's rerun emits ONLY the missing verdicts") {
