@@ -169,15 +169,20 @@ object Pq {
     * (vec_id, embedding, n2); queries likewise. Output matches
     * [[Ivf.search]]: (q_id, vec_id, cos, rn) with rn ≤ k.
     */
-  def searchWithCodes(codes: DataFrame, raw: DataFrame, books: DataFrame,
-      queries: DataFrame, k: Int, shortlist: Int, m: Int): DataFrame = {
+  /** Exact-cosine re-rank of a (q_id, vec_id) shortlist against raw
+    * vectors — the tail every PQ search variant shares (one
+    * implementation, so a tie-break or rounding fix cannot drift
+    * between the in-memory, index and residual-index paths).
+    */
+  private def rerankShortlist(short: DataFrame, raw: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("n2").as("q_n2"))
     val cos = round(dot(col("q_emb"), col("embedding")) /
       (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    shortlistOf(codes, books, queries, m, shortlist)
+    short
       .join(raw.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
@@ -185,6 +190,11 @@ object Pq {
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
+
+  def searchWithCodes(codes: DataFrame, raw: DataFrame, books: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int, m: Int): DataFrame =
+    rerankShortlist(shortlistOf(codes, books, queries, m, shortlist),
+      raw, queries, k)
 
   /** Encode-and-search in one call (the in-memory form). */
   def search(base: DataFrame, books: DataFrame, queries: DataFrame,
@@ -206,6 +216,11 @@ object Pq {
     */
   def writeIndex(base: DataFrame, cents: DataFrame, books: DataFrame,
       path: String, m: Int): Unit = {
+    // a rebuild-in-place over a former residual index must clear the
+    // marker FIRST: were it left behind, searchIndex would refuse the
+    // new plain index and searchIndexResidual would accept it and add a
+    // spurious q·c term to plain-code ADC
+    clearResidualMarker(base.sparkSession, path)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/books")
     Ivf.assign(base, cents)
@@ -233,16 +248,25 @@ object Pq {
     // a residual index ([[writeIndexResidual]]) quantizes x − c(cell):
     // the increment must encode residuals too, or its codes would be
     // raw vectors scored against residual codebooks — silent corruption
-    // the _pq_residual marker exists to prevent
-    val enc =
-      if (isResidualIndex(spark, path)) encode(residuals(vecs, cents), books, m)
-      else encode(vecs, books, m)
-    Ivf.assign(vecs, cents)
-      .join(enc, "vec_id")
-      .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
-        col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells/batch=$tag")
+    // the _pq_residual marker exists to prevent. The residual frame is
+    // checkpointed so cell lookup and encode share ONE assign pass.
+    if (isResidualIndex(spark, path)) {
+      val res = residuals(vecs, cents).localCheckpoint(true)
+      vecs.select(col("vec_id"), col("embedding"), col("n2"))
+        .join(res.select(col("vec_id"), col("cell")), "vec_id")
+        .join(encode(res, books, m), "vec_id")
+        .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells/batch=$tag")
+    } else {
+      Ivf.assign(vecs, cents)
+        .join(encode(vecs, books, m), "vec_id")
+        .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells/batch=$tag")
+    }
   }
 
   /** Fold accumulated `batch=` increments into one fresh `batch=init`
@@ -293,19 +317,7 @@ object Pq {
     val short = cand.withColumn("srn", row_number().over(wS))
       .filter(col("srn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val cos = round(dot(col("q_emb"), col("embedding")) /
-      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
-    val wR = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    short
-      .join(cells.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
-      .join(broadcast(q), "q_id")
-      .select(col("q_id"), col("vec_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(wR))
-      .filter(col("rn") <= k)
-      .orderBy(col("q_id"), col("rn"))
+    rerankShortlist(short, cells, queries, k)
   }
 
   // ------------------------------------- residual-encoded IVF-PQ (IVFADC)
@@ -335,6 +347,11 @@ object Pq {
       .getFileSystem(spark.sparkContext.hadoopConfiguration) ->
       new org.apache.hadoop.fs.Path(s"$path/_pq_residual")
 
+  private def clearResidualMarker(spark: SparkSession, path: String): Unit = {
+    val (fs, marker) = residualMarker(spark, path)
+    fs.delete(marker, false)
+  }
+
   /** [[writeIndex]] with RESIDUAL encoding: codebooks are trained on and
     * codes quantize x − c(cell), not x. Layout is identical (cells carry
     * raw embeddings for the re-rank; codes are the only ADC input) plus
@@ -345,6 +362,13 @@ object Pq {
     */
   def writeIndexResidual(base: DataFrame, cents: DataFrame, path: String,
       m: Int, ks: Int, iters: Int): Unit = {
+    // marker BEFORE any data write: a crash mid-build then leaves an
+    // index that plain searchIndex REFUSES (fail closed) instead of one
+    // it would accept and silently mis-rank; searchIndexResidual on the
+    // partial build fails loudly on the missing parquet
+    val (fs, marker) = residualMarker(base.sparkSession, path)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
     val res = residuals(base, cents).localCheckpoint(true)
     val books = train(res, m, ks, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -355,8 +379,6 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
-    val (fs, marker) = residualMarker(base.sparkSession, path)
-    fs.create(marker, true).close()
   }
 
   private[operators] def isResidualIndex(spark: SparkSession,
@@ -409,18 +431,6 @@ object Pq {
     val short = cand.withColumn("srn", row_number().over(wS))
       .filter(col("srn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val cos = round(dot(col("q_emb"), col("embedding")) /
-      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
-    val wR = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    short
-      .join(cells.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
-      .join(broadcast(q), "q_id")
-      .select(col("q_id"), col("vec_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(wR))
-      .filter(col("rn") <= k)
-      .orderBy(col("q_id"), col("rn"))
+    rerankShortlist(short, cells, queries, k)
   }
 }

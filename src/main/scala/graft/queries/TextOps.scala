@@ -1152,14 +1152,26 @@ object TextOps {
     * segment, and its first occurrence legitimately survives with
     * `n_kept = 1` while still reassembling to "" — that doc was empty on
     * arrival, not emptied by dedup, and belongs to the quality gate.
+    * Null-text docs produce no segment rows at all; the LEFT join keeps
+    * them with their original (null) text and `n_kept = 1`, so the
+    * composed pipeline verdicts every input doc exactly once — the same
+    * contract the plain pipeline upholds.
     */
   private def rewriteSegmentsCounted(docs: DataFrame, width: Int): DataFrame =
-    docs.drop("text", "n_chars")
+    docs
+      .withColumnRenamed("text", "graft_orig_text")
+      .withColumnRenamed("n_chars", "graft_orig_n_chars")
       .join(dedupSegmentsAt(docs, width)
-          .select(col("doc_id"), col("clean_text"), col("n_kept")), Seq("doc_id"))
-      .withColumn("text", col("clean_text"))
-      .withColumn("n_chars", length(col("clean_text")).cast(LongType))
-      .drop("clean_text")
+          .select(col("doc_id"), col("clean_text"), col("n_kept")),
+        Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("n_kept").isNotNull, col("clean_text"))
+          .otherwise(col("graft_orig_text")))
+      .withColumn("n_chars",
+        when(col("n_kept").isNotNull, length(col("clean_text")).cast(LongType))
+          .otherwise(col("graft_orig_n_chars")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(1L)))
+      .drop("clean_text", "graft_orig_text", "graft_orig_n_chars")
 
   /** Incremental segment dedup against a PERSISTED seen-set — the
     * production posture of paragraph dedup: a continuously-ingesting
@@ -1234,6 +1246,12 @@ object TextOps {
     */
   def compactSegmentIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
+    // finish any crashed swap BEFORE reading tags: after a crash between
+    // delete and rename, both the live batch= dirs and the existing
+    // sidecar live only in the .compacting twin — listing the missing
+    // seen/ dir would fold an EMPTY tag list and erase every closed
+    // replay window the sidecar records
+    VectorOps.finishCrashedSwap(spark, s"$path/seen")
     val seenDir = new org.apache.hadoop.fs.Path(s"$path/seen")
     val fs = seenDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live =
@@ -1916,8 +1934,20 @@ object TextOps {
     * (CurateStateSpec) and measured per-round by the containment
     * differentials (Verify).
     */
+  /** The durable-state family stores RAW-text artifacts (shingle index,
+    * labels); the segment stage curates REWRITTEN text — mixing them
+    * would silently apply raw-text cluster labels to a different corpus.
+    * Rejected here at the shared layer (the CLI mirrors the message).
+    */
+  private def requireNoSegmentStage(cfg: CurateConfig, what: String): Unit =
+    require(cfg.segmentDedupWidth.isEmpty,
+      s"$what stores raw-text labels and cannot run the segment-dedup " +
+        "stage (it curates rewritten text) — run curateOn without state, " +
+        "or drop segmentDedupWidth")
+
   def writeCurateState(docs: DataFrame, path: String,
       cfg: CurateConfig = CurateConfig()): Unit = {
+    requireNoSegmentStage(cfg, "writeCurateState")
     val spark = docs.sparkSession
     VectorOps.writeNeardupIndex(docs, s"$path/index")
     stateLabels(spark, s"$path/index", cfg)
@@ -1934,6 +1964,7 @@ object TextOps {
     */
   def refreshCurateState(docs: DataFrame, path: String,
       cfg: CurateConfig = CurateConfig()): Unit = {
+    requireNoSegmentStage(cfg, "refreshCurateState")
     val spark = docs.sparkSession
     stateLabels(spark, s"$path/index", cfg)
       .write.mode("overwrite").parquet(s"$path/labels")
@@ -1955,9 +1986,11 @@ object TextOps {
     * verdict frame with zero shingle work in this pass.
     */
   def curateFromState(docs: DataFrame, path: String,
-      cfg: CurateConfig = CurateConfig()): DataFrame =
+      cfg: CurateConfig = CurateConfig()): DataFrame = {
+    requireNoSegmentStage(cfg, "curateFromState")
     curateOn(docs, cfg,
       Some(docs.sparkSession.read.parquet(s"$path/labels")))
+  }
 
   /** Resume an interrupted curation from persisted state: only verdicts
     * whose doc_id is NOT in `done` (e.g. the partial output already on
@@ -1966,9 +1999,11 @@ object TextOps {
     * state-backed run bit-for-bit.
     */
   def resumeCurateFromState(docs: DataFrame, path: String, done: DataFrame,
-      cfg: CurateConfig = CurateConfig()): DataFrame =
+      cfg: CurateConfig = CurateConfig()): DataFrame = {
+    requireNoSegmentStage(cfg, "resumeCurateFromState")
     curateDeltaOn(docs, done, cfg,
       Some(docs.sparkSession.read.parquet(s"$path/labels")))
+  }
 
   /** Everything through the `reasons` CTE — shared by [[curateSql]] and
     * [[curateDeltaSql]] so the pipeline semantics cannot drift between

@@ -76,7 +76,7 @@ object TopkStream {
     *  - while a window is open, each touched (window, shard) re-emits
     *    its current ≤ m counters per micro-batch (`closed = false`) —
     *    the live trending view;
-    *  - once the watermark passes window end + delay, the state FIRES
+    *  - once the watermark passes window end, the state FIRES
     *    ITS SNAPSHOT (`closed = true`, the window's final MG summary)
     *    and is REMOVED — the reset. Closed snapshots are immutable:
     *    exactly the per-window ≤ m-entry artifacts a rollup merges
@@ -128,9 +128,12 @@ object TopkStream {
             var buf = state.getOption.getOrElse(Map.empty[String, Long])
             rows.toSeq.sortBy(_.tok).foreach { r => buf = mg.reduce(buf, r.tok) }
             state.update(buf)
-            // seal when the watermark passes window end + delay (the
-            // engine admits no more rows for this window after that)
-            state.setTimeoutTimestamp(wsMs + windowMs + delayMs)
+            // seal when the watermark passes window END: the watermark
+            // already carries the delay (wm = max event time − delay),
+            // and every admissible row has ts < window end ≤ wm at that
+            // point — sealing later would only delay the snapshot by a
+            // second full delay for no correctness gain
+            state.setTimeoutTimestamp(wsMs + windowMs)
             buf.iterator.map { case (t, c) =>
               WindowedHeavyHitter(wsMs, shard, t, c, closed = false)
             }

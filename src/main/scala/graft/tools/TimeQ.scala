@@ -9,6 +9,10 @@ package graft.tools
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: TimeQ <q_name>[,<q_name>...]   (SFD env overrides sf dir)")
+      sys.exit(2)
+    }
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -17,10 +21,14 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     for (q <- args(0).split(",")) {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark,
-        sys.env.getOrElse("SFD", "/root/testdata/sf0.1")).count()
-      println(f"TIME $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      graft.SparkEntry.queries.get(q) match {
+        case None =>
+          System.err.println(s"unknown query '$q' — names are SparkEntry.queries keys")
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          fn(spark, sys.env.getOrElse("SFD", "/root/testdata/sf0.1")).count()
+          println(f"TIME $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -431,6 +431,21 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     // and a second compaction carries b2's closure forward alongside b3's
     TextOps.compactSegmentIndex(spark, path)
     assert(TextOps.compactedSegmentTags(spark, path) == Set("b2", "b3", "b1"))
+
+    // crashed-swap recovery must PRESERVE the closed-window record: after
+    // a crash between delete and rename only the finished .compacting
+    // twin exists (sidecar inside it) — a re-run of compaction has to
+    // finish the swap before reading tags, or it would fold an empty
+    // list and reopen every closed window
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$path/seen"), new Path(s"$path/seen.compacting")))
+    TextOps.compactSegmentIndex(spark, path)
+    assert(TextOps.compactedSegmentTags(spark, path) == Set("b1", "b2", "b3"),
+      "recovery erased the compacted-tag record")
+    intercept[IllegalArgumentException] {
+      TextOps.segmentDedupDelta(spark, path, batch2, width = 8, tag = "b2")
+    }
   }
 
   test("segment dedup delta: all-digit tags keep string partition semantics") {

@@ -265,6 +265,17 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
         shortlist = 50, m = M)
     }
+
+    // rebuilding IN PLACE as a plain index must clear the marker, so the
+    // entry points flip: plain search accepted, residual search refused
+    Pq.writeIndex(base, Ivf.seedCentroids(base, 16),
+      Pq.seedCodebooks(base, M, Ks), dir, M)
+    assert(Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = M).count() == 25)
+    intercept[IllegalArgumentException] {
+      Pq.searchIndexResidual(spark, dir, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M)
+    }
   }
 
   test("refined codebooks keep the search well-formed and recall intact") {
