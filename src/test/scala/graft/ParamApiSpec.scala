@@ -218,13 +218,19 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     // it was empty on arrival, so it belongs to the quality gate; the
     // SECOND empty doc's "" segment IS a dup of the first's → segment_dup
     val rows = Seq(doc(1L, "alpha", 40), doc(2L, "bravo", 40),
-      (90L, "", 0L), (91L, "", 0L))
+      (90L, "", 0L), (91L, "", 0L), (92L, null.asInstanceOf[String], 0L))
     val docs = rows.toDF("doc_id", "text", "n_chars")
     val got = TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(8)))
       .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got.size == rows.size, "every doc verdicted exactly once, nulls included")
     assert(got(90L) == Some("quality"), s"first empty doc: ${got(90L)}")
     assert(got(91L) == Some("segment_dup"), s"second empty doc: ${got(91L)}")
     assert(got(1L).isEmpty && got(2L).isEmpty, "clean docs survive")
+    // a null-text doc produces no segments at all — it must still get a
+    // verdict row, and the SAME verdict the plain pipeline gives it
+    val plain = TextOps.curateOn(docs)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(92L) == plain(92L), s"null doc: composed ${got(92L)} vs plain ${plain(92L)}")
   }
 
   test("curateOn: tightening the quality gate never keeps more documents") {
