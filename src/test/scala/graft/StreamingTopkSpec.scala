@@ -143,6 +143,21 @@ class StreamingTopkSpec extends AnyFunSuite with SparkSessionFixture {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(streamTop == batchTop,
         s"stream $streamTop vs batch $batchTop")
+
+      // ...and the snapshots persist straight into the day-summary
+      // layout: stream → storage → rollup with no raw-event rescan.
+      // (day strings via UTC epoch-days — the session TZ convention)
+      val path = java.nio.file.Files.createTempDirectory("topk_stream_days").toString
+      closed.toSeq
+        .map { case (ws, tok, est) =>
+          (java.time.LocalDate.ofEpochDay(ws / day).toString, tok, est)
+        }
+        .toDF("day", "tok", "est")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val fromDisk = graft.queries.EventOps.topkFromSummaries(spark, path)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(fromDisk == batchTop,
+        "persisted stream snapshots must answer the rollup exactly")
     } finally q.stop()
   }
 
