@@ -320,6 +320,55 @@ object Pq {
     rerankShortlist(short, cells, queries, k)
   }
 
+  // --------------------------- variance-balanced permutation (OPQ-lite)
+
+  /** Variance-balancing dimension permutation — the "natural baseline"
+    * of OPQ (Ge et al., CVPR'13): instead of a learned rotation, PERMUTE
+    * dimensions so each subspace carries a comparable share of the
+    * corpus variance. A permutation preserves dot products and norms
+    * exactly, so every downstream PQ path (train/encode/ADC/re-rank,
+    * plain or residual, in-memory or indexed) works unchanged on
+    * permuted vectors — the only effect is that no subspace is left
+    * quantizing all the high-energy dims with one ks-entry codebook
+    * while others quantize noise. Deterministic: per-dim variance via
+    * one aggregation, dims in variance-descending order (ties → lower
+    * dim), each assigned to the non-full subspace with the least
+    * accumulated variance (ties → lower subspace id). Returns `perm`
+    * where output slot i reads input dim perm(i) and subspace j owns
+    * slots [j·d, (j+1)·d).
+    *
+    * Worthless on isotropic corpora (the fixture embeddings — measured
+    * no-op) and exactly the fix when energy concentrates in a dim block
+    * (PqSpec plants one and pins the recall lift).
+    */
+  def balancedPermutation(base: DataFrame, m: Int): Array[Int] = {
+    val dims = base.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(avg(col("v")).as("mu"), avg(col("v") * col("v")).as("m2"))
+      .select(col("pos"), (col("m2") - col("mu") * col("mu")).as("varv"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy { case (pos, v) => (-v, pos) }
+    val dTotal = dims.length
+    require(dTotal % m == 0, s"dim $dTotal must divide into $m subspaces")
+    val cap = dTotal / m
+    val sums = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(List.empty[Int])
+    dims.foreach { case (pos, v) =>
+      val j = (0 until m).filter(slots(_).length < cap)
+        .minBy(j => (sums(j), j))
+      sums(j) += v
+      slots(j) = pos :: slots(j)
+    }
+    slots.flatMap(_.reverse)
+  }
+
+  /** Apply a [[balancedPermutation]] to an embedding column — a fixed
+    * array constructor over getItem, fully codegen'd (no interpreted
+    * lambda in the hot path).
+    */
+  def permuted(embCol: Column, perm: Array[Int]): Column =
+    array(perm.toSeq.map(p => embCol.getItem(p)): _*)
+
   // ------------------------------------- residual-encoded IVF-PQ (IVFADC)
 
   /** Residuals of `base` against its assigned IVF cells: r = x − c(cell),

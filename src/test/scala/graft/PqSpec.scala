@@ -278,6 +278,61 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("balanced permutation (OPQ-lite): spreads hot dims, preserves geometry, lifts skewed-corpus recall") {
+    // plant anisotropy: dims 0-7 carry 4x amplitude (16x variance) — the
+    // identity layout puts ALL of them in subspace 0, whose 16-entry
+    // codebook then swallows most of the corpus energy alone
+    def n2c = VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2")
+    val skew = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (v, i) => when(i < 8, v * 4.0f).otherwise(v))
+          .cast("array<float>").as("embedding"))
+      .select(col("vec_id"), col("embedding"), n2c).localCheckpoint(true)
+
+    val perm = Pq.balancedPermutation(skew, M)
+    // a true permutation...
+    assert(perm.sorted.toSeq == (0 until perm.length), s"not a permutation")
+    // ...that spreads the planted hot dims exactly one per subspace
+    val d = perm.length / M
+    (0 until M).foreach { j =>
+      val hot = perm.slice(j * d, (j + 1) * d).count(_ < 8)
+      assert(hot == 1, s"subspace $j holds $hot hot dims, want 1")
+    }
+    // geometry preserved: norms and pairwise dots unchanged (up to the
+    // float summation-order ulp — the same tolerance class as AQE plans)
+    val pskew = skew.select(col("vec_id"),
+      Pq.permuted(col("embedding"), perm).as("embedding"), col("n2"))
+      .localCheckpoint(true)
+    val raw = skew.filter(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val prm = pskew.filter(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (a <- raw.keys; b <- raw.keys) {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (u, v) => u.toDouble * v }.sum
+      val da = dot(raw(a), raw(b)); val db = dot(prm(a), prm(b))
+      assert(math.abs(da - db) <= 1e-6 * math.max(1.0, math.abs(da)),
+        s"dot($a,$b) drifted: $da vs $db")
+    }
+
+    // the payoff: same budget, same pipeline, materially better ADC
+    // ranking on the skewed corpus (measured 0.72 vs 0.38 at sl=10)
+    val queries = skew.filter(col("vec_id") < 20)
+    val pqueries = pskew.filter(col("vec_id") < 20)
+    val truth = topkPairs(VectorOps.knn(
+      skew.select(col("vec_id"), col("embedding")), queries, 5))
+    def recallOf(df: DataFrame) =
+      truth.count(topkPairs(df).contains).toDouble / truth.size
+    val rPlain = recallOf(Pq.search(skew, Pq.train(skew, M, Ks, 2),
+      queries, k = 5, shortlist = 10, m = M))
+    val rPerm = recallOf(Pq.search(pskew, Pq.train(pskew, M, Ks, 2),
+      pqueries, k = 5, shortlist = 10, m = M))
+    assert(rPerm >= 0.6, s"permuted recall floor: $rPerm")
+    assert(rPerm >= rPlain + 0.15,
+      s"permuted ($rPerm) must clearly beat identity ($rPlain) on skewed dims")
+  }
+
   test("refined codebooks keep the search well-formed and recall intact") {
     val trained = Pq.train(base, M, Ks, iters = 1)
     // refinement may drop empty codes but never exceeds ks per subspace
