@@ -140,29 +140,50 @@ object Pq {
       .select(col("q_id"), col("j"), col("c_id").as("code"),
         dot(col("sub"), col("c_emb")).as("part"))
 
-  /** ADC shortlist: top `shortlist` corpus vectors per query by
-    * approximate dot, scored from codes alone. `pairs` is the exploded
-    * (vec_id, j, code) ⋈ broadcast LUT equi-join on (j, code) — the
-    * probe side never touches raw embeddings. The per-pair sum folds the
-    * m parts sorted by j, so scores are order-deterministic.
+  /** ADC shortlist core — ONE implementation of the approximate-scoring
+    * half shared by every search path (the twin of [[rerankShortlist]]
+    * on the exact half, for the same no-drift reason): `coded` rows of
+    * (vec_id, j, code) — optionally already carrying q_id (probed index
+    * scans) and a per-(query, cell) additive term (the residual path's
+    * q·c) — equi-join the broadcast LUT on `lutKeys`, self-pairs drop,
+    * the m parts fold in subspace order (order-deterministic scores),
+    * and each query keeps its `shortlist` best. The probe side never
+    * touches raw embeddings.
     */
-  private def shortlistOf(codes: DataFrame, books: DataFrame,
-      queries: DataFrame, m: Int, shortlist: Int): DataFrame = {
-    val pairs = codes
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(lutOf(queries, books, m)), Seq("j", "code"))
+  private def adcShortlist(coded: DataFrame, lut: DataFrame,
+      lutKeys: Seq[String], shortlist: Int,
+      extraCol: Option[String] = None): DataFrame = {
+    val pairs = coded
+      .join(broadcast(lut), lutKeys)
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("part")))),
-          s => s.getField("part")),
-        lit(0.0), (a, x) => a + x).as("approx"))
+    val fold = aggregate(
+      transform(array_sort(collect_list(struct(col("j"), col("part")))),
+        s => s.getField("part")),
+      lit(0.0), (a, x) => a + x)
+    val scored = extraCol match {
+      case Some(c) =>
+        // the additive term is constant per (q_id, vec_id) — a vector
+        // lives in exactly one cell — so max() just carries it
+        pairs.groupBy(col("q_id"), col("vec_id"))
+          .agg(max(col(c)).as(c), fold.as("approx_res"))
+          .withColumn("approx", col(c) + col("approx_res"))
+      case None =>
+        pairs.groupBy(col("q_id"), col("vec_id"))
+          .agg(fold.as("approx"))
+    }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("vec_id").asc)
-    pairs.withColumn("srn", row_number().over(w))
+    scored.withColumn("srn", row_number().over(w))
       .filter(col("srn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
   }
+
+  /** Full-scan ADC shortlist over an in-memory code table. */
+  private def shortlistOf(codes: DataFrame, books: DataFrame,
+      queries: DataFrame, m: Int, shortlist: Int): DataFrame =
+    adcShortlist(
+      codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code"))),
+      lutOf(queries, books, m), Seq("j", "code"), shortlist)
 
   /** Exact-cosine re-rank of the ADC shortlist: only shortlist
     * candidates pay a raw-vector read. `raw` carries
@@ -216,11 +237,13 @@ object Pq {
     */
   def writeIndex(base: DataFrame, cents: DataFrame, books: DataFrame,
       path: String, m: Int): Unit = {
-    // a rebuild-in-place over a former residual index must clear the
-    // marker FIRST: were it left behind, searchIndex would refuse the
-    // new plain index and searchIndexResidual would accept it and add a
-    // spurious q·c term to plain-code ADC
-    clearResidualMarker(base.sparkSession, path)
+    val spark = base.sparkSession
+    beginBuild(spark, path)
+    // a rebuild-in-place over a former residual index clears the marker
+    // (else searchIndex would refuse the new plain index and
+    // searchIndexResidual would accept it with a spurious q·c term);
+    // the build sentinel covers the crash window this reordering opens
+    clearResidualMarker(spark, path)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/books")
     Ivf.assign(base, cents)
@@ -229,6 +252,7 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
+    endBuild(spark, path)
   }
 
   /** Grow a materialized IVF-PQ index: assign and encode `vecs`
@@ -241,6 +265,7 @@ object Pq {
   def appendIndex(spark: SparkSession, vecs: DataFrame, path: String,
       tag: String, m: Int): Unit = {
     graft.queries.VectorOps.requireTag(tag)
+    requireNotBuilding(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -250,23 +275,20 @@ object Pq {
     // raw vectors scored against residual codebooks — silent corruption
     // the _pq_residual marker exists to prevent. The residual frame is
     // checkpointed so cell lookup and encode share ONE assign pass.
-    if (isResidualIndex(spark, path)) {
-      val res = residuals(vecs, cents).localCheckpoint(true)
-      vecs.select(col("vec_id"), col("embedding"), col("n2"))
-        .join(res.select(col("vec_id"), col("cell")), "vec_id")
-        .join(encode(res, books, m), "vec_id")
-        .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
-          col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/cells/batch=$tag")
-    } else {
-      Ivf.assign(vecs, cents)
-        .join(encode(vecs, books, m), "vec_id")
-        .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
-          col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/cells/batch=$tag")
-    }
+    val rows =
+      if (isResidualIndex(spark, path)) {
+        val res = residuals(vecs, cents).localCheckpoint(true)
+        vecs.select(col("vec_id"), col("embedding"), col("n2"))
+          .join(res.select(col("vec_id"), col("cell")), "vec_id")
+          .join(encode(res, books, m), "vec_id")
+      } else {
+        Ivf.assign(vecs, cents).join(encode(vecs, books, m), "vec_id")
+      }
+    rows
+      .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=$tag")
   }
 
   /** Fold accumulated `batch=` increments into one fresh `batch=init`
@@ -288,6 +310,7 @@ object Pq {
     */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, shortlist: Int, m: Int): DataFrame = {
+    requireNotBuilding(spark, path)
     require(!isResidualIndex(spark, path),
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
         "residual codes would rank garbage; use searchIndexResidual")
@@ -301,22 +324,12 @@ object Pq {
       .select(col("cell"), col("q_id"))
     // ADC over probed cells only: the lut join key carries q_id, so a
     // vector appearing in two queries' probed cells scores once per query
-    val cand = probes
+    val coded = probes
       .join(cells.select(col("cell"), col("vec_id"), col("codes")), "cell")
       .select(col("q_id"), col("vec_id"),
         posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(lutOf(queries, books, m)), Seq("q_id", "j", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("part")))),
-          s => s.getField("part")),
-        lit(0.0), (a, x) => a + x).as("approx"))
-      .filter(col("vec_id") =!= col("q_id"))
-    val wS = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx").desc, col("vec_id").asc)
-    val short = cand.withColumn("srn", row_number().over(wS))
-      .filter(col("srn") <= shortlist)
-      .select(col("q_id"), col("vec_id"))
+    val short = adcShortlist(coded, lutOf(queries, books, m),
+      Seq("q_id", "j", "code"), shortlist)
     rerankShortlist(short, cells, queries, k)
   }
 
@@ -401,6 +414,44 @@ object Pq {
     fs.delete(marker, false)
   }
 
+  /** `_pq_building` sentinel: created before a writeIndex/
+    * writeIndexResidual touches ANY index component, removed only after
+    * the last write lands. Every read/append entry point refuses an
+    * index with the sentinel present, so a crash anywhere mid-build —
+    * including an in-place CONVERSION between plain and residual
+    * encodings, where partially-old partially-new components would
+    * otherwise read as a valid index of either kind — fails closed with
+    * a "rebuild" message instead of silently mis-ranking.
+    */
+  private def buildingSentinel(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_pq_building")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) ->
+      new org.apache.hadoop.fs.Path(s"$path/_pq_building")
+
+  private def beginBuild(spark: SparkSession, path: String): Unit = {
+    val (fs, sentinel) = buildingSentinel(spark, path)
+    fs.mkdirs(sentinel.getParent)
+    fs.create(sentinel, true).close()
+    // a rebuild replaces the WHOLE index: stale batch= increments under
+    // cells/ carry codes of the OLD codebooks — left in place they would
+    // ADC-score against the new books (and duplicate vec_ids in the
+    // re-rank), so the overwrite of batch=init alone is not enough
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells.compacting"), true)
+  }
+
+  private def endBuild(spark: SparkSession, path: String): Unit = {
+    val (fs, sentinel) = buildingSentinel(spark, path)
+    fs.delete(sentinel, false)
+  }
+
+  private def requireNotBuilding(spark: SparkSession, path: String): Unit = {
+    val (fs, sentinel) = buildingSentinel(spark, path)
+    require(!fs.exists(sentinel),
+      s"$path has an unfinished writeIndex/writeIndexResidual build " +
+        "(crashed mid-write) — re-run the index build before using it")
+  }
+
   /** [[writeIndex]] with RESIDUAL encoding: codebooks are trained on and
     * codes quantize x − c(cell), not x. Layout is identical (cells carry
     * raw embeddings for the re-rank; codes are the only ADC input) plus
@@ -411,12 +462,11 @@ object Pq {
     */
   def writeIndexResidual(base: DataFrame, cents: DataFrame, path: String,
       m: Int, ks: Int, iters: Int): Unit = {
-    // marker BEFORE any data write: a crash mid-build then leaves an
-    // index that plain searchIndex REFUSES (fail closed) instead of one
-    // it would accept and silently mis-rank; searchIndexResidual on the
-    // partial build fails loudly on the missing parquet
-    val (fs, marker) = residualMarker(base.sparkSession, path)
-    fs.mkdirs(marker.getParent)
+    val spark = base.sparkSession
+    beginBuild(spark, path)
+    // the marker lands with the sentinel up, so no reader can observe a
+    // marked-but-plain (or unmarked-but-residual) intermediate state
+    val (fs, marker) = residualMarker(spark, path)
     fs.create(marker, true).close()
     val res = residuals(base, cents).localCheckpoint(true)
     val books = train(res, m, ks, iters)
@@ -428,6 +478,7 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
+    endBuild(spark, path)
   }
 
   private[operators] def isResidualIndex(spark: SparkSession,
@@ -447,6 +498,7 @@ object Pq {
   def searchIndexResidual(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
       m: Int): DataFrame = {
+    requireNotBuilding(spark, path)
     require(isResidualIndex(spark, path),
       s"$path is not a residual-encoded index — use searchIndex, or " +
         "rebuild with writeIndexResidual")
@@ -461,25 +513,12 @@ object Pq {
       .withColumn("qc", dot(col("q_emb"), col("c_emb")))
       .withColumn("cell", col("cell").cast(cellType))
       .select(col("cell"), col("q_id"), col("qc"))
-    val cand = probes
+    val coded = probes
       .join(cells.select(col("cell"), col("vec_id"), col("codes")), "cell")
       .select(col("q_id"), col("qc"), col("vec_id"),
         posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(lutOf(queries, books, m)), Seq("q_id", "j", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      // a vector lives in exactly one cell, so qc is constant per group
-      .agg(max(col("qc")).as("qc"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("j"), col("part")))),
-            s => s.getField("part")),
-          lit(0.0), (a, x) => a + x).as("approx_res"))
-      .withColumn("approx", col("qc") + col("approx_res"))
-      .filter(col("vec_id") =!= col("q_id"))
-    val wS = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx").desc, col("vec_id").asc)
-    val short = cand.withColumn("srn", row_number().over(wS))
-      .filter(col("srn") <= shortlist)
-      .select(col("q_id"), col("vec_id"))
+    val short = adcShortlist(coded, lutOf(queries, books, m),
+      Seq("q_id", "j", "code"), shortlist, extraCol = Some("qc"))
     rerankShortlist(short, cells, queries, k)
   }
 }

@@ -1802,6 +1802,15 @@ object TextOps {
     cfg.segmentDedupWidth match {
       case None => curateReasonsDocLevel(docs, cfg, labels)
       case Some(w) =>
+        // caller-supplied labels are raw-text artifacts; the stage
+        // curates REWRITTEN text — the same mixing requireNoSegmentStage
+        // rejects for the durable-state family, guarded here on the main
+        // entry point too (labels must be rebuilt from the rewrite,
+        // which this branch does itself when labels are absent)
+        require(labels.isEmpty,
+          "precomputed cluster labels cannot be combined with " +
+            "segmentDedupWidth: labels describe the RAW corpus, the " +
+            "segment stage curates the rewritten one — omit labels")
         // segment dedup as the leading stage: rewrite the corpus once
         // (reusing dedupSegmentsAt's exact dataflow, so the composed and
         // standalone forms cannot drift), then run the document-level
@@ -2066,7 +2075,11 @@ object TextOps {
     * ENTIRE [[curateReasonsSql]] chain against it (the fragment's
     * `documents` references are re-pointed at the rewritten CTE), so
     * every downstream stage is oracled against the text it actually saw
-    * — not just the stage composition.
+    * — not just the stage composition. Docs producing no segment rows
+    * at all (null text) fall through with their original text on BOTH
+    * sides (engine: [[rewriteSegmentsCounted]]'s left join; oracle: the
+    * rwdocs UNION branch), so the every-doc-verdicted-once contract
+    * holds even off the fixture.
     */
   def curateSegments(spark: SparkSession, dir: String): DataFrame =
     curateOn(Tables.t(spark, dir, "documents"),
@@ -2098,7 +2111,10 @@ object TextOps {
       |  SELECT t.doc_id, a.clean_text AS text,
       |         CAST(length(a.clean_text) AS BIGINT) AS n_chars
       |  FROM segtot t JOIN segagg a ON t.doc_id = a.doc_id
-      |  WHERE a.n_kept > 0)""".stripMargin
+      |  WHERE a.n_kept > 0
+      |  UNION ALL
+      |  SELECT d.doc_id, d.text, d.n_chars FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM segtot))""".stripMargin
 
   val curateSegmentsSql: String =
     s"""WITH RECURSIVE $rwDocsCteSql,

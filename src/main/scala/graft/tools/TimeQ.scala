@@ -20,10 +20,12 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+    var failed = false
     for (q <- args(0).split(",")) {
       graft.SparkEntry.queries.get(q) match {
         case None =>
           System.err.println(s"unknown query '$q' — names are SparkEntry.queries keys")
+          failed = true
         case Some(fn) =>
           val t0 = System.nanoTime()
           fn(spark, sys.env.getOrElse("SFD", "/root/testdata/sf0.1")).count()
@@ -31,5 +33,6 @@ object TimeQ {
       }
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

@@ -231,6 +231,12 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     val plain = TextOps.curateOn(docs)
       .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
     assert(got(92L) == plain(92L), s"null doc: composed ${got(92L)} vs plain ${plain(92L)}")
+    // raw-text labels cannot be mixed into the rewritten-text pipeline
+    val labels = Some(TextOps.clusterLabelsOn(docs))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(8)), labels)
+    }
+    assert(e.getMessage.contains("omit labels"))
   }
 
   test("curateOn: tightening the quality gate never keeps more documents") {

@@ -278,6 +278,56 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("rebuild-in-place drops stale increments; a crashed build fails closed") {
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val cents = Ivf.seedCentroids(init, 16)
+    def build(dir: String): Unit =
+      Pq.writeIndex(init, cents, Pq.seedCodebooks(init, M, Ks), dir, M)
+    val dir = java.nio.file.Files.createTempDirectory("pq_rebuild").toString
+    build(dir)
+    Pq.appendIndex(spark, extra, dir, "g1", M)
+    assert(spark.read.parquet(s"$dir/cells").count() == base.count())
+
+    // rebuild in place WITHOUT compacting first: the stale batch=g1
+    // increment (codes of the pre-rebuild codebooks in general) must not
+    // survive to double-score vec_ids against the new books
+    build(dir)
+    assert(spark.read.parquet(s"$dir/cells").count() == init.count(),
+      "stale batch= increments survived the rebuild")
+    val fresh = java.nio.file.Files.createTempDirectory("pq_fresh").toString
+    build(fresh)
+    val queries = base.filter(col("vec_id") < 5)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(canon(Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M)) ==
+      canon(Pq.searchIndex(spark, fresh, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M)),
+      "rebuilt-in-place index must answer exactly like a fresh build")
+
+    // a crashed build (sentinel still present) refuses every entry point
+    // instead of serving a half-written index
+    val sentinel = new java.io.File(dir, "_pq_building")
+    assert(sentinel.createNewFile())
+    val eS = intercept[IllegalArgumentException] {
+      Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M)
+    }
+    assert(eS.getMessage.contains("unfinished"))
+    intercept[IllegalArgumentException] {
+      Pq.searchIndexResidual(spark, dir, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.appendIndex(spark, extra, dir, "g2", M)
+    }
+    assert(sentinel.delete())
+    assert(Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = M).count() == 25)
+  }
+
   test("balanced permutation (OPQ-lite): spreads hot dims, preserves geometry, lifts skewed-corpus recall") {
     // plant anisotropy: dims 0-7 carry 4x amplitude (16x variance) — the
     // identity layout puts ALL of them in subspace 0, whose 16-entry
