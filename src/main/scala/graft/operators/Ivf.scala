@@ -134,6 +134,10 @@ object Ivf {
     * re-scanning (and re-shuffling) the corpus per search.
     */
   def writeIndex(base: DataFrame, cents: DataFrame, path: String): Unit = {
+    // rebuild replaces the whole index: drop stale batch= increments
+    // (appendIndex) so they cannot duplicate vec_ids beside the fresh
+    // batch=init — see [[graft.queries.VectorOps.resetComponent]]
+    graft.queries.VectorOps.resetComponent(base.sparkSession, s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     // batch=… above the cell dirs, like the dedup indexes: increments
     // ([[appendIndex]]) land in their own discoverable partition level,

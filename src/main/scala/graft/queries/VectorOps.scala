@@ -327,6 +327,11 @@ object VectorOps {
     * re-shingling the corpus ([[neardupDeltaIndexed]]).
     */
   def writeNeardupIndex(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    // a REBUILD replaces the whole index: stale batch= increments from
+    // pre-rebuild appends must not survive beside the new batch=init
+    resetComponent(spark, s"$path/bands")
+    resetComponent(spark, s"$path/sets")
     // batch=… subdirectories from day one: appends land in their own
     // partition dir, so the initial build and every increment share one
     // discoverable layout (readers see an extra `batch` partition column
@@ -483,6 +488,19 @@ object VectorOps {
     require(fs.rename(tmp, p), s"compaction could not swap $tmp into $dir; " +
       "the corpus is intact there — re-running any compact/append/ingest " +
       "call finishes the swap")
+  }
+
+  /** Delete a component and its `.compacting` twin — the first step of
+    * every index REBUILD: the writers overwrite `batch=init`, but stale
+    * `batch=` increments from appends before the rebuild would survive
+    * beside it and re-enter reads as duplicate (old-model) rows.
+    */
+  private[graft] def resetComponent(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.delete(new Path(dir + ".compacting"), true)
   }
 
   /** Complete a compaction swap interrupted between delete and rename:
@@ -909,6 +927,9 @@ object VectorOps {
     */
   def writeCosineIndex(vecs: DataFrame, path: String, numPlanes: Int = 16,
       bands: Int = 8, seed: Long = 42L): Unit = {
+    val spark = vecs.sparkSession
+    resetComponent(spark, s"$path/bands")
+    resetComponent(spark, s"$path/vectors")
     val base = vecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     // batch=… layout from day one — see [[writeNeardupIndex]]

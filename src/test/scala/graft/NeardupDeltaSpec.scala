@@ -466,4 +466,50 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(out1.agg(sum(col("n_kept"))).head.getLong(0) == 0L,
       "tag '1' must see tag '01' as prior seen-state, not as itself")
   }
+
+  test("index rebuild-in-place drops stale batch= increments (all writers)") {
+    import graft.operators.{Ivf, Pq}
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val init = docs.filter(col("doc_id") < 150)
+    val extra = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+
+    // minhash dedup index
+    val nd = java.nio.file.Files.createTempDirectory("rb_nd").toString
+    VectorOps.writeNeardupIndex(init, nd)
+    val ndInit = spark.read.parquet(s"$nd/sets").count()
+    VectorOps.appendNeardupIndex(extra, nd, "g1")
+    assert(spark.read.parquet(s"$nd/sets").count() > ndInit)
+    VectorOps.writeNeardupIndex(init, nd)
+    assert(spark.read.parquet(s"$nd/sets").count() == ndInit,
+      "stale neardup increment survived the rebuild")
+
+    // cosine index
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vInit = vecs.filter(col("vec_id") < 150)
+    val vExtra = vecs.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val cs = java.nio.file.Files.createTempDirectory("rb_cs").toString
+    VectorOps.writeCosineIndex(vInit, cs)
+    val csInit = spark.read.parquet(s"$cs/vectors").count()
+    VectorOps.appendCosineIndex(vExtra, cs, "g1")
+    assert(spark.read.parquet(s"$cs/vectors").count() > csInit)
+    VectorOps.writeCosineIndex(vInit, cs)
+    assert(spark.read.parquet(s"$cs/vectors").count() == csInit,
+      "stale cosine increment survived the rebuild")
+
+    // IVF index: duplicate vec_ids from a stale increment would occupy
+    // two top-k slots in rankProbed (no per-vec dedup there by design)
+    val n2 = org.apache.spark.sql.graft.VectorExpressions
+      .dotProduct(col("embedding"), col("embedding"))
+    val base = vecs.withColumn("n2", n2)
+    val bInit = base.filter(col("vec_id") < 150)
+    val bExtra = base.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val iv = java.nio.file.Files.createTempDirectory("rb_iv").toString
+    val cents = Ivf.seedCentroids(bInit, 16)
+    Ivf.writeIndex(bInit, cents, iv)
+    Ivf.appendIndex(spark, bExtra, iv, "g1")
+    Ivf.writeIndex(bInit, cents, iv)
+    assert(spark.read.parquet(s"$iv/cells").count() == 150,
+      "stale IVF increment survived the rebuild")
+  }
 }
