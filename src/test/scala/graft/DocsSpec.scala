@@ -23,4 +23,24 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"undocumented contract queries: ${missing.toSeq.sorted.mkString(", ")}")
   }
+
+  test("catalog and survey counts match the declared contract") {
+    def read(f: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8")
+    val nQ = SparkEntry.queries.size
+    val nO = SparkEntry.oracleSql.size
+    val catalogN = """All (\d+) `SparkEntry\.queries` entries""".r
+      .findFirstMatchIn(read("QUERIES.md")).get.group(1).toInt
+    assert(catalogN == nQ,
+      s"QUERIES.md claims $catalogN queries, SparkEntry declares $nQ")
+    val survey = read("SURVEY.md")
+    val surveyN = """(\d+) `q_\*` contract queries""".r
+      .findFirstMatchIn(survey).get.group(1).toInt
+    assert(surveyN == nQ,
+      s"SURVEY.md inventory claims $surveyN queries, SparkEntry declares $nQ")
+    val surveyO = """of which (\d+) carry `oracleSql`""".r
+      .findFirstMatchIn(survey).get.group(1).toInt
+    assert(surveyO == nO,
+      s"SURVEY.md claims $surveyO oracled, SparkEntry declares $nO")
+  }
 }
