@@ -89,6 +89,25 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.select(col("doc_id")).distinct().count() == docs.count())
   }
 
+  test("resume composes with --segment-width: delta-only, union == composed run") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val in = tmp("cli_srin")
+    val out = s"${tmp("cli_srout")}/verdicts"
+    docs.write.mode("overwrite").parquet(in)
+    val composedCfg = graft.queries.CurateConfig(segmentDedupWidth = Some(8))
+    TextOps.curateOn(docs, composedCfg).filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(out)
+    val cfg = CurateCli.parse(Seq(in, out, "--segment-width", "8"))
+    assert(CurateCli.run(spark, cfg) ==
+      docs.filter(col("doc_id") % 2 === 1).count(),
+      "resume must emit exactly the missing half of the composed run")
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val want = TextOps.curateOn(docs, composedCfg).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got == want, "resumed union must equal the full composed run")
+  }
+
   test("durable state: first run builds it, a new 'session' reuses it for resume") {
     val docs = Tables.t(spark, Sf0001, "documents")
     val in = tmp("cli_sin")
