@@ -512,4 +512,67 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.parquet(s"$iv/cells").count() == 150,
       "stale IVF increment survived the rebuild")
   }
+
+  test("streaming segment ingest: cross-batch paragraph dedup, replay survives the compaction cadence") {
+    import graft.queries.TextOps
+    import graft.streaming.SegmentIngest
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("segingest_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("segingest_out").toString
+    val b = (i: Int) => docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100)
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toString).toSeq.sorted
+
+    // id-ordered batches reproduce the global dedup restricted per batch
+    // (the segmentDedupDelta law, now through the streaming entry point)
+    SegmentIngest.processBatch(b(0), 0L, idx, out, width = 8)
+    SegmentIngest.processBatch(b(1), 1L, idx, out, width = 8)
+    val global = TextOps.dedupSegmentsAt(docs.filter(col("doc_id") < 200), 8)
+    assert(rows(s"$out/batch=b1") ==
+      global.filter(col("doc_id") >= 100).collect().map(_.toString).toSeq.sorted)
+    assert(spark.read.parquet(s"$out/batch=b1")
+      .filter(col("n_kept") < col("n_seg")).count() > 0,
+      "cross-batch duplicate segments must exist on the fixture")
+
+    // compaction cadence at batch 2 start folds b0/b1, then processes
+    SegmentIngest.processBatch(b(2), 2L, idx, out, width = 8, compactEvery = 2)
+    assert(TextOps.compactedSegmentTags(spark, idx) == Set("b0", "b1"))
+    val out2 = rows(s"$out/batch=b2")
+
+    // at-least-once replay of batch 2 (crash after append, before the
+    // checkpoint commit): the cadence hits again but must SKIP — its own
+    // increment exists — so the replay reproduces the first run instead
+    // of dying on its own closed window
+    SegmentIngest.processBatch(b(2), 2L, idx, out, width = 8, compactEvery = 2)
+    assert(rows(s"$out/batch=b2") == out2, "replay must be byte-equivalent")
+    assert(TextOps.compactedSegmentTags(spark, idx) == Set("b0", "b1"),
+      "the skipped cadence must not fold the in-flight tag")
+
+    // the deferred fold lands at the next cadence hit
+    SegmentIngest.processBatch(b(3), 3L, idx, out, width = 8, compactEvery = 2)
+    SegmentIngest.processBatch(b(4), 4L, idx, out, width = 8, compactEvery = 2)
+    assert(TextOps.compactedSegmentTags(spark, idx) == Set("b0", "b1", "b2", "b3"))
+  }
+
+  test("streaming segment ingest via run(): foreachBatch wiring end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("segrun_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("segrun_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("segrun_ckpt").toString
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.SegmentIngest.run(
+      input.toDF().toDF("doc_id", "text"), idx, out, ckpt, width = 4)
+    try {
+      input.addData(Seq((1L, a)))
+      q.processAllAvailable()
+      // batch 1 repeats doc 1's text: every width-4 segment already seen
+      input.addData(Seq((2L, a), (3L, "totally fresh words nothing shared")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$out/batch=b1").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(2L) == 0L, "full repeat must keep no segments")
+    assert(got(3L) > 0L, "fresh doc must keep its segments")
+  }
 }
