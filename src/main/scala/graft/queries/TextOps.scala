@@ -78,7 +78,7 @@ object TextOps {
   /** (doc_id, s) rows of DISTINCT 3-word shingles — [[shingleArrs]]
     * exploded. Texts under 3 tokens contribute no rows.
     */
-  private[queries] def shingleRows(df: DataFrame): DataFrame =
+  private[graft] def shingleRows(df: DataFrame): DataFrame =
     shingleArrs(df).select(col("doc_id"), explode(col("shingles")).as("s"))
 
   private val shingledSql =
@@ -1195,45 +1195,71 @@ object TextOps {
     */
   def segmentDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
       width: Int, tag: String): DataFrame = {
-    VectorOps.requireTag(tag)
-    VectorOps.finishCrashedSwap(spark, s"$path/seen")
-    VectorOps.ensureBatchLayout(spark, s"$path/seen")
-    // compaction ENDS the replay window: once a tag's increment is folded
-    // into batch=init its own-hash exclusion below can no longer identify
-    // that tag's contribution, so an at-least-once replay would see its
-    // first run's output in the seen-set and emit a silently different
-    // (empty-novel) result. Compacted tags are recorded in the index
-    // ([[compactSegmentIndex]]); replaying one fails fast here instead.
-    require(!compactedSegmentTags(spark, path).contains(tag),
-      s"tag '$tag' was folded into batch=init by compactSegmentIndex — " +
-        "its replay window is closed; re-ingest under a fresh tag " +
-        "(output would differ from the original run, not repeat it)")
     val segs = segmentRows(batch, width)
     val within = firstSegmentOccurrences(segs)
       .withColumn("h", sha2(col("seg"), 256))
+    val kept = deltaAgainstSeen(spark, path, within, tag)
+    assembleKept(segs, kept.select(col("doc_id"), col("idx"), col("seg")),
+      joiner = " ")
+  }
+
+  /** The seen-set delta core shared by [[segmentDedupDelta]] (segment
+    * hashes) and [[exactDedupDelta]] (whole-doc digests): `within` rows
+    * carry an `h` hash column and any payload; rows whose hash any
+    * PRIOR batch admitted are anti-joined away, the survivors' hashes
+    * are appended under `batch=tag`, and the survivors are returned
+    * MATERIALIZED (the caller's frame must not lazily re-read an index
+    * that now contains its own hashes).
+    *
+    * Replay discipline: the tag's own partition is excluded from the
+    * seen-set — an at-least-once replay must see exactly the state its
+    * first run saw, not its own first run's output. The explicit schema
+    * keeps the batch partition column a STRING (inference would type an
+    * all-numeric tag population as int, collapsing '1'/'01'). Compaction
+    * ([[compactSegmentIndex]]) ENDS the replay window for the tags it
+    * folds — replaying a folded tag fails fast here, because its
+    * contribution can no longer be excluded.
+    */
+  private def deltaAgainstSeen(spark: SparkSession, path: String,
+      within: DataFrame, tag: String): DataFrame = {
+    VectorOps.requireTag(tag)
+    VectorOps.finishCrashedSwap(spark, s"$path/seen")
+    VectorOps.ensureBatchLayout(spark, s"$path/seen")
+    require(!compactedSegmentTags(spark, path).contains(tag),
+      s"tag '$tag' was folded into batch=init by index compaction — " +
+        "its replay window is closed; re-ingest under a fresh tag " +
+        "(output would differ from the original run, not repeat it)")
     val seenDir = new org.apache.hadoop.fs.Path(s"$path/seen")
     val fs = seenDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val kept =
       (if (fs.exists(seenDir))
-        // the batch's OWN tag partition is excluded from the seen-set:
-        // an at-least-once replay of this tag must see exactly the state
-        // its first run saw, not its own first run's output. The explicit
-        // schema keeps the batch partition column a STRING — inference
-        // would type an all-numeric tag population as int, collapsing
-        // distinct tags like '1'/'01' to one value and making this
-        // exclusion filter drop the wrong partitions.
         within.join(spark.read.schema("h STRING, batch STRING")
             .parquet(s"$path/seen")
             .filter(col("batch") =!= lit(tag)).select(col("h")),
           Seq("h"), "left_anti")
       else within)
-        // materialize BEFORE appending: the returned frame must not
-        // lazily re-read an index that now contains its own hashes
         .localCheckpoint(true)
     kept.select(col("h"))
       .write.mode("overwrite").parquet(s"$path/seen/batch=$tag")
-    assembleKept(segs, kept.select(col("doc_id"), col("idx"), col("seg")),
-      joiner = " ")
+    kept
+  }
+
+  /** Incremental EXACT dedup against a persisted digest set —
+    * [[segmentDedupDelta]]'s document-level sibling and the streaming
+    * form of [[dedupExact]]: the batch's globally-novel docs (first
+    * occurrence within the batch by min doc_id, digest unseen in any
+    * prior batch) are returned with their full schema; their digests
+    * are appended under `batch=tag` so the NEXT batch sees them. Same
+    * replay window, same compaction discipline ([[compactSegmentIndex]]
+    * works on any seen-set index — the layout is identical).
+    */
+  def exactDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
+      tag: String): DataFrame = {
+    val hashed = batch.withColumn("h", sha2(col("text"), 256))
+    val within = hashed.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("h", "doc_id"))
+    deltaAgainstSeen(spark, path, within, tag).drop("h")
   }
 
   /** Fold a segment index's accumulated increments into one fresh
@@ -1421,6 +1447,12 @@ object TextOps {
     * surfaces. All comparisons are Long cross-multiplications of the
     * config's rational knobs.
     */
+  /** The full Gopher gate as one Column — the stateless quality stage a
+    * streaming loop applies per batch ([[graft.streaming.CurateIngest]]).
+    */
+  private[graft] def gopherAll(cfg: CurateConfig): Column =
+    new GopherRules(cfg).all
+
   private[queries] class GopherRules(cfg: CurateConfig) {
     private val tk = split(col("text"), " ")
     val nW: Column = size(tk).cast(LongType)

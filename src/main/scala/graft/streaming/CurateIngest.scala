@@ -1,0 +1,177 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.LongType
+import graft.queries.{CurateConfig, TextOps, VectorOps}
+
+/** The CONTINUOUSLY-RUNNING curation pipeline — [[IngestDedup]]'s
+  * single-stage loop grown to the full [[graft.queries.TextOps.curateOn]]
+  * stage order, every stage incremental against persisted state:
+  *
+  *   1. segment (paragraph) dedup — optional, vs the persisted
+  *      seen-segment set ([[graft.queries.TextOps.segmentDedupDelta]]);
+  *      every later stage sees the REWRITTEN text and emptied docs drop
+  *      (the batch pipeline's stage order exactly);
+  *   2. quality gate — stateless, on the (rewritten) text;
+  *   3. exact dedup — vs the persisted digest set
+  *      ([[graft.queries.TextOps.exactDedupDelta]]);
+  *   4. decontamination — optional, vs a FIXED eval corpus (the
+  *      production shape: eval data must never leak into training; the
+  *      batch pipeline's hash-split is a single-corpus stand-in);
+  *   5. near-dup — vs the growing MinHash index, keep-FIRST arrival
+  *      order ([[IngestDedup]]'s admit policy; the batch pipeline's
+  *      keep-best needs the whole cluster — the standard incremental
+  *      trade-off [[graft.queries.TextOps.curateDeltaOn]] documents).
+  *
+  * Output per batch: the full batch rows (text REWRITTEN when the
+  * segment stage is on, n_chars recomputed) plus (kept, drop_reason) —
+  * first-drop-reason audit exactly like the batch pipeline; survivors
+  * are `filter(kept)`.
+  *
+  * Fault tolerance: all state is durable parquet; every state write a
+  * replay re-executes is an overwrite of the batch's own `batch=` dir
+  * (the seen-set deltas exclude their own tag, the MinHash admit guards
+  * self-matches), so an at-least-once replay reproduces its first run.
+  * The compaction cadence follows [[SegmentIngest]]: at batch START,
+  * skipped when the current batch already appended (folding the
+  * in-flight tag would close its replay window); the MinHash index
+  * compacts on the same cadence (safe at any point — replay duplicates
+  * there are benign and healed by recompaction).
+  */
+object CurateIngest {
+
+  /** Start the loop over a streaming (doc_id, text, n_chars, …) frame.
+    * State lives under `statePath`/{segments, digests, minhash};
+    * `evalPath` (optional) is a parquet of (doc_id, text) eval docs to
+    * decontaminate against. No bootstrap needed — first batch creates
+    * every component.
+    */
+  def run(docs: DataFrame, statePath: String, outPath: String,
+      checkpoint: String, cfg: CurateConfig = CurateConfig(),
+      evalPath: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
+          evalPath, compactEvery)
+      }
+      .start()
+
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      statePath: String, outPath: String, cfg: CurateConfig,
+      evalPath: Option[String] = None, compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val tag = s"b$batchId"
+
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      if (!seenTagExists(spark, s"$statePath/digests", tag))
+        TextOps.compactSegmentIndex(spark, s"$statePath/digests")
+      if (cfg.segmentDedupWidth.isDefined &&
+          !seenTagExists(spark, s"$statePath/segments", tag))
+        TextOps.compactSegmentIndex(spark, s"$statePath/segments")
+      if (minhashExists(spark, statePath))
+        VectorOps.compactNeardupIndex(spark, s"$statePath/minhash")
+    }
+
+    val b = batch.localCheckpoint(true)
+
+    // 1. optional segment rewrite vs the persisted seen-segment set —
+    // FIRST, exactly like the batch composed pipeline: emptied docs
+    // (n_kept = 0) drop as segment_dup, everything downstream (the gate
+    // included) measures the rewritten text
+    val (rewritten, segDroppedIds) = cfg.segmentDedupWidth match {
+      case None => (b, b.limit(0).select(col("doc_id")))
+      case Some(w) =>
+        val rw = TextOps.segmentDedupDelta(spark, s"$statePath/segments",
+          b, w, tag).localCheckpoint(true)
+        val cur = b.drop("text", "n_chars")
+          .join(rw.filter(col("n_kept") > 0)
+            .select(col("doc_id"), col("clean_text").as("text"),
+              length(col("clean_text")).cast(LongType).as("n_chars")),
+            Seq("doc_id"))
+        (cur.localCheckpoint(true),
+          rw.filter(col("n_kept") === 0).select(col("doc_id")))
+    }
+
+    // 2. gate on the (rewritten) text
+    val current = rewritten.filter(TextOps.gopherAll(cfg))
+      .localCheckpoint(true)
+
+    // 3. exact dedup vs the persisted digest set
+    val exKept = TextOps.exactDedupDelta(spark, s"$statePath/digests",
+      current, tag)
+
+    // 4. optional decontamination vs the fixed eval corpus: a doc drops
+    // when shared shingles ≥ num/den of its own shingles (the config's
+    // exact rational, Long cross-multiplication — no float boundary)
+    val decon = evalPath match {
+      case None => exKept
+      case Some(ep) =>
+        val evalSh = TextOps.shingleRows(
+          spark.read.parquet(ep).select(col("doc_id"), col("text")))
+          .select(col("s")).distinct()
+        val sh = TextOps.shingleRows(exKept.select(col("doc_id"), col("text")))
+        val stats = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"))
+          .join(sh.join(evalSh, "s").groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared")), Seq("doc_id"), "left")
+        val (num, den) = cfg.minContamRatio
+        val contaminatedIds = stats.filter(
+          coalesce(col("n_shared"), lit(0L)) * den >= col("n_sh") * num &&
+            col("n_sh") > 0)
+          .select(col("doc_id"))
+        exKept.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    }
+
+    // 5. near-dup vs the growing MinHash index (keep-first, as every
+    // ingest loop here) — bootstrap the index from the batch's own
+    // schema on first contact
+    if (!minhashExists(spark, statePath))
+      VectorOps.writeNeardupIndex(
+        b.select(col("doc_id"), col("text")).limit(0),
+        s"$statePath/minhash")
+    VectorOps.recoverNeardupIndex(spark, s"$statePath/minhash")
+    val pairs = VectorOps.neardupDeltaIndexed(spark, s"$statePath/minhash",
+      decon.select(col("doc_id"), col("text")), cfg.jaccardThreshold)
+    val admitted = IngestDedup.admit(decon, pairs, "doc_id", "d1", "d2")
+    VectorOps.appendNeardupIndex(
+      admitted.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
+
+    // verdicts: first-drop-reason in the batch pipeline's stage order;
+    // rewritten text (when the segment stage ran) rides into the output
+    val keepId = (df: DataFrame, name: String) =>
+      df.select(col("doc_id"), lit(true).as(name))
+    val verdict = b.drop("text", "n_chars")
+      .join(rewritten.select(col("doc_id"), col("text"), col("n_chars")),
+        Seq("doc_id"), "left")
+      .join(segDroppedIds.select(col("doc_id"), lit(true).as("seg_drop")),
+        Seq("doc_id"), "left")
+      .join(keepId(current, "g_ok"), Seq("doc_id"), "left")
+      .join(keepId(exKept, "ex_ok"), Seq("doc_id"), "left")
+      .join(keepId(decon, "de_ok"), Seq("doc_id"), "left")
+      .join(keepId(admitted, "nd_ok"), Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("seg_drop").isNotNull, "segment_dup")
+          .when(col("g_ok").isNull, "quality")
+          .when(col("ex_ok").isNull, "exact_dup")
+          .when(col("de_ok").isNull, "decontaminated")
+          .when(col("nd_ok").isNull, "near_dup"))
+      .withColumn("kept", col("drop_reason").isNull)
+      .drop("g_ok", "seg_drop", "ex_ok", "de_ok", "nd_ok")
+    verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
+  }
+
+  private def seenTagExists(spark: SparkSession, path: String,
+      tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/seen/batch=$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def minhashExists(spark: SparkSession, statePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/minhash/sets")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -170,7 +170,7 @@ object IngestDedup {
     * loss). The id-equality filter keeps a replayed survivor from
     * matching its own indexed copy.
     */
-  private def admit(b: DataFrame, pairDf: DataFrame, idCol: String,
+  private[streaming] def admit(b: DataFrame, pairDf: DataFrame, idCol: String,
       c1: String, c2: String): DataFrame = {
     val pairs = pairDf.filter(col(c1) =!= col(c2))
     val dropCross = pairs.filter(col("cross")).select(col(c1).as(idCol))

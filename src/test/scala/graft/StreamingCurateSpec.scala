@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.CurateConfig
+import graft.streaming.CurateIngest
+
+/** The continuously-running curation pipeline (CurateIngest): every
+  * stage incremental against persisted state, cross-batch behavior per
+  * stage, byte-equivalent at-least-once replay, and the segment-stage
+  * variant rewriting text before the gate — the streaming twin of the
+  * batch pipeline's stage order.
+  */
+class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def doc(id: Long, prefix: String, n: Int, extra: String = "") = {
+    val text = ((0 until n).map(i => s"${prefix}w$i") ++
+      (if (extra.isEmpty) Nil else Seq(extra))).mkString(" ")
+    (id, text, text.length.toLong)
+  }
+
+  private def docsDf(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "n_chars")
+  }
+
+  private def verdicts(path: String): Map[Long, (Boolean, Option[String])] =
+    spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[String]("drop_reason")))))
+      .toMap
+
+  test("stage-by-stage cross-batch verdicts; replay is byte-equivalent") {
+    val state = java.nio.file.Files.createTempDirectory("ci_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_out").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("ci_eval").toString
+    docsDf(Seq(doc(100L, "gamma", 40)))
+      .write.mode("overwrite").parquet(evalDir)
+    val alpha = doc(1L, "alpha", 40)
+
+    val b0 = docsDf(Seq(
+      alpha,                                   // clean → kept
+      (2L, "tiny words", 10L),                 // → quality
+      (3L, alpha._2, alpha._3),                // within-batch copy → exact_dup
+      doc(4L, "alpha", 40, extra = "alphatail")// near-dup of 1 → near_dup
+    ))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      evalPath = Some(evalDir))
+    assert(verdicts(s"$out/batch=b0") == Map(
+      1L -> ((true, None)),
+      2L -> ((false, Some("quality"))),
+      3L -> ((false, Some("exact_dup"))),
+      4L -> ((false, Some("near_dup")))))
+
+    val gamma = doc(100L, "gamma", 40)
+    val b1 = docsDf(Seq(
+      (11L, alpha._2, alpha._3),                 // cross-batch copy → exact_dup (digest index)
+      doc(12L, "alpha", 40, extra = "othertail"),// cross-batch near-dup → near_dup (minhash index)
+      doc(13L, "bravo", 40),                     // clean → kept
+      (14L, gamma._2, gamma._3)                  // eval leak → decontaminated
+    ))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      evalPath = Some(evalDir))
+    val want1 = Map(
+      11L -> ((false, Some("exact_dup"))),
+      12L -> ((false, Some("near_dup"))),
+      13L -> ((true, None)),
+      14L -> ((false, Some("decontaminated"))))
+    assert(verdicts(s"$out/batch=b1") == want1)
+
+    // at-least-once replay of batch 1: same verdicts, state unchanged
+    val digestsBefore = spark.read.parquet(s"$state/digests/seen").count()
+    val setsBefore = spark.read.parquet(s"$state/minhash/sets").count()
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      evalPath = Some(evalDir))
+    assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
+    assert(spark.read.parquet(s"$state/digests/seen").count() == digestsBefore)
+    assert(spark.read.parquet(s"$state/minhash/sets").count() == setsBefore)
+  }
+
+  test("segment stage rewrites before the gate; compaction cadence skips the in-flight tag") {
+    val state = java.nio.file.Files.createTempDirectory("ci_seg_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_seg_out").toString
+    val cfg = CurateConfig(segmentDedupWidth = Some(8))
+    val alpha = doc(1L, "alpha", 40)
+    CurateIngest.processBatch(docsDf(Seq(alpha)), 0L, state, out, cfg)
+    assert(verdicts(s"$out/batch=b0") == Map(1L -> ((true, None))))
+
+    val bravoText = (0 until 40).map(i => s"bravow$i").mkString(" ")
+    val b1 = docsDf(Seq(
+      (21L, alpha._2, alpha._3),                 // every segment seen → segment_dup
+      (22L, alpha._2 + " " + bravoText,          // alpha half drops, bravo half survives
+        (alpha._2 + " " + bravoText).length.toLong)
+    ))
+    CurateIngest.processBatch(b1, 1L, state, out, cfg)
+    val got = spark.read.parquet(s"$out/batch=b1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("drop_reason")), r.getAs[String]("text"))))
+      .toMap
+    assert(got(21L)._1 == Some("segment_dup"))
+    assert(got(22L)._1.isEmpty, s"doc 22 must survive: ${got(22L)}")
+    assert(got(22L)._2 == bravoText,
+      "the surviving doc must carry its REWRITTEN text (alpha half gone)")
+
+    // cadence at batch 2 folds b0/b1; an immediate replay of batch 2
+    // (crash before commit) skips the cadence and reproduces
+    val b2 = docsDf(Seq(doc(31L, "delta", 40)))
+    CurateIngest.processBatch(b2, 2L, state, out, cfg, compactEvery = 2)
+    val v2 = verdicts(s"$out/batch=b2")
+    assert(v2 == Map(31L -> ((true, None))))
+    CurateIngest.processBatch(b2, 2L, state, out, cfg, compactEvery = 2)
+    assert(verdicts(s"$out/batch=b2") == v2, "replay through cadence")
+  }
+
+  test("run(): foreachBatch wiring end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("ci_run_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_run_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ci_run_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = CurateIngest.run(input.toDF().toDF("doc_id", "text", "n_chars"),
+      state, out, ckpt)
+    try {
+      val a = doc(1L, "alpha", 40)
+      input.addData(Seq(a))
+      q.processAllAvailable()
+      input.addData(Seq((2L, a._2, a._3), doc(3L, "bravo", 40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(verdicts(s"$out/batch=b1") == Map(
+      2L -> ((false, Some("exact_dup"))), 3L -> ((true, None))))
+  }
+}
