@@ -1254,8 +1254,17 @@ object TextOps {
     * works on any seen-set index — the layout is identical).
     */
   def exactDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
-      tag: String): DataFrame = {
-    val hashed = batch.withColumn("h", sha2(col("text"), 256))
+      tag: String, normalize: Boolean = false): DataFrame = {
+    // `normalize` mirrors CurateConfig.normalizeForHash: hash the
+    // canonicalized text so case/punct/spacing variants collapse — the
+    // streaming loop passes the config flag through so stream and batch
+    // verdicts cannot diverge. Null text hashes to a sentinel outside
+    // the hex-digest alphabet (sha2(null) is null, and a null hash would
+    // silently drop the row from the non-null-safe self-join): all
+    // null-text docs form one dedup class, first arrival admitted.
+    val base = if (normalize) normCol(col("text")) else col("text")
+    val hashed = batch.withColumn("h",
+      coalesce(sha2(base, 256), lit("NULL_TEXT")))
     val within = hashed.join(
       hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
       Seq("h", "doc_id"))
@@ -1288,6 +1297,17 @@ object TextOps {
     val folded = (compactedSegmentTags(spark, path) ++ live).toSeq.sorted
     VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil,
       sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+  }
+
+  /** Does `path`'s seen-set already hold an increment under `batch=tag`?
+    * The streaming loops' cadence probe ([[graft.streaming.SegmentIngest]]
+    * / [[graft.streaming.CurateIngest]]): one shared owner of the layout
+    * convention.
+    */
+  private[graft] def seenTagExists(spark: SparkSession, path: String,
+      tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/seen/batch=$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Tags whose increments a past [[compactSegmentIndex]] folded into

@@ -51,26 +51,43 @@ object CurateIngest {
   def run(docs: DataFrame, statePath: String, outPath: String,
       checkpoint: String, cfg: CurateConfig = CurateConfig(),
       evalPath: Option[String] = None,
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0): StreamingQuery = {
+    // the eval corpus is FIXED: shingle + distinct it ONCE at start —
+    // per-batch re-shingling would make the eval pass the dominant
+    // fixed cost of every micro-batch
+    val evalShingles = evalPath.map { ep =>
+      TextOps.shingleRows(docs.sparkSession.read.parquet(ep)
+          .select(col("doc_id"), col("text")))
+        .select(col("s")).distinct().localCheckpoint(true)
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
-          evalPath, compactEvery)
+          evalShingles, compactEvery)
       }
       .start()
+  }
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       statePath: String, outPath: String, cfg: CurateConfig,
-      evalPath: Option[String] = None, compactEvery: Int = 0): Unit = {
+      evalShingles: Option[DataFrame] = None,
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
 
+    // crash recovery FIRST — before any existence probe: after a crash
+    // mid-compaction-swap the minhash corpus lives ONLY in the
+    // .compacting twin, and a bootstrap check that sees the missing
+    // component would rebuild an empty index over the twin's grave
+    // (deleting the only copy). IngestDedup has the same ordering.
+    VectorOps.recoverNeardupIndex(spark, s"$statePath/minhash")
+
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      if (!seenTagExists(spark, s"$statePath/digests", tag))
+      if (!TextOps.seenTagExists(spark, s"$statePath/digests", tag))
         TextOps.compactSegmentIndex(spark, s"$statePath/digests")
       if (cfg.segmentDedupWidth.isDefined &&
-          !seenTagExists(spark, s"$statePath/segments", tag))
+          !TextOps.seenTagExists(spark, s"$statePath/segments", tag))
         TextOps.compactSegmentIndex(spark, s"$statePath/segments")
       if (minhashExists(spark, statePath))
         VectorOps.compactNeardupIndex(spark, s"$statePath/minhash")
@@ -87,11 +104,24 @@ object CurateIngest {
       case Some(w) =>
         val rw = TextOps.segmentDedupDelta(spark, s"$statePath/segments",
           b, w, tag).localCheckpoint(true)
-        val cur = b.drop("text", "n_chars")
-          .join(rw.filter(col("n_kept") > 0)
-            .select(col("doc_id"), col("clean_text").as("text"),
-              length(col("clean_text")).cast(LongType).as("n_chars")),
-            Seq("doc_id"))
+        // LEFT join + original-text fallback: a doc producing no segment
+        // rows at all (null text) must still flow through with its
+        // arrival text and get a verdict — the batch composed pipeline's
+        // rewriteSegmentsCounted contract, mirrored
+        val cur = b
+          .withColumnRenamed("text", "graft_orig_text")
+          .withColumnRenamed("n_chars", "graft_orig_n_chars")
+          .join(rw.select(col("doc_id"), col("clean_text"), col("n_kept")),
+            Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("n_kept").isNotNull, col("clean_text"))
+              .otherwise(col("graft_orig_text")))
+          .withColumn("n_chars",
+            when(col("n_kept").isNotNull,
+              length(col("clean_text")).cast(LongType))
+              .otherwise(col("graft_orig_n_chars")))
+          .filter(coalesce(col("n_kept"), lit(1L)) > 0)
+          .drop("clean_text", "graft_orig_text", "graft_orig_n_chars", "n_kept")
         (cur.localCheckpoint(true),
           rw.filter(col("n_kept") === 0).select(col("doc_id")))
     }
@@ -100,19 +130,17 @@ object CurateIngest {
     val current = rewritten.filter(TextOps.gopherAll(cfg))
       .localCheckpoint(true)
 
-    // 3. exact dedup vs the persisted digest set
+    // 3. exact dedup vs the persisted digest set (normalizeForHash
+    // flows through, so stream and batch verdicts cannot diverge)
     val exKept = TextOps.exactDedupDelta(spark, s"$statePath/digests",
-      current, tag)
+      current, tag, normalize = cfg.normalizeForHash)
 
     // 4. optional decontamination vs the fixed eval corpus: a doc drops
     // when shared shingles ≥ num/den of its own shingles (the config's
     // exact rational, Long cross-multiplication — no float boundary)
-    val decon = evalPath match {
+    val decon = evalShingles match {
       case None => exKept
-      case Some(ep) =>
-        val evalSh = TextOps.shingleRows(
-          spark.read.parquet(ep).select(col("doc_id"), col("text")))
-          .select(col("s")).distinct()
+      case Some(evalSh) =>
         val sh = TextOps.shingleRows(exKept.select(col("doc_id"), col("text")))
         val stats = sh.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_sh"))
@@ -144,31 +172,30 @@ object CurateIngest {
     // rewritten text (when the segment stage ran) rides into the output
     val keepId = (df: DataFrame, name: String) =>
       df.select(col("doc_id"), lit(true).as(name))
+    // the quality branch fires on gate === FALSE, not on gate-not-true:
+    // a null-text doc's gate is NULL and the batch pipeline's when-chain
+    // then falls through to exact_dup — mirrored exactly so stream and
+    // batch verdicts agree on every input, nulls included
     val verdict = b.drop("text", "n_chars")
-      .join(rewritten.select(col("doc_id"), col("text"), col("n_chars")),
+      .join(rewritten.select(col("doc_id"), col("text"), col("n_chars"),
+          TextOps.gopherAll(cfg).as("gv")),
         Seq("doc_id"), "left")
       .join(segDroppedIds.select(col("doc_id"), lit(true).as("seg_drop")),
         Seq("doc_id"), "left")
-      .join(keepId(current, "g_ok"), Seq("doc_id"), "left")
       .join(keepId(exKept, "ex_ok"), Seq("doc_id"), "left")
       .join(keepId(decon, "de_ok"), Seq("doc_id"), "left")
       .join(keepId(admitted, "nd_ok"), Seq("doc_id"), "left")
       .withColumn("drop_reason",
         when(col("seg_drop").isNotNull, "segment_dup")
-          .when(col("g_ok").isNull, "quality")
+          .when(col("gv") === false, "quality")
           .when(col("ex_ok").isNull, "exact_dup")
           .when(col("de_ok").isNull, "decontaminated")
           .when(col("nd_ok").isNull, "near_dup"))
       .withColumn("kept", col("drop_reason").isNull)
-      .drop("g_ok", "seg_drop", "ex_ok", "de_ok", "nd_ok")
+      .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok")
     verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
   }
 
-  private def seenTagExists(spark: SparkSession, path: String,
-      tag: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/seen/batch=$tag")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 
   private def minhashExists(spark: SparkSession, statePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$statePath/minhash/sets")

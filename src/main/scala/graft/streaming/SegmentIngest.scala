@@ -53,15 +53,9 @@ object SegmentIngest {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-        !tagExists(spark, indexPath, tag))
+        !TextOps.seenTagExists(spark, indexPath, tag))
       TextOps.compactSegmentIndex(spark, indexPath)
     TextOps.segmentDedupDelta(spark, indexPath, batch, width, tag)
       .write.mode("overwrite").parquet(s"$outPath/batch=$tag")
-  }
-
-  private def tagExists(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, tag: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/seen/batch=$tag")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

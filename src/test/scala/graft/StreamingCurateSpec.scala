@@ -34,9 +34,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
   test("stage-by-stage cross-batch verdicts; replay is byte-equivalent") {
     val state = java.nio.file.Files.createTempDirectory("ci_state").toString
     val out = java.nio.file.Files.createTempDirectory("ci_out").toString
-    val evalDir = java.nio.file.Files.createTempDirectory("ci_eval").toString
-    docsDf(Seq(doc(100L, "gamma", 40)))
-      .write.mode("overwrite").parquet(evalDir)
+    val evalSh = graft.queries.TextOps.shingleRows(
+        docsDf(Seq(doc(100L, "gamma", 40))))
+      .select(col("s")).distinct().localCheckpoint(true)
     val alpha = doc(1L, "alpha", 40)
 
     val b0 = docsDf(Seq(
@@ -46,7 +46,7 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       doc(4L, "alpha", 40, extra = "alphatail")// near-dup of 1 → near_dup
     ))
     CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
-      evalPath = Some(evalDir))
+      evalShingles = Some(evalSh))
     assert(verdicts(s"$out/batch=b0") == Map(
       1L -> ((true, None)),
       2L -> ((false, Some("quality"))),
@@ -61,7 +61,7 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       (14L, gamma._2, gamma._3)                  // eval leak → decontaminated
     ))
     CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
-      evalPath = Some(evalDir))
+      evalShingles = Some(evalSh))
     val want1 = Map(
       11L -> ((false, Some("exact_dup"))),
       12L -> ((false, Some("near_dup"))),
@@ -73,7 +73,7 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     val digestsBefore = spark.read.parquet(s"$state/digests/seen").count()
     val setsBefore = spark.read.parquet(s"$state/minhash/sets").count()
     CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
-      evalPath = Some(evalDir))
+      evalShingles = Some(evalSh))
     assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
     assert(spark.read.parquet(s"$state/digests/seen").count() == digestsBefore)
     assert(spark.read.parquet(s"$state/minhash/sets").count() == setsBefore)
@@ -91,7 +91,8 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     val b1 = docsDf(Seq(
       (21L, alpha._2, alpha._3),                 // every segment seen → segment_dup
       (22L, alpha._2 + " " + bravoText,          // alpha half drops, bravo half survives
-        (alpha._2 + " " + bravoText).length.toLong)
+        (alpha._2 + " " + bravoText).length.toLong),
+      (23L, null.asInstanceOf[String], 0L)       // null text → exact_dup (batch parity)
     ))
     CurateIngest.processBatch(b1, 1L, state, out, cfg)
     val got = spark.read.parquet(s"$out/batch=b1").collect()
@@ -99,6 +100,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
         ((Option(r.getAs[String]("drop_reason")), r.getAs[String]("text"))))
       .toMap
     assert(got(21L)._1 == Some("segment_dup"))
+    // null-text docs get the BATCH pipeline's verdict (its when-chain
+    // skips the quality branch on a null gate and lands on exact_dup)
+    assert(got(23L)._1 == Some("exact_dup"), s"null doc: ${got(23L)}")
     assert(got(22L)._1.isEmpty, s"doc 22 must survive: ${got(22L)}")
     assert(got(22L)._2 == bravoText,
       "the surviving doc must carry its REWRITTEN text (alpha half gone)")
