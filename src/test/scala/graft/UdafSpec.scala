@@ -77,6 +77,48 @@ class UdafSpec extends AnyFunSuite with SparkSessionFixture {
     assert(exact == truth)
   }
 
+  test("property: MG bound holds under arbitrary merge trees") {
+    import graft.functions.TopKFreq
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the PODS'12 merge rule must preserve the n/(m+1) undercount bound
+    // for ANY merge tree over ANY partitioning — not just Spark's
+    // two-level partial/final shape the plan-level tests exercise
+    val m = 6
+    val mg = new TopKFreq(m)
+    val tokGen = Gen.frequency(
+      (8, Gen.const("hot")), (4, Gen.const("warm")),
+      (3, Gen.oneOf("a", "b", "c")), (1, Gen.choose(0, 50).map("r" + _)))
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(800)
+      val stream = (0 until n).map(i =>
+        tokGen.apply(Gen.Parameters.default, Seed(seed * 10000L + i)).get)
+      val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      // random partitioning → per-part sketches → random binary merge tree
+      val parts = {
+        val k = 1 + rnd.nextInt(8)
+        stream.zipWithIndex.groupBy(_._2 % k).values
+          .map(_.map(_._1).foldLeft(Map.empty[String, Long])(mg.reduce)).toVector
+      }
+      var forest = rnd.shuffle(parts)
+      while (forest.size > 1) {
+        val i = rnd.nextInt(forest.size - 1)
+        forest = forest.updated(i, mg.merge(forest(i), forest(i + 1)))
+          .patch(i + 1, Nil, 1)
+      }
+      val sketch = forest.head
+      assert(sketch.size <= m, s"seed=$seed: ${sketch.size} counters")
+      sketch.foreach { case (t, est) =>
+        val tru = truth(t)
+        assert(est <= tru && est >= tru - n / (m + 1),
+          s"seed=$seed term=$t est=$est true=$tru n=$n")
+      }
+      truth.filter(_._2 > n / (m + 1)).keys.foreach(t =>
+        assert(sketch.contains(t), s"seed=$seed lost heavy hitter $t"))
+    }
+  }
+
   test("day-rollup summaries: partial-agg plan, layout-invariant in the exact regime") {
     import graft.functions.TopKFreq
     import graft.queries.{EventOps, Tables}
