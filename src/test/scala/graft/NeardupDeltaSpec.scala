@@ -575,4 +575,51 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got(2L) == 0L, "full repeat must keep no segments")
     assert(got(3L) > 0L, "fresh doc must keep its segments")
   }
+
+  test("exact dedup delta: id-ordered batches == global dedupExact; normalize collapses variants") {
+    import graft.queries.TextOps
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val cut = 250L
+    val path = java.nio.file.Files.createTempDirectory("dig_idx").toString
+    val out1 = TextOps.exactDedupDelta(spark, path,
+      docs.filter(col("doc_id") < cut), "b1")
+    val out2 = TextOps.exactDedupDelta(spark, path,
+      docs.filter(col("doc_id") >= cut), "b2")
+    // union of per-batch survivors == the global min-doc-per-digest
+    // keepers, when batches arrive in id order — the digest sibling of
+    // the segment-delta law
+    val streamed = (out1.select(col("doc_id")).collect() ++
+      out2.select(col("doc_id")).collect()).map(_.getLong(0)).toSet
+    val globalKeepers = TextOps.dedupExact(spark, Sf0001).collect()
+      .map(_.getLong(1)).toSet
+    assert(streamed == globalKeepers)
+    // cross-batch exact copy (planted — sf0.001 has no whole-doc dupes)
+    val dupBatch = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    assert(TextOps.exactDedupDelta(spark, path, dupBatch, "b3").count() == 0,
+      "a cross-batch exact copy must be dropped via the digest index")
+    // replay of b2 reproduces; index unchanged
+    val seenBefore = spark.read.parquet(s"$path/seen").count()
+    val replay = TextOps.exactDedupDelta(spark, path,
+      docs.filter(col("doc_id") >= cut), "b2")
+    assert(replay.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      out2.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    assert(spark.read.parquet(s"$path/seen").count() == seenBefore)
+
+    // normalize = true: case/punct variants of an admitted doc collapse
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val varied = Seq((1L, base), (2L, base.toUpperCase), (3L, base + "!"),
+      (4L, "totally different content here with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val rawP = java.nio.file.Files.createTempDirectory("dig_raw").toString
+    val nrmP = java.nio.file.Files.createTempDirectory("dig_nrm").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(TextOps.exactDedupDelta(spark, rawP, varied, "t")) ==
+      Set(1L, 2L, 3L, 4L), "raw hashing keeps all variants")
+    assert(ids(TextOps.exactDedupDelta(spark, nrmP, varied, "t",
+      normalize = true)) == Set(1L, 4L),
+      "normalized hashing collapses case/punct variants to the first")
+  }
 }
