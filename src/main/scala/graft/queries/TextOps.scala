@@ -811,6 +811,51 @@ object TextOps {
        |  FROM documents)
        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  // ------------------------------------- weighted reservoir sampling
+
+  /** Weighted reservoir sampling per stratum — Efraimidis–Spirakis A-ES
+    * ("Weighted random sampling with a reservoir", IPL 2006): each doc
+    * gets key u^(1/w) with u uniform in (0,1) and w its weight; the
+    * top-k keys per group ARE a weighted-without-replacement sample —
+    * the sampling-family member [[sampleStratified]] (uniform) and
+    * [[domainResample]] (rate-based Bernoulli to a target mix) lack:
+    * exact-size samples where heavier docs are proportionally likelier.
+    * Deterministic end-to-end: u derives from the engine's integer hash
+    * ([[Det.detHash]], mirrored in SQL), so both engines compute the
+    * SAME keys and pick the SAME sample — no RNG, reproducible at any
+    * partitioning. Weight = n_chars here (longer docs likelier — the
+    * usual token-budget-aware corpus subsample); the per-group top-k is
+    * a per-stratum window exactly like [[sampleStratified]]'s (bounded
+    * groups, never a global sort).
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    // u in (0, 1): (detHash + 1) / 1000004 — detHash ranges 0..1000002
+    val u = (detHash(col("doc_id")) + lit(1.0)) / lit(1000004.0)
+    val skey = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("skey", skey)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        round(col("skey"), 6).as("skey"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleWeightedSql: String =
+    s"""SELECT lang, rk, doc_id, n_chars, round(skey, 6) AS skey FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    pow((${detHashSql("doc_id")} + 1.0) / 1000004.0,
+       |        1.0 / greatest(n_chars, 1)) AS skey,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY pow((${detHashSql("doc_id")} + 1.0) / 1000004.0,
+       |                   1.0 / greatest(n_chars, 1)) DESC,
+       |               doc_id ASC) AS rk
+       |  FROM documents)
+       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   // --------------------------------------------- decontamination check
 
   /** Benchmark decontamination: for every document in the `test` split
@@ -2204,6 +2249,7 @@ object TextOps {
     ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql)),
     ContractQuery("q_sample_split", sampleSplit, Some(sampleSplitSql)),
     ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    ContractQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     ContractQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     ContractQuery("q_dup_spans", dupSpans, Some(dupSpansSql)),
