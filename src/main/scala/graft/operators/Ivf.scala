@@ -136,7 +136,11 @@ object Ivf {
   def writeIndex(base: DataFrame, cents: DataFrame, path: String): Unit = {
     // rebuild replaces the whole index: drop stale batch= increments
     // (appendIndex) so they cannot duplicate vec_ids beside the fresh
-    // batch=init — see [[graft.queries.VectorOps.resetComponent]]
+    // batch=init — see [[graft.queries.VectorOps.resetComponent]]. The
+    // `_building` sentinel brackets the delete→write window so a crash
+    // between them fails closed instead of leaving a probe-able index
+    // missing its corpus ([[graft.queries.VectorOps.beginIndexBuild]]).
+    graft.queries.VectorOps.beginIndexBuild(base.sparkSession, path)
     graft.queries.VectorOps.resetComponent(base.sparkSession, s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     // batch=… above the cell dirs, like the dedup indexes: increments
@@ -147,6 +151,7 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
+    graft.queries.VectorOps.endIndexBuild(base.sparkSession, path)
   }
 
   /** Grow a materialized index: assign `vecs` (vec_id, embedding, n2)
@@ -159,10 +164,16 @@ object Ivf {
   def appendIndex(spark: org.apache.spark.sql.SparkSession, vecs: DataFrame,
       path: String, tag: String): Unit = {
     graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
-    assign(vecs, cents)
+    // growth-only: a re-sent vec_id is ignored, not written into a
+    // (possibly different) cell twice — see
+    // [[graft.queries.VectorOps.dropExistingVecIds]]
+    val fresh = graft.queries.VectorOps
+      .dropExistingVecIds(spark, vecs, s"$path/cells", tag)
+    assign(fresh, cents)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
@@ -174,9 +185,11 @@ object Ivf {
     * swap discipline as [[graft.queries.VectorOps.compactNeardupIndex]].
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      numFiles: Int = 0): Unit =
+      numFiles: Int = 0): Unit = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
     graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
       numFiles, Seq("cell"))
+  }
 
   /** Top-k cosine search over a materialized index. `queries` carries
     * (vec_id, embedding, n2) — external ids are fine (self-matches are
@@ -195,6 +208,7 @@ object Ivf {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int,
       staticPrune: Boolean = false): DataFrame = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")

@@ -270,6 +270,12 @@ object Pq {
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
+    // growth-only: re-sent vec_ids are dropped, not re-coded — after
+    // centroid drift a duplicate could land in a DIFFERENT cell, and the
+    // residual fold's max(qc) (one-cell-per-vector premise,
+    // [[adcShortlist]]) would then mix cells into a garbage score
+    val vecsFresh = graft.queries.VectorOps
+      .dropExistingVecIds(spark, vecs, s"$path/cells", tag)
     // a residual index ([[writeIndexResidual]]) quantizes x − c(cell):
     // the increment must encode residuals too, or its codes would be
     // raw vectors scored against residual codebooks — silent corruption
@@ -277,12 +283,12 @@ object Pq {
     // checkpointed so cell lookup and encode share ONE assign pass.
     val rows =
       if (isResidualIndex(spark, path)) {
-        val res = residuals(vecs, cents).localCheckpoint(true)
-        vecs.select(col("vec_id"), col("embedding"), col("n2"))
+        val res = residuals(vecsFresh, cents).localCheckpoint(true)
+        vecsFresh.select(col("vec_id"), col("embedding"), col("n2"))
           .join(res.select(col("vec_id"), col("cell")), "vec_id")
           .join(encode(res, books, m), "vec_id")
       } else {
-        Ivf.assign(vecs, cents).join(encode(vecs, books, m), "vec_id")
+        Ivf.assign(vecsFresh, cents).join(encode(vecsFresh, books, m), "vec_id")
       }
     rows
       .select(col("vec_id"), col("codes"), col("embedding"), col("n2"),

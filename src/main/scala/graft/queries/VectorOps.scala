@@ -329,7 +329,11 @@ object VectorOps {
   def writeNeardupIndex(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
     // a REBUILD replaces the whole index: stale batch= increments from
-    // pre-rebuild appends must not survive beside the new batch=init
+    // pre-rebuild appends must not survive beside the new batch=init.
+    // The `_building` sentinel brackets the delete→write window so a
+    // crash between them fails closed ([[beginIndexBuild]]) instead of
+    // leaving a probe-able index missing the prior corpus.
+    beginIndexBuild(spark, path)
     resetComponent(spark, s"$path/bands")
     resetComponent(spark, s"$path/sets")
     // batch=… subdirectories from day one: appends land in their own
@@ -338,6 +342,7 @@ object VectorOps {
     // and select past it)
     minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=init")
     shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=init")
+    endIndexBuild(spark, path)
   }
 
   /** Near-dup pairs of an ingest batch against an existing corpus PLUS
@@ -379,6 +384,7 @@ object VectorOps {
   def appendNeardupIndex(docs: DataFrame, path: String, tag: String): Unit = {
     requireTag(tag)
     val spark = docs.sparkSession
+    requireNotBuilding(spark, path)
     Seq(s"$path/bands", s"$path/sets").foreach { c =>
       finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
     }
@@ -388,10 +394,12 @@ object VectorOps {
 
   /** [[neardupDelta]] against a persisted index ([[writeNeardupIndex]]). */
   def neardupDeltaIndexed(spark: SparkSession, path: String,
-      newDocs: DataFrame, threshold: Double = 0.5): DataFrame =
+      newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    requireNotBuilding(spark, path)
     neardupDeltaFrames(newDocs,
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/sets"), threshold)
+  }
 
   /** Symmetric verified near-dup pairs of the ENTIRE indexed corpus, from
     * the persisted index alone — [[minhashPairsOn]] with the shingling
@@ -518,17 +526,91 @@ object VectorOps {
         s"could not finish the crashed compaction swap $tmp -> $dir")
   }
 
+  /** `_building` sentinel at an index ROOT — the multi-component twin of
+    * [[graft.operators.Pq]]'s `_pq_building` discipline. A rebuild
+    * ([[writeNeardupIndex]] / [[writeCosineIndex]] /
+    * [[graft.operators.Ivf.writeIndex]]) first deletes every component
+    * (stale `batch=` increments must not survive beside the fresh
+    * `batch=init`), then writes them one by one: a crash in that window
+    * leaves a structurally-valid-looking index MISSING whole components
+    * (or the entire prior corpus), which appenders would silently
+    * recreate as an empty layout — every later probe then dedups/searches
+    * against a corpus that lost all pre-crash documents. The sentinel
+    * lands before the first delete and is removed only after the last
+    * write, and every read/append/compact entry point refuses an index
+    * that carries it, so the crash fails CLOSED with a "rebuild" message
+    * instead of an empty-corpus wrong answer.
+    */
+  private[graft] def beginIndexBuild(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sentinel = new Path(s"$path/_building")
+    val fs = sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(sentinel.getParent)
+    fs.create(sentinel, true).close()
+  }
+
+  private[graft] def endIndexBuild(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sentinel = new Path(s"$path/_building")
+    sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sentinel, false)
+  }
+
+  private[graft] def requireNotBuilding(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sentinel = new Path(s"$path/_building")
+    val fs = sentinel.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(sentinel),
+      s"$path has an unfinished index build (crashed mid-rebuild) — " +
+        "re-run the index build before using it")
+  }
+
+  /** Drop batch rows whose `vec_id` already lives in a persisted cells
+    * component — appends are growth-only, so a re-sent id (at-least-once
+    * ingest under a NEW tag, or an upstream replay) is ignored rather
+    * than written twice. The danger of the duplicate is not just a
+    * repeated re-rank row: after centroid drift the copy may assign to a
+    * DIFFERENT cell, and the residual ADC fold (Pq.adcShortlist) would
+    * then mix one cell's q·c term with a 2m-part code fold — a garbage
+    * approximate score. Shape is corpus-shuffle-free: broadcast the
+    * batch ids against a column-pruned corpus id scan to find the
+    * (≤ batch-sized) intersection, then anti-join the batch against that
+    * broadcast intersection. `excludeBatch` exempts the increment's OWN
+    * `batch=` dir from the scan — an at-least-once replay of a tag must
+    * rewrite itself, not see its prior write as "existing" and overwrite
+    * the dir with an empty batch (deleting the increment).
+    */
+  private[graft] def dropExistingVecIds(spark: SparkSession, vecs: DataFrame,
+      cellsDir: String, excludeBatch: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(cellsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return vecs
+    val all = spark.read.parquet(cellsDir)
+    val existing =
+      if (all.columns.contains("batch")) all.filter(col("batch") =!= excludeBatch)
+      else all
+    val dup = existing.select(col("vec_id"))
+      .join(broadcast(vecs.select(col("vec_id")).distinct()), "vec_id")
+      .distinct()
+    vecs.join(broadcast(dup), Seq("vec_id"), "left_anti")
+  }
+
   /** Finish any crashed compaction swap on a MinHash index — the ingest
     * loop runs this before probing so a restart after a mid-swap crash
-    * self-repairs ([[graft.streaming.IngestDedup]]).
+    * self-repairs ([[graft.streaming.IngestDedup]]). A crashed REBUILD is
+    * different — components are missing, not mid-swap — so the
+    * `_building` sentinel stays fatal here: only a full rebuild repairs it.
     */
   def recoverNeardupIndex(spark: SparkSession, path: String): Unit = {
+    requireNotBuilding(spark, path)
     finishCrashedSwap(spark, s"$path/bands")
     finishCrashedSwap(spark, s"$path/sets")
   }
 
   /** [[recoverNeardupIndex]] for the cosine index. */
   def recoverCosineIndex(spark: SparkSession, path: String): Unit = {
+    requireNotBuilding(spark, path)
     finishCrashedSwap(spark, s"$path/bands")
     finishCrashedSwap(spark, s"$path/vectors")
   }
@@ -577,6 +659,7 @@ object VectorOps {
     */
   def compactNeardupIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
+    requireNotBuilding(spark, path)
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/sets", numFiles)
   }
@@ -587,6 +670,7 @@ object VectorOps {
     */
   def compactCosineIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
+    requireNotBuilding(spark, path)
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/vectors", numFiles)
   }
@@ -928,6 +1012,8 @@ object VectorOps {
   def writeCosineIndex(vecs: DataFrame, path: String, numPlanes: Int = 16,
       bands: Int = 8, seed: Long = 42L): Unit = {
     val spark = vecs.sparkSession
+    // sentinel brackets the delete→write window — see [[beginIndexBuild]]
+    beginIndexBuild(spark, path)
     resetComponent(spark, s"$path/bands")
     resetComponent(spark, s"$path/vectors")
     val base = vecs
@@ -936,6 +1022,7 @@ object VectorOps {
     bandedSignatures(base, numPlanes, bands, seed)
       .write.mode("overwrite").parquet(s"$path/bands/batch=init")
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
+    endIndexBuild(spark, path)
   }
 
   /** Cosine near-dup pairs of an ingest batch against an existing corpus
@@ -972,6 +1059,7 @@ object VectorOps {
       numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
     requireTag(tag)
     val spark = vecs.sparkSession
+    requireNotBuilding(spark, path)
     Seq(s"$path/bands", s"$path/vectors").foreach { c =>
       finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
     }
@@ -987,11 +1075,13 @@ object VectorOps {
     */
   def cosineDeltaIndexed(spark: SparkSession, path: String,
       newVecs: DataFrame, threshold: Double, numPlanes: Int = 16,
-      bands: Int = 8, seed: Long = 42L): DataFrame =
+      bands: Int = 8, seed: Long = 42L): DataFrame = {
+    requireNotBuilding(spark, path)
     cosineDeltaFrames(newVecs,
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/vectors"),
       threshold, numPlanes, bands, seed)
+  }
 
   private def cosineDeltaFrames(newVecs: DataFrame, corpusBands: DataFrame,
       corpusBase: DataFrame, threshold: Double, numPlanes: Int, bands: Int,

@@ -176,10 +176,19 @@ object CurateIngest {
     // a null-text doc's gate is NULL and the batch pipeline's when-chain
     // then falls through to exact_dup — mirrored exactly so stream and
     // batch verdicts agree on every input, nulls included
-    val verdict = b.drop("text", "n_chars")
+    // segment-dropped docs (n_kept = 0) have NO row in `rewritten` —
+    // coalesce their text/n_chars back to the arrival batch's values so
+    // the verdict really is "full batch rows" (audits of a dropped doc
+    // need its text; before this the left join nulled it out)
+    val verdict = b
+      .withColumnRenamed("text", "graft_b_text")
+      .withColumnRenamed("n_chars", "graft_b_n_chars")
       .join(rewritten.select(col("doc_id"), col("text"), col("n_chars"),
           TextOps.gopherAll(cfg).as("gv")),
         Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("text"), col("graft_b_text")))
+      .withColumn("n_chars", coalesce(col("n_chars"), col("graft_b_n_chars")))
+      .drop("graft_b_text", "graft_b_n_chars")
       .join(segDroppedIds.select(col("doc_id"), lit(true).as("seg_drop")),
         Seq("doc_id"), "left")
       .join(keepId(exKept, "ex_ok"), Seq("doc_id"), "left")

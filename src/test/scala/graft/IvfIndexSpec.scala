@@ -151,4 +151,48 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
         s"expected dynamic partition pruning on the cells scan in:\n$plan")
     }
   }
+
+  test("appendIndex is growth-only: a re-sent vec_id under a NEW tag is " +
+      "ignored, never written into a second cell") {
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dup").toString
+    Ivf.writeIndex(init, Ivf.seedCentroids(init, 16), dir)
+    Ivf.appendIndex(spark, extra, dir, "g1")
+    // an upstream replay re-sends already-indexed ids under a fresh tag
+    // (plus one genuinely new row): only the new row may land
+    val resend = base.filter(col("vec_id") < 150 || col("vec_id") === 150)
+    Ivf.appendIndex(spark, resend, dir, "g2")
+    val ids = spark.read.parquet(s"$dir/cells")
+      .groupBy(col("vec_id")).count()
+    assert(ids.filter(col("count") > 1).count() == 0,
+      "no vec_id may appear in two cells/batches")
+    assert(ids.count() == base.count())
+    // searches stay duplicate-free and correct
+    val queries = base.filter(col("vec_id") < 5)
+    val got = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.distinct.length == got.length, "duplicate (q, vec) rows")
+  }
+
+  test("a crashed IVF rebuild fails closed: _building refuses search, " +
+      "append and compaction until a rebuild completes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bld").toString
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 16), dir)
+    assert(!new java.io.File(s"$dir/_building").exists())
+    val queries = base.filter(col("vec_id") < 5)
+    Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4).count()
+    assert(new java.io.File(s"$dir/_building").createNewFile())
+    intercept[IllegalArgumentException] {
+      Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4).count()
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.appendIndex(spark, base.filter(col("vec_id") < 5), dir, "t")
+    }
+    intercept[IllegalArgumentException] { Ivf.compactIndex(spark, dir) }
+    // a completed rebuild clears the sentinel and reopens the index
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 16), dir)
+    assert(!new java.io.File(s"$dir/_building").exists())
+    Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4).count()
+  }
 }

@@ -622,4 +622,54 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
       normalize = true)) == Set(1L, 4L),
       "normalized hashing collapses case/punct variants to the first")
   }
+
+  test("a crashed rebuild fails closed: the _building sentinel refuses " +
+      "probes, appends, compaction and recovery until a rebuild finishes") {
+    import spark.implicits._
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val ndPath = java.nio.file.Files.createTempDirectory("bld_nd").toString
+    VectorOps.writeNeardupIndex(docs, ndPath)
+    // a completed build leaves no sentinel — normal operation unaffected
+    assert(!new java.io.File(s"$ndPath/_building").exists())
+    VectorOps.neardupDeltaIndexed(spark, ndPath,
+      Seq((9999L, "anything at all")).toDF("doc_id", "text")).count()
+    // simulate a crash mid-rebuild: sentinel present, components gone —
+    // the window writeNeardupIndex opens between reset and write
+    assert(new java.io.File(s"$ndPath/_building").createNewFile())
+    val batch = Seq((9999L, "anything at all")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      VectorOps.neardupDeltaIndexed(spark, ndPath, batch).count()
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.appendNeardupIndex(batch, ndPath, "t")
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.compactNeardupIndex(spark, ndPath)
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.recoverNeardupIndex(spark, ndPath)
+    }
+    // a completed rebuild clears the sentinel and reopens the index
+    VectorOps.writeNeardupIndex(docs, ndPath)
+    assert(!new java.io.File(s"$ndPath/_building").exists())
+    VectorOps.neardupDeltaIndexed(spark, ndPath, batch).count()
+
+    // cosine twin: same lifecycle
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+    val cosPath = java.nio.file.Files.createTempDirectory("bld_cos").toString
+    VectorOps.writeCosineIndex(vecs, cosPath)
+    assert(!new java.io.File(s"$cosPath/_building").exists())
+    assert(new java.io.File(s"$cosPath/_building").createNewFile())
+    val vbatch = vecs.filter(col("vec_id") === 0)
+    intercept[IllegalArgumentException] {
+      VectorOps.cosineDeltaIndexed(spark, cosPath, vbatch, 0.35).count()
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.appendCosineIndex(vbatch, cosPath, "t")
+    }
+    VectorOps.writeCosineIndex(vecs, cosPath)
+    VectorOps.cosineDeltaIndexed(spark, cosPath, vbatch, 0.35).count()
+  }
 }

@@ -278,6 +278,37 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("appendIndex is growth-only: re-sent vec_ids are dropped, so the " +
+      "residual fold's one-cell-per-vector premise holds; same-tag replay " +
+      "still rewrites itself") {
+    val init = base.filter(col("vec_id") < 150)
+    val extra = base.filter(col("vec_id") >= 150)
+    val cents = Ivf.train(init, 16, iters = 2).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("pq_dup").toString
+    Pq.writeIndexResidual(init, cents, dir, M, Ks, iters = 0)
+    Pq.appendIndex(spark, extra, dir, "g1", M)
+    val cellCount = spark.read.parquet(s"$dir/cells").count()
+    // replay of the SAME tag (at-least-once) rewrites batch=g1 in place —
+    // the dup guard must exempt the tag's own dir, not empty it
+    Pq.appendIndex(spark, extra, dir, "g1", M)
+    assert(spark.read.parquet(s"$dir/cells").count() == cellCount,
+      "same-tag replay must rewrite, not drop, its increment")
+    // a re-send of already-indexed ids under a NEW tag is ignored: with
+    // drifted centroids a duplicate could land in a different cell and
+    // the residual max(qc) fold would mix cells into a garbage score
+    Pq.appendIndex(spark, base, dir, "g2", M)
+    val perId = spark.read.parquet(s"$dir/cells")
+      .groupBy(col("vec_id")).count()
+    assert(perId.filter(col("count") > 1).count() == 0,
+      "no vec_id may be coded twice")
+    assert(perId.count() == base.count())
+    val queries = base.filter(col("vec_id") < 5)
+    val got = Pq.searchIndexResidual(spark, dir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.distinct.length == got.length, "duplicate (q, vec) rows")
+  }
+
   test("rebuild-in-place drops stale increments; a crashed build fails closed") {
     val init = base.filter(col("vec_id") < 150)
     val extra = base.filter(col("vec_id") >= 150)

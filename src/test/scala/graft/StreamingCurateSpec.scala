@@ -100,6 +100,11 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
         ((Option(r.getAs[String]("drop_reason")), r.getAs[String]("text"))))
       .toMap
     assert(got(21L)._1 == Some("segment_dup"))
+    // "full batch rows" contract: a segment-dropped doc has NO row in
+    // the rewritten frame, but its verdict must still carry the ARRIVAL
+    // text (audits of why a doc dropped need the doc)
+    assert(got(21L)._2 == alpha._2,
+      s"segment_dup verdict must keep the arrival text: ${got(21L)}")
     // null-text docs get the BATCH pipeline's verdict (its when-chain
     // skips the quality branch on a null gate and lands on exact_dup)
     assert(got(23L)._1 == Some("exact_dup"), s"null doc: ${got(23L)}")
