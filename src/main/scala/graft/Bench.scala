@@ -28,7 +28,25 @@ object Bench {
       .selectExpr("xxhash64(id) % 1024 as k", "id")
       .groupBy("k").count().orderBy("k").collect()
     val calibration = (System.nanoTime() - cal0) / 1e9
+    // Per-query micro-calibration: the start-of-run probe adjudicates a
+    // WHOLE run, but a roving host stall (r11: ~10 rows inflated 5-15×
+    // in the driver capture while start-time calibration read clean)
+    // contaminates specific rows. A ~50 ms probe after each query — the
+    // same host-only kernel at 1/32 scale — stamps every row with the
+    // host speed IT ran next to: a stalled row carries its own elevated
+    // cal_ms in the driver's artifact, so adjudication needs no
+    // out-of-band rerun. Probe time is outside the query timing and the
+    // total (both measure engine work only).
+    def microCal(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(625000L)
+        .selectExpr("xxhash64(id) % 1024 as k", "id")
+        .groupBy("k").count().orderBy("k").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    microCal() // warm the probe's own codegen before the first stamp
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val calMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be LOUD *inside the JSON*, not a
@@ -41,7 +59,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
           failed += name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      calMs += name -> microCal()
+      name -> sec
     }
     // The driver captures only the LAST ~2000 chars of run output and
     // parses the JSON line out of that tail. With 100 queries a full
@@ -56,18 +76,26 @@ object Bench {
     // broken query can never masquerade as a fast success in BENCH_r*.json
     val failJson =
       s""","n_failed":${failed.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    def line(entries: Iterable[(String, Double)], total: Double): String = {
+    def line(entries: Iterable[(String, Double)], total: Double,
+        cal: Iterable[(String, Double)] = Nil): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+      // per-query probe stamps ride only in the FULL line (detail file):
+      // they would blow the compact tail line's budget, and stall
+      // adjudication reads the artifact, not the tail
+      val calJson =
+        if (cal.isEmpty) ""
+        else cal.map { case (k, v) => "\"" + k + "\":" + f(v) }
+          .mkString(""","cal_ms":{""", ",", "}")
       // normalized = total / calibration: host-speed-free trend number.
       // Two rounds whose RAW totals differ but whose normalized values
       // agree ran the same engine on different hosts/load (the r9 "90 s
       // scare" adjudicates itself); a normalized shift is a code change.
       val norm = if (calibration > 0) total / calibration else 0.0
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)},"normalized":${f(norm)}$failJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)},"normalized":${f(norm)}$failJson,"queries":$qs$calJson,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = line(results, total)
+    val full = line(results, total, calMs)
     println(full)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
