@@ -502,13 +502,20 @@ object EventOps {
     * of storing mergeable sketches at 100 TB. Exact whenever each day's
     * vocabulary fit its budget (then summaries ARE the counts and the
     * merge is a pointwise sum); lossy regime carries the PODS'12 bound.
+    *
+    * `fromDay`/`untilDay` (inclusive/exclusive ISO dates) answer the
+    * production ask "top items over [d1, d2)": the range lands as a
+    * filter on the `day=` PARTITION column, so the read lists and scans
+    * only the requested days' dirs — with years of history on disk a
+    * one-week rollup touches seven files, not the archive
+    * ([[summariesRange]] is the scan, exposed for the plan pin).
     */
   def topkFromSummaries(spark: SparkSession, path: String,
-      k: Int = 10, m: Int = 64): DataFrame = {
+      k: Int = 10, m: Int = 64, fromDay: Option[String] = None,
+      untilDay: Option[String] = None): DataFrame = {
     import spark.implicits._
     val mg = new graft.functions.TopKFreq(m)
-    val days = spark.read
-      .schema("tok STRING, est BIGINT, day STRING").parquet(path)
+    val days = summariesRange(spark, path, fromDay, untilDay)
       .select(col("day"), col("tok"), col("est"))
       .as[(String, String, Long)].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -517,6 +524,61 @@ object EventOps {
     merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
       .toDF("event_type", "est")
       .orderBy(col("est").desc, col("event_type"))
+  }
+
+  /** The day-ranged summary scan behind [[topkFromSummaries]] — a plain
+    * comparison on the `day=` partition column (ISO dates order
+    * lexicographically), which Catalyst turns into partition pruning at
+    * file listing. Exposed so the spec pins PartitionFilters on the
+    * executed plan, the [[graft.operators.Ivf.searchIndex]] discipline.
+    */
+  private[graft] def summariesRange(spark: SparkSession, path: String,
+      fromDay: Option[String], untilDay: Option[String]): DataFrame = {
+    val all = spark.read
+      .schema("tok STRING, est BIGINT, day STRING").parquet(path)
+    val lo = fromDay.map(d => col("day") >= d)
+    val hi = untilDay.map(d => col("day") < d)
+    (lo.toSeq ++ hi.toSeq).foldLeft(all)(_.filter(_))
+  }
+
+  // ------------------------------------ persisted daily HLL sketches
+
+  /** Persist one HLL sketch of distinct users per day under
+    * `path/day=<day>` — the distinct-count twin of
+    * [[writeDailySummaries]], completing the "answer rollups from
+    * storage, never rescan raw" posture for both mergeable-sketch
+    * families. Each day's sketch builds through partial aggregation
+    * (Datasketches HLL buffers merge map-side, so tasks shuffle ≤ one
+    * ~2^lgK-register buffer each, never rows), and dynamic partition
+    * overwrite makes a day's backfill rewrite only its own dir — the
+    * same per-day replay discipline as the MG pair.
+    */
+  def writeDailySketches(events: DataFrame, path: String,
+      lgK: Int = 12): Unit =
+    events
+      .groupBy(to_date(col("ts")).cast(StringType).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .repartition(col("day"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+
+  /** Distinct-user estimate over stored day sketches
+    * ([[writeDailySketches]]): union the (≤ days, KB-sized) sketches and
+    * estimate — raw events are never rescanned. `fromDay`/`untilDay`
+    * range-prune on the `day=` partition column exactly as
+    * [[topkFromSummaries]]. Returns one row (approx_users, n_days);
+    * accuracy is the standard HLL ~1.04/√2^lgK relative error, spec-
+    * bounded against the exact distinct count.
+    */
+  def distinctFromSketches(spark: SparkSession, path: String,
+      fromDay: Option[String] = None, untilDay: Option[String] = None)
+      : DataFrame = {
+    val all = spark.read.schema("sk BINARY, day STRING").parquet(path)
+    val lo = fromDay.map(d => col("day") >= d)
+    val hi = untilDay.map(d => col("day") < d)
+    (lo.toSeq ++ hi.toSeq).foldLeft(all)(_.filter(_))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        count(lit(1)).as("n_days"))
   }
 
   val all: Seq[ContractQuery] = Seq(

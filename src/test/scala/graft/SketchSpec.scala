@@ -87,4 +87,79 @@ class SketchSpec extends AnyFunSuite with SparkSessionFixture {
     assert(top(EventOps.topkFromSummaries(spark, path)) == want,
       "history unchanged by an identical single-day backfill")
   }
+
+  test("topkFromSummaries day range: partition-pruned read, result == " +
+      "rollup over just those days") {
+    import graft.queries.{EventOps, Tables}
+    val events = Tables.t(spark, Sf0001, "events")
+    val path = java.nio.file.Files.createTempDirectory("topk_range").toString
+    EventOps.writeDailySummaries(events, path)
+    val days = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName.stripPrefix("day=")).sorted
+    assert(days.length >= 4, s"need >3 days, got ${days.toSeq}")
+    val (d1, d2) = (days(1), days(3)) // [d1, d2) = exactly days(1), days(2)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = top(EventOps.topkMergeDailyOn(
+      events.filter(to_date(col("ts")).cast("string").between(days(1), days(2)))))
+    assert(top(EventOps.topkFromSummaries(spark, path,
+      fromDay = Some(d1), untilDay = Some(d2))) == want,
+      "ranged summary merge must equal the rollup restricted to the range")
+    // the range must reach the scan as PARTITION pruning: 2 of N day
+    // dirs listed, not a post-scan filter over the archive
+    val scan = EventOps.summariesRange(spark, path, Some(d1), Some(d2))
+    scan.collect()
+    val leaves = scan.queryExecution.executedPlan.collectLeaves()
+    val fsScans = leaves.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fsScans.nonEmpty, s"expected a file scan leaf, got $leaves")
+    assert(fsScans.head.partitionFilters.nonEmpty,
+      "day-range predicates must land as partitionFilters on the scan")
+    assert(fsScans.head.inputRDDs().head.partitions.nonEmpty)
+    val readDays = fsScans.head.relation.location
+      .listFiles(fsScans.head.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+      .flatMap("day=([0-9-]+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(readDays == Set(days(1), days(2)),
+      s"pruned listing must touch exactly the 2 ranged days, got $readDays")
+  }
+
+  test("persisted day HLL sketches: union estimate within 5% of exact; " +
+      "day range prunes; backfill rewrites only its day") {
+    import graft.queries.{EventOps, Tables}
+    val events = Tables.t(spark, Sf0001, "events")
+    val path = java.nio.file.Files.createTempDirectory("hll_days").toString
+    EventOps.writeDailySketches(events, path)
+    val dayDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("day="))
+    assert(dayDirs.length > 1)
+    val got = EventOps.distinctFromSketches(spark, path).head
+    val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(got.getLong(1) == dayDirs.length, "n_days == stored day count")
+    assert(math.abs(got.getLong(0).toDouble - exact) / exact < 0.05,
+      s"approx ${got.getLong(0)} vs exact $exact")
+    // ranged estimate vs exact distinct over the same days
+    val days = dayDirs.map(_.stripPrefix("day=")).sorted
+    val (d1, d2) = (days(1), days(days.length - 1))
+    val ranged = EventOps.distinctFromSketches(spark, path,
+      fromDay = Some(d1), untilDay = Some(d2)).head
+    val exactRanged = events
+      .filter(to_date(col("ts")).cast("string") >= d1 &&
+        to_date(col("ts")).cast("string") < d2)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(ranged.getLong(1) == days.length - 2)
+    assert(math.abs(ranged.getLong(0).toDouble - exactRanged) / exactRanged < 0.05,
+      s"ranged approx ${ranged.getLong(0)} vs exact $exactRanged")
+    // dynamic-overwrite backfill discipline, as the MG pair
+    val d0 = days.min
+    val others = dayDirs.filter(_ != s"day=$d0")
+      .map(n => n -> new java.io.File(path, n).lastModified()).toMap
+    EventOps.writeDailySketches(
+      events.filter(to_date(col("ts")).cast("string") === d0), path)
+    others.foreach { case (n, ts0) =>
+      assert(new java.io.File(path, n).lastModified() == ts0,
+        s"backfill of day=$d0 must not rewrite $n")
+    }
+  }
 }
