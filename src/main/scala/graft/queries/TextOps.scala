@@ -887,6 +887,75 @@ object TextOps {
     contamVerdicts(docs, cfg, testSh, shared)
   }
 
+  // ------------------------------------------- persisted eval-shingle index
+
+  /** Persist the distinct 3-shingles of an eval corpus under
+    * `path/shingles` with the standard `batch=` index layout — the
+    * durable form of the decontamination reference set. A streaming
+    * curation loop ([[graft.streaming.CurateIngest]]) reads it per
+    * micro-batch, so ADDING eval examples mid-stream
+    * ([[appendEvalIndex]]) changes verdicts from the very next batch —
+    * no restart, the lifecycle every other index here already has.
+    * Build brackets with the `_building` sentinel
+    * ([[VectorOps.beginIndexBuild]]): a crash mid-rebuild fails closed
+    * instead of silently decontaminating against a partial eval set.
+    */
+  def writeEvalIndex(evalDocs: DataFrame, path: String): Unit = {
+    val spark = evalDocs.sparkSession
+    VectorOps.beginIndexBuild(spark, path)
+    VectorOps.resetComponent(spark, s"$path/shingles")
+    shingleRows(evalDocs.select(col("doc_id"), col("text")))
+      .select(col("s")).distinct()
+      .write.mode("overwrite").parquet(s"$path/shingles/batch=init")
+    VectorOps.endIndexBuild(spark, path)
+  }
+
+  /** Grow the eval index: only shingles NOT already stored land in the
+    * increment's `batch=tag` dir, so the stored rows stay a SET —
+    * [[readEvalShingles]] never dedups, and the contamination count
+    * (shared distinct shingles) cannot double-count one shingle that
+    * two eval batches both contain. The own-tag exemption makes an
+    * at-least-once replay rewrite itself; a replay AFTER compaction
+    * folded the tag writes an empty increment (its shingles already
+    * live in `batch=init`) — the union is unchanged either way.
+    */
+  def appendEvalIndex(evalDocs: DataFrame, path: String, tag: String): Unit = {
+    VectorOps.requireTag(tag)
+    val spark = evalDocs.sparkSession
+    VectorOps.requireNotBuilding(spark, path)
+    VectorOps.finishCrashedSwap(spark, s"$path/shingles")
+    VectorOps.ensureBatchLayout(spark, s"$path/shingles")
+    val fresh = shingleRows(evalDocs.select(col("doc_id"), col("text")))
+      .select(col("s")).distinct()
+    val stored = spark.read.parquet(s"$path/shingles")
+    val others =
+      if (stored.columns.contains("batch")) stored.filter(col("batch") =!= tag)
+      else stored
+    fresh.join(others.select(col("s")), Seq("s"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/shingles/batch=$tag")
+  }
+
+  /** The stored distinct eval shingles — one `s` column, a set by the
+    * append-time anti-join. Self-heals a crashed compaction swap first,
+    * refuses a crashed rebuild.
+    */
+  def readEvalShingles(spark: SparkSession, path: String): DataFrame = {
+    VectorOps.requireNotBuilding(spark, path)
+    VectorOps.finishCrashedSwap(spark, s"$path/shingles")
+    spark.read.parquet(s"$path/shingles").select(col("s"))
+  }
+
+  /** Fold the eval index's increments into one `batch=init` level —
+    * [[VectorOps.compactComponent]]'s swap discipline. No compacted-tags
+    * sidecar needed: a replayed append after its tag was folded writes
+    * an empty increment (see [[appendEvalIndex]]), never a duplicate.
+    */
+  def compactEvalIndex(spark: SparkSession, path: String,
+      numFiles: Int = 0): Unit = {
+    VectorOps.requireNotBuilding(spark, path)
+    VectorOps.compactComponent(spark, s"$path/shingles", numFiles)
+  }
+
   /** [[decontaminateOn]] with bloom-filter semi-join pruning — the
     * explicit 100 TB form. The exact pass shuffles EVERY train and test
     * shingle by `s` just to discover that almost none match; here each

@@ -23,7 +23,11 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
   *   5. near-dup — vs the growing MinHash index, keep-FIRST arrival
   *      order ([[IngestDedup]]'s admit policy; the batch pipeline's
   *      keep-best needs the whole cluster — the standard incremental
-  *      trade-off [[graft.queries.TextOps.curateDeltaOn]] documents).
+  *      trade-off [[graft.queries.TextOps.curateDeltaOn]] documents);
+  *   6. semantic near-dup — optional, for batches carrying an
+  *      `embedding` column: cosine-LSH vs the growing cosine index
+  *      (`drop_reason = "semantic_dup"`), catching paraphrases the
+  *      shingle stages can't see. Same admit policy and lifecycle.
   *
   * Output per batch: the full batch rows (text REWRITTEN when the
   * segment stage is on, n_chars recomputed) plus (kept, drop_reason) —
@@ -45,26 +49,44 @@ object CurateIngest {
   /** Start the loop over a streaming (doc_id, text, n_chars, …) frame.
     * State lives under `statePath`/{segments, digests, minhash};
     * `evalPath` (optional) is a parquet of (doc_id, text) eval docs to
-    * decontaminate against. No bootstrap needed — first batch creates
-    * every component.
+    * decontaminate against — shingled ONCE at stream start, for the
+    * fixed-eval-corpus case. `evalIndexPath` (optional, exclusive with
+    * `evalPath`) points at a PERSISTED eval-shingle index
+    * ([[graft.queries.TextOps.writeEvalIndex]]): read per micro-batch,
+    * so eval examples appended mid-stream
+    * ([[graft.queries.TextOps.appendEvalIndex]]) change verdicts from
+    * the next batch without a restart. No bootstrap needed — first
+    * batch creates every state component (the eval index, being an
+    * input, must exist up front; an empty `writeEvalIndex` seeds it).
     */
   def run(docs: DataFrame, statePath: String, outPath: String,
       checkpoint: String, cfg: CurateConfig = CurateConfig(),
       evalPath: Option[String] = None,
-      compactEvery: Int = 0): StreamingQuery = {
-    // the eval corpus is FIXED: shingle + distinct it ONCE at start —
+      compactEvery: Int = 0,
+      evalIndexPath: Option[String] = None,
+      semanticThreshold: Option[Double] = None): StreamingQuery = {
+    require(evalPath.isEmpty || evalIndexPath.isEmpty,
+      "pass evalPath (fixed corpus) or evalIndexPath (growable index), not both")
+    // the fixed eval corpus is shingled + distinct'd ONCE at start —
     // per-batch re-shingling would make the eval pass the dominant
-    // fixed cost of every micro-batch
+    // fixed cost of every micro-batch. The INDEX form instead re-reads
+    // per batch (a parquet scan of stored distinct shingles — the
+    // shingling is already paid at index build/append).
     val evalShingles = evalPath.map { ep =>
       TextOps.shingleRows(docs.sparkSession.read.parquet(ep)
           .select(col("doc_id"), col("text")))
         .select(col("s")).distinct().localCheckpoint(true)
     }
+    // fail at start, not on batch one: a typo'd index path silently
+    // disabling decontamination is the worst failure mode
+    evalIndexPath.foreach { p =>
+      TextOps.readEvalShingles(docs.sparkSession, p).schema
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
-          evalShingles, compactEvery)
+          evalShingles, compactEvery, evalIndexPath, semanticThreshold)
       }
       .start()
   }
@@ -72,7 +94,9 @@ object CurateIngest {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       statePath: String, outPath: String, cfg: CurateConfig,
       evalShingles: Option[DataFrame] = None,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      evalIndexPath: Option[String] = None,
+      semanticThreshold: Option[Double] = None): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
 
@@ -91,6 +115,8 @@ object CurateIngest {
         TextOps.compactSegmentIndex(spark, s"$statePath/segments")
       if (minhashExists(spark, statePath))
         VectorOps.compactNeardupIndex(spark, s"$statePath/minhash")
+      if (cosineExists(spark, statePath))
+        VectorOps.compactCosineIndex(spark, s"$statePath/cosine")
     }
 
     val b = batch.localCheckpoint(true)
@@ -135,10 +161,16 @@ object CurateIngest {
     val exKept = TextOps.exactDedupDelta(spark, s"$statePath/digests",
       current, tag, normalize = cfg.normalizeForHash)
 
-    // 4. optional decontamination vs the fixed eval corpus: a doc drops
-    // when shared shingles ≥ num/den of its own shingles (the config's
-    // exact rational, Long cross-multiplication — no float boundary)
-    val decon = evalShingles match {
+    // 4. optional decontamination vs the eval corpus — either the fixed
+    // start-of-stream shingle set, or the persisted index read FRESH
+    // this batch (so mid-stream appendEvalIndex calls take effect on the
+    // next batch). A doc drops when shared shingles ≥ num/den of its own
+    // shingles (the config's exact rational, Long cross-multiplication —
+    // no float boundary).
+    val evalShNow = evalIndexPath
+      .map(p => TextOps.readEvalShingles(spark, p))
+      .orElse(evalShingles)
+    val decon = evalShNow match {
       case None => exKept
       case Some(evalSh) =>
         val sh = TextOps.shingleRows(exKept.select(col("doc_id"), col("text")))
@@ -168,6 +200,37 @@ object CurateIngest {
     VectorOps.appendNeardupIndex(
       admitted.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
 
+    // 6. optional semantic near-dup vs the growing cosine index — for
+    // corpora carrying an `embedding` column: a doc that says the same
+    // thing in different words passes the MinHash stage (no shared
+    // shingles) but lands next to its twin in embedding space. Same
+    // keep-first admit policy and index lifecycle as stage 5, over
+    // [[VectorOps.cosineDeltaIndexed]]; only docs the text stages kept
+    // probe (first-drop-reason order preserved) and only ADMITTED docs'
+    // vectors join the index.
+    val sem = semanticThreshold match {
+      case None => admitted
+      case Some(th) =>
+        require(b.columns.contains("embedding"),
+          "semanticThreshold needs an `embedding` column on the batch")
+        // recovery BEFORE the existence probe — after a crash mid-swap
+        // the vectors live only in the .compacting twin, and a probe
+        // that sees the missing dir would bootstrap an empty index over
+        // the twin's grave (the minhash ordering above, mirrored)
+        VectorOps.recoverCosineIndex(spark, s"$statePath/cosine")
+        if (!cosineExists(spark, statePath))
+          VectorOps.writeCosineIndex(
+            b.select(col("doc_id").as("vec_id"), col("embedding")).limit(0),
+            s"$statePath/cosine")
+        val vpairs = VectorOps.cosineDeltaIndexed(spark, s"$statePath/cosine",
+          admitted.select(col("doc_id").as("vec_id"), col("embedding")), th)
+        val kept = IngestDedup.admit(admitted, vpairs, "doc_id", "v1", "v2")
+        VectorOps.appendCosineIndex(
+          kept.select(col("doc_id").as("vec_id"), col("embedding")),
+          s"$statePath/cosine", tag)
+        kept
+    }
+
     // verdicts: first-drop-reason in the batch pipeline's stage order;
     // rewritten text (when the segment stage ran) rides into the output
     val keepId = (df: DataFrame, name: String) =>
@@ -194,20 +257,27 @@ object CurateIngest {
       .join(keepId(exKept, "ex_ok"), Seq("doc_id"), "left")
       .join(keepId(decon, "de_ok"), Seq("doc_id"), "left")
       .join(keepId(admitted, "nd_ok"), Seq("doc_id"), "left")
+      .join(keepId(sem, "sm_ok"), Seq("doc_id"), "left")
       .withColumn("drop_reason",
         when(col("seg_drop").isNotNull, "segment_dup")
           .when(col("gv") === false, "quality")
           .when(col("ex_ok").isNull, "exact_dup")
           .when(col("de_ok").isNull, "decontaminated")
-          .when(col("nd_ok").isNull, "near_dup"))
+          .when(col("nd_ok").isNull, "near_dup")
+          .when(col("sm_ok").isNull, "semantic_dup"))
       .withColumn("kept", col("drop_reason").isNull)
-      .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok")
+      .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok", "sm_ok")
     verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
   }
 
 
   private def minhashExists(spark: SparkSession, statePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$statePath/minhash/sets")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def cosineExists(spark: SparkSession, statePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/cosine/vectors")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

@@ -142,4 +142,110 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(verdicts(s"$out/batch=b1") == Map(
       2L -> ((false, Some("exact_dup"))), 3L -> ((true, None))))
   }
+
+  test("growable eval index: appending eval docs mid-stream changes " +
+      "verdicts on the next batch; overlapping appends stay a set") {
+    import graft.queries.TextOps
+    val state = java.nio.file.Files.createTempDirectory("ci_ev_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_ev_out").toString
+    val evalIdx = java.nio.file.Files.createTempDirectory("ci_ev_idx").toString
+    val gamma = doc(100L, "gamma", 40)
+    val delta = doc(101L, "delta", 40)
+    TextOps.writeEvalIndex(docsDf(Seq(gamma)), evalIdx)
+
+    // batch 0: the gamma copy is contaminated, the delta copy is NOT
+    // (delta isn't in the eval set yet)
+    val b0 = docsDf(Seq((1L, gamma._2, gamma._3), (2L, delta._2, delta._3)))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      evalIndexPath = Some(evalIdx))
+    assert(verdicts(s"$out/batch=b0") == Map(
+      1L -> ((false, Some("decontaminated"))),
+      2L -> ((true, None))))
+
+    // mid-stream: delta joins the eval set — NO restart, next batch
+    // must decontaminate a fresh near-copy of it
+    TextOps.appendEvalIndex(docsDf(Seq(delta)), evalIdx, "e1")
+    val deltaCopy = doc(11L, "delta", 40, extra = "tailword")
+    val b1 = docsDf(Seq(deltaCopy, doc(12L, "epsilon", 40)))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      evalIndexPath = Some(evalIdx))
+    assert(verdicts(s"$out/batch=b1") == Map(
+      11L -> ((false, Some("decontaminated"))),
+      12L -> ((true, None))))
+
+    // set semantics: re-appending overlapping eval docs under a new tag
+    // adds NO rows (every shingle already stored), so shared-shingle
+    // counts can never double; a same-tag replay rewrites itself
+    val before = spark.read.parquet(s"$evalIdx/shingles").count()
+    TextOps.appendEvalIndex(docsDf(Seq(delta, gamma)), evalIdx, "e2")
+    assert(spark.read.parquet(s"$evalIdx/shingles").count() == before,
+      "overlapping append must add no duplicate shingles")
+    TextOps.appendEvalIndex(docsDf(Seq(delta)), evalIdx, "e1")
+    assert(spark.read.parquet(s"$evalIdx/shingles").count() == before,
+      "same-tag replay must rewrite, not duplicate")
+
+    // compaction folds increments; a replayed append after the fold
+    // writes an empty increment — union unchanged
+    TextOps.compactEvalIndex(spark, evalIdx)
+    assert(spark.read.parquet(s"$evalIdx/shingles").count() == before)
+    TextOps.appendEvalIndex(docsDf(Seq(delta)), evalIdx, "e1")
+    assert(spark.read.parquet(s"$evalIdx/shingles").count() == before)
+    val b2 = docsDf(Seq(doc(21L, "delta", 40, extra = "othertail")))
+    CurateIngest.processBatch(b2, 2L, state, out, CurateConfig(),
+      evalIndexPath = Some(evalIdx))
+    assert(verdicts(s"$out/batch=b2") == Map(
+      21L -> ((false, Some("decontaminated")))))
+  }
+
+  test("semantic stage: a cross-batch paraphrase (zero shared shingles) " +
+      "drops as semantic_dup via the growing cosine index; replay " +
+      "reproduces") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("ci_sem_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_sem_out").toString
+    def axis(i: Int, scale: Float = 1f): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) scale else 0f)
+    def vdocs(rows: Seq[(Long, String, Long, Seq[Float])]) =
+      rows.toDF("doc_id", "text", "n_chars", "embedding")
+    val alpha = doc(1L, "alpha", 40)
+    val bravo = doc(2L, "bravo", 40)
+    val b0 = vdocs(Seq(
+      (alpha._1, alpha._2, alpha._3, axis(0)),
+      (bravo._1, bravo._2, bravo._3, axis(1))))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9))
+    assert(verdicts(s"$out/batch=b0") == Map(
+      1L -> ((true, None)), 2L -> ((true, None))))
+
+    // batch 1: doc 11 shares NO 3-shingle with doc 1 (different word
+    // stream) but its embedding is colinear with doc 1's — the
+    // paraphrase case only the semantic stage can catch. Doc 12 is a
+    // TEXT near-dup of doc 1: stage order must verdict it near_dup
+    // (first-drop-reason), not semantic_dup. Doc 13 is clean both ways.
+    val para = doc(11L, "charlie", 40)
+    val nd = doc(12L, "alpha", 40, extra = "tailword")
+    val clean = doc(13L, "echo", 40)
+    val b1 = vdocs(Seq(
+      (para._1, para._2, para._3, axis(0, 3f)),
+      (nd._1, nd._2, nd._3, axis(2)),
+      (clean._1, clean._2, clean._3, axis(3))))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9))
+    val want1 = Map(
+      11L -> ((false, Some("semantic_dup"))),
+      12L -> ((false, Some("near_dup"))),
+      13L -> ((true, None)))
+    assert(verdicts(s"$out/batch=b1") == want1)
+
+    // at-least-once replay: same verdicts, cosine index unchanged
+    // (only ADMITTED vectors were appended — dropped ones never join)
+    val vecsBefore = spark.read.parquet(s"$state/cosine/vectors").count()
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9))
+    assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
+    assert(spark.read.parquet(s"$state/cosine/vectors").count() == vecsBefore)
+    // the index holds exactly the admitted docs' vectors: 1, 2, 13
+    assert(spark.read.parquet(s"$state/cosine/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
+  }
 }
