@@ -137,6 +137,22 @@ object Containment {
     }
     out += "q_agg_hll_merge" -> Seq("max_rel_err" -> hllMergeErr)
 
+    // ---- persisted day-sketch rollup (r12): stored HLL union over the
+    // ranged days vs the exact ranged distinct count
+    val distinctDaysErr = {
+      val events = Tables.t(spark, dir, "events")
+      val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
+        .head.getDate(0).toLocalDate
+      val exact = events
+        .filter(to_date(col("ts")) >= lit(d0.plusDays(7).toString) &&
+          to_date(col("ts")) < lit(d0.plusDays(14).toString))
+        .select(countDistinct(col("user_id"))).head.getLong(0)
+      val approx = graft.queries.EventOps.distinctDays(spark, dir)
+        .head.getLong(0)
+      ratio(math.abs(approx - exact), exact)
+    }
+    out += "q_distinct_days" -> Seq("rel_err" -> distinctDaysErr)
+
     // ---- diversity sampling: the law is balance, not recall — equal
     // per-cell quotas must flatten the cell distribution (sample max
     // share ≤ corpus max share) while covering every non-empty cell

@@ -581,8 +581,58 @@ object EventOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** Contract surface of the r12 storage-rollup posture, end-to-end:
+    * persist per-day MG summaries to a scratch dir, then answer "top
+    * event types over [min_day+7, min_day+14)" FROM STORAGE through the
+    * day-range partition-pruned read ([[topkFromSummaries]]) — the write
+    * AND the ranged rollup both inside the oracled query, so the whole
+    * store-then-answer path is hash-verified against DuckDB counting raw
+    * events (exact regime: each day's 5-type vocabulary fits m = 64, so
+    * summaries are counts and the merge is a pointwise sum).
+    */
+  def topkRange(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.t(spark, dir, "events")
+    val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
+      .head.getDate(0).toLocalDate
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_topk_range").toString
+    writeDailySummaries(events, tmp)
+    topkFromSummaries(spark, tmp, k = 10,
+      fromDay = Some(d0.plusDays(7).toString),
+      untilDay = Some(d0.plusDays(14).toString))
+  }
+
+  val topkRangeSql: String =
+    """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS est
+      |FROM events, b
+      |WHERE CAST(ts AS DATE) >= d0 + INTERVAL 7 DAY
+      |  AND CAST(ts AS DATE) < d0 + INTERVAL 14 DAY
+      |GROUP BY event_type
+      |ORDER BY est DESC, event_type LIMIT 10""".stripMargin
+
+  /** The distinct-count twin end-to-end: persist per-day HLL sketches,
+    * answer "distinct users over [min_day+7, min_day+14)" by unioning
+    * the stored sketches ([[distinctFromSketches]]). Sketch internals
+    * are engine-specific → no SQL oracle; Containment records the
+    * relative error against the exact ranged distinct count per round.
+    */
+  def distinctDays(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.t(spark, dir, "events")
+    val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
+      .head.getDate(0).toLocalDate
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_distinct_days").toString
+    writeDailySketches(events, tmp)
+    distinctFromSketches(spark, tmp,
+      fromDay = Some(d0.plusDays(7).toString),
+      untilDay = Some(d0.plusDays(14).toString))
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_topk_merge", topkMergeDaily, Some(topkMergeDailySql)),
+    ContractQuery("q_topk_range", topkRange, Some(topkRangeSql)),
+    ContractQuery("q_distinct_days", distinctDays, None),
     ContractQuery("q_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     ContractQuery("q_stream_sliding", streamSliding, Some(streamSlidingSql)),
     ContractQuery("q_stream_session", streamSession, Some(streamSessionSql)),
