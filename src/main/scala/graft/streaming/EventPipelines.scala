@@ -115,6 +115,42 @@ object EventPipelines {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming per-day HLL sketches — the distinct-count twin of
+    * [[TopkStream.heavyHittersWindowed]]'s day-scale lifecycle, built
+    * from the BUILT-IN windowed-agg machinery instead of custom state
+    * (`hll_sketch_agg` buffers are mergeable, so the streaming agg's
+    * partial/final split just works): in APPEND mode a day's sketch row
+    * is emitted exactly once, when the watermark seals the window —
+    * stragglers behind the watermark are dropped, never reopening a
+    * sealed day. Feed [[runDailySketches]] to persist each sealed day
+    * into [[graft.queries.EventOps.writeDailySketches]]' `day=` layout,
+    * and [[graft.queries.EventOps.distinctFromSketches]] answers ranged
+    * distinct-user rollups over the LIVE stream's history from storage.
+    */
+  def dailySketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .select(to_date(col("w.start")).cast(StringType).as("day"), col("sk"))
+
+  /** Run [[dailySketches]] into the persisted `day=` sketch layout.
+    * Dynamic partition overwrite per day keeps an at-least-once replay
+    * idempotent (a re-emitted sealed day rewrites only its own dir),
+    * exactly as the batch writer.
+    */
+  def runDailySketches(events: DataFrame, path: String,
+      checkpoint: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dailySketches(events, lgK).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF().repartition(col("day"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(path)
+      }
+      .start()
+
   /** Streaming dedup on (user_id, event_type) within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

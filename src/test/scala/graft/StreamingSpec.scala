@@ -205,4 +205,56 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     val rows = spark.table("t_funnel").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSet == Set((1L, "converted")), rows.mkString(","))
   }
+
+  test("streaming daily sketches: watermark-sealed days persist into the " +
+      "day= layout; ranged rollup answers from storage; late rows and the " +
+      "unsealed head are excluded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("hll_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_stream_ck").toString
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = EventPipelines.runDailySketches(
+      mem.toDF().toDF("ts", "user_id"), path, ckpt)
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // days 1-2 arrive, then a day-4 row pushes the watermark past both
+      mem.addData(
+        (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 11:00:00"), 2L),
+        (t("2024-01-01 12:00:00"), 1L), // dup user within day 1
+        (t("2024-01-02 09:00:00"), 3L), (t("2024-01-02 10:00:00"), 4L),
+        (t("2024-01-02 11:00:00"), 5L))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-04 12:00:00"), 9L))
+      q.processAllAvailable()
+      // a straggler behind the watermark must NOT reopen sealed day 1
+      mem.addData((t("2024-01-01 23:00:00"), 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // sealed: days 1-2. The day-4 head is ahead of the final watermark —
+    // never emitted (the heavyHittersWindowed seal semantics, built-in).
+    val dayDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dayDirs == Set("day=2024-01-01", "day=2024-01-02"),
+      s"sealed-day layout: $dayDirs")
+    val got = EventOps.distinctFromSketches(spark, path).head
+    assert(got.getLong(0) == 5L, s"2+3 distinct users, got ${got.getLong(0)}")
+    assert(got.getLong(1) == 2L)
+    // ranged read: day 2 only
+    val d2 = EventOps.distinctFromSketches(spark, path,
+      fromDay = Some("2024-01-02"), untilDay = Some("2024-01-03")).head
+    assert(d2.getLong(0) == 3L && d2.getLong(1) == 1L)
+    // parity: stream-built sketches estimate exactly like the batch
+    // writer over the same sealed rows (HLL registers are max-merged —
+    // order-independent)
+    val batchPath = java.nio.file.Files.createTempDirectory("hll_batch").toString
+    EventOps.writeDailySketches(
+      Seq(
+        (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 11:00:00"), 2L),
+        (t("2024-01-01 12:00:00"), 1L),
+        (t("2024-01-02 09:00:00"), 3L), (t("2024-01-02 10:00:00"), 4L),
+        (t("2024-01-02 11:00:00"), 5L)).toDF("ts", "user_id"), batchPath)
+    val b = EventOps.distinctFromSketches(spark, batchPath).head
+    assert(b.getLong(0) == got.getLong(0) && b.getLong(1) == got.getLong(1))
+  }
 }
