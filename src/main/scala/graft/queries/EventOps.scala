@@ -487,7 +487,11 @@ object EventOps {
         summary.toSeq.map { case (tok, est) => (day, tok, est) }
       }
       .toDF("day", "tok", "est")
-      .repartition(col("day"))
+      // the summaries frame is ≤ days × m rows by construction — one
+      // writer task (not a 32-partition day shuffle) minimizes the
+      // commit's staged-file count; the upstream day aggregation still
+      // runs fully parallel (the exchange below it is unchanged)
+      .repartition(1)
       // dynamic overwrite: only the days present in THIS batch are
       // replaced — a backfill rewrites its own day dirs and leaves the
       // rest of the history untouched (replay-idempotent per day)
