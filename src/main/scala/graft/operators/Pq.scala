@@ -527,4 +527,37 @@ object Pq {
       Seq("q_id", "j", "code"), shortlist, extraCol = Some("qc"))
     rerankShortlist(short, cells, queries, k)
   }
+
+  /** [[searchIndex]] / [[searchIndexResidual]] (auto-detected by the
+    * residual marker) over a LARGE query batch in bounded chunks — the
+    * DEPLOY.md recipe as code. The ADC lookup table is broadcast at
+    * |Q|·m·ks entries, fine for bounded query batches but a ~10⁸-entry
+    * driver table for a 10⁶-query offline scoring job; here the batch
+    * splits into `chunks` deterministic hash buckets on the query id
+    * and each chunk runs as its OWN eagerly-materialized job (the
+    * per-chunk localCheckpoint is what releases chunk i's LUT broadcast
+    * before chunk i+1 builds hers — a lazy union would hold every
+    * chunk's broadcast live in one job). Queries are independent in
+    * every search path (all state is per-q_id), so the unioned result
+    * is bit-identical to the unchunked run; total scan work is
+    * unchanged (each chunk's index read is partition-pruned to its own
+    * probes). Checkpointed chunk results are ≤ |chunk|·k rows each.
+    */
+  def searchIndexChunked(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int, m: Int,
+      chunks: Int): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    requireNotBuilding(spark, path)
+    val q = queries.localCheckpoint(true)
+    val residual = isResidualIndex(spark, path)
+    (0 until chunks).map { i =>
+      val qi = q.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === i)
+      val r =
+        if (residual)
+          searchIndexResidual(spark, path, qi, k, nprobe, shortlist, m)
+        else searchIndex(spark, path, qi, k, nprobe, shortlist, m)
+      r.localCheckpoint(true)
+    }.reduce(_.unionByName(_))
+      .orderBy(col("q_id"), col("rn"))
+  }
 }

@@ -309,6 +309,32 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.distinct.length == got.length, "duplicate (q, vec) rows")
   }
 
+  test("searchIndexChunked == unchunked, bit-identically, on both codings " +
+      "(the bounded-LUT recipe for huge query batches)") {
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val queries = base.filter(col("vec_id") < 30)
+    val plainDir = java.nio.file.Files.createTempDirectory("pq_chunk_p").toString
+    Pq.writeIndex(base, Ivf.seedCentroids(base, 16),
+      Pq.seedCodebooks(base, M, Ks), plainDir, M)
+    val wantPlain = canon(Pq.searchIndex(spark, plainDir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M))
+    assert(canon(Pq.searchIndexChunked(spark, plainDir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M, chunks = 3)) == wantPlain)
+    assert(canon(Pq.searchIndexChunked(spark, plainDir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M, chunks = 1)) == wantPlain)
+
+    val cents = Ivf.train(base, 16, iters = 2).localCheckpoint(true)
+    val resDir = java.nio.file.Files.createTempDirectory("pq_chunk_r").toString
+    Pq.writeIndexResidual(base, cents, resDir, M, Ks, iters = 0)
+    val wantRes = canon(Pq.searchIndexResidual(spark, resDir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M))
+    // the chunked entry auto-detects the residual coding from the marker
+    assert(canon(Pq.searchIndexChunked(spark, resDir, queries, k = 5,
+      nprobe = 4, shortlist = 50, m = M, chunks = 4)) == wantRes)
+  }
+
   test("rebuild-in-place drops stale increments; a crashed build fails closed") {
     val init = base.filter(col("vec_id") < 150)
     val extra = base.filter(col("vec_id") >= 150)
