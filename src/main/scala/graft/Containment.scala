@@ -140,12 +140,13 @@ object Containment {
     // ---- persisted day-sketch rollup (r12): stored HLL union over the
     // ranged days vs the exact ranged distinct count
     val distinctDaysErr = {
+      import graft.queries.EventOps.utcDay
       val events = Tables.t(spark, dir, "events")
-      val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
-        .head.getDate(0).toLocalDate
+      val d0 = java.time.LocalDate.parse(
+        events.agg(min(utcDay(col("ts"))).as("d0")).head.getString(0))
       val exact = events
-        .filter(to_date(col("ts")) >= lit(d0.plusDays(7).toString) &&
-          to_date(col("ts")) < lit(d0.plusDays(14).toString))
+        .filter(utcDay(col("ts")) >= lit(d0.plusDays(7).toString) &&
+          utcDay(col("ts")) < lit(d0.plusDays(14).toString))
         .select(countDistinct(col("user_id"))).head.getLong(0)
       val approx = graft.queries.EventOps.distinctDays(spark, dir)
         .head.getLong(0)

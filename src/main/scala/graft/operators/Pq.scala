@@ -551,7 +551,11 @@ object Pq {
     val q = queries.localCheckpoint(true)
     val residual = isResidualIndex(spark, path)
     (0 until chunks).map { i =>
-      val qi = q.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === i)
+      // coalesce: xxhash64(null) is null and a null bucket would match
+      // no chunk — a null-id query row must land in exactly one chunk
+      // (chunk 0), not silently vanish from the union
+      val qi = q.filter(
+        pmod(coalesce(xxhash64(col("vec_id")), lit(0L)), lit(chunks)) === i)
       val r =
         if (residual)
           searchIndexResidual(spark, path, qi, k, nprobe, shortlist, m)

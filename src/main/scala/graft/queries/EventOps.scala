@@ -24,6 +24,20 @@ object EventOps {
   private val SlideUs = 900000000L // 15 minutes
   private val GapUs = 1800000000L  // 30 minutes
 
+  /** UTC calendar-day label of a timestamp ("yyyy-MM-dd"), derived from
+    * the epoch — NOT `to_date`, which renders in the SESSION timezone.
+    * Every `day=` store (MG summaries, HLL sketches, streamed sketches)
+    * labels with this one expression, so day attribution is identical
+    * between the batch writers, the streaming window buckets (Spark's
+    * `window(ts, "1 day")` is epoch-aligned, i.e. UTC), and any two
+    * sessions regardless of their timezone conf. On a UTC session it
+    * equals `to_date` exactly (the oracle's CAST(ts AS DATE) semantics).
+    */
+  private[graft] def utcDay(ts: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+      (unix_micros(ts) / lit(DayUs)).cast(IntegerType)).cast(StringType)
+
   // -------------------------------------------------- tumbling window
 
   /** One-hour tumbling window counts + sums per event type. */
@@ -459,7 +473,7 @@ object EventOps {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(to_date(col("ts")).cast(StringType).as("day"), col("event_type"))
+      .select(utcDay(col("ts")).as("day"), col("event_type"))
       .as[(String, String)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -538,11 +552,20 @@ object EventOps {
     */
   private[graft] def summariesRange(spark: SparkSession, path: String,
       fromDay: Option[String], untilDay: Option[String]): DataFrame = {
-    val all = spark.read
-      .schema("tok STRING, est BIGINT, day STRING").parquet(path)
+    dayRanged(spark.read
+      .schema("tok STRING, est BIGINT, day STRING").parquet(path),
+      fromDay, untilDay)
+  }
+
+  /** The `[fromDay, untilDay)` fold over a `day=`-partitioned store —
+    * ONE owner of the pruning law for both rollup families, so a
+    * boundary fix can never apply to one and silently skip the other.
+    */
+  private def dayRanged(df: DataFrame, fromDay: Option[String],
+      untilDay: Option[String]): DataFrame = {
     val lo = fromDay.map(d => col("day") >= d)
     val hi = untilDay.map(d => col("day") < d)
-    (lo.toSeq ++ hi.toSeq).foldLeft(all)(_.filter(_))
+    (lo.toSeq ++ hi.toSeq).foldLeft(df)(_.filter(_))
   }
 
   // ------------------------------------ persisted daily HLL sketches
@@ -560,7 +583,7 @@ object EventOps {
   def writeDailySketches(events: DataFrame, path: String,
       lgK: Int = 12): Unit =
     events
-      .groupBy(to_date(col("ts")).cast(StringType).as("day"))
+      .groupBy(utcDay(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
       .repartition(col("day"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -576,14 +599,14 @@ object EventOps {
     */
   def distinctFromSketches(spark: SparkSession, path: String,
       fromDay: Option[String] = None, untilDay: Option[String] = None)
-      : DataFrame = {
-    val all = spark.read.schema("sk BINARY, day STRING").parquet(path)
-    val lo = fromDay.map(d => col("day") >= d)
-    val hi = untilDay.map(d => col("day") < d)
-    (lo.toSeq ++ hi.toSeq).foldLeft(all)(_.filter(_))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+      : DataFrame =
+    dayRanged(spark.read.schema("sk BINARY, day STRING").parquet(path),
+      fromDay, untilDay)
+      // a range matching zero stored days must answer 0, not a NULL
+      // aggregate the caller's .getLong trips over
+      .agg(coalesce(hll_sketch_estimate(hll_union_agg(col("sk"))), lit(0L))
+          .as("approx_users"),
         count(lit(1)).as("n_days"))
-  }
 
   /** Contract surface of the r12 storage-rollup posture, end-to-end:
     * persist per-day MG summaries to a scratch dir, then answer "top
@@ -596,14 +619,24 @@ object EventOps {
     */
   def topkRange(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(spark, dir, "events")
-    val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
-      .head.getDate(0).toLocalDate
+    val d0 = java.time.LocalDate.parse(
+      events.agg(min(utcDay(col("ts"))).as("d0")).head.getString(0))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_topk_range").toString
-    writeDailySummaries(events, tmp)
-    topkFromSummaries(spark, tmp, k = 10,
-      fromDay = Some(d0.plusDays(7).toString),
-      untilDay = Some(d0.plusDays(14).toString))
+    try {
+      writeDailySummaries(events, tmp)
+      // topkFromSummaries collects and returns a LOCAL frame, so the
+      // scratch store can be deleted before returning (a bench run
+      // must not leak a rollup store into /tmp per invocation)
+      topkFromSummaries(spark, tmp, k = 10,
+        fromDay = Some(d0.plusDays(7).toString),
+        untilDay = Some(d0.plusDays(14).toString))
+    } finally deleteRecursively(spark, tmp)
+  }
+
+  private def deleteRecursively(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   val topkRangeSql: String =
@@ -623,14 +656,20 @@ object EventOps {
     */
   def distinctDays(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(spark, dir, "events")
-    val d0 = events.agg(min(to_date(col("ts"))).as("d0"))
-      .head.getDate(0).toLocalDate
+    val d0 = java.time.LocalDate.parse(
+      events.agg(min(utcDay(col("ts"))).as("d0")).head.getString(0))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_distinct_days").toString
-    writeDailySketches(events, tmp)
-    distinctFromSketches(spark, tmp,
-      fromDay = Some(d0.plusDays(7).toString),
-      untilDay = Some(d0.plusDays(14).toString))
+    try {
+      writeDailySketches(events, tmp)
+      // distinctFromSketches is lazy over the scratch store — collect
+      // its one row before the store is deleted, return it locally
+      val r = distinctFromSketches(spark, tmp,
+        fromDay = Some(d0.plusDays(7).toString),
+        untilDay = Some(d0.plusDays(14).toString)).head
+      import spark.implicits._
+      Seq((r.getLong(0), r.getLong(1))).toDF("approx_users", "n_days")
+    } finally deleteRecursively(spark, tmp)
   }
 
   val all: Seq[ContractQuery] = Seq(

@@ -593,7 +593,13 @@ object VectorOps {
     val dup = existing.select(col("vec_id"))
       .join(broadcast(vecs.select(col("vec_id")).distinct()), "vec_id")
       .distinct()
-    vecs.join(broadcast(dup), Seq("vec_id"), "left_anti")
+    // the one-cell-per-vector invariant must also hold WITHIN the batch:
+    // a duplicated id in one append would code twice and poison the
+    // residual fold exactly like a cross-batch re-send. One survivor per
+    // id restores the invariant whichever row wins (identical-payload
+    // replays — the realistic case — make the choice immaterial).
+    vecs.dropDuplicates("vec_id")
+      .join(broadcast(dup), Seq("vec_id"), "left_anti")
   }
 
   /** Finish any crashed compaction swap on a MinHash index — the ingest

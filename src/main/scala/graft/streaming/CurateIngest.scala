@@ -257,7 +257,12 @@ object CurateIngest {
       .join(keepId(exKept, "ex_ok"), Seq("doc_id"), "left")
       .join(keepId(decon, "de_ok"), Seq("doc_id"), "left")
       .join(keepId(admitted, "nd_ok"), Seq("doc_id"), "left")
-      .join(keepId(sem, "sm_ok"), Seq("doc_id"), "left")
+      // with the semantic stage off, sem eq admitted — alias the marker
+      // instead of paying a join whose result is nd_ok by construction
+      .transform(v => semanticThreshold match {
+        case Some(_) => v.join(keepId(sem, "sm_ok"), Seq("doc_id"), "left")
+        case None => v.withColumn("sm_ok", col("nd_ok"))
+      })
       .withColumn("drop_reason",
         when(col("seg_drop").isNotNull, "segment_dup")
           .when(col("gv") === false, "quality")

@@ -131,7 +131,13 @@ object EventPipelines {
     events.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
-      .select(to_date(col("w.start")).cast(StringType).as("day"), col("sk"))
+      // label with the shared UTC-day expression, NOT to_date: the
+      // window buckets are epoch(=UTC)-aligned, and a session-timezone
+      // rendering of the UTC-midnight window start would shift the
+      // day= label (and diverge from the batch writer) on any non-UTC
+      // session
+      .select(graft.queries.EventOps.utcDay(col("w.start")).as("day"),
+        col("sk"))
 
   /** Run [[dailySketches]] into the persisted `day=` sketch layout.
     * Dynamic partition overwrite per day keeps an at-least-once replay

@@ -160,14 +160,21 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     Ivf.writeIndex(init, Ivf.seedCentroids(init, 16), dir)
     Ivf.appendIndex(spark, extra, dir, "g1")
     // an upstream replay re-sends already-indexed ids under a fresh tag
-    // (plus one genuinely new row): only the new row may land
+    // PLUS one genuinely new row: the new row must land (a guard that
+    // drops everything would pass a dup-only check vacuously), the
+    // re-sends must not
+    val novel = base.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"), col("embedding"), col("n2"))
     val resend = base.filter(col("vec_id") < 150 || col("vec_id") === 150)
+      .unionByName(novel)
     Ivf.appendIndex(spark, resend, dir, "g2")
     val ids = spark.read.parquet(s"$dir/cells")
       .groupBy(col("vec_id")).count()
     assert(ids.filter(col("count") > 1).count() == 0,
       "no vec_id may appear in two cells/batches")
-    assert(ids.count() == base.count())
+    assert(ids.count() == base.count() + 1)
+    assert(ids.filter(col("vec_id") === 1000000L).count() == 1,
+      "the genuinely new row must be appended, not dropped with the dups")
     // searches stay duplicate-free and correct
     val queries = base.filter(col("vec_id") < 5)
     val got = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4)

@@ -63,7 +63,11 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, Sf0001)
-      df.count() // finalize AQE so the inspected plan is the executed one
+      // execute THIS df's own physical plan (df.count() would build and
+      // run a separate QueryExecution, leaving this one's
+      // AdaptiveSparkPlanExec un-finalized — the sweep would read the
+      // isFinalPlan=false initial plan)
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       val nlj = plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin")

@@ -295,13 +295,20 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       "same-tag replay must rewrite, not drop, its increment")
     // a re-send of already-indexed ids under a NEW tag is ignored: with
     // drifted centroids a duplicate could land in a different cell and
-    // the residual max(qc) fold would mix cells into a garbage score
-    Pq.appendIndex(spark, base, dir, "g2", M)
+    // the residual max(qc) fold would mix cells into a garbage score.
+    // One genuinely new row rides along (sent TWICE in the same batch —
+    // the within-batch dup case) and must land exactly once.
+    val novel = base.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"), col("embedding"), col("n2"))
+    Pq.appendIndex(spark, base.unionByName(novel).unionByName(novel),
+      dir, "g2", M)
     val perId = spark.read.parquet(s"$dir/cells")
       .groupBy(col("vec_id")).count()
     assert(perId.filter(col("count") > 1).count() == 0,
       "no vec_id may be coded twice")
-    assert(perId.count() == base.count())
+    assert(perId.count() == base.count() + 1)
+    assert(perId.filter(col("vec_id") === 1000000L).count() == 1,
+      "the new row must land exactly once despite the within-batch dup")
     val queries = base.filter(col("vec_id") < 5)
     val got = Pq.searchIndexResidual(spark, dir, queries, k = 5,
       nprobe = 4, shortlist = 50, m = M)
