@@ -931,6 +931,11 @@ object TextOps {
     val others =
       if (stored.columns.contains("batch")) stored.filter(col("batch") =!= tag)
       else stored
+    // same own-tag-exempt growth-only law as VectorOps.dropExistingVecIds,
+    // but the direct anti-join shape, not its broadcast-intersection
+    // inversion: eval corpora are small on BOTH sides (AQE broadcasts
+    // whichever is smaller), whereas the cells guard anti-joins a small
+    // batch against a corpus-sized store and must never shuffle it
     fresh.join(others.select(col("s")), Seq("s"), "left_anti")
       .write.mode("overwrite").parquet(s"$path/shingles/batch=$tag")
   }
