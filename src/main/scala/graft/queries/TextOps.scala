@@ -1022,6 +1022,37 @@ object TextOps {
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
     decontaminateBloomOn(Tables.t(spark, dir, "documents"))
 
+  /** Decontaminate a corpus against a PERSISTED eval-shingle index
+    * ([[writeEvalIndex]]) — the production batch shape: the eval set is
+    * an external artifact (the benchmark release), not a hash-split of
+    * the corpus, and its shingling is already paid at index build.
+    * EVERY doc is scored (no train/test bucketing — the whole corpus is
+    * candidate training data); the verdict columns and the exact
+    * rational gate are [[decontaminateOn]]'s, bit-identical by shared
+    * code, so batch one-shot runs and the streaming loop's per-batch
+    * stage ([[graft.streaming.CurateIngest]]) agree on every doc.
+    */
+  def decontaminateIndexed(docs: DataFrame, path: String,
+      cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val spark = docs.sparkSession
+    val evalSh = readEvalShingles(spark, path)
+    val sh = shingleRows(docs.select(col("doc_id"), col("text")))
+    val shared = sh.join(evalSh, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val nSh = coalesce(col("n_sh"), lit(0L))
+    val nShared = coalesce(col("n_shared"), lit(0L))
+    docs.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), nShared.as("n_shared"), nSh.as("n_sh"),
+        when(nSh === 0L, lit(0.0)).otherwise(div6(nShared, nSh)).as("overlap"),
+        (nShared * cfg.minContamRatio._2 >= nSh * cfg.minContamRatio._1 &&
+          nSh > 0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   private val bucketSql = (c: String) => s"${detHashSql(c)} % 10"
 
   /** Decontamination CTE fragment over an in-scope `e(doc_id, s)` shingle

@@ -197,6 +197,38 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       21L -> ((false, Some("decontaminated")))))
   }
 
+  test("decontaminateIndexed: batch one-shot against the persisted eval " +
+      "index agrees with the streaming stage doc-for-doc") {
+    import graft.queries.TextOps
+    val evalIdx = java.nio.file.Files.createTempDirectory("dc_idx").toString
+    val gamma = doc(100L, "gamma", 40)
+    TextOps.writeEvalIndex(docsDf(Seq(gamma)), evalIdx)
+    val corpus = docsDf(Seq(
+      (1L, gamma._2, gamma._3),          // full eval copy → contaminated
+      doc(2L, "alpha", 40),              // clean
+      doc(3L, "gamma", 2)                // tiny overlap: 1 shared shingle of 1? below ratio? n=2 words → 0 shingles
+    ))
+    val got = TextOps.decontaminateIndexed(corpus, evalIdx).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L)._1, s"full copy must be contaminated: ${got(1L)}")
+    assert(!got(2L)._1, s"clean doc flagged: ${got(2L)}")
+    assert(got.size == 3 && !got(3L)._1, s"sub-shingle doc: ${got(3L)}")
+
+    // stream parity: the same corpus through CurateIngest with the same
+    // index — exactly the contaminated docs drop as `decontaminated`
+    val state = java.nio.file.Files.createTempDirectory("dc_state").toString
+    val out = java.nio.file.Files.createTempDirectory("dc_out").toString
+    CurateIngest.processBatch(corpus, 0L, state, out, CurateConfig(),
+      evalIndexPath = Some(evalIdx))
+    val streamed = verdicts(s"$out/batch=b0")
+    assert(streamed(1L) == ((false, Some("decontaminated"))))
+    assert(streamed(2L) == ((true, None)))
+    // doc 3 fails the quality gate (2 words), never reaching decon —
+    // stage order, not a disagreement on contamination
+    assert(streamed(3L) == ((false, Some("quality"))))
+  }
+
   test("semantic stage: a cross-batch paraphrase (zero shared shingles) " +
       "drops as semantic_dup via the growing cosine index; replay " +
       "reproduces") {
