@@ -236,14 +236,22 @@ object Pq {
     * by vec_id; the search shape is unchanged.
     */
   def writeIndex(base: DataFrame, cents: DataFrame, books: DataFrame,
-      path: String, m: Int): Unit = {
+      path: String, m: Int): Unit =
+    writeIndexImpl(base, cents, books, path, m, None)
+
+  private def writeIndexImpl(base: DataFrame, cents: DataFrame,
+      books: DataFrame, path: String, m: Int,
+      perm: Option[Array[Int]]): Unit = {
     val spark = base.sparkSession
     beginBuild(spark, path)
     // a rebuild-in-place over a former residual index clears the marker
     // (else searchIndex would refuse the new plain index and
     // searchIndexResidual would accept it with a spurious q·c term);
-    // the build sentinel covers the crash window this reordering opens
+    // the build sentinel covers the crash window this reordering opens.
+    // The perm marker is cleared for the same reason: a plain rebuild
+    // over a former permuted index must not leave searches permuting.
     clearResidualMarker(spark, path)
+    clearPermMarker(spark, path)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/books")
     Ivf.assign(base, cents)
@@ -252,6 +260,9 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
+    // inside the sentinel window, so no reader can see a permuted-built
+    // index without its marker
+    perm.foreach(p => writePermMarker(spark, path, p))
     endBuild(spark, path)
   }
 
@@ -274,8 +285,12 @@ object Pq {
     // centroid drift a duplicate could land in a DIFFERENT cell, and the
     // residual fold's max(qc) (one-cell-per-vector premise,
     // [[adcShortlist]]) would then mix cells into a garbage score
-    val vecsFresh = graft.queries.VectorOps
+    val vecsFresh0 = graft.queries.VectorOps
       .dropExistingVecIds(spark, vecs, s"$path/cells", tag)
+    // a permuted-built index stores permuted vectors — the increment's
+    // original-space vectors must be permuted before assign/encode, or
+    // their codes would be cut against codebooks of a different layout
+    val vecsFresh = applyStoredPerm(spark, path, vecsFresh0)
     // a residual index ([[writeIndexResidual]]) quantizes x − c(cell):
     // the increment must encode residuals too, or its codes would be
     // raw vectors scored against residual codebooks — silent corruption
@@ -314,13 +329,16 @@ object Pq {
     * partition column (probe side casts to its type), preserving
     * partition pruning exactly as [[Ivf.searchIndex]].
     */
-  def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
+  def searchIndex(spark: SparkSession, path: String, queries0: DataFrame,
       k: Int, nprobe: Int, shortlist: Int, m: Int): DataFrame = {
     requireNotBuilding(spark, path)
     require(!isResidualIndex(spark, path),
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
         "residual codes would rank garbage; use searchIndexResidual")
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    // a permuted-built index permutes incoming queries itself — the
+    // caller always passes ORIGINAL-space vectors ([[writeIndexPermuted]])
+    val queries = applyStoredPerm(spark, path, queries0)
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")
@@ -420,6 +438,61 @@ object Pq {
     fs.delete(marker, false)
   }
 
+  /** `_pq_perm` sidecar: the OPQ-lite permutation the index's vectors
+    * were built under ([[writeIndexPermuted]]). Stored WITH the index —
+    * not in the caller's head — so the search and append entry points
+    * auto-apply it to incoming original-space vectors; without this, a
+    * caller who builds permuted and forgets [[permuted]] on the query
+    * side gets silently mis-ranked results (dots against permuted
+    * codebooks from unpermuted queries), the exact misclassification
+    * family the `_pq_residual` marker closes for residual coding.
+    */
+  private def permMarker(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_pq_perm")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) ->
+      new org.apache.hadoop.fs.Path(s"$path/_pq_perm")
+
+  private def clearPermMarker(spark: SparkSession, path: String): Unit = {
+    val (fs, marker) = permMarker(spark, path)
+    fs.delete(marker, false)
+  }
+
+  private def writePermMarker(spark: SparkSession, path: String,
+      perm: Array[Int]): Unit = {
+    val (fs, marker) = permMarker(spark, path)
+    val out = fs.create(marker, true)
+    try out.write(perm.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The permutation stored with the index, if it was built permuted. */
+  def storedPerm(spark: SparkSession, path: String): Option[Array[Int]] = {
+    val (fs, marker) = permMarker(spark, path)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(buf.toString("UTF-8").trim.split(",").map(_.toInt))
+      } finally in.close()
+    }
+  }
+
+  /** Apply the index's stored permutation (if any) to an original-space
+    * (…, embedding, …) frame — the shared entry-point step of search and
+    * append. Norms are permutation-invariant, so n2 rides unchanged.
+    */
+  private def applyStoredPerm(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    storedPerm(spark, path) match {
+      case Some(p) =>
+        df.withColumn("embedding",
+          permuted(col("embedding"), p).cast("array<float>"))
+      case None => df
+    }
+
   /** `_pq_building` sentinel: created before a writeIndex/
     * writeIndexResidual touches ANY index component, removed only after
     * the last write lands. Every read/append entry point refuses an
@@ -467,11 +540,19 @@ object Pq {
     * would silently rank garbage.
     */
   def writeIndexResidual(base: DataFrame, cents: DataFrame, path: String,
-      m: Int, ks: Int, iters: Int): Unit = {
+      m: Int, ks: Int, iters: Int): Unit =
+    writeIndexResidualImpl(base, cents, path, m, ks, iters, None)
+
+  private def writeIndexResidualImpl(base: DataFrame, cents: DataFrame,
+      path: String, m: Int, ks: Int, iters: Int,
+      perm: Option[Array[Int]]): Unit = {
     val spark = base.sparkSession
     beginBuild(spark, path)
     // the marker lands with the sentinel up, so no reader can observe a
-    // marked-but-plain (or unmarked-but-residual) intermediate state
+    // marked-but-plain (or unmarked-but-residual) intermediate state;
+    // a stale perm marker from a previous permuted build is cleared
+    // first for the same reason
+    clearPermMarker(spark, path)
     val (fs, marker) = residualMarker(spark, path)
     fs.create(marker, true).close()
     val res = residuals(base, cents).localCheckpoint(true)
@@ -484,7 +565,33 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
+    perm.foreach(p => writePermMarker(spark, path, p))
     endBuild(spark, path)
+  }
+
+  /** Build an IVF-PQ index with the OPQ-lite permutation BAKED IN: the
+    * permutation is derived from the corpus ([[balancedPermutation]]),
+    * centroids and codebooks train on the PERMUTED vectors, and the
+    * `_pq_perm` sidecar rides with the index so [[searchIndex]] /
+    * [[searchIndexResidual]] / [[appendIndex]] auto-permute incoming
+    * ORIGINAL-space vectors — callers never handle the permutation and
+    * therefore cannot forget it on the query side (which would silently
+    * mis-rank: dots of unpermuted queries against permuted codebooks).
+    * Returns the permutation for observability.
+    */
+  def writeIndexPermuted(base: DataFrame, path: String, m: Int, ks: Int,
+      cells: Int, iters: Int, residual: Boolean = false): Array[Int] = {
+    val perm = balancedPermutation(base, m)
+    val pbase = base.select(col("vec_id"),
+      permuted(col("embedding"), perm).cast("array<float>").as("embedding"),
+      col("n2"))
+      .localCheckpoint(true) // feeds train + assign + encode once
+    val cents = Ivf.train(pbase, cells, iters).localCheckpoint(true)
+    if (residual) writeIndexResidualImpl(pbase, cents, path, m, ks, iters,
+      Some(perm))
+    else writeIndexImpl(pbase, cents, train(pbase, m, ks, iters), path, m,
+      Some(perm))
+    perm
   }
 
   private[operators] def isResidualIndex(spark: SparkSession,
@@ -502,13 +609,15 @@ object Pq {
     * is [[searchIndex]]'s shape.
     */
   def searchIndexResidual(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+      queries0: DataFrame, k: Int, nprobe: Int, shortlist: Int,
       m: Int): DataFrame = {
     requireNotBuilding(spark, path)
     require(isResidualIndex(spark, path),
       s"$path is not a residual-encoded index — use searchIndex, or " +
         "rebuild with writeIndexResidual")
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    // permuted-built index ⇒ permute the original-space queries here
+    val queries = applyStoredPerm(spark, path, queries0)
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")

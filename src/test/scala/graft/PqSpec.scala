@@ -447,6 +447,62 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       s"permuted ($rPerm) must clearly beat identity ($rPlain) on skewed dims")
   }
 
+  test("writeIndexPermuted bakes the permutation into the index: " +
+      "original-space queries and appends auto-permute; a plain rebuild " +
+      "clears the marker") {
+    def n2c = VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2")
+    val skew = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (v, i) => when(i < 8, v * 4.0f).otherwise(v))
+          .cast("array<float>").as("embedding"))
+      .select(col("vec_id"), col("embedding"), n2c).localCheckpoint(true)
+    val queries = skew.filter(col("vec_id") < 20)
+    val truth = topkPairs(VectorOps.knn(
+      skew.select(col("vec_id"), col("embedding")), queries, 5))
+    def recallOf(df: DataFrame) =
+      truth.count(topkPairs(df).contains).toDouble / truth.size
+
+    // permuted build: caller passes ORIGINAL-space vectors everywhere
+    val pDir = java.nio.file.Files.createTempDirectory("pq_perm_idx").toString
+    val perm = Pq.writeIndexPermuted(skew, pDir, M, Ks, cells = 16, iters = 2)
+    assert(perm.sorted.toSeq == (0 until perm.length))
+    assert(Pq.storedPerm(spark, pDir).map(_.toSeq).contains(perm.toSeq),
+      "the permutation must ride with the index")
+    // nprobe = all cells isolates coding quality from probe recall
+    val rPerm = recallOf(Pq.searchIndex(spark, pDir, queries, k = 5,
+      nprobe = 16, shortlist = 10, m = M))
+    // identity baseline at the same budget
+    val iDir = java.nio.file.Files.createTempDirectory("pq_perm_id").toString
+    Pq.writeIndex(skew, graft.operators.Ivf.train(skew, 16, 2),
+      Pq.train(skew, M, Ks, 2), iDir, M)
+    val rPlain = recallOf(Pq.searchIndex(spark, iDir, queries, k = 5,
+      nprobe = 16, shortlist = 10, m = M))
+    assert(rPerm >= 0.55, s"permuted-index recall floor: $rPerm")
+    assert(rPerm >= rPlain + 0.1,
+      s"auto-permuted ($rPerm) must beat identity ($rPlain) on skewed dims")
+
+    // append path: new ORIGINAL-space vectors (twins of existing rows
+    // under fresh ids) must be permuted before coding — a twin query's
+    // top-1 must be its copy at cos 1.0, which an unpermuted append
+    // (raw vectors beside permuted corpus) cannot produce
+    val twins = skew.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+        col("n2"))
+    Pq.appendIndex(spark, twins, pDir, "g1", M)
+    val twinQ = skew.filter(col("vec_id") === 3)
+    val top = Pq.searchIndex(spark, pDir, twinQ, k = 1, nprobe = 16,
+      shortlist = 10, m = M).head
+    assert(top.getLong(1) == 10003L && top.getDouble(2) == 1.0,
+      s"appended twin must rank first at cos 1.0, got $top")
+
+    // plain rebuild-in-place clears the marker: searches stop permuting
+    Pq.writeIndex(skew, graft.operators.Ivf.train(skew, 16, 2),
+      Pq.train(skew, M, Ks, 2), pDir, M)
+    assert(Pq.storedPerm(spark, pDir).isEmpty,
+      "a plain rebuild must clear the stale _pq_perm marker")
+  }
+
   test("refined codebooks keep the search well-formed and recall intact") {
     val trained = Pq.train(base, M, Ks, iters = 1)
     // refinement may drop empty codes but never exceeds ks per subspace
