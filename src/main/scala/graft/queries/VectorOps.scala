@@ -1028,7 +1028,49 @@ object VectorOps {
     bandedSignatures(base, numPlanes, bands, seed)
       .write.mode("overwrite").parquet(s"$path/bands/batch=init")
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
+    // the signature knobs ride WITH the index (inside the sentinel
+    // window): probing or appending with different planes/bands/seed
+    // yields signatures that never collide with the stored ones —
+    // recall silently collapses to zero, the worst failure mode a
+    // dedup index has. Readers validate against this record.
+    writeLshParams(spark, path, numPlanes, bands, seed)
     endIndexBuild(spark, path)
+  }
+
+  private def lshParamsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_lsh_params")
+
+  private def writeLshParams(spark: SparkSession, path: String,
+      numPlanes: Int, bands: Int, seed: Long): Unit = {
+    val p = lshParamsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$numPlanes,$bands,$seed".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Refuse knobs that disagree with the index's stored `_lsh_params` —
+    * turning the silent recall-0 of mismatched signatures into a loud
+    * error. Indexes from builds predating the sidecar skip the check.
+    */
+  private def requireLshParams(spark: SparkSession, path: String,
+      numPlanes: Int, bands: Int, seed: Long): Unit = {
+    val p = lshParamsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val stored = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8").trim
+    } finally in.close()
+    require(stored == s"$numPlanes,$bands,$seed",
+      s"$path was built with (numPlanes,bands,seed) = ($stored); probing " +
+        s"or appending with ($numPlanes,$bands,$seed) would produce " +
+        "signatures that never collide with the stored ones (silent " +
+        "zero recall) — pass the build's knobs or rebuild the index")
   }
 
   /** Cosine near-dup pairs of an ingest batch against an existing corpus
@@ -1066,6 +1108,7 @@ object VectorOps {
     requireTag(tag)
     val spark = vecs.sparkSession
     requireNotBuilding(spark, path)
+    requireLshParams(spark, path, numPlanes, bands, seed)
     Seq(s"$path/bands", s"$path/vectors").foreach { c =>
       finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
     }
@@ -1083,6 +1126,7 @@ object VectorOps {
       newVecs: DataFrame, threshold: Double, numPlanes: Int = 16,
       bands: Int = 8, seed: Long = 42L): DataFrame = {
     requireNotBuilding(spark, path)
+    requireLshParams(spark, path, numPlanes, bands, seed)
     cosineDeltaFrames(newVecs,
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/vectors"),

@@ -672,4 +672,36 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     VectorOps.writeCosineIndex(vecs, cosPath)
     VectorOps.cosineDeltaIndexed(spark, cosPath, vbatch, 0.35).count()
   }
+
+  test("cosine index records its LSH knobs: probing or appending with " +
+      "mismatched planes/bands/seed fails loudly instead of silently " +
+      "finding nothing") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 100)
+    val path = java.nio.file.Files.createTempDirectory("lsh_params").toString
+    VectorOps.writeCosineIndex(vecs, path, numPlanes = 16, bands = 8,
+      seed = 42L)
+    val batch = vecs.filter(col("vec_id") === 0)
+    // matching knobs (the defaults) pass
+    VectorOps.cosineDeltaIndexed(spark, path, batch, 0.35).count()
+    VectorOps.appendCosineIndex(
+      batch.select((col("vec_id") + 5000L).as("vec_id"), col("embedding")),
+      path, "ok")
+    // a drifted seed — signatures that can never collide — is refused
+    intercept[IllegalArgumentException] {
+      VectorOps.cosineDeltaIndexed(spark, path, batch, 0.35, seed = 7L)
+        .count()
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.appendCosineIndex(batch, path, "bad", bands = 4)
+    }
+    // a rebuild with new knobs re-records them; the new knobs now pass
+    VectorOps.writeCosineIndex(vecs, path, numPlanes = 32, bands = 16,
+      seed = 7L)
+    VectorOps.cosineDeltaIndexed(spark, path, batch, 0.35, numPlanes = 32,
+      bands = 16, seed = 7L).count()
+    intercept[IllegalArgumentException] {
+      VectorOps.cosineDeltaIndexed(spark, path, batch, 0.35).count()
+    }
+  }
 }
