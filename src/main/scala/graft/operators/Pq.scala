@@ -263,6 +263,7 @@ object Pq {
     // inside the sentinel window, so no reader can see a permuted-built
     // index without its marker
     perm.foreach(p => writePermMarker(spark, path, p))
+    writeMMarker(spark, path, m)
     endBuild(spark, path)
   }
 
@@ -277,6 +278,7 @@ object Pq {
       tag: String, m: Int): Unit = {
     graft.queries.VectorOps.requireTag(tag)
     requireNotBuilding(spark, path)
+    requireM(spark, path, m)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -335,6 +337,7 @@ object Pq {
     require(!isResidualIndex(spark, path),
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
         "residual codes would rank garbage; use searchIndexResidual")
+    requireM(spark, path, m)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     // a permuted-built index permutes incoming queries itself — the
     // caller always passes ORIGINAL-space vectors ([[writeIndexPermuted]])
@@ -464,6 +467,38 @@ object Pq {
     try out.write(perm.mkString(",").getBytes("UTF-8")) finally out.close()
   }
 
+  /** `_pq_m` sidecar: the subspace count the index's codes were cut at.
+    * Search/append take `m` as a parameter (it shapes the query-side
+    * LUT); a value disagreeing with the stored codes folds only the
+    * overlapping subspaces into the score — not an error, just quietly
+    * degraded ranking — so the entry points validate against the build's
+    * recorded m and fail loudly instead.
+    */
+  private def writeMMarker(spark: SparkSession, path: String, m: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pq_m")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireM(spark: SparkSession, path: String, m: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pq_m")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // pre-sidecar index: skip
+    val in = fs.open(p)
+    val stored = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](64)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8").trim
+    } finally in.close()
+    require(stored == m.toString,
+      s"$path was built with m = $stored subspaces; calling with m = $m " +
+        "would fold a mismatched lookup table into the codes (silently " +
+        "degraded ranking) — pass the build's m or rebuild")
+  }
+
   /** The permutation stored with the index, if it was built permuted. */
   def storedPerm(spark: SparkSession, path: String): Option[Array[Int]] = {
     val (fs, marker) = permMarker(spark, path)
@@ -566,6 +601,7 @@ object Pq {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
     perm.foreach(p => writePermMarker(spark, path, p))
+    writeMMarker(spark, path, m)
     endBuild(spark, path)
   }
 
@@ -615,6 +651,7 @@ object Pq {
     require(isResidualIndex(spark, path),
       s"$path is not a residual-encoded index — use searchIndex, or " +
         "rebuild with writeIndexResidual")
+    requireM(spark, path, m)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     // permuted-built index ⇒ permute the original-space queries here
     val queries = applyStoredPerm(spark, path, queries0)

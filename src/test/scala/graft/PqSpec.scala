@@ -342,6 +342,25 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       nprobe = 4, shortlist = 50, m = M, chunks = 4)) == wantRes)
   }
 
+  test("the index records its m: search/append with a mismatched " +
+      "subspace count are refused instead of folding a wrong-shaped LUT") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_m").toString
+    Pq.writeIndex(base, Ivf.seedCentroids(base, 16),
+      Pq.seedCodebooks(base, M, Ks), dir, M)
+    val queries = base.filter(col("vec_id") < 5)
+    Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4, shortlist = 50,
+      m = M).count() // matching m passes
+    intercept[IllegalArgumentException] {
+      Pq.searchIndex(spark, dir, queries, k = 5, nprobe = 4,
+        shortlist = 50, m = M * 2).count()
+    }
+    intercept[IllegalArgumentException] {
+      Pq.appendIndex(spark, base.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"),
+          col("n2")), dir, "t", m = M / 2)
+    }
+  }
+
   test("rebuild-in-place drops stale increments; a crashed build fails closed") {
     val init = base.filter(col("vec_id") < 150)
     val extra = base.filter(col("vec_id") >= 150)
