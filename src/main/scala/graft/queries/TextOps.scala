@@ -1345,12 +1345,52 @@ object TextOps {
     */
   def segmentDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
       width: Int, tag: String): DataFrame = {
+    // the width is part of the index's identity: hashes of width-8
+    // segments share nothing with width-12 segmentation of the same
+    // text, so a config drift between runs silently stops finding dups —
+    // record it on first contact, refuse a mismatch after
+    requireIndexParams(spark, path, s"width=$width")
     val segs = segmentRows(batch, width)
     val within = firstSegmentOccurrences(segs)
       .withColumn("h", sha2(col("seg"), 256))
     val kept = deltaAgainstSeen(spark, path, within, tag)
     assembleKept(segs, kept.select(col("doc_id"), col("idx"), col("seg")),
       joiner = " ")
+  }
+
+  /** Record-on-first-contact / refuse-on-mismatch guard for the knobs a
+    * seen-set index's every probe must repeat (segment width,
+    * normalization flag): the first call writes `path/_params`, later
+    * calls require equality — so a config drift across restarts errors
+    * loudly instead of silently probing an incompatible hash set. Lives
+    * at the index ROOT, outside `seen/`, so compaction swaps never touch
+    * it. The VectorOps cosine index has the same discipline
+    * ([[VectorOps.writeCosineIndex]] `_lsh_params`); shapes differ only
+    * in that seen-set indexes are created lazily by their first delta,
+    * so the record happens here rather than in a build function.
+    */
+  private def requireIndexParams(spark: SparkSession, path: String,
+      params: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    } else {
+      val in = fs.open(p)
+      val stored = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString("UTF-8").trim
+      } finally in.close()
+      require(stored == params,
+        s"$path was built with ($stored); probing with ($params) would " +
+          "hash under a different scheme and silently stop finding " +
+          "duplicates — pass the original parameters or rebuild the index")
+    }
   }
 
   /** The seen-set delta core shared by [[segmentDedupDelta]] (segment
@@ -1405,6 +1445,10 @@ object TextOps {
     */
   def exactDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
       tag: String, normalize: Boolean = false): DataFrame = {
+    // flipping `normalize` between runs would probe hashes computed
+    // under a different canonicalization — a silent stop-finding-dups
+    // drift, guarded like [[segmentDedupDelta]]'s width
+    requireIndexParams(spark, path, s"normalize=$normalize")
     // `normalize` mirrors CurateConfig.normalizeForHash: hash the
     // canonicalized text so case/punct/spacing variants collapse — the
     // streaming loop passes the config flag through so stream and batch

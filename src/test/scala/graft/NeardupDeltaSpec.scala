@@ -673,6 +673,30 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     VectorOps.cosineDeltaIndexed(spark, cosPath, vbatch, 0.35).count()
   }
 
+  test("seen-set indexes record their hashing knobs: a drifted segment " +
+      "width or normalize flag is refused, not silently probed") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val a = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a)).toDF("doc_id", "text")
+    val segP = java.nio.file.Files.createTempDirectory("segp").toString
+    TextOps.segmentDedupDelta(spark, segP, docs, 8, "t0").count()
+    TextOps.segmentDedupDelta(spark, segP,
+      Seq((2L, a + " tail")).toDF("doc_id", "text"), 8, "t1").count()
+    intercept[IllegalArgumentException] {
+      TextOps.segmentDedupDelta(spark, segP,
+        Seq((3L, a)).toDF("doc_id", "text"), 12, "t2")
+    }
+    val exP = java.nio.file.Files.createTempDirectory("exp").toString
+    TextOps.exactDedupDelta(spark, exP, docs, "t0", normalize = true).count()
+    TextOps.exactDedupDelta(spark, exP,
+      Seq((2L, "other words here entirely")).toDF("doc_id", "text"),
+      "t1", normalize = true).count()
+    intercept[IllegalArgumentException] {
+      TextOps.exactDedupDelta(spark, exP, docs, "t2", normalize = false)
+    }
+  }
+
   test("cosine index records its LSH knobs: probing or appending with " +
       "mismatched planes/bands/seed fails loudly instead of silently " +
       "finding nothing") {
