@@ -161,10 +161,41 @@ object Ivf {
     * just join their nearest cell). Overwrite of the tag's dir makes an
     * at-least-once replay rewrite itself, as with the dedup indexes.
     */
+  /** A [[Pq]] index shares this cells layout (SURVEY: "composes with the
+    * IVF cells layout"), but its sidecars change the semantics: a
+    * `_pq_perm` index stores PERMUTED vectors (original-space queries
+    * against them silently mis-rank — only the Pq entry points apply the
+    * stored permutation), a `_pq_building` index is mid-build, and an
+    * Ivf APPEND to any PQ index (books present) would insert codes-less
+    * rows the ADC scan can never shortlist — invisible vectors. Each
+    * case is refused here rather than answered wrongly.
+    */
+  private def requireIvfReadable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    def exists(f: String) = {
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    require(!exists(s"$path/_pq_building"),
+      s"$path has an unfinished PQ build — re-run it before reading")
+    require(!exists(s"$path/_pq_perm"),
+      s"$path is a permutation-built PQ index: its stored vectors are " +
+        "permuted, and only the Pq entry points apply the stored " +
+        "permutation to incoming original-space vectors — use " +
+        "Pq.searchIndex/searchIndexResidual")
+  }
+
   def appendIndex(spark: org.apache.spark.sql.SparkSession, vecs: DataFrame,
       path: String, tag: String): Unit = {
     graft.queries.VectorOps.requireTag(tag)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
+    requireIvfReadable(spark, path)
+    require(!new org.apache.hadoop.fs.Path(s"$path/books")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/books")),
+      s"$path is a PQ index (books present) — append through " +
+        "Pq.appendIndex so the increment is coded; an uncoded row is " +
+        "invisible to the ADC shortlist")
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -209,6 +240,7 @@ object Ivf {
       queries: DataFrame, k: Int, nprobe: Int,
       staticPrune: Boolean = false): DataFrame = {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
+    requireIvfReadable(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")

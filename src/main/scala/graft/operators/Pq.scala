@@ -338,10 +338,20 @@ object Pq {
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
         "residual codes would rank garbage; use searchIndexResidual")
     requireM(spark, path, m)
-    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     // a permuted-built index permutes incoming queries itself — the
     // caller always passes ORIGINAL-space vectors ([[writeIndexPermuted]])
-    val queries = applyStoredPerm(spark, path, queries0)
+    searchIndexBody(spark, path, applyStoredPerm(spark, path, queries0),
+      k, nprobe, shortlist, m)
+  }
+
+  /** [[searchIndex]] after entry validation and perm application — the
+    * per-chunk unit [[searchIndexChunked]] drives without re-reading
+    * sidecars.
+    */
+  private def searchIndexBody(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+      m: Int): DataFrame = {
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")
@@ -461,11 +471,9 @@ object Pq {
   }
 
   private def writePermMarker(spark: SparkSession, path: String,
-      perm: Array[Int]): Unit = {
-    val (fs, marker) = permMarker(spark, path)
-    val out = fs.create(marker, true)
-    try out.write(perm.mkString(",").getBytes("UTF-8")) finally out.close()
-  }
+      perm: Array[Int]): Unit =
+    graft.queries.VectorOps.writeSidecar(spark, s"$path/_pq_perm",
+      perm.mkString(","))
 
   /** `_pq_m` sidecar: the subspace count the index's codes were cut at.
     * Search/append take `m` as a parameter (it shapes the query-side
@@ -474,46 +482,23 @@ object Pq {
     * degraded ranking — so the entry points validate against the build's
     * recorded m and fail loudly instead.
     */
-  private def writeMMarker(spark: SparkSession, path: String, m: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_pq_m")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(m.toString.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeMMarker(spark: SparkSession, path: String, m: Int): Unit =
+    graft.queries.VectorOps.writeSidecar(spark, s"$path/_pq_m", m.toString)
 
-  private def requireM(spark: SparkSession, path: String, m: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_pq_m")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return // pre-sidecar index: skip
-    val in = fs.open(p)
-    val stored = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](64)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      buf.toString("UTF-8").trim
-    } finally in.close()
-    require(stored == m.toString,
-      s"$path was built with m = $stored subspaces; calling with m = $m " +
-        "would fold a mismatched lookup table into the codes (silently " +
-        "degraded ranking) — pass the build's m or rebuild")
-  }
+  private def requireM(spark: SparkSession, path: String, m: Int): Unit =
+    // pre-sidecar indexes (no file) skip the check
+    graft.queries.VectorOps.readSidecar(spark, s"$path/_pq_m").foreach {
+      stored =>
+        require(stored == m.toString,
+          s"$path was built with m = $stored subspaces; calling with m = $m " +
+            "would fold a mismatched lookup table into the codes (silently " +
+            "degraded ranking) — pass the build's m or rebuild")
+    }
 
   /** The permutation stored with the index, if it was built permuted. */
-  def storedPerm(spark: SparkSession, path: String): Option[Array[Int]] = {
-    val (fs, marker) = permMarker(spark, path)
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(buf.toString("UTF-8").trim.split(",").map(_.toInt))
-      } finally in.close()
-    }
-  }
+  def storedPerm(spark: SparkSession, path: String): Option[Array[Int]] =
+    graft.queries.VectorOps.readSidecar(spark, s"$path/_pq_perm")
+      .map(_.split(",").map(_.toInt))
 
   /** Apply the index's stored permutation (if any) to an original-space
     * (…, embedding, …) frame — the shared entry-point step of search and
@@ -652,9 +637,15 @@ object Pq {
       s"$path is not a residual-encoded index — use searchIndex, or " +
         "rebuild with writeIndexResidual")
     requireM(spark, path, m)
-    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     // permuted-built index ⇒ permute the original-space queries here
-    val queries = applyStoredPerm(spark, path, queries0)
+    searchIndexResidualBody(spark, path,
+      applyStoredPerm(spark, path, queries0), k, nprobe, shortlist, m)
+  }
+
+  private def searchIndexResidualBody(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+      m: Int): DataFrame = {
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")
@@ -693,9 +684,14 @@ object Pq {
       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int, m: Int,
       chunks: Int): DataFrame = {
     require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    // sidecar resolution (building? residual? m? perm?) happens ONCE —
+    // on an object store each is a metadata round trip, and per-chunk
+    // re-reads would multiply it by `chunks` for values that cannot
+    // change mid-call (single-writer discipline)
     requireNotBuilding(spark, path)
-    val q = queries.localCheckpoint(true)
+    requireM(spark, path, m)
     val residual = isResidualIndex(spark, path)
+    val q = applyStoredPerm(spark, path, queries).localCheckpoint(true)
     (0 until chunks).map { i =>
       // coalesce: xxhash64(null) is null and a null bucket would match
       // no chunk — a null-id query row must land in exactly one chunk
@@ -704,8 +700,8 @@ object Pq {
         pmod(coalesce(xxhash64(col("vec_id")), lit(0L)), lit(chunks)) === i)
       val r =
         if (residual)
-          searchIndexResidual(spark, path, qi, k, nprobe, shortlist, m)
-        else searchIndex(spark, path, qi, k, nprobe, shortlist, m)
+          searchIndexResidualBody(spark, path, qi, k, nprobe, shortlist, m)
+        else searchIndexBody(spark, path, qi, k, nprobe, shortlist, m)
       r.localCheckpoint(true)
     }.reduce(_.unionByName(_))
       .orderBy(col("q_id"), col("rn"))

@@ -1006,16 +1006,30 @@ object TextOps {
       testSh: DataFrame, shared: DataFrame): DataFrame = {
     val bucket = detHash(col("doc_id")) % 10L
     val sizes = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    contamScores(docs.filter(bucket >= cfg.testBucketsFrom)
+        .select(col("doc_id")), cfg, sizes, shared)
+      .orderBy(col("doc_id"))
+  }
+
+  /** THE contamination gate — one implementation of (n_shared, n_sh,
+    * overlap, contaminated) over candidate doc ids, shared by the
+    * hash-split path ([[contamVerdicts]]), the eval-index batch path
+    * ([[decontaminateIndexed]]) and the streaming stage
+    * ([[graft.streaming.CurateIngest]]), so the exact rational predicate
+    * cannot drift between any two of them. Unordered — callers that
+    * emit it as a result add their own ORDER BY.
+    */
+  private[graft] def contamScores(docIds: DataFrame, cfg: CurateConfig,
+      sizes: DataFrame, shared: DataFrame): DataFrame = {
     val nSh = coalesce(col("n_sh"), lit(0L))
     val nShared = coalesce(col("n_shared"), lit(0L))
-    docs.filter(bucket >= cfg.testBucketsFrom).select(col("doc_id"))
+    docIds
       .join(sizes, Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), nShared.as("n_shared"), nSh.as("n_sh"),
         when(nSh === 0L, lit(0.0)).otherwise(div6(nShared, nSh)).as("overlap"),
         (nShared * cfg.minContamRatio._2 >= nSh * cfg.minContamRatio._1 && nSh > 0L)
           .as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Pinned contract instantiation of [[decontaminateBloomOn]]. */
@@ -1037,19 +1051,10 @@ object TextOps {
     val spark = docs.sparkSession
     val evalSh = readEvalShingles(spark, path)
     val sh = shingleRows(docs.select(col("doc_id"), col("text")))
-    val shared = sh.join(evalSh, "s")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val nSh = coalesce(col("n_sh"), lit(0L))
-    val nShared = coalesce(col("n_shared"), lit(0L))
-    docs.select(col("doc_id"))
-      .join(sizes, Seq("doc_id"), "left")
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), nShared.as("n_shared"), nSh.as("n_sh"),
-        when(nSh === 0L, lit(0.0)).otherwise(div6(nShared, nSh)).as("overlap"),
-        (nShared * cfg.minContamRatio._2 >= nSh * cfg.minContamRatio._1 &&
-          nSh > 0L).as("contaminated"))
+    contamScores(docs.select(col("doc_id")), cfg,
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+      sh.join(evalSh, "s").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared")))
       .orderBy(col("doc_id"))
   }
 
@@ -1371,25 +1376,22 @@ object TextOps {
     */
   private def requireIndexParams(spark: SparkSession, path: String,
       params: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
-      try out.write(params.getBytes("UTF-8")) finally out.close()
-    } else {
-      val in = fs.open(p)
-      val stored = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](256)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toString("UTF-8").trim
-      } finally in.close()
-      require(stored == params,
-        s"$path was built with ($stored); probing with ($params) would " +
-          "hash under a different scheme and silently stop finding " +
-          "duplicates — pass the original parameters or rebuild the index")
+    VectorOps.readSidecar(spark, s"$path/_params") match {
+      case Some(stored) =>
+        require(stored == params,
+          s"$path was built with ($stored); probing with ($params) would " +
+            "hash under a different scheme and silently stop finding " +
+            "duplicates — pass the original parameters or rebuild the index")
+      case None =>
+        // record ONLY when the index holds no data yet: a pre-sidecar
+        // index (seen/ exists, no _params) must skip the check like the
+        // other legacy sidecars — recording the CURRENT call's params
+        // against unknown historical ones would bless exactly the drift
+        // this guard exists to catch, then refuse the correct values
+        val seen = new org.apache.hadoop.fs.Path(s"$path/seen")
+        val fs = seen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(seen))
+          VectorOps.writeSidecar(spark, s"$path/_params", params)
     }
   }
 

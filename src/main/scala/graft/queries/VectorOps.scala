@@ -602,6 +602,44 @@ object VectorOps {
       .join(broadcast(dup), Seq("vec_id"), "left_anti")
   }
 
+  /** One owner of small-sidecar-file IO for every index marker
+    * (`_pq_m`, `_pq_perm`, `_lsh_params`, seen-set `_params`, …): the
+    * read loop treats a 0-byte read as retryable (spec-legal on any
+    * InputStream) and only EOF (−1) as done — a `while (n > 0)` copy
+    * would truncate and make a guard spuriously refuse a valid sidecar.
+    */
+  private[graft] def writeSidecar(spark: SparkSession, file: String,
+      content: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The sidecar's trimmed content, or None if the file is absent. */
+  private[graft] def readSidecar(spark: SparkSession, file: String)
+      : Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) {
+          if (n > 0) buf.write(tmp, 0, n)
+          n = in.read(tmp)
+        }
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
   /** Finish any crashed compaction swap on a MinHash index — the ingest
     * loop runs this before probing so a restart after a mid-swap crash
     * self-repairs ([[graft.streaming.IngestDedup]]). A crashed REBUILD is
@@ -1037,41 +1075,23 @@ object VectorOps {
     endIndexBuild(spark, path)
   }
 
-  private def lshParamsPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_lsh_params")
-
   private def writeLshParams(spark: SparkSession, path: String,
-      numPlanes: Int, bands: Int, seed: Long): Unit = {
-    val p = lshParamsPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$numPlanes,$bands,$seed".getBytes("UTF-8"))
-    finally out.close()
-  }
+      numPlanes: Int, bands: Int, seed: Long): Unit =
+    writeSidecar(spark, s"$path/_lsh_params", s"$numPlanes,$bands,$seed")
 
   /** Refuse knobs that disagree with the index's stored `_lsh_params` —
     * turning the silent recall-0 of mismatched signatures into a loud
     * error. Indexes from builds predating the sidecar skip the check.
     */
   private def requireLshParams(spark: SparkSession, path: String,
-      numPlanes: Int, bands: Int, seed: Long): Unit = {
-    val p = lshParamsPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val in = fs.open(p)
-    val stored = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](256)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      buf.toString("UTF-8").trim
-    } finally in.close()
-    require(stored == s"$numPlanes,$bands,$seed",
-      s"$path was built with (numPlanes,bands,seed) = ($stored); probing " +
-        s"or appending with ($numPlanes,$bands,$seed) would produce " +
-        "signatures that never collide with the stored ones (silent " +
-        "zero recall) — pass the build's knobs or rebuild the index")
-  }
+      numPlanes: Int, bands: Int, seed: Long): Unit =
+    readSidecar(spark, s"$path/_lsh_params").foreach { stored =>
+      require(stored == s"$numPlanes,$bands,$seed",
+        s"$path was built with (numPlanes,bands,seed) = ($stored); probing " +
+          s"or appending with ($numPlanes,$bands,$seed) would produce " +
+          "signatures that never collide with the stored ones (silent " +
+          "zero recall) — pass the build's knobs or rebuild the index")
+    }
 
   /** Cosine near-dup pairs of an ingest batch against an existing corpus
     * PLUS within the batch — the embedding-space twin of

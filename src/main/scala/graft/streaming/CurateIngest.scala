@@ -173,16 +173,16 @@ object CurateIngest {
     val decon = evalShNow match {
       case None => exKept
       case Some(evalSh) =>
+        // the gate is TextOps.contamScores — ONE implementation shared
+        // with the batch paths, so stream/batch verdicts are equal by
+        // construction, not by parallel maintenance
         val sh = TextOps.shingleRows(exKept.select(col("doc_id"), col("text")))
-        val stats = sh.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_sh"))
-          .join(sh.join(evalSh, "s").groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_shared")), Seq("doc_id"), "left")
-        val (num, den) = cfg.minContamRatio
-        val contaminatedIds = stats.filter(
-          coalesce(col("n_shared"), lit(0L)) * den >= col("n_sh") * num &&
-            col("n_sh") > 0)
-          .select(col("doc_id"))
+        val contaminatedIds = TextOps.contamScores(
+          exKept.select(col("doc_id")), cfg,
+          sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+          sh.join(evalSh, "s").groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared")))
+          .filter(col("contaminated")).select(col("doc_id"))
         exKept.join(contaminatedIds, Seq("doc_id"), "left_anti")
     }
 

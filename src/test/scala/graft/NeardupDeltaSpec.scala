@@ -687,6 +687,16 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
       TextOps.segmentDedupDelta(spark, segP,
         Seq((3L, a)).toDF("doc_id", "text"), 12, "t2")
     }
+    // a PRE-SIDECAR index (data present, no _params) must skip the
+    // check, not enshrine the next caller's possibly-drifted params as
+    // the index identity and then refuse the historically-correct ones
+    assert(new java.io.File(s"$segP/_params").delete())
+    TextOps.segmentDedupDelta(spark, segP,
+      Seq((4L, a)).toDF("doc_id", "text"), 12, "t3").count()
+    assert(!new java.io.File(s"$segP/_params").exists(),
+      "legacy index must stay unrecorded — recording width=12 here " +
+        "would poison later width-8 calls")
+
     val exP = java.nio.file.Files.createTempDirectory("exp").toString
     TextOps.exactDedupDelta(spark, exP, docs, "t0", normalize = true).count()
     TextOps.exactDedupDelta(spark, exP,

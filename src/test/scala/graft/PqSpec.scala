@@ -515,6 +515,17 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
     assert(top.getLong(1) == 10003L && top.getDouble(2) == 1.0,
       s"appended twin must rank first at cos 1.0, got $top")
 
+    // the Ivf entry points share this cells layout but know nothing of
+    // the permutation — they must refuse a permuted index (silent
+    // mis-ranking) and refuse APPENDING to any PQ index (an uncoded row
+    // is invisible to the ADC shortlist)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ivf.searchIndex(spark, pDir, twinQ, k = 1, nprobe = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ivf.appendIndex(spark, twins, iDir, "t")
+    }
+
     // plain rebuild-in-place clears the marker: searches stop permuting
     Pq.writeIndex(skew, graft.operators.Ivf.train(skew, 16, 2),
       Pq.train(skew, M, Ks, 2), pDir, M)
