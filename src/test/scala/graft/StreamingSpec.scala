@@ -256,5 +256,20 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
         (t("2024-01-02 11:00:00"), 5L)).toDF("ts", "user_id"), batchPath)
     val b = EventOps.distinctFromSketches(spark, batchPath).head
     assert(b.getLong(0) == got.getLong(0) && b.getLong(1) == got.getLong(1))
+
+    // one store, two writers: a batch backfill of a day the stream never
+    // saw lands beside the streamed days (same layout + labeling), and
+    // the ranged read answers across both without caring who wrote what
+    EventOps.writeDailySketches(
+      Seq((t("2024-01-03 08:00:00"), 7L), (t("2024-01-03 09:00:00"), 8L))
+        .toDF("ts", "user_id"),
+      path)
+    val mixed = EventOps.distinctFromSketches(spark, path).head
+    assert(mixed.getLong(0) == 7L && mixed.getLong(1) == 3L,
+      s"streamed days 1-2 (5 users) + backfilled day 3 (2 users): $mixed")
+    // an empty range over the mixed store answers 0, not a null trip
+    val none = EventOps.distinctFromSketches(spark, path,
+      fromDay = Some("2030-01-01"), untilDay = Some("2030-02-01")).head
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
   }
 }
