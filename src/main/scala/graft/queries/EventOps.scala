@@ -619,12 +619,14 @@ object EventOps {
     */
   def topkRange(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(spark, dir, "events")
-    val d0 = java.time.LocalDate.parse(
-      events.agg(min(utcDay(col("ts"))).as("d0")).head.getString(0))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_topk_range").toString
     try {
       writeDailySummaries(events, tmp)
+      // min day from the store's OWN day= listing — the write already
+      // saw every row, so a second events scan just to learn the first
+      // day would be a wasted job
+      val d0 = minStoredDay(spark, tmp)
       // topkFromSummaries collects and returns a LOCAL frame, so the
       // scratch store can be deleted before returning (a bench run
       // must not leak a rollup store into /tmp per invocation)
@@ -637,6 +639,19 @@ object EventOps {
   private def deleteRecursively(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Earliest `day=` partition of a day store — one directory listing,
+    * no Spark job.
+    */
+  private def minStoredDay(spark: SparkSession,
+      path: String): java.time.LocalDate = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).toSeq
+    require(days.nonEmpty, s"$path holds no day= partitions")
+    java.time.LocalDate.parse(days.min)
   }
 
   val topkRangeSql: String =
@@ -656,12 +671,11 @@ object EventOps {
     */
   def distinctDays(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(spark, dir, "events")
-    val d0 = java.time.LocalDate.parse(
-      events.agg(min(utcDay(col("ts"))).as("d0")).head.getString(0))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_distinct_days").toString
     try {
       writeDailySketches(events, tmp)
+      val d0 = minStoredDay(spark, tmp)
       // distinctFromSketches is lazy over the scratch store — collect
       // its one row before the store is deleted, return it locally
       val r = distinctFromSketches(spark, tmp,
