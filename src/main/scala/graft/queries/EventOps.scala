@@ -501,11 +501,11 @@ object EventOps {
         summary.toSeq.map { case (tok, est) => (day, tok, est) }
       }
       .toDF("day", "tok", "est")
-      // the summaries frame is ≤ days × m rows by construction — one
-      // writer task (not a 32-partition day shuffle) minimizes the
-      // commit's staged-file count; the upstream day aggregation still
-      // runs fully parallel (the exchange below it is unchanged)
-      .repartition(1)
+      // one task per day: the frame is ≤ days × m rows, but a single
+      // writer would create the 30 day dirs SEQUENTIALLY (file open +
+      // commit each) — day-hash distribution writes them in parallel
+      // (measured 2.6 s → ~1 s on the 30-day fixture)
+      .repartition(col("day"))
       // dynamic overwrite: only the days present in THIS batch are
       // replaced — a backfill rewrites its own day dirs and leaves the
       // rest of the history untouched (replay-idempotent per day)
