@@ -142,6 +142,21 @@ object Ivf {
     // missing its corpus ([[graft.queries.VectorOps.beginIndexBuild]]).
     graft.queries.VectorOps.beginIndexBuild(base.sparkSession, path)
     graft.queries.VectorOps.resetComponent(base.sparkSession, s"$path/cells")
+    // a rebuild-in-place over a former PQ index must not leave its
+    // sidecars (or books): stale _pq_perm/_pq_residual/_pq_m would make
+    // requireIvfReadable refuse the freshly built VALID plain index
+    // forever, and a stale books dir would brick appendIndex — the same
+    // rebuild-clears-markers discipline Pq.writeIndex applies
+    locally {
+      val conf = base.sparkSession.sparkContext.hadoopConfiguration
+      Seq(s"$path/_pq_perm", s"$path/_pq_residual", s"$path/_pq_m")
+        .foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).delete(p, false)
+        }
+      val books = new org.apache.hadoop.fs.Path(s"$path/books")
+      books.getFileSystem(conf).delete(books, true)
+    }
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     // batch=… above the cell dirs, like the dedup indexes: increments
     // ([[appendIndex]]) land in their own discoverable partition level,
@@ -171,7 +186,8 @@ object Ivf {
     * case is refused here rather than answered wrongly.
     */
   private def requireIvfReadable(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      forAppend: Boolean = false): Unit = {
     def exists(f: String) = {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -183,19 +199,18 @@ object Ivf {
         "permuted, and only the Pq entry points apply the stored " +
         "permutation to incoming original-space vectors — use " +
         "Pq.searchIndex/searchIndexResidual")
+    if (forAppend)
+      require(!exists(s"$path/books"),
+        s"$path is a PQ index (books present) — append through " +
+          "Pq.appendIndex so the increment is coded; an uncoded row is " +
+          "invisible to the ADC shortlist")
   }
 
   def appendIndex(spark: org.apache.spark.sql.SparkSession, vecs: DataFrame,
       path: String, tag: String): Unit = {
     graft.queries.VectorOps.requireTag(tag)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
-    requireIvfReadable(spark, path)
-    require(!new org.apache.hadoop.fs.Path(s"$path/books")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$path/books")),
-      s"$path is a PQ index (books present) — append through " +
-        "Pq.appendIndex so the increment is coded; an uncoded row is " +
-        "invisible to the ADC shortlist")
+    requireIvfReadable(spark, path, forAppend = true)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")

@@ -338,6 +338,7 @@ object Pq {
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
         "residual codes would rank garbage; use searchIndexResidual")
     requireM(spark, path, m)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     // a permuted-built index permutes incoming queries itself — the
     // caller always passes ORIGINAL-space vectors ([[writeIndexPermuted]])
     searchIndexBody(spark, path, applyStoredPerm(spark, path, queries0),
@@ -351,7 +352,6 @@ object Pq {
   private def searchIndexBody(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
       m: Int): DataFrame = {
-    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")
@@ -637,6 +637,7 @@ object Pq {
       s"$path is not a residual-encoded index — use searchIndex, or " +
         "rebuild with writeIndexResidual")
     requireM(spark, path, m)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     // permuted-built index ⇒ permute the original-space queries here
     searchIndexResidualBody(spark, path,
       applyStoredPerm(spark, path, queries0), k, nprobe, shortlist, m)
@@ -645,7 +646,6 @@ object Pq {
   private def searchIndexResidualBody(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
       m: Int): DataFrame = {
-    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     val cells = spark.read.parquet(s"$path/cells")
@@ -690,14 +690,14 @@ object Pq {
     // change mid-call (single-writer discipline)
     requireNotBuilding(spark, path)
     requireM(spark, path, m)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val residual = isResidualIndex(spark, path)
     val q = applyStoredPerm(spark, path, queries).localCheckpoint(true)
     (0 until chunks).map { i =>
-      // coalesce: xxhash64(null) is null and a null bucket would match
-      // no chunk — a null-id query row must land in exactly one chunk
-      // (chunk 0), not silently vanish from the union
-      val qi = q.filter(
-        pmod(coalesce(xxhash64(col("vec_id")), lit(0L)), lit(chunks)) === i)
+      // null query ids route deterministically too: Spark's hash
+      // functions SKIP null inputs (xxhash64(null) = the 42L seed), so
+      // a null-id row lands in exactly one chunk like any other
+      val qi = q.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === i)
       val r =
         if (residual)
           searchIndexResidualBody(spark, path, qi, k, nprobe, shortlist, m)

@@ -32,11 +32,20 @@ object EventOps {
     * `window(ts, "1 day")` is epoch-aligned, i.e. UTC), and any two
     * sessions regardless of their timezone conf. On a UTC session it
     * equals `to_date` exactly (the oracle's CAST(ts AS DATE) semantics).
+    *
+    * FLOOR, not truncation: pmod's non-negative remainder makes the
+    * subtraction land on the day's UTC midnight for negative epochs too
+    * (plain `div` would collapse [-1 day, 0) onto 1970-01-01). The
+    * division is then of an exact multiple of DayUs, so the double
+    * quotient is exact for |ts| < 2^53 µs (years ~1684–2255).
     */
   private[graft] def utcDay(ts: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    val us = unix_micros(ts)
     date_add(lit(java.sql.Date.valueOf("1970-01-01")),
-      (unix_micros(ts) / lit(DayUs)).cast(IntegerType)).cast(StringType)
+      ((us - pmod(us, lit(DayUs))) / lit(DayUs)).cast(IntegerType))
+      .cast(StringType)
+  }
 
   // -------------------------------------------------- tumbling window
 

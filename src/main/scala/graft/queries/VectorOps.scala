@@ -345,6 +345,39 @@ object VectorOps {
     endIndexBuild(spark, path)
   }
 
+  /** First-contact EMPTY bootstrap of a MinHash index — the
+    * schema-bearing empty components WITHOUT the `_building` sentinel.
+    * The sentinel protects a populated corpus's delete→write window; an
+    * empty bootstrap has nothing to lose, and a crash between its two
+    * writes leaves a partial layout whose existence probe simply re-runs
+    * the bootstrap (overwrite, idempotent). A sentinel here would
+    * instead WEDGE a streaming loop permanently: its recovery step
+    * (`recoverNeardupIndex`, which must run before any existence probe)
+    * fires `requireNotBuilding` on every restart, before any code that
+    * could redo the bootstrap.
+    */
+  def bootstrapNeardupIndex(docs: DataFrame, path: String): Unit = {
+    val empty = docs.limit(0)
+    minhashBands(empty).write.mode("overwrite")
+      .parquet(s"$path/bands/batch=init")
+    shingleSets(empty).write.mode("overwrite")
+      .parquet(s"$path/sets/batch=init")
+  }
+
+  /** [[bootstrapNeardupIndex]] for the cosine index — also records the
+    * LSH knobs (re-recorded if a crash interleaves; same content).
+    */
+  def bootstrapCosineIndex(vecs: DataFrame, path: String,
+      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
+    val spark = vecs.sparkSession
+    val base = vecs.limit(0)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    bandedSignatures(base, numPlanes, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/bands/batch=init")
+    base.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
+    writeLshParams(spark, path, numPlanes, bands, seed)
+  }
+
   /** Near-dup pairs of an ingest batch against an existing corpus PLUS
     * within the batch itself — the incremental form of [[minhashPairsOn]]
     * (every returned pair touches ≥1 new doc; corpus-internal pairs are

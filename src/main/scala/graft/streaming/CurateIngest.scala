@@ -188,17 +188,16 @@ object CurateIngest {
 
     // 5. near-dup vs the growing MinHash index (keep-first, as every
     // ingest loop here) — bootstrap the index from the batch's own
-    // schema on first contact
+    // schema on first contact, via the SENTINEL-FREE empty bootstrap
+    // (a crash mid-bootstrap loses nothing and must not wedge the
+    // stream's recovery path — [[VectorOps.bootstrapNeardupIndex]])
     if (!minhashExists(spark, statePath))
-      VectorOps.writeNeardupIndex(
-        b.select(col("doc_id"), col("text")).limit(0),
-        s"$statePath/minhash")
+      VectorOps.bootstrapNeardupIndex(
+        b.select(col("doc_id"), col("text")), s"$statePath/minhash")
     VectorOps.recoverNeardupIndex(spark, s"$statePath/minhash")
     val pairs = VectorOps.neardupDeltaIndexed(spark, s"$statePath/minhash",
       decon.select(col("doc_id"), col("text")), cfg.jaccardThreshold)
     val admitted = IngestDedup.admit(decon, pairs, "doc_id", "d1", "d2")
-    VectorOps.appendNeardupIndex(
-      admitted.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
 
     // 6. optional semantic near-dup vs the growing cosine index — for
     // corpora carrying an `embedding` column: a doc that says the same
@@ -206,8 +205,7 @@ object CurateIngest {
     // shingles) but lands next to its twin in embedding space. Same
     // keep-first admit policy and index lifecycle as stage 5, over
     // [[VectorOps.cosineDeltaIndexed]]; only docs the text stages kept
-    // probe (first-drop-reason order preserved) and only ADMITTED docs'
-    // vectors join the index.
+    // probe (first-drop-reason order preserved).
     val sem = semanticThreshold match {
       case None => admitted
       case Some(th) =>
@@ -216,11 +214,13 @@ object CurateIngest {
         // recovery BEFORE the existence probe — after a crash mid-swap
         // the vectors live only in the .compacting twin, and a probe
         // that sees the missing dir would bootstrap an empty index over
-        // the twin's grave (the minhash ordering above, mirrored)
+        // the twin's grave (the minhash ordering above, mirrored).
+        // Bootstrap is the sentinel-free empty form for the same
+        // no-wedge reason as stage 5's.
         VectorOps.recoverCosineIndex(spark, s"$statePath/cosine")
         if (!cosineExists(spark, statePath))
-          VectorOps.writeCosineIndex(
-            b.select(col("doc_id").as("vec_id"), col("embedding")).limit(0),
+          VectorOps.bootstrapCosineIndex(
+            b.select(col("doc_id").as("vec_id"), col("embedding")),
             s"$statePath/cosine")
         val vpairs = VectorOps.cosineDeltaIndexed(spark, s"$statePath/cosine",
           admitted.select(col("doc_id").as("vec_id"), col("embedding")), th)
@@ -230,6 +230,13 @@ object CurateIngest {
           s"$statePath/cosine", tag)
         kept
     }
+    // BOTH indexes grow with the FINAL keepers only, after every stage:
+    // appending `admitted` (pre-semantic) would let a semantically-
+    // dropped doc's text join the dedup corpus, and a later text-dup of
+    // it would be near_dup'd against a doc that is not in the kept
+    // output — the index must stay exactly the kept corpus
+    VectorOps.appendNeardupIndex(
+      sem.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
 
     // verdicts: first-drop-reason in the batch pipeline's stage order;
     // rewritten text (when the segment stage ran) rides into the output

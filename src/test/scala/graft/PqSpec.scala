@@ -531,6 +531,17 @@ class PqSpec extends AnyFunSuite with SparkSessionFixture {
       Pq.train(skew, M, Ks, 2), pDir, M)
     assert(Pq.storedPerm(spark, pDir).isEmpty,
       "a plain rebuild must clear the stale _pq_perm marker")
+
+    // an IVF rebuild-in-place over a former PQ index must ALSO clear
+    // the PQ sidecars and books, or requireIvfReadable would refuse the
+    // freshly built valid index forever
+    val mixDir = java.nio.file.Files.createTempDirectory("pq_to_ivf").toString
+    Pq.writeIndexPermuted(skew, mixDir, M, Ks, cells = 16, iters = 1)
+    graft.operators.Ivf.writeIndex(skew,
+      graft.operators.Ivf.seedCentroids(skew, 16), mixDir)
+    graft.operators.Ivf.searchIndex(spark, mixDir, twinQ, k = 1,
+      nprobe = 4).count()
+    graft.operators.Ivf.appendIndex(spark, twins, mixDir, "g1")
   }
 
   test("refined codebooks keep the search well-formed and recall intact") {

@@ -276,8 +276,34 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       semanticThreshold = Some(0.9))
     assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
     assert(spark.read.parquet(s"$state/cosine/vectors").count() == vecsBefore)
-    // the index holds exactly the admitted docs' vectors: 1, 2, 13
+    // BOTH indexes hold exactly the kept docs: the semantically-dropped
+    // doc 11's TEXT must not join the minhash corpus either, or a later
+    // text-dup of it would near_dup against a doc absent from the output
     assert(spark.read.parquet(s"$state/cosine/vectors")
       .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
+    assert(spark.read.parquet(s"$state/minhash/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
+  }
+
+  test("a crash mid-bootstrap self-heals: partial empty components are " +
+      "rewritten, the stream is never wedged") {
+    val state = java.nio.file.Files.createTempDirectory("ci_boot_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_boot_out").toString
+    // simulate a first-contact bootstrap killed between its two writes:
+    // bands landed, sets did not (the existence probe keys on sets)
+    val b0 = docsDf(Seq(doc(1L, "alpha", 40)))
+    graft.queries.VectorOps.bootstrapNeardupIndex(
+      b0.select(col("doc_id"), col("text")), s"$state/minhash")
+    assert(new java.io.File(s"$state/minhash/sets").exists())
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(s"$state/minhash/sets"))
+    // the next batch must re-bootstrap and proceed — no _building
+    // sentinel exists to wedge recovery (empty bootstraps are
+    // sentinel-free by design)
+    assert(!new java.io.File(s"$state/minhash/_building").exists())
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig())
+    assert(verdicts(s"$out/batch=b0") == Map(1L -> ((true, None))))
   }
 }

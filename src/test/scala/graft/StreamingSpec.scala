@@ -216,7 +216,11 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     val mem = MemoryStream[(Timestamp, Long)]
     val q = EventPipelines.runDailySketches(
       mem.toDF().toDF("ts", "user_id"), path, ckpt)
-    def t(s: String) = Timestamp.valueOf(s)
+    // Instant-based construction: the expected day= labels are UTC, and
+    // Timestamp.valueOf parses in the JVM DEFAULT timezone, which
+    // nothing in the build pins — this test must be green on any host
+    def t(s: String) =
+      Timestamp.from(java.time.Instant.parse(s.replace(" ", "T") + "Z"))
     try {
       // days 1-2 arrive, then a day-4 row pushes the watermark past both
       mem.addData(
