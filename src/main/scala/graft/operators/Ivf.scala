@@ -149,7 +149,13 @@ object Ivf {
     // rebuild-clears-markers discipline Pq.writeIndex applies
     locally {
       val conf = base.sparkSession.sparkContext.hadoopConfiguration
-      Seq(s"$path/_pq_perm", s"$path/_pq_residual", s"$path/_pq_m")
+      // …including a stale _pq_building from a CRASHED PQ build: this
+      // rebuild is itself the repair, and crash-safety inside this
+      // window is carried by the _building sentinel — leaving the PQ
+      // sentinel behind would make requireIvfReadable refuse the
+      // freshly built, valid plain index forever
+      Seq(s"$path/_pq_perm", s"$path/_pq_residual", s"$path/_pq_m",
+          s"$path/_pq_building")
         .foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           p.getFileSystem(conf).delete(p, false)

@@ -537,6 +537,12 @@ object Pq {
     // re-rank), so the overwrite of batch=init alone is not enough
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells.compacting"), true)
+    // the mirror of Ivf.writeIndex clearing _pq_building: a crashed
+    // PLAIN-IVF build leaves VectorOps' root `_building` sentinel, and
+    // this rebuild-as-PQ is the repair — crash-safety from here on is
+    // carried by _pq_building (already up), so the stale root sentinel
+    // must not outlive the build and brick the valid new index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_building"), false)
   }
 
   private def endBuild(spark: SparkSession, path: String): Unit = {

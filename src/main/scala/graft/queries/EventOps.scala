@@ -628,8 +628,7 @@ object EventOps {
     */
   def topkRange(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(spark, dir, "events")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_topk_range").toString
+    val tmp = scratchDir(spark, "graft_topk_range")
     try {
       writeDailySummaries(events, tmp)
       // min day from the store's OWN day= listing — the write already
@@ -643,6 +642,27 @@ object EventOps {
         fromDay = Some(d0.plusDays(7).toString),
         untilDay = Some(d0.plusDays(14).toString))
     } finally deleteRecursively(spark, tmp)
+  }
+
+  /** Scratch root for the store-then-answer contract queries. The day
+    * stores are written BY EXECUTORS (parquet task commits), so on any
+    * distributed deployment the root must live on a filesystem every
+    * executor and the driver share — a driver-local `java.io.tmpdir`
+    * path would scatter task files across hosts' local disks and the
+    * follow-up read would see a partial (or empty) store. Resolution:
+    * the `spark.graft.scratchDir` conf key when set (point it at HDFS/
+    * object storage on a cluster), else the SQL warehouse dir — shared
+    * by construction on a deployed cluster, `./spark-warehouse` under
+    * local mode. A UUID leaf keeps concurrent invocations disjoint; the
+    * caller deletes the leaf in `finally`.
+    */
+  private def scratchDir(spark: SparkSession, prefix: String): String = {
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = s"$root/_scratch/$prefix-${java.util.UUID.randomUUID()}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    dir
   }
 
   private def deleteRecursively(spark: SparkSession, dir: String): Unit = {
@@ -680,8 +700,7 @@ object EventOps {
     */
   def distinctDays(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.t(spark, dir, "events")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_distinct_days").toString
+    val tmp = scratchDir(spark, "graft_distinct_days")
     try {
       writeDailySketches(events, tmp)
       val d0 = minStoredDay(spark, tmp)

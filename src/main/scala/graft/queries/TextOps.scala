@@ -1376,21 +1376,29 @@ object TextOps {
     */
   private def requireIndexParams(spark: SparkSession, path: String,
       params: String): Unit = {
+    val seen = new org.apache.hadoop.fs.Path(s"$path/seen")
+    val fs = seen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(seen)
     VectorOps.readSidecar(spark, s"$path/_params") match {
-      case Some(stored) =>
+      case Some(stored) if hasData =>
         require(stored == params,
           s"$path was built with ($stored); probing with ($params) would " +
             "hash under a different scheme and silently stop finding " +
             "duplicates — pass the original parameters or rebuild the index")
+      case Some(_) =>
+        // sidecar present but seen/ absent: the FIRST delta crashed
+        // after recording its knobs and before any data landed. Nothing
+        // is hashed under the crashed call's scheme, so pinning its
+        // knobs forever would refuse a later (legitimate) first contact
+        // with different settings — re-record as first contact instead
+        VectorOps.writeSidecar(spark, s"$path/_params", params)
       case None =>
         // record ONLY when the index holds no data yet: a pre-sidecar
         // index (seen/ exists, no _params) must skip the check like the
         // other legacy sidecars — recording the CURRENT call's params
         // against unknown historical ones would bless exactly the drift
         // this guard exists to catch, then refuse the correct values
-        val seen = new org.apache.hadoop.fs.Path(s"$path/seen")
-        val fs = seen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(seen))
+        if (!hasData)
           VectorOps.writeSidecar(spark, s"$path/_params", params)
     }
   }

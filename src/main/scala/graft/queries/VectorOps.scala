@@ -365,17 +365,23 @@ object VectorOps {
   }
 
   /** [[bootstrapNeardupIndex]] for the cosine index — also records the
-    * LSH knobs (re-recorded if a crash interleaves; same content).
+    * LSH knobs. The sidecar lands FIRST and the existence-probe
+    * component (`vectors` — what [[graft.streaming.CurateIngest]]'s
+    * first-contact check keys on) lands LAST, so any crash mid-bootstrap
+    * leaves the probe false and the whole bootstrap re-runs (overwrite,
+    * idempotent) — an index can never be observed as existing with its
+    * `_lsh_params` missing, which would silently disable the knob-drift
+    * guard ([[requireLshParams]] treats a sidecar-less index as legacy).
     */
   def bootstrapCosineIndex(vecs: DataFrame, path: String,
       numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
     val spark = vecs.sparkSession
     val base = vecs.limit(0)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    writeLshParams(spark, path, numPlanes, bands, seed)
     bandedSignatures(base, numPlanes, bands, seed)
       .write.mode("overwrite").parquet(s"$path/bands/batch=init")
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
-    writeLshParams(spark, path, numPlanes, bands, seed)
   }
 
   /** Near-dup pairs of an ingest batch against an existing corpus PLUS

@@ -202,4 +202,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!new java.io.File(s"$dir/_building").exists())
     Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4).count()
   }
+
+  test("cross-family stale sentinels: a rebuild in EITHER direction is " +
+      "the repair, never a permanent refusal") {
+    import graft.operators.Pq
+    val queries = base.filter(col("vec_id") < 5)
+
+    // crashed PQ build (stale _pq_building), repaired by rebuilding as
+    // plain IVF: the rebuild must clear the foreign sentinel, or
+    // requireIvfReadable refuses the freshly built VALID index forever
+    val dir1 = java.nio.file.Files.createTempDirectory("ivf_xfam").toString
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 16), dir1)
+    assert(new java.io.File(s"$dir1/_pq_building").createNewFile())
+    intercept[IllegalArgumentException] {
+      Ivf.searchIndex(spark, dir1, queries, k = 5, nprobe = 4).count()
+    }
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 16), dir1)
+    assert(!new java.io.File(s"$dir1/_pq_building").exists())
+    Ivf.searchIndex(spark, dir1, queries, k = 5, nprobe = 4).count()
+
+    // the mirror: crashed plain-IVF build (stale root _building),
+    // repaired by rebuilding as PQ — the stale sentinel must not
+    // outlive the PQ build and brick the index's VectorOps-guarded
+    // lifecycle ops (compaction, Ivf entry points) forever
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_xfam").toString
+    assert(new java.io.File(dir2, "_building").createNewFile())
+    val m = 8
+    Pq.writeIndex(base, Ivf.seedCentroids(base, 16),
+      Pq.train(base, m, ks = 16, iters = 0), dir2, m)
+    assert(!new java.io.File(s"$dir2/_building").exists(),
+      "PQ rebuild left the stale root _building sentinel behind")
+    assert(Pq.searchIndex(spark, dir2, queries, k = 5, nprobe = 4,
+      shortlist = 50, m = m).count() == 25)
+  }
 }

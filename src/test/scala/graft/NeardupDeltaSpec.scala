@@ -707,6 +707,57 @@ class NeardupDeltaSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("a crashed FIRST delta (_params recorded, no data landed) does " +
+      "not pin its knobs: the next call is first contact again") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val a = (0 until 40).map(i => s"w$i").mkString(" ")
+    // simulate the crash window: the sidecar landed, seen/ never did.
+    // Nothing is hashed under width=8, so there is nothing the guard
+    // can protect — refusing width=12 forever would be pure damage
+    val p = java.nio.file.Files.createTempDirectory("segcrash").toString
+    VectorOps.writeSidecar(spark, s"$p/_params", "width=8")
+    val out = TextOps.segmentDedupDelta(spark, p,
+      Seq((1L, a)).toDF("doc_id", "text"), 12, "t0")
+    assert(out.count() == 1)
+    // the successful first contact re-recorded ITS knobs: they are now
+    // the index identity, and the old crashed call's width is refused
+    intercept[IllegalArgumentException] {
+      TextOps.segmentDedupDelta(spark, p,
+        Seq((2L, a)).toDF("doc_id", "text"), 8, "t1")
+    }
+  }
+
+  test("partial cosine bootstrap re-runs: the sidecar lands first, the " +
+      "existence-probe component lands last") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+    val path = java.nio.file.Files.createTempDirectory("lsh_boot").toString
+    VectorOps.bootstrapCosineIndex(vecs, path, numPlanes = 16, bands = 8,
+      seed = 42L)
+    assert(new java.io.File(s"$path/_lsh_params").exists())
+    // simulate a crash before the LAST write (vectors/): the component
+    // CurateIngest's first-contact probe keys on is absent, so the next
+    // batch re-runs the bootstrap — and because the sidecar lands FIRST,
+    // no interleaving can leave a probe-able index without _lsh_params
+    // (which would silently disable the knob-drift guard)
+    def deleteDir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteDir)); f.delete()
+    }
+    deleteDir(new java.io.File(s"$path/vectors"))
+    assert(!new java.io.File(s"$path/vectors").exists())
+    assert(new java.io.File(s"$path/_lsh_params").exists(),
+      "the sidecar must survive any crash that leaves the probe false")
+    VectorOps.bootstrapCosineIndex(vecs, path, numPlanes = 16, bands = 8,
+      seed = 42L)
+    assert(new java.io.File(s"$path/vectors").exists())
+    // the completed index enforces the recorded knobs
+    intercept[IllegalArgumentException] {
+      VectorOps.cosineDeltaIndexed(spark, path,
+        vecs.filter(col("vec_id") === 0), 0.35, seed = 7L).count()
+    }
+  }
+
   test("cosine index records its LSH knobs: probing or appending with " +
       "mismatched planes/bands/seed fails loudly instead of silently " +
       "finding nothing") {

@@ -14,7 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *      break whole-stage codegen and serialize every input.
   *
   * This turns PLANS.md's per-family pins into one regression gate over
-  * the whole 136-query contract. Queries ALLOWED a nested-loop shape are
+  * the whole contract — the sweep iterates the LIVE `SparkEntry.queries`
+  * map and asserts its own count against `SparkEntry.queries.size`, so
+  * a newly registered query is covered automatically and a doc-comment
+  * count can never drift from reality. Queries ALLOWED a nested-loop shape are
   * enumerated with their reason — each is either a documented exact
   * baseline, a cross/theta join by definition, or a broadcast of a
   * SINGLE aggregate row (corpus-wide stats), which is O(rows) work and
@@ -61,7 +64,9 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
   test("no contract query cartesian/BNLJs outside the documented " +
       "allowlist; no ScalaUDF anywhere") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var swept = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      swept += 1
       val df = fn(spark, Sf0001)
       // execute THIS df's own physical plan (df.count() would build and
       // run a separate QueryExecution, leaving this one's
@@ -76,6 +81,13 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
       if (hasScalaUdf(df))
         offenders += s"$name: ScalaUDF in the optimized plan"
     }
+    // self-counting: the sweep must have visited EVERY registered
+    // contract query — if this trips, the iteration above was narrowed
+    // (e.g. a filtered copy of the map) and the gate is no longer
+    // contract-wide
+    assert(swept == SparkEntry.queries.size,
+      s"swept $swept queries but SparkEntry.queries has " +
+        s"${SparkEntry.queries.size}")
     assert(offenders.isEmpty,
       s"plan drift detected:\n${offenders.mkString("\n")}")
   }

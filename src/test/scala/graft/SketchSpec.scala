@@ -162,4 +162,28 @@ class SketchSpec extends AnyFunSuite with SparkSessionFixture {
         s"backfill of day=$d0 must not rewrite $n")
     }
   }
+
+  test("store-then-answer scratch root honors spark.graft.scratchDir " +
+      "(cluster-shared FS), defaults to the warehouse dir, cleans up") {
+    import graft.queries.EventOps
+    // the day stores are written by EXECUTORS — a driver-local
+    // java.io.tmpdir root would scatter task commits across hosts on a
+    // real cluster. The conf key is how a deployment points these
+    // contract queries at HDFS/object storage; the spec exercises it
+    // with a file:-style URI root (any Hadoop-FS path resolves the same
+    // way) and pins the leaf-per-invocation cleanup.
+    val root = java.nio.file.Files.createTempDirectory("graft_scr").toString
+    spark.conf.set("spark.graft.scratchDir", s"file:$root")
+    try {
+      val got = EventOps.topkRange(spark, Sf0001)
+      assert(got.count() > 0)
+      val scr = new java.io.File(s"$root/_scratch")
+      assert(scr.exists(), "scratch root under the configured dir")
+      assert(scr.listFiles().isEmpty,
+        "per-invocation leaf must be deleted after the answer is local")
+    } finally spark.conf.unset("spark.graft.scratchDir")
+    // default root: the SQL warehouse dir — shared by construction on a
+    // deployed cluster, ./spark-warehouse under local mode
+    assert(EventOps.distinctDays(spark, Sf0001).count() == 1)
+  }
 }
