@@ -45,6 +45,19 @@ import org.apache.spark.sql.types._
   *   hashes, so the stages measure the unique content). Docs whose every
   *   segment was seen earlier drop with reason `segment_dup`. Default
   *   off — the contract oracle pins the document-granularity pipeline.
+  * @param semanticThreshold when set, a SEMANTIC near-dup stage runs
+  *   LAST (after keep-best): the corpus must carry an `embedding`
+  *   column, docs are clustered by exact cosine ≥ threshold
+  *   ([[VectorOps.semanticClustersOn]] — connected components over the
+  *   verified pair graph), and each cluster keeps its best member
+  *   (longest text, ties min doc_id — the near_dup stage's metric)
+  *   among the stage-4 survivors; the rest drop with reason
+  *   `semantic_dup`. This is the batch twin of
+  *   [[graft.streaming.CurateIngest]]'s stage 6: same stage order and
+  *   drop-reason precedence, keep-BEST here vs the stream's keep-first
+  *   (the standard batch/incremental trade-off the near_dup stage
+  *   documents). Default off — the contract oracle pins the text-only
+  *   pipeline; q_curate_semantic oracles this composition end-to-end.
   */
 case class CurateConfig(
     minWords: Long = 30L,
@@ -58,7 +71,8 @@ case class CurateConfig(
     testBucketsFrom: Long = 9L,
     minContamRatio: (Long, Long) = (1L, 2L),
     normalizeForHash: Boolean = false,
-    segmentDedupWidth: Option[Int] = None)
+    segmentDedupWidth: Option[Int] = None,
+    semanticThreshold: Option[Double] = None)
 
 object TextOps {
   import Det._
@@ -2113,15 +2127,44 @@ object TextOps {
       .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
         .as("doc_id"))
       .select(col("doc_id"), lit(true).as("nd_keep"))
-    docs.select(col("doc_id"), g.all.as("q_ok"))
+    // optional stage 5 — semantic near-dup keep-best: cluster the CORPUS
+    // by exact cosine (labels on all embedded docs, like the text
+    // clusters — sound because upstream stages only remove members),
+    // then keep the best member per cluster AMONG THE STAGE-4 SURVIVORS
+    // with the near_dup stage's exact metric. Docs without an embedding
+    // row are singleton clusters (left join + coalesce) — absence of a
+    // vector must never drop a document.
+    val smKeep = cfg.semanticThreshold.map { th =>
+      require(docs.columns.contains("embedding"),
+        "semanticThreshold needs an `embedding` column on the corpus — " +
+          "join the embeddings frame on doc_id before curating")
+      val slabels = VectorOps.semanticClustersOn(
+        docs.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")), th)
+        .select(col("vec_id").as("doc_id"), col("rep").as("srep"))
+      stage3.join(ndKeep.select(col("doc_id")), Seq("doc_id"))
+        .join(slabels, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("srep"), col("doc_id")).as("srep"))
+        .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
+          .as("doc_id"))
+        .select(col("doc_id"), lit(true).as("sm_keep"))
+    }
+    val marked = docs.select(col("doc_id"), g.all.as("q_ok"))
       .join(exKeep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(ndKeep, Seq("doc_id"), "left")
+      // with the stage off, sm_keep ≡ nd_keep — alias the marker rather
+      // than paying a join whose result is nd_keep by construction (the
+      // streaming verdict builder's exact trick)
+      .transform(m => smKeep.fold(m.withColumn("sm_keep", col("nd_keep")))(
+        sk => m.join(sk, Seq("doc_id"), "left")))
+    marked
       .select(col("doc_id"),
         when(!col("q_ok"), "quality")
           .when(col("ex_keep").isNull, "exact_dup")
           .when(col("contam").isNotNull, "decontaminated")
           .when(col("nd_keep").isNull, "near_dup")
+          .when(col("sm_keep").isNull, "semantic_dup")
           .as("drop_reason"))
       .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
         col("drop_reason"))
@@ -2270,11 +2313,13 @@ object TextOps {
       Some(docs.sparkSession.read.parquet(s"$path/labels")))
   }
 
-  /** Everything through the `reasons` CTE — shared by [[curateSql]] and
-    * [[curateDeltaSql]] so the pipeline semantics cannot drift between
-    * the full and the resumed oracle.
+  /** Everything through the `nd_keep` CTE — the four text stages as one
+    * fragment, shared by [[curateReasonsSql]] (which closes it with the
+    * four-stage CASE) and [[curateSemanticSql]] (which appends the
+    * semantic-cluster CTEs and a five-stage CASE), so the stage
+    * semantics cannot drift between the compositions.
     */
-  private val curateReasonsSql: String =
+  private val curateStagesSql: String =
     s"""$clusterCteSql,
        |$clustersCteSql,
        |q_ok AS (
@@ -2295,7 +2340,14 @@ object TextOps {
        |nd_keep AS (
        |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
        |  FROM stage3 s JOIN clusters c ON s.doc_id = c.doc_id
-       |  GROUP BY c.rep),
+       |  GROUP BY c.rep)""".stripMargin
+
+  /** Everything through the `reasons` CTE — shared by [[curateSql]] and
+    * [[curateDeltaSql]] so the pipeline semantics cannot drift between
+    * the full and the resumed oracle.
+    */
+  private val curateReasonsSql: String =
+    s"""$curateStagesSql,
        |reasons AS (
        |  SELECT d.doc_id,
        |    CASE WHEN NOT ${Gopher.allSql} THEN 'quality'
@@ -2383,12 +2435,78 @@ object TextOps {
        |WHERE coalesce(a.n_kept, 0) = 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- composed curation (semantic)
+
+  /** The composed pipeline with the SEMANTIC stage on — [[curateOn]]
+    * with `semanticThreshold = 0.35` over documents carrying their
+    * embedding (embeddings joined on doc_id = vec_id): the four text
+    * stages run unchanged, then each exact-cosine cluster keeps its
+    * best surviving member and the rest drop as `semantic_dup`. This is
+    * the batch twin of the streaming pipeline's stage 6
+    * ([[graft.streaming.CurateIngest]]) — before it, a batch user could
+    * not reproduce the stream's semantic verdicts on a corpus with
+    * embeddings. The oracle re-runs the whole four-stage chain and adds
+    * the semantic clusters as a second recursive closure (the
+    * q_dedup_cluster_cosine CTE shape) — the full five-stage
+    * composition is hash-verified end-to-end.
+    */
+  def curateSemantic(spark: SparkSession, dir: String): DataFrame =
+    curateOn(
+      Tables.t(spark, dir, "documents")
+        .join(Tables.t(spark, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left"),
+      CurateConfig(semanticThreshold = Some(0.35)))
+
+  val curateSemanticSql: String = {
+    val cosRaw = (l: String, r: String) =>
+      s"${VectorOps.dotSql(s"$l.embedding", s"$r.embedding")} / " +
+        s"(sqrt($l.n2) * sqrt($r.n2))"
+    s"""$curateStagesSql,
+       |sembase AS (
+       |  SELECT vec_id, embedding, ${VectorOps.norm2Sql("embedding")} AS n2
+       |  FROM embeddings),
+       |semdups AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM sembase a JOIN sembase b ON a.vec_id < b.vec_id
+       |  WHERE ${cosRaw("a", "b")} >= 0.35),
+       |semedges AS (SELECT d1 AS src, d2 AS dst FROM semdups
+       |             UNION ALL SELECT d2, d1 FROM semdups),
+       |semreach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.a, e2.dst FROM semreach r JOIN semedges e2 ON r.b = e2.src),
+       |semclusters AS (SELECT a AS doc_id, min(b) AS srep
+       |                FROM semreach GROUP BY a),
+       |stage4 AS (SELECT s.* FROM stage3 s JOIN nd_keep USING (doc_id)),
+       |sm_keep AS (
+       |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
+       |  FROM stage4 s LEFT JOIN semclusters c ON s.doc_id = c.doc_id
+       |  GROUP BY coalesce(c.srep, s.doc_id)),
+       |semreasons AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN NOT ${Gopher.allSql} THEN 'quality'
+       |         WHEN ek.doc_id IS NULL THEN 'exact_dup'
+       |         WHEN ct.doc_id IS NOT NULL THEN 'decontaminated'
+       |         WHEN nk.doc_id IS NULL THEN 'near_dup'
+       |         WHEN sk.doc_id IS NULL THEN 'semantic_dup'
+       |    END AS drop_reason
+       |  FROM documents d
+       |  LEFT JOIN ex_keep ek ON d.doc_id = ek.doc_id
+       |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id
+       |  LEFT JOIN sm_keep sk ON d.doc_id = sk.doc_id)
+       |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
+       |FROM semreasons ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     ContractQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     ContractQuery("q_curate", curate, Some(curateSql)),
     ContractQuery("q_curate_delta", curateDelta, Some(curateDeltaSql)),
     ContractQuery("q_curate_segments", curateSegments, Some(curateSegmentsSql)),
+    ContractQuery("q_curate_semantic", curateSemantic, Some(curateSemanticSql)),
     ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
     ContractQuery("q_domain_resample", domainResample, Some(domainResampleSql)),

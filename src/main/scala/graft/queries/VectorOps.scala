@@ -36,10 +36,10 @@ object VectorOps {
   /** DuckDB mirror of [[norm2]] (the 0.0 prepend mirrors Spark's fold init
     * and keeps list_reduce total on empty lists).
     */
-  private def norm2Sql(e: String): String =
+  private[queries] def norm2Sql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($e, x -> CAST(x AS DOUBLE) * x)), (a, b) -> a + b)"
 
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * $b[i] for i in range(1, 65)]), (p, q) -> p + q)"
 
   /** Memoized VERIFIED near-dup pair frames per (session, dir, kind) —

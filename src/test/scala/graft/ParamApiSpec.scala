@@ -211,6 +211,61 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       s"survivor $id fails the gate on its rewritten text"))
   }
 
+  test("curateOn semanticThreshold: composed == doc-level curate then " +
+      "semantic keep-best over its survivors") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .join(Tables.t(spark, Sf0001, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+    def verdicts(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    val composed = verdicts(TextOps.curateOn(docs,
+      CurateConfig(semanticThreshold = Some(0.35))))
+    assert(composed.size == 500, "every doc verdicted exactly once")
+
+    // staged equivalent through the standalone public surfaces: text-only
+    // pipeline, then semantic keep-best (cluster labels from
+    // semanticClustersOn, the near_dup stage's exact metric) applied to
+    // its survivors — any survivor not its cluster's keeper re-verdicts
+    // as semantic_dup, every other verdict rides unchanged
+    val plain = TextOps.curateOn(docs, CurateConfig()).localCheckpoint(true)
+    val labels = VectorOps.semanticClustersOn(
+      docs.select(col("doc_id").as("vec_id"), col("embedding")), 0.35)
+    val keepers = plain.filter(col("kept")).select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .join(labels.select(col("vec_id").as("doc_id"), col("rep")),
+        Seq("doc_id"), "left")
+      .groupBy(coalesce(col("rep"), col("doc_id")))
+      .agg(max_by(col("doc_id"),
+        col("n_chars") * lit(1000000000L) - col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val staged = verdicts(plain).map {
+      case (id, (true, _)) if !keepers(id) =>
+        id -> ((false, Option("semantic_dup")))
+      case other => other
+    }
+    assert(composed == staged)
+    // the fixture exercises the stage non-trivially
+    assert(composed.count(_._2._2.contains("semantic_dup")) > 0,
+      "fixture must produce semantic_dup drops")
+
+    // a doc WITHOUT an embedding is a singleton cluster: absence of a
+    // vector must never drop a document
+    val partial = docs.withColumn("embedding",
+      when(col("doc_id") === 13L, lit(null)).otherwise(col("embedding")))
+    val pv = verdicts(TextOps.curateOn(partial,
+      CurateConfig(semanticThreshold = Some(0.35))))
+    assert(pv(13L)._2 != Option("semantic_dup"),
+      "embedding-less doc must not be a semantic drop")
+
+    // no embedding column at all → loud refusal, not a silently-off stage
+    val e = intercept[IllegalArgumentException] {
+      TextOps.curateOn(Tables.t(spark, Sf0001, "documents"),
+        CurateConfig(semanticThreshold = Some(0.35)))
+    }
+    assert(e.getMessage.contains("embedding"))
+  }
+
   test("curateOn segmentDedupWidth: empty-on-arrival docs are quality drops, not segment_dup") {
     import spark.implicits._
     // two empty docs + clean unique docs: the FIRST empty doc's lone ""

@@ -285,6 +285,51 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
   }
 
+  test("batch/stream semantic parity: when keep-first and keep-best " +
+      "pick the same keepers, verdicts are doc-for-doc equal") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // the two pipelines' only semantic-stage difference is the admit
+    // policy (stream keep-FIRST vs batch keep-BEST). On a corpus where
+    // each dup cluster's first arrival is also its longest member the
+    // policies coincide, so the composed batch pipeline and one stream
+    // micro-batch must agree on EVERY document — stage order,
+    // drop-reason precedence and the semantic verdict included.
+    def axis(i: Int, scale: Float = 1f): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) scale else 0f)
+    val kept = doc(1L, "alpha", 41) // semantic keeper: first AND longest
+    val para = doc(21L, "charlie", 30) // zero shared shingles, colinear
+    val tdup1 = doc(3L, "bravo", 41) // text near-dup keeper: first AND longest
+    val tdup2 = doc(31L, "bravo", 40)
+    val clean = doc(13L, "echo", 40)
+    val corpus = Seq(
+      (kept._1, kept._2, kept._3, axis(0)),
+      (para._1, para._2, para._3, axis(0, 2f)),
+      (tdup1._1, tdup1._2, tdup1._3, axis(2)),
+      (tdup2._1, tdup2._2, tdup2._3, axis(3)),
+      (clean._1, clean._2, clean._3, axis(4)))
+      .toDF("doc_id", "text", "n_chars", "embedding")
+
+    val batchV = TextOps.curateOn(corpus,
+        CurateConfig(semanticThreshold = Some(0.9)))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+
+    val state = java.nio.file.Files.createTempDirectory("ci_par_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_par_out").toString
+    CurateIngest.processBatch(corpus, 0L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9))
+    assert(verdicts(s"$out/batch=b0") == batchV,
+      "stream and batch must verdict every doc identically")
+    // and the case is non-trivial: a semantic drop, a text near-dup
+    // drop (precedence: the shingle stage fires before the semantic
+    // one), and survivors
+    assert(batchV(21L) == ((false, Some("semantic_dup"))))
+    assert(batchV(31L) == ((false, Some("near_dup"))))
+    assert(batchV(1L) == ((true, None)) && batchV(13L) == ((true, None)))
+  }
+
   test("a crash mid-bootstrap self-heals: partial empty components are " +
       "rewritten, the stream is never wedged") {
     val state = java.nio.file.Files.createTempDirectory("ci_boot_state").toString
