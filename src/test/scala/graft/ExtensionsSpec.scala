@@ -80,6 +80,51 @@ class ExtensionsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r.isNullAt(2), "HOF reference semantics: also null")
   }
 
+  test("shingle-family SQL functions: each invokable from SQL, the " +
+      "native codegen'd expression pinned in the optimized plan, " +
+      "bit-identical to the DataFrame bridge") {
+    import org.apache.spark.sql.graft.{MinhashMins, Ngrams, Segments,
+      ShingleExpressions, SimHash64}
+    // over a parquet scan so constant folding can't erase the
+    // expression before the plan is inspected (the graft_dot pattern)
+    val docs = graft.queries.Tables.t(spark, Sf0001, "documents")
+    docs.createOrReplaceTempView("ext_docs")
+    def pinned(sqlExpr: String, cls: Class[_]): org.apache.spark.sql.DataFrame = {
+      val df = spark.sql(s"SELECT doc_id, $sqlExpr AS v FROM ext_docs")
+      assert(df.queryExecution.optimizedPlan.expressions
+          .exists(_.exists(e => cls.isInstance(e))),
+        s"$sqlExpr: native expression not in\n" +
+          df.queryExecution.optimizedPlan.treeString)
+      df
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+
+    val ng = pinned("graft_ngrams(text, 3, true)", classOf[Ngrams])
+    assert(rows(ng) == rows(docs.select(col("doc_id"),
+      ShingleExpressions.ngrams(col("text"), 3, distinct = true).as("v"))))
+
+    val mh = pinned("graft_minhash(text, 16)", classOf[MinhashMins])
+    assert(rows(mh) == rows(docs.select(col("doc_id"),
+      ShingleExpressions.minhashMins(col("text"), 16).as("v"))))
+
+    val sh = pinned("graft_simhash64(text)", classOf[SimHash64])
+    assert(rows(sh) == rows(docs.select(col("doc_id"),
+      ShingleExpressions.simhash64(col("text")).as("v"))))
+
+    val sg = pinned("graft_segments(text, 8)", classOf[Segments])
+    assert(rows(sg) == rows(docs.select(col("doc_id"),
+      ShingleExpressions.segments(col("text"), 8).as("v"))))
+
+    // the shape knobs are codegen parameters: a non-literal is refused
+    // at analysis time, never a silent per-row branch
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_ngrams(text, CAST(doc_id AS INT), true) " +
+        "FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("rewrite preserves the contract q_fn_hof result bit-for-bit") {
     // fnHof contains both rewritable folds (norm2, dot_rev) and
     // non-rewritable ones (sum_pos); results must match the interpreted
