@@ -243,6 +243,86 @@ object Ivf {
       numFiles, Seq("cell"))
   }
 
+  /** Centroid-drift observability (r13): [[appendIndex]] grows cells
+    * against FROZEN centroids forever, so after heavy ingest the cell
+    * balance decays and recall silently sags — the coarse quantizer no
+    * longer describes the corpus. This reads the index's own `batch=`
+    * layout (build rows live under `batch=init`, every increment under
+    * its tag) and reports, per cell:
+    *
+    *   - `n_init` / `n_total` / `growth` — membership at build time vs
+    *     now (an appended mode collapsing into one cell shows up as
+    *     growth skew long before recall measurements would);
+    *   - `resid_init` / `resid_appended` / `resid_ratio` — mean
+    *     residual norm ‖x − c(cell)‖ of build-time vs appended members:
+    *     appended vectors the frozen centroid fits WORSE than its own
+    *     build population sit farther from it, and when they straddle a
+    *     Voronoi boundary, low-nprobe probes miss them.
+    *
+    * One scan of the cells table + the broadcast centroid join — the
+    * assignment pass's exact shape, safe to run on any cadence. Note
+    * compaction ([[compactIndex]]) folds increments into `batch=init`
+    * and therefore RESETS the baseline — run drift stats before
+    * compacting, or treat compaction as accepting the grown population
+    * as the new normal.
+    *
+    * Documented rebuild trigger (DEPLOY.md): rebuild when any cell's
+    * `growth` exceeds ~3× while the index-wide appended share is
+    * material, or the appended-weighted mean `resid_ratio` exceeds
+    * ~1.2 — both thresholds measured in IvfIndexSpec, where a drifted
+    * ingest degrades nprobe=1 recall, these stats flag it, and a
+    * rebuild ([[writeIndex]] with retrained centroids) restores it.
+    */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    requireIvfReadable(spark, path)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val rows = spark.read.parquet(s"$path/cells")
+    val resid2 = greatest(
+      col("n2") - lit(2.0) * dot(col("embedding"), col("c_emb")) + col("c_n2"),
+      lit(0.0))
+    val isInit = col("batch").cast("string") === "init"
+    rows.join(broadcast(cents), col("cell") === col("c_id"))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(isInit, 1L).otherwise(0L)).as("n_init"),
+        count(lit(1)).as("n_total"),
+        avg(when(isInit, sqrt(resid2))).as("resid_init"),
+        avg(when(!isInit, sqrt(resid2))).as("resid_appended"))
+      .withColumn("growth",
+        col("n_total").cast("double") / greatest(col("n_init"), lit(1L)))
+      .withColumn("resid_ratio", col("resid_appended") / col("resid_init"))
+      .orderBy(col("cell"))
+  }
+
+  /** One-row roll-up of [[driftStats]] with the rebuild verdict:
+    * `rebuild_recommended` fires when any cell grew past `growthMax`
+    * (with a non-trivial appended share overall) or the appended-
+    * weighted mean residual ratio exceeds `residRatioMax`. Thresholds
+    * are knobs because drift tolerance is a recall budget — see the
+    * DEPLOY.md note for how they were placed.
+    */
+  def driftSummary(spark: org.apache.spark.sql.SparkSession, path: String,
+      growthMax: Double = 3.0, residRatioMax: Double = 1.2): DataFrame = {
+    driftStats(spark, path)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_total") - col("n_init")).as("n_appended"),
+        sum(col("n_total")).as("n_total"),
+        max(col("growth")).as("max_growth"),
+        (sum(col("resid_ratio") * (col("n_total") - col("n_init"))) /
+          sum(when(col("resid_ratio").isNotNull,
+            col("n_total") - col("n_init")).otherwise(0L)))
+          .as("resid_ratio_weighted"))
+      .withColumn("appended_share",
+        col("n_appended").cast("double") / col("n_total"))
+      .withColumn("rebuild_recommended",
+        (col("max_growth") > growthMax && col("appended_share") > 0.1) ||
+          coalesce(col("resid_ratio_weighted") > residRatioMax, lit(false)))
+  }
+
   /** Top-k cosine search over a materialized index. `queries` carries
     * (vec_id, embedding, n2) — external ids are fine (self-matches are
     * excluded by id equality, as in [[search]]).

@@ -1282,19 +1282,24 @@ object VectorOps {
     * [[knnLsh]] (prunes candidates) and [[knnIvf]] (prunes cells): the
     * corpus the approximate stage scans is m=8 code ids per vector
     * instead of 64 floats (~32× smaller), scored by ADC table lookup,
-    * with exact-cosine re-rank of each query's top-50 shortlist.
-    * Codebooks are the deterministic seeds (the 16 lowest-id vectors'
-    * subvectors — no RNG, reproducible); engine-specific in codebook
-    * choice → no SQL oracle; VectorOpsSpec asserts recall against
-    * [[knnBruteforce]] plus structural invariants, and [[vecPq]] pins
-    * the encode math cross-engine.
+    * with exact-cosine re-rank of each query's top-100 shortlist.
+    * Codebooks are the deterministic seeds (the 64 lowest-id vectors'
+    * subvectors — no RNG, reproducible). The r13 knobs (ks 16→64,
+    * shortlist 50→100) come from the measured sweep in BASELINE.md:
+    * recall@5 0.76→0.96 on the fixture, AND cheaper — 4× the codebook
+    * entries cut quantization error so much that the re-rank sees
+    * better-ordered shortlists while the ADC LUT stays trivially
+    * broadcastable (m·ks = 512 doubles per query). Engine-specific in
+    * codebook choice → no SQL oracle; VectorOpsSpec asserts recall
+    * against [[knnBruteforce]] plus structural invariants, and
+    * [[vecPq]] pins the encode math cross-engine.
     */
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
     val base = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    Pq.search(base, Pq.seedCodebooks(base, m = 8, ks = 16),
-      base.filter(col("vec_id") < 5), k = 5, shortlist = 50, m = 8)
+    Pq.search(base, Pq.seedCodebooks(base, m = 8, ks = 64),
+      base.filter(col("vec_id") < 5), k = 5, shortlist = 100, m = 8)
   }
 
   /** PQ encode digests — the SQL-oracled face of [[knnPq]]'s compression

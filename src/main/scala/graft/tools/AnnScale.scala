@@ -74,6 +74,12 @@ object AnnScale {
     val tb0 = System.nanoTime()
     val books = Pq.train(base, m = 8, ks = 16, iters = 2).localCheckpoint(true)
     val tBooks = (System.nanoTime() - tb0) / 1e9
+    // the r13 q_knn_pq knob family (ks=64): 4× codebook entries per
+    // subspace — quantization error drops, the ADC LUT stays tiny
+    // (m·ks = 512 doubles/query)
+    val tb640 = System.nanoTime()
+    val books64 = Pq.train(base, m = 8, ks = 64, iters = 2).localCheckpoint(true)
+    val tBooks64 = (System.nanoTime() - tb640) / 1e9
 
     val runs = Seq(
       ("lsh_p16b8", () => VectorOps.knnLshAt(corpus, queries, 5)),
@@ -84,7 +90,11 @@ object AnnScale {
       ("pq_s50", () => Pq.search(base, books, queries, k = 5,
         shortlist = 50, m = 8)),
       ("pq_s200", () => Pq.search(base, books, queries, k = 5,
-        shortlist = 200, m = 8)))
+        shortlist = 200, m = 8)),
+      ("pq_ks64_s50", () => Pq.search(base, books64, queries, k = 5,
+        shortlist = 50, m = 8)),
+      ("pq_ks64_s100", () => Pq.search(base, books64, queries, k = 5,
+        shortlist = 100, m = 8)))
 
     // the materialized IVF-PQ index path: ADC over probed cells only
     val idxDir = java.nio.file.Files.createTempDirectory("annscale_ivfpq").toString
@@ -111,7 +121,7 @@ object AnnScale {
         queries, k = 5, nprobe = 8, shortlist = 200, m = 8)))
 
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"corpus":$n,"queries":$nq,"noise":$noise,"brute_s":${f(tBrute)},"ivf_train_s":${f(tCents)},"pq_train_s":${f(tBooks)},"ivfpq_index_s":${f(tIdx)},"ivfpqres_index_s":${f(tRes)}}""")
+    println(s"""{"corpus":$n,"queries":$nq,"noise":$noise,"brute_s":${f(tBrute)},"ivf_train_s":${f(tCents)},"pq_train_s":${f(tBooks)},"pq_train_ks64_s":${f(tBooks64)},"ivfpq_index_s":${f(tIdx)},"ivfpqres_index_s":${f(tRes)}}""")
     (runs ++ idxRuns).foreach { case (name, run) =>
       val (got, secs) = timed(name)(run())
       println(s"""{"method":"$name","recall_at_5":${f(recall(got))},"search_s":${f(secs)}}""")

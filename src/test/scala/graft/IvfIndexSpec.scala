@@ -203,6 +203,90 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 4).count()
   }
 
+  test("centroid drift: a drifted ingest degrades low-nprobe recall, " +
+      "driftStats/driftSummary flag it, a retrained rebuild restores it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 16), dir)
+    // fresh index: nothing appended, nothing to flag
+    val fresh = Ivf.driftSummary(spark, dir).head
+    assert(!fresh.getAs[Boolean]("rebuild_recommended"))
+
+    // drifted ingest: a 160-member near-dup family straddling the
+    // Voronoi boundary of the first two centroids — members sit on a
+    // filament through their midpoint, alternating sides by a tiny
+    // epsilon along (c1 − c2) while the spread direction w has that
+    // component projected out (so filament position never influences
+    // the c1-vs-c2 choice). Consecutive members are true nearest
+    // neighbors but land in ALTERNATING frozen cells: exactly the
+    // population appendIndex grows blind against.
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("c_id")
+      .collect()
+    def emb(r: org.apache.spark.sql.Row) = r.getSeq[Float](1).toArray
+    def norm(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val c1 = emb(cents(0)); val c2 = emb(cents(1))
+    val mid = norm(c1.zip(c2).map { case (a, b) => a + b })
+    val u = norm(c1.zip(c2).map { case (a, b) => a - b })
+    val w0 = mid.indices.toArray.map(i => c1((i + 7) % 64))
+    val wu = w0.zip(u).map { case (a, b) => a * b }.sum
+    val w = norm(w0.indices.toArray.map(i => w0(i) - wu * u(i)))
+    val fam = (0 until 160).map { j =>
+      val sign = if (j % 2 == 0) 1f else -1f
+      (10000L + j, norm(mid.indices.toArray.map(i =>
+        mid(i) + sign * 0.005f * u(i) + 0.02f * j * w(i))).toSeq)
+    }
+    val famDf = fam.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.dotProduct(col("embedding"), col("embedding"))
+          .as("n2"))
+      .localCheckpoint(true)
+    Ivf.appendIndex(spark, famDf, dir, "drift")
+
+    // the stats see it: both straddled cells grew past 3x (fixture
+    // cells hold ~30 members), and the summary recommends a rebuild
+    val stats = Ivf.driftStats(spark, dir)
+      .filter(col("n_total") > col("n_init")).collect()
+    assert(stats.length == 2, "family must straddle exactly two cells")
+    stats.foreach(r => assert(r.getAs[Double]("growth") > 3.0,
+      s"cell ${r.get(0)} growth ${r.getAs[Double]("growth")}"))
+    val drifted = Ivf.driftSummary(spark, dir).head
+    assert(drifted.getAs[Boolean]("rebuild_recommended"))
+    assert(drifted.getAs[Double]("appended_share") > 0.2)
+
+    // recall really sags: the probe member's true top-5 are its
+    // filament neighbors (alternating cells), nprobe=1 sees only the
+    // same-side half
+    val grown = base.unionByName(famDf).localCheckpoint(true)
+    val q = famDf.filter(col("vec_id") === 10000L)
+    val truth = graft.queries.VectorOps.knn(
+      grown.select(col("vec_id"), col("embedding")),
+      q.select(col("vec_id"), col("embedding")), 5)
+      .collect().map(_.getLong(1)).toSet
+    def recallNp1(path: String): Double = {
+      val got = Ivf.searchIndex(spark, path, q, k = 5, nprobe = 1)
+        .collect().map(_.getLong(1))
+      got.count(truth.contains).toDouble / 5
+    }
+    val sagged = recallNp1(dir)
+    assert(sagged <= 0.6, s"drifted recall@np1 $sagged should sag")
+
+    // the documented repair: rebuild with centroids RETRAINED on the
+    // grown corpus — the family gets centroids of its own, consecutive
+    // members co-locate, recall recovers, and the drift baseline resets
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_drift_rb").toString
+    Ivf.writeIndex(grown, Ivf.train(grown, 16, iters = 2), dir2)
+    val restored = recallNp1(dir2)
+    assert(restored >= 0.8, s"rebuilt recall@np1 $restored")
+    assert(restored > sagged)
+    assert(!Ivf.driftSummary(spark, dir2).head
+      .getAs[Boolean]("rebuild_recommended"))
+  }
+
   test("cross-family stale sentinels: a rebuild in EITHER direction is " +
       "the repair, never a permanent refusal") {
     import graft.operators.Pq
