@@ -322,4 +322,191 @@ object Multimodal {
       .withColumn("frame_bytes", col("frame._2"))
       .drop("frame")
   }
+
+  // ------------------------------------------------------ audio (real)
+
+  /** Audio decode is REAL for the formats the JDK ships codecs for
+    * (WAV/AIFF/AU carrying PCM, plus µ-law/a-law via the built-in
+    * converters — `javax.sound.sampled`, works offline); compressed
+    * formats (MP3/Opus/…) still need the [[AudioDecoder]] binding.
+    * The r13 additions follow the image discipline exactly: typed
+    * metadata with an error column (never a failed job), a 64-bit
+    * perceptual fingerprint, and banded near-dup over it.
+    */
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("encoding", StringType),
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("error", StringType)))
+
+  /** Decode audio header → typed metadata struct; undecodable bytes set
+    * `error` — the media-leaf never-fail rule.
+    */
+  val decodeAudioMeta: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+      override def call(bytes: Array[Byte]): Row =
+        try {
+          val aff = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new ByteArrayInputStream(bytes))
+          val f = aff.getFormat
+          val frames = aff.getFrameLength.toLong
+          val durMs =
+            if (frames >= 0 && f.getFrameRate > 0)
+              (frames * 1000L / f.getFrameRate.toLong)
+            else -1L
+          Row(f.getEncoding.toString.toLowerCase, f.getSampleRate,
+            f.getChannels, f.getSampleSizeInBits, frames, durMs, null)
+        } catch {
+          case NonFatal(e) =>
+            Row(null, null, null, null, null, null, s"decode: ${e.getMessage}")
+        }
+    }, audioMetaType)
+
+  /** Decode audio bytes to channel-mixed 16-bit PCM samples (JDK codec
+    * chain: non-PCM encodings the JDK can convert — µ-law/a-law — are
+    * routed through PCM_SIGNED 16-bit first). Throws on undecodable
+    * input; callers own the null-vs-error policy.
+    */
+  private def monoSamples(bytes: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val f0 = raw.getFormat
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+      f0.getSampleRate, false)
+    val in =
+      if (f0.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          f0.getSampleSizeInBits == 16) raw
+      else AudioSystem.getAudioInputStream(target, raw)
+    val fmt = in.getFormat
+    val data = in.readAllBytes()
+    val ch = fmt.getChannels
+    val big = fmt.isBigEndian
+    val n = data.length / (2 * ch)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0
+      var c = 0
+      while (c < ch) {
+        val o = (i * ch + c) * 2
+        val s =
+          if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+          else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+        acc += s
+        c += 1
+      }
+      out(i) = acc / ch
+      i += 1
+    }
+    out
+  }
+
+  /** Perceptual frame-energy hash of an audio payload — the aHash
+    * discipline applied to sound: decode to mono 16-bit PCM (real JDK
+    * codecs), split into 64 equal frames, per-frame energy = Σ|sample|
+    * in exact Long math, bit i set iff frame i's energy × 64 > total
+    * energy (strict '>' vs the mean, all-integer — the image rule).
+    * Invariances by construction: re-encode/container change (same
+    * samples ⇒ same bits), uniform amplitude scaling (energies and
+    * their mean scale together ⇒ the comparisons are unchanged up to
+    * rounding), small local edits (a few frames flip ⇒ few bits).
+    * Degenerate inputs — silence or constant-energy tones — hash to 0
+    * exactly like flat images, and the SAME hot-bucket guard defuses
+    * them downstream. Null (not a throw) on undecodable bytes.
+    */
+  def audioAHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], java.lang.Long] {
+      override def call(bytes: Array[Byte]): java.lang.Long =
+        try {
+          val s = monoSamples(bytes)
+          if (s.length < 64) null
+          else {
+            val energy = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < s.length) {
+              val e = math.abs(s(i).toLong)
+              energy(i * 64 / s.length) += e
+              total += e
+              i += 1
+            }
+            // frames are equal-sized up to integer division remainder;
+            // compare frame_mean vs global_mean cross-multiplied so the
+            // uneven tail frame is weighted by ITS true length
+            var h = 0L
+            var f = 0
+            while (f < 64) {
+              val lo = (f.toLong * s.length / 64).toInt
+              val hi = ((f + 1).toLong * s.length / 64).toInt
+              if (hi > lo && energy(f) * s.length > total * (hi - lo)) h |= (1L << f)
+              f += 1
+            }
+            java.lang.Long.valueOf(h)
+          }
+        } catch { case NonFatal(_) => null }
+    }, LongType)
+
+  /** REAL audio feature vector where the JDK decodes: `nFrames`
+    * normalized frame energies (RMS per frame / overall RMS) — the
+    * feature-extraction slot's offline-honest instantiation beside the
+    * [[AudioDecoder]] stub (which stands in for MFCC-class extractors
+    * needing a DSP library). Null on undecodable input.
+    */
+  def audioEnergyFeatures(nFrames: Int = 16)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Array[Float]] {
+      override def call(bytes: Array[Byte]): Array[Float] =
+        try {
+          val s = monoSamples(bytes)
+          if (s.length < nFrames) null
+          else {
+            val sq = new Array[Double](nFrames)
+            val cnt = new Array[Long](nFrames)
+            var i = 0
+            while (i < s.length) {
+              val f = i * nFrames / s.length
+              sq(f) += s(i).toDouble * s(i)
+              cnt(f) += 1
+              i += 1
+            }
+            val totalRms = math.sqrt(sq.sum / s.length)
+            if (totalRms == 0) new Array[Float](nFrames)
+            else (0 until nFrames).map(f =>
+              (math.sqrt(sq(f) / math.max(cnt(f), 1L)) / totalRms).toFloat
+            ).toArray
+          }
+        } catch { case NonFatal(_) => null }
+    }, ArrayType(FloatType, containsNull = false))
+
+  /** Attach decoded audio metadata + fingerprint + energy features. */
+  def withAudioColumns(df: DataFrame, contentCol: String = "content",
+      nFrames: Int = 16): DataFrame =
+    df.withColumn("audio_meta", decodeAudioMeta(col(contentCol)))
+      .withColumn("audio_hash", audioAHash(col(contentCol)))
+      .withColumn("audio_energy", audioEnergyFeatures(nFrames)(col(contentCol)))
+
+  /** Audio near-duplicate pairs — [[imageDedup]]'s exact plan over
+    * [[audioAHash]]: one decode pass (the only non-relational step),
+    * 4×16-bit banded candidates (shuffle by (band, value), never
+    * all-pairs), Hamming ≤ `maxHamming` verified on candidates only,
+    * undecodable rows dropped before banding, hot buckets (silence,
+    * constant tones — all hash 0) defused by the banding guard.
+    */
+  def audioDedup(df: DataFrame, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("img_id"), audioAHash(col(contentCol)).as("ahash"))
+      .filter(col("ahash").isNotNull)
+    graft.operators.BandedHamming
+      .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming,
+        maxBucket = maxBucket)
+      .select(col("id1").as("audio_id1"), col("id2").as("audio_id2"),
+        col("hamming"))
+  }
 }

@@ -252,4 +252,141 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
     assert(new String(rows.head.getAs[Array[Byte]](2), "UTF-8").startsWith("FRAME:"))
   }
+
+  // ------------------------------------------------------ audio (real)
+
+  /** Serialize 16-bit mono PCM samples as WAV (little-endian) or AIFF
+    * (big-endian) through the JDK's own writers — the re-encode twin of
+    * the png() helper.
+    */
+  private def audioBytes(samples: Array[Short],
+      typ: javax.sound.sampled.AudioFileFormat.Type =
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      bigEndian: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+      2, 8000f, bigEndian)
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      val (b0, b1) = ((samples(i) & 0xff).toByte,
+        ((samples(i) >> 8) & 0xff).toByte)
+      if (bigEndian) { data(2 * i) = b1; data(2 * i + 1) = b0 }
+      else { data(2 * i) = b0; data(2 * i + 1) = b1 }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, typ, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic structured signal: LCG noise under a stepped gain
+    * envelope (period `section`), so frame energies carry structure the
+    * fingerprint can hash (constant-gain audio hashes to 0 by design —
+    * the flat-image posture).
+    */
+  private def signal(seed: Long, n: Int = 6400, section: Int = 300): Array[Short] = {
+    var h = seed
+    (0 until n).map { j =>
+      h = h * 6364136223846793005L + 1442695040888963407L
+      val noise = ((h >>> 48).toInt - 32768) / 4
+      val gain = ((j / section) % 4) match {
+        case 0 => 4; case 1 => 1; case 2 => 3; case _ => 0
+      }
+      (noise * gain / 4).toShort
+    }.toArray
+  }
+
+  test("audio metadata decodes for real (JDK codecs); invalid bytes get " +
+      "error, not a crash") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, audioBytes(signal(42L))),
+      (2L, Array[Byte](9, 9, 9, 9))
+    ).toDF("id", "content")
+    val rows = Multimodal.withAudioColumns(df).orderBy("id")
+      .select("audio_meta.*").collect()
+    assert(rows(0).getAs[String]("encoding") == "pcm_signed")
+    assert(rows(0).getAs[Float]("sample_rate") == 8000f)
+    assert(rows(0).getAs[Int]("channels") == 1)
+    assert(rows(0).getAs[Int]("bits") == 16)
+    assert(rows(0).getAs[Long]("n_frames") == 6400L)
+    assert(rows(0).getAs[Long]("duration_ms") == 800L)
+    assert(rows(0).getAs[String]("error") == null)
+    assert(rows(1).getAs[String]("error") != null)
+  }
+
+  test("audio fingerprint invariances: container/endianness re-encode is " +
+      "bit-identical, amplitude tweak lands within hamming 6, different " +
+      "content is far, silence hashes 0") {
+    import spark.implicits._
+    val a = signal(42L)
+    val half = a.map(s => (s / 2).toShort)
+    val b = signal(99L, section = 430)
+    val df = Seq(
+      ("a_wav", audioBytes(a)),
+      ("a_aiff", audioBytes(a,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bigEndian = true)),
+      ("a_half", audioBytes(half)),
+      ("b_wav", audioBytes(b)),
+      ("silence", audioBytes(new Array[Short](6400)))
+    ).toDF("path", "content")
+    val h = df.select(col("path"),
+        Multimodal.audioAHash(col("content")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a_wav") == h("a_aiff"),
+      "same samples in a different container/endianness must hash identically")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a_wav"), h("a_half")) <= 6,
+      s"amplitude tweak drifted ${ham(h("a_wav"), h("a_half"))} bits")
+    assert(ham(h("a_wav"), h("b_wav")) > 10,
+      s"unrelated signals only ${ham(h("a_wav"), h("b_wav"))} bits apart")
+    assert(h("silence") == 0L, "flat audio must hash 0 (hot-bucket posture)")
+    assert(h("a_wav") != 0L, "structured signal must not be degenerate")
+  }
+
+  test("audio dedup pairs planted duplicates, not strangers; undecodable " +
+      "rows drop out") {
+    import spark.implicits._
+    val a = signal(42L)
+    val df = Seq(
+      ("a", audioBytes(a)),
+      ("a_re", audioBytes(a,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bigEndian = true)),
+      ("a_amp", audioBytes(a.map(s => (s / 2).toShort))),
+      ("b", audioBytes(signal(99L, section = 430))),
+      ("junk", Array[Byte](1, 2, 3))
+    ).toDF("path", "content")
+    val pairs = Multimodal.audioDedup(df)
+      .select("audio_id1", "audio_id2").collect()
+      .map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(Set("a", "a_re"), Set("a", "a_amp"),
+      Set("a_re", "a_amp")),
+      s"got $pairs")
+  }
+
+  test("audio energy features are real frame energies: loud sections " +
+      "over-index, re-encode reproduces them, undecodable is null") {
+    import spark.implicits._
+    // section 400 = exactly one 16-frame window each, so the stepped
+    // gain envelope (incl. its silent step) maps 1:1 onto frames
+    val a = signal(42L, section = 400)
+    val df = Seq(
+      ("a", audioBytes(a)),
+      ("a_re", audioBytes(a,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bigEndian = true)),
+      ("junk", Array[Byte](7))
+    ).toDF("path", "content")
+    val rows = Multimodal.withAudioColumns(df, nFrames = 16)
+      .select(col("path"), col("audio_energy")).collect()
+      .map(r => r.getString(0) ->
+        Option(r.getSeq[Float](1)).map(_.toSeq)).toMap
+    val e = rows("a").get
+    assert(e.length == 16)
+    // the gain envelope (4,1,3,0 per 300 samples) must show through:
+    // some frames well above the corpus RMS, some near-silent below it
+    assert(e.max > 1.2f && e.min < 0.4f, s"energy profile flat: $e")
+    assert(rows("a_re").get == e, "re-encode must reproduce features")
+    assert(rows("junk").isEmpty)
+  }
 }
