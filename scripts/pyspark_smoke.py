@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""PySpark bridge smoke (r13 verdict task 7): drive the JVM engine from
+Python through graft.PyBridge — the py4j-clean facade.
+
+Run:  sbt compile && python3 scripts/pyspark_smoke.py [sfDir]
+
+Requires a pyspark whose version matches the engine's Spark (4.1.2 here;
+`pip show pyspark`). The engine classes ride in on
+spark.driver.extraClassPath — no jar build needed, the sbt class
+directory is enough for local mode. On a cluster, package the classes
+(`sbt package`) and ship the jar via --jars instead.
+"""
+import sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+CLASSES = "/root/repo/target/scala-2.13/classes"
+
+from pyspark.sql import SparkSession, DataFrame
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.driver.extraClassPath", CLASSES)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+bridge = spark._jvm.graft.PyBridge
+failures = []
+
+
+def check(name, ok, detail=""):
+    print(f"{'PASS' if ok else 'FAIL'} {name} {detail}")
+    if not ok:
+        failures.append(name)
+
+
+# 1. discovery: the contract registry is visible from Python
+names = list(bridge.queryNames())
+check("queryNames", len(names) >= 139 and "q_agg_group" in names,
+      f"({len(names)} queries)")
+
+# 2. run a contract query by name; result is a live pyspark DataFrame
+agg = DataFrame(bridge.query(spark._jsparkSession, "q_agg_group", SF), spark)
+rows = agg.collect()
+check("q_agg_group", len(rows) > 0 and rows[0]["sum_qty"] > 0,
+      f"({len(rows)} groups)")
+
+# 3. the SQL extension functions registered by GraftExtensions work from
+#    plain spark.sql — no bridge call needed
+r = spark.sql(
+    "SELECT graft_simhash64('the quick brown fox jumps over the lazy dog') AS h"
+).collect()[0]
+check("graft_simhash64 via SQL", r["h"] != 0)
+
+# 4. curate a Python-built DataFrame through the JVM pipeline
+docs = spark.read.parquet(f"{SF}/documents.parquet")
+curated = DataFrame(bridge.curate(docs._jdf), spark)
+verdicts = curated.groupBy("kept").count().collect()
+kept = {row["kept"]: row["count"] for row in verdicts}
+check("curate", curated.count() == docs.count() and kept.get(True, 0) > 0,
+      f"(kept {kept.get(True, 0)}/{docs.count()})")
+
+# 5. the r13 semantic stage, embeddings joined in Python
+emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+    .withColumnRenamed("vec_id", "doc_id").select("doc_id", "embedding")
+sem = DataFrame(bridge.curateSemantic(docs.join(emb, "doc_id", "left")._jdf,
+                                      0.35), spark)
+n_sem = sem.filter("drop_reason = 'semantic_dup'").count()
+check("curateSemantic", sem.count() == docs.count() and n_sem > 0,
+      f"({n_sem} semantic_dup)")
+
+# 6. kNN over embeddings, both frames built in Python
+vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+    "vec_id", "embedding")
+knn = DataFrame(
+    bridge.knn(vecs._jdf, vecs.filter("vec_id < 3")._jdf, 5), spark)
+check("knn", knn.count() == 15)
+
+spark.stop()
+if failures:
+    sys.exit(f"FAILED: {failures}")
+print("ALL PASS")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CurateConfig, TextOps}
+
+/** Py4j-friendly facade for PySpark callers (r13 verdict task 7).
+  *
+  * The engine is JVM-first, but a PySpark user reaches every entry
+  * point through the session's JVM gateway — this object keeps that
+  * crossing trivial by exposing ONLY gateway-clean signatures: no
+  * case-class configs, no `Option`s, no default arguments (py4j can't
+  * see Scala defaults — they compile to synthetic `…$default$n`
+  * methods), no Scala collections. DataFrames cross the bridge as
+  * their java handles (`df._jdf` on the way in,
+  * `pyspark.sql.DataFrame(jdf, spark)` on the way out) — zero data
+  * movement, the plan stays lazy in the one shared JVM.
+  *
+  * Usage from PySpark (see `scripts/pyspark_smoke.py`, which runs this
+  * end-to-end):
+  * {{{
+  *   bridge = spark._jvm.graft.PyBridge
+  *   df = DataFrame(bridge.query(spark._jsparkSession, "q_agg_group", sf), spark)
+  *   curated = DataFrame(bridge.curateSemantic(docs._jdf, 0.35), spark)
+  * }}}
+  */
+object PyBridge {
+
+  /** All registered contract query names, sorted (a discovery surface
+    * for the Python side).
+    */
+  def queryNames(): java.util.List[String] = {
+    val l = new java.util.ArrayList[String]()
+    SparkEntry.queries.keys.toSeq.sorted.foreach(l.add)
+    l
+  }
+
+  /** Run any registered contract query by name against an sf dir. */
+  def query(spark: SparkSession, name: String, sfDir: String): DataFrame =
+    SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name' — names are PyBridge.queryNames()"))(spark, sfDir)
+
+  /** The batch curation pipeline at contract defaults over a
+    * (doc_id, text, n_chars, …) frame.
+    */
+  def curate(docs: DataFrame): DataFrame = TextOps.curateOn(docs)
+
+  /** Curation with the segment-dedup leading stage. */
+  def curateSegments(docs: DataFrame, width: Int): DataFrame =
+    TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(width)))
+
+  /** Curation with the semantic trailing stage — `docs` must carry an
+    * `embedding` column (join your embeddings on doc_id first).
+    */
+  def curateSemantic(docs: DataFrame, threshold: Double): DataFrame =
+    TextOps.curateOn(docs, CurateConfig(semanticThreshold = Some(threshold)))
+
+  /** Exact near-dup pairs (Jaccard over 3-shingles) at `threshold`. */
+  def neardupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    TextOps.neardupJaccardAt(docs, threshold)
+
+  /** MinHash-LSH verified near-dup pairs — the scale path. */
+  def neardupPairsLsh(docs: DataFrame, threshold: Double): DataFrame =
+    graft.queries.VectorOps.minhashPairsOn(docs, threshold)
+
+  /** Exact cosine top-k of `queries` rows against `corpus` (both need
+    * (vec_id, embedding)).
+    */
+  def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    graft.queries.VectorOps.knn(corpus, queries, k)
+}
