@@ -97,6 +97,7 @@ object Containment {
     out += "q_knn_lsh" -> Seq("recall_at_5" -> knnOverlap(VectorOps.knnLsh(spark, dir), bf))
     out += "q_knn_ivf" -> Seq("recall_at_5" -> knnOverlap(VectorOps.knnIvf(spark, dir), bf))
     out += "q_knn_pq" -> Seq("recall_at_5" -> knnOverlap(VectorOps.knnPq(spark, dir), bf))
+    out += "q_knn_graph" -> Seq("recall_at_5" -> knnOverlap(VectorOps.knnGraph(spark, dir), bf))
 
     // ---- sketches: max relative error vs the exact aggregate
     val hllErr = {

@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN (NN-Descent family, r13): the high-recall option for
+  * the regimes where IVF probing plateaus (BASELINE.md's hard-regime
+  * tables — the probe ceiling bounds every cell-pruned coding, and
+  * hyperplane LSH collapses outright when the similarity gap closes).
+  *
+  * HNSW — the usual graph index — is a sequential insert algorithm; the
+  * Spark-first construction is NN-Descent (Dong et al., WWW'11): start
+  * from a cheap locality guess and repeatedly improve each node's
+  * neighbor list from its neighbors' neighbors, "a neighbor of a
+  * neighbor is likely a neighbor". Every step is a relational operation
+  * — the candidate generation is one self-join of the adjacency, the
+  * scoring one join against the vector table, the per-node top-k a
+  * map-side-combinable `max_by` aggregation — so the build scales as
+  * joins shuffled by node id, never all-pairs, and the graph IS a
+  * DataFrame (src, nbr, sim).
+  *
+  * Search is iterative beam expansion over the SYMMETRIZED graph: score
+  * a deterministic entry set, then `hops` times expand the current
+  * per-query beam through its out-edges (one broadcast-frontier join),
+  * score the new candidates, keep the beam. Per hop the work is
+  * |beam|·degree rows per query — bounded, never corpus-shaped.
+  *
+  * Determinism: no RNG anywhere — the initial graph comes from IVF-cell
+  * rings in xxhash64 order, candidate capping samples by xxhash64(src,
+  * dst), and every top-k tiebreaks on vec_id. Same inputs ⇒ same graph,
+  * same search results, on any partitioning.
+  */
+object NnDescent {
+
+  private def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
+
+  /** Score candidate edges (src, dst) with raw cosine via two joins
+    * against the vector table — the only place geometry enters.
+    */
+  private def score(cand: DataFrame, base: DataFrame): DataFrame = {
+    val s = base.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+      col("n2").as("s_n2"))
+    val d = base.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+      col("n2").as("d_n2"))
+    cand.join(s, "src").join(d, "dst")
+      .select(col("src"), col("dst"),
+        (dot(col("s_emb"), col("d_emb")) /
+          (sqrt(col("s_n2")) * sqrt(col("d_n2")))).as("sim"))
+  }
+
+  /** Keep each node's k best out-edges (sim desc, dst asc tiebreak).
+    * Dedups (src, dst) FIRST — a union of the current graph with
+    * re-proposed candidates carries the same edge twice (identical sim,
+    * deterministic scoring), and two copies in the top-k would silently
+    * halve the effective degree.
+    */
+  private def topk(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    edges.groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Build a k-NN graph over `base` (vec_id, embedding, n2):
+    * (src, dst, sim) with ≤ k out-edges per node.
+    *
+    * Init: IVF-cell rings — members of each seed-centroid cell are
+    * ordered by similarity to the cell centroid and each links to its
+    * next `k` ring successors. Cells give locality (ring neighbors are
+    * at least same-cell), the centroid-sim order places near-identical
+    * vectors ADJACENT (they score near-identically against any fixed
+    * direction, so the init already links dup families), and the
+    * construction is one window pass — no pair join.
+    *
+    * Refine (×iters), two candidate families per round:
+    *  - neighbors-of-neighbors: symmetrize the current graph and join
+    *    it with itself; when the pool exceeds `candCap` (default 9·k)
+    *    keep the candidates reached through the STRONGEST two-edge
+    *    paths (hop sims summed — the triangle-inequality heuristic at
+    *    the heart of NN-Descent), bounding the scored output per node.
+    *  - random injection: hash nodes into buckets of ~`randPerRound`+1
+    *    members (salt = round number) and take all pairs within each
+    *    bucket — different partners every round. On weak-similarity
+    *    corpora the NoN heuristic alone plateaus well below the true
+    *    graph (measured: ratio-to-ideal 0.57 at 2 rounds without
+    *    injection vs 0.87 with, BASELINE.md r13) because a mediocre
+    *    graph proposes mediocre two-hop candidates; the injection is
+    *    the deterministic restart that feeds it fresh material. The
+    *    per-node scoring budget stays O(candCap + randPerRound) per
+    *    round — independent of corpus size — and the bucket join
+    *    shuffles by bucket id with bounded bucket width (never a
+    *    global order, never all-pairs).
+    *
+    * Per round: two shuffles by node id, one bucket-id shuffle, the
+    * scoring joins, one window top-k; lineage is cut per round (eager
+    * localCheckpoint, the CC-loop discipline).
+    */
+  def buildGraph(base: DataFrame, k: Int, iters: Int, cells: Int = 16,
+      candCap: Int = 0, randPerRound: Int = -1): DataFrame = {
+    val cap = if (candCap > 0) candCap else 9 * k
+    val rand = if (randPerRound >= 0) randPerRound else 4 * k
+    val b = base.select(col("vec_id"), col("embedding"), col("n2"))
+    val assigned = Ivf.assign(b, Ivf.seedCentroids(b, cells))
+      .select(col("cell"), col("vec_id"), col("sim"))
+    val ring = Window.partitionBy(col("cell"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val init0 = (1 to k).map(j =>
+        assigned.select(col("vec_id").as("src"),
+          lead(col("vec_id"), j).over(ring).as("dst")))
+      .reduce(_.unionByName(_))
+      .filter(col("dst").isNotNull)
+    var edges = topk(score(init0, b), k).localCheckpoint(true)
+    val n = if (iters > 0 && rand > 0) b.count() else 0L
+    for (r <- 0 until iters) {
+      val undirected = edges.select(col("src"), col("dst"), col("sim"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col("sim")))
+      val cand = undirected.as("a")
+        .join(undirected.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+          (col("a.sim") + col("b.sim")).as("prio"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(max(col("prio")).as("prio"))
+      val wCap = Window.partitionBy(col("src"))
+        .orderBy(col("prio").desc, col("dst").asc)
+      var sampled = cand.withColumn("rn", row_number().over(wCap))
+        .filter(col("rn") <= cap).select(col("src"), col("dst"))
+      if (rand > 0 && n > 1) {
+        val nBuckets = math.max(1L, n / (rand + 1))
+        val bucketed = b.select(col("vec_id"),
+          pmod(xxhash64(col("vec_id"), lit(r)), lit(nBuckets)).as("bkt"))
+        sampled = sampled.unionByName(bucketed.as("x")
+          .join(bucketed.select(col("bkt"), col("vec_id").as("dst")).as("y"),
+            "bkt")
+          .select(col("x.vec_id").as("src"), col("dst"))
+          .filter(col("src") =!= col("dst")))
+      }
+      edges = topk(edges.unionByName(score(sampled, b)), k)
+        .localCheckpoint(true)
+    }
+    edges
+  }
+
+  /** Beam search over a built graph. `queries` carries (vec_id,
+    * embedding, n2) with ids that may overlap `base` (self-matches are
+    * excluded by id, the [[graft.queries.VectorOps.knn]] convention).
+    * Output (q_id, vec_id, cos, rn) — the shared ANN contract shape.
+    *
+    * Entry set: the `entries` lowest-vec_id nodes, scored exactly per
+    * query. Each hop expands the beam through the SYMMETRIZED edges
+    * (so nodes appended with only out-edges stay reachable), scores
+    * the frontier, and keeps the per-query `beam` best. Scored state
+    * is checkpointed per hop.
+    */
+  def searchGraph(base: DataFrame, edges: DataFrame, queries: DataFrame,
+      k: Int, beam: Int, hops: Int, entries: Int = 8): DataFrame = {
+    val entryNodes = base.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(entries)
+    val entryRows = queries.select(col("vec_id").as("q_id"))
+      .crossJoin(entryNodes)
+    searchGraphFrom(base, edges, queries, k, beam, hops, entryRows)
+  }
+
+  /** [[searchGraph]] with an explicit per-query entry set `entryRows`
+    * (q_id, vec_id) — the routing seam: the fixed global entry set,
+    * IVF-routed entries ([[searchGraphRouted]]) and the open-beam exact
+    * degeneration are all instantiations of this one loop.
+    */
+  def searchGraphFrom(base: DataFrame, edges: DataFrame,
+      queries: DataFrame, k: Int, beam: Int, hops: Int,
+      entryRows: DataFrame): DataFrame = {
+    val b = base.select(col("vec_id"), col("embedding"), col("n2"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("n2").as("q_n2")).localCheckpoint(true)
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val qSim = dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2")))
+    def scoreQ(cand: DataFrame): DataFrame =
+      cand.join(b, "vec_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"), qSim.as("sim"))
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    // dedup before ranking — a re-scored node (entry revisited by a
+    // hop) would otherwise hold two beam slots (topk's rationale)
+    def topBeam(df: DataFrame, n: Int): DataFrame =
+      df.groupBy(col("q_id"), col("vec_id")).agg(max(col("sim")).as("sim"))
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= n).drop("rn")
+    var best = topBeam(
+      scoreQ(entryRows.select(col("q_id"), col("vec_id"))), beam)
+      .localCheckpoint(true)
+    for (_ <- 0 until hops) {
+      val frontier = best.select(col("q_id"), col("vec_id").as("src"))
+        .join(sym, "src")
+        .select(col("q_id"), col("dst").as("vec_id"))
+        .distinct()
+      best = topBeam(best.unionByName(scoreQ(frontier)), beam)
+        .localCheckpoint(true)
+    }
+    topBeam(best.filter(col("q_id") =!= col("vec_id"))
+        .withColumn("sim", round(col("sim"), 6)), k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+      .select(col("q_id"), col("vec_id"), col("sim").as("cos"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** [[searchGraph]] with IVF-ROUTED entry points: instead of one fixed
+    * global entry set, each query enters the graph at the `hubsPerCell`
+    * most-central members of its `nprobe` nearest coarse cells — the
+    * coarse quantizer navigates to the right REGION (what a flat
+    * NN-Descent graph can't do: it has no long-range links, so beam
+    * search from far-away entries stalls at the noise floor between
+    * similarity islands — the navigability gap HNSW solves with its
+    * hierarchy), and the graph walk does the local refinement. Measured
+    * on the clustered hard fixture (2k vectors, 4-sibling near-dup
+    * clouds): fixed-8 entries 0.68 recall@5 at beam 20 × 3 hops; routed
+    * nprobe=3 × hubs=8 at the SAME budget 0.87; nprobe=4 × hubs=16 at
+    * beam 30 × 4 hops 0.98 (BASELINE.md r13). A fixed GLOBAL entry set
+    * only matches that by growing with the corpus's region count
+    * (64 global entries + a 2× beam×hops budget reach 0.96 on this
+    * fixture) — routing keeps the entry budget constant per query as
+    * the corpus grows. Cost: one corpus assignment pass per search
+    * BATCH (amortized over its queries; the persisted-index routed
+    * form reads the assignment persisted at build time instead).
+    */
+  def searchGraphRouted(base: DataFrame, edges: DataFrame,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, cells: Int = 16,
+      nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame = {
+    val b = base.select(col("vec_id"), col("embedding"), col("n2"))
+    val cents = Ivf.seedCentroids(b, cells)
+    val assigned = Ivf.assign(b, cents)
+      .select(col("cell"), col("vec_id"), col("sim"))
+    searchGraphFrom(b, edges, queries, k, beam, hops,
+      entriesOf(assigned, cents, queries, nprobe, hubsPerCell))
+  }
+
+  /** Per-query entry rows (q_id, vec_id): `hubsPerCell` members of each
+    * of the query's `nprobe` nearest cells, picked in xxhash64 order.
+    * NOT the highest-centroid-sim members: near-duplicate siblings score
+    * near-identically against the centroid, so a sim-ordered "hub" set
+    * degenerates to one or two dup families and the entries lose all
+    * diversity (measured less than half the hash-order recall at equal
+    * budget on the hard fixture, r13 tuning). Hash order spreads the
+    * entries uniformly across the cell.
+    */
+  private def entriesOf(assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame, nprobe: Int, hubsPerCell: Int): DataFrame = {
+    val hubW = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+    val hubs = assigned.withColumn("hrn", row_number().over(hubW))
+      .filter(col("hrn") <= hubsPerCell)
+      .select(col("cell"), col("vec_id"))
+    Ivf.probesOf(queries, cents, nprobe)
+      .select(col("cell"), col("q_id"))
+      .join(hubs, "cell")
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  // ------------------------------------------------ persisted index
+
+  /** Materialize the graph index: `vectors` + `edges` components under
+    * the standard `batch=` layout, build bracketed by the shared
+    * `_building` fail-closed sentinel ([[graft.queries.VectorOps
+    * .beginIndexBuild]] — a crash mid-build refuses, never serves half
+    * a graph).
+    */
+  def writeIndex(base: DataFrame, path: String, k: Int, iters: Int,
+      cells: Int = 16): Unit = {
+    val spark = base.sparkSession
+    graft.queries.VectorOps.beginIndexBuild(spark, path)
+    graft.queries.VectorOps.resetComponent(spark, s"$path/vectors")
+    graft.queries.VectorOps.resetComponent(spark, s"$path/edges")
+    val b = base.select(col("vec_id"), col("embedding"), col("n2"))
+      .localCheckpoint(true)
+    b.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
+    buildGraph(b, k, iters, cells)
+      .write.mode("overwrite").parquet(s"$path/edges/batch=init")
+    graft.queries.VectorOps.endIndexBuild(spark, path)
+  }
+
+  /** Grow the index: each new vector's top-k graph neighbors (found by
+    * searching the EXISTING graph) become its out-edges — the standard
+    * incremental graph-ANN insert, expressed as one batch search. New
+    * nodes are reachable because search expands the symmetrized
+    * adjacency (their out-edges read backwards). Growth-only (re-sent
+    * vec_ids dropped) and replay-idempotent (`batch=tag` overwrite),
+    * like every other persisted index here. Degree quality decays as
+    * appends accumulate (appended nodes never get refined in-edges) —
+    * rebuild on the same cadence drift dictates for IVF
+    * ([[Ivf.driftStats]] discussion).
+    */
+  def appendIndex(spark: SparkSession, vecs: DataFrame, path: String,
+      tag: String, k: Int, beam: Int = 0, hops: Int = 3): Unit = {
+    graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "edges").foreach { c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c")
+      graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/$c")
+    }
+    val fresh = graft.queries.VectorOps
+      .dropExistingVecIds(spark, vecs, s"$path/vectors", tag)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+      .localCheckpoint(true)
+    val base = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").drop("batch")
+    val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
+      .parquet(s"$path/edges").drop("batch")
+    val b = if (beam > 0) beam else 4 * k
+    val newEdges = searchGraph(base, edges, fresh, k, b, hops)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"),
+        col("cos").as("sim"))
+    fresh.write.mode("overwrite").parquet(s"$path/vectors/batch=$tag")
+    newEdges.write.mode("overwrite").parquet(s"$path/edges/batch=$tag")
+  }
+
+  /** Search the persisted index (fail-closed on a mid-build sentinel). */
+  def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, beam: Int, hops: Int, entries: Int = 8): DataFrame = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "edges").foreach(c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    val base = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").drop("batch")
+    val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
+      .parquet(s"$path/edges").drop("batch")
+    searchGraph(base, edges, queries, k, beam, hops, entries)
+  }
+}

@@ -1476,7 +1476,30 @@ object VectorOps {
       |  CAST(list_max(q8) AS BIGINT) AS q8_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- graph ANN (r13)
+
+  /** Graph-based ANN — the high-recall leg beside LSH (candidate
+    * pruning), IVF (cell pruning) and PQ (memory compression): an
+    * NN-Descent k-NN graph ([[graft.operators.NnDescent]] — built
+    * entirely from joins, no sequential inserts) searched by iterative
+    * beam expansion. Pinned contract instantiation: degree-10 graph,
+    * 2 refinement rounds over 16-cell ring init, beam 20 × 3 hops from
+    * 8 entry points. Graph construction is engine-specific → no SQL
+    * oracle; Containment records recall@5 vs brute force, NnDescentSpec
+    * pins the build/search laws and the hard-regime behavior.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NnDescent
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+      .localCheckpoint(true)
+    val edges = NnDescent.buildGraph(base, k = 10, iters = 2, cells = 16)
+    NnDescent.searchGraph(base, edges, base.filter(col("vec_id") < 5),
+      k = 5, beam = 20, hops = 3, entries = 8)
+  }
+
   val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_knn_graph", knnGraph, None),
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     ContractQuery("q_knn_label", knnLabel, Some(knnLabelSql)),
     ContractQuery("q_neardup_cosine", neardupCosine, Some(neardupCosineSql)),

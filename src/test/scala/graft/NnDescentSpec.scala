@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.NnDescent
+import graft.queries.{Tables, VectorOps}
+
+/** Graph-based ANN (NN-Descent build + beam search): the high-recall
+  * leg beside LSH/IVF/PQ. The laws pinned here: the graph is bounded
+  * and improves under refinement, search degenerates to the exact
+  * answer when the beam opens, the contract instantiation recalls the
+  * brute-force top-5, and the persisted index shares the standard
+  * lifecycle (fail-closed build, growth-only replay-idempotent
+  * appends, appended nodes reachable).
+  */
+class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def base: DataFrame =
+    Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2"))
+
+  private def topkPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("graph build: bounded degree, refinement improves neighbor quality") {
+    val b = base.localCheckpoint(true)
+    val g0 = NnDescent.buildGraph(b, k = 10, iters = 0)
+    val g2 = NnDescent.buildGraph(b, k = 10, iters = 2)
+    // ≤ k out-edges per node, no self-loops, every node covered
+    Seq(g0, g2).foreach { g =>
+      assert(g.groupBy("src").count().filter(col("count") > 10).count() == 0)
+      assert(g.filter(col("src") === col("dst")).count() == 0)
+    }
+    assert(g2.select(countDistinct(col("src"))).head.getLong(0) == 500)
+    // NN-Descent's whole point: neighbors-of-neighbors rounds raise the
+    // mean neighbor similarity over the ring init
+    val m0 = g0.agg(avg(col("sim"))).head.getDouble(0)
+    val m2 = g2.agg(avg(col("sim"))).head.getDouble(0)
+    assert(m2 > m0, s"refinement must improve: init $m0, refined $m2")
+    // and approaches the TRUE degree-10 graph's quality
+    val ideal = VectorOps.knn(
+      b.select(col("vec_id"), col("embedding")),
+      b.select(col("vec_id"), col("embedding")), 10)
+      .agg(avg(col("cos"))).head.getDouble(0)
+    assert(m2 > 0.85 * ideal, s"refined $m2 vs ideal $ideal")
+  }
+
+  test("open beam degenerates to the exact answer bit-for-bit") {
+    val b = base.localCheckpoint(true)
+    val edges = NnDescent.buildGraph(b, k = 10, iters = 1)
+    val queries = b.filter(col("vec_id") < 5)
+    // entries = corpus: every node is scored before any hop, so the
+    // result must equal the brute-force top-k exactly (same rounding,
+    // same tiebreak)
+    val open = NnDescent.searchGraph(b, edges, queries, k = 5, beam = 500,
+      hops = 0, entries = 500)
+    val exact = VectorOps.knn(
+      b.select(col("vec_id"), col("embedding")),
+      queries.select(col("vec_id"), col("embedding")), 5)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(canon(open) == canon(exact))
+  }
+
+  test("contract instantiation recalls the brute-force top-5") {
+    val truth = topkPairs(VectorOps.knnBruteforce(spark, Sf0001))
+    val got = topkPairs(VectorOps.knnGraph(spark, Sf0001))
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"graph recall@5 $recall")
+  }
+
+  test("persisted index: search == in-memory, fail-closed build, " +
+      "growth-only appends keep new nodes reachable, replay idempotent") {
+    val b = base.localCheckpoint(true)
+    val init = b.filter(col("vec_id") < 480)
+    val extra = b.filter(col("vec_id") >= 480)
+    val dir = java.nio.file.Files.createTempDirectory("nnd_idx").toString
+    NnDescent.writeIndex(init, dir, k = 10, iters = 1)
+    val queries = b.filter(col("vec_id") < 5)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val mem = NnDescent.searchGraph(init,
+      NnDescent.buildGraph(init, k = 10, iters = 1), queries,
+      k = 5, beam = 20, hops = 3)
+    assert(canon(NnDescent.searchIndex(spark, dir, queries, k = 5,
+      beam = 20, hops = 3)) == canon(mem))
+
+    // crashed build fails closed (the shared _building discipline)
+    assert(new java.io.File(s"$dir/_building").createNewFile())
+    intercept[IllegalArgumentException] {
+      NnDescent.searchIndex(spark, dir, queries, k = 5, beam = 20, hops = 3)
+        .count()
+    }
+    intercept[IllegalArgumentException] {
+      NnDescent.appendIndex(spark, extra, dir, "g1", k = 10)
+    }
+    assert(new java.io.File(s"$dir/_building").delete())
+
+    // append: the new vectors' graph edges come from searching the
+    // existing graph; symmetrized expansion makes them REACHABLE — a
+    // query at an appended vector must find it at rank 1 (cos 1.0)
+    NnDescent.appendIndex(spark, extra, dir, "g1", k = 10)
+    val probe = extra.filter(col("vec_id") === 480)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("n2"))
+    val found = NnDescent.searchIndex(spark, dir, probe, k = 5, beam = 20,
+      hops = 3).collect()
+    assert(found.head.getLong(1) == 480L && found.head.getDouble(2) == 1.0,
+      s"appended vector not reachable: ${found.toSeq}")
+
+    // replay of the same tag rewrites itself; a re-sent id under a new
+    // tag is dropped (growth-only)
+    val v1 = spark.read.parquet(s"$dir/vectors").count()
+    NnDescent.appendIndex(spark, extra, dir, "g1", k = 10)
+    assert(spark.read.parquet(s"$dir/vectors").count() == v1)
+    NnDescent.appendIndex(spark, extra, dir, "g2", k = 10)
+    assert(spark.read.parquet(s"$dir/vectors").count() == v1)
+    val dupIds = spark.read.parquet(s"$dir/vectors")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dupIds == 0)
+  }
+}
