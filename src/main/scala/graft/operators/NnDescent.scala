@@ -226,8 +226,8 @@ object NnDescent {
     * (64 global entries + a 2× beam×hops budget reach 0.96 on this
     * fixture) — routing keeps the entry budget constant per query as
     * the corpus grows. Cost: one corpus assignment pass per search
-    * BATCH (amortized over its queries; the persisted-index routed
-    * form reads the assignment persisted at build time instead).
+    * BATCH (amortized over its queries; [[searchIndexRouted]] reads
+    * the routing state persisted at build time instead).
     */
   def searchGraphRouted(base: DataFrame, edges: DataFrame,
       queries: DataFrame, k: Int, beam: Int, hops: Int, cells: Int = 16,
@@ -264,11 +264,15 @@ object NnDescent {
 
   // ------------------------------------------------ persisted index
 
-  /** Materialize the graph index: `vectors` + `edges` components under
-    * the standard `batch=` layout, build bracketed by the shared
-    * `_building` fail-closed sentinel ([[graft.queries.VectorOps
-    * .beginIndexBuild]] — a crash mid-build refuses, never serves half
-    * a graph).
+  /** Materialize the graph index: `vectors` + `edges` + `cells`
+    * components under the standard `batch=` layout plus the small
+    * `centroids` table, build bracketed by the shared `_building`
+    * fail-closed sentinel ([[graft.queries.VectorOps.beginIndexBuild]]
+    * — a crash mid-build refuses, never serves half a graph). The
+    * centroids/cells pair is the persisted ROUTING state: the same
+    * coarse quantizer the build's ring init used, stored so
+    * [[searchIndexRouted]] places per-query entries without re-deriving
+    * an assignment per search batch.
     */
   def writeIndex(base: DataFrame, path: String, k: Int, iters: Int,
       cells: Int = 16): Unit = {
@@ -276,12 +280,41 @@ object NnDescent {
     graft.queries.VectorOps.beginIndexBuild(spark, path)
     graft.queries.VectorOps.resetComponent(spark, s"$path/vectors")
     graft.queries.VectorOps.resetComponent(spark, s"$path/edges")
+    graft.queries.VectorOps.resetComponent(spark, s"$path/cells")
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
       .localCheckpoint(true)
+    val cents = Ivf.seedCentroids(b, cells)
     b.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=init")
     buildGraph(b, k, iters, cells)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
     graft.queries.VectorOps.endIndexBuild(spark, path)
+  }
+
+  /** Rebuild the index in place from every vector it holds (init +
+    * all appends): fresh centroids, fresh assignment, fresh
+    * fully-refined graph — folded into `batch=init`. This is the decay
+    * cure the append path documents: appended nodes never get REFINED
+    * in-edges and the frozen coarse quantizer drifts off the grown
+    * corpus ([[Ivf.driftStats]] is the trigger-side observability);
+    * a rebuild restores both. Crash-safe by the same `_building`
+    * bracket as [[writeIndex]] — the vector set is eagerly
+    * materialized BEFORE the sentinel drops, so a crash mid-rebuild
+    * refuses reads but loses nothing on retry.
+    */
+  def rebuildIndex(spark: SparkSession, path: String, k: Int, iters: Int,
+      cells: Int = 16): Unit = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "edges", "cells").foreach(c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    val all = spark.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").drop("batch")
+      .localCheckpoint(true)
+    writeIndex(all, path, k, iters, cells)
   }
 
   /** Grow the index: each new vector's top-k graph neighbors (found by
@@ -299,7 +332,7 @@ object NnDescent {
       tag: String, k: Int, beam: Int = 0, hops: Int = 3): Unit = {
     graft.queries.VectorOps.requireTag(tag)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
-    Seq("vectors", "edges").foreach { c =>
+    Seq("vectors", "edges", "cells").foreach { c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c")
       graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/$c")
     }
@@ -317,6 +350,13 @@ object NnDescent {
         col("cos").as("sim"))
     fresh.write.mode("overwrite").parquet(s"$path/vectors/batch=$tag")
     newEdges.write.mode("overwrite").parquet(s"$path/edges/batch=$tag")
+    // routing state grows with the corpus: assign the increment against
+    // the index's FROZEN centroids (the Ivf.appendIndex posture — the
+    // decay story is the same and shares the same rebuild cure)
+    val cents = spark.read.parquet(s"$path/centroids")
+    Ivf.assign(fresh, cents).select(col("vec_id"), col("sim"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=$tag")
   }
 
   /** Search the persisted index (fail-closed on a mid-build sentinel). */
@@ -330,5 +370,33 @@ object NnDescent {
     val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
       .parquet(s"$path/edges").drop("batch")
     searchGraph(base, edges, queries, k, beam, hops, entries)
+  }
+
+  /** [[searchGraphRouted]] against the persisted index: entry hubs come
+    * from the `centroids`/`cells` routing state stored at build time
+    * (grown by every append), so the per-search-batch corpus assignment
+    * pass the in-memory routed form pays disappears — routing is two
+    * reads of small tables plus the broadcast probe join. With no
+    * appends this is bit-identical to the in-memory routed search over
+    * the same base (seed centroids are deterministic); after appends it
+    * is the MORE faithful form — the hubs reflect the frozen quantizer
+    * the increments were actually filed under.
+    */
+  def searchIndexRouted(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, nprobe: Int = 3,
+      hubsPerCell: Int = 8): DataFrame = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "edges", "cells").foreach(c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    val base = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").drop("batch")
+    val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
+      .parquet(s"$path/edges").drop("batch")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read
+      .schema("vec_id LONG, sim DOUBLE, cell LONG, batch STRING")
+      .parquet(s"$path/cells").drop("batch")
+    searchGraphFrom(base, edges, queries, k, beam, hops,
+      entriesOf(assigned, cents, queries, nprobe, hubsPerCell))
   }
 }

@@ -125,4 +125,57 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
       .groupBy("vec_id").count().filter(col("count") > 1).count()
     assert(dupIds == 0)
   }
+
+  test("routed persisted search == in-memory routed; append grows the " +
+      "routing state; rebuild folds and restores refined structure") {
+    val b = base.localCheckpoint(true)
+    val init = b.filter(col("vec_id") < 480)
+    val extra = b.filter(col("vec_id") >= 480)
+    val dir = java.nio.file.Files.createTempDirectory("nnd_routed").toString
+    NnDescent.writeIndex(init, dir, k = 10, iters = 1)
+    val queries = b.filter(col("vec_id") < 5)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    // no appends: stored routing state == the deterministic seed
+    // assignment, so persisted routed search is bit-identical to the
+    // in-memory routed form over the same base
+    val memRouted = NnDescent.searchGraphRouted(init,
+      NnDescent.buildGraph(init, k = 10, iters = 1), queries,
+      k = 5, beam = 20, hops = 3)
+    assert(canon(NnDescent.searchIndexRouted(spark, dir, queries, k = 5,
+      beam = 20, hops = 3)) == canon(memRouted))
+
+    // append: the routing state grows — the increment's rows are filed
+    // under the FROZEN centroids, and a routed probe at an appended
+    // vector finds it at rank 1
+    NnDescent.appendIndex(spark, extra, dir, "g1", k = 10)
+    assert(spark.read.parquet(s"$dir/cells")
+      .select(countDistinct(col("vec_id"))).head.getLong(0) == 500)
+    val probe = extra.filter(col("vec_id") === 480)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("n2"))
+    val foundR = NnDescent.searchIndexRouted(spark, dir, probe, k = 5,
+      beam = 20, hops = 3).collect()
+    assert(foundR.head.getLong(1) == 480L && foundR.head.getDouble(2) == 1.0)
+
+    // rebuild: every batch folds into init, appended nodes get refined
+    // in-edges (in-degree > 0 in the rebuilt DIRECTED graph — appends
+    // alone only give them out-edges), and the probe still lands
+    NnDescent.rebuildIndex(spark, dir, k = 10, iters = 1)
+    Seq("vectors", "edges", "cells").foreach { c =>
+      assert(spark.read.parquet(s"$dir/$c").count() > 0)
+      val extraBatches = new java.io.File(s"$dir/$c").listFiles()
+        .map(_.getName)
+        .count(n => n.startsWith("batch=") && n != "batch=init")
+      assert(extraBatches == 0, s"$c not folded to batch=init")
+    }
+    val inDeg = spark.read.parquet(s"$dir/edges")
+      .filter(col("dst") >= 480).count()
+    assert(inDeg > 0, "rebuilt graph gives appended nodes refined in-edges")
+    val foundAfter = NnDescent.searchIndexRouted(spark, dir, probe, k = 5,
+      beam = 20, hops = 3).collect()
+    assert(foundAfter.head.getLong(1) == 480L &&
+      foundAfter.head.getDouble(2) == 1.0)
+  }
 }
