@@ -13,11 +13,15 @@ import scala.util.control.NonFatal
   * corpus is just more input partitions.
   *
   * Image decode/resize are REAL (JDK ImageIO — PNG/JPEG/BMP/GIF, works
-  * offline); audio feature-extraction and video frame-sampling have no
-  * codec in this environment, so they are deterministic STUBS behind the
-  * [[AudioDecoder]]/[[VideoDecoder]] traits — a production deployment
-  * binds javacv/ffmpeg there, the Spark-side schema/partitioning/batch
-  * shape is real and tested (MultimodalSpec).
+  * offline); audio decode/fingerprint/features are REAL for the JDK's
+  * own codecs (WAV/AIFF/AU PCM + µ-law/a-law, `javax.sound.sampled`);
+  * video metadata is REAL at the container level (MP4 ISO-BMFF boxes,
+  * AVI RIFF header — public binary layouts, no codec needed). Only
+  * compressed-audio feature extraction and video frame DECODE need a
+  * native library, and stay behind the [[AudioDecoder]]/[[VideoDecoder]]
+  * traits as deterministic stubs — a production deployment binds
+  * javacv/ffmpeg there; the Spark-side schema/partitioning/batch shape
+  * is real and tested (MultimodalSpec).
   */
 object Multimodal {
 
@@ -121,11 +125,28 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], everyNthMs: Long, durationMs: Long): Seq[(Long, Array[Byte])]
   }
 
+  /** Deterministic fake frames: frame i carries an FNV-64 of the byte
+    * slice covering its share of the content, so two stub "videos"
+    * share a frame exactly when that stretch of their bytes is
+    * identical — equal content dedups regardless of container identity,
+    * and a corpus of same-length clips differing in a suffix shares
+    * exactly the prefix frames (what lets [[videoDedup]]'s
+    * partial-overlap semantics be pinned without a codec).
+    */
   object StubVideoDecoder extends VideoDecoder {
     override def sampleFrames(bytes: Array[Byte], everyNthMs: Long,
         durationMs: Long): Seq[(Long, Array[Byte])] = {
-      (0L until durationMs by everyNthMs).map { ts =>
-        ts -> s"FRAME:$ts:${bytes.length}".getBytes("UTF-8")
+      val stamps = (0L until durationMs by everyNthMs).toVector
+      val n = stamps.length
+      stamps.zipWithIndex.map { case (ts, i) =>
+        val from = (bytes.length.toLong * i / n).toInt
+        val to = (bytes.length.toLong * (i + 1) / n).toInt
+        var h = 0xcbf29ce484222325L
+        var j = from
+        while (j < to) {
+          h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1
+        }
+        ts -> s"FRAME:$ts:${java.lang.Long.toHexString(h)}".getBytes("UTF-8")
       }
     }
   }
@@ -194,38 +215,43 @@ object Multimodal {
     * Returns null (not a throw) on undecodable bytes — the media leaf
     * rule. This is the only non-relational step of [[imageDedup]].
     */
+  /** 8×8 luma aHash of a decoded image — shared by [[imageAHash]] and
+    * the video frame signature.
+    */
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val luma = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      luma(i) = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)) / 1000L
+      sum += luma(i)
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) { // strict '>' vs mean*64 keeps it all-integer
+      if (luma(i) * 64L > sum) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   def imageAHash: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], java.lang.Long] {
       override def call(bytes: Array[Byte]): java.lang.Long =
         try {
           val img = ImageIO.read(new ByteArrayInputStream(bytes))
           if (img == null) null
-          else {
-            val small = new java.awt.image.BufferedImage(8, 8,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = small.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, 8, 8, null)
-            g.dispose()
-            val luma = new Array[Long](64)
-            var sum = 0L
-            var i = 0
-            while (i < 64) {
-              val rgb = small.getRGB(i % 8, i / 8)
-              luma(i) = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-                114L * (rgb & 0xff)) / 1000L
-              sum += luma(i)
-              i += 1
-            }
-            var h = 0L
-            i = 0
-            while (i < 64) { // strict '>' vs mean*64 keeps it all-integer
-              if (luma(i) * 64L > sum) h |= (1L << i)
-              i += 1
-            }
-            java.lang.Long.valueOf(h)
-          }
+          else java.lang.Long.valueOf(aHashOf(img))
         } catch { case NonFatal(_) => null }
     }, LongType)
 
@@ -509,4 +535,239 @@ object Multimodal {
       .select(col("id1").as("audio_id1"), col("id2").as("audio_id2"),
         col("hamming"))
   }
+
+  // --------------------------------------------- video (container-real)
+
+  /** Video metadata is REAL at the CONTAINER level: MP4/ISO-BMFF
+    * (ISO/IEC 14496-12 box structure — `ftyp` brand, `mvhd`
+    * timescale/duration, `tkhd` track dimensions) and AVI (RIFF `avih`
+    * header) are plain public binary layouts parseable with no codec,
+    * so brand/duration/dimensions/track-count come from the actual
+    * bytes offline. Only frame DECODE needs a codec and stays behind
+    * [[VideoDecoder]] (the audio-family posture: real where the JDK or
+    * the format spec allows, a clearly-bound stub where only a native
+    * library would do).
+    */
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("container", StringType),
+    StructField("brand", StringType),
+    StructField("duration_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_tracks", IntegerType),
+    StructField("error", StringType)))
+
+  private object VideoContainers {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def le32(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    /** Iterate ISO-BMFF boxes in [from, lim): (type, bodyFrom, bodyTo). */
+    private def boxes(b: Array[Byte], from: Int, lim: Int)
+        : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var o = from
+      def hasNext: Boolean = o + 8 <= lim
+      def next(): (String, Int, Int) = {
+        val size = be32(b, o)
+        val typ = fourcc(b, o + 4)
+        val (hdr, end) =
+          if (size == 1L && o + 16 <= lim) (16, o + be64(b, o + 8))
+          else if (size == 0L) (8, lim.toLong)
+          else (8, o + size)
+        val clampedEnd = math.min(end, lim.toLong).toInt
+        val res = (typ, math.min(o + hdr, clampedEnd), clampedEnd)
+        o = if (clampedEnd > o) clampedEnd else lim // malformed size: stop
+        res
+      }
+    }
+
+    def parseMp4(b: Array[Byte]): Row = {
+      var brand: String = null
+      var durationMs: java.lang.Long = null
+      var width: java.lang.Integer = null
+      var height: java.lang.Integer = null
+      var nTracks = 0
+      boxes(b, 0, b.length).foreach {
+        case ("ftyp", f, t) if t - f >= 4 => brand = fourcc(b, f)
+        case ("moov", mf, mt) =>
+          boxes(b, mf, mt).foreach {
+            case ("mvhd", f, t) if t - f >= 20 =>
+              val v = b(f) & 0xff
+              val (ts, dur) =
+                if (v == 1 && t - f >= 32) (be32(b, f + 20), be64(b, f + 24))
+                else (be32(b, f + 12), be32(b, f + 16))
+              if (ts > 0) durationMs = java.lang.Long.valueOf(dur * 1000L / ts)
+            case ("trak", tf, tt) =>
+              nTracks += 1
+              boxes(b, tf, tt).foreach {
+                case ("tkhd", f, t) =>
+                  val v = b(f) & 0xff
+                  val wOff = if (v == 1) f + 88 else f + 76
+                  if (t >= wOff + 8) {
+                    // 16.16 fixed point; track 0×0 rows (audio tracks)
+                    val w = (be32(b, wOff) >> 16).toInt
+                    val h = (be32(b, wOff + 4) >> 16).toInt
+                    if (w > 0 && h > 0) { width = w; height = h }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      Row("mp4", brand, durationMs, width, height,
+        java.lang.Integer.valueOf(nTracks), null)
+    }
+
+    def parseAvi(b: Array[Byte]): Row = {
+      // scan for the 'avih' chunk (fourcc + LE size + 56-byte header)
+      var o = 12
+      var row: Row = null
+      while (row == null && o + 8 <= b.length) {
+        if (fourcc(b, o) == "avih") {
+          val f = o + 8
+          if (f + 40 <= b.length) {
+            val usPerFrame = le32(b, f)
+            val totalFrames = le32(b, f + 16)
+            val streams = le32(b, f + 24).toInt
+            val w = le32(b, f + 32).toInt
+            val h = le32(b, f + 36).toInt
+            row = Row("avi", null,
+              java.lang.Long.valueOf(usPerFrame * totalFrames / 1000L),
+              java.lang.Integer.valueOf(w), java.lang.Integer.valueOf(h),
+              java.lang.Integer.valueOf(streams), null)
+          }
+        }
+        o += 1
+      }
+      if (row != null) row
+      else Row("avi", null, null, null, null, null, "no avih header found")
+    }
+
+    def parse(b: Array[Byte]): Row =
+      if (b == null || b.length < 12)
+        Row(null, null, null, null, null, null, "too short")
+      else if (fourcc(b, 4) == "ftyp") parseMp4(b)
+      else if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") parseAvi(b)
+      else Row(null, null, null, null, null, null,
+        "unrecognized container (mp4/avi supported)")
+  }
+
+  /** Parse video container header → typed metadata struct; unparseable
+    * bytes set `error` — the media-leaf never-fail rule.
+    */
+  val decodeVideoMeta: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+      override def call(bytes: Array[Byte]): Row =
+        try VideoContainers.parse(bytes)
+        catch {
+          case NonFatal(e) =>
+            Row(null, null, null, null, null, null,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+    }, videoMetaType)
+
+  /** 64-bit signature of one sampled frame: a real decoded image frame
+    * (a [[VideoDecoder]] binding that emits PNG/JPEG stills) gets the
+    * PERCEPTUAL aHash — re-encoded frames collapse; anything else
+    * (the stub's fake frames) falls back to an exact FNV-64 of the
+    * bytes, which still dedups identical content. Null only on
+    * null/empty input.
+    */
+  val videoFrameSig: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], java.lang.Long] {
+      override def call(bytes: Array[Byte]): java.lang.Long = {
+        if (bytes == null || bytes.isEmpty) return null
+        val asImage =
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case NonFatal(_) => null }
+        if (asImage != null) java.lang.Long.valueOf(aHashOf(asImage))
+        else {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < bytes.length) {
+            h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1
+          }
+          java.lang.Long.valueOf(h)
+        }
+      }
+    }, LongType)
+
+  /** One row per sampled frame with its signature:
+    * (video_id, frame_ts_ms, frame_sig).
+    */
+  def videoFrameSigs(df: DataFrame, idCol: String = "path",
+      contentCol: String = "content",
+      decoder: VideoDecoder = StubVideoDecoder, everyNthMs: Long = 1000,
+      durationMs: Long = 5000): DataFrame =
+    sampleVideoFrames(df.select(col(idCol).as("video_id"), col(contentCol)),
+        decoder, contentCol, everyNthMs, durationMs)
+      .select(col("video_id"), col("frame_ts_ms"),
+        videoFrameSig(col("frame_bytes")).as("frame_sig"))
+      .filter(col("frame_sig").isNotNull)
+
+  /** Video near-duplicate pairs by SAMPLED-FRAME overlap: two videos
+    * are near-dups when the Jaccard of their distinct frame-signature
+    * sets is ≥ `minJaccard` — clips sharing most content match even
+    * when a suffix/segment differs (where a whole-file hash sees two
+    * unrelated blobs). The plan is the inverted-index discipline, one
+    * decode pass then relational all the way: distinct (video, sig)
+    * rows, candidates meet by JOINING ON frame_sig (shuffle by
+    * signature, never all-pairs), overlap = one count per pair,
+    * Jaccard from per-video set sizes. Degenerate universal frames —
+    * black frames, title cards, the stub's hash of an all-equal slice
+    * — would pair everything with everything, so any signature shared
+    * by more than `maxPerSig` videos is dropped before the join (the
+    * BandedHamming hot-bucket posture; at 100 TB this guard is what
+    * keeps the frame index linear).
+    */
+  def videoDedup(df: DataFrame, idCol: String = "path",
+      contentCol: String = "content",
+      decoder: VideoDecoder = StubVideoDecoder, everyNthMs: Long = 1000,
+      durationMs: Long = 5000, minJaccard: Double = 0.5,
+      maxPerSig: Int = 64): DataFrame = {
+    // decode is the expensive step: pay it once for the sizes scan,
+    // the hot-sig scan and the pair join
+    val sigs = videoFrameSigs(df, idCol, contentCol, decoder, everyNthMs,
+        durationMs)
+      .select(col("video_id"), col("frame_sig")).distinct()
+      .localCheckpoint(true)
+    val hot = sigs.groupBy(col("frame_sig"))
+      .agg(countDistinct(col("video_id")).as("nv"))
+      .filter(col("nv") > maxPerSig)
+      .select(col("frame_sig"))
+    val pruned = sigs.join(hot, Seq("frame_sig"), "left_anti")
+    val sizes = sigs.groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val overlaps = pruned.as("a")
+      .join(pruned.as("b"), col("a.frame_sig") === col("b.frame_sig"))
+      .filter(col("a.video_id") < col("b.video_id"))
+      .groupBy(col("a.video_id").as("video_id1"),
+        col("b.video_id").as("video_id2"))
+      .agg(count(lit(1)).as("overlap"))
+    overlaps
+      .join(sizes.select(col("video_id").as("video_id1"),
+        col("n_frames").as("n1")), "video_id1")
+      .join(sizes.select(col("video_id").as("video_id2"),
+        col("n_frames").as("n2")), "video_id2")
+      .withColumn("jaccard",
+        col("overlap") / (col("n1") + col("n2") - col("overlap")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("video_id1"), col("video_id2"), col("overlap"),
+        col("jaccard"))
+  }
+
+  /** Attach video metadata to a binary-content frame (image/audio
+    * parity: `withImageColumns`/`withAudioColumns`).
+    */
+  def withVideoColumns(df: DataFrame, contentCol: String = "content")
+      : DataFrame =
+    df.withColumn("video_meta", decodeVideoMeta(col(contentCol)))
 }

@@ -389,4 +389,111 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows("a_re").get == e, "re-encode must reproduce features")
     assert(rows("junk").isEmpty)
   }
+
+  // ------------------------------------------- video (container-real)
+
+  /** Minimal ISO-BMFF writer: nested boxes as (fourcc, payload). The
+    * binary twin of png()/audioBytes() — a REAL mp4 header per the
+    * public box layout, no codec involved.
+    */
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+    out.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+    out.array()
+  }
+  private def be32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    box("tkhd", new Array[Byte](4 + 72), be32(w.toLong << 16),
+      be32(h.toLong << 16))
+  private def mp4Bytes(timescale: Long, duration: Long,
+      dims: Seq[(Int, Int)]): Array[Byte] = {
+    val mvhd = box("mvhd", new Array[Byte](4 + 8), be32(timescale),
+      be32(duration), new Array[Byte](80))
+    val traks = dims.map { case (w, h) => box("trak", tkhdV0(w, h)) }
+    box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0x200)) ++
+      box("moov", (mvhd +: traks): _*)
+  }
+  private def aviBytes(usPerFrame: Long, totalFrames: Long, streams: Int,
+      w: Int, h: Int): Array[Byte] = {
+    def le32(v: Long) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    "RIFF".getBytes("ISO-8859-1") ++ le32(200) ++
+      "AVI LIST".getBytes("ISO-8859-1") ++ le32(160) ++
+      "hdrlavih".getBytes("ISO-8859-1") ++ le32(56) ++
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(totalFrames) ++ le32(0) ++ le32(streams) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ new Array[Byte](16)
+  }
+
+  test("video metadata parses real mp4/avi container headers; junk gets " +
+      "error, not a crash") {
+    import spark.implicits._
+    val df = Seq(
+      // 7.5 s movie, one 640x360 video track + one dimension-less
+      // (audio) track — dims must come from the video track
+      ("m", mp4Bytes(1000, 7500, Seq((0, 0), (640, 360)))),
+      ("a", aviBytes(40000, 250, 2, 320, 240)),
+      ("junk", "not a movie at all".getBytes("UTF-8"))
+    ).toDF("path", "content")
+    val rows = Multimodal.withVideoColumns(df)
+      .select(col("path"), col("video_meta.*")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = rows("m")
+    assert(m.getString(1) == "mp4" && m.getString(2) == "isom")
+    assert(m.getLong(3) == 7500L, "mvhd duration/timescale -> ms")
+    assert(m.getInt(4) == 640 && m.getInt(5) == 360)
+    assert(m.getInt(6) == 2 && m.getString(7) == null)
+    val a = rows("a")
+    assert(a.getString(1) == "avi")
+    assert(a.getLong(3) == 10000L, "usPerFrame * frames -> ms")
+    assert(a.getInt(4) == 320 && a.getInt(5) == 240 && a.getInt(6) == 2)
+    assert(rows("junk").getString(7) != null)
+  }
+
+  test("video frame signature: a real image frame gets the perceptual " +
+      "aHash, opaque bytes an exact hash, empty null") {
+    import spark.implicits._
+    val img = png(32, 32, 0x3366cc)
+    val df = Seq(("img", img), ("blob", "opaque".getBytes("UTF-8")),
+      ("empty", Array.empty[Byte])).toDF("path", "content")
+    val sigs = df.select(col("path"),
+        Multimodal.videoFrameSig(col("content")).as("s")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val ahash = df.filter(col("path") === "img")
+      .select(Multimodal.imageAHash(col("content"))).head.getLong(0)
+    assert(sigs("img").contains(ahash),
+      "decodable frame must collapse to the perceptual hash")
+    assert(sigs("blob").isDefined && sigs("empty").isEmpty)
+  }
+
+  test("video dedup: clips pair by sampled-frame overlap; universal " +
+      "title frames are defused by the hot-signature guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    // 1000-byte clips, 10 sampled frames of 100 bytes each; all four
+    // share a 300-byte "title card", v1/v2 additionally share [300,800)
+    val title = blob(300)
+    val mid = blob(500)
+    val clips = Seq(
+      ("v1", title ++ mid ++ blob(200)),
+      ("v2", title ++ mid ++ blob(200)),
+      ("v3", title ++ blob(700)),
+      ("v4", title ++ blob(700))).toDF("path", "content")
+    def pairsAt(maxPerSig: Int, minJ: Double) =
+      Multimodal.videoDedup(clips, everyNthMs = 500, durationMs = 5000,
+          minJaccard = minJ, maxPerSig = maxPerSig)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // guard off: the title frames alone pair strangers at low thresholds
+    assert(pairsAt(100, 0.15).contains(("v1", "v3")))
+    // guard on (any sig in >2 of the 4 clips dropped): only the real
+    // shared-content pair survives, at its pruned-overlap jaccard
+    // 5/(10+10-5) = 0.33
+    assert(pairsAt(2, 0.3) == Set(("v1", "v2")))
+    val r = Multimodal.videoDedup(clips, everyNthMs = 500,
+        durationMs = 5000, minJaccard = 0.3, maxPerSig = 2).collect().head
+    assert(r.getLong(2) == 5L && math.abs(r.getDouble(3) - 5.0 / 15) < 1e-9)
+  }
 }
