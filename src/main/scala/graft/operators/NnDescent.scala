@@ -107,10 +107,13 @@ object NnDescent {
       .select(col("cell"), col("vec_id"), col("sim"))
     val ring = Window.partitionBy(col("cell"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    val init0 = (1 to k).map(j =>
-        assigned.select(col("vec_id").as("src"),
-          lead(col("vec_id"), j).over(ring).as("dst")))
-      .reduce(_.unionByName(_))
+    // all k ring successors from ONE window pass (an array of leads +
+    // explode), not k stacked window evaluations
+    val init0 = assigned
+      .select(col("vec_id").as("src"),
+        array((1 to k).map(j => lead(col("vec_id"), j).over(ring)): _*)
+          .as("nexts"))
+      .select(col("src"), explode(col("nexts")).as("dst"))
       .filter(col("dst").isNotNull)
     var edges = topk(score(init0, b), k).localCheckpoint(true)
     val n = if (iters > 0 && rand > 0) b.count() else 0L
@@ -194,10 +197,12 @@ object NnDescent {
       scoreQ(entryRows.select(col("q_id"), col("vec_id"))), beam)
       .localCheckpoint(true)
     for (_ <- 0 until hops) {
+      // no distinct() on the frontier: topBeam's (q_id, vec_id) groupBy
+      // dedups anyway, and the duplicate scoring it saves (≤ in-degree
+      // per node) costs less than the extra shuffle every hop
       val frontier = best.select(col("q_id"), col("vec_id").as("src"))
         .join(sym, "src")
         .select(col("q_id"), col("dst").as("vec_id"))
-        .distinct()
       best = topBeam(best.unionByName(scoreQ(frontier)), beam)
         .localCheckpoint(true)
     }
