@@ -278,8 +278,18 @@ object Ivf {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     requireIvfReadable(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val rows = spark.read.parquet(s"$path/cells")
+    driftStatsOn(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** The drift aggregation over an explicit (cell, vec_id, embedding,
+    * n2, batch) frame — shared with the graph index, whose cells
+    * component stores routing rows without embeddings
+    * ([[NnDescent.driftStats]] joins them back from its vectors
+    * component before calling this).
+    */
+  private[operators] def driftStatsOn(rows: DataFrame,
+      cents: DataFrame): DataFrame = {
     val resid2 = greatest(
       col("n2") - lit(2.0) * dot(col("embedding"), col("c_emb")) + col("c_n2"),
       lit(0.0))
@@ -305,8 +315,15 @@ object Ivf {
     * DEPLOY.md note for how they were placed.
     */
   def driftSummary(spark: org.apache.spark.sql.SparkSession, path: String,
-      growthMax: Double = 3.0, residRatioMax: Double = 1.2): DataFrame = {
-    driftStats(spark, path)
+      growthMax: Double = 3.0, residRatioMax: Double = 1.2): DataFrame =
+    driftSummaryOf(driftStats(spark, path), growthMax, residRatioMax)
+
+  /** Roll-up of a [[driftStats]]-shaped frame (shared with
+    * [[NnDescent.driftSummary]]).
+    */
+  private[operators] def driftSummaryOf(stats: DataFrame,
+      growthMax: Double, residRatioMax: Double): DataFrame = {
+    stats
       .agg(
         count(lit(1)).as("n_cells"),
         sum(col("n_total") - col("n_init")).as("n_appended"),

@@ -26,15 +26,32 @@ import org.apache.spark.sql.functions._
   * score the new candidates, keep the beam. Per hop the work is
   * |beam|·degree rows per query — bounded, never corpus-shaped.
   *
-  * Determinism: no RNG anywhere — the initial graph comes from IVF-cell
-  * rings in xxhash64 order, candidate capping samples by xxhash64(src,
-  * dst), and every top-k tiebreaks on vec_id. Same inputs ⇒ same graph,
-  * same search results, on any partitioning.
+  * Determinism: no RNG anywhere — the initial graph comes from
+  * centroid-sim rings over hash-spread seed cells, the random-injection
+  * buckets and entry hubs are xxhash64-keyed, and every top-k tiebreaks
+  * on vec_id. Same inputs ⇒ same graph, same search results, on any
+  * partitioning.
   */
 object NnDescent {
 
   private def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
+
+  /** Deterministic HASH-SPREAD seed centroids. [[Ivf.seedCentroids]]'
+    * lowest-id rule is fine on arbitrary-id corpora (and stays the
+    * q_knn_ivf contract), but id order often correlates with content
+    * order — on the AnnScale expanded corpus the k lowest ids are all
+    * near-copies of ONE parent, which degenerates every cell to the
+    * same direction and with it the ring init and the routed entries
+    * (measured: hard-100× routed recall 0.58 with id seeds; hash seeds
+    * restore the 10× behavior, BASELINE.md r13). xxhash order is just
+    * as deterministic and spreads seeds across the corpus regardless
+    * of how ids were assigned.
+    */
+  private def hashSeeds(base: DataFrame, k: Int): DataFrame =
+    base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
 
   /** Score candidate edges (src, dst) with raw cosine via two joins
     * against the vector table — the only place geometry enters.
@@ -103,7 +120,7 @@ object NnDescent {
     val cap = if (candCap > 0) candCap else 9 * k
     val rand = if (randPerRound >= 0) randPerRound else 4 * k
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
-    val assigned = Ivf.assign(b, Ivf.seedCentroids(b, cells))
+    val assigned = Ivf.assign(b, hashSeeds(b, cells))
       .select(col("cell"), col("vec_id"), col("sim"))
     val ring = Window.partitionBy(col("cell"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -224,21 +241,21 @@ object NnDescent {
     * similarity islands — the navigability gap HNSW solves with its
     * hierarchy), and the graph walk does the local refinement. Measured
     * on the clustered hard fixture (2k vectors, 4-sibling near-dup
-    * clouds): fixed-8 entries 0.68 recall@5 at beam 20 × 3 hops; routed
-    * nprobe=3 × hubs=8 at the SAME budget 0.87; nprobe=4 × hubs=16 at
-    * beam 30 × 4 hops 0.98 (BASELINE.md r13). A fixed GLOBAL entry set
-    * only matches that by growing with the corpus's region count
-    * (64 global entries + a 2× beam×hops budget reach 0.96 on this
-    * fixture) — routing keeps the entry budget constant per query as
-    * the corpus grows. Cost: one corpus assignment pass per search
-    * BATCH (amortized over its queries; [[searchIndexRouted]] reads
-    * the routing state persisted at build time instead).
+    * clouds): fixed-8 entries 0.56 recall@5 at beam 20 × 3 hops; routed
+    * nprobe=3 × hubs=8 at the SAME budget 0.79, and 0.98 at beam 30 × 4
+    * over a 4-round graph (BASELINE.md r13). A fixed GLOBAL entry set
+    * only competes by growing with the corpus's region count AND
+    * doubling the beam×hops budget (64 entries + 2× budget reach 0.91
+    * on this fixture) — routing keeps the entry budget constant per
+    * query as the corpus grows. Cost: one corpus assignment pass per
+    * search BATCH (amortized over its queries; [[searchIndexRouted]]
+    * reads the routing state persisted at build time instead).
     */
   def searchGraphRouted(base: DataFrame, edges: DataFrame,
       queries: DataFrame, k: Int, beam: Int, hops: Int, cells: Int = 16,
       nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame = {
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
-    val cents = Ivf.seedCentroids(b, cells)
+    val cents = hashSeeds(b, cells)
     val assigned = Ivf.assign(b, cents)
       .select(col("cell"), col("vec_id"), col("sim"))
     searchGraphFrom(b, edges, queries, k, beam, hops,
@@ -288,7 +305,7 @@ object NnDescent {
     graft.queries.VectorOps.resetComponent(spark, s"$path/cells")
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
       .localCheckpoint(true)
-    val cents = Ivf.seedCentroids(b, cells)
+    val cents = hashSeeds(b, cells)
     b.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
@@ -376,6 +393,38 @@ object NnDescent {
       .parquet(s"$path/edges").drop("batch")
     searchGraph(base, edges, queries, k, beam, hops, entries)
   }
+
+  /** Drift observability for the graph index — the [[Ivf.driftStats]]
+    * semantics over THIS index's components: appends file routing rows
+    * under frozen centroids and their nodes never get refined in-edges,
+    * so both the coarse quantizer and the graph decay together. The
+    * cells component stores (vec_id, sim, cell) only; embeddings join
+    * back from the vectors component (both read in one pass, shuffled
+    * by vec_id) before the shared per-cell aggregation. Same columns,
+    * same [[driftSummary]] verdict, same rebuild cure —
+    * [[rebuildIndex]] here instead of Ivf's writeIndex.
+    */
+  def driftStats(spark: SparkSession, path: String): DataFrame = {
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "cells").foreach(c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    val vecs = spark.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").drop("batch")
+    val cells = spark.read
+      .schema("vec_id LONG, sim DOUBLE, cell LONG, batch STRING")
+      .parquet(s"$path/cells")
+      .select(col("vec_id"), col("cell"), col("batch"))
+    Ivf.driftStatsOn(cells.join(vecs, "vec_id"),
+      spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** One-row [[driftStats]] roll-up with the `rebuild_recommended`
+    * verdict ([[Ivf.driftSummary]]'s thresholds and rationale).
+    */
+  def driftSummary(spark: SparkSession, path: String,
+      growthMax: Double = 3.0, residRatioMax: Double = 1.2): DataFrame =
+    Ivf.driftSummaryOf(driftStats(spark, path), growthMax, residRatioMax)
 
   /** [[searchGraphRouted]] against the persisted index: entry hubs come
     * from the `centroids`/`cells` routing state stored at build time

@@ -10,9 +10,11 @@ import graft.queries.{Tables, VectorOps}
   * the sf0.1 embeddings (2 000 × 64-d unit vectors) into a deterministic
   * 20 000-vector near-duplicate cloud via [[VectorOps.expandEmbeddings]],
   * then measures recall@5 and wall time of each approximate path —
-  * LSH / IVF / PQ at two pruning settings each — against the brute-force
-  * top-5 truth for 20 query vectors. Prints one JSON line per
-  * (method, setting) plus a summary line for BASELINE.md.
+  * LSH / IVF / PQ at two pruning settings each, plus the r13 NN-Descent
+  * graph index (fixed vs routed entries; [[graft.tools.NndHard]] sweeps
+  * the heavy-build/wide-beam graph regime separately) — against the
+  * brute-force top-5 truth. Prints one JSON line per (method, setting)
+  * plus a summary line for BASELINE.md.
   *
   * Usage: scripts/run.sh graft.tools.AnnScale [sfDir] [factor] [noise]
   *
@@ -81,7 +83,24 @@ object AnnScale {
     val books64 = Pq.train(base, m = 8, ks = 64, iters = 2).localCheckpoint(true)
     val tBooks64 = (System.nanoTime() - tb640) / 1e9
 
+    // graph index (r13): NN-Descent build is the one-time model here;
+    // routed search re-derives the entry assignment per batch (the
+    // in-memory posture — the persisted form reads it from the index)
+    val tg0 = System.nanoTime()
+    val graph = graft.operators.NnDescent
+      .buildGraph(base, k = 10, iters = 2, cells = 64)
+      .localCheckpoint(true)
+    val tGraph = (System.nanoTime() - tg0) / 1e9
+
     val runs = Seq(
+      ("graph_fixed_e8_b20h3", () => graft.operators.NnDescent
+        .searchGraph(base, graph, queries, k = 5, beam = 20, hops = 3)),
+      ("graph_routed_np4h8_b20h3", () => graft.operators.NnDescent
+        .searchGraphRouted(base, graph, queries, k = 5, beam = 20,
+          hops = 3, cells = 64, nprobe = 4, hubsPerCell = 8)),
+      ("graph_routed_np8h16_b30h4", () => graft.operators.NnDescent
+        .searchGraphRouted(base, graph, queries, k = 5, beam = 30,
+          hops = 4, cells = 64, nprobe = 8, hubsPerCell = 16)),
       ("lsh_p16b8", () => VectorOps.knnLshAt(corpus, queries, 5)),
       ("lsh_p32b16", () => VectorOps.knnLshAt(corpus, queries, 5,
         numPlanes = 32, bands = 16)),
@@ -121,7 +140,7 @@ object AnnScale {
         queries, k = 5, nprobe = 8, shortlist = 200, m = 8)))
 
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"corpus":$n,"queries":$nq,"noise":$noise,"brute_s":${f(tBrute)},"ivf_train_s":${f(tCents)},"pq_train_s":${f(tBooks)},"pq_train_ks64_s":${f(tBooks64)},"ivfpq_index_s":${f(tIdx)},"ivfpqres_index_s":${f(tRes)}}""")
+    println(s"""{"corpus":$n,"queries":$nq,"noise":$noise,"brute_s":${f(tBrute)},"ivf_train_s":${f(tCents)},"pq_train_s":${f(tBooks)},"pq_train_ks64_s":${f(tBooks64)},"ivfpq_index_s":${f(tIdx)},"ivfpqres_index_s":${f(tRes)},"graph_build_s":${f(tGraph)}}""")
     (runs ++ idxRuns).foreach { case (name, run) =>
       val (got, secs) = timed(name)(run())
       println(s"""{"method":"$name","recall_at_5":${f(recall(got))},"search_s":${f(secs)}}""")

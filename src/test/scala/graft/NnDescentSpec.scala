@@ -159,6 +159,13 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
       beam = 20, hops = 3).collect()
     assert(foundR.head.getLong(1) == 480L && foundR.head.getDouble(2) == 1.0)
 
+    // drift verdict: 20 appended rows on a 480-node index is benign —
+    // no growth skew, no rebuild flag
+    val drift = NnDescent.driftSummary(spark, dir).collect().head
+    assert(drift.getAs[Long]("n_appended") == 20L)
+    assert(!drift.getAs[Boolean]("rebuild_recommended"),
+      s"benign append flagged: $drift")
+
     // rebuild: every batch folds into init, appended nodes get refined
     // in-edges (in-degree > 0 in the rebuilt DIRECTED graph — appends
     // alone only give them out-edges), and the probe still lands
@@ -177,5 +184,9 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
       beam = 20, hops = 3).collect()
     assert(foundAfter.head.getLong(1) == 480L &&
       foundAfter.head.getDouble(2) == 1.0)
+    // the fold resets the drift baseline: everything is init again
+    val after = NnDescent.driftSummary(spark, dir).collect().head
+    assert(after.getAs[Long]("n_appended") == 0L &&
+      !after.getAs[Boolean]("rebuild_recommended"))
   }
 }
