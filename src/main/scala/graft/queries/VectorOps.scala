@@ -1498,7 +1498,129 @@ object VectorOps {
       k = 5, beam = 20, hops = 3, entries = 8)
   }
 
+  /** Dup-dense ANN by CLUSTER COLLAPSE — the engine's answer to the
+    * regime where every navigated index loses to exhaustive scans
+    * (BASELINE.md r13 crossover tables: with ~100 near-identical copies
+    * per parent, a graph beam or ADC shortlist must swallow the whole
+    * sibling cloud to rank inside it, while IVF degenerates to scanning
+    * probed cells): collapse near-identical members to their cluster
+    * reps using the pipeline's own semantic-dedup labels
+    * ([[semanticClustersOn]]/[[semanticClustersLshOn]] — (vec_id, rep)),
+    * run ANY rep-corpus ANN (`searchReps` takes (reps, queries) and
+    * returns the shared (q_id, vec_id, cos, rn) contract shape — plug
+    * in brute force, IVF, or the graph index), expand the top
+    * `topClusters` rep hits back to their members, and exact-rank only
+    * those. The rep search runs at CLUSTER-count scale
+    * (n / multiplicity) and the exact stage scores topClusters ×
+    * multiplicity candidates per query — both corpus-size-independent
+    * per query, with every step a join (rep projection, member
+    * expansion, candidate scoring). Exactness law: whenever a query's
+    * true top-k lies inside its top-`topClusters` clusters, the result
+    * EQUALS brute force (the final stage is exact) — pinned in
+    * VectorOpsSpec along with the degenerate all-clusters == brute
+    * case.
+    */
+  def knnViaReps(base: DataFrame, queries: DataFrame, k: Int,
+      topClusters: Int, labels: DataFrame,
+      searchReps: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val b = base.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val reps = b.join(
+      labels.select(col("rep").as("vec_id")).distinct(), "vec_id")
+    val repHits = searchReps(reps, queries)
+      .filter(col("rn") <= topClusters)
+      .select(col("q_id"), col("vec_id").as("rep"))
+    // a query that lives in the corpus always expands its OWN cluster:
+    // every ANN contract excludes self-matches by id, so a query that
+    // is itself a rep would otherwise never retrieve its own siblings —
+    // exactly the neighbors the dup-dense regime is about
+    val own = queries.select(col("vec_id").as("q_id"))
+      .join(labels.select(col("vec_id").as("q_id"), col("rep")), "q_id")
+    val members = repHits.unionByName(own)
+      .join(labels.select(col("vec_id"), col("rep")), "rep")
+      .select(col("q_id"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm2(col("embedding")).as("q_n2"))
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    members.distinct()
+      .join(b, "vec_id").join(broadcast(q), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Pinned contract instantiation of [[knnViaReps]] — and the one ANN
+    * path that is fully ORACLED: every stage (exact-pair clusters, rep
+    * projection, rep top-3, own-cluster union, member expansion, exact
+    * top-5) is plain SQL, so the composed result hash-matches DuckDB
+    * end-to-end where the index-backed paths can only offer recall
+    * containment. Clusters are [[dedupClusterCosine]]'s (cos ≥ 0.35,
+    * the q_dedup_cluster_cosine closure); rep search is brute top-3
+    * over the collapsed corpus.
+    */
+  def knnCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val labels = dedupClusterCosine(spark, dir)
+      .select(col("vec_id"), col("rep"))
+    knnViaReps(base, base.filter(col("vec_id") < 5), k = 5,
+      topClusters = 3, labels,
+      (reps, qs) => knn(reps.select(col("vec_id"), col("embedding")), qs, 3))
+  }
+
+  val knnCollapseSql: String = {
+    val cos6 = (l: String, r: String) =>
+      s"round(${dotSql(s"$l.embedding", s"$r.embedding")} / " +
+        s"(sqrt($l.n2) * sqrt($r.n2)), 6)"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |dups AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM dups
+       |          UNION ALL SELECT d2, d1 FROM dups),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src),
+       |labels AS (SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a),
+       |repvec AS (
+       |  SELECT b.vec_id, b.embedding, b.n2 FROM base b
+       |  JOIN (SELECT DISTINCT rep FROM labels) r ON b.vec_id = r.rep),
+       |q AS (SELECT vec_id AS q_id, embedding, n2 FROM base WHERE vec_id < 5),
+       |rep_rank AS (
+       |  SELECT q_id, r.vec_id AS rep, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY ${cos6("q", "r")} DESC, r.vec_id ASC) AS rrn
+       |  FROM q JOIN repvec r ON r.vec_id <> q.q_id),
+       |hits AS (
+       |  SELECT q_id, rep FROM rep_rank WHERE rrn <= 3
+       |  UNION
+       |  SELECT vec_id AS q_id, rep FROM labels WHERE vec_id < 5),
+       |members AS (
+       |  SELECT DISTINCT h.q_id, l.vec_id FROM hits h
+       |  JOIN labels l ON l.rep = h.rep),
+       |scored AS (
+       |  SELECT m.q_id, m.vec_id, ${cos6("q", "b")} AS cos
+       |  FROM members m
+       |  JOIN base b ON b.vec_id = m.vec_id
+       |  JOIN q ON q.q_id = m.q_id
+       |  WHERE m.vec_id <> m.q_id)
+       |SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_knn_collapse", knnCollapse, Some(knnCollapseSql)),
     ContractQuery("q_knn_graph", knnGraph, None),
     ContractQuery("q_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     ContractQuery("q_knn_label", knnLabel, Some(knnLabelSql)),

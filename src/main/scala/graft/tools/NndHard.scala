@@ -17,12 +17,13 @@ import graft.queries.{Tables, VectorOps}
 object NndHard {
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
+    val noise = if (args.length > 1) args(1).toDouble else 0.3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.t(spark, "/root/testdata/sf0.1", "embeddings")
-    val corpus = VectorOps.expandEmbeddings(emb, factor, noise = 0.3)
+    val corpus = VectorOps.expandEmbeddings(emb, factor, noise = noise)
       .select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val base = corpus.select(col("vec_id"), col("embedding"),
       VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("n2"))
@@ -37,6 +38,24 @@ object NndHard {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       truth.count(got.contains).toDouble / truth.size
     }
+    // cluster-collapse path (VectorOps.knnViaReps): semantic-dedup
+    // labels are the one-time model; rep search runs at cluster scale
+    val tl0 = System.nanoTime()
+    val labels = VectorOps.semanticClustersLshOn(
+        corpus.select(col("vec_id"), col("embedding")), 0.9,
+        numPlanes = 64, bands = 4)
+      .select(col("vec_id"), col("rep")).localCheckpoint(true)
+    val nReps = labels.select(countDistinct(col("rep"))).head.getLong(0)
+    println(f"labels ${(System.nanoTime()-tl0)/1e9}%.1f s  reps=$nReps")
+    for (m <- Seq(4, 8)) {
+      val t1 = System.nanoTime()
+      val r = rec(VectorOps.knnViaReps(base, queries, 5, m, labels,
+        (reps, qs) => VectorOps.knn(
+          reps.select(col("vec_id"), col("embedding")),
+          qs.select(col("vec_id"), col("embedding")), m)))
+      println(f"  collapse_brute m=$m  recall=$r%.3f  ${(System.nanoTime()-t1)/1e9}%.1f s")
+    }
+
     for ((iters, cap, rand) <- Seq((2, 90, 40), (4, 150, 80))) {
       val t0 = System.nanoTime()
       val g = NnDescent.buildGraph(base, k = 10, iters = iters, cells = 64,

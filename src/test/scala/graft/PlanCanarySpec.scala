@@ -49,6 +49,8 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
     "q_stats_summary" -> "summary() composes against a one-row broadcast",
     "q_sample_split" -> "broadcast of the one split-bounds row",
     "q_sample_weighted" -> "broadcast of the one total-weight row",
+    "q_knn_collapse" ->
+      "rep-corpus brute search: queries x the COLLAPSED rep table (clusters, not corpus) — the contract pins the exact rep stage; production plugs an index via searchReps",
     "q_knn_ivf" ->
       "rows x broadcast k-centroid table (Ivf.assign/probesOf): the IVF routing shape, bounded by k not corpus",
     "q_knn_label" -> "same IVF centroid-routing crossJoin, bounded by k",

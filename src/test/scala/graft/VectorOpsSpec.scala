@@ -358,6 +358,39 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("knnViaReps: cluster collapse + exact expansion equals brute force " +
+      "when the true top-k lives in the matched clusters") {
+    import graft.queries.VectorOps
+    // expanded fixture: 4 near-identical copies per parent — every
+    // query's true top-5 is its own sibling cloud + the nearest parent
+    val base = VectorOps.expandEmbeddings(
+        graft.queries.Tables.t(spark, Sf0001, "embeddings"), 4, noise = 0.01)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val queries = base.filter(col("vec_id") < 20 && col("vec_id") % 4 === 0)
+    val labels = VectorOps.semanticClustersOn(base, 0.9)
+      .select(col("vec_id"), col("rep")).localCheckpoint(true)
+    // sanity: the collapse is real — far fewer reps than members
+    val nReps = labels.select(countDistinct(col("rep"))).head.getLong(0)
+    assert(nReps < 600, s"collapse did nothing: $nReps reps of 2000")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val brute = VectorOps.knn(base, queries, 5)
+    // top-8 rep clusters expanded: the true top-5 (in-cloud siblings +
+    // nearest parents) lies inside them, so the exact final stage must
+    // reproduce brute force bit-for-bit
+    val collapsed = VectorOps.knnViaReps(base, queries, k = 5,
+      topClusters = 8, labels, (reps, qs) => VectorOps.knn(
+        reps.select(col("vec_id"), col("embedding")), qs, 8))
+    assert(canon(collapsed) == canon(brute))
+    // degenerate law: expanding EVERY cluster is brute force by
+    // construction, with any rep-search plugin
+    val allClusters = VectorOps.knnViaReps(base, queries, k = 5,
+      topClusters = nReps.toInt, labels, (reps, qs) => VectorOps.knn(
+        reps.select(col("vec_id"), col("embedding")), qs, nReps.toInt))
+    assert(canon(allClusters) == canon(brute))
+  }
+
   test("approx quartiles sit between exact neighbors (rank error <= 1%)") {
     import graft.queries.Tables
     val rows = graft.queries.Aggregates.aggApproxPct(spark, Sf001).collect()
