@@ -34,7 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(e.foldable, s"$what must be an integer literal")
     e.eval() match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long => l.intValue
+      case l: java.lang.Long =>
+        // refuse, don't narrow: a BIGINT literal outside Int range would
+        // silently wrap (graft_ngrams(text, 2^33+3, …) running as n=3) —
+        // shape knobs fail loudly at analysis time, never truncate
+        require(l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue,
+          s"$what out of Int range: $l")
+        l.intValue
       case s: java.lang.Short => s.intValue
       case b: java.lang.Byte => b.intValue
       case other => throw new IllegalArgumentException(

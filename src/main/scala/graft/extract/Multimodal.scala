@@ -125,6 +125,20 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], everyNthMs: Long, durationMs: Long): Seq[(Long, Array[Byte])]
   }
 
+  /** FNV-1a 64 over a byte range — the one hash both the stub decoder's
+    * frame payloads and [[videoFrameSig]]'s opaque-bytes fallback use;
+    * sharing it is load-bearing, since videoDedup's overlap semantics
+    * rest on the two sites agreeing on frame identity.
+    */
+  private def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = from
+    while (j < until) {
+      h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1
+    }
+    h
+  }
+
   /** Deterministic fake frames: frame i carries an FNV-64 of the byte
     * slice covering its share of the content, so two stub "videos"
     * share a frame exactly when that stretch of their bytes is
@@ -141,11 +155,7 @@ object Multimodal {
       stamps.zipWithIndex.map { case (ts, i) =>
         val from = (bytes.length.toLong * i / n).toInt
         val to = (bytes.length.toLong * (i + 1) / n).toInt
-        var h = 0xcbf29ce484222325L
-        var j = from
-        while (j < to) {
-          h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1
-        }
+        val h = fnv64(bytes, from, to)
         ts -> s"FRAME:$ts:${java.lang.Long.toHexString(h)}".getBytes("UTF-8")
       }
     }
@@ -456,7 +466,9 @@ object Multimodal {
             var i = 0
             while (i < s.length) {
               val e = math.abs(s(i).toLong)
-              energy(i * 64 / s.length) += e
+              // Long mul: i * 64 wraps Int past ~2^25 samples (~13 min
+              // at 44.1 kHz) — a silent null hash on every long file
+              energy((i.toLong * 64 / s.length).toInt) += e
               total += e
               i += 1
             }
@@ -494,7 +506,7 @@ object Multimodal {
             val cnt = new Array[Long](nFrames)
             var i = 0
             while (i < s.length) {
-              val f = i * nFrames / s.length
+              val f = (i.toLong * nFrames / s.length).toInt // Long mul: see audioAHash
               sq(f) += s(i).toDouble * s(i)
               cnt(f) += 1
               i += 1
@@ -689,14 +701,7 @@ object Multimodal {
           try ImageIO.read(new ByteArrayInputStream(bytes))
           catch { case NonFatal(_) => null }
         if (asImage != null) java.lang.Long.valueOf(aHashOf(asImage))
-        else {
-          var h = 0xcbf29ce484222325L
-          var j = 0
-          while (j < bytes.length) {
-            h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1
-          }
-          java.lang.Long.valueOf(h)
-        }
+        else java.lang.Long.valueOf(fnv64(bytes, 0, bytes.length))
       }
     }, LongType)
 

@@ -210,8 +210,15 @@ object NnDescent {
       df.groupBy(col("q_id"), col("vec_id")).agg(max(col("sim")).as("sim"))
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= n).drop("rn")
+    // beam + 1 slots during the walk: an in-corpus query's own node
+    // (sim 1.0) is the single BEST navigator — expanding it walks the
+    // query's own out-edges, which are its approximate true neighbors
+    // (excluding it costs recall: 0.92 → 0.80 measured on the contract
+    // fixture) — but it must not CONSUME a slot, or beam = k returns
+    // k−1 rows after the self filter (an ANN contract violation). One
+    // spare slot covers exactly the one self row.
     var best = topBeam(
-      scoreQ(entryRows.select(col("q_id"), col("vec_id"))), beam)
+      scoreQ(entryRows.select(col("q_id"), col("vec_id"))), beam + 1)
       .localCheckpoint(true)
     for (_ <- 0 until hops) {
       // no distinct() on the frontier: topBeam's (q_id, vec_id) groupBy
@@ -220,14 +227,17 @@ object NnDescent {
       val frontier = best.select(col("q_id"), col("vec_id").as("src"))
         .join(sym, "src")
         .select(col("q_id"), col("dst").as("vec_id"))
-      best = topBeam(best.unionByName(scoreQ(frontier)), beam)
+      best = topBeam(best.unionByName(scoreQ(frontier)), beam + 1)
         .localCheckpoint(true)
     }
-    topBeam(best.filter(col("q_id") =!= col("vec_id"))
-        .withColumn("sim", round(col("sim"), 6)), k)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id").asc)))
+    // one window pass for the final cut: drop self, dedup (re-scored
+    // nodes), rank on the ROUNDED sim (the shared ANN contract's
+    // ordering), keep k
+    best.filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", round(col("sim"), 6))
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("sim").as("cos"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -321,22 +331,40 @@ object NnDescent {
     * fully-refined graph — folded into `batch=init`. This is the decay
     * cure the append path documents: appended nodes never get REFINED
     * in-edges and the frozen coarse quantizer drifts off the grown
-    * corpus ([[Ivf.driftStats]] is the trigger-side observability);
-    * a rebuild restores both. Crash-safe by the same `_building`
-    * bracket as [[writeIndex]] — the vector set is eagerly
-    * materialized BEFORE the sentinel drops, so a crash mid-rebuild
-    * refuses reads but loses nothing on retry.
+    * corpus ([[driftStats]] is the trigger-side observability); a
+    * rebuild restores both.
+    *
+    * Crash safety, in two stages because the rebuild is
+    * SELF-REFERENTIAL (its input lives inside the index it rewrites —
+    * unlike Ivf/Pq rebuilds, whose base is an external table): first
+    * the vector corpus folds durably through the `.compacting`
+    * write-then-swap discipline, so at every instant the full corpus
+    * exists on disk (old batch layout or folded — never only in
+    * process memory); then the DERIVED components rebuild under the
+    * `_building` bracket, whose crash window refuses reads but loses
+    * nothing — and re-running rebuildIndex IS the repair (the bracket
+    * overwrites a stale sentinel), so deliberately no
+    * requireNotBuilding here.
     */
   def rebuildIndex(spark: SparkSession, path: String, k: Int, iters: Int,
       cells: Int = 16): Unit = {
-    graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "edges", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
-    val all = spark.read
+    graft.queries.VectorOps.compactComponent(spark, s"$path/vectors", 0)
+    val b = spark.read
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
       .parquet(s"$path/vectors").drop("batch")
-      .localCheckpoint(true)
-    writeIndex(all, path, k, iters, cells)
+    graft.queries.VectorOps.beginIndexBuild(spark, path)
+    graft.queries.VectorOps.resetComponent(spark, s"$path/edges")
+    graft.queries.VectorOps.resetComponent(spark, s"$path/cells")
+    val cents = hashSeeds(b, cells)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/batch=init")
+    buildGraph(b, k, iters, cells)
+      .write.mode("overwrite").parquet(s"$path/edges/batch=init")
+    graft.queries.VectorOps.endIndexBuild(spark, path)
   }
 
   /** Grow the index: each new vector's top-k graph neighbors (found by
@@ -366,8 +394,18 @@ object NnDescent {
       .parquet(s"$path/vectors").drop("batch")
     val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
       .parquet(s"$path/edges").drop("batch")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read
+      .schema("vec_id LONG, sim DOUBLE, cell LONG, batch STRING")
+      .parquet(s"$path/cells").drop("batch")
     val b = if (beam > 0) beam else 4 * k
-    val newEdges = searchGraph(base, edges, fresh, k, b, hops)
+    // the insert-time search uses ROUTED entries from the index's own
+    // routing state: these edges are the new nodes' PERMANENT out-edges
+    // (until a rebuild), and a fixed global entry set is precisely the
+    // degenerate-on-clustered-corpora strategy the routed measurements
+    // retired — same budget, materially better frozen edges
+    val newEdges = searchGraphFrom(base, edges, fresh, k, b, hops,
+        entriesOf(assigned, cents, fresh, nprobe = 3, hubsPerCell = 8))
       .select(col("q_id").as("src"), col("vec_id").as("dst"),
         col("cos").as("sim"))
     fresh.write.mode("overwrite").parquet(s"$path/vectors/batch=$tag")
@@ -375,7 +413,6 @@ object NnDescent {
     // routing state grows with the corpus: assign the increment against
     // the index's FROZEN centroids (the Ivf.appendIndex posture — the
     // decay story is the same and shares the same rebuild cure)
-    val cents = spark.read.parquet(s"$path/centroids")
     Ivf.assign(fresh, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")

@@ -74,6 +74,18 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.8, s"graph recall@5 $recall")
   }
 
+  test("in-corpus query at beam == k still yields k rows: self never " +
+      "holds a beam slot") {
+    val b = base.localCheckpoint(true)
+    val edges = NnDescent.buildGraph(b, k = 10, iters = 1)
+    val got = NnDescent.searchGraph(b, edges, b.filter(col("vec_id") < 3),
+      k = 5, beam = 5, hops = 3)
+    val counts = got.groupBy("q_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(0L -> 5L, 1L -> 5L, 2L -> 5L), s"got $counts")
+    assert(got.filter(col("q_id") === col("vec_id")).count() == 0)
+  }
+
   test("persisted index: search == in-memory, fail-closed build, " +
       "growth-only appends keep new nodes reachable, replay idempotent") {
     val b = base.localCheckpoint(true)
@@ -168,8 +180,16 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
 
     // rebuild: every batch folds into init, appended nodes get refined
     // in-edges (in-degree > 0 in the rebuilt DIRECTED graph — appends
-    // alone only give them out-edges), and the probe still lands
+    // alone only give them out-edges), and the probe still lands.
+    // Run it over a stale crash sentinel: rebuild IS the repair, and
+    // the vector corpus must survive (the fold is durable-first —
+    // never only in process memory)
+    assert(new java.io.File(s"$dir/_building").createNewFile())
     NnDescent.rebuildIndex(spark, dir, k = 10, iters = 1)
+    assert(!new java.io.File(s"$dir/_building").exists(),
+      "rebuild must clear the sentinel it repaired")
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select(countDistinct(col("vec_id"))).head.getLong(0) == 500)
     Seq("vectors", "edges", "cells").foreach { c =>
       assert(spark.read.parquet(s"$dir/$c").count() > 0)
       val extraBatches = new java.io.File(s"$dir/$c").listFiles()
