@@ -251,7 +251,7 @@ object NnDescent {
     * similarity islands — the navigability gap HNSW solves with its
     * hierarchy), and the graph walk does the local refinement. Measured
     * on the clustered hard fixture (2k vectors, 4-sibling near-dup
-    * clouds): fixed-8 entries 0.56 recall@5 at beam 20 × 3 hops; routed
+    * clouds): fixed-8 entries 0.57 recall@5 at beam 20 × 3 hops; routed
     * nprobe=3 × hubs=8 at the SAME budget 0.79, and 0.98 at beam 30 × 4
     * over a 4-round graph (BASELINE.md r13). A fixed GLOBAL entry set
     * only competes by growing with the corpus's region count AND
