@@ -2057,20 +2057,28 @@ object TextOps {
     * `labels` lets a caller share precomputed cluster labels across
     * pipeline runs (the contract path passes the session-memoized
     * table); when absent they are built from `docs` at
-    * `cfg.jaccardThreshold`.
+    * `cfg.jaccardThreshold`. `semanticLabels` is the same sharing hook
+    * for the semantic stage's (vec_id, rep) cosine clusters — the
+    * contract path passes the frame built from [[VectorOps]]'s memoized
+    * exact-cosine pair cache (the q_dedup_cluster_cosine labels), so the
+    * composed pipeline never re-pays the all-pairs cosine pass inside
+    * one session; when absent (and `cfg.semanticThreshold` is set) they
+    * are built from `docs`' non-null embeddings at that threshold.
     */
   def curateOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
-      labels: Option[DataFrame] = None): DataFrame =
-    curateReasonsOn(docs, cfg, labels).orderBy(col("doc_id"))
+      labels: Option[DataFrame] = None,
+      semanticLabels: Option[DataFrame] = None): DataFrame =
+    curateReasonsOn(docs, cfg, labels, semanticLabels).orderBy(col("doc_id"))
 
   /** [[curateOn]] without the final presentation sort — the reusable
     * frame both the full and the incremental contract queries memoize
     * ([[curateReasons]]): one (doc_id, kept, drop_reason) row per doc.
     */
   def curateReasonsOn(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
-      labels: Option[DataFrame] = None): DataFrame =
+      labels: Option[DataFrame] = None,
+      semanticLabels: Option[DataFrame] = None): DataFrame =
     cfg.segmentDedupWidth match {
-      case None => curateReasonsDocLevel(docs, cfg, labels)
+      case None => curateReasonsDocLevel(docs, cfg, labels, semanticLabels)
       case Some(w) =>
         // caller-supplied labels are raw-text artifacts; the stage
         // curates REWRITTEN text — the same mixing requireNoSegmentStage
@@ -2099,13 +2107,17 @@ object TextOps {
         val segDropped = rw.filter(col("n_kept") === 0L)
           .select(col("doc_id"), lit(false).as("kept"),
             lit("segment_dup").as("drop_reason"))
+        // semanticLabels DO ride through: the rewrite changes text, not
+        // embeddings, and docs it empties only ever reach the label
+        // frame via left join — supplied cosine clusters stay valid
         curateReasonsDocLevel(rw.filter(col("n_kept") > 0L).drop("n_kept"),
-            cfg.copy(segmentDedupWidth = None), labels)
+            cfg.copy(segmentDedupWidth = None), labels, semanticLabels)
           .unionByName(segDropped)
     }
 
   private def curateReasonsDocLevel(docs: DataFrame, cfg: CurateConfig,
-      labels: Option[DataFrame]): DataFrame = {
+      labels: Option[DataFrame],
+      semanticLabels: Option[DataFrame] = None): DataFrame = {
     val g = new GopherRules(cfg)
     val qOk = docs.filter(g.all)
       .select(col("doc_id"), col("text"), col("n_chars"))
@@ -2135,13 +2147,17 @@ object TextOps {
     // row are singleton clusters (left join + coalesce) — absence of a
     // vector must never drop a document.
     val smKeep = cfg.semanticThreshold.map { th =>
-      require(docs.columns.contains("embedding"),
-        "semanticThreshold needs an `embedding` column on the corpus — " +
-          "join the embeddings frame on doc_id before curating")
-      val slabels = VectorOps.semanticClustersOn(
-        docs.filter(col("embedding").isNotNull)
-          .select(col("doc_id").as("vec_id"), col("embedding")), th)
-        .select(col("vec_id").as("doc_id"), col("rep").as("srep"))
+      // supplied (vec_id, rep) cosine clusters skip the all-pairs build —
+      // and lift the embedding-column requirement, which only exists to
+      // catch a forgotten embeddings join before building labels here
+      val slabels = semanticLabels.getOrElse {
+        require(docs.columns.contains("embedding"),
+          "semanticThreshold needs an `embedding` column on the corpus — " +
+            "join the embeddings frame on doc_id before curating")
+        VectorOps.semanticClustersOn(
+          docs.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")), th)
+      }.select(col("vec_id").as("doc_id"), col("rep").as("srep"))
       stage3.join(ndKeep.select(col("doc_id")), Seq("doc_id"))
         .join(slabels, Seq("doc_id"), "left")
         .groupBy(coalesce(col("srep"), col("doc_id")).as("srep"))
@@ -2451,12 +2467,23 @@ object TextOps {
     * composition is hash-verified end-to-end.
     */
   def curateSemantic(spark: SparkSession, dir: String): DataFrame =
+    // both label families ride the session memos: text clusters from
+    // [[clusterLabels]] (the q_curate/q_curate_delta frame) and cosine
+    // clusters from [[VectorOps.dedupClusterCosine]] (whose pair build is
+    // memoPairs'd) — the composed query pays neither the Jaccard nor the
+    // all-pairs cosine pass twice in one session. The full-embeddings
+    // label frame is exactly the oracle's own cluster shape (its
+    // recursive closure runs over the embeddings TABLE); it matches the
+    // docs-joined build whenever embeddings ⊆ documents, which the
+    // fixture satisfies and ParamApiSpec pins.
     curateOn(
       Tables.t(spark, dir, "documents")
         .join(Tables.t(spark, dir, "embeddings")
             .select(col("vec_id").as("doc_id"), col("embedding")),
           Seq("doc_id"), "left"),
-      CurateConfig(semanticThreshold = Some(0.35)))
+      CurateConfig(semanticThreshold = Some(0.35)),
+      labels = Some(clusterLabels(spark, dir)),
+      semanticLabels = Some(VectorOps.dedupClusterCosine(spark, dir)))
 
   val curateSemanticSql: String = {
     val cosRaw = (l: String, r: String) =>

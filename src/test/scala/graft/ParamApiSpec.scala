@@ -264,6 +264,24 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
         CurateConfig(semanticThreshold = Some(0.35)))
     }
     assert(e.getMessage.contains("embedding"))
+
+    // the contract wrapper rides BOTH session memos (text labels +
+    // full-embeddings cosine clusters) — pin it bit-identical to the
+    // pure composed path, which is also the proof that full-table
+    // cluster labels equal the docs-joined build on this corpus
+    // (embeddings ⊆ documents here)
+    val contract = verdicts(TextOps.curateSemantic(spark, Sf0001))
+    assert(contract == composed,
+      "memoized contract path must equal the pure composed pipeline")
+
+    // supplied semanticLabels also lift the embedding-column refusal:
+    // labels already carry everything the stage needs
+    val supplied = verdicts(TextOps.curateOn(
+      Tables.t(spark, Sf0001, "documents"),
+      CurateConfig(semanticThreshold = Some(0.35)),
+      semanticLabels = Some(labels)))
+    assert(supplied == composed,
+      "caller-supplied cosine clusters must reproduce the built-in stage")
   }
 
   test("curateOn segmentDedupWidth: empty-on-arrival docs are quality drops, not segment_dup") {
