@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
   private def modules: Seq[ContractQuery] =
     Relational.all ++ Aggregates.all ++ Functions.all ++ TextOps.all ++
-      VectorOps.all ++ EventOps.all ++ Extraction.all
+      VectorOps.all ++ EventOps.all ++ Extraction.all ++ Formats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -656,7 +656,7 @@ object EventOps {
     * local mode. A UUID leaf keeps concurrent invocations disjoint; the
     * caller deletes the leaf in `finally`.
     */
-  private def scratchDir(spark: SparkSession, prefix: String): String = {
+  private[queries] def scratchDir(spark: SparkSession, prefix: String): String = {
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
     val dir = s"$root/_scratch/$prefix-${java.util.UUID.randomUUID()}"
@@ -665,7 +665,7 @@ object EventOps {
     dir
   }
 
-  private def deleteRecursively(spark: SparkSession, dir: String): Unit = {
+  private[queries] def deleteRecursively(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-format corpus interchange — JSONL and CSV as first-class
+  * sources/sinks next to the parquet paths.
+  *
+  * JSONL (one JSON object per line) is the lingua franca of training
+  * corpora: raw crawl dumps, filtered shards, and eval sets all ship as
+  * `*.jsonl.gz`, so an engine that can only scan parquet forces a
+  * convert-everything-first pass. CSV is the tabular interchange twin
+  * (event logs, metadata sidecars). Both readers take an EXPLICIT
+  * schema — schema inference is a full extra pass over the data (and a
+  * silently wrong one on string-looking numerics), never acceptable at
+  * corpus scale — and run FAILFAST, so a corrupt line is a loud error at
+  * the scan, not a null that surfaces three joins later.
+  *
+  * Scale notes (100 TB posture):
+  *  - gzip is not splittable: a `.jsonl.gz` corpus parallelizes at FILE
+  *    granularity, which is exactly how such corpora ship (hundreds of
+  *    ~100 MB–1 GB shards). The writer emits one shard per task, so a
+  *    well-partitioned frame writes a well-sharded corpus.
+  *  - plain CSV/JSONL files ARE byte-range splittable; Spark assigns
+  *    `maxPartitionBytes` splits within files, so a single huge
+  *    uncompressed file still scans in parallel. Embedded newlines in
+  *    values break line-splitting — the CSV writer quotes them, but a
+  *    reader would then need `multiLine`, which reads a file per task;
+  *    keep free-text columns in JSONL (where `\n` is escaped) and CSV
+  *    for flat tabular data.
+  *  - both contract queries are store-then-answer round-trips (the
+  *    q_topk_range posture): write the fixture table out in the text
+  *    format to a cluster-shared scratch dir, read it back with the
+  *    explicit schema, and hash-compare EVERY field against the oracle
+  *    reading the original parquet — fidelity of the full encode/decode
+  *    cycle is the thing being verified, not the aggregate on top.
+  */
+object Formats {
+
+  /** Explicit fixture schemas — the no-inference posture needs the
+    * schema stated somewhere; for user corpora the caller supplies one.
+    */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** One fixed microsecond-precision timestamp dialect on BOTH sides of
+    * each format: Spark's write/read defaults differ in fractional
+    * digits, and a format that truncates to millis would silently shift
+    * every downstream window/as-of result by up to 999 µs.
+    */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Null sentinel for CSV: the write default encodes null as an empty
+    * field and the read default turns EVERY empty field back into null,
+    * erasing the null-vs-empty-string distinction. An explicit sentinel
+    * keeps both (empty strings travel as quoted `""`).
+    */
+  private val CsvNull = "\\N"
+
+  // --------------------------------------------------------------- JSONL
+
+  def writeJsonl(df: DataFrame, path: String, codec: String = "gzip"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", codec)
+      // default drops null fields from the object — a reader with a
+      // schema recovers them, but the corpus then lies about which
+      // fields were present; write explicit nulls
+      .option("ignoreNullFields", "false")
+      .option("timestampFormat", TsFmt)
+      .json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("timestampFormat", TsFmt)
+      .json(path)
+
+  // ----------------------------------------------------------------- CSV
+
+  def writeCsv(df: DataFrame, path: String, codec: String = "none"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", codec)
+      .option("header", "false")
+      .option("nullValue", CsvNull)
+      .option("timestampFormat", TsFmt)
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("header", "false")
+      .option("nullValue", CsvNull)
+      .option("timestampFormat", TsFmt)
+      .csv(path)
+
+  // ------------------------------------------------------ contract pins
+
+  /** documents → gzipped JSONL shards → read back → full projection.
+    * The oracle reads the original parquet, so a hash match proves the
+    * entire JSON encode/decode cycle preserved every value of every row
+    * (ids, free text with whatever bytes the generator put there, langs,
+    * counts). Materialized (localCheckpoint) before the scratch shards
+    * are deleted — the read is lazy and must not outlive its files.
+    */
+  def scanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = EventOps.scratchDir(spark, "graft_jsonl")
+    try {
+      writeJsonl(Tables.t(spark, dir, "documents"), tmp)
+      readJsonl(spark, tmp, documentsSchema)
+        .localCheckpoint(true)
+        .orderBy(col("doc_id"))
+    } finally EventOps.deleteRecursively(spark, tmp)
+  }
+
+  val scanJsonlSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** events → plain (splittable) CSV → read back → full projection with
+    * the epoch-µs timestamp output convention ([[Det.tsOut]]). Proves
+    * the CSV dialect round-trips quoted JSON-in-a-field strings,
+    * microsecond timestamps, and doubles (Spark emits the shortest
+    * round-trippable repr; the reader parses it back bit-exact).
+    */
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = EventOps.scratchDir(spark, "graft_csv")
+    try {
+      writeCsv(Tables.t(spark, dir, "events"), tmp)
+      readCsv(spark, tmp, eventsSchema)
+        .localCheckpoint(true)
+        .select(col("event_id"), Det.tsOut(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    } finally EventOps.deleteRecursively(spark, tmp)
+  }
+
+  val scanCsvSql: String =
+    s"""SELECT event_id, ${Sql.tsOut("ts")} AS ts_us, user_id, event_type,
+       |  value, props
+       |FROM events ORDER BY event_id""".stripMargin
+
+  val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
+    ContractQuery("q_scan_csv", scanCsv, Some(scanCsvSql)))
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Formats, Tables}
+
+/** Text-format interchange (JSONL/CSV): the contract queries prove
+  * fixture fidelity end-to-end against DuckDB; these specs prove the
+  * DIALECT on content the fixture is too polite to contain — embedded
+  * newlines, quotes, backslashes, the null-vs-empty-string distinction,
+  * microsecond timestamps, doubles that need all 17 digits — plus the
+  * loud-failure posture on corrupt input.
+  */
+class FormatsSpec extends AnyFunSuite with SparkSessionFixture {
+  import spark.implicits._
+
+  private val nastyStrings = Seq[(Long, String)](
+    1L -> "plain",
+    2L -> "line\nbreak and\ttab",
+    3L -> "\"double\" and 'single' quotes",
+    4L -> "back\\slash, comma, and a \\\" mix",
+    5L -> "unicode: café 日本語 😀",
+    6L -> "", // empty string — must NOT come back as null
+    7L -> null,
+    8L -> "{\"k\": 1, \"v\": [true, null]}" // JSON-in-a-string
+  )
+
+  private def roundTripRows(df: org.apache.spark.sql.DataFrame,
+      write: (org.apache.spark.sql.DataFrame, String) => Unit,
+      read: String => org.apache.spark.sql.DataFrame): Seq[Row] = {
+    val tmp = java.nio.file.Files.createTempDirectory("fmt").toString
+    try {
+      write(df, s"$tmp/out")
+      read(s"$tmp/out").orderBy("id").collect().toSeq
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+  private type Row = org.apache.spark.sql.Row
+
+  private val idText = StructType(Seq(
+    StructField("id", LongType), StructField("s", StringType)))
+
+  test("JSONL round-trips every nasty string bit-identically, incl. null vs empty") {
+    val df = nastyStrings.toDF("id", "s")
+    val back = roundTripRows(df,
+      (d, p) => Formats.writeJsonl(d, p),
+      p => Formats.readJsonl(spark, p, idText))
+    assert(back.map(r => (r.getLong(0), r.getString(1))) ==
+      nastyStrings.sortBy(_._1))
+  }
+
+  test("CSV round-trips quotes/commas/backslashes and keeps null distinct from empty") {
+    // CSV is the flat-tabular format: embedded newlines are out of its
+    // contract (they break byte-range splitting; JSONL carries those) —
+    // everything else must survive
+    val flat = nastyStrings.filterNot { case (_, s) =>
+      s != null && s.contains("\n") }
+    val df = flat.toDF("id", "s")
+    val back = roundTripRows(df,
+      (d, p) => Formats.writeCsv(d, p),
+      p => Formats.readCsv(spark, p, idText))
+    assert(back.map(r => (r.getLong(0), r.getString(1))) == flat.sortBy(_._1))
+  }
+
+  test("CSV round-trips microsecond timestamps and full-precision doubles") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("x", DoubleType)))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-03-01 23:59:59.000001"), 0.1),
+      (2L, java.sql.Timestamp.valueOf("1999-12-31 00:00:00.999999"),
+        1.7976931348623157e308),
+      (3L, java.sql.Timestamp.valueOf("2026-03-01 12:00:00"),
+        2.2250738585072014e-308)
+    ).toDF("id", "ts", "x")
+    val back = roundTripRows(df,
+      (d, p) => Formats.writeCsv(d, p),
+      p => Formats.readCsv(spark, p, schema))
+    assert(back.map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))) ==
+      df.orderBy("id").collect().toSeq
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))))
+  }
+
+  test("FAILFAST: a corrupt JSONL line is a loud scan error, not a null row") {
+    val tmp = java.nio.file.Files.createTempDirectory("fmtbad")
+    val f = tmp.resolve("part-00000.json")
+    java.nio.file.Files.write(f,
+      "{\"id\": 1, \"s\": \"ok\"}\nNOT JSON AT ALL\n".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Formats.readJsonl(spark, tmp.toString, idText).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      (t.getMessage.contains("Malformed") || t.getMessage.contains("FAILFAST"))))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("contract round-trips equal the direct parquet read at sf0.001") {
+    val jl = Formats.scanJsonl(spark, Sf0001).collect().toSeq
+    val direct = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(jl == direct, "JSONL round-trip must be lossless on the fixture")
+
+    val cs = Formats.scanCsv(spark, Sf0001).collect().toSeq
+    val directEv = Tables.t(spark, Sf0001, "events")
+      .select(col("event_id"), graft.queries.Det.tsOut(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(cs == directEv, "CSV round-trip must be lossless on the fixture")
+  }
+
+  test("scratch dirs do not leak: a contract run leaves no _scratch entries behind") {
+    Formats.scanJsonl(spark, Sf0001).count()
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "_scratch")
+    val left = Option(wh.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("graft_jsonl"))
+    assert(left.isEmpty, s"leaked scratch dirs: ${left.mkString(", ")}")
+  }
+}
