@@ -1455,8 +1455,100 @@ object TextOps {
         .localCheckpoint(true)
     kept.select(col("h"))
       .write.mode("overwrite").parquet(s"$path/seen/batch=$tag")
+    // as-of reproducibility: the admit order lands in the `_history`
+    // sidecar (idempotent under the same replay discipline as the data
+    // write above — see [[VectorOps.recordHistory]])
+    VectorOps.recordHistory(spark, path, tag)
     kept
   }
+
+  /** The seen-set AS OF a recorded batch tag: hashes admitted up to and
+    * including `asOf`, partition-pruned to the history prefix's
+    * `batch=` dirs — the snapshot read behind the two as-of probes.
+    */
+  private def seenAsOf(spark: SparkSession, path: String,
+      asOf: String): DataFrame = {
+    val tags = VectorOps.historyPrefix(spark, path, asOf)
+    spark.read.schema("h STRING, batch STRING").parquet(s"$path/seen")
+      .filter(col("batch").isin(tags: _*)).select(col("h"))
+  }
+
+  /** [[exactDedupDelta]] against the index AS OF a recorded batch tag —
+    * read-only (nothing is admitted, no history entry): re-ask a
+    * batch's dedup question against exactly the state some earlier
+    * admit left behind. Re-running batch N's docs as of tag N-1
+    * reproduces batch N's original output bit-for-bit after the live
+    * index has moved arbitrarily far — the release-pinning property
+    * q_dedup_asof hash-verifies end-to-end.
+    */
+  def exactDedupDeltaAsOf(spark: SparkSession, path: String,
+      batch: DataFrame, asOf: String,
+      normalize: Boolean = false): DataFrame = {
+    requireIndexParams(spark, path, s"normalize=$normalize")
+    val base = if (normalize) normCol(col("text")) else col("text")
+    val hashed = batch.withColumn("h",
+      coalesce(sha2(base, 256), lit("NULL_TEXT")))
+    val within = hashed.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("h", "doc_id"))
+    within.join(seenAsOf(spark, path, asOf), Seq("h"), "left_anti").drop("h")
+  }
+
+  /** [[segmentDedupDelta]]'s as-of twin: the batch's segment-level
+    * rewrite against the seen-set snapshot at `asOf`. Read-only.
+    */
+  def segmentDedupDeltaAsOf(spark: SparkSession, path: String,
+      batch: DataFrame, width: Int, asOf: String): DataFrame = {
+    requireIndexParams(spark, path, s"width=$width")
+    val segs = segmentRows(batch, width)
+    val kept = firstSegmentOccurrences(segs)
+      .withColumn("h", sha2(col("seg"), 256))
+      .join(seenAsOf(spark, path, asOf), Seq("h"), "left_anti")
+    assembleKept(segs, kept.select(col("doc_id"), col("idx"), col("seg")),
+      joiner = " ")
+  }
+
+  /** Store-then-answer contract pin of the as-of machinery, end-to-end:
+    * two doc_id-parity batches of the corpus are admitted in order
+    * (tags t0, t1) into a scratch exact-dedup index, then batch t1's
+    * QUESTION is re-asked against the index AS OF t0 — after the live
+    * index has already admitted t1 itself. The snapshot answer must
+    * equal what t1's original run returned (first-in-batch docs whose
+    * digest t0 did not admit), which the oracle recomputes from the raw
+    * corpus — so the hash match verifies the history sidecar, the
+    * prefix resolution, and the partition-pruned snapshot read as one
+    * observable property: a release pinned to a tag reproduces forever.
+    */
+  def dedupAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val tmp = EventOps.scratchDir(spark, "graft_asof")
+    try {
+      val idx = s"$tmp/idx"
+      def b(i: Int) = docs.filter(col("doc_id") % 2 === i)
+      exactDedupDelta(spark, idx, b(0), "t0")
+      exactDedupDelta(spark, idx, b(1), "t1")
+      exactDedupDeltaAsOf(spark, idx, b(1), asOf = "t0")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .localCheckpoint(true) // the lazy probe must not outlive scratch
+        .orderBy(col("doc_id"))
+    } finally EventOps.deleteRecursively(spark, tmp)
+  }
+
+  val dedupAsOfSql: String =
+    """WITH b1 AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         coalesce(sha256(text), 'NULL_TEXT') AS h
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |firsts AS (SELECT h, min(doc_id) AS doc_id FROM b1 GROUP BY h),
+      |prior AS (SELECT DISTINCT coalesce(sha256(text), 'NULL_TEXT') AS h
+      |          FROM documents WHERE doc_id % 2 = 0)
+      |SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+      |FROM b1 t
+      |JOIN firsts f ON t.h = f.h AND t.doc_id = f.doc_id
+      |LEFT JOIN prior p ON t.h = p.h
+      |WHERE p.h IS NULL
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Incremental EXACT dedup against a persisted digest set —
     * [[segmentDedupDelta]]'s document-level sibling and the streaming
@@ -1515,6 +1607,9 @@ object TextOps {
     val folded = (compactedSegmentTags(spark, path) ++ live).toSeq.sorted
     VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil,
       sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+    // as-of reach ends at the fold, like the replay windows above; the
+    // compacted data IS the new baseline
+    VectorOps.resetHistory(spark, path, Seq("init"))
   }
 
   /** Does `path`'s seen-set already hold an increment under `batch=tag`?
@@ -2529,6 +2624,7 @@ object TextOps {
 
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    ContractQuery("q_dedup_asof", dedupAsOf, Some(dedupAsOfSql)),
     ContractQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     ContractQuery("q_curate", curate, Some(curateSql)),
     ContractQuery("q_curate_delta", curateDelta, Some(curateDeltaSql)),

@@ -342,6 +342,11 @@ object VectorOps {
     // and select past it)
     minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=init")
     shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=init")
+    // a rebuild starts a NEW history: prior appends' tags are gone from
+    // the data, so they must leave the as-of reach too (still inside
+    // the sentinel window — a crash here fails closed, never a
+    // data/history mismatch)
+    resetHistory(spark, path, Seq("init"))
     endIndexBuild(spark, path)
   }
 
@@ -358,6 +363,9 @@ object VectorOps {
     */
   def bootstrapNeardupIndex(docs: DataFrame, path: String): Unit = {
     val empty = docs.limit(0)
+    // history FIRST: every data-bearing layout then has init in reach,
+    // and a crash anywhere in here re-runs the whole bootstrap anyway
+    resetHistory(spark = docs.sparkSession, path, Seq("init"))
     minhashBands(empty).write.mode("overwrite")
       .parquet(s"$path/bands/batch=init")
     shingleSets(empty).write.mode("overwrite")
@@ -429,6 +437,10 @@ object VectorOps {
     }
     minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
     shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$tag")
+    // pre-history indexes (built before the sidecar existed) seed their
+    // baseline on first append, so init stays in as-of reach
+    if (indexHistory(spark, path).isEmpty) recordHistory(spark, path, "init")
+    recordHistory(spark, path, tag)
   }
 
   /** [[neardupDelta]] against a persisted index ([[writeNeardupIndex]]). */
@@ -438,6 +450,55 @@ object VectorOps {
     neardupDeltaFrames(newDocs,
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/sets"), threshold)
+  }
+
+  /** An index component restricted to the batches admitted up to and
+    * including `asOf` — the snapshot read behind the as-of probes. The
+    * tag set is a history prefix ([[historyPrefix]]) and the filter
+    * lands on the `batch` PARTITION column, so the scan lists only the
+    * prefix's directories (partition pruning, the q_topk_range law) —
+    * a snapshot read of a 10%-grown index costs the 10-batch prefix,
+    * not the full corpus plus a discard filter.
+    */
+  private[queries] def componentAsOf(spark: SparkSession, root: String,
+      component: String, asOf: String): DataFrame = {
+    val tags = historyPrefix(spark, root, asOf)
+    spark.read.parquet(s"$root/$component")
+      .filter(col("batch").isin(tags: _*))
+  }
+
+  /** [[neardupDeltaIndexed]] against the index AS OF a recorded batch
+    * tag — the reproducibility read: re-ask any batch's near-dup
+    * question against exactly the corpus state some earlier admit left
+    * behind, after the live index has moved on. Read-only (nothing is
+    * admitted); `asOf` must be in [[indexHistory]].
+    */
+  def neardupDeltaIndexedAsOf(spark: SparkSession, path: String,
+      newDocs: DataFrame, threshold: Double = 0.5,
+      asOf: String): DataFrame = {
+    requireNotBuilding(spark, path)
+    neardupDeltaFrames(newDocs,
+      componentAsOf(spark, path, "bands", asOf),
+      componentAsOf(spark, path, "sets", asOf), threshold)
+  }
+
+  /** [[minhashPairsIndexed]] as of a recorded batch tag: the verified
+    * pair graph of the snapshot corpus — what a historical curation
+    * label build saw ([[graft.queries.TextOps.writeCurateState]] family).
+    */
+  def minhashPairsIndexedAsOf(spark: SparkSession, path: String,
+      threshold: Double = 0.5, asOf: String,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    recoverNeardupIndex(spark, path)
+    val cands = graft.operators.BandedHamming
+      .bucketedPairs(componentAsOf(spark, path, "bands", asOf), "doc_id",
+        Seq("band", "sig"), maxBucket)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val sets = componentAsOf(spark, path, "sets", asOf)
+    verifyJaccard(cands, sets, sets, threshold)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
   }
 
   /** Symmetric verified near-dup pairs of the ENTIRE indexed corpus, from
@@ -679,6 +740,62 @@ object VectorOps {
     }
   }
 
+  // -------------------------------------------------- append history
+
+  /** Ordered append history of a persisted index — the reproducibility
+    * sidecar behind the as-of reads: `_history` at the index ROOT
+    * (outside the data components, so compaction swaps never touch it)
+    * lists every admitted batch tag, one per line, in append order.
+    * Recorded AFTER a tag's data commits; the crash window in between
+    * self-heals under the documented at-least-once replay discipline
+    * (replaying the tag rewrites its own increment idempotently and
+    * then records it — and recording is itself idempotent, so a replay
+    * of an already-recorded tag never duplicates a line). Appends are
+    * serialized per index by the ingest-loop contract (foreachBatch),
+    * so the read-modify-write is single-writer by construction.
+    */
+  private[queries] def recordHistory(spark: SparkSession, path: String,
+      tag: String): Unit = {
+    val cur = indexHistory(spark, path)
+    if (!cur.contains(tag))
+      writeSidecar(spark, s"$path/_history", (cur :+ tag).mkString("\n"))
+  }
+
+  /** The index's admitted batch tags in append order (empty for an
+    * index predating the sidecar or freshly compacted to its baseline).
+    */
+  def indexHistory(spark: SparkSession, path: String): Seq[String] =
+    readSidecar(spark, s"$path/_history")
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  /** Reset history to exactly `baseline` — the compaction hook:
+    * folding increments into `batch=init` erases per-tag state, so
+    * as-of reach ends at the last compaction (the same closure
+    * [[graft.queries.TextOps.compactSegmentIndex]] applies to replay
+    * windows). Snapshots older than the fold are unrecoverable by
+    * design; pin a copy of the index BEFORE compacting if a release
+    * must stay reproducible past it.
+    */
+  private[queries] def resetHistory(spark: SparkSession, path: String,
+      baseline: Seq[String]): Unit =
+    writeSidecar(spark, s"$path/_history", baseline.mkString("\n"))
+
+  /** History prefix up to and including `asOf` — the batch set an as-of
+    * read scans. Unknown tags fail loudly, naming the two ways a tag
+    * can be absent (never admitted, or folded away by compaction).
+    */
+  private[queries] def historyPrefix(spark: SparkSession, path: String,
+      asOf: String): Seq[String] = {
+    val h = indexHistory(spark, path)
+    val i = h.indexOf(asOf)
+    require(i >= 0,
+      s"'$asOf' is not in $path's append history (${h.mkString(", ")}): " +
+        "either the tag was never admitted, or a compaction folded it " +
+        "into the baseline — as-of reach ends at the last compaction")
+    h.take(i + 1)
+  }
+
   /** Finish any crashed compaction swap on a MinHash index — the ingest
     * loop runs this before probing so a restart after a mid-swap crash
     * self-repairs ([[graft.streaming.IngestDedup]]). A crashed REBUILD is
@@ -745,6 +862,8 @@ object VectorOps {
     requireNotBuilding(spark, path)
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/sets", numFiles)
+    // folded tags leave the as-of reach with their per-tag state
+    resetHistory(spark, path, Seq("init"))
   }
 
   /** Compact a persisted cosine index ([[writeCosineIndex]] +

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Tables, TextOps, VectorOps}
+
+/** Index as-of reads — the reproducibility half of the persisted-index
+  * lifecycle: every admit records its tag in the `_history` sidecar, and
+  * an as-of probe answers against exactly the batch prefix some earlier
+  * admit left behind, partition-pruned to those `batch=` dirs. The laws:
+  * a historical batch's output reproduces bit-for-bit after the index
+  * moves on; history is replay-idempotent and rebuild/compaction-reset;
+  * unknown or folded tags fail loudly; the snapshot scan LISTS only the
+  * prefix's directories.
+  */
+class IndexAsOfSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(path: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("exact dedup: a batch's output reproduces as-of the prior tag after the index moved on") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val idx = tmpDir("asof_exact")
+    try {
+      def b(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      TextOps.exactDedupDelta(spark, idx, b(0), "t0")
+      val orig1 = rows(TextOps.exactDedupDelta(spark, idx, b(1), "t1")
+        .orderBy("doc_id"))
+      TextOps.exactDedupDelta(spark, idx, b(2), "t2") // index moves on
+      assert(VectorOps.indexHistory(spark, idx) == Seq("t0", "t1", "t2"))
+
+      val replay = rows(TextOps.exactDedupDeltaAsOf(spark, idx, b(1), "t0")
+        .orderBy("doc_id"))
+      assert(replay == orig1,
+        "as-of t0 must reproduce t1's original output bit-for-bit")
+      assert(replay.nonEmpty, "fixture must admit docs in t1")
+
+      // as-of the LATEST tag == what the next delta would see: every
+      // digest in b(1) is already admitted (by t0 or by t1 itself), so
+      // the probe is empty
+      assert(TextOps.exactDedupDeltaAsOf(spark, idx, b(1), "t2").isEmpty,
+        "as-of the latest tag must see t1's own admissions")
+    } finally rm(idx)
+  }
+
+  test("history is replay-idempotent; unknown as-of tags fail loudly") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val idx = tmpDir("asof_hist")
+    try {
+      def b(i: Int) = docs.filter(col("doc_id") % 2 === i)
+      TextOps.exactDedupDelta(spark, idx, b(0), "t0")
+      TextOps.exactDedupDelta(spark, idx, b(1), "t1")
+      // at-least-once replay of t1: same data, same single history line
+      TextOps.exactDedupDelta(spark, idx, b(1), "t1")
+      assert(VectorOps.indexHistory(spark, idx) == Seq("t0", "t1"))
+
+      val e = intercept[IllegalArgumentException] {
+        TextOps.exactDedupDeltaAsOf(spark, idx, b(1), "nope").collect()
+      }
+      assert(e.getMessage.contains("append history"))
+    } finally rm(idx)
+  }
+
+  test("compaction closes as-of reach; init remains the folded baseline") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta " +
+        s"unique token $i")).toDF("doc_id", "text")
+    val idx = tmpDir("asof_fold")
+    try {
+      TextOps.segmentDedupDelta(spark, idx, mk(Seq(1L, 2L)), 8, "t0")
+      TextOps.segmentDedupDelta(spark, idx, mk(Seq(3L)), 8, "t1")
+      TextOps.compactSegmentIndex(spark, idx)
+      assert(VectorOps.indexHistory(spark, idx) == Seq("init"))
+      val e = intercept[IllegalArgumentException] {
+        TextOps.segmentDedupDeltaAsOf(spark, idx, mk(Seq(9L)), 8, "t0")
+          .collect()
+      }
+      assert(e.getMessage.contains("append history"))
+      // the folded baseline answers as-of init: doc 1's segments are all
+      // seen (admitted by t0), the genuinely novel doc is kept intact
+      val asInit = TextOps
+        .segmentDedupDeltaAsOf(spark, idx, mk(Seq(1L, 99L)), 8, "init")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!asInit.contains(1L) || asInit(1L).isEmpty ||
+        !asInit(1L).contains("alpha"),
+        "doc 1's t0-admitted segments must be dropped against the baseline")
+      assert(asInit.get(99L).exists(_.contains("unique token 99")),
+        "novel doc must survive the as-of-init probe")
+    } finally rm(idx)
+  }
+
+  test("minhash index: as-of pairs == pairs of an index built from the prefix alone") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val b0 = docs.filter(col("doc_id") < 200)
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val b2 = docs.filter(col("doc_id") >= 400)
+    val live = tmpDir("asof_nd_live")
+    val pinned = tmpDir("asof_nd_pin")
+    try {
+      VectorOps.writeNeardupIndex(b0, live)
+      VectorOps.appendNeardupIndex(b1, live, "tA")
+      VectorOps.appendNeardupIndex(b2, live, "tB")
+      assert(VectorOps.indexHistory(spark, live) == Seq("init", "tA", "tB"))
+
+      VectorOps.writeNeardupIndex(b0.unionByName(b1), pinned)
+      val want = rows(VectorOps.minhashPairsIndexed(spark, pinned))
+      val got = rows(VectorOps.minhashPairsIndexedAsOf(spark, live,
+        asOf = "tA"))
+      assert(got == want,
+        "as-of tA must equal the index that never saw tB")
+      assert(got.nonEmpty, "fixture prefix must contain near-dup pairs")
+
+      // the delta probe sees the same snapshot
+      val wantDelta = rows(VectorOps.neardupDeltaIndexed(spark, pinned, b2))
+      val gotDelta = rows(VectorOps.neardupDeltaIndexedAsOf(spark, live, b2,
+        asOf = "tA"))
+      assert(gotDelta == wantDelta)
+    } finally { rm(live); rm(pinned) }
+  }
+
+  test("rebuild resets history to init") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = tmpDir("asof_rebuild")
+    try {
+      VectorOps.writeNeardupIndex(docs.filter(col("doc_id") < 100), idx)
+      VectorOps.appendNeardupIndex(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), idx, "tA")
+      VectorOps.writeNeardupIndex(docs.filter(col("doc_id") < 200), idx)
+      assert(VectorOps.indexHistory(spark, idx) == Seq("init"),
+        "a rebuild starts a new history — pre-rebuild tags left the data")
+    } finally rm(idx)
+  }
+
+  test("the as-of scan partition-prunes to the prefix's batch dirs") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = tmpDir("asof_prune")
+    try {
+      VectorOps.writeNeardupIndex(docs.filter(col("doc_id") < 200), idx)
+      VectorOps.appendNeardupIndex(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), idx, "tA")
+      VectorOps.appendNeardupIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), idx, "tB")
+      val scan = VectorOps.minhashPairsIndexedAsOf(spark, idx, asOf = "tA")
+      // finalize THIS df's own AQE plan, then traverse THROUGH the
+      // adaptive/stage wrappers (their current plans are fields, not
+      // children — a plain collect sees none of the scans)
+      scan.queryExecution.toRdd.count()
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(allScans)
+      }
+      val fsScans = allScans(scan.queryExecution.executedPlan)
+      assert(fsScans.nonEmpty)
+      fsScans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          "the as-of tag set must land as partitionFilters on the scan")
+        val readTags = s.relation.location
+          .listFiles(s.partitionFilters, Nil)
+          .flatMap(_.files).map(_.getPath.toString)
+          .flatMap("batch=([a-zA-Z0-9]+)".r.findFirstMatchIn(_)
+            .map(_.group(1))).toSet
+        assert(readTags == Set("init", "tA"),
+          s"pruned listing must touch exactly the prefix dirs, got $readTags")
+      }
+    } finally rm(idx)
+  }
+}
