@@ -172,6 +172,8 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
+    // rebuild = new as-of history (inside the sentinel window)
+    graft.queries.VectorOps.resetHistory(base.sparkSession, path, Seq("init"))
     graft.queries.VectorOps.endIndexBuild(base.sparkSession, path)
   }
 
@@ -229,6 +231,9 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
+    if (graft.queries.VectorOps.indexHistory(spark, path).isEmpty)
+      graft.queries.VectorOps.recordHistory(spark, path, "init")
+    graft.queries.VectorOps.recordHistory(spark, path, tag)
   }
 
   /** Fold the cells table's accumulated `batch=` increments into one
@@ -239,6 +244,8 @@ object Ivf {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 0): Unit = {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
+    // reset-before-fold — see [[graft.queries.VectorOps.compactNeardupIndex]]
+    graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
       numFiles, Seq("cell"))
   }
@@ -356,12 +363,35 @@ object Ivf {
     */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int,
-      staticPrune: Boolean = false): DataFrame = {
+      staticPrune: Boolean = false): DataFrame =
+    searchCellsOf(spark, path, queries, k, nprobe, staticPrune, None)
+
+  /** [[searchIndex]] against the index AS OF a recorded batch tag — the
+    * ANN half of the as-of family ([[graft.queries.VectorOps
+    * .indexHistory]]): answer top-k against exactly the corpus some
+    * earlier [[appendIndex]] left behind. Centroids are frozen at build,
+    * so the snapshot search IS the historical search — same probes, the
+    * prefix's cells. The batch filter composes with the cell IN-list:
+    * the scan partition-prunes on BOTH levels (prefix dirs × probed
+    * cells). Read-only; `asOf` must be in the index history.
+    */
+  def searchIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nprobe: Int, asOf: String,
+      staticPrune: Boolean = false): DataFrame =
+    searchCellsOf(spark, path, queries, k, nprobe, staticPrune, Some(asOf))
+
+  private def searchCellsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nprobe: Int,
+      staticPrune: Boolean, asOf: Option[String]): DataFrame = {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     requireIvfReadable(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = asOf match {
+      case None => spark.read.parquet(s"$path/cells")
+      case Some(tag) =>
+        graft.queries.VectorOps.componentAsOf(spark, path, "cells", tag)
+    }
     val cellType = cells.schema("cell").dataType
     val probes0 = probesOf(queries, cents, nprobe)
       .withColumn("cell", col("cell").cast(cellType))

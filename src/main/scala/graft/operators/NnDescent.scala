@@ -323,6 +323,8 @@ object NnDescent {
       .parquet(s"$path/cells/batch=init")
     buildGraph(b, k, iters, cells)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
+    // rebuild = new as-of history (inside the sentinel window)
+    graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.endIndexBuild(spark, path)
   }
 
@@ -350,6 +352,10 @@ object NnDescent {
       cells: Int = 16): Unit = {
     Seq("vectors", "edges", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    // history reset BEFORE the vectors fold (reset-before-fold law —
+    // [[graft.queries.VectorOps.compactNeardupIndex]]): old tags must
+    // never resolve against folded data
+    graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.compactComponent(spark, s"$path/vectors", 0)
     val b = spark.read
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
@@ -416,18 +422,57 @@ object NnDescent {
     Ivf.assign(fresh, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
+    if (graft.queries.VectorOps.indexHistory(spark, path).isEmpty)
+      graft.queries.VectorOps.recordHistory(spark, path, "init")
+    graft.queries.VectorOps.recordHistory(spark, path, tag)
+  }
+
+  /** One index component, optionally restricted to the batches admitted
+    * up to `asOf` (partition-pruned prefix read — the as-of family law,
+    * [[graft.queries.VectorOps.componentAsOf]]; explicit schema keeps
+    * the batch partition column a STRING).
+    */
+  private def readComp(spark: SparkSession, path: String, name: String,
+      schema: String, asOf: Option[String]): DataFrame = {
+    val df = spark.read.schema(schema + ", batch STRING")
+      .parquet(s"$path/$name")
+    asOf match {
+      case None => df.drop("batch")
+      case Some(tag) =>
+        val tags = graft.queries.VectorOps.historyPrefix(spark, path, tag)
+        graft.queries.VectorOps
+          .requireBatchesPresent(spark, s"$path/$name", tags)
+        df.filter(col("batch").isin(tags: _*)).drop("batch")
+    }
   }
 
   /** Search the persisted index (fail-closed on a mid-build sentinel). */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, beam: Int, hops: Int, entries: Int = 8): DataFrame = {
+      k: Int, beam: Int, hops: Int, entries: Int = 8): DataFrame =
+    searchIndexAt(spark, path, queries, k, beam, hops, entries, None)
+
+  /** [[searchIndex]] against the graph AS OF a recorded batch tag: the
+    * prefix's vectors are the nodes and the prefix's edge increments
+    * are exactly the adjacency those appends froze, so the snapshot
+    * search IS the historical search (appended nodes' out-edges live in
+    * their own tag's increment and later tags never rewrite them).
+    * Read-only; `asOf` must be in the index history.
+    */
+  def searchIndexAsOf(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, asOf: String,
+      entries: Int = 8): DataFrame =
+    searchIndexAt(spark, path, queries, k, beam, hops, entries, Some(asOf))
+
+  private def searchIndexAt(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, entries: Int,
+      asOf: Option[String]): DataFrame = {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "edges").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
-    val base = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
-      .parquet(s"$path/vectors").drop("batch")
-    val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
-      .parquet(s"$path/edges").drop("batch")
+    val base = readComp(spark, path, "vectors",
+      "vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE", asOf)
+    val edges = readComp(spark, path, "edges",
+      "src LONG, dst LONG, sim DOUBLE", asOf)
     searchGraph(base, edges, queries, k, beam, hops, entries)
   }
 
@@ -475,18 +520,34 @@ object NnDescent {
     */
   def searchIndexRouted(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, beam: Int, hops: Int, nprobe: Int = 3,
-      hubsPerCell: Int = 8): DataFrame = {
+      hubsPerCell: Int = 8): DataFrame =
+    searchIndexRoutedAt(spark, path, queries, k, beam, hops, nprobe,
+      hubsPerCell, None)
+
+  /** [[searchIndexRouted]] against the graph AS OF a recorded batch tag
+    * — routing state (cells) snapshots with the graph: entry hubs come
+    * from exactly the routing rows the prefix's admits filed, under the
+    * same frozen centroids. Read-only.
+    */
+  def searchIndexRoutedAsOf(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, asOf: String,
+      nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame =
+    searchIndexRoutedAt(spark, path, queries, k, beam, hops, nprobe,
+      hubsPerCell, Some(asOf))
+
+  private def searchIndexRoutedAt(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, nprobe: Int,
+      hubsPerCell: Int, asOf: Option[String]): DataFrame = {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "edges", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
-    val base = spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
-      .parquet(s"$path/vectors").drop("batch")
-    val edges = spark.read.schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
-      .parquet(s"$path/edges").drop("batch")
+    val base = readComp(spark, path, "vectors",
+      "vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE", asOf)
+    val edges = readComp(spark, path, "edges",
+      "src LONG, dst LONG, sim DOUBLE", asOf)
     val cents = spark.read.parquet(s"$path/centroids")
-    val assigned = spark.read
-      .schema("vec_id LONG, sim DOUBLE, cell LONG, batch STRING")
-      .parquet(s"$path/cells").drop("batch")
+    val assigned = readComp(spark, path, "cells",
+      "vec_id LONG, sim DOUBLE, cell LONG", asOf)
     searchGraphFrom(base, edges, queries, k, beam, hops,
       entriesOf(assigned, cents, queries, nprobe, hubsPerCell))
   }

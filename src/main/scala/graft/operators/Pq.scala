@@ -264,6 +264,8 @@ object Pq {
     // index without its marker
     perm.foreach(p => writePermMarker(spark, path, p))
     writeMMarker(spark, path, m)
+    // rebuild = new as-of history (inside the sentinel window)
+    graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     endBuild(spark, path)
   }
 
@@ -312,6 +314,9 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
+    if (graft.queries.VectorOps.indexHistory(spark, path).isEmpty)
+      graft.queries.VectorOps.recordHistory(spark, path, "init")
+    graft.queries.VectorOps.recordHistory(spark, path, tag)
   }
 
   /** Fold accumulated `batch=` increments into one fresh `batch=init`
@@ -320,9 +325,12 @@ object Pq {
     * [[graft.queries.VectorOps.compactNeardupIndex]].
     */
   def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 0): Unit =
+      numFiles: Int = 0): Unit = {
+    // reset-before-fold — see [[graft.queries.VectorOps.compactNeardupIndex]]
+    graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
       numFiles, Seq("cell"))
+  }
 
   /** IVF-PQ search over a materialized index: each query probes its
     * `nprobe` nearest cells (partition-pruned scan — the [[Ivf]]
@@ -345,16 +353,39 @@ object Pq {
       k, nprobe, shortlist, m)
   }
 
+  /** [[searchIndex]] against the index AS OF a recorded batch tag —
+    * centroids/codebooks/permutation are frozen at build, so the
+    * snapshot search over the prefix's cells IS the historical search
+    * (the [[Ivf.searchIndexAsOf]] law, with codes riding along).
+    * Read-only; `asOf` must be in the index history.
+    */
+  def searchIndexAsOf(spark: SparkSession, path: String,
+      queries0: DataFrame, k: Int, nprobe: Int, shortlist: Int, m: Int,
+      asOf: String): DataFrame = {
+    requireNotBuilding(spark, path)
+    require(!isResidualIndex(spark, path),
+      s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
+        "residual codes would rank garbage; use searchIndexResidualAsOf")
+    requireM(spark, path, m)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    searchIndexBody(spark, path, applyStoredPerm(spark, path, queries0),
+      k, nprobe, shortlist, m, Some(asOf))
+  }
+
   /** [[searchIndex]] after entry validation and perm application — the
     * per-chunk unit [[searchIndexChunked]] drives without re-reading
     * sidecars.
     */
   private def searchIndexBody(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-      m: Int): DataFrame = {
+      m: Int, asOf: Option[String] = None): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = asOf match {
+      case None => spark.read.parquet(s"$path/cells")
+      case Some(tag) =>
+        graft.queries.VectorOps.componentAsOf(spark, path, "cells", tag)
+    }
     val cellType = cells.schema("cell").dataType
     val probes = Ivf.probesOf(queries, cents, nprobe)
       .withColumn("cell", col("cell").cast(cellType))
@@ -593,6 +624,7 @@ object Pq {
       .parquet(s"$path/cells/batch=init")
     perm.foreach(p => writePermMarker(spark, path, p))
     writeMMarker(spark, path, m)
+    graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     endBuild(spark, path)
   }
 
@@ -649,12 +681,31 @@ object Pq {
       applyStoredPerm(spark, path, queries0), k, nprobe, shortlist, m)
   }
 
+  /** [[searchIndexResidual]]'s as-of twin — see [[searchIndexAsOf]]. */
+  def searchIndexResidualAsOf(spark: SparkSession, path: String,
+      queries0: DataFrame, k: Int, nprobe: Int, shortlist: Int, m: Int,
+      asOf: String): DataFrame = {
+    requireNotBuilding(spark, path)
+    require(isResidualIndex(spark, path),
+      s"$path is not a residual-encoded index — use searchIndexAsOf, or " +
+        "rebuild with writeIndexResidual")
+    requireM(spark, path, m)
+    graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+    searchIndexResidualBody(spark, path,
+      applyStoredPerm(spark, path, queries0), k, nprobe, shortlist, m,
+      Some(asOf))
+  }
+
   private def searchIndexResidualBody(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-      m: Int): DataFrame = {
+      m: Int, asOf: Option[String] = None): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = asOf match {
+      case None => spark.read.parquet(s"$path/cells")
+      case Some(tag) =>
+        graft.queries.VectorOps.componentAsOf(spark, path, "cells", tag)
+    }
     val cellType = cells.schema("cell").dataType
     val probes = Ivf.probesOf(queries, cents, nprobe)
       .join(broadcast(cents.select(col("c_id").as("cell"), col("c_emb"))),

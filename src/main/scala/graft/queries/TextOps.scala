@@ -921,6 +921,7 @@ object TextOps {
     shingleRows(evalDocs.select(col("doc_id"), col("text")))
       .select(col("s")).distinct()
       .write.mode("overwrite").parquet(s"$path/shingles/batch=init")
+    VectorOps.resetHistory(spark, path, Seq("init"))
     VectorOps.endIndexBuild(spark, path)
   }
 
@@ -952,6 +953,9 @@ object TextOps {
     // batch against a corpus-sized store and must never shuffle it
     fresh.join(others.select(col("s")), Seq("s"), "left_anti")
       .write.mode("overwrite").parquet(s"$path/shingles/batch=$tag")
+    if (VectorOps.indexHistory(spark, path).isEmpty)
+      VectorOps.recordHistory(spark, path, "init")
+    VectorOps.recordHistory(spark, path, tag)
   }
 
   /** The stored distinct eval shingles — one `s` column, a set by the
@@ -972,6 +976,8 @@ object TextOps {
   def compactEvalIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
     VectorOps.requireNotBuilding(spark, path)
+    // reset-before-fold — see [[VectorOps.compactNeardupIndex]]
+    VectorOps.resetHistory(spark, path, Seq("init"))
     VectorOps.compactComponent(spark, s"$path/shingles", numFiles)
   }
 
@@ -1064,6 +1070,28 @@ object TextOps {
       cfg: CurateConfig = CurateConfig()): DataFrame = {
     val spark = docs.sparkSession
     val evalSh = readEvalShingles(spark, path)
+    decontaminateAgainst(docs, evalSh, cfg)
+  }
+
+  /** [[decontaminateIndexed]] against the eval index AS OF a recorded
+    * batch tag — "which training docs would we have flagged against the
+    * eval set as of release R": the append-time anti-join makes each
+    * increment exactly the tag's NOVEL shingles, so a history prefix is
+    * the eval set's state at that admit, partition-pruned. Read-only.
+    */
+  def decontaminateIndexedAsOf(docs: DataFrame, path: String, asOf: String,
+      cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val spark = docs.sparkSession
+    VectorOps.requireNotBuilding(spark, path)
+    val tags = VectorOps.historyPrefix(spark, path, asOf)
+    VectorOps.requireBatchesPresent(spark, s"$path/shingles", tags)
+    val evalSh = spark.read.parquet(s"$path/shingles")
+      .filter(col("batch").isin(tags: _*)).select(col("s"))
+    decontaminateAgainst(docs, evalSh, cfg)
+  }
+
+  private def decontaminateAgainst(docs: DataFrame, evalSh: DataFrame,
+      cfg: CurateConfig): DataFrame = {
     val sh = shingleRows(docs.select(col("doc_id"), col("text")))
     contamScores(docs.select(col("doc_id")), cfg,
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
@@ -1469,6 +1497,7 @@ object TextOps {
   private def seenAsOf(spark: SparkSession, path: String,
       asOf: String): DataFrame = {
     val tags = VectorOps.historyPrefix(spark, path, asOf)
+    VectorOps.requireBatchesPresent(spark, s"$path/seen", tags)
     spark.read.schema("h STRING, batch STRING").parquet(s"$path/seen")
       .filter(col("batch").isin(tags: _*)).select(col("h"))
   }
@@ -1605,11 +1634,11 @@ object TextOps {
         .filter(n => n.startsWith("batch=") && n != "batch=init")
         .map(_.stripPrefix("batch=")).toSet
     val folded = (compactedSegmentTags(spark, path) ++ live).toSeq.sorted
+    // as-of reach ends at the fold, like the replay windows above; reset
+    // BEFORE folding — see [[VectorOps.compactNeardupIndex]]
+    VectorOps.resetHistory(spark, path, Seq("init"))
     VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil,
       sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
-    // as-of reach ends at the fold, like the replay windows above; the
-    // compacted data IS the new baseline
-    VectorOps.resetHistory(spark, path, Seq("init"))
   }
 
   /** Does `path`'s seen-set already hold an increment under `batch=tag`?

@@ -387,6 +387,7 @@ object VectorOps {
     val base = vecs.limit(0)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     writeLshParams(spark, path, numPlanes, bands, seed)
+    resetHistory(spark, path, Seq("init")) // before data: crash re-runs all
     bandedSignatures(base, numPlanes, bands, seed)
       .write.mode("overwrite").parquet(s"$path/bands/batch=init")
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
@@ -460,11 +461,33 @@ object VectorOps {
     * a snapshot read of a 10%-grown index costs the 10-batch prefix,
     * not the full corpus plus a discard filter.
     */
-  private[queries] def componentAsOf(spark: SparkSession, root: String,
+  private[graft] def componentAsOf(spark: SparkSession, root: String,
       component: String, asOf: String): DataFrame = {
     val tags = historyPrefix(spark, root, asOf)
+    requireBatchesPresent(spark, s"$root/$component", tags)
     spark.read.parquet(s"$root/$component")
       .filter(col("batch").isin(tags: _*))
+  }
+
+  /** An as-of read must refuse a snapshot whose data is not fully on
+    * disk: compaction resets history BEFORE folding (so a crash between
+    * them can never resolve old tags against folded data), which opens
+    * the reverse window — history says `init` while the baseline dir is
+    * still being folded. Reading through it would silently answer from
+    * a state that never existed (e.g. an EMPTY seen-set); refusing is
+    * loud and the retrying compaction clears it.
+    */
+  private[graft] def requireBatchesPresent(spark: SparkSession,
+      componentDir: String, tags: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(componentDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = tags.filterNot(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$componentDir/batch=$t")))
+    require(missing.isEmpty,
+      s"$componentDir is missing batch dirs for recorded history tags " +
+        s"${missing.mkString(", ")} — an interrupted compaction has not " +
+        "re-folded the baseline yet; re-run the compaction, then retry " +
+        "the as-of read")
   }
 
   /** [[neardupDeltaIndexed]] against the index AS OF a recorded batch
@@ -754,7 +777,7 @@ object VectorOps {
     * serialized per index by the ingest-loop contract (foreachBatch),
     * so the read-modify-write is single-writer by construction.
     */
-  private[queries] def recordHistory(spark: SparkSession, path: String,
+  private[graft] def recordHistory(spark: SparkSession, path: String,
       tag: String): Unit = {
     val cur = indexHistory(spark, path)
     if (!cur.contains(tag))
@@ -777,7 +800,7 @@ object VectorOps {
     * design; pin a copy of the index BEFORE compacting if a release
     * must stay reproducible past it.
     */
-  private[queries] def resetHistory(spark: SparkSession, path: String,
+  private[graft] def resetHistory(spark: SparkSession, path: String,
       baseline: Seq[String]): Unit =
     writeSidecar(spark, s"$path/_history", baseline.mkString("\n"))
 
@@ -785,7 +808,7 @@ object VectorOps {
     * read scans. Unknown tags fail loudly, naming the two ways a tag
     * can be absent (never admitted, or folded away by compaction).
     */
-  private[queries] def historyPrefix(spark: SparkSession, path: String,
+  private[graft] def historyPrefix(spark: SparkSession, path: String,
       asOf: String): Seq[String] = {
     val h = indexHistory(spark, path)
     val i = h.indexOf(asOf)
@@ -860,10 +883,15 @@ object VectorOps {
   def compactNeardupIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
     requireNotBuilding(spark, path)
+    // history reset BEFORE the fold: a crash after the fold but before
+    // the reset would leave old tags resolvable against data that no
+    // longer has their batch dirs — an as-of probe would silently read
+    // the folded superset. Reset-first keeps every crash-window
+    // observation a true historical state (init = the pre-fold baseline
+    // until the retry completes the fold, the folded corpus after).
+    resetHistory(spark, path, Seq("init"))
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/sets", numFiles)
-    // folded tags leave the as-of reach with their per-tag state
-    resetHistory(spark, path, Seq("init"))
   }
 
   /** Compact a persisted cosine index ([[writeCosineIndex]] +
@@ -873,6 +901,8 @@ object VectorOps {
   def compactCosineIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
     requireNotBuilding(spark, path)
+    // reset-before-fold — see [[compactNeardupIndex]]
+    resetHistory(spark, path, Seq("init"))
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/vectors", numFiles)
   }
@@ -1230,6 +1260,7 @@ object VectorOps {
     // recall silently collapses to zero, the worst failure mode a
     // dedup index has. Readers validate against this record.
     writeLshParams(spark, path, numPlanes, bands, seed)
+    resetHistory(spark, path, Seq("init")) // rebuild = new as-of history
     endIndexBuild(spark, path)
   }
 
@@ -1295,6 +1326,8 @@ object VectorOps {
     bandedSignatures(base, numPlanes, bands, seed)
       .write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tag")
+    if (indexHistory(spark, path).isEmpty) recordHistory(spark, path, "init")
+    recordHistory(spark, path, tag)
   }
 
   /** [[cosineDelta]] against a persisted index ([[writeCosineIndex]]) —
@@ -1308,6 +1341,21 @@ object VectorOps {
     cosineDeltaFrames(newVecs,
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/vectors"),
+      threshold, numPlanes, bands, seed)
+  }
+
+  /** [[cosineDeltaIndexed]] against the index AS OF a recorded batch
+    * tag — the embedding-space twin of [[neardupDeltaIndexedAsOf]]:
+    * read-only, partition-pruned to the history prefix's `batch=` dirs.
+    */
+  def cosineDeltaIndexedAsOf(spark: SparkSession, path: String,
+      newVecs: DataFrame, threshold: Double, numPlanes: Int = 16,
+      bands: Int = 8, seed: Long = 42L, asOf: String): DataFrame = {
+    requireNotBuilding(spark, path)
+    requireLshParams(spark, path, numPlanes, bands, seed)
+    cosineDeltaFrames(newVecs,
+      componentAsOf(spark, path, "bands", asOf),
+      componentAsOf(spark, path, "vectors", asOf),
       threshold, numPlanes, bands, seed)
   }
 

@@ -127,6 +127,159 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSessionFixture {
     } finally { rm(live); rm(pinned) }
   }
 
+  test("cosine index: as-of delta == delta against an index that never saw later batches") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val b0 = vecs.filter(col("vec_id") < 200)
+    val b1 = vecs.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+    val b2 = vecs.filter(col("vec_id") >= 350)
+    val live = tmpDir("asof_cos_live")
+    val pinned = tmpDir("asof_cos_pin")
+    try {
+      VectorOps.writeCosineIndex(b0, live)
+      VectorOps.appendCosineIndex(b1, live, "tA")
+      VectorOps.appendCosineIndex(b2, live, "tB")
+      assert(VectorOps.indexHistory(spark, live) == Seq("init", "tA", "tB"))
+      VectorOps.writeCosineIndex(b0.unionByName(b1), pinned)
+      val want = rows(VectorOps.cosineDeltaIndexed(spark, pinned, b2, 0.35))
+      val got = rows(VectorOps.cosineDeltaIndexedAsOf(spark, live, b2, 0.35,
+        asOf = "tA"))
+      assert(got == want)
+      assert(got.nonEmpty, "fixture prefix must contain cosine pairs")
+    } finally { rm(live); rm(pinned) }
+  }
+
+  test("eval index: decontamination as-of a release tag == against the eval set of that day") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val e0 = docs.filter(col("doc_id") < 50)
+    val e1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    val e2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val train = docs.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+    val live = tmpDir("asof_eval_live")
+    val pinned = tmpDir("asof_eval_pin")
+    try {
+      TextOps.writeEvalIndex(e0, live)
+      TextOps.appendEvalIndex(e1, live, "tA")
+      TextOps.appendEvalIndex(e2, live, "tB")
+      TextOps.writeEvalIndex(e0, pinned)
+      TextOps.appendEvalIndex(e1, pinned, "tA")
+      val want = rows(TextOps.decontaminateIndexed(train, pinned))
+      val got = rows(TextOps.decontaminateIndexedAsOf(train, live, "tA"))
+      assert(got == want)
+      assert(want.nonEmpty)
+      // the eval set only grows, so the snapshot's flagged docs are a
+      // subset of the live index's
+      def flagged(df: DataFrame) = df.filter(col("contaminated"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(flagged(TextOps.decontaminateIndexedAsOf(train, live, "tA"))
+        .subsetOf(flagged(TextOps.decontaminateIndexed(train, live))))
+    } finally { rm(live); rm(pinned) }
+  }
+
+  test("IVF index: as-of search == the search the index answered when the tag was live") {
+    import graft.operators.Ivf
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .dotProduct(col("embedding"), col("embedding")).as("n2"))
+    val b0 = vecs.filter(col("vec_id") < 250)
+    val b1 = vecs.filter(col("vec_id") >= 250 && col("vec_id") < 400)
+    val b2 = vecs.filter(col("vec_id") >= 400)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val idx = tmpDir("asof_ivf")
+    try {
+      val cents = Ivf.train(b0, k = 8, iters = 3)
+      Ivf.writeIndex(b0, cents, idx)
+      Ivf.appendIndex(spark, b1, idx, "tA")
+      val thenAnswer = rows(Ivf.searchIndex(spark, idx, queries,
+        k = 5, nprobe = 4))
+      Ivf.appendIndex(spark, b2, idx, "tB")
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) ==
+        Seq("init", "tA", "tB"))
+      val nowAsOf = rows(Ivf.searchIndexAsOf(spark, idx, queries,
+        k = 5, nprobe = 4, asOf = "tA"))
+      assert(nowAsOf == thenAnswer,
+        "the as-of search must reproduce the historical answer")
+      assert(rows(Ivf.searchIndex(spark, idx, queries, 5, 4)) != thenAnswer,
+        "sanity: tB's vectors must actually change the live answer")
+    } finally rm(idx)
+  }
+
+  test("graph index: as-of search == the search the graph answered when the tag was live") {
+    import graft.operators.NnDescent
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .dotProduct(col("embedding"), col("embedding")).as("n2"))
+    val b0 = vecs.filter(col("vec_id") < 250)
+    val b1 = vecs.filter(col("vec_id") >= 250 && col("vec_id") < 400)
+    val b2 = vecs.filter(col("vec_id") >= 400)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val idx = tmpDir("asof_nnd")
+    try {
+      NnDescent.writeIndex(b0, idx, k = 10, iters = 2, cells = 8)
+      NnDescent.appendIndex(spark, b1, idx, "tA", k = 10)
+      val thenPlain = rows(NnDescent.searchIndex(spark, idx, queries,
+        k = 5, beam = 40, hops = 3))
+      val thenRouted = rows(NnDescent.searchIndexRouted(spark, idx, queries,
+        k = 5, beam = 40, hops = 3))
+      NnDescent.appendIndex(spark, b2, idx, "tB", k = 10)
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) ==
+        Seq("init", "tA", "tB"))
+      assert(rows(NnDescent.searchIndexAsOf(spark, idx, queries,
+        k = 5, beam = 40, hops = 3, asOf = "tA")) == thenPlain)
+      assert(rows(NnDescent.searchIndexRoutedAsOf(spark, idx, queries,
+        k = 5, beam = 40, hops = 3, asOf = "tA")) == thenRouted)
+    } finally rm(idx)
+  }
+
+  test("PQ index: as-of ADC search == the historical answer; rebuild resets history") {
+    import graft.operators.{Ivf, Pq}
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .dotProduct(col("embedding"), col("embedding")).as("n2"))
+    val b0 = vecs.filter(col("vec_id") < 250)
+    val b1 = vecs.filter(col("vec_id") >= 250 && col("vec_id") < 400)
+    val b2 = vecs.filter(col("vec_id") >= 400)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val idx = tmpDir("asof_pq")
+    try {
+      val cents = Ivf.train(b0, k = 8, iters = 3)
+      val books = Pq.train(b0, m = 8, ks = 16, iters = 3)
+      Pq.writeIndex(b0, cents, books, idx, m = 8)
+      Pq.appendIndex(spark, b1, idx, "tA", m = 8)
+      val thenAnswer = rows(Pq.searchIndex(spark, idx, queries,
+        k = 5, nprobe = 4, shortlist = 32, m = 8))
+      Pq.appendIndex(spark, b2, idx, "tB", m = 8)
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) ==
+        Seq("init", "tA", "tB"))
+      assert(rows(Pq.searchIndexAsOf(spark, idx, queries,
+        k = 5, nprobe = 4, shortlist = 32, m = 8, asOf = "tA")) ==
+        thenAnswer)
+      Pq.writeIndex(b0, cents, books, idx, m = 8)
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) == Seq("init"))
+    } finally rm(idx)
+  }
+
+  test("an as-of read refuses a snapshot whose batch dirs are missing") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = tmpDir("asof_missing")
+    try {
+      VectorOps.writeNeardupIndex(docs.filter(col("doc_id") < 100), idx)
+      VectorOps.appendNeardupIndex(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), idx, "tA")
+      // simulate the reset-before-fold crash window: data for a
+      // recorded tag is gone while history still lists it
+      rm(s"$idx/bands/batch=tA")
+      val e = intercept[IllegalArgumentException] {
+        VectorOps.minhashPairsIndexedAsOf(spark, idx, asOf = "tA").collect()
+      }
+      assert(e.getMessage.contains("missing batch dirs"))
+    } finally rm(idx)
+  }
+
   test("rebuild resets history to init") {
     val docs = Tables.t(spark, Sf0001, "documents")
       .select(col("doc_id"), col("text"))
