@@ -221,6 +221,7 @@ object Ivf {
     requireIvfReadable(spark, path, forAppend = true)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
+    graft.queries.VectorOps.seedHistoryIfEmpty(spark, path, Seq("cells"))
     val cents = spark.read.parquet(s"$path/centroids")
     // growth-only: a re-sent vec_id is ignored, not written into a
     // (possibly different) cell twice — see
@@ -231,8 +232,6 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
-    if (graft.queries.VectorOps.indexHistory(spark, path).isEmpty)
-      graft.queries.VectorOps.recordHistory(spark, path, "init")
     graft.queries.VectorOps.recordHistory(spark, path, tag)
   }
 
@@ -244,10 +243,13 @@ object Ivf {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 0): Unit = {
     graft.queries.VectorOps.requireNotBuilding(spark, path)
-    // reset-before-fold — see [[graft.queries.VectorOps.compactNeardupIndex]]
+    // reset-before-fold + fold sentinel — see
+    // [[graft.queries.VectorOps.compactNeardupIndex]]
+    graft.queries.VectorOps.beginFold(spark, path)
     graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
       numFiles, Seq("cell"))
+    graft.queries.VectorOps.endFold(spark, path)
   }
 
   /** Centroid-drift observability (r13): [[appendIndex]] grows cells

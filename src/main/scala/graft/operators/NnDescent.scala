@@ -354,7 +354,11 @@ object NnDescent {
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
     // history reset BEFORE the vectors fold (reset-before-fold law —
     // [[graft.queries.VectorOps.compactNeardupIndex]]): old tags must
-    // never resolve against folded data
+    // never resolve against folded data. The fold sentinel covers the
+    // gap between the vectors fold and the _building bracket below —
+    // without it an as-of read there would see full-corpus vectors
+    // against baseline-only edges
+    graft.queries.VectorOps.beginFold(spark, path)
     graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.compactComponent(spark, s"$path/vectors", 0)
     val b = spark.read
@@ -370,6 +374,7 @@ object NnDescent {
       .parquet(s"$path/cells/batch=init")
     buildGraph(b, k, iters, cells)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
+    graft.queries.VectorOps.endFold(spark, path)
     graft.queries.VectorOps.endIndexBuild(spark, path)
   }
 
@@ -392,6 +397,8 @@ object NnDescent {
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c")
       graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/$c")
     }
+    graft.queries.VectorOps.seedHistoryIfEmpty(spark, path,
+      Seq("vectors", "edges", "cells"))
     val fresh = graft.queries.VectorOps
       .dropExistingVecIds(spark, vecs, s"$path/vectors", tag)
       .select(col("vec_id"), col("embedding"), col("n2"))
@@ -422,8 +429,6 @@ object NnDescent {
     Ivf.assign(fresh, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
-    if (graft.queries.VectorOps.indexHistory(spark, path).isEmpty)
-      graft.queries.VectorOps.recordHistory(spark, path, "init")
     graft.queries.VectorOps.recordHistory(spark, path, tag)
   }
 

@@ -283,6 +283,7 @@ object Pq {
     requireM(spark, path, m)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
     graft.queries.VectorOps.ensureBatchLayout(spark, s"$path/cells")
+    graft.queries.VectorOps.seedHistoryIfEmpty(spark, path, Seq("cells"))
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/books")
     // growth-only: re-sent vec_ids are dropped, not re-coded — after
@@ -314,8 +315,6 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=$tag")
-    if (graft.queries.VectorOps.indexHistory(spark, path).isEmpty)
-      graft.queries.VectorOps.recordHistory(spark, path, "init")
     graft.queries.VectorOps.recordHistory(spark, path, tag)
   }
 
@@ -326,10 +325,16 @@ object Pq {
     */
   def compactIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
-    // reset-before-fold — see [[graft.queries.VectorOps.compactNeardupIndex]]
+    // fail closed on a crashed build like every sibling compactor: a
+    // cadence job must not fold (and history-reset) half-written cells
+    requireNotBuilding(spark, path)
+    // reset-before-fold + fold sentinel — see
+    // [[graft.queries.VectorOps.compactNeardupIndex]]
+    graft.queries.VectorOps.beginFold(spark, path)
     graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
     graft.queries.VectorOps.compactComponent(spark, s"$path/cells",
       numFiles, Seq("cell"))
+    graft.queries.VectorOps.endFold(spark, path)
   }
 
   /** IVF-PQ search over a materialized index: each query probes its

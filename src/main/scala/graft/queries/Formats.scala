@@ -67,6 +67,14 @@ object Formats {
     * field and the read default turns EVERY empty field back into null,
     * erasing the null-vs-empty-string distinction. An explicit sentinel
     * keeps both (empty strings travel as quoted `""`).
+    *
+    * Known limit, pinned in FormatsSpec: a string value LITERALLY equal
+    * to the sentinel (`\N`, two characters) round-trips to null. No
+    * sentinel escapes this — Spark's parser compares `nullValue`
+    * against the UNQUOTED parsed value, so even a quoted occurrence
+    * converts — it is CSV's gap, not a knob's. Columns that could
+    * plausibly contain the sentinel (log-derived free text) belong in
+    * JSONL, which encodes null structurally.
     */
   private val CsvNull = "\\N"
 

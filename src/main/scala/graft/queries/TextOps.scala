@@ -940,6 +940,7 @@ object TextOps {
     VectorOps.requireNotBuilding(spark, path)
     VectorOps.finishCrashedSwap(spark, s"$path/shingles")
     VectorOps.ensureBatchLayout(spark, s"$path/shingles")
+    VectorOps.seedHistoryIfEmpty(spark, path, Seq("shingles"))
     val fresh = shingleRows(evalDocs.select(col("doc_id"), col("text")))
       .select(col("s")).distinct()
     val stored = spark.read.parquet(s"$path/shingles")
@@ -953,8 +954,6 @@ object TextOps {
     // batch against a corpus-sized store and must never shuffle it
     fresh.join(others.select(col("s")), Seq("s"), "left_anti")
       .write.mode("overwrite").parquet(s"$path/shingles/batch=$tag")
-    if (VectorOps.indexHistory(spark, path).isEmpty)
-      VectorOps.recordHistory(spark, path, "init")
     VectorOps.recordHistory(spark, path, tag)
   }
 
@@ -976,9 +975,12 @@ object TextOps {
   def compactEvalIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
     VectorOps.requireNotBuilding(spark, path)
-    // reset-before-fold — see [[VectorOps.compactNeardupIndex]]
+    // the fold sentinel also closes the reset->fold window (as-of init
+    // before the baseline dir exists would read an EMPTY eval set)
+    VectorOps.beginFold(spark, path)
     VectorOps.resetHistory(spark, path, Seq("init"))
     VectorOps.compactComponent(spark, s"$path/shingles", numFiles)
+    VectorOps.endFold(spark, path)
   }
 
   /** [[decontaminateOn]] with bloom-filter semi-join pruning — the
@@ -1083,10 +1085,8 @@ object TextOps {
       cfg: CurateConfig = CurateConfig()): DataFrame = {
     val spark = docs.sparkSession
     VectorOps.requireNotBuilding(spark, path)
-    val tags = VectorOps.historyPrefix(spark, path, asOf)
-    VectorOps.requireBatchesPresent(spark, s"$path/shingles", tags)
-    val evalSh = spark.read.parquet(s"$path/shingles")
-      .filter(col("batch").isin(tags: _*)).select(col("s"))
+    val evalSh = VectorOps.componentAsOf(spark, path, "shingles", asOf)
+      .select(col("s"))
     decontaminateAgainst(docs, evalSh, cfg)
   }
 
@@ -1471,6 +1471,9 @@ object TextOps {
       s"tag '$tag' was folded into batch=init by index compaction — " +
         "its replay window is closed; re-ingest under a fresh tag " +
         "(output would differ from the original run, not repeat it)")
+    // legacy seen-sets predating the sidecar: seed from the layout
+    // BEFORE this tag's dir exists ([[VectorOps.seedHistoryIfEmpty]])
+    VectorOps.seedHistoryIfEmpty(spark, path, Seq("seen"))
     val seenDir = new org.apache.hadoop.fs.Path(s"$path/seen")
     val fs = seenDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val kept =
@@ -1496,6 +1499,8 @@ object TextOps {
     */
   private def seenAsOf(spark: SparkSession, path: String,
       asOf: String): DataFrame = {
+    // self-heal a crashed compaction swap like the live probe path
+    VectorOps.finishCrashedSwap(spark, s"$path/seen")
     val tags = VectorOps.historyPrefix(spark, path, asOf)
     VectorOps.requireBatchesPresent(spark, s"$path/seen", tags)
     spark.read.schema("h STRING, batch STRING").parquet(s"$path/seen")
@@ -1635,10 +1640,14 @@ object TextOps {
         .map(_.stripPrefix("batch=")).toSet
     val folded = (compactedSegmentTags(spark, path) ++ live).toSeq.sorted
     // as-of reach ends at the fold, like the replay windows above; reset
-    // BEFORE folding — see [[VectorOps.compactNeardupIndex]]
+    // BEFORE folding — see [[VectorOps.compactNeardupIndex]] — and the
+    // fold sentinel closes the window where history says init but the
+    // seen-set's init dir does not exist yet
+    VectorOps.beginFold(spark, path)
     VectorOps.resetHistory(spark, path, Seq("init"))
     VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil,
       sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+    VectorOps.endFold(spark, path)
   }
 
   /** Does `path`'s seen-set already hold an increment under `batch=tag`?

@@ -436,11 +436,12 @@ object VectorOps {
     Seq(s"$path/bands", s"$path/sets").foreach { c =>
       finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
     }
+    // pre-history indexes seed from the on-disk layout BEFORE this
+    // tag's dirs exist, so every legacy increment stays in as-of reach
+    // (and the new tag cannot sort itself ahead of them)
+    seedHistoryIfEmpty(spark, path, Seq("bands", "sets"))
     minhashBands(docs).write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
     shingleSets(docs).write.mode("overwrite").parquet(s"$path/sets/batch=$tag")
-    // pre-history indexes (built before the sidecar existed) seed their
-    // baseline on first append, so init stays in as-of reach
-    if (indexHistory(spark, path).isEmpty) recordHistory(spark, path, "init")
     recordHistory(spark, path, tag)
   }
 
@@ -463,10 +464,46 @@ object VectorOps {
     */
   private[graft] def componentAsOf(spark: SparkSession, root: String,
       component: String, asOf: String): DataFrame = {
+    // self-heal a crashed compaction swap first, like the live twins —
+    // the data is intact in the .compacting twin and one rename fixes
+    // it; without this the presence check below would fail with a
+    // misleading re-run-the-compaction remedy
+    finishCrashedSwap(spark, s"$root/$component")
     val tags = historyPrefix(spark, root, asOf)
     requireBatchesPresent(spark, s"$root/$component", tags)
     spark.read.parquet(s"$root/$component")
       .filter(col("batch").isin(tags: _*))
+  }
+
+  // ---------------------------------------------- multi-component folds
+
+  /** `_folding` sentinel: compaction folds an index's components ONE AT
+    * A TIME, and between two folds an as-of read of `init` would see one
+    * folded (full-corpus) and one unfolded (baseline) component — a
+    * state that never existed (live reads are unaffected: they take the
+    * UNION of batches, which every fold preserves). The sentinel
+    * brackets the whole multi-fold window; [[historyPrefix]] — the
+    * chokepoint every as-of read resolves through — refuses while it is
+    * up, and re-running the compaction clears it.
+    */
+  private[graft] def beginFold(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_folding")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  private[graft] def endFold(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_folding")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  private def requireNotFolding(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_folding")
+    require(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$path has an unfinished compaction (crashed mid-fold) — its " +
+        "components may mix folded and unfolded state, so as-of reads " +
+        "are refused; re-run the compaction, then retry")
   }
 
   /** An as-of read must refuse a snapshot whose data is not fully on
@@ -781,7 +818,31 @@ object VectorOps {
       tag: String): Unit = {
     val cur = indexHistory(spark, path)
     if (!cur.contains(tag))
-      writeSidecar(spark, s"$path/_history", (cur :+ tag).mkString("\n"))
+      writeHistoryFile(spark, path, cur :+ tag)
+  }
+
+  /** `_history` writes go through write-temp-then-rename: the file is an
+    * ordered LOG rewritten in full each time, and — unlike the
+    * single-value sidecars, where a replay simply re-records the same
+    * value — a create() truncated mid-write would leave a prefix line
+    * (`t` of `t1`) that parses as a phantom tag no replay can heal:
+    * every later prefix through it would then demand a batch dir that
+    * never existed. Rename is atomic on HDFS and local FS; the
+    * delete-before-rename gap only ever exposes an ABSENT file, which
+    * reads as empty history — a loud as-of refusal, never corruption.
+    */
+  private def writeHistoryFile(spark: SparkSession, path: String,
+      tags: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$path/_history")
+    val tmp = new Path(s"$path/_history.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dst.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(tags.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"could not move $tmp into place — history not updated")
   }
 
   /** The index's admitted batch tags in append order (empty for an
@@ -791,6 +852,35 @@ object VectorOps {
     readSidecar(spark, s"$path/_history")
       .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
+
+  /** First-append migration of a PRE-HISTORY index: seed the sidecar
+    * with every batch tag already on disk (listed across the index's
+    * component dirs), so the data admitted before the sidecar existed
+    * stays inside every later prefix — without this, the first
+    * post-upgrade append would seed only `init` and as-of reads would
+    * silently exclude the legacy increments (reporting their dups as
+    * novel). True admit ORDER of the legacy tags is unknowable from the
+    * layout, so they are seeded init-first then lexicographically:
+    * prefixes AT a seeded tag are approximate (documented), while any
+    * tag recorded live after the upgrade has exact semantics — its
+    * prefix contains all seeded batches, which is the property
+    * correctness rests on.
+    */
+  private[graft] def seedHistoryIfEmpty(spark: SparkSession, path: String,
+      components: Seq[String]): Unit = {
+    if (indexHistory(spark, path).nonEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tags = components.flatMap { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$c")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).toSeq
+    }.distinct
+    val ordered = (if (tags.contains("init")) Seq("init") else Nil) ++
+      tags.filter(_ != "init").sorted
+    if (ordered.nonEmpty) writeHistoryFile(spark, path, ordered)
+  }
 
   /** Reset history to exactly `baseline` — the compaction hook:
     * folding increments into `batch=init` erases per-tag state, so
@@ -802,7 +892,7 @@ object VectorOps {
     */
   private[graft] def resetHistory(spark: SparkSession, path: String,
       baseline: Seq[String]): Unit =
-    writeSidecar(spark, s"$path/_history", baseline.mkString("\n"))
+    writeHistoryFile(spark, path, baseline)
 
   /** History prefix up to and including `asOf` — the batch set an as-of
     * read scans. Unknown tags fail loudly, naming the two ways a tag
@@ -810,6 +900,7 @@ object VectorOps {
     */
   private[graft] def historyPrefix(spark: SparkSession, path: String,
       asOf: String): Seq[String] = {
+    requireNotFolding(spark, path)
     val h = indexHistory(spark, path)
     val i = h.indexOf(asOf)
     require(i >= 0,
@@ -889,9 +980,11 @@ object VectorOps {
     // the folded superset. Reset-first keeps every crash-window
     // observation a true historical state (init = the pre-fold baseline
     // until the retry completes the fold, the folded corpus after).
+    beginFold(spark, path)
     resetHistory(spark, path, Seq("init"))
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/sets", numFiles)
+    endFold(spark, path)
   }
 
   /** Compact a persisted cosine index ([[writeCosineIndex]] +
@@ -902,9 +995,11 @@ object VectorOps {
       numFiles: Int = 0): Unit = {
     requireNotBuilding(spark, path)
     // reset-before-fold — see [[compactNeardupIndex]]
+    beginFold(spark, path)
     resetHistory(spark, path, Seq("init"))
     compactComponent(spark, s"$path/bands", numFiles)
     compactComponent(spark, s"$path/vectors", numFiles)
+    endFold(spark, path)
   }
 
   private def neardupDeltaFrames(newDocs: DataFrame, corpusBands: DataFrame,
@@ -1321,12 +1416,12 @@ object VectorOps {
     Seq(s"$path/bands", s"$path/vectors").foreach { c =>
       finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
     }
+    seedHistoryIfEmpty(spark, path, Seq("bands", "vectors"))
     val base = vecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     bandedSignatures(base, numPlanes, bands, seed)
       .write.mode("overwrite").parquet(s"$path/bands/batch=$tag")
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tag")
-    if (indexHistory(spark, path).isEmpty) recordHistory(spark, path, "init")
     recordHistory(spark, path, tag)
   }
 

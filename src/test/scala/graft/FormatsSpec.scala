@@ -50,6 +50,17 @@ class FormatsSpec extends AnyFunSuite with SparkSessionFixture {
       p => Formats.readJsonl(spark, p, idText))
     assert(back.map(r => (r.getLong(0), r.getString(1))) ==
       nastyStrings.sortBy(_._1))
+
+    // JSON encodes null structurally, so even the CSV null sentinel
+    // itself survives as a string — the reason sentinel-prone columns
+    // belong here (see the CSV test's pinned limit)
+    val sentinel = Seq((1L, "\\N"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val sentBack = roundTripRows(sentinel,
+      (d, p) => Formats.writeJsonl(d, p),
+      p => Formats.readJsonl(spark, p, idText))
+    assert(sentBack.map(r => (r.getLong(0), Option(r.getString(1)))) ==
+      Seq(1L -> Some("\\N"), 2L -> None))
   }
 
   test("CSV round-trips quotes/commas/backslashes and keeps null distinct from empty") {
@@ -63,6 +74,18 @@ class FormatsSpec extends AnyFunSuite with SparkSessionFixture {
       (d, p) => Formats.writeCsv(d, p),
       p => Formats.readCsv(spark, p, idText))
     assert(back.map(r => (r.getLong(0), r.getString(1))) == flat.sortBy(_._1))
+
+    // pinned LIMIT of the dialect (documented on CsvNull): a value
+    // literally equal to the null sentinel round-trips to null — CSV
+    // cannot encode null losslessly against arbitrary strings; JSONL
+    // carries such columns (first test covers the same value fine
+    // through JSON's structural null)
+    val sentinel = Seq((1L, "\\N"), (2L, "ok")).toDF("id", "s")
+    val sentBack = roundTripRows(sentinel,
+      (d, p) => Formats.writeCsv(d, p),
+      p => Formats.readCsv(spark, p, idText))
+    assert(sentBack.map(r => (r.getLong(0), Option(r.getString(1)))) ==
+      Seq(1L -> None, 2L -> Some("ok")))
   }
 
   test("CSV round-trips microsecond timestamps and full-precision doubles") {

@@ -262,6 +262,58 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSessionFixture {
     } finally rm(idx)
   }
 
+  test("pre-history index: first post-upgrade append seeds every legacy batch into reach") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val b0 = docs.filter(col("doc_id") < 200)
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val b2 = docs.filter(col("doc_id") >= 400)
+    val idx = tmpDir("asof_legacy")
+    try {
+      VectorOps.writeNeardupIndex(b0, idx)
+      VectorOps.appendNeardupIndex(b1, idx, "tOld")
+      // simulate an index built before the sidecar existed
+      assert(new java.io.File(s"$idx/_history").delete())
+      assert(VectorOps.indexHistory(spark, idx).isEmpty)
+      VectorOps.appendNeardupIndex(b2, idx, "tNew")
+      // the legacy increment was seeded BEFORE tNew was recorded, so
+      // tNew's prefix contains it — as-of tNew must see tOld's corpus
+      assert(VectorOps.indexHistory(spark, idx) == Seq("init", "tOld", "tNew"))
+      val pinned = tmpDir("asof_legacy_pin")
+      try {
+        VectorOps.writeNeardupIndex(b0.unionByName(b1).unionByName(b2), pinned)
+        assert(rows(VectorOps.minhashPairsIndexedAsOf(spark, idx,
+            asOf = "tNew")) ==
+          rows(VectorOps.minhashPairsIndexed(spark, pinned)),
+          "as-of the post-upgrade tag must include every legacy batch")
+      } finally rm(pinned)
+    } finally rm(idx)
+  }
+
+  test("a crashed multi-component fold refuses as-of reads until the compaction re-runs") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = tmpDir("asof_folding")
+    try {
+      VectorOps.writeNeardupIndex(docs.filter(col("doc_id") < 100), idx)
+      VectorOps.appendNeardupIndex(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), idx, "tA")
+      // simulate a compaction that died between its two component folds
+      new java.io.File(s"$idx/_folding").createNewFile()
+      val e = intercept[IllegalArgumentException] {
+        VectorOps.minhashPairsIndexedAsOf(spark, idx, asOf = "tA").collect()
+      }
+      assert(e.getMessage.contains("unfinished compaction"))
+      // live reads are unaffected — the batch union is fold-invariant
+      VectorOps.minhashPairsIndexed(spark, idx).collect()
+      // re-running the compaction clears the sentinel and as-of(init)
+      // answers from the folded baseline
+      VectorOps.compactNeardupIndex(spark, idx)
+      assert(VectorOps.indexHistory(spark, idx) == Seq("init"))
+      VectorOps.minhashPairsIndexedAsOf(spark, idx, asOf = "init").collect()
+    } finally rm(idx)
+  }
+
   test("an as-of read refuses a snapshot whose batch dirs are missing") {
     val docs = Tables.t(spark, Sf0001, "documents")
       .select(col("doc_id"), col("text"))
