@@ -116,6 +116,42 @@ object Formats {
       .option("timestampFormat", TsFmt)
       .csv(path)
 
+  // ------------------------------------------------- streaming sources
+
+  /** Streaming twins of the batch readers — the corpus FRONT DOOR:
+    * point one at a directory, drop shards in (stage elsewhere, then
+    * rename/move into the watched dir — the atomic-drop convention;
+    * a file is picked up whole, exactly once, tracked in the streaming
+    * query's checkpoint), and every new shard flows through the query
+    * as micro-batches. Feed the result straight into
+    * [[graft.streaming.CurateIngest.run]] for drop-shards-in /
+    * curated-parquet-out continuous curation (spec-pinned e2e in
+    * FormatsSpec). Same explicit-schema FAILFAST dialect as the batch
+    * readers — one dialect, two execution modes. `maxFilesPerTrigger`
+    * bounds a micro-batch (0 = Spark's default, all available).
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("timestampFormat", TsFmt)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else r).json(path)
+  }
+
+  def readCsvStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("header", "false")
+      .option("nullValue", CsvNull)
+      .option("timestampFormat", TsFmt)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else r).csv(path)
+  }
+
   // ------------------------------------------------------ contract pins
 
   /** documents → gzipped JSONL shards → read back → full projection.

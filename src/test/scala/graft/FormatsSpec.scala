@@ -139,6 +139,56 @@ class FormatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(cs == directEv, "CSV round-trip must be lossless on the fixture")
   }
 
+  test("streaming JSONL front door: dropped gz shards flow through continuous curation") {
+    import graft.queries.CurateConfig
+    import graft.streaming.CurateIngest
+    val root = java.nio.file.Files.createTempDirectory("fmt_stream")
+    val watch = root.resolve("watch"); java.nio.file.Files.createDirectory(watch)
+    val Seq(state, out, ckpt) = Seq("state", "out", "ckpt").map { n =>
+      root.resolve(n).toString
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    def doc(id: Long, prefix: String) = {
+      val text = (0 until 40).map(i => s"${prefix}w$i").mkString(" ")
+      (id, text, text.length.toLong)
+    }
+    // the atomic-drop convention: write the shard OUTSIDE the watched
+    // dir, then move its files in (a file source must never list a
+    // half-written shard)
+    var n = 0
+    def drop(rows: Seq[(Long, String, Long)]): Unit = {
+      val staging = root.resolve(s"staging$n"); n += 1
+      Formats.writeJsonl(rows.toDF("doc_id", "text", "n_chars"),
+        staging.toString)
+      java.nio.file.Files.list(staging).forEach { f =>
+        if (f.getFileName.toString.startsWith("part-"))
+          java.nio.file.Files.move(f,
+            watch.resolve(s"shard$n-${f.getFileName}"))
+      }
+    }
+    val alpha = doc(1L, "alpha")
+    val q = CurateIngest.run(
+      Formats.readJsonlStream(spark, watch.toString, schema),
+      state, out, ckpt, CurateConfig())
+    try {
+      drop(Seq(alpha))
+      q.processAllAvailable()
+      drop(Seq((2L, alpha._2, alpha._3), doc(3L, "bravo")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$out/batch=b1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[String]("drop_reason")))))
+      .toMap
+    assert(verdicts == Map(
+      2L -> ((false, Some("exact_dup"))), // cross-SHARD dup via the index
+      3L -> ((true, None))))
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("scratch dirs do not leak: a contract run leaves no _scratch entries behind") {
     Formats.scanJsonl(spark, Sf0001).count()
     val wh = new java.io.File(
