@@ -116,6 +116,22 @@ object Formats {
       .option("timestampFormat", TsFmt)
       .csv(path)
 
+  // ----------------------------------------------------------------- ORC
+
+  /** ORC — the other columnar format at rest (Hive-lineage lakes ship
+    * it; Spark's reader/writer are built in). Columnar formats carry
+    * their schema, so unlike the text formats the explicit schema here
+    * is a CONTRACT check (mismatch = loud analysis error), not an
+    * inference-avoidance measure; pushdown/pruning work as with parquet
+    * (ORC carries min/max/bloom indexes per stripe).
+    */
+  def writeOrc(df: DataFrame, path: String, codec: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", codec).orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   // ------------------------------------------------- streaming sources
 
   /** Streaming twins of the batch readers — the corpus FRONT DOOR:
@@ -198,7 +214,26 @@ object Formats {
        |  value, props
        |FROM events ORDER BY event_id""".stripMargin
 
+  /** events → zstd ORC → read back — parquet-to-ORC fidelity across the
+    * full type surface (timestamps keep µs through ORC's own epoch
+    * encoding; doubles and strings are binary-faithful by construction
+    * in a columnar format, which is the point of contrast with the two
+    * text dialects above).
+    */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = EventOps.scratchDir(spark, "graft_orc")
+    try {
+      writeOrc(Tables.t(spark, dir, "events"), tmp)
+      readOrc(spark, tmp, eventsSchema)
+        .localCheckpoint(true)
+        .select(col("event_id"), Det.tsOut(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    } finally EventOps.deleteRecursively(spark, tmp)
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
-    ContractQuery("q_scan_csv", scanCsv, Some(scanCsvSql)))
+    ContractQuery("q_scan_csv", scanCsv, Some(scanCsvSql)),
+    ContractQuery("q_scan_orc", scanOrc, Some(scanCsvSql)))
 }
