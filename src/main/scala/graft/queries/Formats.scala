@@ -232,8 +232,36 @@ object Formats {
     } finally EventOps.deleteRecursively(spark, tmp)
   }
 
+  /** The STREAMING file source, oracle-verified: shard the documents
+    * table out as JSONL, run a real `readStream` → AvailableNow →
+    * memory-sink job over the shard directory, and hash-compare what
+    * the stream delivered against DuckDB on the original parquet. The
+    * q_stream_* family pins streaming OPERATORS via batch twins; this
+    * pins the streaming SOURCE itself — every row, every field, through
+    * the actual micro-batch machinery (checkpoint, file tracking,
+    * exactly-once listing).
+    */
+  def scanJsonlStream(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = EventOps.scratchDir(spark, "graft_jsonl_stream")
+    val view = "graft_scan_jsonl_stream"
+    try {
+      writeJsonl(Tables.t(spark, dir, "documents"), s"$tmp/shards")
+      spark.catalog.dropTempView(view)
+      val q = readJsonlStream(spark, s"$tmp/shards", documentsSchema)
+        .writeStream.format("memory").queryName(view)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val r = spark.table(view).localCheckpoint(true)
+      spark.catalog.dropTempView(view)
+      r.orderBy(col("doc_id"))
+    } finally EventOps.deleteRecursively(spark, tmp)
+  }
+
   val all: Seq[ContractQuery] = Seq(
     ContractQuery("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
+    ContractQuery("q_scan_jsonl_stream", scanJsonlStream, Some(scanJsonlSql)),
     ContractQuery("q_scan_csv", scanCsv, Some(scanCsvSql)),
     ContractQuery("q_scan_orc", scanOrc, Some(scanCsvSql)))
 }
