@@ -79,6 +79,35 @@ knn = DataFrame(
     bridge.knn(vecs._jdf, vecs.filter("vec_id < 3")._jdf, 5), spark)
 check("knn", knn.count() == 15)
 
+# 7. r13 as-of reads from Python: two admits, probe the first state
+import tempfile, shutil
+idx = tempfile.mkdtemp(prefix="pysmoke_asof")
+try:
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    DataFrame(bridge.exactDedupDelta(spark._jsparkSession, idx, b0._jdf, "t0"),
+              spark).count()
+    orig = DataFrame(bridge.exactDedupDelta(spark._jsparkSession, idx,
+                                            b1._jdf, "t1"), spark)         .orderBy("doc_id").collect()
+    hist = list(bridge.indexHistory(spark._jsparkSession, idx))
+    replay = DataFrame(bridge.exactDedupDeltaAsOf(spark._jsparkSession, idx,
+                                                  b1._jdf, "t0"), spark)         .orderBy("doc_id").collect()
+    check("as-of from Python", hist == ["t0", "t1"] and replay == orig,
+          f"(history {hist}, {len(replay)} rows reproduce)")
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
+# 8. JSONL interchange from Python (schema carried by an example frame)
+jd = tempfile.mkdtemp(prefix="pysmoke_jsonl")
+try:
+    bridge.writeJsonl(docs._jdf, f"{jd}/out")
+    back = DataFrame(bridge.readJsonl(spark._jsparkSession, f"{jd}/out",
+                                      docs.limit(0)._jdf), spark)
+    check("jsonl round-trip from Python",
+          back.orderBy("doc_id").collect() == docs.orderBy("doc_id").collect())
+finally:
+    shutil.rmtree(jd, ignore_errors=True)
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

@@ -68,4 +68,38 @@ object PyBridge {
     */
   def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     graft.queries.VectorOps.knn(corpus, queries, k)
+
+  // ------------------------------------- index history / as-of (r13)
+
+  /** A persisted index's admitted batch tags, in append order. */
+  def indexHistory(spark: SparkSession, path: String): java.util.List[String] = {
+    val l = new java.util.ArrayList[String]()
+    graft.queries.VectorOps.indexHistory(spark, path).foreach(l.add)
+    l
+  }
+
+  /** Exact-dedup delta against a persisted digest index (admits `tag`). */
+  def exactDedupDelta(spark: SparkSession, path: String, batch: DataFrame,
+      tag: String): DataFrame =
+    TextOps.exactDedupDelta(spark, path, batch, tag)
+
+  /** [[exactDedupDelta]] against the index AS OF a recorded tag —
+    * read-only reproducibility probe (see DEPLOY.md, as-of reads).
+    */
+  def exactDedupDeltaAsOf(spark: SparkSession, path: String,
+      batch: DataFrame, asOf: String): DataFrame =
+    TextOps.exactDedupDeltaAsOf(spark, path, batch, asOf)
+
+  // ------------------------------------------ corpus interchange (r13)
+
+  /** Read a JSONL corpus with the schema of another frame (py4j-clean
+    * stand-in for passing a StructType: build an empty frame with the
+    * target schema in Python, or read one parquet shard, and pass it).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schemaFrom: DataFrame): DataFrame =
+    graft.queries.Formats.readJsonl(spark, path, schemaFrom.schema)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    graft.queries.Formats.writeJsonl(df, path)
 }
