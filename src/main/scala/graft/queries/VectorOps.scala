@@ -1699,6 +1699,58 @@ object VectorOps {
     * All columns integer — no float repr hazard across engines (scale is
     * carried as ⌊scale·10⁴+½⌋ basis points, explicit floor rounding).
     */
+  // ------------------------------------ random-projection dim reduction
+
+  /** Deterministic ±1 random projection (Achlioptas'01 / JL): project
+    * the 64-dim embeddings to [[ProjDims]] dims with a sign matrix
+    * derived from a closed integer formula — no RNG, no stored matrix,
+    * both engines (and any future reader) recompute the identical
+    * projection from the formula alone. y_i = Σ_j s(i,j)·x_j / √K with
+    * s(i,j) = ±1 from the parity of an integer hash; dividing by √16=4
+    * keeps the scale exact in binary. The per-row work is one codegen'd
+    * expression (K×D fused multiply-adds in a FIXED fold order, so the
+    * double sums are bit-identical across engines); no shuffle —
+    * storage drops 4× ahead of any ANN indexing, and JL guarantees
+    * pairwise geometry distorts boundedly (spec: planted near-dup pairs
+    * stay separated from the background after projection).
+    */
+  private[graft] val ProjDims = 16
+  private val EmbDims = 64
+
+  private def projSign(i: Int, j: Int): Int =
+    if (((i.toLong * 73856093L + j.toLong * 19349663L) % 2L) == 0L) 1 else -1
+
+  /** The projected vector as a Column over an `embedding` column. */
+  private[graft] def projectCol(emb: Column): Column = {
+    val comps = (0 until ProjDims).map { i =>
+      val terms = (0 until EmbDims).map { j =>
+        val x = emb.getItem(j).cast(org.apache.spark.sql.types.DoubleType)
+        if (projSign(i, j) > 0) x else -x
+      }
+      round(terms.reduce(_ + _) / lit(4.0), 6)
+    }
+    array(comps: _*)
+  }
+
+  def vecProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), projectCol(col("embedding")).as("proj"))
+      .orderBy(col("vec_id"))
+
+  val vecProjectSql: String = {
+    val comps = (0 until ProjDims).map { i =>
+      val terms = (0 until EmbDims).map { j =>
+        val s = if (projSign(i, j) > 0) "+" else "-"
+        s"$s CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      // identical left-to-right fold order as the Spark expression
+      s"round((${terms.stripPrefix("+ ")}) / 4.0, 6)"
+    }.mkString(",\n    ")
+    s"""SELECT vec_id, [
+       |    $comps] AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   def vecQuantize(spark: SparkSession, dir: String): DataFrame =
     quantizeVectors(Tables.t(spark, dir, "embeddings"))
       .select(col("vec_id"),
@@ -1899,6 +1951,7 @@ object VectorOps {
     ContractQuery("q_knn_pq", knnPq, None),
     ContractQuery("q_vec_pq", vecPq, Some(vecPqSql)),
     ContractQuery("q_sample_diverse", sampleDiverse, None),
-    ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql))
+    ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql)),
+    ContractQuery("q_vec_project", vecProject, Some(vecProjectSql))
   )
 }
