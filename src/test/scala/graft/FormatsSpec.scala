@@ -139,6 +139,37 @@ class FormatsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(cs == directEv, "CSV round-trip must be lossless on the fixture")
   }
 
+  test("JSONL schema evolution: missing fields null, extra fields ignored, type conflict loud") {
+    val tmp = java.nio.file.Files.createTempDirectory("fmt_evo")
+    // three generations of shards in one corpus dir: v1 lacks `lang`,
+    // v2 matches the schema, v3 carries an extra field
+    java.nio.file.Files.write(tmp.resolve("v1.json"),
+      "{\"id\": 1, \"s\": \"old\"}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("v2.json"),
+      "{\"id\": 2, \"s\": \"cur\", \"lang\": \"en\"}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("v3.json"),
+      "{\"id\": 3, \"s\": \"new\", \"lang\": \"de\", \"extra\": 9}\n"
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("lang", StringType)))
+    val got = Formats.readJsonl(spark, tmp.toString, schema)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    // reader-schema semantics: absent field -> null (old shards stay
+    // readable), unknown field -> dropped (new shards don't break old
+    // readers) — the classic forward/backward compatibility pair
+    assert(got.toSeq == Seq((1L, "old", None), (2L, "cur", Some("en")),
+      (3L, "new", Some("de"))))
+    // a TYPE conflict is not evolution, it's corruption: FAILFAST errors
+    java.nio.file.Files.write(tmp.resolve("v4.json"),
+      "{\"id\": \"not a number\", \"s\": \"x\"}\n".getBytes("UTF-8"))
+    intercept[Exception] {
+      Formats.readJsonl(spark, tmp.toString, schema).collect()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("streaming JSONL front door: dropped gz shards flow through continuous curation") {
     import graft.queries.CurateConfig
     import graft.streaming.CurateIngest
