@@ -177,6 +177,15 @@ object Ivf {
     graft.queries.VectorOps.endIndexBuild(base.sparkSession, path)
   }
 
+  /** [[graft.queries.VectorOps.rebuildAside]] for the IVF index: the
+    * replacement (typically with RETRAINED centroids — the drift cure)
+    * builds beside the live index, which keeps serving; promotion is
+    * two renames. */
+  def rebuildIndexAside(base: DataFrame, cents: DataFrame,
+      path: String): Unit =
+    graft.queries.VectorOps.rebuildAside(base.sparkSession, path)(
+      writeIndex(base, cents, _))
+
   /** Grow a materialized index: assign `vecs` (vec_id, embedding, n2)
     * against the INDEX's OWN centroids and write them into their cells
     * under the increment's `batch=tag` dir — the corpus-growth path
@@ -217,6 +226,7 @@ object Ivf {
   def appendIndex(spark: org.apache.spark.sql.SparkSession, vecs: DataFrame,
       path: String, tag: String): Unit = {
     graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     requireIvfReadable(spark, path, forAppend = true)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
@@ -242,6 +252,7 @@ object Ivf {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 0): Unit = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     // reset-before-fold + fold sentinel — see
     // [[graft.queries.VectorOps.compactNeardupIndex]]
@@ -284,6 +295,7 @@ object Ivf {
     */
   def driftStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     requireIvfReadable(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
@@ -385,6 +397,7 @@ object Ivf {
   private def searchCellsOf(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, nprobe: Int,
       staticPrune: Boolean, asOf: Option[String]): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     requireIvfReadable(spark, path)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")

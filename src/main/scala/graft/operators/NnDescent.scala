@@ -378,6 +378,30 @@ object NnDescent {
     graft.queries.VectorOps.endIndexBuild(spark, path)
   }
 
+  /** [[graft.queries.VectorOps.rebuildAside]] for the graph index —
+    * and the natural form for THIS index's self-referential rebuild:
+    * the corpus is read from the LIVE index (which keeps serving, no
+    * vectors fold needed) and the fresh fully-refined graph builds
+    * beside it; promotion is two renames. Restores appended nodes'
+    * refined in-edges and the coarse quantizer like [[rebuildIndex]],
+    * without its hours-long read outage.
+    */
+  def rebuildIndexAside(spark: SparkSession, path: String, k: Int,
+      iters: Int, cells: Int = 16): Unit = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
+    // fail closed on a crashed IN-PLACE rebuild: its vectors may be
+    // partial, and re-running THAT rebuild is its documented repair
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "edges", "cells").foreach(c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    val b = spark.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").drop("batch")
+      .localCheckpoint(true) // the build writes beside the dirs it read
+    graft.queries.VectorOps.rebuildAside(spark, path)(
+      writeIndex(b, _, k, iters, cells))
+  }
+
   /** Grow the index: each new vector's top-k graph neighbors (found by
     * searching the EXISTING graph) become its out-edges — the standard
     * incremental graph-ANN insert, expressed as one batch search. New
@@ -392,6 +416,7 @@ object NnDescent {
   def appendIndex(spark: SparkSession, vecs: DataFrame, path: String,
       tag: String, k: Int, beam: Int = 0, hops: Int = 3): Unit = {
     graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "edges", "cells").foreach { c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c")
@@ -471,6 +496,7 @@ object NnDescent {
   private def searchIndexAt(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, beam: Int, hops: Int, entries: Int,
       asOf: Option[String]): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "edges").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
@@ -492,6 +518,7 @@ object NnDescent {
     * [[rebuildIndex]] here instead of Ivf's writeIndex.
     */
   def driftStats(spark: SparkSession, path: String): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
@@ -543,6 +570,7 @@ object NnDescent {
   private def searchIndexRoutedAt(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, beam: Int, hops: Int, nprobe: Int,
       hubsPerCell: Int, asOf: Option[String]): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     graft.queries.VectorOps.requireNotBuilding(spark, path)
     Seq("vectors", "edges", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))

@@ -279,6 +279,7 @@ object Pq {
   def appendIndex(spark: SparkSession, vecs: DataFrame, path: String,
       tag: String, m: Int): Unit = {
     graft.queries.VectorOps.requireTag(tag)
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     requireM(spark, path, m)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
@@ -327,6 +328,7 @@ object Pq {
       numFiles: Int = 0): Unit = {
     // fail closed on a crashed build like every sibling compactor: a
     // cadence job must not fold (and history-reset) half-written cells
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     // reset-before-fold + fold sentinel — see
     // [[graft.queries.VectorOps.compactNeardupIndex]]
@@ -346,6 +348,7 @@ object Pq {
     */
   def searchIndex(spark: SparkSession, path: String, queries0: DataFrame,
       k: Int, nprobe: Int, shortlist: Int, m: Int): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     require(!isResidualIndex(spark, path),
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
@@ -367,6 +370,7 @@ object Pq {
   def searchIndexAsOf(spark: SparkSession, path: String,
       queries0: DataFrame, k: Int, nprobe: Int, shortlist: Int, m: Int,
       asOf: String): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     require(!isResidualIndex(spark, path),
       s"$path is residual-encoded (writeIndexResidual) — plain ADC over " +
@@ -675,6 +679,7 @@ object Pq {
   def searchIndexResidual(spark: SparkSession, path: String,
       queries0: DataFrame, k: Int, nprobe: Int, shortlist: Int,
       m: Int): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     require(isResidualIndex(spark, path),
       s"$path is not a residual-encoded index — use searchIndex, or " +
@@ -690,6 +695,7 @@ object Pq {
   def searchIndexResidualAsOf(spark: SparkSession, path: String,
       queries0: DataFrame, k: Int, nprobe: Int, shortlist: Int, m: Int,
       asOf: String): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     require(isResidualIndex(spark, path),
       s"$path is not a residual-encoded index — use searchIndexAsOf, or " +
@@ -750,6 +756,7 @@ object Pq {
     // on an object store each is a metadata round trip, and per-chunk
     // re-reads would multiply it by `chunks` for values that cannot
     // change mid-call (single-writer discipline)
+    graft.queries.VectorOps.recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     requireM(spark, path, m)
     graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")

@@ -432,6 +432,7 @@ object VectorOps {
   def appendNeardupIndex(docs: DataFrame, path: String, tag: String): Unit = {
     requireTag(tag)
     val spark = docs.sparkSession
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     Seq(s"$path/bands", s"$path/sets").foreach { c =>
       finishCrashedSwap(spark, c); ensureBatchLayout(spark, c)
@@ -448,6 +449,7 @@ object VectorOps {
   /** [[neardupDelta]] against a persisted index ([[writeNeardupIndex]]). */
   def neardupDeltaIndexed(spark: SparkSession, path: String,
       newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     neardupDeltaFrames(newDocs,
       spark.read.parquet(s"$path/bands"),
@@ -464,6 +466,7 @@ object VectorOps {
     */
   private[graft] def componentAsOf(spark: SparkSession, root: String,
       component: String, asOf: String): DataFrame = {
+    recoverPromote(spark, root)
     // self-heal a crashed compaction swap first, like the live twins —
     // the data is intact in the .compacting twin and one rename fixes
     // it; without this the presence check below would fail with a
@@ -536,6 +539,7 @@ object VectorOps {
   def neardupDeltaIndexedAsOf(spark: SparkSession, path: String,
       newDocs: DataFrame, threshold: Double = 0.5,
       asOf: String): DataFrame = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     neardupDeltaFrames(newDocs,
       componentAsOf(spark, path, "bands", asOf),
@@ -917,6 +921,7 @@ object VectorOps {
     * `_building` sentinel stays fatal here: only a full rebuild repairs it.
     */
   def recoverNeardupIndex(spark: SparkSession, path: String): Unit = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     finishCrashedSwap(spark, s"$path/bands")
     finishCrashedSwap(spark, s"$path/sets")
@@ -924,9 +929,103 @@ object VectorOps {
 
   /** [[recoverNeardupIndex]] for the cosine index. */
   def recoverCosineIndex(spark: SparkSession, path: String): Unit = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     finishCrashedSwap(spark, s"$path/bands")
     finishCrashedSwap(spark, s"$path/vectors")
+  }
+
+  // --------------------------------------------- zero-downtime rebuild
+
+  /** Rebuild an index WITHOUT refusing reads for the build's duration —
+    * the blue/green twin of the in-place rebuilds. In-place rebuilds
+    * fail closed behind the `_building` sentinel, which is correct but
+    * means a 100 TB corpus re-shingle refuses probes for HOURS; here
+    * the replacement is built at `$path.rebuilding` (its own build
+    * sentinel lives INSIDE that dir, invisible to live readers), then
+    * promoted with two metadata renames — live → `$path.retired`,
+    * rebuilt → live — and the retired copy deleted. Readers race only
+    * the renames (milliseconds at any scale), never the build.
+    *
+    * Soundness rests on the single-writer + recovery-first discipline
+    * every index here already documents: between build-complete and
+    * promote no append can interleave (the rebuild caller IS the
+    * writer), and a restarted loop runs recovery before its first
+    * probe or append — so auto-promoting a complete `.rebuilding` at
+    * recovery time can never discard an admit the rebuild didn't see.
+    */
+  private[graft] def rebuildAside(spark: SparkSession, path: String)(
+      build: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val aside = new org.apache.hadoop.fs.Path(s"$path.rebuilding")
+    // a stale partial from an earlier crashed rebuild: re-running IS
+    // the repair
+    aside.getFileSystem(conf).delete(aside, true)
+    build(aside.toString)
+    promote(spark, path)
+  }
+
+  /** [[rebuildAside]] for the MinHash index. */
+  def rebuildNeardupIndexAside(docs: DataFrame, path: String): Unit =
+    rebuildAside(docs.sparkSession, path)(writeNeardupIndex(docs, _))
+
+  /** [[rebuildAside]] for the cosine index. */
+  def rebuildCosineIndexAside(vecs: DataFrame, path: String,
+      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit =
+    rebuildAside(vecs.sparkSession, path)(
+      writeCosineIndex(vecs, _, numPlanes, bands, seed))
+
+  private def promote(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path)
+    val fs = live.getFileSystem(conf)
+    val aside = new Path(s"$path.rebuilding")
+    val retired = new Path(s"$path.retired")
+    // idempotent: a same-session read between build-complete and this
+    // call runs [[recoverPromote]], which legitimately promotes the
+    // finished aside first — nothing left to do but the cleanup
+    if (!fs.exists(aside)) { fs.delete(retired, true); return }
+    fs.delete(retired, true) // leftovers of an even earlier promote
+    if (fs.exists(live))
+      require(fs.rename(live, retired), s"could not retire $live")
+    require(fs.rename(aside, live), s"could not promote $aside")
+    fs.delete(retired, true)
+  }
+
+  /** Crash recovery for [[rebuildAside]] — run by every recover*Index
+    * entry (and the IVF/PQ read preludes) BEFORE any sentinel check:
+    *  - `.rebuilding` carrying a build sentinel → the build died;
+    *    delete the partial (re-running the rebuild is the repair);
+    *  - `.rebuilding` complete → a crash hit the promote window (or
+    *    the instant before it): finish the promote — sound under the
+    *    single-writer + recovery-first discipline (see
+    *    [[rebuildAside]]);
+    *  - live missing with only `.retired` left → a promote lost its
+    *    replacement mid-flight (should be impossible — the rebuilt dir
+    *    is renamed, not rewritten); restore the retired copy rather
+    *    than leave no index at all;
+    *  - `.retired` beside a live index → the promote crashed before
+    *    its final cleanup: delete it.
+    */
+  private[graft] def recoverPromote(spark: SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path)
+    val fs = live.getFileSystem(conf)
+    val aside = new Path(s"$path.rebuilding")
+    val retired = new Path(s"$path.retired")
+    if (fs.exists(aside)) {
+      val partial = Seq("_building", "_pq_building")
+        .exists(s => fs.exists(new Path(s"$path.rebuilding/$s")))
+      if (partial) fs.delete(aside, true)
+      else promote(spark, path)
+    } else if (!fs.exists(live) && fs.exists(retired)) {
+      require(fs.rename(retired, live), s"could not restore $retired")
+    } else if (fs.exists(retired)) {
+      fs.delete(retired, true)
+    }
   }
 
   /** Migrate a flat (pre-`batch=`-layout) component in place: root-level
@@ -973,6 +1072,7 @@ object VectorOps {
     */
   def compactNeardupIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     // history reset BEFORE the fold: a crash after the fold but before
     // the reset would leave old tags resolvable against data that no
@@ -993,6 +1093,7 @@ object VectorOps {
     */
   def compactCosineIndex(spark: SparkSession, path: String,
       numFiles: Int = 0): Unit = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     // reset-before-fold — see [[compactNeardupIndex]]
     beginFold(spark, path)
@@ -1411,6 +1512,7 @@ object VectorOps {
       numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
     requireTag(tag)
     val spark = vecs.sparkSession
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     requireLshParams(spark, path, numPlanes, bands, seed)
     Seq(s"$path/bands", s"$path/vectors").foreach { c =>
@@ -1431,6 +1533,7 @@ object VectorOps {
   def cosineDeltaIndexed(spark: SparkSession, path: String,
       newVecs: DataFrame, threshold: Double, numPlanes: Int = 16,
       bands: Int = 8, seed: Long = 42L): DataFrame = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     requireLshParams(spark, path, numPlanes, bands, seed)
     cosineDeltaFrames(newVecs,
@@ -1446,6 +1549,7 @@ object VectorOps {
   def cosineDeltaIndexedAsOf(spark: SparkSession, path: String,
       newVecs: DataFrame, threshold: Double, numPlanes: Int = 16,
       bands: Int = 8, seed: Long = 42L, asOf: String): DataFrame = {
+    recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     requireLshParams(spark, path, numPlanes, bands, seed)
     cosineDeltaFrames(newVecs,
