@@ -466,7 +466,8 @@ object VectorOps {
     */
   private[graft] def componentAsOf(spark: SparkSession, root: String,
       component: String, asOf: String): DataFrame = {
-    recoverPromote(spark, root)
+    // (recoverPromote is the ENTRY preludes' job — running it again per
+    // component would triple the metadata round trips on object stores)
     // self-heal a crashed compaction swap first, like the live twins —
     // the data is intact in the .compacting twin and one rename fixes
     // it; without this the presence check below would fail with a
@@ -947,12 +948,13 @@ object VectorOps {
     * rebuilt → live — and the retired copy deleted. Readers race only
     * the renames (milliseconds at any scale), never the build.
     *
-    * Soundness rests on the single-writer + recovery-first discipline
-    * every index here already documents: between build-complete and
-    * promote no append can interleave (the rebuild caller IS the
-    * writer), and a restarted loop runs recovery before its first
-    * probe or append — so auto-promoting a complete `.rebuilding` at
-    * recovery time can never discard an admit the rebuild didn't see.
+    * Promotion happens ONLY here, in the builder's own call — never
+    * from a reader's recovery ([[recoverPromote]]'s cardinal rule), so
+    * probes of the live index can never mutate an aside build they
+    * happen to observe. If this call dies after the build completes,
+    * the finished aside is simply discarded and redone by the next
+    * rebuild (a wasted build, never a wrong index: the redo reads the
+    * live corpus, which holds any admits made since the crash).
     */
   private[graft] def rebuildAside(spark: SparkSession, path: String)(
       build: String => Unit): Unit = {
@@ -982,9 +984,8 @@ object VectorOps {
     val fs = live.getFileSystem(conf)
     val aside = new Path(s"$path.rebuilding")
     val retired = new Path(s"$path.retired")
-    // idempotent: a same-session read between build-complete and this
-    // call runs [[recoverPromote]], which legitimately promotes the
-    // finished aside first — nothing left to do but the cleanup
+    // idempotent: a live-missing recovery racing this call may have
+    // promoted the finished aside first — nothing left but the cleanup
     if (!fs.exists(aside)) { fs.delete(retired, true); return }
     fs.delete(retired, true) // leftovers of an even earlier promote
     if (fs.exists(live))
@@ -994,19 +995,23 @@ object VectorOps {
   }
 
   /** Crash recovery for [[rebuildAside]] — run by every recover*Index
-    * entry (and the IVF/PQ read preludes) BEFORE any sentinel check:
-    *  - `.rebuilding` carrying a build sentinel → the build died;
-    *    delete the partial (re-running the rebuild is the repair);
-    *  - `.rebuilding` complete → a crash hit the promote window (or
-    *    the instant before it): finish the promote — sound under the
-    *    single-writer + recovery-first discipline (see
-    *    [[rebuildAside]]);
-    *  - live missing with only `.retired` left → a promote lost its
-    *    replacement mid-flight (should be impossible — the rebuilt dir
-    *    is renamed, not rewritten); restore the retired copy rather
-    *    than leave no index at all;
-    *  - `.retired` beside a live index → the promote crashed before
-    *    its final cleanup: delete it.
+    * entry and the index read/append/compact preludes BEFORE any
+    * sentinel check. The cardinal rule: **while a live index exists,
+    * recovery never touches `.rebuilding`** — a sentinel-bearing aside
+    * is indistinguishable from a build IN FLIGHT in another process
+    * (the zero-downtime feature's headline state), and even a COMPLETE
+    * aside is only promoted by its own [[rebuildAside]] call; if that
+    * call died, the next rebuild discards and redoes it (wasted build,
+    * never a wrong index — the redo reads the live corpus, which holds
+    * any admits made since). What recovery DOES resolve:
+    *  - live present + stale `.retired` debris (and no aside — the
+    *    promote that created it completed) → delete the debris;
+    *  - live MISSING (a promote crashed between its renames — the only
+    *    states that stop reads): finish forward when the aside is
+    *    complete; otherwise drop a partial aside and restore the
+    *    `.retired` copy. One pass, any combination. Concurrent readers
+    *    racing these renames tolerate losing (mutations are wrapped;
+    *    the survivor check is live's existence).
     */
   private[graft] def recoverPromote(spark: SparkSession,
       path: String): Unit = {
@@ -1016,15 +1021,21 @@ object VectorOps {
     val fs = live.getFileSystem(conf)
     val aside = new Path(s"$path.rebuilding")
     val retired = new Path(s"$path.retired")
-    if (fs.exists(aside)) {
-      val partial = Seq("_building", "_pq_building")
+    if (fs.exists(live)) {
+      if (fs.exists(retired) && !fs.exists(aside)) fs.delete(retired, true)
+      return
+    }
+    // live is missing: best-effort forward repair, race-tolerant
+    try {
+      val asidePartial = Seq("_building", "_pq_building")
         .exists(s => fs.exists(new Path(s"$path.rebuilding/$s")))
-      if (partial) fs.delete(aside, true)
-      else promote(spark, path)
-    } else if (!fs.exists(live) && fs.exists(retired)) {
-      require(fs.rename(retired, live), s"could not restore $retired")
-    } else if (fs.exists(retired)) {
-      fs.delete(retired, true)
+      if (fs.exists(aside) && !asidePartial) promote(spark, path)
+      else {
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (fs.exists(retired)) fs.rename(retired, live)
+      }
+    } catch {
+      case e: Exception if fs.exists(live) => () // lost a benign race
     }
   }
 
@@ -1806,23 +1817,36 @@ object VectorOps {
   // ------------------------------------ random-projection dim reduction
 
   /** Deterministic ±1 random projection (Achlioptas'01 / JL): project
-    * the 64-dim embeddings to [[ProjDims]] dims with a sign matrix
-    * derived from a closed integer formula — no RNG, no stored matrix,
-    * both engines (and any future reader) recompute the identical
-    * projection from the formula alone. y_i = Σ_j s(i,j)·x_j / √K with
-    * s(i,j) = ±1 from the parity of an integer hash; dividing by √16=4
-    * keeps the scale exact in binary. The per-row work is one codegen'd
-    * expression (K×D fused multiply-adds in a FIXED fold order, so the
-    * double sums are bit-identical across engines); no shuffle —
-    * storage drops 4× ahead of any ANN indexing, and JL guarantees
-    * pairwise geometry distorts boundedly (spec: planted near-dup pairs
-    * stay separated from the background after projection).
+    * the 64-dim embeddings to [[ProjDims]] dims with a FIXED sign
+    * matrix — no RNG state, no stored artifact. The K×D signs come from
+    * a splitmix64-style integer mix evaluated at EXPRESSION-GENERATION
+    * time, so the emitted Spark expression and the emitted oracle SQL
+    * literally ARE the matrix (any engine that runs either gets the
+    * identical projection; nothing is recomputed at runtime). A cheap
+    * parity-of-a-linear-form does NOT work here: with odd multipliers
+    * `(a·i + b·j) % 2` collapses to `(i+j) % 2` — a rank-1 checkerboard
+    * whose "projection" is one scalar replicated with alternating sign
+    * (caught in review; the mixed hash below has no such structure).
+    * y_i = Σ_j s(i,j)·x_j / √K; dividing by √16 = 4 keeps the scale
+    * exact in binary, and the final 6dp quantization is the repo's
+    * explicit floor(x·10⁶ + ½) form — never round(), whose tie rule
+    * differs between engines (the vecQuantize discipline). The per-row
+    * work is one codegen'd expression (K×D adds in a FIXED fold order,
+    * so the double sums are bit-identical across engines); no shuffle —
+    * storage drops 4× ahead of any ANN indexing, and JL bounds the
+    * pairwise-geometry distortion (spec: planted near-dup pairs stay
+    * separated from the background after projection).
     */
   private[graft] val ProjDims = 16
   private val EmbDims = 64
 
-  private def projSign(i: Int, j: Int): Int =
-    if (((i.toLong * 73856093L + j.toLong * 19349663L) % 2L) == 0L) 1 else -1
+  private def projSign(i: Int, j: Int): Int = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1 else -1
+  }
 
   /** The projected vector as a Column over an `embedding` column. */
   private[graft] def projectCol(emb: Column): Column = {
@@ -1831,7 +1855,10 @@ object VectorOps {
         val x = emb.getItem(j).cast(org.apache.spark.sql.types.DoubleType)
         if (projSign(i, j) > 0) x else -x
       }
-      round(terms.reduce(_ + _) / lit(4.0), 6)
+      // exact-integer HALF_UP 6dp: floor(x·10⁶ + ½)/10⁶ — identical
+      // IEEE ops on identical doubles in both engines
+      floor(terms.reduce(_ + _) / lit(4.0) * lit(1000000.0) + lit(0.5)) /
+        lit(1000000.0)
     }
     array(comps: _*)
   }
@@ -1847,8 +1874,9 @@ object VectorOps {
         val s = if (projSign(i, j) > 0) "+" else "-"
         s"$s CAST(embedding[${j + 1}] AS DOUBLE)"
       }.mkString(" ")
-      // identical left-to-right fold order as the Spark expression
-      s"round((${terms.stripPrefix("+ ")}) / 4.0, 6)"
+      // identical left-to-right fold order as the Spark expression,
+      // same explicit floor-quantization (no engine round() tie rule)
+      s"floor((${terms.stripPrefix("+ ")}) / 4.0 * 1000000.0 + 0.5) / 1000000.0"
     }.mkString(",\n    ")
     s"""SELECT vec_id, [
        |    $comps] AS proj

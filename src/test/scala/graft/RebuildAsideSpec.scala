@@ -60,21 +60,31 @@ class RebuildAsideSpec extends AnyFunSuite with SparkSessionFixture {
       VectorOps.writeNeardupIndex(b0, idx)
       val before = rows(VectorOps.minhashPairsIndexed(spark, idx))
 
-      // A: the aside build died mid-write (its own sentinel still up) —
-      // recovery drops the partial and the live index is untouched
+      // A: a sentinel-bearing aside beside a LIVE index is
+      // indistinguishable from a build in flight — recovery must NOT
+      // touch it (the review caught the delete-in-flight hazard);
+      // reads keep serving, and the next rebuild clears the stale dir
       new java.io.File(s"$idx.rebuilding").mkdirs()
       new java.io.File(s"$idx.rebuilding/_building").createNewFile()
       VectorOps.recoverNeardupIndex(spark, idx)
-      assert(!new java.io.File(s"$idx.rebuilding").exists())
+      assert(new java.io.File(s"$idx.rebuilding").exists(),
+        "an aside with a build sentinel may be IN FLIGHT — hands off")
+      assert(rows(VectorOps.minhashPairsIndexed(spark, idx)) == before)
+      VectorOps.rebuildNeardupIndexAside(b0, idx) // clears + redoes
       assert(rows(VectorOps.minhashPairsIndexed(spark, idx)) == before)
 
       // B: the aside completed but the promote never ran — recovery
-      // finishes it (sound under single-writer + recovery-first)
+      // LEAVES both alone (promotion is the builder's act only; a
+      // reader must never install an index behind the writer's back),
+      // and the next rebuild discards the orphan and redoes it
       VectorOps.writeNeardupIndex(grown, s"$idx.rebuilding")
-      val grownPairs = rows(VectorOps.minhashPairsIndexed(spark,
-        s"$idx.rebuilding"))
       VectorOps.recoverNeardupIndex(spark, idx)
-      assert(rows(VectorOps.minhashPairsIndexed(spark, idx)) == grownPairs)
+      assert(rows(VectorOps.minhashPairsIndexed(spark, idx)) == before,
+        "live must keep serving its own corpus")
+      assert(new java.io.File(s"$idx.rebuilding").exists(),
+        "a complete orphan aside is the next rebuild's to discard")
+      VectorOps.rebuildNeardupIndexAside(grown, idx)
+      val grownPairs = rows(VectorOps.minhashPairsIndexed(spark, idx))
       assert(!new java.io.File(s"$idx.rebuilding").exists())
 
       // C: crash between the two promote renames — live is GONE, only
