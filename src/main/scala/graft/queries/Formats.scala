@@ -80,6 +80,24 @@ object Formats {
 
   // --------------------------------------------------------------- JSONL
 
+  /** ONE owner of each dialect's reader options, applied to both the
+    * batch and the streaming builders — "one dialect, two execution
+    * modes" held by code, not by keeping two copy-pasted stacks in
+    * sync (review finding: a tweak to one would silently fork how the
+    * same shards parse in batch vs streamed).
+    */
+  private def jsonlReadOpts(opt: (String, String) => Any): Unit = {
+    opt("mode", "FAILFAST")
+    opt("timestampFormat", TsFmt)
+  }
+
+  private def csvReadOpts(opt: (String, String) => Any): Unit = {
+    opt("mode", "FAILFAST")
+    opt("header", "false")
+    opt("nullValue", CsvNull)
+    opt("timestampFormat", TsFmt)
+  }
+
   def writeJsonl(df: DataFrame, path: String, codec: String = "gzip"): Unit =
     df.write.mode("overwrite")
       .option("compression", codec)
@@ -91,11 +109,11 @@ object Formats {
       .json(path)
 
   def readJsonl(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    spark.read.schema(schema)
-      .option("mode", "FAILFAST")
-      .option("timestampFormat", TsFmt)
-      .json(path)
+      schema: StructType): DataFrame = {
+    val r = spark.read.schema(schema)
+    jsonlReadOpts((k, v) => r.option(k, v))
+    r.json(path)
+  }
 
   // ----------------------------------------------------------------- CSV
 
@@ -108,13 +126,11 @@ object Formats {
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    spark.read.schema(schema)
-      .option("mode", "FAILFAST")
-      .option("header", "false")
-      .option("nullValue", CsvNull)
-      .option("timestampFormat", TsFmt)
-      .csv(path)
+      schema: StructType): DataFrame = {
+    val r = spark.read.schema(schema)
+    csvReadOpts((k, v) => r.option(k, v))
+    r.csv(path)
+  }
 
   // ----------------------------------------------------------------- ORC
 
@@ -149,23 +165,19 @@ object Formats {
   def readJsonlStream(spark: SparkSession, path: String,
       schema: StructType, maxFilesPerTrigger: Int = 0): DataFrame = {
     val r = spark.readStream.schema(schema)
-      .option("mode", "FAILFAST")
-      .option("timestampFormat", TsFmt)
-    (if (maxFilesPerTrigger > 0)
+    jsonlReadOpts((k, v) => r.option(k, v))
+    if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-    else r).json(path)
+    r.json(path)
   }
 
   def readCsvStream(spark: SparkSession, path: String,
       schema: StructType, maxFilesPerTrigger: Int = 0): DataFrame = {
     val r = spark.readStream.schema(schema)
-      .option("mode", "FAILFAST")
-      .option("header", "false")
-      .option("nullValue", CsvNull)
-      .option("timestampFormat", TsFmt)
-    (if (maxFilesPerTrigger > 0)
+    csvReadOpts((k, v) => r.option(k, v))
+    if (maxFilesPerTrigger > 0)
       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-    else r).csv(path)
+    r.csv(path)
   }
 
   // ------------------------------------------------------ contract pins
