@@ -319,6 +319,17 @@ object Pq {
     graft.queries.VectorOps.recordHistory(spark, path, tag)
   }
 
+  /** [[graft.queries.VectorOps.rebuildAside]] for the PQ index — the
+    * replacement (fresh centroids/codebooks, plain or residual or
+    * permuted via `build`) trains and encodes beside the live index,
+    * which keeps serving ADC searches; promotion is two renames. Pass
+    * the build as a closure because PQ has three build forms:
+    * {{{ Pq.rebuildIndexAside(spark, path)(Pq.writeIndexResidual(base, cents, _, m, ks, iters)) }}}
+    */
+  def rebuildIndexAside(spark: SparkSession, path: String)(
+      build: String => Unit): Unit =
+    graft.queries.VectorOps.rebuildAside(spark, path)(build)
+
   /** Fold accumulated `batch=` increments into one fresh `batch=init`
     * level, preserving the `cell=` layout pruning depends on — the
     * shared small-files/self-healing discipline of

@@ -134,6 +134,22 @@ class RebuildAsideSpec extends AnyFunSuite with SparkSessionFixture {
       assert(rows(Ivf.searchIndex(spark, ivf, queries, 5, 4)) ==
         rows(Ivf.searchIndex(spark, ivfD, queries, 5, 4)))
 
+      // PQ closes the family: closure form because PQ has three builds
+      val pq = java.nio.file.Files.createTempDirectory("ra_pq").toString
+      val pqD = java.nio.file.Files.createTempDirectory("ra_pq_d").toString
+      try {
+        import graft.operators.Pq
+        val books0 = Pq.train(v0, m = 8, ks = 16, iters = 2)
+        Pq.writeIndex(v0, cents0, books0, pq, m = 8)
+        val books1 = Pq.train(vecs, m = 8, ks = 16, iters = 2)
+          .localCheckpoint(true)
+        Pq.rebuildIndexAside(spark, pq)(
+          Pq.writeIndex(vecs, cents1, books1, _, m = 8))
+        Pq.writeIndex(vecs, cents1, books1, pqD, m = 8)
+        assert(rows(Pq.searchIndex(spark, pq, queries, 5, 4, 32, 8)) ==
+          rows(Pq.searchIndex(spark, pqD, queries, 5, 4, 32, 8)))
+      } finally { rm(pq); rm(pqD) }
+
       NnDescent.writeIndex(v0, g, k = 10, iters = 1, cells = 8)
       NnDescent.appendIndex(spark,
         vecs.filter(col("vec_id") >= 250), g, "tA", k = 10)
