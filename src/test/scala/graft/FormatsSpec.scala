@@ -220,6 +220,37 @@ class FormatsSpec extends AnyFunSuite with SparkSessionFixture {
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("streaming CSV source == batch read of the same shards (dialect parity)") {
+    val root = java.nio.file.Files.createTempDirectory("fmt_csv_stream")
+    val watch = root.resolve("watch"); java.nio.file.Files.createDirectory(watch)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    // stage-then-move, as the front-door convention demands
+    val staging = root.resolve("staging")
+    Formats.writeCsv(Seq((1L, "a,b"), (2L, "\\N"), (3L, null: String))
+      .toDF("id", "s"), staging.toString)
+    java.nio.file.Files.list(staging).forEach { f =>
+      if (f.getFileName.toString.startsWith("part-"))
+        java.nio.file.Files.move(f, watch.resolve(f.getFileName))
+    }
+    val q = Formats.readCsvStream(spark, watch.toString, schema)
+      .writeStream.format("memory").queryName("fmt_csv_stream_t")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("fmt_csv_stream_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val batch = Formats.readCsv(spark, watch.toString, schema)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(streamed == batch, "one dialect, two execution modes")
+    // and the dialect laws hold through the stream: quoted comma kept,
+    // sentinel-collision and real null both arrive as null
+    assert(streamed == Seq(1L -> Some("a,b"), 2L -> None, 3L -> None))
+    spark.catalog.dropTempView("fmt_csv_stream_t")
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("scratch dirs do not leak: a contract run leaves no _scratch entries behind") {
     Formats.scanJsonl(spark, Sf0001).count()
     val wh = new java.io.File(
