@@ -1084,6 +1084,7 @@ object TextOps {
   def decontaminateIndexedAsOf(docs: DataFrame, path: String, asOf: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
     val spark = docs.sparkSession
+    VectorOps.recoverPromote(spark, path) // the entry prelude owns this
     VectorOps.requireNotBuilding(spark, path)
     val evalSh = VectorOps.componentAsOf(spark, path, "shingles", asOf)
       .select(col("s"))

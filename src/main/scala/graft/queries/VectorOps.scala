@@ -958,10 +958,16 @@ object VectorOps {
     */
   private[graft] def rebuildAside(spark: SparkSession, path: String)(
       build: String => Unit): Unit = {
+    // repair any crashed promote FIRST: starting a build while live is
+    // missing would race concurrent readers' live-missing recovery
+    // into deleting the in-flight aside (review catch #3) — with live
+    // restored before the aside is touched, readers never enter their
+    // destructive branch during this build
+    recoverPromote(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val aside = new org.apache.hadoop.fs.Path(s"$path.rebuilding")
-    // a stale partial from an earlier crashed rebuild: re-running IS
-    // the repair
+    // a stale partial/orphan from an earlier crashed rebuild:
+    // re-running IS the repair
     aside.getFileSystem(conf).delete(aside, true)
     build(aside.toString)
     promote(spark, path)
@@ -990,7 +996,12 @@ object VectorOps {
     fs.delete(retired, true) // leftovers of an even earlier promote
     if (fs.exists(live))
       require(fs.rename(live, retired), s"could not retire $live")
-    require(fs.rename(aside, live), s"could not promote $aside")
+    // between the two renames live is briefly missing — a concurrent
+    // reader's recovery may legitimately promote the aside first; a
+    // failed rename with live present is that lost race, not an error
+    if (!fs.rename(aside, live))
+      require(fs.exists(live) && !fs.exists(aside),
+        s"could not promote $aside")
     fs.delete(retired, true)
   }
 
@@ -1032,7 +1043,16 @@ object VectorOps {
       if (fs.exists(aside) && !asidePartial) promote(spark, path)
       else {
         if (fs.exists(aside)) fs.delete(aside, true)
-        if (fs.exists(retired)) fs.rename(retired, live)
+        if (fs.exists(retired)) {
+          fs.rename(retired, live)
+          // Hadoop FS reports most failures as `false`, not an
+          // exception — a silent non-restore would surface later as a
+          // misleading missing-path error while the only copy of the
+          // index sits unmentioned in .retired
+          require(fs.exists(live),
+            s"could not restore $retired to $path — the only copy of " +
+              "the index is there; fix the filesystem and retry")
+        }
       }
     } catch {
       case e: Exception if fs.exists(live) => () // lost a benign race

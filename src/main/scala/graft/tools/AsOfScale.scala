@@ -32,8 +32,7 @@ object AsOfScale {
       Tables.t(spark, sfDir, "embeddings"), factor, noise = 0.05)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val n = corpus.count()
-    val per = n / nBatches
+    require(nBatches >= 4, "need >= 4 batches for the prefix sweep")
     // a fixed probe batch with ids disjoint from the corpus
     val probes = corpus.limit(200)
       .select((col("vec_id") + lit(10000000L)).as("vec_id"),
