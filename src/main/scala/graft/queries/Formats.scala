@@ -209,11 +209,20 @@ object Formats {
     * microsecond timestamps, and doubles (Spark emits the shortest
     * round-trippable repr; the reader parses it back bit-exact).
     */
-  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = EventOps.scratchDir(spark, "graft_csv")
+  def scanCsv(spark: SparkSession, dir: String): DataFrame =
+    eventsRoundTrip(spark, dir, "graft_csv", writeCsv(_, _),
+      readCsv(spark, _, eventsSchema))
+
+  /** The shared events store-then-answer shape of the CSV and ORC
+    * contract queries — one owner, so the two formats are compared
+    * through literally the same projection and materialization. */
+  private def eventsRoundTrip(spark: SparkSession, dir: String,
+      prefix: String, write: (DataFrame, String) => Unit,
+      read: String => DataFrame): DataFrame = {
+    val tmp = EventOps.scratchDir(spark, prefix)
     try {
-      writeCsv(Tables.t(spark, dir, "events"), tmp)
-      readCsv(spark, tmp, eventsSchema)
+      write(Tables.t(spark, dir, "events"), tmp)
+      read(tmp)
         .localCheckpoint(true)
         .select(col("event_id"), Det.tsOut(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))
@@ -232,17 +241,9 @@ object Formats {
     * in a columnar format, which is the point of contrast with the two
     * text dialects above).
     */
-  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = EventOps.scratchDir(spark, "graft_orc")
-    try {
-      writeOrc(Tables.t(spark, dir, "events"), tmp)
-      readOrc(spark, tmp, eventsSchema)
-        .localCheckpoint(true)
-        .select(col("event_id"), Det.tsOut(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .orderBy(col("event_id"))
-    } finally EventOps.deleteRecursively(spark, tmp)
-  }
+  def scanOrc(spark: SparkSession, dir: String): DataFrame =
+    eventsRoundTrip(spark, dir, "graft_orc", writeOrc(_, _),
+      readOrc(spark, _, eventsSchema))
 
   /** The STREAMING file source, oracle-verified: shard the documents
     * table out as JSONL, run a real `readStream` → AvailableNow →
