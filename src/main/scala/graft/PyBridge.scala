@@ -71,6 +71,12 @@ object PyBridge {
 
   // ------------------------------------- index history / as-of (r13)
 
+  /** One health view of a persisted index — batches with file stats,
+    * sidecars, lifecycle flags ([[graft.queries.VectorOps.indexInfo]]).
+    */
+  def indexInfo(spark: SparkSession, path: String): DataFrame =
+    graft.queries.VectorOps.indexInfo(spark, path)
+
   /** A persisted index's admitted batch tags, in append order. */
   def indexHistory(spark: SparkSession, path: String): java.util.List[String] = {
     val l = new java.util.ArrayList[String]()

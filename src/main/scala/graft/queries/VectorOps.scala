@@ -936,6 +936,61 @@ object VectorOps {
     finishCrashedSwap(spark, s"$path/vectors")
   }
 
+  // ------------------------------------------------ index observability
+
+  /** One health view of a persisted index — the what-state-is-this-in
+    * call an operator runs before paging anyone: every data component's
+    * `batch=` increments with file counts and bytes (FS metadata only,
+    * no Spark job over the data), every sidecar's content, and every
+    * lifecycle flag (`_building`/`_pq_building` fail-closed sentinels,
+    * `_folding` compaction window, a `.rebuilding` aside in flight, a
+    * `.retired` copy awaiting cleanup). Works on any of the index
+    * families — the layout conventions are shared, and unknown entries
+    * are simply absent. Columns: (section: data|sidecar|flag,
+    * component, key, value).
+    */
+  def indexInfo(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        val kids = fs.listStatus(st.getPath)
+        val batches = kids.filter(_.getPath.getName.startsWith("batch="))
+        if (batches.nonEmpty) batches.foreach { b =>
+          val sum = fs.getContentSummary(b.getPath)
+          rows += (("data", name, b.getPath.getName,
+            s"files=${sum.getFileCount} bytes=${sum.getLength}"))
+        } else {
+          val sum = fs.getContentSummary(st.getPath)
+          rows += (("data", name, "(flat)",
+            s"files=${sum.getFileCount} bytes=${sum.getLength}"))
+        }
+      } else if (name.startsWith("_")) {
+        val v =
+          if (Seq("_building", "_pq_building", "_folding").contains(name))
+            "PRESENT"
+          else readSidecar(spark, st.getPath.toString).getOrElse("")
+        val section =
+          if (v == "PRESENT") "flag"
+          else "sidecar"
+        rows += ((section, "", name, v.replace("\n", ",")))
+      }
+    }
+    Seq(s"$path.rebuilding" -> "aside_rebuild_in_progress_or_orphaned",
+        s"$path.retired" -> "retired_copy_awaiting_cleanup").foreach {
+      case (p, label) =>
+        if (fs.exists(new Path(p))) rows += (("flag", "", label, p))
+    }
+    rows.toSeq.toDF("section", "component", "key", "value")
+      .orderBy(col("section"), col("component"), col("key"))
+  }
+
   // --------------------------------------------- zero-downtime rebuild
 
   /** Rebuild an index WITHOUT refusing reads for the build's duration —

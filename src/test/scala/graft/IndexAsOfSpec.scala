@@ -346,6 +346,38 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSessionFixture {
     } finally rm(idx)
   }
 
+  test("indexInfo reports batches, sidecars, and lifecycle flags in one view") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = tmpDir("info_idx")
+    try {
+      VectorOps.writeNeardupIndex(docs.filter(col("doc_id") < 100), idx)
+      VectorOps.appendNeardupIndex(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), idx, "tA")
+      def info() = VectorOps.indexInfo(spark, idx).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3)))
+      val i0 = info()
+      // every component x batch with real file stats
+      for (c <- Seq("bands", "sets"); b <- Seq("batch=init", "batch=tA"))
+        assert(i0.exists(r => r._1 == "data" && r._2 == c && r._3 == b &&
+          r._4.contains("files=") && !r._4.contains("bytes=0")),
+          s"missing data row $c/$b in ${i0.mkString("\n")}")
+      // the history sidecar rides along, flattened
+      assert(i0.exists(r => r._1 == "sidecar" && r._3 == "_history" &&
+        r._4 == "init,tA"))
+      assert(!i0.exists(_._1 == "flag"), s"fresh index must raise no flags")
+
+      // lifecycle flags appear as they arise
+      new java.io.File(s"$idx/_folding").createNewFile()
+      new java.io.File(s"$idx.rebuilding").mkdirs()
+      val i1 = info()
+      assert(i1.exists(r => r._1 == "flag" && r._3 == "_folding"))
+      assert(i1.exists(r => r._1 == "flag" &&
+        r._3 == "aside_rebuild_in_progress_or_orphaned"))
+    } finally { rm(idx); rm(s"$idx.rebuilding") }
+  }
+
   test("the as-of scan partition-prunes to the prefix's batch dirs") {
     val docs = Tables.t(spark, Sf0001, "documents")
       .select(col("doc_id"), col("text"))
