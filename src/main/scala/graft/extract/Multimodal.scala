@@ -474,13 +474,20 @@ object Multimodal {
             }
             // frames are equal-sized up to integer division remainder;
             // compare frame_mean vs global_mean cross-multiplied so the
-            // uneven tail frame is weighted by ITS true length
+            // uneven tail frame is weighted by ITS true length. The
+            // cross-multiply must be in DOUBLE: in Long it wraps around
+            // 2^27 full-scale samples (~50 min mono 44.1 kHz), silently
+            // flipping bits — same wrap class as the frame-index multiply
+            // above. A double comparison loses nothing that matters: the
+            // fingerprint thresholds a mean, not an exact count.
             var h = 0L
             var f = 0
             while (f < 64) {
               val lo = (f.toLong * s.length / 64).toInt
               val hi = ((f + 1).toLong * s.length / 64).toInt
-              if (hi > lo && energy(f) * s.length > total * (hi - lo)) h |= (1L << f)
+              if (hi > lo &&
+                  energy(f).toDouble * s.length > total.toDouble * (hi - lo))
+                h |= (1L << f)
               f += 1
             }
             java.lang.Long.valueOf(h)

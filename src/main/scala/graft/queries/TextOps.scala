@@ -1397,7 +1397,7 @@ object TextOps {
     // segments share nothing with width-12 segmentation of the same
     // text, so a config drift between runs silently stops finding dups —
     // record it on first contact, refuse a mismatch after
-    requireIndexParams(spark, path, s"width=$width")
+    requireIndexParams(spark, path, s"width=$width", admit = true)
     val segs = segmentRows(batch, width)
     val within = firstSegmentOccurrences(segs)
       .withColumn("h", sha2(col("seg"), 256))
@@ -1418,7 +1418,7 @@ object TextOps {
     * so the record happens here rather than in a build function.
     */
   private def requireIndexParams(spark: SparkSession, path: String,
-      params: String): Unit = {
+      params: String, admit: Boolean): Unit = {
     val seen = new org.apache.hadoop.fs.Path(s"$path/seen")
     val fs = seen.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(seen)
@@ -1428,20 +1428,30 @@ object TextOps {
           s"$path was built with ($stored); probing with ($params) would " +
             "hash under a different scheme and silently stop finding " +
             "duplicates — pass the original parameters or rebuild the index")
-      case Some(_) =>
+      case Some(stored) =>
         // sidecar present but seen/ absent: the FIRST delta crashed
         // after recording its knobs and before any data landed. Nothing
         // is hashed under the crashed call's scheme, so pinning its
         // knobs forever would refuse a later (legitimate) first contact
-        // with different settings — re-record as first contact instead
-        VectorOps.writeSidecar(spark, s"$path/_params", params)
+        // with different settings — re-record as first contact instead.
+        // Only an ADMIT call may re-record: a read-only as-of probe in
+        // this window must validate against the crashed record, never
+        // overwrite it (a normalize=false probe must not rewrite a
+        // normalize=true first-contact record before its replay lands)
+        if (admit) VectorOps.writeSidecar(spark, s"$path/_params", params)
+        else require(stored == params,
+          s"$path recorded ($stored) at first contact; a read-only " +
+            s"probe with ($params) cannot re-record — replay the " +
+            "crashed first admit, or probe with the recorded parameters")
       case None =>
-        // record ONLY when the index holds no data yet: a pre-sidecar
-        // index (seen/ exists, no _params) must skip the check like the
-        // other legacy sidecars — recording the CURRENT call's params
-        // against unknown historical ones would bless exactly the drift
-        // this guard exists to catch, then refuse the correct values
-        if (!hasData)
+        // record ONLY when the index holds no data yet AND this call
+        // admits data: a pre-sidecar index (seen/ exists, no _params)
+        // must skip the check like the other legacy sidecars —
+        // recording the CURRENT call's params against unknown
+        // historical ones would bless exactly the drift this guard
+        // exists to catch, then refuse the correct values. Read-only
+        // probes never write sidecars at all.
+        if (!hasData && admit)
           VectorOps.writeSidecar(spark, s"$path/_params", params)
     }
   }
@@ -1519,7 +1529,7 @@ object TextOps {
   def exactDedupDeltaAsOf(spark: SparkSession, path: String,
       batch: DataFrame, asOf: String,
       normalize: Boolean = false): DataFrame = {
-    requireIndexParams(spark, path, s"normalize=$normalize")
+    requireIndexParams(spark, path, s"normalize=$normalize", admit = false)
     val base = if (normalize) normCol(col("text")) else col("text")
     val hashed = batch.withColumn("h",
       coalesce(sha2(base, 256), lit("NULL_TEXT")))
@@ -1534,7 +1544,7 @@ object TextOps {
     */
   def segmentDedupDeltaAsOf(spark: SparkSession, path: String,
       batch: DataFrame, width: Int, asOf: String): DataFrame = {
-    requireIndexParams(spark, path, s"width=$width")
+    requireIndexParams(spark, path, s"width=$width", admit = false)
     val segs = segmentRows(batch, width)
     val kept = firstSegmentOccurrences(segs)
       .withColumn("h", sha2(col("seg"), 256))
@@ -1599,7 +1609,7 @@ object TextOps {
     // flipping `normalize` between runs would probe hashes computed
     // under a different canonicalization — a silent stop-finding-dups
     // drift, guarded like [[segmentDedupDelta]]'s width
-    requireIndexParams(spark, path, s"normalize=$normalize")
+    requireIndexParams(spark, path, s"normalize=$normalize", admit = true)
     // `normalize` mirrors CurateConfig.normalizeForHash: hash the
     // canonicalized text so case/punct/spacing variants collapse — the
     // streaming loop passes the config flag through so stream and batch

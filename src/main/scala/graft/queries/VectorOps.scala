@@ -475,7 +475,18 @@ object VectorOps {
     finishCrashedSwap(spark, s"$root/$component")
     val tags = historyPrefix(spark, root, asOf)
     requireBatchesPresent(spark, s"$root/$component", tags)
-    spark.read.parquet(s"$root/$component")
+    // the batch PARTITION column must stay a STRING (load-bearing, the
+    // NnDescent.readComp / seenAsOf discipline): on an index whose tags
+    // are all numeric — e.g. append-only, no batch=init dir — inference
+    // types it INT, '007' becomes 7, and isin('007') string-compares
+    // against "7" → the snapshot silently LOSES that batch while
+    // requireBatchesPresent (which lists raw dir names) passes. Pin it
+    // by rewriting the inferred schema; the extra footer read is one
+    // file's metadata, and the partition-pruning shape is unchanged.
+    val inferred = spark.read.parquet(s"$root/$component").schema
+    val pinned = StructType(inferred.map(f =>
+      if (f.name == "batch") f.copy(dataType = StringType) else f))
+    spark.read.schema(pinned).parquet(s"$root/$component")
       .filter(col("batch").isin(tags: _*))
   }
 
@@ -1938,10 +1949,21 @@ object VectorOps {
     array(comps: _*)
   }
 
+  /** Declared contract shape: SCALAR rows `(vec_id, pos, val)` via
+    * posexplode — the driver's comparator hashes pandas frames and an
+    * array-typed output column is unhashable there (SURVEY §7.6 house
+    * rule: declared query outputs must be scalar-typed). The array
+    * surface stays available as [[projectCol]]; this is the same unnest
+    * posture as q_vec_centroid. `pos` is 1-based to match DuckDB's
+    * generate_subscripts.
+    */
   def vecProject(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"), projectCol(col("embedding")).as("proj"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(projectCol(col("embedding"))).as(Seq("pos0", "val")))
+      .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("val"))
+      .orderBy(col("vec_id"), col("pos"))
 
   val vecProjectSql: String = {
     val comps = (0 until ProjDims).map { i =>
@@ -1953,9 +1975,11 @@ object VectorOps {
       // same explicit floor-quantization (no engine round() tie rule)
       s"floor((${terms.stripPrefix("+ ")}) / 4.0 * 1000000.0 + 0.5) / 1000000.0"
     }.mkString(",\n    ")
-    s"""SELECT vec_id, [
+    s"""SELECT vec_id, generate_subscripts(proj, 1) AS pos, unnest(proj) AS val
+       |FROM (SELECT vec_id, [
        |    $comps] AS proj
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+       |  FROM embeddings)
+       |ORDER BY vec_id, pos""".stripMargin
   }
 
   def vecQuantize(spark: SparkSession, dir: String): DataFrame =

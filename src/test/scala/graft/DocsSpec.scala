@@ -43,4 +43,18 @@ class DocsSpec extends AnyFunSuite {
     assert(surveyO == nO,
       s"SURVEY.md claims $surveyO oracled, SparkEntry declares $nO")
   }
+
+  test("BASELINE.md's pinned suite count matches the test tree") {
+    // the r13 292-vs-293 tally drift, prevented structurally: the one
+    // DocsSpec-pinned line must track the *Spec.scala file count
+    val baseline = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val pinned =
+      """Suite inventory \(DocsSpec-pinned\): (\d+) suites""".r
+        .findFirstMatchIn(baseline).get.group(1).toInt
+    val actual = new java.io.File("src/test/scala/graft").listFiles()
+      .count(_.getName.endsWith("Spec.scala"))
+    assert(pinned == actual,
+      s"BASELINE.md pins $pinned suites, the test tree has $actual")
+  }
 }
