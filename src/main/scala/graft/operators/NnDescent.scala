@@ -113,10 +113,26 @@ object NnDescent {
     *
     * Per round: two shuffles by node id, one bucket-id shuffle, the
     * scoring joins, one window top-k; lineage is cut per round (eager
-    * localCheckpoint, the CC-loop discipline).
+    * checkpoint, the CC-loop discipline). Two checkpoint modes, the
+    * [[ConnectedComponents.run]] contract verbatim: `reliable = false`
+    * (default) cuts with `localCheckpoint` — executor-local blocks,
+    * right for local mode, but on a real cluster ONE lost executor
+    * mid-build kills every later round; `reliable = true` cuts with
+    * durable `checkpoint()` to the session's checkpoint dir — the
+    * 100 TB mode, where a multi-hour build must survive executor churn.
+    * The loop is identical in both modes (spec-pinned bit-identical),
+    * only block durability differs.
     */
   def buildGraph(base: DataFrame, k: Int, iters: Int, cells: Int = 16,
-      candCap: Int = 0, randPerRound: Int = -1): DataFrame = {
+      candCap: Int = 0, randPerRound: Int = -1,
+      reliable: Boolean = false): DataFrame = {
+    if (reliable)
+      require(base.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "NnDescent.buildGraph(reliable = true) needs a durable checkpoint " +
+          "dir: call SparkContext.setCheckpointDir(<HDFS/object-store " +
+          "path>) first")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val cap = if (candCap > 0) candCap else 9 * k
     val rand = if (randPerRound >= 0) randPerRound else 4 * k
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
@@ -132,7 +148,7 @@ object NnDescent {
           .as("nexts"))
       .select(col("src"), explode(col("nexts")).as("dst"))
       .filter(col("dst").isNotNull)
-    var edges = topk(score(init0, b), k).localCheckpoint(true)
+    var edges = cut(topk(score(init0, b), k))
     val n = if (iters > 0 && rand > 0) b.count() else 0L
     for (r <- 0 until iters) {
       val undirected = edges.select(col("src"), col("dst"), col("sim"))
@@ -158,8 +174,7 @@ object NnDescent {
           .select(col("x.vec_id").as("src"), col("dst"))
           .filter(col("src") =!= col("dst")))
       }
-      edges = topk(edges.unionByName(score(sampled, b)), k)
-        .localCheckpoint(true)
+      edges = cut(topk(edges.unionByName(score(sampled, b)), k))
     }
     edges
   }
@@ -307,7 +322,7 @@ object NnDescent {
     * an assignment per search batch.
     */
   def writeIndex(base: DataFrame, path: String, k: Int, iters: Int,
-      cells: Int = 16): Unit = {
+      cells: Int = 16, reliable: Boolean = false): Unit = {
     val spark = base.sparkSession
     graft.queries.VectorOps.beginIndexBuild(spark, path)
     graft.queries.VectorOps.resetComponent(spark, s"$path/vectors")
@@ -321,7 +336,7 @@ object NnDescent {
     Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
-    buildGraph(b, k, iters, cells)
+    buildGraph(b, k, iters, cells, reliable = reliable)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
     // rebuild = new as-of history (inside the sentinel window)
     graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
@@ -349,7 +364,7 @@ object NnDescent {
     * requireNotBuilding here.
     */
   def rebuildIndex(spark: SparkSession, path: String, k: Int, iters: Int,
-      cells: Int = 16): Unit = {
+      cells: Int = 16, reliable: Boolean = false): Unit = {
     Seq("vectors", "edges", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
     // history reset BEFORE the vectors fold (reset-before-fold law —
@@ -372,7 +387,7 @@ object NnDescent {
     Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
-    buildGraph(b, k, iters, cells)
+    buildGraph(b, k, iters, cells, reliable = reliable)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
     graft.queries.VectorOps.endFold(spark, path)
     graft.queries.VectorOps.endIndexBuild(spark, path)
@@ -387,7 +402,7 @@ object NnDescent {
     * without its hours-long read outage.
     */
   def rebuildIndexAside(spark: SparkSession, path: String, k: Int,
-      iters: Int, cells: Int = 16): Unit = {
+      iters: Int, cells: Int = 16, reliable: Boolean = false): Unit = {
     graft.queries.VectorOps.recoverPromote(spark, path)
     // fail closed on a crashed IN-PLACE rebuild: its vectors may be
     // partial, and re-running THAT rebuild is its documented repair
@@ -399,7 +414,7 @@ object NnDescent {
       .parquet(s"$path/vectors").drop("batch")
       .localCheckpoint(true) // the build writes beside the dirs it read
     graft.queries.VectorOps.rebuildAside(spark, path)(
-      writeIndex(b, _, k, iters, cells))
+      writeIndex(b, _, k, iters, cells, reliable))
   }
 
   /** Grow the index: each new vector's top-k graph neighbors (found by
@@ -534,11 +549,59 @@ object NnDescent {
   }
 
   /** One-row [[driftStats]] roll-up with the `rebuild_recommended`
-    * verdict ([[Ivf.driftSummary]]'s thresholds and rationale).
+    * verdict — [[Ivf.driftSummary]]'s quantizer columns plus the
+    * GRAPH-side thermometer the quantizer can't see (r13 verdict): an
+    * append's out-edges are frozen at insert time by searching the
+    * graph that existed BEFORE the batch, so same-batch neighbors never
+    * link to each other and a batch opening a new similarity region
+    * files edges whose similarity sits far below the refined build's.
+    * Columns added to the quantizer summary:
+    *  - `edge_sim_init` / `edge_sim_appended`: mean edge similarity of
+    *    the refined build vs the insert-frozen appends;
+    *  - `edge_sim_ratio`: appended / init — the decay signal
+    *    (~1.0 for same-distribution appends, low when appends opened
+    *    regions the frozen graph can't serve);
+    *  - `appended_in_degree`: mean DIRECTED in-edges per appended node
+    *    (only later appends can point at an appended node; ~0 means
+    *    appended nodes are reachable through symmetrized back-edges
+    *    only — structural, reported for observability, not a verdict
+    *    input).
+    * Verdict: the quantizer conditions OR (`edge_sim_ratio` <
+    * `edgeSimRatioMin` with a material appended share). Cure:
+    * [[rebuildIndexAside]] (zero-downtime) or [[rebuildIndex]] —
+    * NnDescentSpec drives a new-region heavy append to a measured
+    * recall sag, this flags it, the aside-rebuild restores both the
+    * recall and the ratio; thresholds discussed in DEPLOY.md.
     */
   def driftSummary(spark: SparkSession, path: String,
-      growthMax: Double = 3.0, residRatioMax: Double = 1.2): DataFrame =
-    Ivf.driftSummaryOf(driftStats(spark, path), growthMax, residRatioMax)
+      growthMax: Double = 3.0, residRatioMax: Double = 1.2,
+      edgeSimRatioMin: Double = 0.8): DataFrame = {
+    val quant =
+      Ivf.driftSummaryOf(driftStats(spark, path), growthMax, residRatioMax)
+    val edges = spark.read
+      .schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
+      .parquet(s"$path/edges")
+    val isInit = col("batch") === "init"
+    val eq = edges.agg(
+        avg(when(isInit, col("sim"))).as("edge_sim_init"),
+        avg(when(!isInit, col("sim"))).as("edge_sim_appended"))
+      .withColumn("edge_sim_ratio",
+        col("edge_sim_appended") / col("edge_sim_init"))
+    val appendedNodes = spark.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors").filter(col("batch") =!= "init")
+      .select(col("vec_id").as("dst"))
+    val inDeg = edges.select(col("dst")).join(appendedNodes, "dst")
+      .agg(count(lit(1)).as("in_edges_appended"))
+    quant.crossJoin(eq).crossJoin(inDeg)
+      .withColumn("appended_in_degree",
+        col("in_edges_appended").cast("double") /
+          greatest(col("n_appended"), lit(1L)))
+      .withColumn("rebuild_recommended",
+        col("rebuild_recommended") ||
+          (coalesce(col("edge_sim_ratio") < edgeSimRatioMin, lit(false)) &&
+            col("appended_share") > 0.1))
+  }
 
   /** [[searchGraphRouted]] against the persisted index: entry hubs come
     * from the `centroids`/`cells` routing state stored at build time

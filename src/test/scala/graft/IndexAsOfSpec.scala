@@ -417,4 +417,56 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSessionFixture {
       }
     } finally rm(idx)
   }
+
+  test("as-of snapshots keep leading-zero tags on an init-less all-numeric index") {
+    // append-only index, no batch=init dir, every tag numeric: partition
+    // type inference would type `batch` INT, '007' would collapse to 7,
+    // and the isin('007') prefix filter would silently return an EMPTY
+    // snapshot while requireBatchesPresent (raw dir names) passes —
+    // componentAsOf must pin the partition column to STRING (r13 advice)
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val idx = tmpDir("asof_numtag")
+    try {
+      VectorOps.appendNeardupIndex(docs.filter(col("doc_id") % 2 === 0),
+        idx, "007")
+      VectorOps.appendNeardupIndex(docs.filter(col("doc_id") % 2 === 1),
+        idx, "010")
+      assert(VectorOps.indexHistory(spark, idx) == Seq("007", "010"))
+      val snap007 = VectorOps.componentAsOf(spark, idx, "sets", "007")
+      assert(snap007.schema("batch").dataType ==
+        org.apache.spark.sql.types.StringType,
+        "batch partition column must stay STRING under numeric tags")
+      val n007 = snap007.count()
+      val nAll = VectorOps.componentAsOf(spark, idx, "sets", "010").count()
+      assert(n007 > 0, "as-of '007' lost the leading-zero batch")
+      assert(nAll > n007, "as-of the later tag must add the second batch")
+      // and the probe surface over it answers (not silently empty)
+      assert(VectorOps.minhashPairsIndexedAsOf(spark, idx, asOf = "007")
+        .columns.toSeq == Seq("d1", "d2", "jaccard"))
+    } finally rm(idx)
+  }
+
+  test("read-only as-of probes never write _params (crashed-first-contact window)") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val idx = tmpDir("asof_params")
+    try {
+      // simulate a first admit that crashed after recording its knobs
+      // and before any data landed: sidecar present, seen/ absent
+      VectorOps.writeSidecar(spark, s"$idx/_params", "normalize=true")
+      val err = intercept[IllegalArgumentException] {
+        TextOps.exactDedupDeltaAsOf(spark, idx, docs, "t0",
+          normalize = false)
+      }
+      assert(err.getMessage.contains("read-only"))
+      assert(VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("normalize=true"),
+        "a mismatched probe must not overwrite the first-contact record")
+      // an ADMIT with different knobs in the same window re-records —
+      // the legitimate-first-contact semantics the window exists for
+      TextOps.exactDedupDelta(spark, idx, docs.limit(5), "t0",
+        normalize = false)
+      assert(VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("normalize=false"))
+    } finally rm(idx)
+  }
 }

@@ -49,6 +49,28 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
     assert(m2 > 0.85 * ideal, s"refined $m2 vs ideal $ideal")
   }
 
+  test("reliable (durable-checkpoint) build is bit-identical to local mode") {
+    val b = base.localCheckpoint(true)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val sc = spark.sparkContext
+    // fail fast without a durable dir — the one thing reliable mode
+    // cannot silently degrade on (a localCheckpoint fallback would
+    // defeat the whole executor-churn story)
+    if (sc.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        NnDescent.buildGraph(b, k = 10, iters = 1, reliable = true)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("nnd_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // identical loop, only block durability differs (the CC contract)
+      assert(canon(NnDescent.buildGraph(b, k = 10, iters = 1, reliable = true))
+        == canon(NnDescent.buildGraph(b, k = 10, iters = 1)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("open beam degenerates to the exact answer bit-for-bit") {
     val b = base.localCheckpoint(true)
     val edges = NnDescent.buildGraph(b, k = 10, iters = 1)

@@ -507,6 +507,35 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(VectorOps.neardupCosine(spark, Sf0001)) == first)
   }
 
+  test("graph cache: memoized q_knn_graph == pure build+search; same lifecycle") {
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+    VectorOps.purgePairCache(_ => false)
+    assert(VectorOps.graphCacheSize == 0)
+    // memoized contract query must be bit-identical to the pure
+    // (uncached) build + search it pins
+    val base = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .dotProduct(col("embedding"), col("embedding")).as("n2"))
+      .localCheckpoint(true)
+    val pure = graft.operators.NnDescent.searchGraph(base,
+      graft.operators.NnDescent.buildGraph(base, k = 10, iters = 2,
+        cells = 16),
+      base.filter(col("vec_id") < 5), k = 5, beam = 20, hops = 3,
+      entries = 8)
+    val first = canon(VectorOps.knnGraph(spark, Sf0001))
+    assert(first == canon(pure))
+    assert(VectorOps.graphCacheSize == 1)
+    // repeat hits the cache (no rebuild); purge-all rebuilds the same
+    // answer — memoization must be observationally pure
+    assert(canon(VectorOps.knnGraph(spark, Sf0001)) == first)
+    assert(VectorOps.graphCacheSize == 1)
+    VectorOps.purgePairCache(_ => false)
+    assert(VectorOps.graphCacheSize == 0)
+    assert(canon(VectorOps.knnGraph(spark, Sf0001)) == first)
+  }
+
   // ------------------------------------------------ text normalization
 
   test("normalization canonicalizes case/punctuation/spacing variants to one digest") {
