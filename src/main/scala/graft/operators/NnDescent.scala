@@ -548,59 +548,138 @@ object NnDescent {
       spark.read.parquet(s"$path/centroids"))
   }
 
+  /** Exact-sampled EDGE STALENESS — the graph-side drift thermometer
+    * (r13 verdict): an append's out-edges are frozen at insert time by
+    * searching the graph that existed BEFORE the batch, so same-batch
+    * neighbors never link to each other and a batch that opens a new
+    * similarity region files edges far worse than the corpus now
+    * admits. Naive aggregate edge-similarity ratios do NOT see this —
+    * measured on both a new-region append and a hard-regime append,
+    * the appended edges' MEAN sim sat ABOVE the refined build's (the
+    * insert search is a good search; it just can't propose same-batch
+    * or later nodes) — so the probe compares each sampled appended
+    * node's best STORED out-edge against its EXACT best neighbor in
+    * the full index corpus: `staleness = mean(exact_top1 −
+    * stored_top1)`. Fresh or benign-append indexes sit near 0; a
+    * same-batch dup family or new-region batch scores the gap between
+    * a stranger edge and the true sibling (≈0.2+ on the spec fixture).
+    *
+    * Cost: `sample` (deterministic xxhash order) × corpus dot
+    * products — one bounded broadcast-join pass, the recall-proxy
+    * sampling any production ANN deployment runs as a health check; at
+    * any corpus size the scan is a single pass with a 256-row
+    * broadcast side, NOT a self-join.
+    *
+    * Output (one row): n_appended_sampled, stored_top1_mean,
+    * exact_top1_mean, staleness (all null/0 when nothing is appended).
+    */
+  def edgeStaleness(spark: SparkSession, path: String,
+      sample: Int = 256): DataFrame = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    Seq("vectors", "edges").foreach(c =>
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
+    val vecs = spark.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
+      .parquet(s"$path/vectors")
+    val sampled = vecs.filter(col("batch") =!= "init")
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(sample)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+      .localCheckpoint(true)
+    val edges = spark.read
+      .schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
+      .parquet(s"$path/edges")
+    val stored = edges
+      .join(broadcast(sampled.select(col("vec_id").as("src"))), "src")
+      .groupBy(col("src")).agg(max(col("sim")).as("stored_top1"))
+    // exact top-1 via the brute knn surface: corpus-side scan with the
+    // bounded sample broadcast, self excluded by id equality
+    val exact = graft.queries.VectorOps.knn(
+        vecs.select(col("vec_id"), col("embedding")), sampled, 1)
+      .select(col("q_id").as("src"), col("cos").as("exact_top1"))
+    stored.join(exact, "src")
+      .agg(count(lit(1)).as("n_appended_sampled"),
+        avg(col("stored_top1")).as("stored_top1_mean"),
+        avg(col("exact_top1")).as("exact_top1_mean"))
+      .withColumn("staleness",
+        col("exact_top1_mean") - col("stored_top1_mean"))
+  }
+
   /** One-row [[driftStats]] roll-up with the `rebuild_recommended`
     * verdict — [[Ivf.driftSummary]]'s quantizer columns plus the
-    * GRAPH-side thermometer the quantizer can't see (r13 verdict): an
-    * append's out-edges are frozen at insert time by searching the
-    * graph that existed BEFORE the batch, so same-batch neighbors never
-    * link to each other and a batch opening a new similarity region
-    * files edges whose similarity sits far below the refined build's.
-    * Columns added to the quantizer summary:
-    *  - `edge_sim_init` / `edge_sim_appended`: mean edge similarity of
-    *    the refined build vs the insert-frozen appends;
-    *  - `edge_sim_ratio`: appended / init — the decay signal
-    *    (~1.0 for same-distribution appends, low when appends opened
-    *    regions the frozen graph can't serve);
+    * graph-side signals the quantizer can't see:
+    *  - `staleness` (+ its [[edgeStaleness]] inputs): THE graph decay
+    *    verdict input — fires when sampled appended nodes' stored
+    *    edges sit `stalenessMax` below their exact best neighbor with
+    *    a material appended share;
     *  - `appended_in_degree`: mean DIRECTED in-edges per appended node
     *    (only later appends can point at an appended node; ~0 means
     *    appended nodes are reachable through symmetrized back-edges
-    *    only — structural, reported for observability, not a verdict
-    *    input).
-    * Verdict: the quantizer conditions OR (`edge_sim_ratio` <
-    * `edgeSimRatioMin` with a material appended share). Cure:
-    * [[rebuildIndexAside]] (zero-downtime) or [[rebuildIndex]] —
-    * NnDescentSpec drives a new-region heavy append to a measured
-    * recall sag, this flags it, the aside-rebuild restores both the
-    * recall and the ratio; thresholds discussed in DEPLOY.md.
+    *    only — structural observability, not a verdict input).
+    * Cure: [[rebuildIndexAside]] (zero-downtime) or [[rebuildIndex]] —
+    * NnDescentSpec drives a same-batch-blind heavy append to a
+    * measured routed-recall sag, this flags it, the aside-rebuild
+    * restores recall and zeroes the staleness; thresholds discussed in
+    * DEPLOY.md.
     */
   def driftSummary(spark: SparkSession, path: String,
       growthMax: Double = 3.0, residRatioMax: Double = 1.2,
-      edgeSimRatioMin: Double = 0.8): DataFrame = {
+      stalenessMax: Double = 0.1, stalenessSample: Int = 256): DataFrame = {
     val quant =
       Ivf.driftSummaryOf(driftStats(spark, path), growthMax, residRatioMax)
     val edges = spark.read
       .schema("src LONG, dst LONG, sim DOUBLE, batch STRING")
       .parquet(s"$path/edges")
-    val isInit = col("batch") === "init"
-    val eq = edges.agg(
-        avg(when(isInit, col("sim"))).as("edge_sim_init"),
-        avg(when(!isInit, col("sim"))).as("edge_sim_appended"))
-      .withColumn("edge_sim_ratio",
-        col("edge_sim_appended") / col("edge_sim_init"))
     val appendedNodes = spark.read
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, batch STRING")
       .parquet(s"$path/vectors").filter(col("batch") =!= "init")
       .select(col("vec_id").as("dst"))
     val inDeg = edges.select(col("dst")).join(appendedNodes, "dst")
       .agg(count(lit(1)).as("in_edges_appended"))
-    quant.crossJoin(eq).crossJoin(inDeg)
+    val stale = edgeStaleness(spark, path, stalenessSample)
+      .select(col("n_appended_sampled"), col("stored_top1_mean"),
+        col("exact_top1_mean"), col("staleness"))
+    quant.crossJoin(inDeg).join(stale, lit(true), "left")
       .withColumn("appended_in_degree",
         col("in_edges_appended").cast("double") /
           greatest(col("n_appended"), lit(1L)))
       .withColumn("rebuild_recommended",
         col("rebuild_recommended") ||
-          (coalesce(col("edge_sim_ratio") < edgeSimRatioMin, lit(false)) &&
+          (coalesce(col("staleness") > stalenessMax, lit(false)) &&
             col("appended_share") > 0.1))
+  }
+
+  /** [[driftSummary]]'s verdict wired to its cure: when
+    * `rebuild_recommended`, run the zero-downtime [[rebuildIndexAside]]
+    * and return true; otherwise leave the index untouched and return
+    * false. The watch half of the operator loop (watch → rebuild →
+    * verify) — PyBridge exposes it so a scheduled Python job can run
+    * the whole loop against a live index.
+    */
+  def maybeRebuildAside(spark: SparkSession, path: String, k: Int,
+      iters: Int, cells: Int = 16, growthMax: Double = 3.0,
+      residRatioMax: Double = 1.2, stalenessMax: Double = 0.1,
+      reliable: Boolean = false): Boolean = {
+    val flagged = driftSummary(spark, path, growthMax, residRatioMax,
+      stalenessMax).head.getAs[Boolean]("rebuild_recommended")
+    if (flagged) rebuildIndexAside(spark, path, k, iters, cells, reliable)
+    flagged
+  }
+
+  /** [[graft.queries.VectorOps.indexInfo]] plus the graph index's drift
+    * verdict as `section = "drift"` rows — the one health view an
+    * operator reads before paging anyone. Unlike the metadata-only
+    * generic view, the drift rows cost a (bounded) Spark job — the
+    * [[edgeStaleness]] sample scan; see there for the price.
+    */
+  def indexInfoWithDrift(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val info = graft.queries.VectorOps.indexInfo(spark, path)
+    val d = driftSummary(spark, path).head
+    val rows = d.schema.fieldNames.toSeq.map(f =>
+      ("drift", "", f, String.valueOf(d.getAs[Any](f))))
+    info.unionByName(rows.toDF("section", "component", "key", "value"))
   }
 
   /** [[searchGraphRouted]] against the persisted index: entry hubs come

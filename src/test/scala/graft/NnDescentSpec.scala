@@ -231,4 +231,117 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
     assert(after.getAs[Long]("n_appended") == 0L &&
       !after.getAs[Boolean]("rebuild_recommended"))
   }
+
+  test("graph drift: a same-batch-blind heavy append sags routed recall, " +
+      "edge staleness flags it, the aside-rebuild restores it") {
+    import spark.implicits._
+    val init = base.localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("nnd_drift").toString
+    try {
+      NnDescent.writeIndex(init, dir, k = 10, iters = 2)
+      val fresh = NnDescent.driftSummary(spark, dir).collect().head
+      assert(!fresh.getAs[Boolean]("rebuild_recommended"))
+
+      // the heavy append: a 200-member RANDOM-WALK filament seeded at
+      // the first two stored centroids' midpoint — consecutive members
+      // are true near-dups, distant members decorrelate (no single
+      // funnel direction an init vector could serve), and the whole
+      // walk lands in ONE batch, so no member gets an edge to any
+      // other (insert-time search sees only the pre-batch graph).
+      // Exactly the population append-only growth is blind against.
+      val cents = spark.read.parquet(s"$dir/centroids").orderBy("c_id")
+        .collect()
+      def embOf(r: org.apache.spark.sql.Row) = r.getSeq[Float](1).toArray
+      def norm(v: Array[Float]) = {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        v.map(x => (x / n).toFloat)
+      }
+      val mid = norm(embOf(cents(0)).zip(embOf(cents(1)))
+        .map { case (a, b) => a + b })
+      def mix(a: Long): Long = {
+        var z = a * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val walk = Iterator.iterate((mid, 0)) { case (v, j) =>
+        val step = v.indices.toArray.map(i =>
+          ((mix(j * 64L + i) % 2000001L) / 1000000.0f - 1f) * 0.12f)
+        (norm(v.indices.toArray.map(i => v(i) + step(i))), j + 1)
+      }.take(200).map(_._1).toArray
+      def withN2(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("embedding"),
+          VectorExpressions.dotProduct(col("embedding"), col("embedding"))
+            .as("n2"))
+      val famDf = withN2((0 until 200).map(j => (10000L + j, walk(j).toSeq))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")))
+        .localCheckpoint(true)
+      NnDescent.appendIndex(spark, famDf, dir, "a1", k = 10)
+
+      // the thermometer: sampled appended nodes' stored best edge sits
+      // far below their exact best neighbor (their walk sibling at
+      // ~0.99 vs the best init vector at ~0.4 — measured 0.44 gap),
+      // and the verdict fires on staleness ALONE (quantizer thresholds
+      // disabled) — the graph-side signal, not the cell-growth one
+      val stale = NnDescent.edgeStaleness(spark, dir).collect().head
+      assert(stale.getAs[Long]("n_appended_sampled") == 200L)
+      assert(stale.getAs[Double]("staleness") > 0.3,
+        s"walk append must read stale: $stale")
+      val drifted = NnDescent.driftSummary(spark, dir,
+        growthMax = 1e9, residRatioMax = 1e9).collect().head
+      assert(drifted.getAs[Boolean]("rebuild_recommended"),
+        s"staleness alone must recommend the rebuild: $drifted")
+
+      // recall really sags: queries are walk members at offset ids,
+      // truth their walk neighbors — unreachable without member-to-
+      // member edges at the tight budget (measured 0.42 drifted vs
+      // 0.98 rebuilt; generous margins)
+      val queries = withN2(
+        (20 until 190 by 8).map(j => (90000L + j, walk(j).toSeq))
+          .toDF("vec_id", "embedding")
+          .select(col("vec_id"),
+            col("embedding").cast("array<float>").as("embedding")))
+        .localCheckpoint(true)
+      val grown = init.unionByName(famDf).localCheckpoint(true)
+      val truth = VectorOps.knn(
+          grown.select(col("vec_id"), col("embedding")),
+          queries.select(col("vec_id"), col("embedding")), 5)
+        .select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+      def recall(res: DataFrame): Double = {
+        val got = res.select(col("q_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        val r = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty[Long]).count(t.contains).toDouble / t.size }
+        r.sum / r.size
+      }
+      def routedRecall(): Double =
+        recall(NnDescent.searchIndexRouted(spark, dir, queries, k = 5,
+          beam = 12, hops = 2, nprobe = 2, hubsPerCell = 4))
+      val sagged = routedRecall()
+      assert(sagged <= 0.6, s"drifted routed recall $sagged should sag")
+
+      // the wired cure: watch → rebuild (zero-downtime aside) → verify
+      assert(NnDescent.maybeRebuildAside(spark, dir, k = 10, iters = 2),
+        "flagged index must rebuild")
+      val restored = routedRecall()
+      assert(restored >= 0.9,
+        s"rebuilt routed recall $restored must restore (was $sagged)")
+      val after = NnDescent.driftSummary(spark, dir).collect().head
+      assert(!after.getAs[Boolean]("rebuild_recommended"))
+      // idempotent watch: a healthy index is left untouched
+      assert(!NnDescent.maybeRebuildAside(spark, dir, k = 10, iters = 2))
+      // and the one-stop health view carries the drift section
+      val infoRows = NnDescent.indexInfoWithDrift(spark, dir)
+        .filter(col("section") === "drift").collect()
+        .map(r => (r.getString(2), r.getString(3))).toMap
+      assert(infoRows("rebuild_recommended") == "false")
+      assert(infoRows.contains("staleness"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
