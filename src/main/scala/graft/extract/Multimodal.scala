@@ -782,4 +782,228 @@ object Multimodal {
   def withVideoColumns(df: DataFrame, contentCol: String = "content")
       : DataFrame =
     df.withColumn("video_meta", decodeVideoMeta(col(contentCol)))
+
+  // ------------------------------------- persisted media-signature index
+
+  /** Persisted aHash seen-index: the incremental-lifecycle twin every
+    * text/vector family already has, for media (r13 verdict gap #3 —
+    * [[imageDedup]]/[[audioDedup]] were one-shot batch ops while a real
+    * multimodal corpus ingests continuously). One `hashes` component
+    * ((med_id, ahash) under the standard `batch=` layout), shared
+    * lifecycle verbatim: lazily created by the first delta (the
+    * seen-set posture), own-tag-exempt replay overwrites, `_history`
+    * sidecar + as-of probes, compaction with closed replay windows
+    * (`_compacted_tags`), `_params` kind pinning (an image index probed
+    * with audio hashes is hash-compatible but semantically meaningless
+    * — record on first admit, refuse a mismatch), and the generic
+    * `indexInfo` health view.
+    *
+    * Scale shape: the batch decodes ONCE (its own aHash pass); the
+    * corpus side is the STORED hash table — never re-decoded, never
+    * re-hashed. Cross candidates come from the asymmetric band probe
+    * (corpus side shuffles by (band, value) only for the probed
+    * buckets), within-batch candidates from the symmetric banded join
+    * over the batch alone; both verify Hamming on the 64-bit hashes.
+    * `rescueHot` stays OFF ([[graft.operators.BandedHamming.pairs]]'
+    * rationale: the hash IS the verdict — a degenerate bucket means
+    * flat images/silence, and star edges would "verify" at Hamming 0
+    * for genuinely different content).
+    */
+  private val MediaBands = 4
+  private val MediaBandBits = 16
+
+  private def mediaBanded(df: DataFrame): DataFrame =
+    df.select(col("med_id"), col("ahash"),
+        explode(sequence(lit(0), lit(MediaBands - 1))).as("band"))
+      .withColumn("bandval", expr(
+        s"shiftright(ahash, band * $MediaBandBits) & ${(1L << MediaBandBits) - 1}"))
+
+  /** Record-on-first-admit / refuse-on-mismatch for the index's media
+    * kind — [[graft.queries.TextOps]]' `requireIndexParams` semantics
+    * over THIS index's `hashes` component, incl. the admit gate: a
+    * read-only as-of probe validates but never writes the sidecar.
+    */
+  private def requireMediaParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, params: String, admit: Boolean): Unit = {
+    import graft.queries.VectorOps
+    val data = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(data)
+    VectorOps.readSidecar(spark, s"$path/_params") match {
+      case Some(stored) if hasData =>
+        require(stored == params,
+          s"$path was built with ($stored); probing with ($params) would " +
+            "compare fingerprints of a different media kind — pass the " +
+            "original kind or use a separate index path")
+      case Some(stored) =>
+        if (admit) VectorOps.writeSidecar(spark, s"$path/_params", params)
+        else require(stored == params,
+          s"$path recorded ($stored) at first contact; a read-only probe " +
+            s"with ($params) cannot re-record")
+      case None =>
+        if (!hasData && admit)
+          VectorOps.writeSidecar(spark, s"$path/_params", params)
+    }
+  }
+
+  private[graft] def compactedMediaTags(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
+    graft.queries.VectorOps
+      .readSidecar(spark, s"$path/hashes/_compacted_tags")
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** One ingest batch of already-hashed media against the persisted
+    * index: near-dup pairs (id1, id2, hamming, cross) where every pair
+    * touches ≥1 batch row — `cross = true` pairs a batch row (id1) with
+    * a previously-admitted row (id2); `cross = false` pairs two batch
+    * rows (id1 < id2). The batch's hashes land under `batch=tag` so the
+    * NEXT batch sees them; replaying a live tag reproduces its first
+    * run bit-identically (own tag excluded from the corpus side), and
+    * replaying a compaction-folded tag fails fast.
+    */
+  def mediaHashDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+      hashed: DataFrame, tag: String, kind: String, maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    import graft.queries.VectorOps
+    VectorOps.requireTag(tag)
+    requireMediaParams(spark, path, s"kind=$kind", admit = true)
+    VectorOps.finishCrashedSwap(spark, s"$path/hashes")
+    VectorOps.ensureBatchLayout(spark, s"$path/hashes")
+    require(!compactedMediaTags(spark, path).contains(tag),
+      s"tag '$tag' was folded into batch=init by index compaction — " +
+        "its replay window is closed; re-ingest under a fresh tag")
+    VectorOps.seedHistoryIfEmpty(spark, path, Seq("hashes"))
+    // decode paid once: the batch hash pass feeds the within-join, the
+    // cross probe and the index append
+    val batch = hashed.select(col("med_id"), col("ahash"))
+      .filter(col("ahash").isNotNull).localCheckpoint(true)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpus =
+      if (fs.exists(dataDir))
+        spark.read.schema("med_id STRING, ahash LONG, batch STRING")
+          .parquet(s"$path/hashes")
+          .filter(col("batch") =!= lit(tag))
+          .select(col("med_id"), col("ahash"))
+      else spark.emptyDataFrame
+        .select(lit("").as("med_id"), lit(0L).as("ahash")).limit(0)
+    val result = mediaPairsAgainst(batch, corpus, maxHamming, maxBucket)
+      .localCheckpoint(true) // materialize BEFORE writing into the dir we read
+    batch.write.mode("overwrite").parquet(s"$path/hashes/batch=$tag")
+    VectorOps.recordHistory(spark, path, tag)
+    result
+  }
+
+  /** The pair core shared by the live delta and the as-of probe:
+    * batch-vs-`corpus` cross pairs (asymmetric band probe, Hamming
+    * verified on candidates) unioned with within-batch pairs.
+    */
+  private def mediaPairsAgainst(batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val cross = graft.operators.BandedHamming
+      .probedPairs(mediaBanded(batch),
+        mediaBanded(corpus.select(col("med_id"), col("ahash"))),
+        "med_id", "med_id", Seq("band", "bandval"), maxBucket,
+        rescueHot = false)
+      .join(batch.select(col("med_id").as("id1"), col("ahash").as("h1")), "id1")
+      .join(corpus.select(col("med_id").as("id2"), col("ahash").as("h2")), "id2")
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"), lit(true).as("cross"))
+    val within = graft.operators.BandedHamming
+      .pairs(batch, "med_id", "ahash", bands = MediaBands,
+        maxHamming = maxHamming, maxBucket = maxBucket)
+      .withColumn("cross", lit(false))
+    cross.unionByName(within).orderBy(col("id1"), col("id2"), col("cross"))
+  }
+
+  /** [[mediaHashDelta]] against the index AS OF a recorded batch tag —
+    * read-only (nothing admitted, no history entry, no sidecar write):
+    * re-ask a batch's media-dup question against exactly the snapshot
+    * some earlier admit left behind.
+    */
+  def mediaHashDeltaAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashed: DataFrame, asOf: String, kind: String,
+      maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    requireMediaParams(spark, path, s"kind=$kind", admit = false)
+    val batch = hashed.select(col("med_id"), col("ahash"))
+      .filter(col("ahash").isNotNull)
+    val corpus = graft.queries.VectorOps
+      .componentAsOf(spark, path, "hashes", asOf)
+      .select(col("med_id"), col("ahash"))
+    mediaPairsAgainst(batch, corpus, maxHamming, maxBucket)
+  }
+
+  /** Image ingest against the persisted index: decode + aHash the batch
+    * (undecodable rows excluded — they can never pair), then
+    * [[mediaHashDelta]]. `kind=image` is pinned on first admit.
+    */
+  def imageDedupDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, tag: String, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame =
+    mediaHashDelta(spark, path,
+      df.select(col(idCol).as("med_id"),
+        imageAHash(col(contentCol)).as("ahash")),
+      tag, "image", maxHamming, maxBucket)
+
+  /** [[imageDedupDelta]]'s read-only as-of twin. */
+  def imageDedupDeltaAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, asOf: String, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6): DataFrame =
+    mediaHashDeltaAsOf(spark, path,
+      df.select(col(idCol).as("med_id"),
+        imageAHash(col(contentCol)).as("ahash")),
+      asOf, "image", maxHamming)
+
+  /** Audio ingest against the persisted index ([[audioAHash]]
+    * fingerprints; `kind=audio`).
+    */
+  def audioDedupDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, tag: String, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame =
+    mediaHashDelta(spark, path,
+      df.select(col(idCol).as("med_id"),
+        audioAHash(col(contentCol)).as("ahash")),
+      tag, "audio", maxHamming, maxBucket)
+
+  /** [[audioDedupDelta]]'s read-only as-of twin. */
+  def audioDedupDeltaAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, asOf: String, idCol: String = "path",
+      contentCol: String = "content", maxHamming: Int = 6): DataFrame =
+    mediaHashDeltaAsOf(spark, path,
+      df.select(col(idCol).as("med_id"),
+        audioAHash(col(contentCol)).as("ahash")),
+      asOf, "audio", maxHamming)
+
+  /** Compact the media index in place — the
+    * [[graft.queries.TextOps.compactSegmentIndex]] discipline on the
+    * `hashes` component: folded tags' replay windows close (recorded
+    * in-index), as-of reach resets to `init`, reset-before-fold under
+    * the `_folding` sentinel.
+    */
+  def compactMediaIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 0): Unit = {
+    import graft.queries.VectorOps
+    VectorOps.finishCrashedSwap(spark, s"$path/hashes")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (!fs.exists(dataDir)) Set.empty[String]
+      else fs.listStatus(dataDir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") && n != "batch=init")
+        .map(_.stripPrefix("batch=")).toSet
+    val folded = (compactedMediaTags(spark, path) ++ live).toSeq.sorted
+    VectorOps.beginFold(spark, path)
+    VectorOps.resetHistory(spark, path, Seq("init"))
+    VectorOps.compactComponent(spark, s"$path/hashes", numFiles, Nil,
+      sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+    VectorOps.endFold(spark, path)
+  }
 }

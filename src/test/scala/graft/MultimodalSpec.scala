@@ -496,4 +496,120 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
         durationMs = 5000, minJaccard = 0.3, maxPerSig = 2).collect().head
     assert(r.getLong(2) == 5L && math.abs(r.getDouble(3) - 5.0 / 15) < 1e-9)
   }
+
+  /** Diagonal luma ramp — structurally distinct from both gradient
+    * orientations at the 8×8 aHash scale.
+    */
+  private def diag(w: Int, h: Int,
+      tweak: Option[(Int, Int)] = None): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val v = (x + y) * 255 / (w + h - 2)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    tweak.foreach { case (tx, ty) => img.setRGB(tx, ty, 0x808080) }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("persisted media index: cross-batch dup caught via the index only; " +
+      "replay idempotent; as-of answers the historical snapshot") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_idx").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3))).toSeq
+      // batch 1: two distinct images — no pairs, hashes admitted
+      val b1 = Seq(
+        ("a", gradient(64, 64, horizontal = true)),
+        ("b_vert", gradient(64, 64, horizontal = false)),
+        ("junk", Array[Byte](1, 2, 3)) // undecodable: dropped, never paired
+      ).toDF("path", "content")
+      assert(Multimodal.imageDedupDelta(spark, idx, b1, "m1").isEmpty)
+      // batch 2 does NOT carry a's content — the cross pair can only
+      // come from the persisted hash; within-batch pair rides beside it
+      val b2 = Seq(
+        ("a_jpeg", gradient(64, 64, horizontal = true, format = "jpg")),
+        ("c", diag(64, 64)),
+        ("c_tweak", diag(64, 64, tweak = Some((3, 3))))
+      ).toDF("path", "content")
+      val out2 = rows(Multimodal.imageDedupDelta(spark, idx, b2, "m2"))
+      assert(out2.filter(_._4) == Seq(("a_jpeg", "a", 0, true)),
+        s"cross pairs: $out2")
+      assert(out2.filterNot(_._4).map(t => (t._1, t._2)) ==
+        Seq(("c", "c_tweak")), s"within pairs: $out2")
+      // replay window: re-running a live tag reproduces bit-identically
+      assert(rows(Multimodal.imageDedupDelta(spark, idx, b2, "m2")) == out2)
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) ==
+        Seq("m1", "m2"))
+
+      // index moves on; the as-of probe answers the m1 snapshot (a_jpeg
+      // not yet admitted — only the cross pair with a exists there)
+      val b3 = Seq(("a_tweak",
+        gradient(64, 64, horizontal = true, tweak = Some((3, 3)))))
+        .toDF("path", "content")
+      val out3 = rows(Multimodal.imageDedupDelta(spark, idx, b3, "m3"))
+      assert(out3.map(t => (t._1, t._2, t._4)).toSet ==
+        Set(("a_tweak", "a", true), ("a_tweak", "a_jpeg", true)))
+      val asOf1 = rows(Multimodal.imageDedupDeltaAsOf(spark, idx, b3, "m1"))
+      assert(asOf1.map(t => (t._1, t._2, t._4)) ==
+        Seq(("a_tweak", "a", true)),
+        s"as-of m1 must not see m2's admissions: $asOf1")
+
+      // kind pinning: an audio probe of an image index refuses loudly,
+      // and the read-only refusal leaves the sidecar untouched
+      intercept[IllegalArgumentException] {
+        Multimodal.audioDedupDelta(spark, idx, b1, "x1")
+      }
+      assert(graft.queries.VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("kind=image"))
+
+      // compaction: folded tags' replay windows close; fresh ingest
+      // still sees the whole folded corpus; history resets to init
+      Multimodal.compactMediaIndex(spark, idx)
+      intercept[IllegalArgumentException] {
+        Multimodal.imageDedupDelta(spark, idx, b2, "m2")
+      }
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) == Seq("init"))
+      val b4 = Seq(("a_again", gradient(64, 64, horizontal = true)))
+        .toDF("path", "content")
+      val out4 = rows(Multimodal.imageDedupDelta(spark, idx, b4, "m4"))
+      assert(out4.map(_._2).toSet == Set("a", "a_jpeg", "a_tweak"),
+        s"folded corpus must still answer: $out4")
+      // the generic health view reads this index like any other family
+      val info = graft.queries.VectorOps.indexInfo(spark, idx)
+      assert(info.filter(col("section") === "data" &&
+        col("component") === "hashes").count() >= 1)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
+  test("persisted audio index: re-encoded cross-batch dup lands at " +
+      "hamming 0 through the stored fingerprint") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_audio").toString
+    try {
+      val a = signal(42L)
+      val b1 = Seq(
+        ("a", audioBytes(a)),
+        ("b", audioBytes(signal(99L, section = 430)))
+      ).toDF("path", "content")
+      assert(Multimodal.audioDedupDelta(spark, idx, b1, "t1").isEmpty)
+      // the re-encode arrives a batch later, in a different container
+      val b2 = Seq(("a_re", audioBytes(a,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bigEndian = true)))
+        .toDF("path", "content")
+      val out = Multimodal.audioDedupDelta(spark, idx, b2, "t2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+      assert(out == Seq(("a_re", "a", 0)), s"got $out")
+      intercept[IllegalArgumentException] {
+        Multimodal.imageDedupDelta(spark, idx, b1, "x1")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
 }
