@@ -859,25 +859,40 @@ object Multimodal {
     * rows (id1 < id2). The batch's hashes land under `batch=tag` so the
     * NEXT batch sees them; replaying a live tag reproduces its first
     * run bit-identically (own tag excluded from the corpus side), and
-    * replaying a compaction-folded tag fails fast.
+    * replaying a compaction-folded tag fails fast. Probe and append are
+    * also exposed separately ([[mediaHashProbe]]/[[appendMediaIndex]])
+    * for loops that admit only a SUBSET of the batch — the CurateIngest
+    * media stage probes with every candidate but grows the index with
+    * the final keepers only (the index must stay exactly the kept
+    * corpus, the stage-5/6 discipline).
     */
   def mediaHashDelta(spark: org.apache.spark.sql.SparkSession, path: String,
       hashed: DataFrame, tag: String, kind: String, maxHamming: Int = 6,
       maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
       : DataFrame = {
+    val result = mediaHashProbe(spark, path, hashed, tag, kind, maxHamming,
+      maxBucket).localCheckpoint(true) // materialize BEFORE the append below
+    appendMediaIndex(spark, path, hashed, tag, kind)
+    result
+  }
+
+  /** Probe-only half of [[mediaHashDelta]]: pairs vs the index
+    * EXCLUDING `tag`'s own increment (replay discipline), nothing
+    * written — params are validated, never recorded.
+    */
+  def mediaHashProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      hashed: DataFrame, tag: String, kind: String, maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
     import graft.queries.VectorOps
     VectorOps.requireTag(tag)
-    requireMediaParams(spark, path, s"kind=$kind", admit = true)
+    requireMediaParams(spark, path, s"kind=$kind", admit = false)
     VectorOps.finishCrashedSwap(spark, s"$path/hashes")
-    VectorOps.ensureBatchLayout(spark, s"$path/hashes")
     require(!compactedMediaTags(spark, path).contains(tag),
       s"tag '$tag' was folded into batch=init by index compaction — " +
         "its replay window is closed; re-ingest under a fresh tag")
-    VectorOps.seedHistoryIfEmpty(spark, path, Seq("hashes"))
-    // decode paid once: the batch hash pass feeds the within-join, the
-    // cross probe and the index append
     val batch = hashed.select(col("med_id"), col("ahash"))
-      .filter(col("ahash").isNotNull).localCheckpoint(true)
+      .filter(col("ahash").isNotNull)
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val corpus =
@@ -888,11 +903,38 @@ object Multimodal {
           .select(col("med_id"), col("ahash"))
       else spark.emptyDataFrame
         .select(lit("").as("med_id"), lit(0L).as("ahash")).limit(0)
-    val result = mediaPairsAgainst(batch, corpus, maxHamming, maxBucket)
-      .localCheckpoint(true) // materialize BEFORE writing into the dir we read
-    batch.write.mode("overwrite").parquet(s"$path/hashes/batch=$tag")
+    mediaPairsAgainst(batch, corpus, maxHamming, maxBucket)
+  }
+
+  /** Append half of [[mediaHashDelta]]: admit `hashed`'s decodable rows
+    * under `batch=tag` (replay overwrite) and record the tag in the
+    * index history. Records `kind` on first contact.
+    */
+  def appendMediaIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashed: DataFrame, tag: String, kind: String): Unit = {
+    import graft.queries.VectorOps
+    VectorOps.requireTag(tag)
+    requireMediaParams(spark, path, s"kind=$kind", admit = true)
+    VectorOps.finishCrashedSwap(spark, s"$path/hashes")
+    VectorOps.ensureBatchLayout(spark, s"$path/hashes")
+    require(!compactedMediaTags(spark, path).contains(tag),
+      s"tag '$tag' was folded into batch=init by index compaction — " +
+        "its replay window is closed; re-ingest under a fresh tag")
+    VectorOps.seedHistoryIfEmpty(spark, path, Seq("hashes"))
+    hashed.select(col("med_id"), col("ahash"))
+      .filter(col("ahash").isNotNull)
+      .write.mode("overwrite").parquet(s"$path/hashes/batch=$tag")
     VectorOps.recordHistory(spark, path, tag)
-    result
+  }
+
+  /** Does the media index already hold an increment under `batch=tag`?
+    * The streaming loop's compaction-cadence probe
+    * ([[graft.queries.TextOps]]' `seenTagExists` for this layout).
+    */
+  private[graft] def mediaTagExists(spark: org.apache.spark.sql.SparkSession,
+      path: String, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/hashes/batch=$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The pair core shared by the live delta and the as-of probe:

@@ -28,6 +28,12 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
   *      `embedding` column: cosine-LSH vs the growing cosine index
   *      (`drop_reason = "semantic_dup"`), catching paraphrases the
   *      shingle stages can't see. Same admit policy and lifecycle.
+  *   7. media dedup — optional, for batches carrying an image/audio
+  *      binary column: aHash vs the persisted media-signature index
+  *      ([[graft.extract.Multimodal.mediaHashProbe]];
+  *      `drop_reason = "media_dup"`), catching the same bytes (or a
+  *      re-encode within Hamming 6) re-arriving under fresh text.
+  *      Same admit policy and lifecycle.
   *
   * Output per batch: the full batch rows (text REWRITTEN when the
   * segment stage is on, n_chars recomputed) plus (kept, drop_reason) —
@@ -64,7 +70,9 @@ object CurateIngest {
       evalPath: Option[String] = None,
       compactEvery: Int = 0,
       evalIndexPath: Option[String] = None,
-      semanticThreshold: Option[Double] = None): StreamingQuery = {
+      semanticThreshold: Option[Double] = None,
+      mediaColumn: Option[String] = None,
+      mediaKind: String = "image"): StreamingQuery = {
     require(evalPath.isEmpty || evalIndexPath.isEmpty,
       "pass evalPath (fixed corpus) or evalIndexPath (growable index), not both")
     // the fixed eval corpus is shingled + distinct'd ONCE at start —
@@ -86,7 +94,8 @@ object CurateIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
-          evalShingles, compactEvery, evalIndexPath, semanticThreshold)
+          evalShingles, compactEvery, evalIndexPath, semanticThreshold,
+          mediaColumn, mediaKind)
       }
       .start()
   }
@@ -96,7 +105,9 @@ object CurateIngest {
       evalShingles: Option[DataFrame] = None,
       compactEvery: Int = 0,
       evalIndexPath: Option[String] = None,
-      semanticThreshold: Option[Double] = None): Unit = {
+      semanticThreshold: Option[Double] = None,
+      mediaColumn: Option[String] = None,
+      mediaKind: String = "image"): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
 
@@ -117,6 +128,12 @@ object CurateIngest {
         VectorOps.compactNeardupIndex(spark, s"$statePath/minhash")
       if (cosineExists(spark, statePath))
         VectorOps.compactCosineIndex(spark, s"$statePath/cosine")
+      // media index: same skip-if-in-flight guard as the seen-sets —
+      // folding the current tag would close its replay window
+      if (mediaExists(spark, statePath) &&
+          !graft.extract.Multimodal.mediaTagExists(spark,
+            s"$statePath/media", tag))
+        graft.extract.Multimodal.compactMediaIndex(spark, s"$statePath/media")
     }
 
     val b = batch.localCheckpoint(true)
@@ -230,13 +247,50 @@ object CurateIngest {
           s"$statePath/cosine", tag)
         kept
     }
+    // 7. optional media dedup vs the persisted media-signature index —
+    // for batches carrying an image/audio binary column: the SAME bytes
+    // (or a re-encode/tweak within Hamming 6 of them) arriving under a
+    // new doc_id drops as media_dup, even when its text passed every
+    // stage above. Only survivors of the text+semantic stages probe
+    // (first-drop-reason precedence after semantic_dup); the index
+    // grows with the FINAL keepers only (the stage-5/6 discipline), so
+    // probe and append are split ([[graft.extract.Multimodal
+    // .mediaHashProbe]]/[[appendMediaIndex]]). Undecodable media rows
+    // pass the stage — no fingerprint, nothing to compare.
+    val med = mediaColumn match {
+      case None => sem
+      case Some(mc) =>
+        require(b.columns.contains(mc),
+          s"mediaColumn '$mc' is not on the batch")
+        val hashFn =
+          if (mediaKind == "audio") graft.extract.Multimodal.audioAHash
+          else graft.extract.Multimodal.imageAHash
+        val mediaPath = s"$statePath/media"
+        // decode paid once: one hash pass feeds the probe and the
+        // keepers' append below
+        val hashed = sem
+          .select(col("doc_id").cast("string").as("med_id"),
+            hashFn(col(mc)).as("ahash"))
+          .filter(col("ahash").isNotNull).localCheckpoint(true)
+        val rawPairs = graft.extract.Multimodal.mediaHashProbe(spark,
+          mediaPath, hashed, tag, mediaKind)
+        val mpairs = rawPairs.select(
+          col("id1").cast(LongType).as("m1"),
+          col("id2").cast(LongType).as("m2"), col("cross"))
+        val kept = IngestDedup.admit(sem, mpairs, "doc_id", "m1", "m2")
+        graft.extract.Multimodal.appendMediaIndex(spark, mediaPath,
+          hashed.join(kept.select(col("doc_id").cast("string")
+            .as("med_id")), "med_id"), tag, mediaKind)
+        kept
+    }
+
     // BOTH indexes grow with the FINAL keepers only, after every stage:
     // appending `admitted` (pre-semantic) would let a semantically-
     // dropped doc's text join the dedup corpus, and a later text-dup of
     // it would be near_dup'd against a doc that is not in the kept
     // output — the index must stay exactly the kept corpus
     VectorOps.appendNeardupIndex(
-      sem.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
+      med.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
 
     // verdicts: first-drop-reason in the batch pipeline's stage order;
     // rewritten text (when the segment stage ran) rides into the output
@@ -270,15 +324,21 @@ object CurateIngest {
         case Some(_) => v.join(keepId(sem, "sm_ok"), Seq("doc_id"), "left")
         case None => v.withColumn("sm_ok", col("nd_ok"))
       })
+      // with the media stage off, med eq sem — alias, same as above
+      .transform(v => mediaColumn match {
+        case Some(_) => v.join(keepId(med, "md_ok"), Seq("doc_id"), "left")
+        case None => v.withColumn("md_ok", col("sm_ok"))
+      })
       .withColumn("drop_reason",
         when(col("seg_drop").isNotNull, "segment_dup")
           .when(col("gv") === false, "quality")
           .when(col("ex_ok").isNull, "exact_dup")
           .when(col("de_ok").isNull, "decontaminated")
           .when(col("nd_ok").isNull, "near_dup")
-          .when(col("sm_ok").isNull, "semantic_dup"))
+          .when(col("sm_ok").isNull, "semantic_dup")
+          .when(col("md_ok").isNull, "media_dup"))
       .withColumn("kept", col("drop_reason").isNull)
-      .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok", "sm_ok")
+      .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok", "sm_ok", "md_ok")
     verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
   }
 
@@ -290,6 +350,11 @@ object CurateIngest {
 
   private def cosineExists(spark: SparkSession, statePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$statePath/cosine/vectors")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def mediaExists(spark: SparkSession, statePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/media/hashes")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

@@ -351,4 +351,79 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     CurateIngest.processBatch(b0, 0L, state, out, CurateConfig())
     assert(verdicts(s"$out/batch=b0") == Map(1L -> ((true, None))))
   }
+
+  test("media stage: a cross-batch image re-encode under fresh text drops " +
+      "as media_dup via the persisted media index; replay reproduces") {
+    import spark.implicits._
+    def img(horizontal: Boolean, diag: Boolean = false,
+        format: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x =>
+        (0 until 64).foreach { y =>
+          val v = if (diag) (x + y) * 255 / 126
+            else if (horizontal) x * 255 / 63 else y * 255 / 63
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    val state = java.nio.file.Files.createTempDirectory("ci_med_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_med_out").toString
+    def mdocs(rows: Seq[(Long, String, Long, Array[Byte])]) =
+      rows.toDF("doc_id", "text", "n_chars", "image")
+    val alpha = doc(1L, "alpha", 40)
+    val bravo = doc(2L, "bravo", 40)
+    val b0 = mdocs(Seq(
+      (alpha._1, alpha._2, alpha._3, img(horizontal = true)),
+      (bravo._1, bravo._2, bravo._3, img(horizontal = false))))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      mediaColumn = Some("image"))
+    assert(verdicts(s"$out/batch=b0") == Map(
+      1L -> ((true, None)), 2L -> ((true, None))))
+
+    // batch 1: doc 11 carries FRESH text (no shared shingle with doc 1)
+    // but its image is a JPEG re-encode of doc 1's — only the media
+    // stage can catch it, through the STORED hash (doc 1's bytes are
+    // not in this batch). Doc 12 is a TEXT near-dup of doc 1 with a new
+    // image: stage order must verdict it near_dup (precedence). Doc 13
+    // is clean both ways; doc 14's media is undecodable (passes — no
+    // fingerprint, nothing to compare); doc 15 repeats doc 13's image
+    // WITHIN the batch.
+    val para = doc(11L, "charlie", 40)
+    val nd = doc(12L, "alpha", 40, extra = "tailword")
+    val clean = doc(13L, "echo", 40)
+    val junk = doc(14L, "foxtrot", 40)
+    val win = doc(15L, "golf", 40)
+    val b1 = mdocs(Seq(
+      (para._1, para._2, para._3, img(horizontal = true, format = "jpg")),
+      (nd._1, nd._2, nd._3, img(horizontal = false, diag = true)),
+      (clean._1, clean._2, clean._3, img(horizontal = true, diag = true)),
+      (junk._1, junk._2, junk._3, Array[Byte](1, 2, 3)),
+      (win._1, win._2, win._3, img(horizontal = true, diag = true))))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      mediaColumn = Some("image"))
+    val want1 = Map(
+      11L -> ((false, Some("media_dup"))),
+      12L -> ((false, Some("near_dup"))),
+      13L -> ((true, None)),
+      14L -> ((true, None)),
+      15L -> ((false, Some("media_dup"))))
+    assert(verdicts(s"$out/batch=b1") == want1)
+
+    // the index holds exactly the kept docs' decodable fingerprints:
+    // dropped docs never join (12's diag image must NOT be there — it
+    // died in the text stage), and 14 has no fingerprint to hold
+    assert(spark.read.parquet(s"$state/media/hashes")
+      .select("med_id").collect().map(_.getString(0)).toSet ==
+      Set("1", "2", "13"))
+    // at-least-once replay: same verdicts, index unchanged
+    val hashesBefore = spark.read.parquet(s"$state/media/hashes").count()
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      mediaColumn = Some("image"))
+    assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
+    assert(spark.read.parquet(s"$state/media/hashes").count() == hashesBefore)
+  }
 }
