@@ -108,6 +108,92 @@ try:
 finally:
     shutil.rmtree(jd, ignore_errors=True)
 
+# 9. r14 operator loop, graph index: build → heavy same-batch append
+#    (each appended vector arrives with an exact twin in the SAME batch,
+#    so the stored insert-time edges can't know it) → drift verdict
+#    flags via edge staleness → aside-rebuild runs → verdict clears and
+#    the twin is found at cos 1.0 (the verify half)
+from pyspark.sql.functions import col, expr
+
+idx = tempfile.mkdtemp(prefix="pysmoke_graph")
+try:
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    init = vecs.filter("vec_id < 250")
+    neg = vecs.filter("vec_id >= 250").select(
+        col("vec_id"), expr("transform(embedding, x -> -x)").alias("embedding"))
+    appended = neg.withColumn("vec_id", col("vec_id") + 10000).union(
+        neg.withColumn("vec_id", col("vec_id") + 20000))
+    bridge.graphWriteIndex(init._jdf, idx, 10, 1)
+    bridge.graphAppendIndex(spark._jsparkSession, appended._jdf, idx, "g1", 10)
+    drift = DataFrame(
+        bridge.graphDriftSummary(spark._jsparkSession, idx), spark).collect()[0]
+    check("graph drift flags the blind append",
+          drift["rebuild_recommended"] and drift["staleness"] > 0.3,
+          f"(staleness {drift['staleness']:.3f})")
+    rebuilt = bridge.graphMaybeRebuildAside(spark._jsparkSession, idx, 10, 1)
+    after = DataFrame(
+        bridge.graphDriftSummary(spark._jsparkSession, idx), spark).collect()[0]
+    check("aside-rebuild round trip",
+          rebuilt and not after["rebuild_recommended"]
+          and list(bridge.indexHistory(spark._jsparkSession, idx)) == ["init"])
+    probe = appended.filter("vec_id = 10250").withColumn(
+        "vec_id", col("vec_id") + 900000)
+    hits = DataFrame(bridge.graphSearchRouted(
+        spark._jsparkSession, idx, probe._jdf, 5, 20, 3), spark).collect()
+    check("verify: twin found at 1.0 after rebuild",
+          len(hits) == 5 and hits[0]["cos"] == 1.0)
+    info = DataFrame(bridge.graphIndexInfoWithDrift(
+        spark._jsparkSession, idx), spark)
+    check("indexInfoWithDrift carries the drift section",
+          info.filter("section = 'drift' and key = 'rebuild_recommended'")
+          .collect()[0]["value"] == "false")
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
+# 10. IVF drift + as-of search + aside-rebuild from Python
+idx = tempfile.mkdtemp(prefix="pysmoke_ivf")
+try:
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    bridge.ivfWriteIndex(vecs.filter("vec_id < 400")._jdf, idx, 16)
+    bridge.ivfAppendIndex(spark._jsparkSession,
+                          vecs.filter("vec_id >= 400")._jdf, idx, "v1")
+    drift = DataFrame(
+        bridge.ivfDriftSummary(spark._jsparkSession, idx), spark).collect()[0]
+    q = vecs.filter("vec_id = 450").withColumn("vec_id", col("vec_id") + 900000)
+    live = DataFrame(bridge.ivfSearch(
+        spark._jsparkSession, idx, q._jdf, 5, 4), spark).collect()
+    asof = DataFrame(bridge.ivfSearchAsOf(
+        spark._jsparkSession, idx, q._jdf, 5, 4, "init"), spark).collect()
+    check("ivf drift + as-of search",
+          drift["n_appended"] == 100 and len(live) == 5
+          and live[0]["vec_id"] == 450 and len(asof) == 5
+          and all(r["vec_id"] < 400 for r in asof),
+          "(as-of init must not see the append)")
+    bridge.ivfRebuildIndexAside(vecs._jdf, idx, 16)
+    again = DataFrame(bridge.ivfSearch(
+        spark._jsparkSession, idx, q._jdf, 5, 4), spark).collect()
+    check("ivf aside-rebuild keeps answering",
+          len(again) == 5 and again[0]["vec_id"] == 450)
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
+# 11. MinHash index as-of probe from Python
+idx = tempfile.mkdtemp(prefix="pysmoke_mh")
+try:
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bridge.writeNeardupIndex(docs.filter("doc_id % 2 = 0")._jdf, idx)
+    bridge.appendNeardupIndex(docs.filter("doc_id % 2 = 1")._jdf, idx, "n1")
+    full = DataFrame(bridge.minhashPairsIndexed(
+        spark._jsparkSession, idx, 0.5), spark).count()
+    snap = DataFrame(bridge.minhashPairsIndexedAsOf(
+        spark._jsparkSession, idx, 0.5, "init"), spark).count()
+    check("minhash as-of probe", 0 < snap < full,
+          f"(init {snap} pairs vs live {full})")
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

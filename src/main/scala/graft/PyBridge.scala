@@ -108,4 +108,122 @@ object PyBridge {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     graft.queries.Formats.writeJsonl(df, path)
+
+  // ----------------------------------- index operator loop (r14)
+  // The watch → rebuild → verify loop a scheduled Python job runs
+  // against live ANN/dedup indexes: drift verdicts, zero-downtime
+  // aside-rebuilds, and the as-of probes that verify them. Vector
+  // frames cross as (vec_id, embedding) — n2 is derived here so the
+  // Python side never computes norms.
+
+  private def withN2(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graft.VectorExpressions
+        .dotProduct(col("embedding"), col("embedding")).as("n2"))
+  }
+
+  /** IVF index drift roll-up (one row, `rebuild_recommended` verdict). */
+  def ivfDriftSummary(spark: SparkSession, path: String): DataFrame =
+    graft.operators.Ivf.driftSummary(spark, path)
+
+  /** Graph (NN-Descent) index drift roll-up — the IVF columns plus the
+    * exact-sampled edge staleness (the graph decay signal).
+    */
+  def graphDriftSummary(spark: SparkSession, path: String): DataFrame =
+    graft.operators.NnDescent.driftSummary(spark, path)
+
+  /** Exact-sampled graph edge staleness on its own (bounded probe). */
+  def graphEdgeStaleness(spark: SparkSession, path: String,
+      sample: Int): DataFrame =
+    graft.operators.NnDescent.edgeStaleness(spark, path, sample)
+
+  /** The wired loop: aside-rebuild the graph index iff its drift
+    * verdict recommends it; returns whether a rebuild ran.
+    */
+  def graphMaybeRebuildAside(spark: SparkSession, path: String, k: Int,
+      iters: Int): Boolean =
+    graft.operators.NnDescent.maybeRebuildAside(spark, path, k, iters)
+
+  /** Build / grow / search the persisted graph index from Python. */
+  def graphWriteIndex(base: DataFrame, path: String, k: Int,
+      iters: Int): Unit =
+    graft.operators.NnDescent.writeIndex(withN2(base), path, k, iters)
+
+  def graphAppendIndex(spark: SparkSession, vecs: DataFrame, path: String,
+      tag: String, k: Int): Unit =
+    graft.operators.NnDescent.appendIndex(spark, withN2(vecs), path, tag, k)
+
+  def graphSearchRouted(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int): DataFrame =
+    graft.operators.NnDescent.searchIndexRouted(spark, path,
+      withN2(queries), k, beam, hops)
+
+  /** Routed graph search against a recorded as-of snapshot — the verify
+    * half of the loop (read-only).
+    */
+  def graphSearchRoutedAsOf(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, beam: Int, hops: Int,
+      asOf: String): DataFrame =
+    graft.operators.NnDescent.searchIndexRoutedAsOf(spark, path,
+      withN2(queries), k, beam, hops, asOf)
+
+  /** The generic index health view with the graph drift verdict
+    * appended as section = "drift" rows.
+    */
+  def graphIndexInfoWithDrift(spark: SparkSession, path: String): DataFrame =
+    graft.operators.NnDescent.indexInfoWithDrift(spark, path)
+
+  /** IVF index build / grow / search (+ as-of) from Python; centroids
+    * are seeded with the contract rule ([[graft.operators.Ivf
+    * .seedCentroids]]).
+    */
+  def ivfWriteIndex(base: DataFrame, path: String, cells: Int): Unit = {
+    val b = withN2(base)
+    graft.operators.Ivf.writeIndex(b,
+      graft.operators.Ivf.seedCentroids(b, cells), path)
+  }
+
+  def ivfAppendIndex(spark: SparkSession, vecs: DataFrame, path: String,
+      tag: String): Unit =
+    graft.operators.Ivf.appendIndex(spark, withN2(vecs), path, tag)
+
+  def ivfSearch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    graft.operators.Ivf.searchIndex(spark, path, withN2(queries), k, nprobe)
+
+  def ivfSearchAsOf(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, asOf: String): DataFrame =
+    graft.operators.Ivf.searchIndexAsOf(spark, path, withN2(queries), k,
+      nprobe, asOf)
+
+  /** Zero-downtime aside-rebuilds for the IVF and MinHash families
+    * (the graph form is [[graphMaybeRebuildAside]]'s unconditional
+    * half, [[graft.operators.NnDescent.rebuildIndexAside]]).
+    */
+  def ivfRebuildIndexAside(base: DataFrame, path: String,
+      cells: Int): Unit = {
+    val b = withN2(base)
+    graft.operators.Ivf.rebuildIndexAside(b,
+      graft.operators.Ivf.seedCentroids(b, cells), path)
+  }
+
+  def rebuildNeardupIndexAside(docs: DataFrame, path: String): Unit =
+    graft.queries.VectorOps.rebuildNeardupIndexAside(docs, path)
+
+  /** MinHash dedup index build / grow / probe (+ as-of) from Python. */
+  def writeNeardupIndex(docs: DataFrame, path: String): Unit =
+    graft.queries.VectorOps.writeNeardupIndex(docs, path)
+
+  def appendNeardupIndex(docs: DataFrame, path: String, tag: String): Unit =
+    graft.queries.VectorOps.appendNeardupIndex(docs, path, tag)
+
+  def minhashPairsIndexed(spark: SparkSession, path: String,
+      threshold: Double): DataFrame =
+    graft.queries.VectorOps.minhashPairsIndexed(spark, path, threshold)
+
+  def minhashPairsIndexedAsOf(spark: SparkSession, path: String,
+      threshold: Double, asOf: String): DataFrame =
+    graft.queries.VectorOps.minhashPairsIndexedAsOf(spark, path, threshold,
+      asOf)
 }
