@@ -824,27 +824,11 @@ object Multimodal {
     * read-only as-of probe validates but never writes the sidecar.
     */
   private def requireMediaParams(spark: org.apache.spark.sql.SparkSession,
-      path: String, params: String, admit: Boolean): Unit = {
-    import graft.queries.VectorOps
-    val data = new org.apache.hadoop.fs.Path(s"$path/hashes")
-    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(data)
-    VectorOps.readSidecar(spark, s"$path/_params") match {
-      case Some(stored) if hasData =>
-        require(stored == params,
-          s"$path was built with ($stored); probing with ($params) would " +
-            "compare fingerprints of a different media kind — pass the " +
-            "original kind or use a separate index path")
-      case Some(stored) =>
-        if (admit) VectorOps.writeSidecar(spark, s"$path/_params", params)
-        else require(stored == params,
-          s"$path recorded ($stored) at first contact; a read-only probe " +
-            s"with ($params) cannot re-record")
-      case None =>
-        if (!hasData && admit)
-          VectorOps.writeSidecar(spark, s"$path/_params", params)
-    }
-  }
+      path: String, params: String, admit: Boolean): Unit =
+    graft.queries.VectorOps.requireIndexParamsAt(spark, path, "hashes",
+      params, admit,
+      "would compare fingerprints of a different media kind")
+
 
   private[graft] def compactedMediaTags(
       spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
@@ -871,7 +855,8 @@ object Multimodal {
       maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
       : DataFrame = {
     val result = mediaHashProbe(spark, path, hashed, tag, kind, maxHamming,
-      maxBucket).localCheckpoint(true) // materialize BEFORE the append below
+      maxBucket, admitParams = true)
+      .localCheckpoint(true) // materialize BEFORE the append below
     appendMediaIndex(spark, path, hashed, tag, kind)
     result
   }
@@ -882,11 +867,16 @@ object Multimodal {
     */
   def mediaHashProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       hashed: DataFrame, tag: String, kind: String, maxHamming: Int = 6,
-      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
-      : DataFrame = {
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket,
+      admitParams: Boolean = false): DataFrame = {
     import graft.queries.VectorOps
     VectorOps.requireTag(tag)
-    requireMediaParams(spark, path, s"kind=$kind", admit = false)
+    // admitParams = true when the caller is an ADMIT path that will
+    // append right after (mediaHashDelta, the CurateIngest stage): the
+    // crashed-first-contact window then re-records instead of wedging
+    // (the shared requireIndexParamsAt window semantics). Standalone /
+    // as-of probes stay read-only.
+    requireMediaParams(spark, path, s"kind=$kind", admit = admitParams)
     VectorOps.finishCrashedSwap(spark, s"$path/hashes")
     require(!compactedMediaTags(spark, path).contains(tag),
       s"tag '$tag' was folded into batch=init by index compaction — " +

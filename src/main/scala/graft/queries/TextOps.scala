@@ -1418,43 +1418,11 @@ object TextOps {
     * so the record happens here rather than in a build function.
     */
   private def requireIndexParams(spark: SparkSession, path: String,
-      params: String, admit: Boolean): Unit = {
-    val seen = new org.apache.hadoop.fs.Path(s"$path/seen")
-    val fs = seen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(seen)
-    VectorOps.readSidecar(spark, s"$path/_params") match {
-      case Some(stored) if hasData =>
-        require(stored == params,
-          s"$path was built with ($stored); probing with ($params) would " +
-            "hash under a different scheme and silently stop finding " +
-            "duplicates — pass the original parameters or rebuild the index")
-      case Some(stored) =>
-        // sidecar present but seen/ absent: the FIRST delta crashed
-        // after recording its knobs and before any data landed. Nothing
-        // is hashed under the crashed call's scheme, so pinning its
-        // knobs forever would refuse a later (legitimate) first contact
-        // with different settings — re-record as first contact instead.
-        // Only an ADMIT call may re-record: a read-only as-of probe in
-        // this window must validate against the crashed record, never
-        // overwrite it (a normalize=false probe must not rewrite a
-        // normalize=true first-contact record before its replay lands)
-        if (admit) VectorOps.writeSidecar(spark, s"$path/_params", params)
-        else require(stored == params,
-          s"$path recorded ($stored) at first contact; a read-only " +
-            s"probe with ($params) cannot re-record — replay the " +
-            "crashed first admit, or probe with the recorded parameters")
-      case None =>
-        // record ONLY when the index holds no data yet AND this call
-        // admits data: a pre-sidecar index (seen/ exists, no _params)
-        // must skip the check like the other legacy sidecars —
-        // recording the CURRENT call's params against unknown
-        // historical ones would bless exactly the drift this guard
-        // exists to catch, then refuse the correct values. Read-only
-        // probes never write sidecars at all.
-        if (!hasData && admit)
-          VectorOps.writeSidecar(spark, s"$path/_params", params)
-    }
-  }
+      params: String, admit: Boolean): Unit =
+    VectorOps.requireIndexParamsAt(spark, path, "seen", params, admit,
+      "would hash under a different scheme and silently stop finding " +
+        "duplicates")
+
 
   /** The seen-set delta core shared by [[segmentDedupDelta]] (segment
     * hashes) and [[exactDedupDelta]] (whole-doc digests): `within` rows

@@ -822,6 +822,41 @@ object VectorOps {
     * InputStream) and only EOF (−1) as done — a `while (n > 0)` copy
     * would truncate and make a guard spuriously refuse a valid sidecar.
     */
+  /** Record-on-first-admit / refuse-on-mismatch guard for the knobs an
+    * index's every probe must repeat — ONE implementation for every
+    * params-pinned family (seen-set width/normalize, media kind):
+    * first ADMIT records `path/_params`, later calls require equality,
+    * and the crashed-first-contact window (sidecar present, data dir
+    * absent) re-records ONLY on an admit call — a read-only probe
+    * validates, never writes (r13 advice; the media copy diverging from
+    * the TextOps copy on exactly this rule is why the helper is shared
+    * now, r14 review). Pre-sidecar indexes (data present, no `_params`)
+    * skip the check like the other legacy sidecars.
+    */
+  private[graft] def requireIndexParamsAt(spark: SparkSession, path: String,
+      dataSubdir: String, params: String, admit: Boolean,
+      mismatchHint: String): Unit = {
+    val data = new org.apache.hadoop.fs.Path(s"$path/$dataSubdir")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(data)
+    readSidecar(spark, s"$path/_params") match {
+      case Some(stored) if hasData =>
+        require(stored == params,
+          s"$path was built with ($stored); probing with ($params) " +
+            s"$mismatchHint — pass the original parameters or rebuild " +
+            "the index")
+      case Some(stored) =>
+        if (admit) writeSidecar(spark, s"$path/_params", params)
+        else require(stored == params,
+          s"$path recorded ($stored) at first contact; a read-only " +
+            s"probe with ($params) cannot re-record — replay the " +
+            "crashed first admit, or probe with the recorded parameters")
+      case None =>
+        if (!hasData && admit)
+          writeSidecar(spark, s"$path/_params", params)
+    }
+  }
+
   private[graft] def writeSidecar(spark: SparkSession, file: String,
       content: String): Unit = {
     import org.apache.hadoop.fs.Path

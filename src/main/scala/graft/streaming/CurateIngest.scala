@@ -241,11 +241,10 @@ object CurateIngest {
             s"$statePath/cosine")
         val vpairs = VectorOps.cosineDeltaIndexed(spark, s"$statePath/cosine",
           admitted.select(col("doc_id").as("vec_id"), col("embedding")), th)
-        val kept = IngestDedup.admit(admitted, vpairs, "doc_id", "v1", "v2")
-        VectorOps.appendCosineIndex(
-          kept.select(col("doc_id").as("vec_id"), col("embedding")),
-          s"$statePath/cosine", tag)
-        kept
+        // the append happens AFTER the media stage below, with the
+        // FINAL keepers — appending here would let a media-dropped
+        // doc's embedding join the semantic corpus (review catch r14)
+        IngestDedup.admit(admitted, vpairs, "doc_id", "v1", "v2")
     }
     // 7. optional media dedup vs the persisted media-signature index —
     // for batches carrying an image/audio binary column: the SAME bytes
@@ -262,6 +261,11 @@ object CurateIngest {
       case Some(mc) =>
         require(b.columns.contains(mc),
           s"mediaColumn '$mc' is not on the batch")
+        // a typo'd kind must not silently select the image hash over
+        // audio bytes (every hash null -> the stage becomes a permanent
+        // no-op) while pinning the bogus kind into _params
+        require(mediaKind == "image" || mediaKind == "audio",
+          s"mediaKind must be 'image' or 'audio', got '$mediaKind'")
         val hashFn =
           if (mediaKind == "audio") graft.extract.Multimodal.audioAHash
           else graft.extract.Multimodal.imageAHash
@@ -272,11 +276,25 @@ object CurateIngest {
           .select(col("doc_id").cast("string").as("med_id"),
             hashFn(col(mc)).as("ahash"))
           .filter(col("ahash").isNotNull).localCheckpoint(true)
+        // admit = true: this loop IS the admit path, so a crashed
+        // first contact (sidecar present, hashes/ absent) re-records
+        // rather than wedging the stream (the TextOps window semantics)
         val rawPairs = graft.extract.Multimodal.mediaHashProbe(spark,
-          mediaPath, hashed, tag, mediaKind)
-        val mpairs = rawPairs.select(
-          col("id1").cast(LongType).as("m1"),
-          col("id2").cast(LongType).as("m2"), col("cross"))
+          mediaPath, hashed, tag, mediaKind, admitParams = true)
+        // within-batch keep-first must compare doc_ids NUMERICALLY: the
+        // index's med_id is a string, and string order inverts for ids
+        // of different digit lengths ("10" < "2") — normalize the
+        // within pairs after the cast; cross pairs keep their
+        // batch-vs-corpus orientation (review catch r14)
+        val cast = rawPairs.select(
+          col("id1").cast(LongType).as("c1"),
+          col("id2").cast(LongType).as("c2"), col("cross"))
+        val mpairs = cast.select(
+          when(!col("cross"), least(col("c1"), col("c2")))
+            .otherwise(col("c1")).as("m1"),
+          when(!col("cross"), greatest(col("c1"), col("c2")))
+            .otherwise(col("c2")).as("m2"),
+          col("cross"))
         val kept = IngestDedup.admit(sem, mpairs, "doc_id", "m1", "m2")
         graft.extract.Multimodal.appendMediaIndex(spark, mediaPath,
           hashed.join(kept.select(col("doc_id").cast("string")
@@ -284,13 +302,17 @@ object CurateIngest {
         kept
     }
 
-    // BOTH indexes grow with the FINAL keepers only, after every stage:
-    // appending `admitted` (pre-semantic) would let a semantically-
-    // dropped doc's text join the dedup corpus, and a later text-dup of
-    // it would be near_dup'd against a doc that is not in the kept
-    // output — the index must stay exactly the kept corpus
+    // ALL indexes grow with the FINAL keepers only, after every stage:
+    // appending an earlier stage's survivors would let a later-dropped
+    // doc's text/embedding join a dedup corpus, and a later dup of it
+    // would be dropped against a doc that is not in the kept output —
+    // every index must stay exactly the kept corpus
     VectorOps.appendNeardupIndex(
       med.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
+    if (semanticThreshold.isDefined)
+      VectorOps.appendCosineIndex(
+        med.select(col("doc_id").as("vec_id"), col("embedding")),
+        s"$statePath/cosine", tag)
 
     // verdicts: first-drop-reason in the batch pipeline's stage order;
     // rewritten text (when the segment stage ran) rides into the output

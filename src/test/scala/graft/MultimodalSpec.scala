@@ -612,4 +612,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(idx))
   }
+
+  test("media index crashed-first-contact window: an admit re-records " +
+      "the kind, a read-only probe refuses") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_crash").toString
+    try {
+      // a first audio admit crashed after recording its kind and before
+      // any data landed: sidecar present, hashes/ absent
+      graft.queries.VectorOps.writeSidecar(spark, s"$idx/_params",
+        "kind=audio")
+      val b = Seq(("a", gradient(64, 64, horizontal = true)))
+        .toDF("path", "content")
+      // a read-only probe in the window validates, never re-records
+      intercept[IllegalArgumentException] {
+        Multimodal.imageDedupDeltaAsOf(spark, idx, b, "t0")
+      }
+      assert(graft.queries.VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("kind=audio"))
+      // but a legitimate first ADMIT with a different kind re-records
+      // and proceeds — the path is not wedged (r14 review catch: the
+      // probe-before-append ordering inside the delta must not refuse)
+      assert(Multimodal.imageDedupDelta(spark, idx, b, "t0").isEmpty)
+      assert(graft.queries.VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("kind=image"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
 }

@@ -61,14 +61,15 @@ class NnDescentSpec extends AnyFunSuite with SparkSessionFixture {
       intercept[IllegalArgumentException] {
         NnDescent.buildGraph(b, k = 10, iters = 1, reliable = true)
       }
+    // the checkpoint dir is deliberately NOT deleted afterwards:
+    // setCheckpointDir mutates the suite-shared SparkContext with no
+    // unset API, and deleting the dir would leave later reliable
+    // checkpoint users in the JVM pointing at a dead path (r14 review)
     val dir = java.nio.file.Files.createTempDirectory("nnd_ckpt").toString
     sc.setCheckpointDir(dir)
-    try {
-      // identical loop, only block durability differs (the CC contract)
-      assert(canon(NnDescent.buildGraph(b, k = 10, iters = 1, reliable = true))
-        == canon(NnDescent.buildGraph(b, k = 10, iters = 1)))
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    // identical loop, only block durability differs (the CC contract)
+    assert(canon(NnDescent.buildGraph(b, k = 10, iters = 1, reliable = true))
+      == canon(NnDescent.buildGraph(b, k = 10, iters = 1)))
   }
 
   test("open beam degenerates to the exact answer bit-for-bit") {

@@ -426,4 +426,74 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
     assert(spark.read.parquet(s"$state/media/hashes").count() == hashesBefore)
   }
+
+  test("media + semantic: every index holds the FINAL keepers; media " +
+      "keep-first compares doc_ids numerically; bogus kind refused") {
+    import spark.implicits._
+    def img(seedRow: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x =>
+        (0 until 64).foreach { y =>
+          // per-seed structured pattern (flat fills all hash 0)
+          val v = ((x * (seedRow + 2) + y) % 64) * 255 / 63
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def axis(i: Int, scale: Float = 1f): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == i) scale else 0f)
+    val state = java.nio.file.Files.createTempDirectory("ci_ms_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_ms_out").toString
+    def mdocs(rows: Seq[(Long, String, Long, Seq[Float], Array[Byte])]) =
+      rows.toDF("doc_id", "text", "n_chars", "embedding", "image")
+
+    // batch 0: docs 2 and 10 share an image — within-batch media pair.
+    // Numeric keep-first must keep doc 2; STRING comparison would
+    // invert it ("10" < "2") and keep doc 10 (r14 review catch)
+    val d2 = doc(2L, "alpha", 40); val d10 = doc(10L, "bravo", 40)
+    val b0 = mdocs(Seq(
+      (2L, d2._2, d2._3, axis(0), img(1)),
+      (10L, d10._2, d10._3, axis(1), img(1))))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9), mediaColumn = Some("image"))
+    assert(verdicts(s"$out/batch=b0") == Map(
+      2L -> ((true, None)), 10L -> ((false, Some("media_dup")))))
+
+    // batch 1: doc 24 passes text AND semantic but its image is doc 2's
+    // — drops as media_dup, and its EMBEDDING must not join the cosine
+    // index (it is not in the kept corpus; r14 review catch)
+    val d24 = doc(24L, "charlie", 40)
+    val b1 = mdocs(Seq((24L, d24._2, d24._3, axis(4), img(1))))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9), mediaColumn = Some("image"))
+    assert(verdicts(s"$out/batch=b1") == Map(
+      24L -> ((false, Some("media_dup")))))
+    assert(spark.read.parquet(s"$state/cosine/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L),
+      "cosine index must hold exactly the final keepers")
+    assert(spark.read.parquet(s"$state/media/hashes")
+      .select("med_id").collect().map(_.getString(0)).toSet == Set("2"))
+
+    // batch 2: a paraphrase of the media-dropped doc 24 must be KEPT —
+    // 24 is not in the kept corpus, so nothing may drop against it
+    val d31 = doc(31L, "delta", 40)
+    val b2 = mdocs(Seq((31L, d31._2, d31._3, axis(4, 3f), img(7))))
+    CurateIngest.processBatch(b2, 2L, state, out, CurateConfig(),
+      semanticThreshold = Some(0.9), mediaColumn = Some("image"))
+    assert(verdicts(s"$out/batch=b2") == Map(31L -> ((true, None))),
+      "a paraphrase of a media-dropped doc must not semantic_dup " +
+        "against a doc outside the kept corpus")
+
+    // a typo'd kind fails loudly instead of silently no-op'ing the stage
+    val err = intercept[IllegalArgumentException] {
+      CurateIngest.processBatch(b2, 3L, state, out, CurateConfig(),
+        semanticThreshold = Some(0.9), mediaColumn = Some("image"),
+        mediaKind = "wav")
+    }
+    assert(err.getMessage.contains("mediaKind"))
+  }
 }
