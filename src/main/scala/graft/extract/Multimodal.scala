@@ -1014,6 +1014,67 @@ object Multimodal {
         audioAHash(col(contentCol)).as("ahash")),
       asOf, "audio", maxHamming)
 
+  /** Standing cluster labels for a continuously-ingesting media corpus
+    * — [[imageDedupClusters]]' collapse semantics made INCREMENTAL over
+    * [[mediaHashDelta]]'s per-batch pair output: merge one batch's
+    * verified pairs into an existing (med_id, rep_id) label table
+    * without re-clustering history
+    * ([[graft.operators.ConnectedComponents.mergeLabels]] — each
+    * existing component re-enters as its star edges, so only components
+    * the new pairs touch can change, and the merge equals re-clustering
+    * the full pair union exactly; spec-pinned here on the string seam).
+    * String ids map through xxhash64 with the same
+    * collision-fails-loudly guard as the one-shot form; the
+    * representative is the member with the minimum id hash (stable
+    * across batches — a component's rep only changes when a merge joins
+    * it to a component with a smaller-hash member). Output
+    * (med_id, rep_id, is_dup) for every id in ≥ 1 old-or-new pair;
+    * media in no pair keep rep = self implicitly (left-join the full
+    * corpus downstream, the
+    * [[graft.operators.ConnectedComponents.assignClusters]] pattern).
+    */
+  def mediaClusterDelta(labels: DataFrame, pairs: DataFrame): DataFrame = {
+    val l = labels.select(col("med_id"), col("rep_id"))
+    val p = pairs.select(col("id1"), col("id2"))
+    val ids = l.select(col("med_id").as("name"))
+      .union(l.select(col("rep_id").as("name")))
+      .union(p.select(col("id1").as("name")))
+      .union(p.select(col("id2").as("name")))
+      .distinct()
+    val map = ids.select(col("name"), xxhash64(col("name")).as("nid"))
+      .localCheckpoint(true)
+    val collided = map.groupBy(col("nid"))
+      .agg(countDistinct(col("name")).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(collided == 0L,
+      "mediaClusterDelta: xxhash64(med_id) collision — two distinct ids " +
+        "share a 64-bit hash on this corpus; disambiguate the id column")
+    val nl = l
+      .join(map.select(col("name").as("med_id"), col("nid").as("id")), "med_id")
+      .join(map.select(col("name").as("rep_id"), col("nid").as("rep")), "rep_id")
+      .select(col("id"), col("rep"))
+    val np = p
+      .join(map.select(col("name").as("id1"), col("nid").as("src")), "id1")
+      .join(map.select(col("name").as("id2"), col("nid").as("dst")), "id2")
+      .select(col("src"), col("dst"))
+    graft.operators.ConnectedComponents.mergeLabels(nl, np)
+      .join(map.select(col("nid").as("id"), col("name").as("med_id")), "id")
+      .join(map.select(col("nid").as("rep"), col("name").as("rep_id")), "rep")
+      .select(col("med_id"), col("rep_id"),
+        (col("med_id") =!= col("rep_id")).as("is_dup"))
+  }
+
+  /** First-build form of [[mediaClusterDelta]]: cluster a pair frame
+    * with no prior labels.
+    */
+  def mediaClusterLabels(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    mediaClusterDelta(
+      spark.emptyDataFrame
+        .select(lit("").as("med_id"), lit("").as("rep_id")).limit(0),
+      pairs)
+  }
+
   /** Compact the media index in place — the
     * [[graft.queries.TextOps.compactSegmentIndex]] discipline on the
     * `hashes` component: folded tags' replay windows close (recorded

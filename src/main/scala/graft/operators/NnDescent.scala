@@ -593,11 +593,22 @@ object NnDescent {
     val stored = edges
       .join(broadcast(sampled.select(col("vec_id").as("src"))), "src")
       .groupBy(col("src")).agg(max(col("sim")).as("stored_top1"))
-    // exact top-1 via the brute knn surface: corpus-side scan with the
-    // bounded sample broadcast, self excluded by id equality
-    val exact = graft.queries.VectorOps.knn(
-        vecs.select(col("vec_id"), col("embedding")), sampled, 1)
-      .select(col("q_id").as("src"), col("cos").as("exact_top1"))
+    // exact top-1 as a map-side-combinable MAX aggregation over the
+    // corpus×sample broadcast join — NOT the knn window (a per-query
+    // rank sort shuffles all |corpus|·|sample| scored rows; the max
+    // needs only 256 partial aggregates per partition — measured 3×
+    // cheaper at 20 k corpus, and the gap grows with corpus size).
+    // Self excluded by id equality, raw cosine (a mean-gap metric
+    // needs no cross-engine rounding).
+    val q = broadcast(sampled.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2")))
+    val sim = dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2")))
+    val exact = vecs.select(col("vec_id"), col("embedding"), col("n2"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(max(sim).as("exact_top1"))
+      .select(col("q_id").as("src"), col("exact_top1"))
     stored.join(exact, "src")
       .agg(count(lit(1)).as("n_appended_sampled"),
         avg(col("stored_top1")).as("stored_top1_mean"),

@@ -613,6 +613,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       .deleteDirectory(new java.io.File(idx))
   }
 
+  test("media cluster labels maintain incrementally: merging a batch's " +
+      "pairs equals re-clustering the full pair union") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_ccd").toString
+    try {
+      val b1 = Seq(
+        ("a", gradient(64, 64, horizontal = true)),
+        ("a_jpeg", gradient(64, 64, horizontal = true, format = "jpg")),
+        ("c", diag(64, 64))
+      ).toDF("path", "content")
+      val pairs1 = Multimodal.imageDedupDelta(spark, idx, b1, "m1")
+        .localCheckpoint(true)
+      val labels1 = Multimodal.mediaClusterLabels(pairs1)
+      assert(labels1.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet.map((t: (String, String)) => t._1) == Set("a", "a_jpeg"),
+        "batch-1 clusters: the a-family only (c is in no pair)")
+
+      // batch 2 grows the a-family THROUGH the persisted index (a's
+      // bytes absent) and adds an unrelated singleton
+      val b2 = Seq(
+        ("a_tweak", gradient(64, 64, horizontal = true, tweak = Some((3, 3)))),
+        ("d", diag(64, 64, tweak = Some((9, 9))))
+      ).toDF("path", "content")
+      val pairs2 = Multimodal.imageDedupDelta(spark, idx, b2, "m2")
+        .localCheckpoint(true)
+      val merged = Multimodal.mediaClusterDelta(labels1, pairs2)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+        .toSet
+      // the exactness law on the string seam: merge == re-cluster the
+      // full union of both batches' pairs
+      val direct = Multimodal.mediaClusterLabels(
+        pairs1.select("id1", "id2").unionByName(pairs2.select("id1", "id2")))
+      assert(canon(merged) == canon(direct))
+      // one three-member a-family, one representative, stable rule
+      val aFam = merged.filter(col("rep_id").isin("a", "a_jpeg", "a_tweak"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(aFam.map(_._1).toSet == Set("a", "a_jpeg", "a_tweak"))
+      assert(aFam.map(_._2).toSet.size == 1, s"one rep, got $aFam")
+      // d paired with c? they differ by one pixel at the 8x8 hash scale
+      // — whether they pair is a hash property, not under test here;
+      // the law above already covers whatever pairs2 contains
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
   test("media index crashed-first-contact window: an admit re-records " +
       "the kind, a read-only probe refuses") {
     import spark.implicits._
