@@ -2007,20 +2007,17 @@ object VectorOps {
     if ((z & 1L) == 0L) 1 else -1
   }
 
-  /** The projected vector as a Column over an `embedding` column. */
-  private[graft] def projectCol(emb: Column): Column = {
-    val comps = (0 until ProjDims).map { i =>
-      val terms = (0 until EmbDims).map { j =>
-        val x = emb.getItem(j).cast(org.apache.spark.sql.types.DoubleType)
-        if (projSign(i, j) > 0) x else -x
-      }
-      // exact-integer HALF_UP 6dp: floor(x·10⁶ + ½)/10⁶ — identical
-      // IEEE ops on identical doubles in both engines
-      floor(terms.reduce(_ + _) / lit(4.0) * lit(1000000.0) + lit(0.5)) /
-        lit(1000000.0)
-    }
-    array(comps: _*)
-  }
+  /** The projected vector as a Column over an `embedding` column —
+    * one native codegen'd expression
+    * ([[org.apache.spark.sql.graft.JlProject]]; see there for why the
+    * inline ±-chain and HOF-fold formulations were retired and for the
+    * bit-exact IEEE-parity argument against the DuckDB oracle).
+    */
+  private[graft] def projectCol(emb: Column): Column =
+    org.apache.spark.sql.graft.JlProjectExpression.jlProject(
+      emb, ProjDims, EmbDims,
+      for (i <- 0 until ProjDims; j <- 0 until EmbDims)
+        yield if (projSign(i, j) > 0) 1.0 else -1.0)
 
   /** Declared contract shape: SCALAR rows `(vec_id, pos, val)` via
     * posexplode — the driver's comparator hashes pandas frames and an
@@ -2032,8 +2029,13 @@ object VectorOps {
     */
   def vecProject(spark: SparkSession, dir: String): DataFrame =
     Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        posexplode(projectCol(col("embedding"))).as(Seq("pos0", "val")))
+      // the projection is its own SELECT so the generator below explodes
+      // a plain attribute: inlining the 16×64-term array expression into
+      // Generate's codegen blows janino's method limits — Spark then
+      // pays a ~4 s failed compile AND interprets (measured 0.4 → 3.2 s
+      // on the bench row before this split)
+      .select(col("vec_id"), projectCol(col("embedding")).as("proj"))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos0", "val")))
       .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("val"))
       .orderBy(col("vec_id"), col("pos"))
