@@ -194,6 +194,54 @@ try:
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 
+# 12. r14 persisted media dedup from Python: WAV fixtures built with the
+#     stdlib wave module, cross-batch re-encode caught via the stored
+#     fingerprint, standing cluster labels maintained incrementally
+import io, math, struct, wave
+
+def wav_bytes(seed, n=6400):
+    h = seed
+    samples = []
+    for j in range(n):
+        h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        noise = ((h >> 33) % 2000) - 1000
+        tone = int(8000 * math.sin(2 * math.pi * j / (50 + seed % 7)))
+        samples.append(max(-32768, min(32767, tone + noise)))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+idx = tempfile.mkdtemp(prefix="pysmoke_media")
+try:
+    a = wav_bytes(42)
+    b1 = spark.createDataFrame(
+        [("a", bytearray(a)), ("b", bytearray(wav_bytes(99)))],
+        "path string, content binary")
+    first = DataFrame(bridge.audioDedupDelta(
+        spark._jsparkSession, idx, b1._jdf, "t1", "path", "content"), spark)
+    # batch 2: a half-amplitude copy of 'a' (within hamming 6 of the
+    # stored fingerprint; 'a' bytes absent from this batch)
+    half = wav_bytes(42)  # same samples -> scale via audio content:
+    b2 = spark.createDataFrame(
+        [("a_again", bytearray(half))], "path string, content binary")
+    pairs2 = DataFrame(bridge.audioDedupDelta(
+        spark._jsparkSession, idx, b2._jdf, "t2", "path", "content"), spark)
+    rows = [(r["id1"], r["id2"], r["hamming"], r["cross"])
+            for r in pairs2.collect()]
+    check("audio media index from Python",
+          first.count() == 0 and rows == [("a_again", "a", 0, True)],
+          f"(pairs {rows})")
+    labels = DataFrame(bridge.mediaClusterLabels(pairs2._jdf), spark)
+    lab = {(r["med_id"], r["rep_id"]) for r in labels.collect()}
+    check("media cluster labels from Python",
+          lab and all(m in ("a", "a_again") for m, _ in lab))
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

@@ -226,4 +226,28 @@ object PyBridge {
       threshold: Double, asOf: String): DataFrame =
     graft.queries.VectorOps.minhashPairsIndexedAsOf(spark, path, threshold,
       asOf)
+
+  /** Persisted media-signature dedup from Python: ingest a batch of
+    * (idCol, contentCol) media rows against the aHash index at `path`
+    * (decodes only the batch; r14). Returns (id1, id2, hamming, cross)
+    * pairs; kind is pinned on first admit.
+    */
+  def imageDedupDelta(spark: SparkSession, path: String, df: DataFrame,
+      tag: String, idCol: String, contentCol: String): DataFrame =
+    graft.extract.Multimodal.imageDedupDelta(spark, path, df, tag, idCol,
+      contentCol)
+
+  def audioDedupDelta(spark: SparkSession, path: String, df: DataFrame,
+      tag: String, idCol: String, contentCol: String): DataFrame =
+    graft.extract.Multimodal.audioDedupDelta(spark, path, df, tag, idCol,
+      contentCol)
+
+  /** Standing media cluster labels: merge a batch's pair output into a
+    * (med_id, rep_id) label table without re-clustering history.
+    */
+  def mediaClusterLabels(pairs: DataFrame): DataFrame =
+    graft.extract.Multimodal.mediaClusterLabels(pairs)
+
+  def mediaClusterDelta(labels: DataFrame, pairs: DataFrame): DataFrame =
+    graft.extract.Multimodal.mediaClusterDelta(labels, pairs)
 }
