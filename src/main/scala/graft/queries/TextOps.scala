@@ -548,6 +548,101 @@ object TextOps {
        |  max(n_chars) AS max_chars
        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** Corpus-distribution DRIFT between two corpora — the monitoring
+    * half of a continuously-ingesting training pipeline (§2.G): per
+    * metric (n_chars bins, lang, source), the Population Stability
+    * Index terms between a BASELINE corpus and a BATCH. PSI is the
+    * standard ops drift score (Σ (p−q)·ln(p/q) over bins; < 0.1
+    * stable, 0.1–0.25 moderate, > 0.25 shifted — thresholds are
+    * industry convention, not engine claims); emitting the per-bin
+    * TERMS keeps the output scalar-typed and lets an operator see
+    * WHICH bin moved, not just that something did. Zero-count bins
+    * clamp to 1e-6 (the standard PSI floor — a vanished or brand-new
+    * bin contributes a large finite term, never ±∞). Every arithmetic
+    * step is engine-parity-exact: counts are exact integers in double,
+    * shares one division, the clamp a `greatest`, and the only
+    * transcendental (`ln`) feeds the repo's explicit floor(x·10⁶+½)
+    * quantization — last-ulp libm differences sit 9 orders of
+    * magnitude below the rounding grain.
+    *
+    * Scale: one pass over each corpus (the metric melt is an explode,
+    * not re-reads), two map-side-combinable counts, and a
+    * bins-per-metric-sized join — nothing corpus-shaped shuffles.
+    */
+  def corpusDriftOn(baseline: DataFrame, batch: DataFrame,
+      charBins: Seq[Long] = Seq(100L, 200L, 300L, 400L, 500L)): DataFrame = {
+    def lbl(b: Long) = f"le$b%04d"
+    def binned(df: DataFrame, side: String) = {
+      val first = when(col("n_chars") <= charBins.head, lbl(charBins.head))
+      val charBin = charBins.tail.foldLeft(first)((acc, b) =>
+        acc.when(col("n_chars") <= b, lbl(b)))
+        .otherwise(f"gt${charBins.last}%04d")
+      df.select(lit(side).as("side"),
+        explode(array(
+          struct(lit("n_chars").as("metric"), charBin.as("bin")),
+          struct(lit("lang").as("metric"),
+            coalesce(col("lang"), lit("NULL")).as("bin")),
+          struct(lit("source").as("metric"),
+            coalesce(col("source"), lit("NULL")).as("bin")))).as("mb"))
+        .select(col("side"), col("mb.metric").as("metric"),
+          col("mb.bin").as("bin"))
+    }
+    val counts = binned(baseline, "base").unionByName(binned(batch, "batch"))
+      .groupBy(col("metric"), col("bin"))
+      .agg(
+        sum(when(col("side") === "base", 1L).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nb"),
+        sum(when(col("side") === "batch", 1L).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nq"))
+    val tot = counts.groupBy(col("metric"))
+      .agg(sum(col("nb")).as("tb"), sum(col("nq")).as("tq"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val p = greatest(col("nq") / col("tq"), lit(0.000001))
+    val q = greatest(col("nb") / col("tb"), lit(0.000001))
+    counts.join(tot, "metric")
+      .select(col("metric"), col("bin"),
+        r6(col("nb") / col("tb")).as("base_share"),
+        r6(col("nq") / col("tq")).as("batch_share"),
+        r6((p - q) * log(p / q)).as("psi_term"))
+      .orderBy(col("metric"), col("bin"))
+  }
+
+  /** Pinned contract instantiation: the fixture corpus split by doc_id
+    * parity as the baseline-vs-batch stand-in.
+    */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    corpusDriftOn(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  val corpusDriftSql: String =
+    """WITH tagged AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'batch' END AS side,
+      |         CASE WHEN n_chars <= 100 THEN 'le0100' WHEN n_chars <= 200 THEN 'le0200'
+      |              WHEN n_chars <= 300 THEN 'le0300' WHEN n_chars <= 400 THEN 'le0400'
+      |              WHEN n_chars <= 500 THEN 'le0500' ELSE 'gt0500' END AS char_bin,
+      |         COALESCE(lang, 'NULL') AS lang_bin,
+      |         COALESCE(source, 'NULL') AS source_bin
+      |  FROM documents),
+      |bins AS (
+      |  SELECT 'n_chars' AS metric, char_bin AS bin, side FROM tagged
+      |  UNION ALL SELECT 'lang', lang_bin, side FROM tagged
+      |  UNION ALL SELECT 'source', source_bin, side FROM tagged),
+      |counts AS (
+      |  SELECT metric, bin,
+      |    CAST(sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+      |    CAST(sum(CASE WHEN side = 'batch' THEN 1 ELSE 0 END) AS DOUBLE) AS nq
+      |  FROM bins GROUP BY metric, bin),
+      |tot AS (SELECT metric AS tmetric, sum(nb) AS tb, sum(nq) AS tq
+      |        FROM counts GROUP BY metric)
+      |SELECT metric, bin,
+      |  floor(nb / tb * 1000000.0 + 0.5) / 1000000.0 AS base_share,
+      |  floor(nq / tq * 1000000.0 + 0.5) / 1000000.0 AS batch_share,
+      |  floor((greatest(nq / tq, 0.000001) - greatest(nb / tb, 0.000001)) *
+      |        ln(greatest(nq / tq, 0.000001) / greatest(nb / tb, 0.000001))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+      |FROM counts JOIN tot ON metric = tmetric
+      |ORDER BY metric, bin""".stripMargin
+
   // ------------------------------------------------------- quality gate
 
   /** The standard LLM-pipeline quality filter: length, word count and
@@ -2654,6 +2749,7 @@ object TextOps {
     ContractQuery("q_tfidf", tfidf, Some(tfidfSql)),
     ContractQuery("q_text_stats", textStats, Some(textStatsSql)),
     ContractQuery("q_corpus_report", corpusReport, Some(corpusReportSql)),
+    ContractQuery("q_corpus_drift", corpusDrift, Some(corpusDriftSql)),
     ContractQuery("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     ContractQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
     ContractQuery("q_text_langid", textLangid, Some(textLangidSql)),

@@ -507,6 +507,29 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(canon(VectorOps.neardupCosine(spark, Sf0001)) == first)
   }
 
+  test("corpus drift: self-drift is zero; a length-shifted batch flags " +
+      "n_chars and only n_chars strongly") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    // PSI of a corpus against itself: every share pair equal, every
+    // term exactly 0 (the clamp never engages on equal shares)
+    val self = TextOps.corpusDriftOn(docs, docs).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3), s"shares differ: $r")
+      assert(r.getDouble(4) == 0.0, s"self psi_term nonzero: $r")
+    }
+    // a batch of only-long documents: the n_chars distribution shifts
+    // hard (short bins vanish -> clamped terms), language mix barely
+    val shifted = TextOps.corpusDriftOn(docs, docs.filter(col("n_chars") > 300))
+      .collect()
+    def psi(metric: String) = shifted.filter(_.getString(0) == metric)
+      .map(_.getDouble(4)).sum
+    assert(psi("n_chars") > 0.25,
+      s"length shift must cross the industry 'shifted' line: ${psi("n_chars")}")
+    assert(psi("n_chars") > 10 * psi("lang"),
+      s"the shift is in length, not language: ${psi("n_chars")} vs ${psi("lang")}")
+  }
+
   test("graph cache: memoized q_knn_graph == pure build+search; same lifecycle") {
     def canon(df: DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
