@@ -587,7 +587,19 @@ object TextOps {
         .select(col("side"), col("mb.metric").as("metric"),
           col("mb.bin").as("bin"))
     }
-    val counts = binned(baseline, "base").unionByName(binned(batch, "batch"))
+    psiTermsOn(binned(baseline, "base").unionByName(binned(batch, "batch")))
+  }
+
+  /** Shared PSI core over melted `(side, metric, bin)` rows — the
+    * aggregation tail of [[corpusDriftOn]], factored so
+    * [[VectorOps.vecDriftOn]] (the embedding twin) computes the exact
+    * same score from its own binnings: two map-side-combinable counts, a
+    * bins-per-metric-sized join, the 1e-6 clamp and the explicit
+    * floor(x·10⁶+½) quantization. Arithmetic parity notes live on
+    * [[corpusDriftOn]].
+    */
+  private[graft] def psiTermsOn(binned: DataFrame): DataFrame = {
+    val counts = binned
       .groupBy(col("metric"), col("bin"))
       .agg(
         sum(when(col("side") === "base", 1L).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nb"),

@@ -2096,6 +2096,112 @@ object VectorOps {
       |  CAST(list_max(q8) AS BIGINT) AS q8_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------- embedding drift (r14)
+
+  /** Embedding-distribution drift — [[TextOps.corpusDriftOn]]'s twin for
+    * the vector corpus (§2.G observability): per-bin PSI terms between a
+    * BASELINE embedding set and a BATCH over two exact, engine-parity
+    * binnings. `lsh_bucket` is the 16-cell occupancy of 4 fixed splitmix
+    * hyperplanes — rows 16–19 of the [[projSign]] matrix, disjoint from
+    * the 0–15 JL rows — and catches the corpus moving to a new REGION of
+    * embedding space (the drift mode that sags IVF/graph recall;
+    * `Ivf.driftStats` sees it per-index, this sees it per-ingest with no
+    * index required). `argmax` is each vector's 1-based max-component
+    * index and catches a FEATURE/dimension takeover — the signature of
+    * an upstream embedding-model version bump. Both bin assignments are
+    * bit-exact across engines: the hyperplane dot is a fixed
+    * left-associated ± fold over `CAST(x AS DOUBLE)` terms compared to
+    * 0.0 (the q_vec_project IEEE-parity argument), and argmax is pure
+    * comparisons with first-match tie order in both Spark
+    * (`array_position`) and DuckDB (`list_position`). The PSI tail is
+    * [[TextOps.psiTermsOn]] verbatim.
+    *
+    * Scale: one pass per corpus (the two binnings melt through one
+    * explode), two map-side-combinable counts, an 80-row join — nothing
+    * corpus-sized shuffles, same as corpus drift.
+    */
+  def vecDriftOn(baseline: DataFrame, batch: DataFrame): DataFrame = {
+    def dotPlane(plane: Int): Column =
+      (0 until EmbDims).map { j =>
+        val e = element_at(col("embedding"), j + 1).cast(D)
+        if (projSign(DriftPlaneBase + plane, j) > 0) e else -e
+      }.reduceLeft(_ + _)
+    val bucket = (0 until DriftPlanes).map(i =>
+      when(dotPlane(i) >= 0.0, lit(8 >> i)).otherwise(lit(0)))
+      .reduceLeft(_ + _)
+    def binned(df: DataFrame, side: String) =
+      df.select(lit(side).as("side"),
+        explode(array(
+          struct(lit("lsh_bucket").as("metric"),
+            concat(lit("b"), bucket.cast(StringType)).as("bin")),
+          struct(lit("argmax").as("metric"),
+            concat(lit("d"), array_position(col("embedding"),
+              array_max(col("embedding"))).cast(StringType)).as("bin"))))
+          .as("mb"))
+        .select(col("side"), col("mb.metric").as("metric"),
+          col("mb.bin").as("bin"))
+    TextOps.psiTermsOn(
+      binned(baseline, "base").unionByName(binned(batch, "batch")))
+  }
+
+  /** 4 planes → 16 buckets: enough cells that a region shift moves
+    * occupancy visibly, few enough that sf0.001's 50-vector fixture
+    * still populates most of them (empty-bin clamp terms stay rare on
+    * a stable corpus). Planes start at 16 to stay disjoint from the JL
+    * projection's rows 0–15 — a drift monitor must not share structure
+    * with the dimension reduction it might be asked to watch.
+    */
+  private val DriftPlanes = 4
+  private val DriftPlaneBase = 16
+
+  /** Pinned contract instantiation: the fixture embeddings split by
+    * vec_id parity as the baseline-vs-batch stand-in (the q_corpus_drift
+    * posture).
+    */
+  def vecDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+    vecDriftOn(e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1))
+  }
+
+  val vecDriftSql: String = {
+    val dots = (0 until DriftPlanes).map { i =>
+      val terms = (0 until EmbDims).map { j =>
+        val s = if (projSign(DriftPlaneBase + i, j) > 0) "+" else "-"
+        s"$s CAST(embedding[${j + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      // identical left-to-right fold order as the Spark ± chain above
+      s"(${terms.stripPrefix("+ ")}) AS dot$i"
+    }.mkString(",\n    ")
+    s"""WITH sides AS (
+       |  SELECT CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'batch' END AS side,
+       |    $dots,
+       |    list_position(embedding, list_max(embedding)) AS amax
+       |  FROM embeddings),
+       |binned AS (
+       |  SELECT side, 'lsh_bucket' AS metric,
+       |    'b' || CAST(8*CAST(dot0 >= 0 AS INT) + 4*CAST(dot1 >= 0 AS INT)
+       |         + 2*CAST(dot2 >= 0 AS INT) + CAST(dot3 >= 0 AS INT) AS VARCHAR) AS bin
+       |  FROM sides
+       |  UNION ALL
+       |  SELECT side, 'argmax', 'd' || CAST(amax AS VARCHAR) FROM sides),
+       |counts AS (
+       |  SELECT metric, bin,
+       |    CAST(sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+       |    CAST(sum(CASE WHEN side = 'batch' THEN 1 ELSE 0 END) AS DOUBLE) AS nq
+       |  FROM binned GROUP BY metric, bin),
+       |tot AS (SELECT metric AS tmetric, sum(nb) AS tb, sum(nq) AS tq
+       |        FROM counts GROUP BY metric)
+       |SELECT metric, bin,
+       |  floor(nb / tb * 1000000.0 + 0.5) / 1000000.0 AS base_share,
+       |  floor(nq / tq * 1000000.0 + 0.5) / 1000000.0 AS batch_share,
+       |  floor((greatest(nq / tq, 0.000001) - greatest(nb / tb, 0.000001)) *
+       |        ln(greatest(nq / tq, 0.000001) / greatest(nb / tb, 0.000001))
+       |        * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+       |FROM counts JOIN tot ON metric = tmetric
+       |ORDER BY metric, bin""".stripMargin
+  }
+
   // ------------------------------------------------- graph ANN (r13)
 
   /** Graph-based ANN — the high-recall leg beside LSH (candidate
@@ -2257,6 +2363,7 @@ object VectorOps {
     ContractQuery("q_vec_pq", vecPq, Some(vecPqSql)),
     ContractQuery("q_sample_diverse", sampleDiverse, None),
     ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql)),
-    ContractQuery("q_vec_project", vecProject, Some(vecProjectSql))
+    ContractQuery("q_vec_project", vecProject, Some(vecProjectSql)),
+    ContractQuery("q_vec_drift", vecDrift, Some(vecDriftSql))
   )
 }

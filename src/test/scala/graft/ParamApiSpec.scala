@@ -530,6 +530,44 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       s"the shift is in length, not language: ${psi("n_chars")} vs ${psi("lang")}")
   }
 
+  test("vec drift: self-drift is zero; a region shift flags lsh_bucket; " +
+      "a dimension takeover flags argmax") {
+    val e = Tables.t(spark, Sf0001, "embeddings")
+    val self = VectorOps.vecDriftOn(e, e).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3), s"shares differ: $r")
+      assert(r.getDouble(4) == 0.0, s"self psi_term nonzero: $r")
+    }
+    def psi(rows: Array[org.apache.spark.sql.Row], metric: String) =
+      rows.filter(_.getString(0) == metric).map(_.getDouble(4)).sum
+    // region shift: the batch moves to a new region of embedding space —
+    // a strong offset along one axis (components span ±0.5, so +5 on
+    // dim 1 dominates every hyperplane dot and the batch collapses into
+    // one cell; measured PSI ≈ 13 on this fixture). MEASURED FIRST per
+    // the r14 drift-metric lesson: the "obvious" negate-everything shift
+    // only permutes a near-uniform occupancy to its complement cells and
+    // reads 0.086 — far below the line; a shift PSI can see must change
+    // the occupancy HISTOGRAM, not just relabel cells.
+    val shifted = e.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + 5.0f).otherwise(x)))
+    val region = VectorOps.vecDriftOn(e, shifted).collect()
+    assert(psi(region, "lsh_bucket") > 0.25,
+      s"region shift must cross the 'shifted' line: ${psi(region, "lsh_bucket")}")
+    // dimension takeover: one component dominates every batch vector —
+    // the embedding-model-bump signature; argmax mass collapses to d3
+    val takeover = e.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        when(i === 2, lit(9.0f)).otherwise(x)))
+    val dim = VectorOps.vecDriftOn(e, takeover).collect()
+    assert(psi(dim, "argmax") > 0.25,
+      s"dimension takeover must cross the 'shifted' line: ${psi(dim, "argmax")}")
+    val d3 = dim.filter(r => r.getString(0) == "argmax" && r.getString(1) == "d3")
+    assert(d3.length == 1 && d3.head.getDouble(3) == 1.0,
+      s"all takeover mass lands in d3: ${d3.toSeq}")
+  }
+
   test("graph cache: memoized q_knn_graph == pure build+search; same lifecycle") {
     def canon(df: DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
