@@ -2202,6 +2202,109 @@ object VectorOps {
        |ORDER BY metric, bin""".stripMargin
   }
 
+  // -------------------------------------- semantic decontamination (r14)
+
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of [[TextOps.decontaminateOn]]'s shingle overlap (§2.G):
+    * a training document whose EMBEDDING sits within `threshold` cosine
+    * of any eval example leaks the benchmark even when no n-gram
+    * matches (paraphrases, translations — the FineWeb/llm-decontaminate
+    * failure mode shingles can't see). Per corpus vector: `n_hits`
+    * (eval examples at raw cosine ≥ threshold — the raw-threshold
+    * semantics of [[neardupCosineAt]]), `max_cos` (closest eval example
+    * over ALL of them, the floor(x·10⁶+½) quantization applied once to
+    * the max), `contaminated = n_hits > 0`. Every pairwise cosine is
+    * the bit-identical left-fold dot / IEEE sqrt/divide both engines
+    * share, so count, max and verdict are engine-parity-exact.
+    *
+    * Scale: the eval set is benchmark-sized (10²–10⁵ rows) —
+    * `broadcast()` it and the corpus never shuffles; the per-partition
+    * partial aggregation collapses the |corpus|×|eval| product map-side
+    * to one row per corpus vector. At 100 TB × 10⁵ eval the exact scan
+    * is compute-heavy; [[semanticDecontaminateIndexed]] is the pruned
+    * path against a persisted eval index.
+    */
+  def semanticDecontaminateOn(corpus: DataFrame, evalVecs: DataFrame,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val e = evalVecs.select(col("embedding").as("ee"),
+      norm2(col("embedding")).as("en2"))
+    val cosRaw = dot(col("embedding"), col("ee")) /
+      (sqrt(col("n2")) * sqrt(col("en2")))
+    c.crossJoin(broadcast(e))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(cosRaw >= threshold, 1L).otherwise(0L)).as("n_hits"),
+        max(cosRaw).as("mc"))
+      .select(col("vec_id"), col("n_hits"),
+        (floor(col("mc") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("max_cos"),
+        (col("n_hits") > 0L).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[semanticDecontaminateOn]] against a PERSISTED eval-set cosine
+    * index ([[writeCosineIndex]] family) — the 100 TB path: the corpus
+    * probes only matching LSH buckets ([[graft.operators.BandedHamming]]
+    * asymmetric probe, shuffle by (band, value)), exact cosine verifies
+    * candidates, and clean rows survive via the left join with
+    * `n_hits = 0`. Read-only on the index (the as-of discipline: probes
+    * never write). Candidate recall < 1 is the documented tradeoff —
+    * `n_hits`/`max_cos` cover CANDIDATES only (`max_cos` NULL on a row
+    * with none), verdicts are a subset of the exact op's
+    * (VectorOpsSpec measures containment + recall on the fixture).
+    */
+  def semanticDecontaminateIndexed(spark: SparkSession, path: String,
+      corpus: DataFrame, threshold: Double, numPlanes: Int = 16,
+      bands: Int = 8, seed: Long = 42L): DataFrame = {
+    recoverPromote(spark, path)
+    requireNotBuilding(spark, path)
+    requireLshParams(spark, path, numPlanes, bands, seed)
+    val cbase = corpus.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val cands = graft.operators.BandedHamming
+      .probedPairs(bandedSignatures(cbase, numPlanes, bands, seed),
+        spark.read.parquet(s"$path/bands"), "vec_id", "vec_id",
+        Seq("band", "bv"))
+      .select(col("id1").as("v1"), col("id2").as("v2"))
+    val hits = verifyCosine(cands, cbase,
+        spark.read.parquet(s"$path/vectors"), threshold)
+      .groupBy(col("v1"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+    cbase.select(col("vec_id"))
+      .join(hits, col("vec_id") === col("v1"), "left")
+      .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"), (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Pinned contract instantiation: eval = every 10th fixture vector,
+    * corpus = the rest, threshold 0.35 (the fixture is isotropic noise —
+    * 61/450 contaminated at sf0.01, a healthy verdict mix).
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+    semanticDecontaminateOn(e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0), threshold = 0.35)
+  }
+
+  val semanticDecontaminateSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2
+       |  FROM embeddings WHERE vec_id % 10 <> 0),
+       |e AS (
+       |  SELECT embedding AS ee, ${norm2Sql("embedding")} AS en2
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |p AS (
+       |  SELECT c.vec_id, ${dotSql("c.embedding", "e.ee")} / (sqrt(c.n2) * sqrt(e.en2)) AS cos
+       |  FROM c CROSS JOIN e)
+       |SELECT vec_id,
+       |  CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  floor(max(cos) * 1000000.0 + 0.5) / 1000000.0 AS max_cos,
+       |  sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) > 0 AS contaminated
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------- graph ANN (r13)
 
   /** Graph-based ANN — the high-recall leg beside LSH (candidate
@@ -2364,6 +2467,8 @@ object VectorOps {
     ContractQuery("q_sample_diverse", sampleDiverse, None),
     ContractQuery("q_vec_quantize", vecQuantize, Some(vecQuantizeSql)),
     ContractQuery("q_vec_project", vecProject, Some(vecProjectSql)),
-    ContractQuery("q_vec_drift", vecDrift, Some(vecDriftSql))
+    ContractQuery("q_vec_drift", vecDrift, Some(vecDriftSql)),
+    ContractQuery("q_decontaminate_semantic", semanticDecontaminate,
+      Some(semanticDecontaminateSql))
   )
 }

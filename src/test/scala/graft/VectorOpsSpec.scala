@@ -440,4 +440,40 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
         }
     }
   }
+
+  test("semantic decon: self-eval flags everything at cos 1; indexed " +
+      "verdicts contained in exact with high recall") {
+    val e = Tables.t(spark, Sf0001, "embeddings")
+    // law: a corpus decontaminated against ITSELF is fully contaminated
+    // (every vector matches itself at cosine exactly 1.0)
+    val self = VectorOps.semanticDecontaminateOn(e, e, threshold = 0.99)
+      .collect()
+    assert(self.length == e.count())
+    self.foreach { r =>
+      assert(r.getBoolean(3), s"self-decon must contaminate every row: $r")
+      assert(r.getDouble(2) == 1.0, s"self max_cos must be exactly 1: $r")
+    }
+    // indexed scale path: eval set persisted as a cosine index, corpus
+    // probes buckets only — verdicts must be a SUBSET of exact's, and
+    // candidate pruning must not lose much (recall measured, then pinned
+    // with margin per the drift-metric discipline)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val evalSet = e.filter(col("vec_id") % 10 === 0)
+    val exact = VectorOps.semanticDecontaminateOn(corpus, evalSet, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val idx = java.nio.file.Files.createTempDirectory("sdecon_idx").toString
+    VectorOps.writeCosineIndex(evalSet, idx)
+    val indexed = VectorOps.semanticDecontaminateIndexed(spark, idx, corpus, 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(indexed.keySet == exact.keySet,
+      "indexed verdict frame must cover every corpus row")
+    val falsePos = indexed.filter(_._2).keys.filterNot(exact(_))
+    assert(falsePos.isEmpty,
+      s"indexed contamination must be exact-verified (subset law): $falsePos")
+    val truePos = exact.filter(_._2).keys.toSeq
+    val recall = truePos.count(indexed(_)).toDouble / truePos.size
+    info(s"indexed semantic-decon recall: $recall over ${truePos.size} contaminated rows")
+    assert(recall >= 0.85,
+      s"bucket pruning lost too much: recall $recall of ${truePos.size}")
+  }
 }
