@@ -82,11 +82,12 @@ object VectorOps {
     * memo is the in-session analogue of reading it back.
     */
   private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, Long)]()
 
   private[graft] def graphCacheSize: Int = graphCache.size
 
-  private def contractGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def contractGraph(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) = {
     purgePairCache(s => !s.sparkContext.isStopped)
     graphCache.computeIfAbsent((spark, dir), _ => {
       val base = Tables.t(spark, dir, "embeddings")
@@ -97,10 +98,11 @@ object VectorOps {
       // measured stats so the searches' joins see honest sizes
       val edges = graft.operators.NnDescent
         .buildGraph(base, k = 10, iters = 2, cells = 16)
+      val n = base.count()
       (org.apache.spark.sql.graft.CheckpointStats
-         .withMeasuredStats(base, base.count(), 300),
+         .withMeasuredStats(base, n, 300),
        org.apache.spark.sql.graft.CheckpointStats
-         .withMeasuredStats(edges, edges.count(), 32))
+         .withMeasuredStats(edges, edges.count(), 32), n)
     })
   }
 
@@ -2312,18 +2314,28 @@ object VectorOps {
     * NN-Descent k-NN graph ([[graft.operators.NnDescent]] — built
     * entirely from joins, no sequential inserts) searched by iterative
     * beam expansion. Pinned contract instantiation: degree-10 graph,
-    * 2 refinement rounds over 16-cell ring init, beam 20 × 3 hops from
-    * 8 entry points; the built graph is session-memoized per (session,
-    * dir) ([[contractGraph]]) — repeat invocations pay only the beam
+    * 2 refinement rounds over 16-cell ring init, 3 hops, and a search
+    * budget that SCALES with the corpus — beam = max(20, n/25),
+    * entries = max(8, n/62) — because on a structureless (isotropic)
+    * corpus a FIXED budget's recall decays linearly with n: measured
+    * r14, the r13-pinned beam 20 × 8 entries read 0.96 at n=500 but
+    * 0.48 at n=2 000, where beam 80 × 32 entries restores 1.00 (the
+    * linear rule reproduces both floors; BASELINE.md r14 has the grid).
+    * On clustered corpora the fixed-budget routed search
+    * ([[graft.operators.NnDescent.searchRouted]]) is the production
+    * path — this contract instantiation is the unrouted worst case.
+    * The built graph is session-memoized per (session, dir)
+    * ([[contractGraph]]) — repeat invocations pay only the beam
     * search. Graph construction is engine-specific → no SQL
     * oracle; Containment records recall@5 vs brute force, NnDescentSpec
     * pins the build/search laws and the hard-regime behavior.
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val (base, edges) = contractGraph(spark, dir)
+    val (base, edges, n) = contractGraph(spark, dir)
     graft.operators.NnDescent.searchGraph(base, edges,
-      base.filter(col("vec_id") < 5), k = 5, beam = 20, hops = 3,
-      entries = 8)
+      base.filter(col("vec_id") < 5), k = 5,
+      beam = math.max(20L, n / 25).toInt, hops = 3,
+      entries = math.max(8L, n / 62).toInt)
   }
 
   /** Dup-dense ANN by CLUSTER COLLAPSE — the engine's answer to the

@@ -54,7 +54,9 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
     "q_knn_ivf" ->
       "rows x broadcast k-centroid table (Ivf.assign/probesOf): the IVF routing shape, bounded by k not corpus",
     "q_knn_label" -> "same IVF centroid-routing crossJoin, bounded by k",
-    "q_sample_diverse" -> "same IVF centroid-routing crossJoin, bounded by k"
+    "q_sample_diverse" -> "same IVF centroid-routing crossJoin, bounded by k",
+    "q_decontaminate_semantic" ->
+      "corpus x broadcast EVAL-SET product (benchmark-sized by definition), collapsed map-side by the partial agg; the indexed variant is the pruned path"
   )
 
   private def hasScalaUdf(df: org.apache.spark.sql.DataFrame): Boolean =
