@@ -1827,7 +1827,14 @@ object VectorOps {
     * recall@5 0.76→0.96 on the fixture, AND cheaper — 4× the codebook
     * entries cut quantization error so much that the re-rank sees
     * better-ordered shortlists while the ADC LUT stays trivially
-    * broadcastable (m·ks = 512 doubles per query). Engine-specific in
+    * broadcastable (m·ks = 512 doubles per query). The shortlist SCALES
+    * with the corpus — max(100, n/5) — the q_knn_graph lesson applied
+    * here the same round: on a structureless corpus the ADC error vs
+    * true-neighbor gap forces the re-rank set to stay a constant corpus
+    * fraction (fixed 100 read 0.96 at n=500 but 0.84 at n=2 000; n/10 =
+    * 0.92, n/5 = 1.00 — grid in BASELINE.md r14). Real corpora with dup/
+    * cluster structure need FAR less: the 200 k hard-regime table hit
+    * 0.906 with shortlist 200 = 0.1%. Engine-specific in
     * codebook choice → no SQL oracle; VectorOpsSpec asserts recall
     * against [[knnBruteforce]] plus structural invariants, and
     * [[vecPq]] pins the encode math cross-engine.
@@ -1836,8 +1843,10 @@ object VectorOps {
     import graft.operators.Pq
     val base = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val n = base.count()
     Pq.search(base, Pq.seedCodebooks(base, m = 8, ks = 64),
-      base.filter(col("vec_id") < 5), k = 5, shortlist = 100, m = 8)
+      base.filter(col("vec_id") < 5), k = 5,
+      shortlist = math.max(100L, n / 5).toInt, m = 8)
   }
 
   /** PQ encode digests — the SQL-oracled face of [[knnPq]]'s compression
