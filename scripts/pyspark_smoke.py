@@ -242,6 +242,48 @@ try:
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 
+# 13. r14 ingest monitoring trio from Python: corpus drift, embedding
+#     drift, and semantic decontamination (exact + indexed)
+base_docs = docs.filter("doc_id % 2 = 0")
+batch_docs = docs.filter("doc_id % 2 = 1")
+cd = DataFrame(bridge.corpusDrift(base_docs._jdf, batch_docs._jdf), spark)
+psi = {r["metric"]: 0.0 for r in cd.collect()}
+for r in cd.collect():
+    psi[r["metric"]] += r["psi_term"]
+# the fixture assigns source = src{doc_id % 20}, so a parity split
+# makes the two source sets DISJOINT — source must scream (clamped
+# vanished-bin terms) while n_chars and lang stay under the 0.25 line
+check("corpus drift from Python",
+      set(psi) == {"n_chars", "lang", "source"} and
+      psi["source"] > 0.25 and psi["n_chars"] < 0.25 and psi["lang"] < 0.25,
+      f"(disjoint sources flagged, rest stable: {psi})")
+vd = DataFrame(bridge.vecDrift(
+    vecs.filter("vec_id % 2 = 0")._jdf, vecs.filter("vec_id % 2 = 1")._jdf),
+    spark)
+vmetrics = {r["metric"] for r in vd.collect()}
+check("vec drift from Python", vmetrics == {"lsh_bucket", "argmax"})
+
+corpus_v = vecs.filter("vec_id % 10 != 0")
+eval_v = vecs.filter("vec_id % 10 = 0")
+dec = DataFrame(bridge.semanticDecontaminate(
+    corpus_v._jdf, eval_v._jdf, 0.35), spark)
+n_contam = dec.filter("contaminated").count()
+check("semantic decon from Python",
+      dec.count() == corpus_v.count() and n_contam > 0,
+      f"({n_contam}/{dec.count()} contaminated)")
+idx = tempfile.mkdtemp(prefix="pysmoke_decon")
+try:
+    bridge.writeCosineIndex(eval_v._jdf, idx)
+    deci = DataFrame(bridge.semanticDecontaminateIndexed(
+        spark._jsparkSession, idx, corpus_v._jdf, 0.35), spark)
+    exact_ids = {r["vec_id"] for r in dec.filter("contaminated").collect()}
+    idx_ids = {r["vec_id"] for r in deci.filter("contaminated").collect()}
+    check("indexed decon subset law from Python",
+          idx_ids <= exact_ids and len(idx_ids) > 0,
+          f"({len(idx_ids)}/{len(exact_ids)} via the index)")
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

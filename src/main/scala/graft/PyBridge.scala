@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurateConfig, TextOps}
+import graft.queries.{CurateConfig, TextOps, VectorOps}
 
 /** Py4j-friendly facade for PySpark callers (r13 verdict task 7).
   *
@@ -108,6 +108,42 @@ object PyBridge {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     graft.queries.Formats.writeJsonl(df, path)
+
+  // ------------------------------- ingest monitoring + decon (r14)
+  // The per-batch observability trio a scheduled Python job runs on
+  // the ingest cadence: corpus drift (document stats), embedding
+  // drift (vector space), and semantic decontamination — each a plain
+  // frame-in/frame-out call, zero data movement across py4j.
+
+  /** Per-bin PSI drift terms between a baseline document corpus and a
+    * batch (n_chars bins / lang / source) — TextOps.corpusDriftOn.
+    */
+  def corpusDrift(baseline: DataFrame, batch: DataFrame): DataFrame =
+    TextOps.corpusDriftOn(baseline, batch)
+
+  /** Embedding-space PSI drift terms (hyperplane-bucket occupancy +
+    * argmax dim) between two (vec_id, embedding) frames.
+    */
+  def vecDrift(baseline: DataFrame, batch: DataFrame): DataFrame =
+    VectorOps.vecDriftOn(baseline, batch)
+
+  /** Exact semantic decontamination of a corpus frame against a
+    * broadcast eval frame — per-vector n_hits / max_cos / verdict.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+      threshold: Double): DataFrame =
+    VectorOps.semanticDecontaminateOn(corpus, evalVecs, threshold)
+
+  /** The pruned path against a persisted eval-set cosine index
+    * (writeCosineIndex) — read-only on the index.
+    */
+  def semanticDecontaminateIndexed(spark: SparkSession, path: String,
+      corpus: DataFrame, threshold: Double): DataFrame =
+    VectorOps.semanticDecontaminateIndexed(spark, path, corpus, threshold)
+
+  /** Persist an eval set as the cosine index the indexed decon probes. */
+  def writeCosineIndex(vecs: DataFrame, path: String): Unit =
+    VectorOps.writeCosineIndex(vecs, path)
 
   // ----------------------------------- index operator loop (r14)
   // The watch → rebuild → verify loop a scheduled Python job runs
