@@ -1099,4 +1099,228 @@ object Multimodal {
       sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
     VectorOps.endFold(spark, path)
   }
+
+  // ---------------------------- persisted video frame-signature index
+
+  /** The video twin of the media-hash index: [[videoDedup]]'s
+    * frame-OVERLAP semantics made incremental. A single 64-bit hash per
+    * item cannot carry partial-overlap Jaccard, so this index persists
+    * the frame-signature SET instead — one `frames` component of
+    * `(video_id, frame_sig, n_frames)` rows under the standard `batch=`
+    * layout (n_frames is the video's distinct-signature count,
+    * denormalized onto every row so a probe NEVER re-scans the corpus
+    * for set sizes: any matched row already carries its video's total).
+    * Lifecycle is shared verbatim with [[mediaHashDelta]]: own-tag-
+    * exempt replay overwrites, `_history` + as-of probes, compaction
+    * with closed replay windows, `_params` pinning (the sampling
+    * cadence `everyNthMs`/`durationMs` is recorded on first admit and a
+    * mismatched probe refused — frame sets sampled on different
+    * cadences overlap meaninglessly), and the generic `indexInfo` view.
+    *
+    * Scale shape: the batch decodes once; the corpus side is the stored
+    * signature table, restricted to the BATCH's signatures by a join
+    * before anything else (shuffle by frame_sig over probed signatures
+    * only, never the whole corpus). The hot-signature guard counts
+    * videos per signature across corpus-matched ∪ batch rows — unlike
+    * the one-shot [[videoDedup]]'s batch-local count, a title card that
+    * went universal across PAST batches is defused here too.
+    */
+  private def requireVideoParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, params: String, admit: Boolean): Unit =
+    graft.queries.VectorOps.requireIndexParamsAt(spark, path, "frames",
+      params, admit,
+      "would overlap frame sets sampled on a different cadence")
+
+  private def videoParams(everyNthMs: Long, durationMs: Long): String =
+    s"kind=video,everyNthMs=$everyNthMs,durationMs=$durationMs"
+
+  private[graft] def compactedVideoTags(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
+    graft.queries.VectorOps
+      .readSidecar(spark, s"$path/frames/_compacted_tags")
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** One decode pass over an ingest batch → its distinct frame-set rows
+    * `(video_id, frame_sig, n_frames)` — the exact shape the index
+    * stores and every probe consumes.
+    */
+  private def batchFrameSet(df: DataFrame, idCol: String,
+      contentCol: String, decoder: VideoDecoder, everyNthMs: Long,
+      durationMs: Long): DataFrame = {
+    val sigs = videoFrameSigs(df, idCol, contentCol, decoder, everyNthMs,
+        durationMs)
+      .select(col("video_id"), col("frame_sig")).distinct()
+    sigs.join(sigs.groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n_frames")), "video_id")
+  }
+
+  /** The pair core shared by the live video delta and its as-of probe:
+    * batch-vs-`corpus` cross pairs plus within-batch pairs, both at
+    * [[videoDedup]]'s overlap/Jaccard semantics. Jaccard denominators
+    * use the UNPRUNED set sizes (the one-shot's discipline — hot
+    * pruning narrows candidates, not identity).
+    */
+  private def videoPairsAgainst(batch: DataFrame, corpus: DataFrame,
+      minJaccard: Double, maxPerSig: Int): DataFrame = {
+    // asymmetric probe: only corpus rows sharing a batch signature can
+    // ever pair — restrict FIRST, then count hotness over the union
+    val matched = corpus.join(
+      batch.select(col("frame_sig")).distinct(), Seq("frame_sig"))
+    val hot = matched.select(col("frame_sig"), col("video_id"))
+      .unionByName(batch.select(col("frame_sig"), col("video_id")))
+      .groupBy(col("frame_sig"))
+      .agg(countDistinct(col("video_id")).as("nv"))
+      .filter(col("nv") > maxPerSig)
+      .select(col("frame_sig"))
+    val bp = batch.join(hot, Seq("frame_sig"), "left_anti")
+    val cp = matched.join(hot, Seq("frame_sig"), "left_anti")
+    def overlaps(left: DataFrame, right: DataFrame, crossFlag: Boolean) = {
+      val raw = left.as("a")
+        .join(right.as("b"), col("a.frame_sig") === col("b.frame_sig"))
+      val filtered =
+        if (crossFlag) raw else raw.filter(col("a.video_id") < col("b.video_id"))
+      filtered
+        .groupBy(col("a.video_id").as("id1"), col("b.video_id").as("id2"))
+        // n_frames is constant per video by construction; max() keeps
+        // the aggregation deterministic (and conservative if an id was
+        // ever re-admitted with different content)
+        .agg(count(lit(1)).as("overlap"),
+          max(col("a.n_frames")).as("n1"), max(col("b.n_frames")).as("n2"))
+        .withColumn("jaccard",
+          col("overlap") / (col("n1") + col("n2") - col("overlap")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id1"), col("id2"), col("overlap"), col("jaccard"),
+          lit(crossFlag).as("cross"))
+    }
+    overlaps(bp, cp, crossFlag = true)
+      .unionByName(overlaps(bp, bp, crossFlag = false))
+      .orderBy(col("id1"), col("id2"), col("cross"))
+  }
+
+  /** Probe-only half of [[videoFrameDelta]]: overlap pairs vs the index
+    * EXCLUDING `tag`'s own increment (replay discipline). Read-only
+    * unless `admitParams` (the admit paths' crashed-first-contact
+    * window, [[mediaHashProbe]]'s semantics).
+    */
+  def videoFrameProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, frames: DataFrame, tag: String, everyNthMs: Long,
+      durationMs: Long, minJaccard: Double = 0.5, maxPerSig: Int = 64,
+      admitParams: Boolean = false): DataFrame = {
+    import graft.queries.VectorOps
+    VectorOps.requireTag(tag)
+    requireVideoParams(spark, path, videoParams(everyNthMs, durationMs),
+      admit = admitParams)
+    VectorOps.finishCrashedSwap(spark, s"$path/frames")
+    require(!compactedVideoTags(spark, path).contains(tag),
+      s"tag '$tag' was folded into batch=init by index compaction — " +
+        "its replay window is closed; re-ingest under a fresh tag")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/frames")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpus =
+      if (fs.exists(dataDir))
+        spark.read
+          .schema("video_id STRING, frame_sig LONG, n_frames LONG, batch STRING")
+          .parquet(s"$path/frames")
+          .filter(col("batch") =!= lit(tag))
+          .select(col("video_id"), col("frame_sig"), col("n_frames"))
+      else spark.emptyDataFrame
+        .select(lit("").as("video_id"), lit(0L).as("frame_sig"),
+          lit(0L).as("n_frames")).limit(0)
+    videoPairsAgainst(frames, corpus, minJaccard, maxPerSig)
+  }
+
+  /** Append half of [[videoFrameDelta]]: admit a batch's frame-set rows
+    * under `batch=tag` (replay overwrite) and record the tag. Cadence
+    * params are recorded on first contact.
+    */
+  def appendVideoIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, frames: DataFrame, tag: String, everyNthMs: Long,
+      durationMs: Long): Unit = {
+    import graft.queries.VectorOps
+    VectorOps.requireTag(tag)
+    requireVideoParams(spark, path, videoParams(everyNthMs, durationMs),
+      admit = true)
+    VectorOps.finishCrashedSwap(spark, s"$path/frames")
+    VectorOps.ensureBatchLayout(spark, s"$path/frames")
+    require(!compactedVideoTags(spark, path).contains(tag),
+      s"tag '$tag' was folded into batch=init by index compaction — " +
+        "its replay window is closed; re-ingest under a fresh tag")
+    VectorOps.seedHistoryIfEmpty(spark, path, Seq("frames"))
+    frames.select(col("video_id"), col("frame_sig"), col("n_frames"))
+      .write.mode("overwrite").parquet(s"$path/frames/batch=$tag")
+    VectorOps.recordHistory(spark, path, tag)
+  }
+
+  /** One ingest batch of already-decoded frame sets against the
+    * persisted video index: probe (own tag excluded), then admit —
+    * [[mediaHashDelta]]'s contract at frame-overlap semantics.
+    */
+  def videoFrameDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, frames: DataFrame, tag: String, everyNthMs: Long,
+      durationMs: Long, minJaccard: Double = 0.5, maxPerSig: Int = 64)
+      : DataFrame = {
+    val result = videoFrameProbe(spark, path, frames, tag, everyNthMs,
+      durationMs, minJaccard, maxPerSig, admitParams = true)
+      .localCheckpoint(true) // materialize BEFORE the append below
+    appendVideoIndex(spark, path, frames, tag, everyNthMs, durationMs)
+    result
+  }
+
+  /** Video ingest against the persisted index: decode + frame-sign the
+    * batch once, then [[videoFrameDelta]].
+    */
+  def videoDedupDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, tag: String, idCol: String = "path",
+      contentCol: String = "content",
+      decoder: VideoDecoder = StubVideoDecoder, everyNthMs: Long = 1000,
+      durationMs: Long = 5000, minJaccard: Double = 0.5,
+      maxPerSig: Int = 64): DataFrame =
+    videoFrameDelta(spark, path,
+      batchFrameSet(df, idCol, contentCol, decoder, everyNthMs, durationMs)
+        .localCheckpoint(true),
+      tag, everyNthMs, durationMs, minJaccard, maxPerSig)
+
+  /** [[videoDedupDelta]]'s read-only as-of twin: re-ask a batch's
+    * overlap question against exactly the snapshot some earlier admit
+    * left behind — nothing admitted, no history entry, no sidecar
+    * write.
+    */
+  def videoDedupDeltaAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, asOf: String, idCol: String = "path",
+      contentCol: String = "content",
+      decoder: VideoDecoder = StubVideoDecoder, everyNthMs: Long = 1000,
+      durationMs: Long = 5000, minJaccard: Double = 0.5,
+      maxPerSig: Int = 64): DataFrame = {
+    requireVideoParams(spark, path, videoParams(everyNthMs, durationMs),
+      admit = false)
+    val corpus = graft.queries.VectorOps
+      .componentAsOf(spark, path, "frames", asOf)
+      .select(col("video_id"), col("frame_sig"), col("n_frames"))
+    videoPairsAgainst(
+      batchFrameSet(df, idCol, contentCol, decoder, everyNthMs, durationMs)
+        .localCheckpoint(true),
+      corpus, minJaccard, maxPerSig)
+  }
+
+  /** Compact the video index in place — [[compactMediaIndex]]'s
+    * discipline on the `frames` component.
+    */
+  def compactVideoIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 0): Unit = {
+    import graft.queries.VectorOps
+    VectorOps.finishCrashedSwap(spark, s"$path/frames")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/frames")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (!fs.exists(dataDir)) Set.empty[String]
+      else fs.listStatus(dataDir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") && n != "batch=init")
+        .map(_.stripPrefix("batch=")).toSet
+    val folded = (compactedVideoTags(spark, path) ++ live).toSeq.sorted
+    VectorOps.beginFold(spark, path)
+    VectorOps.resetHistory(spark, path, Seq("init"))
+    VectorOps.compactComponent(spark, s"$path/frames", numFiles, Nil,
+      sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+    VectorOps.endFold(spark, path)
+  }
 }

@@ -685,4 +685,116 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(idx))
   }
+
+  test("persisted video index: cross-batch overlap caught via stored " +
+      "frame sets only; replay idempotent; as-of answers the snapshot; " +
+      "cadence pinned; compaction closes replay windows") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("video_idx").toString
+    try {
+      val rnd = new scala.util.Random(11)
+      def blob(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6), r.getBoolean(4))).toSeq
+      // 1000-byte clips, 10 sampled frames of 100 bytes each (stub
+      // decoder); v-family shares title [0,300) + mid [300,800) =
+      // frames 0-7 → overlap 8, jaccard 8/12
+      val title = blob(300); val mid = blob(500)
+      def v(tail: Array[Byte]) = title ++ mid ++ tail
+      val b1 = Seq(("v1", v(blob(200))), ("u", blob(1000)))
+        .toDF("path", "content")
+      assert(Multimodal.videoDedupDelta(spark, idx, b1, "t1",
+        everyNthMs = 500, durationMs = 5000).isEmpty)
+      // batch 2 does NOT carry v1's bytes — the cross pair can only
+      // come from the persisted frame sets; an identical within-batch
+      // pair rides beside it at jaccard 1
+      val w = blob(1000)
+      val b2 = Seq(("v2", v(blob(200))), ("w1", w), ("w2", w))
+        .toDF("path", "content")
+      val out2 = rows(Multimodal.videoDedupDelta(spark, idx, b2, "t2",
+        everyNthMs = 500, durationMs = 5000))
+      assert(out2.filter(_._5) ==
+        Seq(("v2", "v1", 8L, math.round(8.0 / 12 * 1e6), true)),
+        s"cross pairs: $out2")
+      assert(out2.filterNot(_._5) ==
+        Seq(("w1", "w2", 10L, 1000000L, false)), s"within pairs: $out2")
+      // replay window: re-running a live tag reproduces bit-identically
+      assert(rows(Multimodal.videoDedupDelta(spark, idx, b2, "t2",
+        everyNthMs = 500, durationMs = 5000)) == out2)
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) ==
+        Seq("t1", "t2"))
+
+      // index moves on; the as-of probe answers the t1 snapshot (v2
+      // not yet admitted — only the pair with v1 exists there)
+      val b3 = Seq(("v3", v(blob(200)))).toDF("path", "content")
+      val out3 = rows(Multimodal.videoDedupDelta(spark, idx, b3, "t3",
+        everyNthMs = 500, durationMs = 5000))
+      assert(out3.map(t => (t._1, t._2)).toSet ==
+        Set(("v3", "v1"), ("v3", "v2")), s"live: $out3")
+      val asOf1 = rows(Multimodal.videoDedupDeltaAsOf(spark, idx, b3, "t1",
+        everyNthMs = 500, durationMs = 5000))
+      assert(asOf1.map(t => (t._1, t._2)) == Seq(("v3", "v1")),
+        s"as-of t1 must not see t2's admissions: $asOf1")
+
+      // cadence pinning: a probe sampled on a different grid refuses
+      // loudly, and the read-only refusal leaves the sidecar untouched
+      intercept[IllegalArgumentException] {
+        Multimodal.videoDedupDeltaAsOf(spark, idx, b3, "t1",
+          everyNthMs = 250, durationMs = 5000)
+      }
+      assert(graft.queries.VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("kind=video,everyNthMs=500,durationMs=5000"))
+
+      // compaction: folded tags' replay windows close; fresh ingest
+      // still sees the whole folded corpus; history resets to init
+      Multimodal.compactVideoIndex(spark, idx)
+      intercept[IllegalArgumentException] {
+        Multimodal.videoDedupDelta(spark, idx, b2, "t2",
+          everyNthMs = 500, durationMs = 5000)
+      }
+      assert(graft.queries.VectorOps.indexHistory(spark, idx) == Seq("init"))
+      val b4 = Seq(("v_again", v(blob(200)))).toDF("path", "content")
+      val out4 = rows(Multimodal.videoDedupDelta(spark, idx, b4, "t4",
+        everyNthMs = 500, durationMs = 5000))
+      assert(out4.map(_._2).toSet == Set("v1", "v2", "v3"),
+        s"folded corpus must still answer: $out4")
+      // the generic health view reads this index like any other family
+      val info = graft.queries.VectorOps.indexInfo(spark, idx)
+      assert(info.filter(col("section") === "data" &&
+        col("component") === "frames").count() >= 1)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
+  test("video index hot-signature guard counts across batches: a title " +
+      "card that went universal in PAST batches is defused for new ones") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("video_hot").toString
+    try {
+      val rnd = new scala.util.Random(13)
+      def blob(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+      // all clips share only a 300-byte title card (frames 0-2);
+      // overlap 3 → jaccard 3/17 ≈ 0.176
+      val title = blob(300)
+      def clip = title ++ blob(700)
+      val b1 = Seq(("s1", clip), ("s2", clip ++ Array.empty[Byte]))
+        .toDF("path", "content")
+      // title is in 2 videos — not yet hot at maxPerSig = 2: the
+      // within-batch pair lands at its true low jaccard
+      val out1 = Multimodal.videoDedupDelta(spark, idx, b1, "h1",
+          everyNthMs = 500, durationMs = 5000, minJaccard = 0.15,
+          maxPerSig = 2)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out1 == Set(("s1", "s2")), s"got $out1")
+      // batch 2: the title now spans 3 videos (2 stored + 1 new) —
+      // the union count crosses maxPerSig and the guard defuses it,
+      // so the stranger pairs with NOTHING despite the shared card
+      val b2 = Seq(("s3", clip)).toDF("path", "content")
+      assert(Multimodal.videoDedupDelta(spark, idx, b2, "h2",
+        everyNthMs = 500, durationMs = 5000, minJaccard = 0.15,
+        maxPerSig = 2).isEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
 }
