@@ -197,7 +197,7 @@ finally:
 # 12. r14 persisted media dedup from Python: WAV fixtures built with the
 #     stdlib wave module, cross-batch re-encode caught via the stored
 #     fingerprint, standing cluster labels maintained incrementally
-import io, math, struct, wave
+import io, math, random, struct, wave
 
 def wav_bytes(seed, n=6400):
     h = seed
@@ -239,6 +239,41 @@ try:
     lab = {(r["med_id"], r["rep_id"]) for r in labels.collect()}
     check("media cluster labels from Python",
           lab and all(m in ("a", "a_again") for m, _ in lab))
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+
+# 12b. persisted VIDEO index from Python (frame-set overlap; the stub
+#      decoder slices content deterministically, so shared byte ranges
+#      are shared frames — no codec needed). 1000-byte clips, 10 frames
+#      at 500 ms / 5 s: v2 shares frames 0-7 with the STORED v1 only.
+idx = tempfile.mkdtemp(prefix="pysmoke_video")
+try:
+    rng = random.Random(5)
+    def vblob(n):
+        return bytes(rng.randrange(256) for _ in range(n))
+    shared = vblob(800)
+    b1 = spark.createDataFrame(
+        [("v1", bytearray(shared + vblob(200)))],
+        "path string, content binary")
+    first = DataFrame(bridge.videoDedupDelta(
+        spark._jsparkSession, idx, b1._jdf, "t1", "path", "content",
+        500, 5000, 0.5), spark)
+    b2 = spark.createDataFrame(
+        [("v2", bytearray(shared + vblob(200)))],
+        "path string, content binary")
+    pairs = DataFrame(bridge.videoDedupDelta(
+        spark._jsparkSession, idx, b2._jdf, "t2", "path", "content",
+        500, 5000, 0.5), spark)
+    vrows = [(r["id1"], r["id2"], r["overlap"], round(r["jaccard"], 6),
+              r["cross"]) for r in pairs.collect()]
+    check("video frame-set index from Python",
+          first.count() == 0 and
+          vrows == [("v2", "v1", 8, round(8 / 12, 6), True)],
+          f"(pairs {vrows})")
+    asof = DataFrame(bridge.videoDedupDeltaAsOf(
+        spark._jsparkSession, idx, b2._jdf, "t1", "path", "content",
+        500, 5000, 0.5), spark)
+    check("video as-of probe from Python", asof.count() == 1)
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 

@@ -278,6 +278,26 @@ object PyBridge {
     graft.extract.Multimodal.audioDedupDelta(spark, path, df, tag, idCol,
       contentCol)
 
+  /** Persisted video dedup from Python: frame-set overlap against the
+    * index at `path` (the Jaccard twin of the hash index; cadence is
+    * pinned on first admit). Returns (id1, id2, overlap, jaccard,
+    * cross) pairs.
+    */
+  def videoDedupDelta(spark: SparkSession, path: String, df: DataFrame,
+      tag: String, idCol: String, contentCol: String, everyNthMs: Long,
+      durationMs: Long, minJaccard: Double): DataFrame =
+    graft.extract.Multimodal.videoDedupDelta(spark, path, df, tag, idCol,
+      contentCol, everyNthMs = everyNthMs, durationMs = durationMs,
+      minJaccard = minJaccard)
+
+  /** [[videoDedupDelta]]'s read-only as-of twin. */
+  def videoDedupDeltaAsOf(spark: SparkSession, path: String, df: DataFrame,
+      asOf: String, idCol: String, contentCol: String, everyNthMs: Long,
+      durationMs: Long, minJaccard: Double): DataFrame =
+    graft.extract.Multimodal.videoDedupDeltaAsOf(spark, path, df, asOf,
+      idCol, contentCol, everyNthMs = everyNthMs, durationMs = durationMs,
+      minJaccard = minJaccard)
+
   /** Standing media cluster labels: merge a batch's pair output into a
     * (med_id, rep_id) label table without re-clustering history.
     */
