@@ -830,11 +830,47 @@ object Multimodal {
       "would compare fingerprints of a different media kind")
 
 
+  /** The component's closed replay windows — tags folded into
+    * batch=init by a past compaction (shared by the hash and frame-set
+    * indexes; one reader so the discipline can't diverge).
+    */
+  private[graft] def compactedTagsAt(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      component: String): Set[String] =
+    graft.queries.VectorOps
+      .readSidecar(spark, s"$path/$component/_compacted_tags")
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
   private[graft] def compactedMediaTags(
       spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
-    graft.queries.VectorOps
-      .readSidecar(spark, s"$path/hashes/_compacted_tags")
-      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    compactedTagsAt(spark, path, "hashes")
+
+  /** Compact one single-component index in place —
+    * [[graft.queries.TextOps]]' `compactSegmentIndex` discipline,
+    * shared by the media-hash (`hashes`) and video frame-set
+    * (`frames`) families: folded tags' replay windows close (recorded
+    * in-index), as-of reach resets to `init`, reset-before-fold under
+    * the `_folding` sentinel.
+    */
+  private def compactSingleComponent(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      component: String, numFiles: Int): Unit = {
+    import graft.queries.VectorOps
+    VectorOps.finishCrashedSwap(spark, s"$path/$component")
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/$component")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (!fs.exists(dataDir)) Set.empty[String]
+      else fs.listStatus(dataDir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") && n != "batch=init")
+        .map(_.stripPrefix("batch=")).toSet
+    val folded = (compactedTagsAt(spark, path, component) ++ live).toSeq.sorted
+    VectorOps.beginFold(spark, path)
+    VectorOps.resetHistory(spark, path, Seq("init"))
+    VectorOps.compactComponent(spark, s"$path/$component", numFiles, Nil,
+      sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
+    VectorOps.endFold(spark, path)
+  }
 
   /** One ingest batch of already-hashed media against the persisted
     * index: near-dup pairs (id1, id2, hamming, cross) where every pair
@@ -1082,23 +1118,8 @@ object Multimodal {
     * the `_folding` sentinel.
     */
   def compactMediaIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, numFiles: Int = 0): Unit = {
-    import graft.queries.VectorOps
-    VectorOps.finishCrashedSwap(spark, s"$path/hashes")
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
-    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (!fs.exists(dataDir)) Set.empty[String]
-      else fs.listStatus(dataDir).iterator.map(_.getPath.getName)
-        .filter(n => n.startsWith("batch=") && n != "batch=init")
-        .map(_.stripPrefix("batch=")).toSet
-    val folded = (compactedMediaTags(spark, path) ++ live).toSeq.sorted
-    VectorOps.beginFold(spark, path)
-    VectorOps.resetHistory(spark, path, Seq("init"))
-    VectorOps.compactComponent(spark, s"$path/hashes", numFiles, Nil,
-      sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
-    VectorOps.endFold(spark, path)
-  }
+      path: String, numFiles: Int = 0): Unit =
+    compactSingleComponent(spark, path, "hashes", numFiles)
 
   // ---------------------------- persisted video frame-signature index
 
@@ -1136,9 +1157,7 @@ object Multimodal {
 
   private[graft] def compactedVideoTags(
       spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
-    graft.queries.VectorOps
-      .readSidecar(spark, s"$path/frames/_compacted_tags")
-      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    compactedTagsAt(spark, path, "frames")
 
   /** One decode pass over an ingest batch → its distinct frame-set rows
     * `(video_id, frame_sig, n_frames)` — the exact shape the index
@@ -1147,9 +1166,13 @@ object Multimodal {
   private def batchFrameSet(df: DataFrame, idCol: String,
       contentCol: String, decoder: VideoDecoder, everyNthMs: Long,
       durationMs: Long): DataFrame = {
+    // decode is the expensive step: checkpoint BEFORE the self-join
+    // below, so one pass feeds both branches (the one-shot videoDedup
+    // discipline — exchange reuse is not guaranteed to dedupe it)
     val sigs = videoFrameSigs(df, idCol, contentCol, decoder, everyNthMs,
         durationMs)
       .select(col("video_id"), col("frame_sig")).distinct()
+      .localCheckpoint(true)
     sigs.join(sigs.groupBy(col("video_id"))
         .agg(count(lit(1)).as("n_frames")), "video_id")
   }
@@ -1163,9 +1186,17 @@ object Multimodal {
   private def videoPairsAgainst(batch: DataFrame, corpus: DataFrame,
       minJaccard: Double, maxPerSig: Int): DataFrame = {
     // asymmetric probe: only corpus rows sharing a batch signature can
-    // ever pair — restrict FIRST, then count hotness over the union
+    // ever pair — restrict FIRST, then count hotness over the union.
+    // The groupBy collapses an id stored under SEVERAL tags (replayed /
+    // re-admitted content) back to one row per (video, sig): without
+    // it, each shared signature would count once PER TAG and inflate
+    // overlap (a 5-frame overlap against a twice-stored video reads 10
+    // and jaccard can even reach 0/0). max(n_frames) keeps the largest
+    // recorded set size — conservative for the denominator.
     val matched = corpus.join(
-      batch.select(col("frame_sig")).distinct(), Seq("frame_sig"))
+        batch.select(col("frame_sig")).distinct(), Seq("frame_sig"))
+      .groupBy(col("video_id"), col("frame_sig"))
+      .agg(max(col("n_frames")).as("n_frames"))
     val hot = matched.select(col("frame_sig"), col("video_id"))
       .unionByName(batch.select(col("frame_sig"), col("video_id")))
       .groupBy(col("frame_sig"))
@@ -1177,8 +1208,12 @@ object Multimodal {
     def overlaps(left: DataFrame, right: DataFrame, crossFlag: Boolean) = {
       val raw = left.as("a")
         .join(right.as("b"), col("a.frame_sig") === col("b.frame_sig"))
+      // an id probing its own stored frames (re-ingest, or an as-of
+      // read at the batch's own tag) must not report itself as its
+      // duplicate — the one-shot videoDedup can never self-pair either
       val filtered =
-        if (crossFlag) raw else raw.filter(col("a.video_id") < col("b.video_id"))
+        if (crossFlag) raw.filter(col("a.video_id") =!= col("b.video_id"))
+        else raw.filter(col("a.video_id") < col("b.video_id"))
       filtered
         .groupBy(col("a.video_id").as("id1"), col("b.video_id").as("id2"))
         // n_frames is constant per video by construction; max() keeps
@@ -1276,8 +1311,7 @@ object Multimodal {
       durationMs: Long = 5000, minJaccard: Double = 0.5,
       maxPerSig: Int = 64): DataFrame =
     videoFrameDelta(spark, path,
-      batchFrameSet(df, idCol, contentCol, decoder, everyNthMs, durationMs)
-        .localCheckpoint(true),
+      batchFrameSet(df, idCol, contentCol, decoder, everyNthMs, durationMs),
       tag, everyNthMs, durationMs, minJaccard, maxPerSig)
 
   /** [[videoDedupDelta]]'s read-only as-of twin: re-ask a batch's
@@ -1297,8 +1331,7 @@ object Multimodal {
       .componentAsOf(spark, path, "frames", asOf)
       .select(col("video_id"), col("frame_sig"), col("n_frames"))
     videoPairsAgainst(
-      batchFrameSet(df, idCol, contentCol, decoder, everyNthMs, durationMs)
-        .localCheckpoint(true),
+      batchFrameSet(df, idCol, contentCol, decoder, everyNthMs, durationMs),
       corpus, minJaccard, maxPerSig)
   }
 
@@ -1306,21 +1339,6 @@ object Multimodal {
     * discipline on the `frames` component.
     */
   def compactVideoIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, numFiles: Int = 0): Unit = {
-    import graft.queries.VectorOps
-    VectorOps.finishCrashedSwap(spark, s"$path/frames")
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/frames")
-    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (!fs.exists(dataDir)) Set.empty[String]
-      else fs.listStatus(dataDir).iterator.map(_.getPath.getName)
-        .filter(n => n.startsWith("batch=") && n != "batch=init")
-        .map(_.stripPrefix("batch=")).toSet
-    val folded = (compactedVideoTags(spark, path) ++ live).toSeq.sorted
-    VectorOps.beginFold(spark, path)
-    VectorOps.resetHistory(spark, path, Seq("init"))
-    VectorOps.compactComponent(spark, s"$path/frames", numFiles, Nil,
-      sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
-    VectorOps.endFold(spark, path)
-  }
+      path: String, numFiles: Int = 0): Unit =
+    compactSingleComponent(spark, path, "frames", numFiles)
 }

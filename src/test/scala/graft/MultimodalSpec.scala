@@ -797,4 +797,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(idx))
   }
+
+  test("video index re-admission: an id stored under two tags neither " +
+      "self-pairs nor double-counts overlap against later batches") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("video_reads").toString
+    try {
+      val rnd = new scala.util.Random(17)
+      def blob(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+      val shared = blob(500) // frames 0-4 of a 1000-byte / 10-frame clip
+      val v1 = shared ++ blob(500)
+      val b1 = Seq(("v1", v1)).toDF("path", "content")
+      assert(Multimodal.videoDedupDelta(spark, idx, b1, "r1",
+        everyNthMs = 500, durationMs = 5000).isEmpty)
+      // the same id re-ingested under a SECOND tag: its stored frames
+      // are its own — no self-pair, despite jaccard 1 against itself
+      assert(Multimodal.videoDedupDelta(spark, idx, b1, "r2",
+        everyNthMs = 500, durationMs = 5000).isEmpty,
+        "a re-admitted id must not report itself as its duplicate")
+      // v1's frames now live under BOTH r1 and r2; a probe sharing 5
+      // true frames must see overlap 5 (jaccard 5/15), not 10 (1.0)
+      val bx = Seq(("x", shared ++ blob(500))).toDF("path", "content")
+      val out = Multimodal.videoDedupDelta(spark, idx, bx, "r3",
+          everyNthMs = 500, durationMs = 5000, minJaccard = 0.3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSeq
+      assert(out == Seq(("x", "v1", 5L, math.round(5.0 / 15 * 1e6))),
+        s"twice-stored frames must count once: $out")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
 }
