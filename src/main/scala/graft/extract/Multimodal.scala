@@ -969,13 +969,21 @@ object Multimodal {
     */
   private def mediaPairsAgainst(batch: DataFrame, corpus: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
+    // collapse an id stored under SEVERAL tags (replayed / re-admitted
+    // content) to one row per (id, hash): probedPairs dedupes pair IDS,
+    // but the h2 join below would fan a twice-stored row back out into
+    // duplicate output pairs (the video index's r14 review catch, same
+    // root cause)
+    val c = corpus.select(col("med_id"), col("ahash")).distinct()
     val cross = graft.operators.BandedHamming
-      .probedPairs(mediaBanded(batch),
-        mediaBanded(corpus.select(col("med_id"), col("ahash"))),
+      .probedPairs(mediaBanded(batch), mediaBanded(c),
         "med_id", "med_id", Seq("band", "bandval"), maxBucket,
         rescueHot = false)
+      // an id probing its own stored fingerprint (a content UPDATE
+      // under the same id) is not its own duplicate
+      .filter(col("id1") =!= col("id2"))
       .join(batch.select(col("med_id").as("id1"), col("ahash").as("h1")), "id1")
-      .join(corpus.select(col("med_id").as("id2"), col("ahash").as("h2")), "id2")
+      .join(c.select(col("med_id").as("id2"), col("ahash").as("h2")), "id2")
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"), lit(true).as("cross"))

@@ -798,6 +798,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       .deleteDirectory(new java.io.File(idx))
   }
 
+  test("media index re-admission: an id stored under two tags neither " +
+      "self-pairs nor emits duplicate pair rows against later batches") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_readm").toString
+    try {
+      val b1 = Seq(("a", gradient(64, 64, horizontal = true)))
+        .toDF("path", "content")
+      assert(Multimodal.imageDedupDelta(spark, idx, b1, "r1").isEmpty)
+      // same id, same content, second tag: its stored fingerprint is
+      // its own — no self-pair
+      assert(Multimodal.imageDedupDelta(spark, idx, b1, "r2").isEmpty,
+        "a re-admitted id must not report itself as its duplicate")
+      // a's hash now lives under BOTH r1 and r2; a later near-dup must
+      // pair with it ONCE, not once per stored tag
+      val bx = Seq(("x", gradient(64, 64, horizontal = true,
+        tweak = Some((3, 3))))).toDF("path", "content")
+      val out = Multimodal.imageDedupDelta(spark, idx, bx, "r3")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(out == Seq(("x", "a")),
+        s"twice-stored fingerprint must pair once: $out")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
   test("video index re-admission: an id stored under two tags neither " +
       "self-pairs nor double-counts overlap against later batches") {
     import spark.implicits._
