@@ -958,8 +958,8 @@ object Multimodal {
     * ([[graft.queries.TextOps]]' `seenTagExists` for this layout).
     */
   private[graft] def mediaTagExists(spark: org.apache.spark.sql.SparkSession,
-      path: String, tag: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/hashes/batch=$tag")
+      path: String, tag: String, component: String = "hashes"): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$component/batch=$tag")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -1171,7 +1171,16 @@ object Multimodal {
     * `(video_id, frame_sig, n_frames)` — the exact shape the index
     * stores and every probe consumes.
     */
-  private def batchFrameSet(df: DataFrame, idCol: String,
+  /** Video knobs for callers that thread the frame-set index through a
+    * pipeline stage (CurateIngest's media stage): sampling cadence
+    * (pinned into the index `_params` on first admit), the overlap
+    * threshold, the hot-signature cap, and the decoder binding.
+    */
+  case class VideoDedupConfig(everyNthMs: Long = 1000,
+      durationMs: Long = 5000, minJaccard: Double = 0.5,
+      maxPerSig: Int = 64, decoder: VideoDecoder = StubVideoDecoder)
+
+  private[graft] def batchFrameSet(df: DataFrame, idCol: String,
       contentCol: String, decoder: VideoDecoder, everyNthMs: Long,
       durationMs: Long): DataFrame = {
     // decode is the expensive step: checkpoint BEFORE the self-join

@@ -28,12 +28,16 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
   *      `embedding` column: cosine-LSH vs the growing cosine index
   *      (`drop_reason = "semantic_dup"`), catching paraphrases the
   *      shingle stages can't see. Same admit policy and lifecycle.
-  *   7. media dedup — optional, for batches carrying an image/audio
-  *      binary column: aHash vs the persisted media-signature index
-  *      ([[graft.extract.Multimodal.mediaHashProbe]];
+  *   7. media dedup — optional, for batches carrying an image/audio/
+  *      video binary column: aHash vs the persisted media-signature
+  *      index ([[graft.extract.Multimodal.mediaHashProbe]];
   *      `drop_reason = "media_dup"`), catching the same bytes (or a
   *      re-encode within Hamming 6) re-arriving under fresh text.
-  *      Same admit policy and lifecycle.
+  *      `mediaKind = "video"` probes the frame-SET index instead
+  *      ([[graft.extract.Multimodal.videoFrameProbe]]) — clips sharing
+  *      ≥ minJaccard of their sampled frames drop even when a suffix
+  *      differs, where a whole-file hash sees unrelated blobs. Same
+  *      admit policy and lifecycle.
   *
   * Output per batch: the full batch rows (text REWRITTEN when the
   * segment stage is on, n_chars recomputed) plus (kept, drop_reason) —
@@ -72,7 +76,9 @@ object CurateIngest {
       evalIndexPath: Option[String] = None,
       semanticThreshold: Option[Double] = None,
       mediaColumn: Option[String] = None,
-      mediaKind: String = "image"): StreamingQuery = {
+      mediaKind: String = "image",
+      videoConfig: graft.extract.Multimodal.VideoDedupConfig =
+        graft.extract.Multimodal.VideoDedupConfig()): StreamingQuery = {
     require(evalPath.isEmpty || evalIndexPath.isEmpty,
       "pass evalPath (fixed corpus) or evalIndexPath (growable index), not both")
     // the fixed eval corpus is shingled + distinct'd ONCE at start —
@@ -95,7 +101,7 @@ object CurateIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
           evalShingles, compactEvery, evalIndexPath, semanticThreshold,
-          mediaColumn, mediaKind)
+          mediaColumn, mediaKind, videoConfig)
       }
       .start()
   }
@@ -107,7 +113,9 @@ object CurateIngest {
       evalIndexPath: Option[String] = None,
       semanticThreshold: Option[Double] = None,
       mediaColumn: Option[String] = None,
-      mediaKind: String = "image"): Unit = {
+      mediaKind: String = "image",
+      videoConfig: graft.extract.Multimodal.VideoDedupConfig =
+        graft.extract.Multimodal.VideoDedupConfig()): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
 
@@ -129,11 +137,20 @@ object CurateIngest {
       if (cosineExists(spark, statePath))
         VectorOps.compactCosineIndex(spark, s"$statePath/cosine")
       // media index: same skip-if-in-flight guard as the seen-sets —
-      // folding the current tag would close its replay window
-      if (mediaExists(spark, statePath) &&
+      // folding the current tag would close its replay window. The
+      // video kind lives in the `frames` component, the hash kinds in
+      // `hashes` — compact whichever this stream grows.
+      val mediaComp = if (mediaKind == "video") "frames" else "hashes"
+      if (mediaExists(spark, statePath, mediaComp) &&
           !graft.extract.Multimodal.mediaTagExists(spark,
-            s"$statePath/media", tag))
-        graft.extract.Multimodal.compactMediaIndex(spark, s"$statePath/media")
+            s"$statePath/media", tag, mediaComp)) {
+        if (mediaKind == "video")
+          graft.extract.Multimodal.compactVideoIndex(spark,
+            s"$statePath/media")
+        else
+          graft.extract.Multimodal.compactMediaIndex(spark,
+            s"$statePath/media")
+      }
     }
 
     val b = batch.localCheckpoint(true)
@@ -264,8 +281,40 @@ object CurateIngest {
         // a typo'd kind must not silently select the image hash over
         // audio bytes (every hash null -> the stage becomes a permanent
         // no-op) while pinning the bogus kind into _params
-        require(mediaKind == "image" || mediaKind == "audio",
-          s"mediaKind must be 'image' or 'audio', got '$mediaKind'")
+        require(mediaKind == "image" || mediaKind == "audio" ||
+            mediaKind == "video",
+          s"mediaKind must be 'image', 'audio' or 'video', got '$mediaKind'")
+        if (mediaKind == "video") {
+          val vc = videoConfig
+          val mediaPath = s"$statePath/media"
+          // decode paid once (checkpointed inside batchFrameSet): one
+          // frame-signature pass feeds the probe and the keepers' append
+          val frames = graft.extract.Multimodal.batchFrameSet(
+            sem.select(col("doc_id").cast("string").as("med_id"), col(mc)),
+            "med_id", mc, vc.decoder, vc.everyNthMs, vc.durationMs)
+          // admit = true: this loop IS the admit path (the hash-kind
+          // rationale below applies verbatim)
+          val rawPairs = graft.extract.Multimodal.videoFrameProbe(spark,
+            mediaPath, frames, tag, vc.everyNthMs, vc.durationMs,
+            vc.minJaccard, vc.maxPerSig, admitParams = true)
+          // within pairs arrive id1 < id2 as STRINGS — renormalize
+          // numerically, exactly like the hash kinds below
+          val cast = rawPairs.select(
+            col("id1").cast(LongType).as("c1"),
+            col("id2").cast(LongType).as("c2"), col("cross"))
+          val mpairs = cast.select(
+            when(!col("cross"), least(col("c1"), col("c2")))
+              .otherwise(col("c1")).as("m1"),
+            when(!col("cross"), greatest(col("c1"), col("c2")))
+              .otherwise(col("c2")).as("m2"),
+            col("cross"))
+          val kept = IngestDedup.admit(sem, mpairs, "doc_id", "m1", "m2")
+          graft.extract.Multimodal.appendVideoIndex(spark, mediaPath,
+            frames.join(kept.select(col("doc_id").cast("string")
+              .as("video_id")), "video_id"),
+            tag, vc.everyNthMs, vc.durationMs)
+          kept
+        } else {
         val hashFn =
           if (mediaKind == "audio") graft.extract.Multimodal.audioAHash
           else graft.extract.Multimodal.imageAHash
@@ -300,6 +349,7 @@ object CurateIngest {
           hashed.join(kept.select(col("doc_id").cast("string")
             .as("med_id")), "med_id"), tag, mediaKind)
         kept
+        }
     }
 
     // ALL indexes grow with the FINAL keepers only, after every stage:
@@ -375,8 +425,9 @@ object CurateIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def mediaExists(spark: SparkSession, statePath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$statePath/media/hashes")
+  private def mediaExists(spark: SparkSession, statePath: String,
+      component: String = "hashes"): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/media/$component")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

@@ -427,6 +427,70 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.read.parquet(s"$state/media/hashes").count() == hashesBefore)
   }
 
+  test("media stage, video kind: a cross-batch clip sharing most frames " +
+      "drops as media_dup via the stored frame sets; replay reproduces") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def blob(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val state = java.nio.file.Files.createTempDirectory("ci_vid_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_vid_out").toString
+    def vdocs(rows: Seq[(Long, String, Long, Array[Byte])]) =
+      rows.toDF("doc_id", "text", "n_chars", "video")
+    // 1000-byte clips, 10 sampled frames at the 500ms/5s cadence; the
+    // a-family shares frames 0-7 (title+mid), jaccard 8/12 > 0.5
+    val title = blob(300); val mid = blob(500)
+    def aClip = title ++ mid ++ blob(200)
+    val alpha = doc(1L, "alpha", 40)
+    val bravo = doc(2L, "bravo", 40)
+    val vcfg = graft.extract.Multimodal.VideoDedupConfig(
+      everyNthMs = 500, durationMs = 5000)
+    val b0 = vdocs(Seq(
+      (alpha._1, alpha._2, alpha._3, aClip),
+      (bravo._1, bravo._2, bravo._3, blob(1000))))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      mediaColumn = Some("video"), mediaKind = "video", videoConfig = vcfg)
+    assert(verdicts(s"$out/batch=b0") == Map(
+      1L -> ((true, None)), 2L -> ((true, None))))
+
+    // batch 1: doc 11 carries FRESH text but a clip sharing 8/10 frames
+    // with doc 1's — only the stored frame sets can catch it (doc 1's
+    // bytes are not in this batch). Doc 12 is a TEXT near-dup of doc 1
+    // with a fresh clip: stage order must verdict it near_dup. Doc 13
+    // is clean both ways; doc 15 repeats doc 13's clip WITHIN the batch
+    // (keep-first by numeric id).
+    val para = doc(11L, "charlie", 40)
+    val nd = doc(12L, "alpha", 40, extra = "tailword")
+    val clean = doc(13L, "echo", 40)
+    val win = doc(15L, "golf", 40)
+    val cleanClip = blob(1000)
+    val b1 = vdocs(Seq(
+      (para._1, para._2, para._3, aClip),
+      (nd._1, nd._2, nd._3, blob(1000)),
+      (clean._1, clean._2, clean._3, cleanClip),
+      (win._1, win._2, win._3, cleanClip)))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      mediaColumn = Some("video"), mediaKind = "video", videoConfig = vcfg)
+    val want1 = Map(
+      11L -> ((false, Some("media_dup"))),
+      12L -> ((false, Some("near_dup"))),
+      13L -> ((true, None)),
+      15L -> ((false, Some("media_dup"))))
+    assert(verdicts(s"$out/batch=b1") == want1)
+
+    // the frame-set index holds exactly the kept docs' frames: dropped
+    // docs never join (12's clip must NOT be there — it died in the
+    // text stage; 11's and 15's were media-dropped)
+    assert(spark.read.parquet(s"$state/media/frames")
+      .select("video_id").distinct().collect().map(_.getString(0)).toSet ==
+      Set("1", "2", "13"))
+    // at-least-once replay: same verdicts, index unchanged
+    val framesBefore = spark.read.parquet(s"$state/media/frames").count()
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      mediaColumn = Some("video"), mediaKind = "video", videoConfig = vcfg)
+    assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
+    assert(spark.read.parquet(s"$state/media/frames").count() == framesBefore)
+  }
+
   test("media + semantic: every index holds the FINAL keepers; media " +
       "keep-first compares doc_ids numerically; bogus kind refused") {
     import spark.implicits._
