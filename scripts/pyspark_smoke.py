@@ -274,6 +274,20 @@ try:
         spark._jsparkSession, idx, b2._jdf, "t1", "path", "content",
         500, 5000, 0.5), spark)
     check("video as-of probe from Python", asof.count() == 1)
+    # compaction from Python: history resets to init, folded corpus
+    # still answers a fresh ingest
+    bridge.compactVideoIndex(spark._jsparkSession, idx)
+    hist = list(bridge.indexHistory(spark._jsparkSession, idx))
+    b3 = spark.createDataFrame(
+        [("v3", bytearray(shared + vblob(200)))],
+        "path string, content binary")
+    folded = DataFrame(bridge.videoDedupDelta(
+        spark._jsparkSession, idx, b3._jdf, "t3", "path", "content",
+        500, 5000, 0.5), spark)
+    check("video compaction from Python",
+          hist == ["init"] and
+          {r["id2"] for r in folded.collect()} == {"v1", "v2"},
+          f"(history {hist})")
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 

@@ -306,4 +306,26 @@ object PyBridge {
 
   def mediaClusterDelta(labels: DataFrame, pairs: DataFrame): DataFrame =
     graft.extract.Multimodal.mediaClusterDelta(labels, pairs)
+
+  // ------------------------------------------ compaction cadence (r14)
+  // The scheduled Python operator's other recurring duty beside the
+  // drift loop: fold each index's batch increments into batch=init on
+  // the seen-set cadence (folded tags' replay windows close, as-of
+  // reach resets to init). Skip the tag currently in flight — folding
+  // it would close its own replay window (CurateIngest's guard).
+
+  def compactNeardupIndex(spark: SparkSession, path: String): Unit =
+    graft.queries.VectorOps.compactNeardupIndex(spark, path)
+
+  def compactCosineIndex(spark: SparkSession, path: String): Unit =
+    graft.queries.VectorOps.compactCosineIndex(spark, path)
+
+  def compactSegmentIndex(spark: SparkSession, path: String): Unit =
+    TextOps.compactSegmentIndex(spark, path)
+
+  def compactMediaIndex(spark: SparkSession, path: String): Unit =
+    graft.extract.Multimodal.compactMediaIndex(spark, path)
+
+  def compactVideoIndex(spark: SparkSession, path: String): Unit =
+    graft.extract.Multimodal.compactVideoIndex(spark, path)
 }
