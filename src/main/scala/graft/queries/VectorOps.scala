@@ -2132,14 +2132,16 @@ object VectorOps {
     * corpus-sized shuffles, same as corpus drift.
     */
   def vecDriftOn(baseline: DataFrame, batch: DataFrame): DataFrame = {
-    def dotPlane(plane: Int): Column =
-      (0 until EmbDims).map { j =>
-        val e = element_at(col("embedding"), j + 1).cast(D)
-        if (projSign(DriftPlaneBase + plane, j) > 0) e else -e
-      }.reduceLeft(_ + _)
-    val bucket = (0 until DriftPlanes).map(i =>
-      when(dotPlane(i) >= 0.0, lit(8 >> i)).otherwise(lit(0)))
-      .reduceLeft(_ + _)
+    // the bucket is a native expression, NOT an inline ± chain: the
+    // 4×64-term reduceLeft formulation cost a constant ~5.3 s of
+    // generated-code compilation per session at EVERY scale factor
+    // (TimeQ-measured — the whole query was compile, not data); see
+    // PlaneSignBucket for the bit-exactness argument (ascending-j
+    // accumulation ≡ the oracle's left-assoc chain, raw-sum sign test)
+    val bucket = org.apache.spark.sql.graft.JlProjectExpression
+      .planeBucket(col("embedding"), DriftPlanes, EmbDims,
+        for (i <- 0 until DriftPlanes; j <- 0 until EmbDims)
+          yield if (projSign(DriftPlaneBase + i, j) > 0) 1.0 else -1.0)
     def binned(df: DataFrame, side: String) =
       df.select(lit(side).as("side"),
         explode(array(

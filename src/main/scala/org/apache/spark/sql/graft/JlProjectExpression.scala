@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native JL sign projection: `embDims` float components → `projDims`
   * quantized double components, y_i = floor(Σ_j s(i,j)·x_j / 4 · 10⁶ +
@@ -102,9 +102,102 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
     copy(child = newChild)
 }
 
+/** Native hyperplane-sign bucket: `planes` fixed ±1 hyperplanes over an
+  * `embDims`-float embedding → one int in [0, 2^planes), bit i (MSB
+  * first) set when Σ_j s(i,j)·x_j ≥ 0.
+  *
+  * Why native ([[JlProject]]'s rationale, measured on q_vec_drift): the
+  * inline ±-chain bucket formulation — 4 × 64-term reduceLeft chains
+  * inside the melt projection — cost a CONSTANT ~5.3 s per session at
+  * BOTH sf0.001 and sf0.1 (TimeQ, identical to the decimal), i.e. the
+  * entire query was generated-code compilation, not data. This
+  * expression is one nested loop; the query drops to scan-bound.
+  *
+  * Bit-exactness vs the DuckDB oracle: accumulation ascends j exactly
+  * like the SQL's left-associated ± chain (s = ±1.0 is exact negation),
+  * and the sign test is on the RAW sum — no scaling, no quantization
+  * (contrast [[JlProject]], whose floor-quantization would flip signs
+  * of tiny negatives).
+  *
+  * Null/shape semantics follow [[JlProject]]: null on a null array, a
+  * wrong length, or any null element.
+  */
+case class PlaneSignBucket(child: Expression, planes: Int, embDims: Int,
+    signs: Seq[Double]) extends UnaryExpression with ExpectsInputTypes {
+
+  require(signs.length == planes * embDims,
+    s"sign matrix must be $planes x $embDims, got ${signs.length}")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_plane_bucket"
+
+  @transient private lazy val signArr: Array[Double] = signs.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != embDims) return null
+    var bucket = 0
+    var i = 0
+    while (i < planes) {
+      var acc = 0.0
+      val base = i * embDims
+      var j = 0
+      while (j < embDims) {
+        if (x.isNullAt(j)) return null
+        acc += signArr(base + j) * x.getFloat(j).toDouble
+        j += 1
+      }
+      if (acc >= 0.0) bucket |= 1 << (planes - 1 - i)
+      i += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.addReferenceObj("planeSigns", signArr, "double[]")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val b = ctx.freshName("bucket")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($x.numElements() != $embDims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $b = 0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $planes && !$bad; $i++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $embDims; $j++) {
+         |      if ($x.isNullAt($j)) { $bad = true; break; }
+         |      $acc += $s[$i * $embDims + $j] * (double) $x.getFloat($j);
+         |    }
+         |    if (!$bad && $acc >= 0.0) $b |= 1 << ($planes - 1 - $i);
+         |  }
+         |  if ($bad) ${ev.isNull} = true;
+         |  else ${ev.value} = $b;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PlaneSignBucket = copy(child = newChild)
+}
+
 object JlProjectExpression {
   def jlProject(emb: Column, projDims: Int, embDims: Int,
       signs: Seq[Double]): Column =
     ExpressionUtils.column(JlProject(
       ExpressionUtils.expression(emb), projDims, embDims, signs))
+
+  def planeBucket(emb: Column, planes: Int, embDims: Int,
+      signs: Seq[Double]): Column =
+    ExpressionUtils.column(PlaneSignBucket(
+      ExpressionUtils.expression(emb), planes, embDims, signs))
 }
