@@ -827,7 +827,8 @@ object Multimodal {
       path: String, params: String, admit: Boolean): Unit =
     graft.queries.VectorOps.requireIndexParamsAt(spark, path, "hashes",
       params, admit,
-      "would compare fingerprints of a different media kind")
+      "would compare fingerprints of a different media kind",
+      siblingSubdirs = Seq("frames"))
 
 
   /** The component's closed replay windows — tags folded into
@@ -969,23 +970,28 @@ object Multimodal {
     */
   private def mediaPairsAgainst(batch: DataFrame, corpus: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
-    // collapse an id stored under SEVERAL tags (replayed / re-admitted
-    // content) to one row per (id, hash): probedPairs dedupes pair IDS,
-    // but the h2 join below would fan a twice-stored row back out into
-    // duplicate output pairs (the video index's r14 review catch, same
-    // root cause)
-    val c = corpus.select(col("med_id"), col("ahash")).distinct()
+    // an id stored under SEVERAL tags (replayed / re-admitted content)
+    // would fan the h2 join out into duplicate output pairs — and a
+    // re-admit with a DIFFERENT hash would emit two rows with two
+    // hamming values. Rather than distinct()-ing the whole corpus per
+    // probe (a corpus-sized shuffle), collapse at the CANDIDATE level:
+    // min(hamming) per (id1, id2) — the best stored match is the pair's
+    // verdict, exact in the single-admit case (r14 review catch).
     val cross = graft.operators.BandedHamming
-      .probedPairs(mediaBanded(batch), mediaBanded(c),
+      .probedPairs(mediaBanded(batch),
+        mediaBanded(corpus.select(col("med_id"), col("ahash"))),
         "med_id", "med_id", Seq("band", "bandval"), maxBucket,
         rescueHot = false)
       // an id probing its own stored fingerprint (a content UPDATE
       // under the same id) is not its own duplicate
       .filter(col("id1") =!= col("id2"))
       .join(batch.select(col("med_id").as("id1"), col("ahash").as("h1")), "id1")
-      .join(c.select(col("med_id").as("id2"), col("ahash").as("h2")), "id2")
+      .join(corpus.select(col("med_id").as("id2"), col("ahash").as("h2")),
+        "id2")
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("hamming")).as("hamming"))
       .select(col("id1"), col("id2"), col("hamming"), lit(true).as("cross"))
     val within = graft.operators.BandedHamming
       .pairs(batch, "med_id", "ahash", bands = MediaBands,
@@ -1158,7 +1164,8 @@ object Multimodal {
       path: String, params: String, admit: Boolean): Unit =
     graft.queries.VectorOps.requireIndexParamsAt(spark, path, "frames",
       params, admit,
-      "would overlap frame sets sampled on a different cadence")
+      "would overlap frame sets sampled on a different cadence",
+      siblingSubdirs = Seq("hashes"))
 
   private def videoParams(everyNthMs: Long, durationMs: Long): String =
     s"kind=video,everyNthMs=$everyNthMs,durationMs=$durationMs"
@@ -1233,11 +1240,18 @@ object Multimodal {
         else raw.filter(col("a.video_id") < col("b.video_id"))
       filtered
         .groupBy(col("a.video_id").as("id1"), col("b.video_id").as("id2"))
-        // n_frames is constant per video by construction; max() keeps
-        // the aggregation deterministic (and conservative if an id was
-        // ever re-admitted with different content)
+        // n_frames is constant per video within one admit; max() keeps
+        // the aggregation deterministic across admits. An id re-admitted
+        // with DIFFERENT content probes as the UNION of its admits, whose
+        // true distinct size is unknowable from matched rows alone —
+        // greatest(n, overlap) restores the set invariant |set| ≥
+        // |overlap| (without it, union overlap over a single-admit
+        // denominator reads jaccard > 1, even 0/0; r14 review catch).
+        // Exact in the no-re-admit case, a lower bound otherwise.
         .agg(count(lit(1)).as("overlap"),
-          max(col("a.n_frames")).as("n1"), max(col("b.n_frames")).as("n2"))
+          max(col("a.n_frames")).as("rawN1"), max(col("b.n_frames")).as("rawN2"))
+        .withColumn("n1", greatest(col("rawN1"), col("overlap")))
+        .withColumn("n2", greatest(col("rawN2"), col("overlap")))
         .withColumn("jaccard",
           col("overlap") / (col("n1") + col("n2") - col("overlap")))
         .filter(col("jaccard") >= minJaccard)

@@ -837,10 +837,17 @@ object VectorOps {
     */
   private[graft] def requireIndexParamsAt(spark: SparkSession, path: String,
       dataSubdir: String, params: String, admit: Boolean,
-      mismatchHint: String): Unit = {
+      mismatchHint: String, siblingSubdirs: Seq[String] = Nil): Unit = {
     val data = new org.apache.hadoop.fs.Path(s"$path/$dataSubdir")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(data)
+    // the crashed-first-contact window (sidecar present, data absent →
+    // an ADMIT may re-record) must consider every component that can
+    // live under this root: with the media families' shared `_params`,
+    // "frames/ absent" does NOT mean first contact when hashes/ holds a
+    // live image index — re-recording there would silently unpin the
+    // other kind (r14 review catch)
+    val hasData = fs.exists(data) || siblingSubdirs.exists(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s")))
     readSidecar(spark, s"$path/_params") match {
       case Some(stored) if hasData =>
         require(stored == params,

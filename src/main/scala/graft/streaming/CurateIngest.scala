@@ -138,18 +138,21 @@ object CurateIngest {
         VectorOps.compactCosineIndex(spark, s"$statePath/cosine")
       // media index: same skip-if-in-flight guard as the seen-sets —
       // folding the current tag would close its replay window. The
-      // video kind lives in the `frames` component, the hash kinds in
-      // `hashes` — compact whichever this stream grows.
-      val mediaComp = if (mediaKind == "video") "frames" else "hashes"
-      if (mediaExists(spark, statePath, mediaComp) &&
+      // video kind lives under its own root (media_video/frames), the
+      // hash kinds under media/hashes — compact whichever this stream
+      // grows.
+      val (mediaRoot, mediaComp) =
+        if (mediaKind == "video") ("media_video", "frames")
+        else ("media", "hashes")
+      if (mediaExists(spark, statePath, mediaRoot, mediaComp) &&
           !graft.extract.Multimodal.mediaTagExists(spark,
-            s"$statePath/media", tag, mediaComp)) {
+            s"$statePath/$mediaRoot", tag, mediaComp)) {
         if (mediaKind == "video")
           graft.extract.Multimodal.compactVideoIndex(spark,
-            s"$statePath/media")
+            s"$statePath/$mediaRoot")
         else
           graft.extract.Multimodal.compactMediaIndex(spark,
-            s"$statePath/media")
+            s"$statePath/$mediaRoot")
       }
     }
 
@@ -286,7 +289,14 @@ object CurateIngest {
           s"mediaKind must be 'image', 'audio' or 'video', got '$mediaKind'")
         if (mediaKind == "video") {
           val vc = videoConfig
-          val mediaPath = s"$statePath/media"
+          // the video index lives under its OWN root (media_video, not
+          // media): the hash and frame-set families share one `_params`
+          // per root, so co-rooting them would let a mid-stream kind
+          // switch silently re-pin the other kind's sidecar and let one
+          // component's compaction reset the SHARED history (r14 review
+          // catch; the sibling-aware first-contact guard in
+          // requireIndexParamsAt refuses the standalone form of this)
+          val mediaPath = s"$statePath/media_video"
           // decode paid once (checkpointed inside batchFrameSet): one
           // frame-signature pass feeds the probe and the keepers' append
           val frames = graft.extract.Multimodal.batchFrameSet(
@@ -297,18 +307,8 @@ object CurateIngest {
           val rawPairs = graft.extract.Multimodal.videoFrameProbe(spark,
             mediaPath, frames, tag, vc.everyNthMs, vc.durationMs,
             vc.minJaccard, vc.maxPerSig, admitParams = true)
-          // within pairs arrive id1 < id2 as STRINGS — renormalize
-          // numerically, exactly like the hash kinds below
-          val cast = rawPairs.select(
-            col("id1").cast(LongType).as("c1"),
-            col("id2").cast(LongType).as("c2"), col("cross"))
-          val mpairs = cast.select(
-            when(!col("cross"), least(col("c1"), col("c2")))
-              .otherwise(col("c1")).as("m1"),
-            when(!col("cross"), greatest(col("c1"), col("c2")))
-              .otherwise(col("c2")).as("m2"),
-            col("cross"))
-          val kept = IngestDedup.admit(sem, mpairs, "doc_id", "m1", "m2")
+          val kept = IngestDedup.admit(sem, normalizePairs(rawPairs),
+            "doc_id", "m1", "m2")
           graft.extract.Multimodal.appendVideoIndex(spark, mediaPath,
             frames.join(kept.select(col("doc_id").cast("string")
               .as("video_id")), "video_id"),
@@ -330,21 +330,8 @@ object CurateIngest {
         // rather than wedging the stream (the TextOps window semantics)
         val rawPairs = graft.extract.Multimodal.mediaHashProbe(spark,
           mediaPath, hashed, tag, mediaKind, admitParams = true)
-        // within-batch keep-first must compare doc_ids NUMERICALLY: the
-        // index's med_id is a string, and string order inverts for ids
-        // of different digit lengths ("10" < "2") — normalize the
-        // within pairs after the cast; cross pairs keep their
-        // batch-vs-corpus orientation (review catch r14)
-        val cast = rawPairs.select(
-          col("id1").cast(LongType).as("c1"),
-          col("id2").cast(LongType).as("c2"), col("cross"))
-        val mpairs = cast.select(
-          when(!col("cross"), least(col("c1"), col("c2")))
-            .otherwise(col("c1")).as("m1"),
-          when(!col("cross"), greatest(col("c1"), col("c2")))
-            .otherwise(col("c2")).as("m2"),
-          col("cross"))
-        val kept = IngestDedup.admit(sem, mpairs, "doc_id", "m1", "m2")
+        val kept = IngestDedup.admit(sem, normalizePairs(rawPairs),
+          "doc_id", "m1", "m2")
         graft.extract.Multimodal.appendMediaIndex(spark, mediaPath,
           hashed.join(kept.select(col("doc_id").cast("string")
             .as("med_id")), "med_id"), tag, mediaKind)
@@ -425,9 +412,28 @@ object CurateIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Media-stage pairs → the admit frame: within-batch keep-first must
+    * compare doc_ids NUMERICALLY — the index's med_id is a string, and
+    * string order inverts for ids of different digit lengths
+    * ("10" < "2") — so normalize the within pairs after the cast; cross
+    * pairs keep their batch-vs-corpus orientation (review catch r14,
+    * shared by the hash and frame-set kinds).
+    */
+  private def normalizePairs(rawPairs: DataFrame): DataFrame = {
+    val cast = rawPairs.select(
+      col("id1").cast(LongType).as("c1"),
+      col("id2").cast(LongType).as("c2"), col("cross"))
+    cast.select(
+      when(!col("cross"), least(col("c1"), col("c2")))
+        .otherwise(col("c1")).as("m1"),
+      when(!col("cross"), greatest(col("c1"), col("c2")))
+        .otherwise(col("c2")).as("m2"),
+      col("cross"))
+  }
+
   private def mediaExists(spark: SparkSession, statePath: String,
-      component: String = "hashes"): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$statePath/media/$component")
+      root: String = "media", component: String = "hashes"): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/$root/$component")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

@@ -822,6 +822,76 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       .deleteDirectory(new java.io.File(idx))
   }
 
+  test("media/video share one _params root: a video probe of a live " +
+      "image index refuses loudly instead of silently re-pinning") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_kinds").toString
+    try {
+      val b = Seq(("a", gradient(64, 64, horizontal = true)))
+        .toDF("path", "content")
+      assert(Multimodal.imageDedupDelta(spark, idx, b, "r1").isEmpty)
+      // frames/ is absent — the crashed-first-contact window must NOT
+      // treat that as first contact while the sibling hashes/ holds a
+      // live image index (an ADMIT here would overwrite kind=image)
+      intercept[IllegalArgumentException] {
+        Multimodal.videoDedupDelta(spark, idx, b, "v1")
+      }
+      assert(graft.queries.VectorOps.readSidecar(spark, s"$idx/_params")
+        .contains("kind=image"), "the image pin must survive")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
+  test("media index different-hash re-admission: the pair collapses to " +
+      "one row at the best stored hamming") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("media_2hash").toString
+    try {
+      def hashed(rows: (String, Long)*) = rows.toSeq.toDF("med_id", "ahash")
+      val h1 = 0x0123456789ABCDEFL
+      assert(Multimodal.mediaHashDelta(spark, idx,
+        hashed("a" -> h1), "r1", "image").isEmpty)
+      // the same id re-admitted with UPDATED content one bit away
+      assert(Multimodal.mediaHashDelta(spark, idx,
+        hashed("a" -> (h1 ^ 1L)), "r2", "image").isEmpty,
+        "no self-pair on the content update")
+      // a probe within range of BOTH stored hashes must pair ONCE, at
+      // the best (minimum) hamming — not once per stored fingerprint
+      val out = Multimodal.mediaHashDelta(spark, idx,
+          hashed("x" -> h1), "r3", "image")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getBoolean(3))).toSeq
+      assert(out == Seq(("x", "a", 0, true)), s"got $out")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
+  test("video index union-overlap bound: a different-content re-admit " +
+      "cannot push jaccard past 1") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("video_union").toString
+    try {
+      def frames(id: String, sigs: Range) = sigs
+        .map(s => (id, s.toLong, sigs.length.toLong))
+        .toDF("video_id", "frame_sig", "n_frames")
+      // v1 admitted with sigs 1-10, then re-admitted (content update)
+      // with sigs 6-15: its stored UNION is 15 sigs, each admit 10
+      Multimodal.appendVideoIndex(spark, idx, frames("v1", 1 to 10),
+        "r1", 500, 5000)
+      Multimodal.appendVideoIndex(spark, idx, frames("v1", 6 to 15),
+        "r2", 500, 5000)
+      // probe x with 12 sigs, all inside the union: overlap 12 against
+      // a max-single-admit denominator of 10 read jaccard 1.2 before
+      // the greatest(n, overlap) bound; now it caps at exactly 1
+      val out = Multimodal.videoFrameProbe(spark, idx,
+          frames("x", 1 to 12), "p1", 500, 5000, minJaccard = 0.5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(out == Seq(("x", "v1", 12L, 1.0)), s"got $out")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(idx))
+  }
+
   test("video index re-admission: an id stored under two tags neither " +
       "self-pairs nor double-counts overlap against later batches") {
     import spark.implicits._

@@ -480,15 +480,15 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     // the frame-set index holds exactly the kept docs' frames: dropped
     // docs never join (12's clip must NOT be there — it died in the
     // text stage; 11's and 15's were media-dropped)
-    assert(spark.read.parquet(s"$state/media/frames")
+    assert(spark.read.parquet(s"$state/media_video/frames")
       .select("video_id").distinct().collect().map(_.getString(0)).toSet ==
       Set("1", "2", "13"))
     // at-least-once replay: same verdicts, index unchanged
-    val framesBefore = spark.read.parquet(s"$state/media/frames").count()
+    val framesBefore = spark.read.parquet(s"$state/media_video/frames").count()
     CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
       mediaColumn = Some("video"), mediaKind = "video", videoConfig = vcfg)
     assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
-    assert(spark.read.parquet(s"$state/media/frames").count() == framesBefore)
+    assert(spark.read.parquet(s"$state/media_video/frames").count() == framesBefore)
   }
 
   test("media + semantic: every index holds the FINAL keepers; media " +
