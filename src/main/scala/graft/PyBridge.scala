@@ -278,6 +278,17 @@ object PyBridge {
     graft.extract.Multimodal.audioDedupDelta(spark, path, df, tag, idCol,
       contentCol)
 
+  /** Read-only as-of twins of the two hash-kind deltas. */
+  def imageDedupDeltaAsOf(spark: SparkSession, path: String, df: DataFrame,
+      asOf: String, idCol: String, contentCol: String): DataFrame =
+    graft.extract.Multimodal.imageDedupDeltaAsOf(spark, path, df, asOf,
+      idCol, contentCol)
+
+  def audioDedupDeltaAsOf(spark: SparkSession, path: String, df: DataFrame,
+      asOf: String, idCol: String, contentCol: String): DataFrame =
+    graft.extract.Multimodal.audioDedupDeltaAsOf(spark, path, df, asOf,
+      idCol, contentCol)
+
   /** Persisted video dedup from Python: frame-set overlap against the
     * index at `path` (the Jaccard twin of the hash index; cadence is
     * pinned on first admit). Returns (id1, id2, overlap, jaccard,
