@@ -72,7 +72,11 @@ case class CurateConfig(
     minContamRatio: (Long, Long) = (1L, 2L),
     normalizeForHash: Boolean = false,
     segmentDedupWidth: Option[Int] = None,
-    semanticThreshold: Option[Double] = None)
+    semanticThreshold: Option[Double] = None,
+    mediaColumn: Option[String] = None,
+    mediaKind: String = "image",
+    videoConfig: graft.extract.Multimodal.VideoDedupConfig =
+      graft.extract.Multimodal.VideoDedupConfig())
 
 object TextOps {
   import Det._
@@ -2384,6 +2388,50 @@ object TextOps {
           .as("doc_id"))
         .select(col("doc_id"), lit(true).as("sm_keep"))
     }
+    // optional stage 6 — media near-dup keep-best: the streaming media
+    // stage's batch twin (stage order + first-drop-reason precedence
+    // after semantic_dup). Cluster the CORPUS's media fingerprints with
+    // the one-shot dedups (sound for the same reason as the semantic
+    // clusters: upstream stages only remove members), keep the best
+    // member per cluster among the prior stages' survivors. Docs with
+    // undecodable media are in no pair — singleton clusters via the
+    // coalesce (no fingerprint must never drop a document).
+    val mdKeep = cfg.mediaColumn.map { mc =>
+      require(docs.columns.contains(mc),
+        s"mediaColumn '$mc' is not on the corpus")
+      require(cfg.mediaKind == "image" || cfg.mediaKind == "audio" ||
+          cfg.mediaKind == "video",
+        s"mediaKind must be 'image', 'audio' or 'video', got '${cfg.mediaKind}'")
+      import graft.extract.Multimodal
+      val media = docs.select(col("doc_id").cast(StringType).as("path"),
+        col(mc).as("content"))
+      val pairs = cfg.mediaKind match {
+        case "video" =>
+          val vc = cfg.videoConfig
+          Multimodal.videoDedup(media, decoder = vc.decoder,
+              everyNthMs = vc.everyNthMs, durationMs = vc.durationMs,
+              minJaccard = vc.minJaccard, maxPerSig = vc.maxPerSig)
+            .select(col("video_id1").as("id1"), col("video_id2").as("id2"))
+        case "audio" =>
+          Multimodal.audioDedup(media)
+            .select(col("audio_id1").as("id1"), col("audio_id2").as("id2"))
+        case _ =>
+          Multimodal.imageDedup(media).select(col("id1"), col("id2"))
+      }
+      val mlabels = Multimodal.mediaClusterLabels(pairs)
+        .select(col("med_id").cast(LongType).as("doc_id"),
+          col("rep_id").as("mrep"))
+      stage3
+        .join(ndKeep.select(col("doc_id")), Seq("doc_id"))
+        .transform(s => smKeep.fold(s)(sk =>
+          s.join(sk.select(col("doc_id")), Seq("doc_id"))))
+        .join(mlabels, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("mrep"), col("doc_id").cast(StringType))
+          .as("mrep"))
+        .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
+          .as("doc_id"))
+        .select(col("doc_id"), lit(true).as("md_keep"))
+    }
     val marked = docs.select(col("doc_id"), g.all.as("q_ok"))
       .join(exKeep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
@@ -2393,6 +2441,8 @@ object TextOps {
       // streaming verdict builder's exact trick)
       .transform(m => smKeep.fold(m.withColumn("sm_keep", col("nd_keep")))(
         sk => m.join(sk, Seq("doc_id"), "left")))
+      .transform(m => mdKeep.fold(m.withColumn("md_keep", col("sm_keep")))(
+        mk => m.join(mk, Seq("doc_id"), "left")))
     marked
       .select(col("doc_id"),
         when(!col("q_ok"), "quality")
@@ -2400,6 +2450,7 @@ object TextOps {
           .when(col("contam").isNotNull, "decontaminated")
           .when(col("nd_keep").isNull, "near_dup")
           .when(col("sm_keep").isNull, "semantic_dup")
+          .when(col("md_keep").isNull, "media_dup")
           .as("drop_reason"))
       .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
         col("drop_reason"))

@@ -330,6 +330,75 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(batchV(1L) == ((true, None)) && batchV(13L) == ((true, None)))
   }
 
+  test("batch/stream media parity: when keep-first and keep-best pick " +
+      "the same keepers, verdicts are doc-for-doc equal") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    def img(kind: Int, format: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x =>
+        (0 until 64).foreach { y =>
+          val v = kind match {
+            case 0 => x * 255 / 63
+            case 1 => y * 255 / 63
+            case _ => (x + y) * 255 / 126
+          }
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    // each media cluster's keeper must be first AND best so keep-FIRST
+    // (stream) and keep-BEST (batch) coincide: alpha-41 beats chm-40 in
+    // n_chars; echo == golf so both policies tie-break to the smaller
+    // id; alpha-41 vs alpha-40+tailword is an exact n_chars TIE, so
+    // keep-best falls to min doc_id — the stream's keep-first answer.
+    // Ids matter for the BATCH decon stage (a hash-bucket self-split on
+    // doc_id): the shingle-sharing near-dup pair must sit in TRAIN
+    // buckets (detHash%10 < 8 — ids 3 → 4, 12 → 3); a test-bucket id
+    // like 1 (bucket 9) sharing shingles with a train doc would drop as
+    // decontaminated in the batch pipeline while the stream (decon off)
+    // keeps it — a real stage difference, not a policy one
+    val kept = doc(3L, "alpha", 41)
+    val mdup = doc(11L, "chm", 40) // fresh text, re-encoded copy of 3's image
+    val nd = doc(12L, "alpha", 40, extra = "tailword") // text near-dup
+    val c1 = doc(13L, "echo", 40)
+    val c2 = doc(15L, "golf", 40) // same image as 13: media_dup both ways
+    val junk = doc(14L, "foxtrot", 40) // undecodable media: kept both ways
+    val corpus = Seq(
+      (kept._1, kept._2, kept._3, img(0)),
+      (mdup._1, mdup._2, mdup._3, img(0, format = "jpg")),
+      (nd._1, nd._2, nd._3, img(1)),
+      (c1._1, c1._2, c1._3, img(2)),
+      (c2._1, c2._2, c2._3, img(2)),
+      (junk._1, junk._2, junk._3, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "text", "n_chars", "image")
+
+    val batchV = TextOps.curateOn(corpus,
+        CurateConfig(mediaColumn = Some("image")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+
+    val state = java.nio.file.Files.createTempDirectory("ci_mpar_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_mpar_out").toString
+    CurateIngest.processBatch(corpus, 0L, state, out, CurateConfig(),
+      mediaColumn = Some("image"))
+    assert(verdicts(s"$out/batch=b0") == batchV,
+      "stream and batch must verdict every doc identically")
+    // and the case is non-trivial: a media drop through a re-encode, a
+    // text near-dup drop (precedence: the shingle stage fires first),
+    // a within-cluster media drop, and an undecodable pass-through
+    assert(batchV(11L) == ((false, Some("media_dup"))))
+    assert(batchV(12L) == ((false, Some("near_dup"))))
+    assert(batchV(15L) == ((false, Some("media_dup"))))
+    assert(batchV(3L) == ((true, None)) && batchV(13L) == ((true, None)) &&
+      batchV(14L) == ((true, None)))
+  }
+
   test("a crash mid-bootstrap self-heals: partial empty components are " +
       "rewritten, the stream is never wedged") {
     val state = java.nio.file.Files.createTempDirectory("ci_boot_state").toString
