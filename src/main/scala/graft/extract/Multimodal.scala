@@ -964,6 +964,20 @@ object Multimodal {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The one kind → (index root leaf, component) mapping the curation
+    * pipelines share, with the kind validation: a typo'd kind must not
+    * silently select the image hash over audio bytes (every hash null →
+    * the stage becomes a permanent no-op) while pinning the bogus kind
+    * into `_params`. Both pipelines and the compaction cadence resolve
+    * through HERE — three hand-synced copies of this mapping is exactly
+    * where a root-rename bug hides (r14 review catch).
+    */
+  private[graft] def mediaKindLayout(kind: String): (String, String) = {
+    require(kind == "image" || kind == "audio" || kind == "video",
+      s"mediaKind must be 'image', 'audio' or 'video', got '$kind'")
+    if (kind == "video") ("media_video", "frames") else ("media", "hashes")
+  }
+
   /** The pair core shared by the live delta and the as-of probe:
     * batch-vs-`corpus` cross pairs (asymmetric band probe, Hamming
     * verified on candidates) unioned with within-batch pairs.
@@ -977,6 +991,12 @@ object Multimodal {
     // probe (a corpus-sized shuffle), collapse at the CANDIDATE level:
     // min(hamming) per (id1, id2) — the best stored match is the pair's
     // verdict, exact in the single-admit case (r14 review catch).
+    // Accepted trade-off: multi-tag multiplicity also counts toward
+    // probedPairs' maxBucket row cap, so a degenerate bucket sitting
+    // near the cap crosses it sooner than with a deduped corpus —
+    // bounded by the live tag count and HEALED by compaction (which
+    // folds to distinct rows); re-admits are rare, every probe paying
+    // a corpus shuffle is not.
     val cross = graft.operators.BandedHamming
       .probedPairs(mediaBanded(batch),
         mediaBanded(corpus.select(col("med_id"), col("ahash"))),

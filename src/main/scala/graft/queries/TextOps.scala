@@ -66,6 +66,12 @@ case class CurateConfig(
     maxMeanWordLen: Long = 10L,
     maxShortRatio: (Long, Long) = (1L, 20L),
     minDistinctRatio: (Long, Long) = (1L, 2L),
+    // NOTE the keep-best tie-break across the dedup stages encodes
+    // (n_chars, -doc_id) as n_chars·10⁹ − doc_id — it assumes doc_id
+    // < 10⁹ within any one dup cluster. Sparse 64-bit id schemes
+    // (snowflake-style) must remap ids first or the tie-break order
+    // inverts between docs whose lengths differ by less than
+    // (id gap)/10⁹. The constant is part of the oracled contract.
     jaccardThreshold: Double = 0.5,
     trainBucketsBelow: Long = 8L,
     testBucketsFrom: Long = 9L,
@@ -2391,18 +2397,23 @@ object TextOps {
     // optional stage 6 — media near-dup keep-best: the streaming media
     // stage's batch twin (stage order + first-drop-reason precedence
     // after semantic_dup). Cluster the CORPUS's media fingerprints with
-    // the one-shot dedups (sound for the same reason as the semantic
-    // clusters: upstream stages only remove members), keep the best
+    // the one-shot dedups (the semantic stage's posture: corpus-wide
+    // labels are the batch pipeline's one-shot view), keep the best
     // member per cluster among the prior stages' survivors. Docs with
     // undecodable media are in no pair — singleton clusters via the
     // coalesce (no fingerprint must never drop a document).
+    // Batch/stream divergence, shared with the semantic stage: a doc
+    // DROPPED by an earlier stage can transitively bridge two survivor
+    // clusters here (batch merges them, one survivor drops), while the
+    // stream — which fingerprints survivors only — keeps both. That is
+    // the deliberate semantic difference between a corpus-level
+    // one-shot and arrival-order increments, on top of keep-best vs
+    // keep-first; parity holds when neither applies (spec fixture).
     val mdKeep = cfg.mediaColumn.map { mc =>
       require(docs.columns.contains(mc),
         s"mediaColumn '$mc' is not on the corpus")
-      require(cfg.mediaKind == "image" || cfg.mediaKind == "audio" ||
-          cfg.mediaKind == "video",
-        s"mediaKind must be 'image', 'audio' or 'video', got '${cfg.mediaKind}'")
       import graft.extract.Multimodal
+      Multimodal.mediaKindLayout(cfg.mediaKind) // kind validation only
       val media = docs.select(col("doc_id").cast(StringType).as("path"),
         col(mc).as("content"))
       val pairs = cfg.mediaKind match {

@@ -142,8 +142,7 @@ object CurateIngest {
       // hash kinds under media/hashes — compact whichever this stream
       // grows.
       val (mediaRoot, mediaComp) =
-        if (mediaKind == "video") ("media_video", "frames")
-        else ("media", "hashes")
+        graft.extract.Multimodal.mediaKindLayout(mediaKind)
       if (mediaExists(spark, statePath, mediaRoot, mediaComp) &&
           !graft.extract.Multimodal.mediaTagExists(spark,
             s"$statePath/$mediaRoot", tag, mediaComp)) {
@@ -281,12 +280,11 @@ object CurateIngest {
       case Some(mc) =>
         require(b.columns.contains(mc),
           s"mediaColumn '$mc' is not on the batch")
-        // a typo'd kind must not silently select the image hash over
-        // audio bytes (every hash null -> the stage becomes a permanent
-        // no-op) while pinning the bogus kind into _params
-        require(mediaKind == "image" || mediaKind == "audio" ||
-            mediaKind == "video",
-          s"mediaKind must be 'image', 'audio' or 'video', got '$mediaKind'")
+        // kind validation + root/component resolution live in ONE
+        // place (mediaKindLayout — a typo'd kind must not silently
+        // no-op the stage while pinning a bogus kind into _params)
+        val (mediaRootLeaf, _) =
+          graft.extract.Multimodal.mediaKindLayout(mediaKind)
         if (mediaKind == "video") {
           val vc = videoConfig
           // the video index lives under its OWN root (media_video, not
@@ -296,7 +294,16 @@ object CurateIngest {
           // component's compaction reset the SHARED history (r14 review
           // catch; the sibling-aware first-contact guard in
           // requireIndexParamsAt refuses the standalone form of this)
-          val mediaPath = s"$statePath/media_video"
+          val mediaPath = s"$statePath/$mediaRootLeaf"
+          // the frame-set index got its own root within r14; a frames/
+          // component under the old SHARED media/ root is pre-split
+          // state — fail loudly rather than silently bootstrapping an
+          // empty index beside it (which would forget every admitted
+          // clip while the old index rots unprobed)
+          require(!mediaExists(spark, statePath, "media", "frames"),
+            s"found a frame-set index under $statePath/media (the " +
+              s"pre-split shared root); move it to $statePath/media_video " +
+              "before resuming the stream")
           // decode paid once (checkpointed inside batchFrameSet): one
           // frame-signature pass feeds the probe and the keepers' append
           val frames = graft.extract.Multimodal.batchFrameSet(
@@ -318,7 +325,7 @@ object CurateIngest {
         val hashFn =
           if (mediaKind == "audio") graft.extract.Multimodal.audioAHash
           else graft.extract.Multimodal.imageAHash
-        val mediaPath = s"$statePath/media"
+        val mediaPath = s"$statePath/$mediaRootLeaf"
         // decode paid once: one hash pass feeds the probe and the
         // keepers' append below
         val hashed = sem
@@ -432,7 +439,7 @@ object CurateIngest {
   }
 
   private def mediaExists(spark: SparkSession, statePath: String,
-      root: String = "media", component: String = "hashes"): Boolean = {
+      root: String, component: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$statePath/$root/$component")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
