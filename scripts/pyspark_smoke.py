@@ -176,6 +176,13 @@ try:
         spark._jsparkSession, idx, q._jdf, 5, 4), spark).collect()
     check("ivf aside-rebuild keeps answering",
           len(again) == 5 and again[0]["vec_id"] == 450)
+    # the wired loop (graph-family symmetry): a just-rebuilt index is
+    # benign, so the maybe declines and leaves it serving
+    ran = bridge.ivfMaybeRebuildAside(spark._jsparkSession, idx)
+    still = DataFrame(bridge.ivfSearch(
+        spark._jsparkSession, idx, q._jdf, 5, 4), spark).collect()
+    check("ivf maybe-rebuild declines on a benign index",
+          ran is False and len(still) == 5)
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 

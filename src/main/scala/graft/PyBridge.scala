@@ -163,6 +163,15 @@ object PyBridge {
   def ivfDriftSummary(spark: SparkSession, path: String): DataFrame =
     graft.operators.Ivf.driftSummary(spark, path)
 
+  /** The wired IVF loop — verdict-to-cure symmetry with
+    * [[graphMaybeRebuildAside]] (the r14 verdict's asymmetry): aside-
+    * rebuild the IVF index with retrained centroids (read from its own
+    * cells, cell count derived from its own stored centroids) iff the
+    * drift verdict recommends it; returns whether a rebuild ran.
+    */
+  def ivfMaybeRebuildAside(spark: SparkSession, path: String): Boolean =
+    graft.operators.Ivf.maybeRebuildAside(spark, path)
+
   /** Graph (NN-Descent) index drift roll-up — the IVF columns plus the
     * exact-sampled edge staleness (the graph decay signal).
     */

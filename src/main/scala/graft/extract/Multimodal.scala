@@ -454,44 +454,51 @@ object Multimodal {
     * exactly like flat images, and the SAME hot-bucket guard defuses
     * them downstream. Null (not a throw) on undecodable bytes.
     */
+  /** The hash core over decoded mono samples — split out so the
+    * long-duration overflow spec can drive it with a synthetic >2^27-
+    * sample stream directly (a ~256 MB WAV through the UDF path proves
+    * nothing more and costs a heap spike per test run).
+    */
+  private[graft] def aHashOfSamples(s: Array[Int]): java.lang.Long =
+    if (s.length < 64) null
+    else {
+      val energy = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < s.length) {
+        val e = math.abs(s(i).toLong)
+        // Long mul: i * 64 wraps Int past ~2^25 samples (~13 min
+        // at 44.1 kHz) — a silent null hash on every long file
+        energy((i.toLong * 64 / s.length).toInt) += e
+        total += e
+        i += 1
+      }
+      // frames are equal-sized up to integer division remainder;
+      // compare frame_mean vs global_mean cross-multiplied so the
+      // uneven tail frame is weighted by ITS true length. The
+      // cross-multiply must be in DOUBLE: in Long it wraps around
+      // 2^27 full-scale samples (~50 min mono 44.1 kHz), silently
+      // flipping bits — same wrap class as the frame-index multiply
+      // above. A double comparison loses nothing that matters: the
+      // fingerprint thresholds a mean, not an exact count.
+      var h = 0L
+      var f = 0
+      while (f < 64) {
+        val lo = (f.toLong * s.length / 64).toInt
+        val hi = ((f + 1).toLong * s.length / 64).toInt
+        if (hi > lo &&
+            energy(f).toDouble * s.length > total.toDouble * (hi - lo))
+          h |= (1L << f)
+        f += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+
   def audioAHash: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], java.lang.Long] {
       override def call(bytes: Array[Byte]): java.lang.Long =
         try {
-          val s = monoSamples(bytes)
-          if (s.length < 64) null
-          else {
-            val energy = new Array[Long](64)
-            var total = 0L
-            var i = 0
-            while (i < s.length) {
-              val e = math.abs(s(i).toLong)
-              // Long mul: i * 64 wraps Int past ~2^25 samples (~13 min
-              // at 44.1 kHz) — a silent null hash on every long file
-              energy((i.toLong * 64 / s.length).toInt) += e
-              total += e
-              i += 1
-            }
-            // frames are equal-sized up to integer division remainder;
-            // compare frame_mean vs global_mean cross-multiplied so the
-            // uneven tail frame is weighted by ITS true length. The
-            // cross-multiply must be in DOUBLE: in Long it wraps around
-            // 2^27 full-scale samples (~50 min mono 44.1 kHz), silently
-            // flipping bits — same wrap class as the frame-index multiply
-            // above. A double comparison loses nothing that matters: the
-            // fingerprint thresholds a mean, not an exact count.
-            var h = 0L
-            var f = 0
-            while (f < 64) {
-              val lo = (f.toLong * s.length / 64).toInt
-              val hi = ((f + 1).toLong * s.length / 64).toInt
-              if (hi > lo &&
-                  energy(f).toDouble * s.length > total.toDouble * (hi - lo))
-                h |= (1L << f)
-              f += 1
-            }
-            java.lang.Long.valueOf(h)
-          }
+          aHashOfSamples(monoSamples(bytes))
         } catch { case NonFatal(_) => null }
     }, LongType)
 

@@ -186,6 +186,50 @@ object Ivf {
     graft.queries.VectorOps.rebuildAside(base.sparkSession, path)(
       writeIndex(base, cents, _))
 
+  /** [[driftSummary]]'s verdict wired to its cure — the IVF twin of
+    * [[NnDescent.maybeRebuildAside]] (the r14 verdict's asymmetry: the
+    * graph family had verdict-to-cure, IVF made the operator loop glue
+    * them manually): when `rebuild_recommended`, aside-rebuild with
+    * RETRAINED centroids over the corpus read from the live index's own
+    * cells, and return true; otherwise leave the index untouched and
+    * return false.
+    *
+    * `cells <= 0` (the default) derives the cell count from the stored
+    * centroids — same re-grain hazard and cure as the graph twin.
+    * `iters > 0` adds Lloyd refinement passes on top of the
+    * deterministic [[seedCentroids]] seeding ([[train]]); 0 keeps the
+    * contract seeding rule, which is what [[PyBridge.ivfRebuildIndexAside]]
+    * uses. Refuses PQ-marked indexes ([[requireIvfReadable]]) — a plain
+    * rebuild over a PQ index would strip its sidecars and orphan its
+    * codebooks.
+    */
+  def maybeRebuildAside(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Int = 0, iters: Int = 0,
+      growthMax: Double = 3.0, residRatioMax: Double = 1.2): Boolean = {
+    graft.queries.VectorOps.recoverPromote(spark, path)
+    graft.queries.VectorOps.requireNotBuilding(spark, path)
+    requireIvfReadable(spark, path)
+    val flagged = driftSummary(spark, path, growthMax, residRatioMax)
+      .head.getAs[Boolean]("rebuild_recommended")
+    if (flagged) {
+      val c = if (cells > 0) cells
+        else spark.read.parquet(s"$path/centroids").count().toInt.max(1)
+      graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/cells")
+      // corpus from the live index itself; checkpoint because the
+      // rebuild writes beside the dirs it read (the NnDescent posture)
+      val base = spark.read
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, n2 DOUBLE, " +
+          "cell LONG, batch STRING")
+        .parquet(s"$path/cells")
+        .select(col("vec_id"), col("embedding"), col("n2"))
+        .localCheckpoint(true)
+      val cents = if (iters > 0) train(base, c, iters)
+        else seedCentroids(base, c)
+      rebuildIndexAside(base, cents, path)
+    }
+    flagged
+  }
+
   /** Grow a materialized index: assign `vecs` (vec_id, embedding, n2)
     * against the INDEX's OWN centroids and write them into their cells
     * under the increment's `batch=tag` dir — the corpus-growth path

@@ -667,14 +667,24 @@ object NnDescent {
     * false. The watch half of the operator loop (watch → rebuild →
     * verify) — PyBridge exposes it so a scheduled Python job can run
     * the whole loop against a live index.
+    *
+    * `cells <= 0` (the default) derives the routing granularity from
+    * the index's OWN stored centroid count — the r14-advice hazard: a
+    * hardcoded default here would silently re-grain a cells=64 index
+    * to 16 on the first flagged drift of a scheduled loop. The count
+    * is one small-table read, paid only when the verdict fires.
     */
   def maybeRebuildAside(spark: SparkSession, path: String, k: Int,
-      iters: Int, cells: Int = 16, growthMax: Double = 3.0,
+      iters: Int, cells: Int = 0, growthMax: Double = 3.0,
       residRatioMax: Double = 1.2, stalenessMax: Double = 0.1,
       reliable: Boolean = false): Boolean = {
     val flagged = driftSummary(spark, path, growthMax, residRatioMax,
       stalenessMax).head.getAs[Boolean]("rebuild_recommended")
-    if (flagged) rebuildIndexAside(spark, path, k, iters, cells, reliable)
+    if (flagged) {
+      val c = if (cells > 0) cells
+        else spark.read.parquet(s"$path/centroids").count().toInt.max(1)
+      rebuildIndexAside(spark, path, k, iters, c, reliable)
+    }
     flagged
   }
 

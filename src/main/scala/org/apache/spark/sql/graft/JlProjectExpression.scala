@@ -26,11 +26,20 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * quantization is the repo's explicit floor(x·10⁶ + ½) (never
   * round(), whose tie rule differs between engines).
   *
-  * Null/shape semantics: null if the input array is null, has a length
-  * other than `embDims`, or holds a null element (the projection mixes
-  * every component — a partial answer would be wrong, not degraded).
-  * The sign matrix rides to executors once as a reference object, not
-  * as literals in the generated source.
+  * Null/shape semantics — pinned to the SQL oracle's NULL propagation
+  * (the r14 advice caught the divergence): a dirty embedding (null
+  * element, wrong length) yields an array of `projDims` NULL components,
+  * NOT a null array. Every projected component mixes every input, so in
+  * the oracle's per-component ± chain ONE null operand nulls ALL
+  * `projDims` sums — DuckDB still emits `projDims` rows (with null
+  * `val`) per dirty vector, and a whole-null array here would make
+  * posexplode emit ZERO rows for it: silent row loss vs the oracle.
+  * Only a null INPUT array stays null (SQL's outer expression is null
+  * there too, but the contract query unnests a per-row ARRAY literal of
+  * the component expressions, which is never null — so dirty-but-present
+  * is the case that must match row-for-row). The sign matrix rides to
+  * executors once as a reference object, not as literals in the
+  * generated source.
   */
 case class JlProject(child: Expression, projDims: Int, embDims: Int,
     signs: Seq[Double]) extends UnaryExpression with ExpectsInputTypes {
@@ -41,7 +50,7 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType =
-    ArrayType(DoubleType, containsNull = false)
+    ArrayType(DoubleType, containsNull = true)
 
   override def nullable: Boolean = true
 
@@ -49,9 +58,14 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
 
   @transient private lazy val signArr: Array[Double] = signs.toArray
 
+  // projDims null components — the dirty-input answer (doc above); one
+  // shared immutable instance, GenericArrayData never mutates its backing
+  @transient private lazy val allNull: GenericArrayData =
+    new GenericArrayData(new Array[Any](projDims))
+
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
-    if (x.numElements() != embDims) return null
+    if (x.numElements() != embDims) return allNull
     val out = new Array[Double](projDims)
     var i = 0
     while (i < projDims) {
@@ -59,7 +73,7 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
       val base = i * embDims
       var j = 0
       while (j < embDims) {
-        if (x.isNullAt(j)) return null
+        if (x.isNullAt(j)) return allNull
         acc += signArr(base + j) * x.getFloat(j).toDouble
         j += 1
       }
@@ -77,12 +91,12 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
       val bad = ctx.freshName("bad")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val nulls = ctx.addReferenceObj("jlAllNull", allNull,
+        "org.apache.spark.sql.catalyst.util.GenericArrayData")
       s"""
-         |if ($x.numElements() != $embDims) {
-         |  ${ev.isNull} = true;
-         |} else {
+         |boolean $bad = ($x.numElements() != $embDims);
+         |if (!$bad) {
          |  double[] $out = new double[$projDims];
-         |  boolean $bad = false;
          |  for (int $i = 0; $i < $projDims && !$bad; $i++) {
          |    double $acc = 0.0;
          |    for (int $j = 0; $j < $embDims; $j++) {
@@ -91,10 +105,10 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
          |    }
          |    $out[$i] = Math.floor($acc / 4.0 * 1000000.0 + 0.5) / 1000000.0;
          |  }
-         |  if ($bad) ${ev.isNull} = true;
-         |  else ${ev.value} =
+         |  if (!$bad) ${ev.value} =
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
+         |if ($bad) ${ev.value} = $nulls;
        """.stripMargin
     })
 
@@ -119,8 +133,10 @@ case class JlProject(child: Expression, projDims: Int, embDims: Int,
   * (contrast [[JlProject]], whose floor-quantization would flip signs
   * of tiny negatives).
   *
-  * Null/shape semantics follow [[JlProject]]: null on a null array, a
-  * wrong length, or any null element.
+  * Null/shape semantics: null on a null array, a wrong length, or any
+  * null element — the bucket is a SCALAR, so null is the honest dirty
+  * answer here (contrast [[JlProject]], whose array output must keep
+  * its projDims shape so downstream posexplode never loses rows).
   */
 case class PlaneSignBucket(child: Expression, planes: Int, embDims: Int,
     signs: Seq[Double]) extends UnaryExpression with ExpectsInputTypes {

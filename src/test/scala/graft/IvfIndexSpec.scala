@@ -287,6 +287,55 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
       .getAs[Boolean]("rebuild_recommended"))
   }
 
+  test("maybeRebuildAside: benign index untouched; drifted index rebuilds " +
+      "at its OWN stored cell count (never the caller default) and clears") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maybe").toString
+    // cells = 8, deliberately NOT any default: the r14 advice hazard is
+    // a scheduled loop silently re-graining a non-default index on its
+    // first flagged drift
+    Ivf.writeIndex(base, Ivf.seedCentroids(base, 8), dir)
+    assert(!Ivf.maybeRebuildAside(spark, dir),
+      "benign fresh index must not rebuild")
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    assert(graft.queries.VectorOps.indexHistory(spark, dir) == Seq("init"),
+      "a declined maybe must leave the index byte-untouched")
+
+    // drift it: a 200-member cluster hugging one centroid — that cell
+    // grows ~8x (fixture cells hold ~60), appended share ~0.29
+    val c0 = spark.read.parquet(s"$dir/centroids").orderBy("c_id")
+      .head.getSeq[Float](1).toArray
+    val fam = (0 until 200).map { j =>
+      (20000L + j, c0.indices.map(i =>
+        c0(i) + (if (i == j % 64) 0.01f else 0f)).toSeq)
+    }
+    val famDf = fam.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.dotProduct(col("embedding"), col("embedding"))
+          .as("n2"))
+      .localCheckpoint(true)
+    Ivf.appendIndex(spark, famDf, dir, "drift")
+    assert(Ivf.driftSummary(spark, dir).head
+      .getAs[Boolean]("rebuild_recommended"), "fixture must drift")
+
+    // the wired loop: flags -> aside-rebuild with RETRAINED centroids
+    // at the index's own granularity -> verdict clears idempotently
+    assert(Ivf.maybeRebuildAside(spark, dir, iters = 2))
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8,
+      "rebuild must preserve the stored cell count, not re-grain")
+    assert(!Ivf.driftSummary(spark, dir).head
+      .getAs[Boolean]("rebuild_recommended"), "rebuild must clear the verdict")
+    assert(!Ivf.maybeRebuildAside(spark, dir), "clear verdict must not re-run")
+    // the rebuilt index still answers, over the FULL grown corpus
+    val got = Ivf.searchIndex(spark, dir,
+      famDf.filter(col("vec_id") === 20000L), k = 5, nprobe = 2)
+      .collect().map(_.getLong(1))
+    assert(got.length == 5 && got.exists(id => id >= 20000L),
+      s"post-rebuild search lost the appended family: ${got.toSeq}")
+  }
+
   test("cross-family stale sentinels: a rebuild in EITHER direction is " +
       "the repair, never a permanent refusal") {
     import graft.operators.Pq

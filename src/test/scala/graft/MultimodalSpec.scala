@@ -345,6 +345,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(h("a_wav") != 0L, "structured signal must not be degenerate")
   }
 
+  test("audio fingerprint survives >2^27 full-scale samples (the Long " +
+      "cross-multiply wrap)") {
+    // ~56 min of mono 44.1 kHz at full scale: energy(f) * s.length
+    // crosses Long.MaxValue (~9.2e18) right at 2^27 full-scale samples,
+    // so the old all-Long comparison silently CLEARED every loud
+    // frame's bit. Drive the extracted hash core directly — a ~280 MB
+    // WAV through the UDF path proves nothing more per run.
+    val n = ((1L << 27) * 1.1).toInt // safely past the wrap boundary
+    val s = new Array[Int](n)
+    java.util.Arrays.fill(s, 0, n / 2, 32767)
+    java.util.Arrays.fill(s, n / 2, n, 1)
+    val h = Multimodal.aHashOfSamples(s).longValue()
+    // loud first half -> frames 0..31 above the global mean, quiet
+    // second half below: exactly the low 32 bits
+    assert(h == 0xFFFFFFFFL,
+      f"long-audio hash corrupted: got 0x$h%016x, want 0x00000000ffffffff")
+    // pin that this fixture genuinely exercises the wrap: the retired
+    // Long-math comparison disagrees on it (frame 0's cross-multiply
+    // goes negative), so a regression back to Long flips this spec red
+    val frameLen = n / 64
+    val loudFrameEnergy = 32767L * frameLen
+    assert(loudFrameEnergy * n < 0,
+      "fixture no longer overflows the Long cross-multiply — grow n")
+  }
+
   test("audio dedup pairs planted duplicates, not strangers; undecodable " +
       "rows drop out") {
     import spark.implicits._

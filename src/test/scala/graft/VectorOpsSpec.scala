@@ -422,6 +422,33 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
       s"projection lost the sibling/stranger gap: $sibMean vs $strMean")
   }
 
+  test("projectCol on dirty embeddings: per-component nulls, never row loss") {
+    // the r14-advice divergence: the oracle's per-component +/- chain
+    // nulls ALL 16 sums when ONE element is null, still emitting 16
+    // unnested rows (val NULL) — a whole-null array here would make
+    // posexplode emit ZERO rows for that vec_id: silent row loss on
+    // dirty data. Pin the oracle's shape: dirty -> 16 null components.
+    import spark.implicits._
+    val dims = 64
+    val clean = Array.tabulate(dims)(j => java.lang.Float.valueOf(j * 0.01f))
+    val dirty = clean.clone(); dirty(17) = null // one null element
+    val short = clean.take(dims - 1)            // wrong length
+    val df = Seq(
+      (0L, clean), (1L, dirty), (2L, short)
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = df.select(col("vec_id"),
+        posexplode(VectorOps.projectCol(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nonNull"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // clean: 16 rows, all values present; dirty/short: STILL 16 rows,
+    // every value null (count(v) skips nulls)
+    assert(out(0L) == ((16L, 16L)), s"clean vector broke: ${out(0L)}")
+    assert(out(1L) == ((16L, 0L)), s"null-element vector: ${out(1L)}")
+    assert(out(2L) == ((16L, 0L)), s"wrong-length vector: ${out(2L)}")
+  }
+
   test("approx quartiles sit between exact neighbors (rank error <= 1%)") {
     import graft.queries.Tables
     val rows = graft.queries.Aggregates.aggApproxPct(spark, Sf001).collect()
