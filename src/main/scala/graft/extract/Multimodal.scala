@@ -287,7 +287,7 @@ object Multimodal {
       .filter(col("ahash").isNotNull)
     graft.operators.BandedHamming
       .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming,
-        maxBucket = maxBucket)
+        maxBucket = maxBucket, multiProbe = true)
   }
 
   /** Cluster labels over [[imageDedup]]'s verified near-dup pairs —
@@ -327,7 +327,7 @@ object Multimodal {
         "a 64-bit hash on this corpus; disambiguate the id column")
     val pairs = graft.operators.BandedHamming
       .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming,
-        maxBucket = maxBucket)
+        maxBucket = maxBucket, multiProbe = true)
     val edges = pairs
       .join(ids.select(col("img_id").as("id1"), col("nid").as("src")), "id1")
       .join(ids.select(col("img_id").as("id2"), col("nid").as("dst")), "id2")
@@ -557,7 +557,7 @@ object Multimodal {
       .filter(col("ahash").isNotNull)
     graft.operators.BandedHamming
       .pairs(hashed, "img_id", "ahash", bands = 4, maxHamming = maxHamming,
-        maxBucket = maxBucket)
+        maxBucket = maxBucket, multiProbe = true)
       .select(col("id1").as("audio_id1"), col("id2").as("audio_id2"),
         col("hamming"))
   }
@@ -1004,8 +1004,17 @@ object Multimodal {
     // bounded by the live tag count and HEALED by compaction (which
     // folds to distinct rows); re-admits are rare, every probe paying
     // a corpus shuffle is not.
+    // radius-1 multi-probe on the BATCH side only (the corpus keeps its
+    // 4 exact postings, so stored bucket populations and the hot-bucket
+    // guard are untouched): the candidate guarantee rises to Hamming ≤ 7,
+    // actually covering the documented 6-bit re-encode radius — without
+    // it, a 4-6-bit drift whose flips span all four bands was silently
+    // missed (r14 advice). Probe fan-out is 68 rows per batch hash,
+    // linear in the BATCH, the small side of every ingest probe.
     val cross = graft.operators.BandedHamming
-      .probedPairs(mediaBanded(batch),
+      .probedPairs(
+        graft.operators.BandedHamming
+          .withFlipProbes(mediaBanded(batch), MediaBandBits),
         mediaBanded(corpus.select(col("med_id"), col("ahash"))),
         "med_id", "med_id", Seq("band", "bandval"), maxBucket,
         rescueHot = false)
@@ -1022,7 +1031,8 @@ object Multimodal {
       .select(col("id1"), col("id2"), col("hamming"), lit(true).as("cross"))
     val within = graft.operators.BandedHamming
       .pairs(batch, "med_id", "ahash", bands = MediaBands,
-        maxHamming = maxHamming, maxBucket = maxBucket)
+        maxHamming = maxHamming, maxBucket = maxBucket,
+        multiProbe = true)
       .withColumn("cross", lit(false))
     cross.unionByName(within).orderBy(col("id1"), col("id2"), col("cross"))
   }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * and only candidates pay the exact `bit_count` Hamming check. With
   * `maxHamming < bands` the pigeonhole guarantees recall 1; above it
   * (e.g. the 6-vs-4 defaults) recall stays high because near-dup bit
-  * flips rarely spread across every band.
+  * flips rarely spread across every band — and with radius-1
+  * multi-probe ([[withFlipProbes]], the media surfaces' default) the
+  * guarantee itself extends to `maxHamming < 2·bands`.
   *
   * Hot-bucket guard: the "never all-pairs" claim has a standard LSH
   * failure mode — a degenerate band value shared by a large row
@@ -194,25 +196,77 @@ object BandedHamming {
     * different content (flat images); see the guard note above. Turn it
     * on only when the caller exact-verifies pairs on the underlying
     * content afterwards.
+    *
+    * `multiProbe` adds radius-1 band probing ([[withFlipProbes]]): the
+    * candidate guarantee rises from Hamming < `bands` to
+    * Hamming < `2·bands` (≤ 7 at the 4-band default — which finally
+    * COVERS the 6-bit default radius; without it, 4-6-bit pairs whose
+    * flips span all four bands are silently missed) for a probe-side
+    * ×(64/bands + 1) posting fan-out. The media surfaces turn it on;
+    * SimHash text dedup keeps it off (its measured containment recall
+    * prices the exact-band trade there).
     */
+  /** Single-bit-flip probe postings beside the exact ones — radius-1
+    * multi-probe ([[pairs]]' `multiProbe`, and the probe SIDE of an
+    * asymmetric media probe): each exact (band, bandval) posting gains
+    * `bits` sibling rows with one band-value bit flipped, so two hashes
+    * become candidates iff SOME band differs by ≤ 1 bit. Pigeonhole:
+    * a missed pair needs ≥ 2 flips in EVERY band — ≥ `2·bands` total —
+    * so with 4 bands the candidate guarantee covers Hamming ≤ 7 (the
+    * exact-match join alone only guarantees ≤ 3; the 4-6-bit gap was
+    * the r14-advice finding). Cost: probe-side fan-out ×(bits + 1) —
+    * 68 rows per 64-bit hash at 4×16 banding — on ONE side of the
+    * join only; the stored/base side keeps its `bands` exact postings,
+    * so bucket populations (and the hot-bucket guard) are unchanged.
+    */
+  private[graft] def withFlipProbes(exploded: DataFrame, bits: Int)
+      : DataFrame =
+    exploded.unionByName(
+      exploded
+        .withColumn("__flip",
+          explode(sequence(lit(0), lit(bits - 1))))
+        .withColumn("bandval",
+          expr("bandval ^ shiftleft(CAST(1 AS BIGINT), __flip)"))
+        .drop("__flip"))
+
   def pairs(df: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxHamming: Int = 6,
       maxBucket: Int = DefaultMaxBucket,
-      rescueHot: Boolean = false): DataFrame = {
+      rescueHot: Boolean = false,
+      multiProbe: Boolean = false): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val marked = markBuckets(
-      df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"))
-        .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask")),
+    val exploded = df.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
+    val marked = markBuckets(exploded,
       "__id", Seq("band", "bandval"), Seq("__h"))
     val banded = keepSmall(marked, "__id", Seq("band", "bandval"), maxBucket)
-    val quad = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
-        col("a.__h").as("h1"), col("b.__h").as("h2"))
+    val quad = if (!multiProbe) {
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+            col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+          col("a.__h").as("h1"), col("b.__h").as("h2"))
+    } else {
+      // exact+flip postings joined against the GUARDED exact postings
+      // (band-distance ≤ 1 ⇒ candidate; see withFlipProbes). The probe
+      // side is unguarded on purpose: a probe row landing in a dropped
+      // hot bucket finds nothing (the guard removed the exact rows),
+      // and probe rows are linear per input row. Each unordered pair
+      // can surface from both directions — normalize via the id-ordered
+      // struct so (id1, h1) stays the smaller id's hash, then distinct.
+      val s1 = struct(col("a.__id").as("i"), col("a.__h").as("h"))
+      val s2 = struct(col("b.__id").as("i"), col("b.__h").as("h"))
+      withFlipProbes(exploded, bits).as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+            col("a.__id") =!= col("b.__id"))
+        .select(least(s1, s2).getField("i").as("id1"),
+          greatest(s1, s2).getField("i").as("id2"),
+          least(s1, s2).getField("h").as("h1"),
+          greatest(s1, s2).getField("h").as("h2"))
+    }
     val all = if (rescueHot) {
       // the rep struct carries the representative's hash alongside its id
       val star = marked.filter(col("__n") > maxBucket &&

@@ -345,6 +345,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(h("a_wav") != 0L, "structured signal must not be degenerate")
   }
 
+  test("banded probe GUARANTEES the Hamming-6 radius: one flip per band " +
+      "(the r14-advice blind spot) is caught, symmetric and cross-batch") {
+    import spark.implicits._
+    // Hamming 4 spread as ONE flip in EACH 16-bit band — no band
+    // matches exactly, so the pre-multi-probe join missed this pair
+    // despite every doc promising 'within Hamming 6'
+    val h = 0x5A5A1234ABCD0F0FL
+    val h4 = h ^ 0x0001000100010001L // bits 0, 16, 32, 48
+    assert(java.lang.Long.bitCount(h ^ h4) == 4)
+    val df = Seq(("a", h), ("b", h4)).toDF("med_id", "ahash")
+    // the old exact-band join really is blind here (documents the hole)
+    assert(graft.operators.BandedHamming
+      .pairs(df, "med_id", "ahash").count() == 0)
+    // multi-probe closes it
+    val got = graft.operators.BandedHamming
+      .pairs(df, "med_id", "ahash", multiProbe = true).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+      == Seq(("a", "b", 4)), got.toSeq.toString)
+    // and a 4-flips-in-one-band pair still only surfaces when within
+    // radius: Hamming 8 spread 2-per-band stays out (>= 2 flips in
+    // every band is the documented miss boundary, and 8 > 6 anyway)
+    val h8 = h ^ 0x0003000300030003L
+    assert(graft.operators.BandedHamming
+      .pairs(Seq(("a", h), ("c", h8)).toDF("med_id", "ahash"),
+        "med_id", "ahash", multiProbe = true).count() == 0)
+
+    // cross-batch: the stored corpus keeps exact postings; the batch
+    // side multi-probes — a re-encode drifting 1 bit per band from a
+    // STORED fingerprint must pair
+    val idx = java.nio.file.Files.createTempDirectory("media_mp").toString
+    Multimodal.mediaHashDelta(spark, idx,
+      Seq(("orig", h)).toDF("med_id", "ahash"), "t1", "image")
+    val pairs2 = Multimodal.mediaHashDelta(spark, idx,
+      Seq(("reenc", h4)).toDF("med_id", "ahash"), "t2", "image")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(pairs2.toSeq == Seq(("reenc", "orig", 4, true)), pairs2.toSeq)
+  }
+
   test("audio fingerprint survives >2^27 full-scale samples (the Long " +
       "cross-multiply wrap)") {
     // ~56 min of mono 44.1 kHz at full scale: energy(f) * s.length
