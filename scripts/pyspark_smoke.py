@@ -325,6 +325,30 @@ vd = DataFrame(bridge.vecDrift(
 vmetrics = {r["metric"] for r in vd.collect()}
 check("vec drift from Python", vmetrics == {"lsh_bucket", "argmax"})
 
+# 13b. r15: the drift monitor wired INTO the ingest loop — an external
+#      scheduler drives one curation micro-batch and reads the batch's
+#      PSI side output from storage (<out>_drift/batch=b0)
+ing_state = tempfile.mkdtemp(prefix="pysmoke_ing_state")
+ing_out = tempfile.mkdtemp(prefix="pysmoke_ing_out")
+ing_base = tempfile.mkdtemp(prefix="pysmoke_ing_base")
+try:
+    base_docs.select("doc_id", "text", "n_chars", "lang", "source") \
+        .write.mode("overwrite").parquet(ing_base)
+    b0 = batch_docs.select("doc_id", "text", "n_chars", "lang", "source") \
+        .limit(50)
+    bridge.curateIngestBatch(spark._jsparkSession, b0._jdf, 0,
+                             ing_state, ing_out, ing_base)
+    drift = spark.read.parquet(f"{ing_out}_drift/batch=b0").collect()
+    fams = {r["family"] for r in drift}
+    src_psi = sum(r["psi_term"] for r in drift if r["metric"] == "source")
+    verd = spark.read.parquet(f"{ing_out}/batch=b0")
+    check("ingest drift side output from Python",
+          fams == {"corpus"} and src_psi > 0.25 and verd.count() == 50,
+          f"(families {fams}, source psi {src_psi:.2f})")
+finally:
+    for d in (ing_state, ing_out, ing_out + "_drift", ing_base):
+        shutil.rmtree(d, ignore_errors=True)
+
 corpus_v = vecs.filter("vec_id % 10 != 0")
 eval_v = vecs.filter("vec_id % 10 = 0")
 dec = DataFrame(bridge.semanticDecontaminate(

@@ -127,6 +127,26 @@ object PyBridge {
   def vecDrift(baseline: DataFrame, batch: DataFrame): DataFrame =
     VectorOps.vecDriftOn(baseline, batch)
 
+  /** One micro-batch of the streaming curation pipeline driven from an
+    * EXTERNAL scheduler (Airflow-style) instead of Structured Streaming
+    * — the foreachBatch body, same persisted state, same replay
+    * discipline. `driftBaseline` ("" = off) additionally emits the
+    * batch's PSI terms vs that pinned corpus under
+    * `<outPath>_drift/batch=b<id>` (the r15 drift side output). The
+    * baseline is re-profiled per call here (~one aggregate over the
+    * baseline corpus); a long-running scheduler should prefer the
+    * streaming form, which profiles once per stream.
+    */
+  def curateIngestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, statePath: String, outPath: String,
+      driftBaseline: String): Unit = {
+    val db = if (driftBaseline.isEmpty) None
+      else Some(graft.streaming.CurateIngest.driftProfile(
+        spark.read.parquet(driftBaseline)))
+    graft.streaming.CurateIngest.processBatch(batch, batchId, statePath,
+      outPath, CurateConfig(), driftBase = db)
+  }
+
   /** Exact semantic decontamination of a corpus frame against a
     * broadcast eval frame — per-vector n_hits / max_cos / verdict.
     */

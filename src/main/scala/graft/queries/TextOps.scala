@@ -580,24 +580,38 @@ object TextOps {
     * bins-per-metric-sized join — nothing corpus-shaped shuffles.
     */
   def corpusDriftOn(baseline: DataFrame, batch: DataFrame,
+      charBins: Seq[Long] = Seq(100L, 200L, 300L, 400L, 500L)): DataFrame =
+    psiTermsOn(corpusBins(baseline, "base", charBins)
+      .unionByName(corpusBins(batch, "batch", charBins)))
+
+  /** The melted `(side, metric, bin)` rows of one corpus side — factored
+    * out so a continuously-ingesting pipeline ([[graft.streaming
+    * .CurateIngest]]) can aggregate the BASELINE side's bin counts once
+    * at stream start ([[psiSideCounts]]) instead of re-melting the
+    * baseline corpus on every micro-batch. `lang`/`source` coalesce
+    * missing COLUMNS to null first, so a stream whose schema carries
+    * neither still drifts on n_chars (all rows share the 'NULL' bin of
+    * the absent metrics — zero PSI there by construction).
+    */
+  private[graft] def corpusBins(df: DataFrame, side: String,
       charBins: Seq[Long] = Seq(100L, 200L, 300L, 400L, 500L)): DataFrame = {
     def lbl(b: Long) = f"le$b%04d"
-    def binned(df: DataFrame, side: String) = {
-      val first = when(col("n_chars") <= charBins.head, lbl(charBins.head))
-      val charBin = charBins.tail.foldLeft(first)((acc, b) =>
-        acc.when(col("n_chars") <= b, lbl(b)))
-        .otherwise(f"gt${charBins.last}%04d")
-      df.select(lit(side).as("side"),
-        explode(array(
-          struct(lit("n_chars").as("metric"), charBin.as("bin")),
-          struct(lit("lang").as("metric"),
-            coalesce(col("lang"), lit("NULL")).as("bin")),
-          struct(lit("source").as("metric"),
-            coalesce(col("source"), lit("NULL")).as("bin")))).as("mb"))
-        .select(col("side"), col("mb.metric").as("metric"),
-          col("mb.bin").as("bin"))
-    }
-    psiTermsOn(binned(baseline, "base").unionByName(binned(batch, "batch")))
+    def optCol(name: String) =
+      if (df.columns.contains(name)) col(name)
+      else lit(null).cast(org.apache.spark.sql.types.StringType)
+    val first = when(col("n_chars") <= charBins.head, lbl(charBins.head))
+    val charBin = charBins.tail.foldLeft(first)((acc, b) =>
+      acc.when(col("n_chars") <= b, lbl(b)))
+      .otherwise(f"gt${charBins.last}%04d")
+    df.select(lit(side).as("side"),
+      explode(array(
+        struct(lit("n_chars").as("metric"), charBin.as("bin")),
+        struct(lit("lang").as("metric"),
+          coalesce(optCol("lang"), lit("NULL")).as("bin")),
+        struct(lit("source").as("metric"),
+          coalesce(optCol("source"), lit("NULL")).as("bin")))).as("mb"))
+      .select(col("side"), col("mb.metric").as("metric"),
+        col("mb.bin").as("bin"))
   }
 
   /** Shared PSI core over melted `(side, metric, bin)` rows — the
@@ -608,12 +622,30 @@ object TextOps {
     * floor(x·10⁶+½) quantization. Arithmetic parity notes live on
     * [[corpusDriftOn]].
     */
-  private[graft] def psiTermsOn(binned: DataFrame): DataFrame = {
-    val counts = binned
+  private[graft] def psiTermsOn(binned: DataFrame): DataFrame =
+    psiFromCounts(psiSideCounts(binned))
+
+  /** One side's aggregated bin counts `(side, metric, bin, n)` — the
+    * PERSISTABLE baseline-profile form: at 100 TB the baseline side of a
+    * per-batch drift monitor must be these ~30 rows computed once, not a
+    * corpus re-melted every micro-batch ([[graft.streaming.CurateIngest]]
+    * checkpoints exactly this frame at stream start).
+    */
+  private[graft] def psiSideCounts(binned: DataFrame): DataFrame =
+    binned.groupBy(col("side"), col("metric"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** PSI terms from pre-aggregated side counts — [[psiTermsOn]]'s tail.
+    * Bit-exact with the raw-row form: summing per-side counts yields the
+    * same exact integers the conditional row count did, and every later
+    * step (shares, clamp, quantization) is unchanged.
+    */
+  private[graft] def psiFromCounts(sideCounts: DataFrame): DataFrame = {
+    val counts = sideCounts
       .groupBy(col("metric"), col("bin"))
       .agg(
-        sum(when(col("side") === "base", 1L).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nb"),
-        sum(when(col("side") === "batch", 1L).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nq"))
+        sum(when(col("side") === "base", col("n")).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nb"),
+        sum(when(col("side") === "batch", col("n")).otherwise(0L)).cast(org.apache.spark.sql.types.DoubleType).as("nq"))
     val tot = counts.groupBy(col("metric"))
       .agg(sum(col("nb")).as("tb"), sum(col("nq")).as("tq"))
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)

@@ -2138,7 +2138,16 @@ object VectorOps {
     * explode), two map-side-combinable counts, an 80-row join — nothing
     * corpus-sized shuffles, same as corpus drift.
     */
-  def vecDriftOn(baseline: DataFrame, batch: DataFrame): DataFrame = {
+  def vecDriftOn(baseline: DataFrame, batch: DataFrame): DataFrame =
+    TextOps.psiTermsOn(
+      vecBins(baseline, "base").unionByName(vecBins(batch, "batch")))
+
+  /** The melted `(side, metric, bin)` rows of one embedding side —
+    * factored out (the [[TextOps.corpusBins]] posture) so a
+    * continuously-ingesting pipeline aggregates the baseline side once
+    * at stream start instead of re-melting it per micro-batch.
+    */
+  private[graft] def vecBins(df: DataFrame, side: String): DataFrame = {
     // the bucket is a native expression, NOT an inline ± chain: the
     // 4×64-term reduceLeft formulation cost a constant ~5.3 s of
     // generated-code compilation per session at EVERY scale factor
@@ -2149,19 +2158,16 @@ object VectorOps {
       .planeBucket(col("embedding"), DriftPlanes, EmbDims,
         for (i <- 0 until DriftPlanes; j <- 0 until EmbDims)
           yield if (projSign(DriftPlaneBase + i, j) > 0) 1.0 else -1.0)
-    def binned(df: DataFrame, side: String) =
-      df.select(lit(side).as("side"),
-        explode(array(
-          struct(lit("lsh_bucket").as("metric"),
-            concat(lit("b"), bucket.cast(StringType)).as("bin")),
-          struct(lit("argmax").as("metric"),
-            concat(lit("d"), array_position(col("embedding"),
-              array_max(col("embedding"))).cast(StringType)).as("bin"))))
-          .as("mb"))
-        .select(col("side"), col("mb.metric").as("metric"),
-          col("mb.bin").as("bin"))
-    TextOps.psiTermsOn(
-      binned(baseline, "base").unionByName(binned(batch, "batch")))
+    df.select(lit(side).as("side"),
+      explode(array(
+        struct(lit("lsh_bucket").as("metric"),
+          concat(lit("b"), bucket.cast(StringType)).as("bin")),
+        struct(lit("argmax").as("metric"),
+          concat(lit("d"), array_position(col("embedding"),
+            array_max(col("embedding"))).cast(StringType)).as("bin"))))
+        .as("mb"))
+      .select(col("side"), col("mb.metric").as("metric"),
+        col("mb.bin").as("bin"))
   }
 
   /** 4 planes → 16 buckets: enough cells that a region shift moves

@@ -44,6 +44,18 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
   * first-drop-reason audit exactly like the batch pipeline; survivors
   * are `filter(kept)`.
   *
+  * With `driftBaseline` set, every batch also emits its PSI drift terms
+  * vs the pinned baseline as a side output at `<outPath>_drift/batch=` —
+  * corpus metrics always ([[graft.queries.TextOps.corpusDriftOn]]'s
+  * n_chars/lang/source), embedding-space metrics
+  * ([[graft.queries.VectorOps.vecDriftOn]]'s lsh_bucket/argmax) when
+  * both the baseline and the batch carry `embedding`. The baseline is
+  * profiled ONCE at stream start into its aggregated bin counts; each
+  * batch pays only its own melt plus a bins-sized join. The operator
+  * loop reads drift from storage (`sum(psi_term) > 0.25 per family,
+  * metric` is the conventional page threshold) instead of scheduling
+  * batch drift jobs.
+  *
   * Fault tolerance: all state is durable parquet; every state write a
   * replay re-executes is an overwrite of the batch's own `batch=` dir
   * (the seen-set deltas exclude their own tag, the MinHash admit guards
@@ -78,9 +90,20 @@ object CurateIngest {
       mediaColumn: Option[String] = None,
       mediaKind: String = "image",
       videoConfig: graft.extract.Multimodal.VideoDedupConfig =
-        graft.extract.Multimodal.VideoDedupConfig()): StreamingQuery = {
+        graft.extract.Multimodal.VideoDedupConfig(),
+      driftBaseline: Option[String] = None): StreamingQuery = {
     require(evalPath.isEmpty || evalIndexPath.isEmpty,
       "pass evalPath (fixed corpus) or evalIndexPath (growable index), not both")
+    // drift monitoring (r14 verdict gap #2): the baseline corpus is
+    // profiled ONCE at stream start into its ~30 aggregated PSI bin
+    // counts (TextOps.psiSideCounts — the evalShingles posture, and the
+    // only baseline form that scales: re-melting a pinned 100 TB
+    // baseline every micro-batch would dwarf the batch itself). A
+    // baseline carrying an `embedding` column also pins the
+    // embedding-space profile; batches that ride embeddings then emit
+    // vec-PSI beside corpus-PSI.
+    val driftBase = driftBaseline.map(p =>
+      driftProfile(docs.sparkSession.read.parquet(p)))
     // the fixed eval corpus is shingled + distinct'd ONCE at start —
     // per-batch re-shingling would make the eval pass the dominant
     // fixed cost of every micro-batch. The INDEX form instead re-reads
@@ -101,9 +124,29 @@ object CurateIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
           evalShingles, compactEvery, evalIndexPath, semanticThreshold,
-          mediaColumn, mediaKind, videoConfig)
+          mediaColumn, mediaKind, videoConfig, driftBase)
       }
       .start()
+  }
+
+  /** The pinned baseline's drift profile: its aggregated corpus PSI bin
+    * counts, plus the embedding-space counts when the baseline carries
+    * an `embedding` column — eagerly checkpointed (a ~30-row frame), the
+    * once-per-stream cost [[run]] pays so no micro-batch ever re-melts
+    * the baseline corpus.
+    */
+  private[graft] def driftProfile(baseline: DataFrame)
+      : (DataFrame, Option[DataFrame]) = {
+    val corpusCounts = TextOps
+      .psiSideCounts(TextOps.corpusBins(baseline, "base"))
+      .localCheckpoint(true)
+    val vecCounts =
+      if (baseline.columns.contains("embedding"))
+        Some(TextOps.psiSideCounts(
+            VectorOps.vecBins(baseline.select(col("embedding")), "base"))
+          .localCheckpoint(true))
+      else None
+    (corpusCounts, vecCounts)
   }
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
@@ -115,7 +158,8 @@ object CurateIngest {
       mediaColumn: Option[String] = None,
       mediaKind: String = "image",
       videoConfig: graft.extract.Multimodal.VideoDedupConfig =
-        graft.extract.Multimodal.VideoDedupConfig()): Unit = {
+        graft.extract.Multimodal.VideoDedupConfig(),
+      driftBase: Option[(DataFrame, Option[DataFrame])] = None): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
 
@@ -406,6 +450,36 @@ object CurateIngest {
       .withColumn("kept", col("drop_reason").isNull)
       .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok", "sm_ok", "md_ok")
     verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
+
+    // drift side output — the monitoring twin of the verdict output:
+    // per-bin PSI terms of THIS batch vs the pinned baseline profile,
+    // under the same batch= layout, so the operator loop reads drift
+    // from storage on its own cadence instead of scheduling batch jobs.
+    // Measured on the FULL ARRIVAL batch (b), not the keepers: drift
+    // watches what comes in the door — a dedup storm is a curation
+    // outcome and must not mask an upstream distribution shift.
+    // Deterministic bytes: the term frame is ~30-110 rows, sorted and
+    // collapsed to one file; an at-least-once replay overwrites its own
+    // batch= dir with identical content (same batch + same pinned
+    // profile), the whole pipeline's replay discipline.
+    driftBase.foreach { case (corpusBase, vecBase) =>
+      val corpusTerms = TextOps.psiFromCounts(corpusBase.unionByName(
+          TextOps.psiSideCounts(TextOps.corpusBins(b, "batch"))))
+        .withColumn("family", lit("corpus"))
+      val terms = vecBase match {
+        case Some(vb) if b.columns.contains("embedding") =>
+          corpusTerms.unionByName(
+            TextOps.psiFromCounts(vb.unionByName(TextOps.psiSideCounts(
+                VectorOps.vecBins(b.select(col("embedding")), "batch"))))
+              .withColumn("family", lit("embedding")))
+        case _ => corpusTerms
+      }
+      terms.select(col("family"), col("metric"), col("bin"),
+          col("base_share"), col("batch_share"), col("psi_term"))
+        .orderBy(col("family"), col("metric"), col("bin"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${outPath}_drift/batch=$tag")
+    }
   }
 
 

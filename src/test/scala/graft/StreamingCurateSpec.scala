@@ -629,4 +629,73 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     }
     assert(err.getMessage.contains("mediaKind"))
   }
+
+  test("drift side output: a distribution-true batch reads stable, a " +
+      "shifted batch crosses 0.25 in ITS OWN batch= dir; replay is " +
+      "reproducible; no-embedding batches emit corpus terms only") {
+    import spark.implicits._
+    def embDocs(rows: Seq[(Long, String, Long)], emb: Seq[Float]): DataFrame =
+      rows.map(r => (r._1, r._2, r._3, emb))
+        .toDF("doc_id", "text", "n_chars", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    val baseEmb = Seq(1.0f, 0.4f) ++ Seq.fill(62)(0.0f)
+    val state = java.nio.file.Files.createTempDirectory("ci_drift_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_drift_out").toString
+    val blDir = java.nio.file.Files.createTempDirectory("ci_drift_base").toString
+
+    // pinned baseline: 40-word docs (~320 chars), one embedding region;
+    // profiled once, the run() posture
+    embDocs((0 until 30).map(i => doc(1000L + i, s"base$i", 40)), baseEmb)
+      .write.mode("overwrite").parquet(blDir)
+    val profile = CurateIngest.driftProfile(spark.read.parquet(blDir))
+
+    def famPsi(tag: String): Map[(String, String), Double] =
+      spark.read.parquet(s"${out}_drift/batch=$tag").collect()
+        .groupBy(r => (r.getAs[String]("family"), r.getAs[String]("metric")))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Double]("psi_term")).sum }
+
+    // batch 0: same word shape as the baseline (same n_chars bin, same
+    // embedding region) — every family/metric stable. PSI with 2-doc
+    // batches is deliberately brutal: ONE doc in a bin the baseline
+    // never populated clamps to a huge term, so 'similar' means
+    // bin-identical here.
+    CurateIngest.processBatch(
+      embDocs(Seq(doc(1L, "base31", 40), doc(2L, "base32", 40)), baseEmb),
+      0L, state, out, CurateConfig(), driftBase = Some(profile))
+    val stable = famPsi("b0")
+    assert(stable.keySet.map(_._1) == Set("corpus", "embedding"))
+    stable.foreach { case (k, v) =>
+      assert(v < 0.25, s"stable batch drifted on $k: $v") }
+
+    // batch 1: long docs (gt0500 bin) in a NEGATED embedding region —
+    // both families cross the 0.25 page threshold in b1's own side
+    // output while b0's stays stable on disk
+    val shifted = embDocs(
+      Seq(doc(11L, "charlie", 100), doc(12L, "deltafour", 100)),
+      baseEmb.map(-_))
+    CurateIngest.processBatch(shifted, 1L, state, out, CurateConfig(),
+      driftBase = Some(profile))
+    val moved = famPsi("b1")
+    assert(moved(("corpus", "n_chars")) > 0.25,
+      s"shifted length distribution not flagged: ${moved(("corpus", "n_chars"))}")
+    assert(moved(("embedding", "lsh_bucket")) > 0.25,
+      s"shifted embedding region not flagged: ${moved(("embedding", "lsh_bucket"))}")
+    famPsi("b0").foreach { case (k, v) =>
+      assert(v < 0.25, s"b0's stored terms changed after b1: $k $v") }
+
+    // at-least-once replay: identical term rows, same batch= dir
+    val before = spark.read.parquet(s"${out}_drift/batch=b1").collect()
+      .map(_.toString).sorted.toSeq
+    CurateIngest.processBatch(shifted, 1L, state, out, CurateConfig(),
+      driftBase = Some(profile))
+    val after = spark.read.parquet(s"${out}_drift/batch=b1").collect()
+      .map(_.toString).sorted.toSeq
+    assert(before == after, "replay must reproduce the drift terms")
+
+    // a batch WITHOUT an embedding column: corpus terms only (the vec
+    // profile waits for batches that ride embeddings)
+    CurateIngest.processBatch(docsDf(Seq(doc(21L, "echo", 40))), 2L,
+      state, out, CurateConfig(), driftBase = Some(profile))
+    assert(famPsi("b2").keySet.map(_._1) == Set("corpus"))
+  }
 }
