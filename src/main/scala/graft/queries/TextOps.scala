@@ -82,7 +82,24 @@ case class CurateConfig(
     mediaColumn: Option[String] = None,
     mediaKind: String = "image",
     videoConfig: graft.extract.Multimodal.VideoDedupConfig =
-      graft.extract.Multimodal.VideoDedupConfig())
+      graft.extract.Multimodal.VideoDedupConfig(),
+    // multi-media form (r14 verdict gap #3): a real multimodal corpus
+    // carries image AND audio side by side — one (column, kind) entry
+    // per modality, each deduped against its own fingerprint family in
+    // declaration order; `mediaColumn`/`mediaKind` is the one-entry
+    // sugar (exclusive — pass one form). One kind per pipeline entry:
+    // two columns of the same kind would share a fingerprint family
+    // and (in the stream) an index root.
+    media: Seq[(String, String)] = Nil) {
+  require(media.isEmpty || mediaColumn.isEmpty,
+    "pass media (multi-column) or mediaColumn (single-column sugar), not both")
+  require(media.map(_._2).distinct.size == media.size,
+    s"media kinds must be distinct, got ${media.map(_._2)}")
+
+  /** The resolved (column, kind) stage list, sugar folded in. */
+  private[graft] def mediaEntries: Seq[(String, String)] =
+    mediaColumn.map(c => (c, mediaKind)).toSeq ++ media
+}
 
 object TextOps {
   import Det._
@@ -2441,39 +2458,52 @@ object TextOps {
     // the deliberate semantic difference between a corpus-level
     // one-shot and arrival-order increments, on top of keep-best vs
     // keep-first; parity holds when neither applies (spec fixture).
-    val mdKeep = cfg.mediaColumn.map { mc =>
-      require(docs.columns.contains(mc),
-        s"mediaColumn '$mc' is not on the corpus")
+    // Multi-media form: the stage folds over cfg.mediaEntries in
+    // declaration order — kind k's keep-best runs AMONG kind k−1's
+    // survivors, so a doc dropped as an audio dup never competes for an
+    // image cluster's keeper slot (the streaming loop's sequential probe
+    // order, mirrored). One decode pass per kind (each one-shot dedup
+    // hashes its own column exactly once); the drop reason stays the
+    // single `media_dup` — per-kind attribution, when an audit needs
+    // it, is the pair tables of the one-shots / the per-kind indexes,
+    // not the verdict column (stream/batch verdict parity would
+    // otherwise hinge on sub-stage order forever).
+    val mdKeep = if (cfg.mediaEntries.isEmpty) None else Some {
       import graft.extract.Multimodal
-      Multimodal.mediaKindLayout(cfg.mediaKind) // kind validation only
-      val media = docs.select(col("doc_id").cast(StringType).as("path"),
-        col(mc).as("content"))
-      val pairs = cfg.mediaKind match {
-        case "video" =>
-          val vc = cfg.videoConfig
-          Multimodal.videoDedup(media, decoder = vc.decoder,
-              everyNthMs = vc.everyNthMs, durationMs = vc.durationMs,
-              minJaccard = vc.minJaccard, maxPerSig = vc.maxPerSig)
-            .select(col("video_id1").as("id1"), col("video_id2").as("id2"))
-        case "audio" =>
-          Multimodal.audioDedup(media)
-            .select(col("audio_id1").as("id1"), col("audio_id2").as("id2"))
-        case _ =>
-          Multimodal.imageDedup(media).select(col("id1"), col("id2"))
-      }
-      val mlabels = Multimodal.mediaClusterLabels(pairs)
-        .select(col("med_id").cast(LongType).as("doc_id"),
-          col("rep_id").as("mrep"))
-      stage3
+      val start = stage3.select(col("doc_id"), col("n_chars"))
         .join(ndKeep.select(col("doc_id")), Seq("doc_id"))
         .transform(s => smKeep.fold(s)(sk =>
           s.join(sk.select(col("doc_id")), Seq("doc_id"))))
-        .join(mlabels, Seq("doc_id"), "left")
-        .groupBy(coalesce(col("mrep"), col("doc_id").cast(StringType))
-          .as("mrep"))
-        .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
-          .as("doc_id"))
-        .select(col("doc_id"), lit(true).as("md_keep"))
+      cfg.mediaEntries.foldLeft(start) { case (surv, (mc, kind)) =>
+        require(docs.columns.contains(mc),
+          s"media column '$mc' is not on the corpus")
+        Multimodal.mediaKindLayout(kind) // kind validation only
+        val media = docs.select(col("doc_id").cast(StringType).as("path"),
+          col(mc).as("content"))
+        val pairs = kind match {
+          case "video" =>
+            val vc = cfg.videoConfig
+            Multimodal.videoDedup(media, decoder = vc.decoder,
+                everyNthMs = vc.everyNthMs, durationMs = vc.durationMs,
+                minJaccard = vc.minJaccard, maxPerSig = vc.maxPerSig)
+              .select(col("video_id1").as("id1"), col("video_id2").as("id2"))
+          case "audio" =>
+            Multimodal.audioDedup(media)
+              .select(col("audio_id1").as("id1"), col("audio_id2").as("id2"))
+          case _ =>
+            Multimodal.imageDedup(media).select(col("id1"), col("id2"))
+        }
+        val mlabels = Multimodal.mediaClusterLabels(pairs)
+          .select(col("med_id").cast(LongType).as("doc_id"),
+            col("rep_id").as("mrep"))
+        surv.join(mlabels, Seq("doc_id"), "left")
+          .groupBy(coalesce(col("mrep"), col("doc_id").cast(StringType))
+            .as("mrep"))
+          .agg(max_by(struct(col("doc_id"), col("n_chars")),
+            col("n_chars") * lit(1000000000L) - col("doc_id")).as("best"))
+          .select(col("best.doc_id").as("doc_id"),
+            col("best.n_chars").as("n_chars"))
+      }.select(col("doc_id"), lit(true).as("md_keep"))
     }
     val marked = docs.select(col("doc_id"), g.all.as("q_ok"))
       .join(exKeep, Seq("doc_id"), "left")

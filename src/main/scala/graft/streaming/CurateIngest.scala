@@ -28,16 +28,22 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
   *      `embedding` column: cosine-LSH vs the growing cosine index
   *      (`drop_reason = "semantic_dup"`), catching paraphrases the
   *      shingle stages can't see. Same admit policy and lifecycle.
-  *   7. media dedup — optional, for batches carrying an image/audio/
-  *      video binary column: aHash vs the persisted media-signature
-  *      index ([[graft.extract.Multimodal.mediaHashProbe]];
+  *   7. media dedup — optional, for batches carrying image/audio/video
+  *      binary columns: aHash vs the persisted media-signature index
+  *      ([[graft.extract.Multimodal.mediaHashProbe]];
   *      `drop_reason = "media_dup"`), catching the same bytes (or a
-  *      re-encode within Hamming 6) re-arriving under fresh text.
-  *      `mediaKind = "video"` probes the frame-SET index instead
+  *      re-encode within Hamming 6 — a radius the multi-probe banding
+  *      guarantees) re-arriving under fresh text. The video kind
+  *      probes the frame-SET index instead
   *      ([[graft.extract.Multimodal.videoFrameProbe]]) — clips sharing
   *      ≥ minJaccard of their sampled frames drop even when a suffix
   *      differs, where a whole-file hash sees unrelated blobs. Same
-  *      admit policy and lifecycle.
+  *      admit policy and lifecycle. A multimodal corpus passes
+  *      `media = Seq(col -> kind, …)` — one entry per modality, each
+  *      against its OWN per-kind index root, sub-stages chained in
+  *      declaration order with one shared `media_dup` reason
+  *      (`mediaColumn`/`mediaKind` is the one-entry sugar on the
+  *      legacy root).
   *
   * Output per batch: the full batch rows (text REWRITTEN when the
   * segment stage is on, n_chars recomputed) plus (kept, drop_reason) —
@@ -91,7 +97,9 @@ object CurateIngest {
       mediaKind: String = "image",
       videoConfig: graft.extract.Multimodal.VideoDedupConfig =
         graft.extract.Multimodal.VideoDedupConfig(),
-      driftBaseline: Option[String] = None): StreamingQuery = {
+      driftBaseline: Option[String] = None,
+      media: Seq[(String, String)] = Nil): StreamingQuery = {
+    mediaStageEntries(mediaColumn, mediaKind, media) // fail at start
     require(evalPath.isEmpty || evalIndexPath.isEmpty,
       "pass evalPath (fixed corpus) or evalIndexPath (growable index), not both")
     // drift monitoring (r14 verdict gap #2): the baseline corpus is
@@ -124,9 +132,37 @@ object CurateIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, statePath, outPath, cfg,
           evalShingles, compactEvery, evalIndexPath, semanticThreshold,
-          mediaColumn, mediaKind, videoConfig, driftBase)
+          mediaColumn, mediaKind, videoConfig, driftBase, media)
       }
       .start()
+  }
+
+  /** The resolved media stage list: (column, kind, index-root-leaf).
+    * The single-column sugar keeps the PRE-r15 roots (`media` for the
+    * hash kinds, `media_video` for video) so existing streams resume
+    * against their existing state; the multi-column form gets one root
+    * PER KIND (`media_image`/`media_audio`/`media_video` — the r14
+    * media_video split generalized): two hash kinds can never share a
+    * root, whose `_params` pins exactly one kind. Kinds must be
+    * distinct — two columns of one kind would share a fingerprint
+    * family and a root.
+    */
+  private[graft] def mediaStageEntries(mediaColumn: Option[String],
+      mediaKind: String, media: Seq[(String, String)])
+      : Seq[(String, String, String)] = {
+    require(media.isEmpty || mediaColumn.isEmpty,
+      "pass media (multi-column) or mediaColumn (single-column sugar), not both")
+    require(media.map(_._2).distinct.size == media.size,
+      s"media kinds must be distinct, got ${media.map(_._2)}")
+    val legacy = mediaColumn.map { c =>
+      (c, mediaKind,
+        graft.extract.Multimodal.mediaKindLayout(mediaKind)._1)
+    }.toSeq
+    val multi = media.map { case (c, k) =>
+      graft.extract.Multimodal.mediaKindLayout(k) // kind validation
+      (c, k, if (k == "video") "media_video" else s"media_$k")
+    }
+    legacy ++ multi
   }
 
   /** The pinned baseline's drift profile: its aggregated corpus PSI bin
@@ -159,9 +195,11 @@ object CurateIngest {
       mediaKind: String = "image",
       videoConfig: graft.extract.Multimodal.VideoDedupConfig =
         graft.extract.Multimodal.VideoDedupConfig(),
-      driftBase: Option[(DataFrame, Option[DataFrame])] = None): Unit = {
+      driftBase: Option[(DataFrame, Option[DataFrame])] = None,
+      media: Seq[(String, String)] = Nil): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
+    val mediaEntries = mediaStageEntries(mediaColumn, mediaKind, media)
 
     // crash recovery FIRST — before any existence probe: after a crash
     // mid-compaction-swap the minhash corpus lives ONLY in the
@@ -180,22 +218,22 @@ object CurateIngest {
         VectorOps.compactNeardupIndex(spark, s"$statePath/minhash")
       if (cosineExists(spark, statePath))
         VectorOps.compactCosineIndex(spark, s"$statePath/cosine")
-      // media index: same skip-if-in-flight guard as the seen-sets —
-      // folding the current tag would close its replay window. The
-      // video kind lives under its own root (media_video/frames), the
-      // hash kinds under media/hashes — compact whichever this stream
-      // grows.
-      val (mediaRoot, mediaComp) =
-        graft.extract.Multimodal.mediaKindLayout(mediaKind)
-      if (mediaExists(spark, statePath, mediaRoot, mediaComp) &&
-          !graft.extract.Multimodal.mediaTagExists(spark,
-            s"$statePath/$mediaRoot", tag, mediaComp)) {
-        if (mediaKind == "video")
-          graft.extract.Multimodal.compactVideoIndex(spark,
-            s"$statePath/$mediaRoot")
-        else
-          graft.extract.Multimodal.compactMediaIndex(spark,
-            s"$statePath/$mediaRoot")
+      // media indexes: same skip-if-in-flight guard as the seen-sets —
+      // folding the current tag would close its replay window. One root
+      // per stage entry (mediaStageEntries) — compact whichever this
+      // stream grows.
+      mediaEntries.foreach { case (_, kind, rootLeaf) =>
+        val comp = if (kind == "video") "frames" else "hashes"
+        if (mediaExists(spark, statePath, rootLeaf, comp) &&
+            !graft.extract.Multimodal.mediaTagExists(spark,
+              s"$statePath/$rootLeaf", tag, comp)) {
+          if (kind == "video")
+            graft.extract.Multimodal.compactVideoIndex(spark,
+              s"$statePath/$rootLeaf")
+          else
+            graft.extract.Multimodal.compactMediaIndex(spark,
+              s"$statePath/$rootLeaf")
+        }
       }
     }
 
@@ -309,86 +347,97 @@ object CurateIngest {
         // doc's embedding join the semantic corpus (review catch r14)
         IngestDedup.admit(admitted, vpairs, "doc_id", "v1", "v2")
     }
-    // 7. optional media dedup vs the persisted media-signature index —
-    // for batches carrying an image/audio binary column: the SAME bytes
-    // (or a re-encode/tweak within Hamming 6 of them) arriving under a
-    // new doc_id drops as media_dup, even when its text passed every
-    // stage above. Only survivors of the text+semantic stages probe
-    // (first-drop-reason precedence after semantic_dup); the index
-    // grows with the FINAL keepers only (the stage-5/6 discipline), so
-    // probe and append are split ([[graft.extract.Multimodal
-    // .mediaHashProbe]]/[[appendMediaIndex]]). Undecodable media rows
-    // pass the stage — no fingerprint, nothing to compare.
-    val med = mediaColumn match {
-      case None => sem
-      case Some(mc) =>
-        require(b.columns.contains(mc),
-          s"mediaColumn '$mc' is not on the batch")
-        // kind validation + root/component resolution live in ONE
-        // place (mediaKindLayout — a typo'd kind must not silently
-        // no-op the stage while pinning a bogus kind into _params)
-        val (mediaRootLeaf, _) =
-          graft.extract.Multimodal.mediaKindLayout(mediaKind)
-        if (mediaKind == "video") {
-          val vc = videoConfig
-          // the video index lives under its OWN root (media_video, not
-          // media): the hash and frame-set families share one `_params`
-          // per root, so co-rooting them would let a mid-stream kind
-          // switch silently re-pin the other kind's sidecar and let one
-          // component's compaction reset the SHARED history (r14 review
-          // catch; the sibling-aware first-contact guard in
-          // requireIndexParamsAt refuses the standalone form of this)
-          val mediaPath = s"$statePath/$mediaRootLeaf"
-          // the frame-set index got its own root within r14; a frames/
-          // component under the old SHARED media/ root is pre-split
-          // state — fail loudly rather than silently bootstrapping an
-          // empty index beside it (which would forget every admitted
-          // clip while the old index rots unprobed)
-          require(!mediaExists(spark, statePath, "media", "frames"),
-            s"found a frame-set index under $statePath/media (the " +
-              s"pre-split shared root); move it to $statePath/media_video " +
-              "before resuming the stream")
-          // decode paid once (checkpointed inside batchFrameSet): one
-          // frame-signature pass feeds the probe and the keepers' append
-          val frames = graft.extract.Multimodal.batchFrameSet(
-            sem.select(col("doc_id").cast("string").as("med_id"), col(mc)),
-            "med_id", mc, vc.decoder, vc.everyNthMs, vc.durationMs)
-          // admit = true: this loop IS the admit path (the hash-kind
-          // rationale below applies verbatim)
-          val rawPairs = graft.extract.Multimodal.videoFrameProbe(spark,
-            mediaPath, frames, tag, vc.everyNthMs, vc.durationMs,
-            vc.minJaccard, vc.maxPerSig, admitParams = true)
-          val kept = IngestDedup.admit(sem, normalizePairs(rawPairs),
-            "doc_id", "m1", "m2")
-          graft.extract.Multimodal.appendVideoIndex(spark, mediaPath,
-            frames.join(kept.select(col("doc_id").cast("string")
-              .as("video_id")), "video_id"),
-            tag, vc.everyNthMs, vc.durationMs)
-          kept
-        } else {
-        val hashFn =
-          if (mediaKind == "audio") graft.extract.Multimodal.audioAHash
-          else graft.extract.Multimodal.imageAHash
-        val mediaPath = s"$statePath/$mediaRootLeaf"
-        // decode paid once: one hash pass feeds the probe and the
-        // keepers' append below
-        val hashed = sem
-          .select(col("doc_id").cast("string").as("med_id"),
-            hashFn(col(mc)).as("ahash"))
-          .filter(col("ahash").isNotNull).localCheckpoint(true)
-        // admit = true: this loop IS the admit path, so a crashed
-        // first contact (sidecar present, hashes/ absent) re-records
-        // rather than wedging the stream (the TextOps window semantics)
-        val rawPairs = graft.extract.Multimodal.mediaHashProbe(spark,
-          mediaPath, hashed, tag, mediaKind, admitParams = true)
-        val kept = IngestDedup.admit(sem, normalizePairs(rawPairs),
-          "doc_id", "m1", "m2")
-        graft.extract.Multimodal.appendMediaIndex(spark, mediaPath,
-          hashed.join(kept.select(col("doc_id").cast("string")
-            .as("med_id")), "med_id"), tag, mediaKind)
-        kept
-        }
-    }
+    // 7. optional media dedup vs the persisted media-signature indexes —
+    // for batches carrying image/audio/video binary columns: the SAME
+    // bytes (or a re-encode/tweak within Hamming 6 — a radius the
+    // multi-probe banding guarantees) arriving under a new doc_id drops
+    // as media_dup, even when its text passed every stage above. Only
+    // survivors of the text+semantic stages probe (first-drop-reason
+    // precedence after semantic_dup), and with SEVERAL media entries
+    // the sub-stages chain in declaration order — kind k probes kind
+    // k-1's survivors, so each kind decodes only what is still alive
+    // (the batch twin's fold, mirrored). Every index root is per kind
+    // (mediaStageEntries); every index grows with the FINAL keepers
+    // only (the stage-5/6 discipline), so the per-kind probes run
+    // inside the fold while the appends are DEFERRED until the last
+    // sub-stage settles the keeper set — appending kind 1's survivors
+    // eagerly would let a doc kind 2 later drops join kind 1's corpus.
+    // Undecodable media rows pass the stage — no fingerprint, nothing
+    // to compare.
+    val (med, mediaAppends) = mediaEntries
+      .foldLeft((sem, Seq.empty[DataFrame => Unit])) {
+        case ((surv, appends), (mc, kind, rootLeaf)) =>
+          require(b.columns.contains(mc),
+            s"media column '$mc' is not on the batch")
+          val mediaPath = s"$statePath/$rootLeaf"
+          if (kind == "video") {
+            val vc = videoConfig
+            // the video index lives under its OWN root (media_video,
+            // not media): the hash and frame-set families share one
+            // `_params` per root, so co-rooting them would let a
+            // mid-stream kind switch silently re-pin the other kind's
+            // sidecar (r14 review catch). A frames/ component under the
+            // old SHARED media/ root is pre-split state — fail loudly
+            // rather than silently bootstrapping an empty index beside
+            // it (which would forget every admitted clip while the old
+            // index rots unprobed).
+            require(!mediaExists(spark, statePath, "media", "frames"),
+              s"found a frame-set index under $statePath/media (the " +
+                s"pre-split shared root); move it to " +
+                s"$statePath/media_video before resuming the stream")
+            // decode paid once (checkpointed inside batchFrameSet): one
+            // frame-signature pass feeds the probe and the keepers'
+            // deferred append
+            val frames = graft.extract.Multimodal.batchFrameSet(
+              surv.select(col("doc_id").cast("string").as("med_id"),
+                col(mc)),
+              "med_id", mc, vc.decoder, vc.everyNthMs, vc.durationMs)
+            // admit = true: this loop IS the admit path (the hash-kind
+            // rationale below applies verbatim)
+            val rawPairs = graft.extract.Multimodal.videoFrameProbe(spark,
+              mediaPath, frames, tag, vc.everyNthMs, vc.durationMs,
+              vc.minJaccard, vc.maxPerSig, admitParams = true)
+            val kept = IngestDedup.admit(surv, normalizePairs(rawPairs),
+              "doc_id", "m1", "m2")
+            (kept, appends :+ ((keepers: DataFrame) =>
+              graft.extract.Multimodal.appendVideoIndex(spark, mediaPath,
+                frames.join(keepers.select(col("doc_id").cast("string")
+                  .as("video_id")), "video_id"),
+                tag, vc.everyNthMs, vc.durationMs)))
+          } else {
+            // a multi-media stream beside a legacy single-kind index:
+            // the per-kind root would silently bootstrap empty while
+            // the old shared-root index rots unprobed — same fail-loud
+            // posture as the video pre-split guard
+            if (rootLeaf != "media")
+              require(!mediaExists(spark, statePath, "media", "hashes"),
+                s"found a legacy hash index under $statePath/media (the " +
+                  s"single-kind root); move it to $statePath/$rootLeaf " +
+                  "before resuming with the multi-media config")
+            val hashFn =
+              if (kind == "audio") graft.extract.Multimodal.audioAHash
+              else graft.extract.Multimodal.imageAHash
+            // decode paid once: one hash pass feeds the probe and the
+            // keepers' deferred append
+            val hashed = surv
+              .select(col("doc_id").cast("string").as("med_id"),
+                hashFn(col(mc)).as("ahash"))
+              .filter(col("ahash").isNotNull).localCheckpoint(true)
+            // admit = true: this loop IS the admit path, so a crashed
+            // first contact (sidecar present, hashes/ absent)
+            // re-records rather than wedging the stream (the TextOps
+            // window semantics)
+            val rawPairs = graft.extract.Multimodal.mediaHashProbe(spark,
+              mediaPath, hashed, tag, kind, admitParams = true)
+            val kept = IngestDedup.admit(surv, normalizePairs(rawPairs),
+              "doc_id", "m1", "m2")
+            (kept, appends :+ ((keepers: DataFrame) =>
+              graft.extract.Multimodal.appendMediaIndex(spark, mediaPath,
+                hashed.join(keepers.select(col("doc_id").cast("string")
+                  .as("med_id")), "med_id"), tag, kind)))
+          }
+      }
+    mediaAppends.foreach(_(med))
 
     // ALL indexes grow with the FINAL keepers only, after every stage:
     // appending an earlier stage's survivors would let a later-dropped
@@ -435,10 +484,10 @@ object CurateIngest {
         case None => v.withColumn("sm_ok", col("nd_ok"))
       })
       // with the media stage off, med eq sem — alias, same as above
-      .transform(v => mediaColumn match {
-        case Some(_) => v.join(keepId(med, "md_ok"), Seq("doc_id"), "left")
-        case None => v.withColumn("md_ok", col("sm_ok"))
-      })
+      .transform(v =>
+        if (mediaEntries.nonEmpty)
+          v.join(keepId(med, "md_ok"), Seq("doc_id"), "left")
+        else v.withColumn("md_ok", col("sm_ok")))
       .withColumn("drop_reason",
         when(col("seg_drop").isNotNull, "segment_dup")
           .when(col("gv") === false, "quality")

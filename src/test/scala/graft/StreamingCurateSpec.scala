@@ -630,6 +630,119 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(err.getMessage.contains("mediaKind"))
   }
 
+  test("multi-media curation: image AND audio columns on one corpus — " +
+      "cross-batch dups caught per kind against per-kind roots, replay " +
+      "reproduces, batch/stream parity, legacy single-kind root refused") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    def img(kind: Int, format: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x =>
+        (0 until 64).foreach { y =>
+          val v = kind match {
+            case 0 => x * 255 / 63
+            case 1 => y * 255 / 63
+            case _ => (x + y) * 255 / 126
+          }
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    // the gain ENVELOPE is what the fingerprint hashes (noise washes
+    // out in frame energies), so distinct clips need distinct section
+    // periods, not just seeds
+    def wav(seed: Long, section: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      var h = seed
+      val samples = (0 until 6400).map { j =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        val noise = ((h >>> 48).toInt - 32768) / 4
+        val gain = ((j / section) % 4) match {
+          case 0 => 4; case 1 => 1; case 2 => 3; case _ => 0
+        }
+        (noise * gain / 4).toShort
+      }.toArray
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f,
+        16, 1, 2, 8000f, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def rows(ds: Seq[((Long, String, Long), Array[Byte], Array[Byte])]) =
+      ds.map { case (d, im, au) => (d._1, d._2, d._3, im, au) }
+        .toDF("doc_id", "text", "n_chars", "image", "audio")
+    val mediaCfg = Seq("image" -> "image", "audio" -> "audio")
+
+    val state = java.nio.file.Files.createTempDirectory("ci_mm_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_mm_out").toString
+    // keeper first AND best (41 chars, smallest id) so keep-first
+    // (stream) and keep-best (batch) coincide — the parity precondition
+    val b0 = rows(Seq(((doc(3L, "alpha", 41)), img(0), wav(1L, 300))))
+    CurateIngest.processBatch(b0, 0L, state, out, CurateConfig(),
+      media = mediaCfg)
+    assert(verdicts(s"$out/batch=b0") == Map(3L -> ((true, None))))
+
+    val b1 = rows(Seq(
+      (doc(11L, "chm", 40), img(0, format = "jpg"), wav(2L, 430)), // image re-encode of 3's
+      (doc(12L, "delta", 40), img(1), wav(1L, 300)),          // audio copy of 3's
+      (doc(13L, "echo", 40), img(2), wav(3L, 520))            // clean
+    ))
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      media = mediaCfg)
+    val want1 = Map(
+      11L -> ((false, Some("media_dup"))), // via the IMAGE index
+      12L -> ((false, Some("media_dup"))), // via the AUDIO index
+      13L -> ((true, None)))
+    assert(verdicts(s"$out/batch=b1") == want1)
+
+    // per-kind roots, both grown with the final keepers only
+    def ids(root: String) = spark.read
+      .parquet(s"$state/$root/hashes").select("med_id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids("media_image") == Set("3", "13"),
+      s"image index must hold the keepers: ${ids("media_image")}")
+    assert(ids("media_audio") == Set("3", "13"),
+      s"audio index must hold the keepers: ${ids("media_audio")}")
+
+    // at-least-once replay reproduces verdicts and state
+    CurateIngest.processBatch(b1, 1L, state, out, CurateConfig(),
+      media = mediaCfg)
+    assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
+    assert(ids("media_image") == Set("3", "13"))
+
+    // batch twin: curateOn over the union with cfg.media — doc-for-doc
+    val batchV = TextOps.curateOn(b0.unionByName(b1),
+        CurateConfig(media = mediaCfg))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(batchV == (want1 + (3L -> ((true, None)))),
+      s"batch/stream multi-media parity broke: $batchV")
+
+    // a legacy single-kind root beside the multi-media config is
+    // pre-split state — refused loudly, never silently re-bootstrapped
+    val state2 = java.nio.file.Files.createTempDirectory("ci_mm_leg").toString
+    val out2 = java.nio.file.Files.createTempDirectory("ci_mm_leg_out").toString
+    CurateIngest.processBatch(b0, 0L, state2, out2, CurateConfig(),
+      mediaColumn = Some("image"))
+    val err = intercept[IllegalArgumentException] {
+      CurateIngest.processBatch(b1, 1L, state2, out2, CurateConfig(),
+        media = mediaCfg)
+    }
+    assert(err.getMessage.contains("legacy hash index"))
+  }
+
   test("drift side output: a distribution-true batch reads stable, a " +
       "shifted batch crosses 0.25 in ITS OWN batch= dir; replay is " +
       "reproducible; no-embedding batches emit corpus terms only") {
