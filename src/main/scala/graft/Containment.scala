@@ -192,4 +192,50 @@ object Containment {
         "\"" + k + "\": " + "%.6f".formatLocal(java.util.Locale.ROOT, v)
       }.mkString(", ") + "}"
     }.mkString("{", ", ", "}")
+
+  /** The STANDING 3-SF gate (r14 verdict task 8): every no-oracle
+    * differential at sf0.001 / sf0.01 / sf0.1 in one artifact, keyed
+    * query → sf → metrics. The single-SF sweep let the q_knn_graph
+    * fixed search budget silently decay to recall 0.48 at sf0.1 through
+    * three rounds — recall floors are only floors if they are measured
+    * at every scale the fixtures offer, every round.
+    *
+    * Usage: `sbt "runMain graft.Containment [sfDir ...]"` (defaults to
+    * the three driver SFs); writes `CONTAINMENT_SF.json` to the repo
+    * root (the round-close snapshot copies it to CONTAINMENT_r{N}.json)
+    * and prints it.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val perSf = sfDirs.map { d =>
+      val sfName = d.split('/').last
+      sfName -> metrics(spark, d).toMap
+    }
+    // invert to query -> sf -> kvs so a per-query recall floor reads as
+    // one adjacent block across scales
+    val queries = perSf.flatMap(_._2.keys).distinct
+    val json = queries.map { q =>
+      "\"" + q + "\": {" + perSf.collect {
+        case (sf, m) if m.contains(q) =>
+          "\"" + sf + "\": {" + m(q).map { case (k, v) =>
+            "\"" + k + "\": " + "%.6f".formatLocal(java.util.Locale.ROOT, v)
+          }.mkString(", ") + "}"
+      }.mkString(", ") + "}"
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("CONTAINMENT_SF.json"), json)
+    println(json)
+    spark.stop()
+  }
 }
