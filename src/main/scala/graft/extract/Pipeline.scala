@@ -125,26 +125,38 @@ object Pipeline {
       col("page").as("only_page"))
   }
 
-  private case class Fanout(pages: Seq[Int], error: Option[String])
-
   /** Fan a corpus of whole documents out to per-page tasks. A document
     * whose page count cannot be determined survives as a single row with
     * page = -1 and the error captured (upstream sentinel).
+    *
+    * The UDF returns a Row against an explicit schema — the
+    * [[extractFeatures]] pattern — NOT a case class: the Scala-reflective
+    * encoder for a `Seq[Int]` field fails whole-stage codegen on this
+    * Spark/Scala pair ("no applicable method pages()"), costing a failed
+    * janino compile per session plus interpreted per-row encoding on an
+    * ORACLED query's path (q_page_fanout) — caught by the r15 warning
+    * sweep.
     */
   def fanout(docs: DataFrame, extractor: DocExtractor): DataFrame = {
-    val countUdf = udf { (content: Array[Byte], onlyPage: Option[Int]) =>
-      try {
-        val n = extractor.pageCount(content)
-        onlyPage match {
-          case Some(p) => Fanout(Seq(p), None)
-          case None => Fanout(1 to n, None)
+    val fanSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pages",
+        org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("error",
+        org.apache.spark.sql.types.StringType)))
+    val countUdf = udf(new org.apache.spark.sql.api.java
+        .UDF2[Array[Byte], Integer, org.apache.spark.sql.Row] {
+      override def call(content: Array[Byte],
+          onlyPage: Integer): org.apache.spark.sql.Row =
+        try {
+          val n = extractor.pageCount(content)
+          if (onlyPage != null) org.apache.spark.sql.Row(Seq(onlyPage.intValue), null)
+          else org.apache.spark.sql.Row((1 to n).toSeq, null)
+        } catch {
+          // NonFatal: never-fail covers extraction errors, not OOM/interrupt
+          case scala.util.control.NonFatal(e) =>
+            org.apache.spark.sql.Row(Seq(-1), s"pagecount: ${e.getMessage}")
         }
-      } catch {
-        // NonFatal: never-fail covers extraction errors, not OOM/interrupt
-        case scala.util.control.NonFatal(e) =>
-          Fanout(Seq(-1), Some(s"pagecount: ${e.getMessage}"))
-      }
-    }
+    }, fanSchema)
     val withOnly =
       if (docs.columns.contains("only_page")) docs
       else docs.withColumn("only_page", lit(null).cast(IntegerType))

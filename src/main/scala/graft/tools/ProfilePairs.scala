@@ -65,6 +65,21 @@ object ProfilePairs {
     time("native pairs 2")(pairsNative(docs, 0.5).count())
     time("native rows only")(natRows.count())
     time("native mins only")(natMins.count())
+    // r15 q_curate_delta adjudication: the row's dominant cost is this
+    // one-time pair build — is the prefix-filtered (AllPairs) form
+    // faster at sf0.1 than the direct shingle self-join?
+    time("prefix pairs 1")(TextOps.neardupJaccardPrefixAt(docs, 0.5).count())
+    time("prefix pairs 2")(TextOps.neardupJaccardPrefixAt(docs, 0.5).count())
+    // r15: the media banding's radius-1 multi-probe cost at 50k hashes
+    // (uniform random — worst case for probe fan-out, no pair output)
+    val hashes = spark.range(50000)
+      .select(col("id").cast("string").as("med_id"),
+        xxhash64(col("id")).as("ahash"))
+      .localCheckpoint(true)
+    time("banded exact 50k")(graft.operators.BandedHamming
+      .pairs(hashes, "med_id", "ahash").count())
+    time("banded multiprobe 50k")(graft.operators.BandedHamming
+      .pairs(hashes, "med_id", "ahash", multiProbe = true).count())
     spark.stop()
   }
 }
