@@ -714,7 +714,72 @@ object EventOps {
     } finally deleteRecursively(spark, tmp)
   }
 
+  // ------------------------------------------------ touch attribution
+
+  /** Last-touch revenue attribution: each purchase is credited to the
+    * SAME user's most recent prior touch (click or view — ties on equal
+    * timestamps break to the larger event_id, deterministically), then
+    * rolled up to (purchase day, touch type) — the classic marketing /
+    * session-labeling pass, and relationally the per-purchase as-of
+    * lookup q_join_asof runs per-key. Purchases with no prior touch are
+    * excluded (documented: attribution answers "which touch", not
+    * "how much revenue total" — q_rollup_time answers that).
+    *
+    * Exactness: values ride the [[Det.money]] decimal (exact sums in
+    * any order), days via [[utcDay]]'s integer µs arithmetic, and the
+    * last-touch pick is a row_number over (ts, event_id) — unique by
+    * event_id, so rank 1 is deterministic cross-engine.
+    *
+    * Scale: the touch×purchase join is keyed by user_id (per-user
+    * bounded work, never a global product), the window is keyed by
+    * purchase id, and the final rollup is map-side-combinable over
+    * days × touch types.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), money(col("value")).as("v"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("touch_type"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(utcDay(col("p_ts")).as("day"), col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        out(sum(col("v"))).as("attributed_value"))
+      .orderBy(col("day"), col("touch_type"))
+  }
+
+  val eventsAttributionSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts AS p_ts, event_id AS p_id,
+       |         ${Sql.money("value")} AS v
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, ts AS t_ts, event_id AS t_id,
+       |         event_type AS touch_type
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |ranked AS (
+       |  SELECT p.p_id, p.p_ts, p.v, t.touch_type,
+       |    row_number() OVER (PARTITION BY p.p_id
+       |                       ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+       |  FROM p JOIN t ON p.user_id = t.user_id AND t.t_ts < p.p_ts)
+       |SELECT strftime(make_timestamp((epoch_us(p_ts) // $DayUs) * $DayUs),
+       |    '%Y-%m-%d') AS day,
+       |  touch_type, count(*) AS n_purchases,
+       |  ${Sql.out("sum(v)")} AS attributed_value
+       |FROM ranked WHERE rn = 1
+       |GROUP BY day, touch_type
+       |ORDER BY day, touch_type""".stripMargin
+
   val all: Seq[ContractQuery] = Seq(
+    ContractQuery("q_events_attribution", eventsAttribution,
+      Some(eventsAttributionSql)),
     ContractQuery("q_topk_merge", topkMergeDaily, Some(topkMergeDailySql)),
     ContractQuery("q_topk_range", topkRange, Some(topkRangeSql)),
     ContractQuery("q_distinct_days", distinctDays, None),

@@ -784,6 +784,128 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- unigram LM quality score
+
+  /** Unigram language-model quality scoring — the CCNet-style
+    * "perplexity filter" made exact: train unigram counts over the
+    * corpus itself, score each document by the mean negative log
+    * probability of its token occurrences (low = boilerplate-typical,
+    * high = rare/garbled). Real pipelines train the LM on a trusted
+    * reference corpus and drop both tails; the self-trained contract
+    * form exercises the identical plan.
+    *
+    * Exactness: the only transcendental (ln(total/cnt)) is computed ONCE
+    * per DISTINCT token and immediately quantized to an integer
+    * (floor(x·10⁶ + ½) — the PSI discipline; last-ulp libm differences
+    * sit 9 orders below the grain), so the per-document aggregation is a
+    * LONG sum — order-free and bit-equal on any engine — and the mean is
+    * the exact HALF_UP rational floor((2s + n) / 2n) / 10⁶. No double is
+    * ever summed.
+    *
+    * Scale: one token explode, a map-side-combinable vocab count, one
+    * join keyed by token (vocab ≪ corpus occurrences), one per-doc LONG
+    * aggregation — nothing quadratic, nothing collected.
+    */
+  def qualityUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("t"),
+        floor(log(col("total").cast(DoubleType) / col("cnt")) *
+          lit(1000000.0) + lit(0.5)).cast(LongType).as("lp_q"))
+    tok.join(scored, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_q")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor((col("s") * lit(2L) + col("n_tokens")) /
+          (col("n_tokens") * lit(2L))) / lit(1000000.0))
+          .cast(DoubleType).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityUnigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
+      |  WHERE t <> ''),
+      |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+      |tot AS (SELECT sum(cnt) AS total FROM vocab),
+      |scored AS (
+      |  SELECT t, CAST(floor(ln(CAST(total AS DOUBLE) / cnt) * 1000000.0
+      |    + 0.5) AS BIGINT) AS lp_q
+      |  FROM vocab, tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(floor((sum(lp_q) * 2 + count(*)) / (count(*) * 2))
+      |    / 1000000.0 AS DOUBLE) AS mean_logprob
+      |FROM tok JOIN scored USING (t)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- per-domain quality budgets
+
+  /** Quality-budget selection — keep the best ⌈n/5⌉ documents of EACH
+    * source by [[qualityScore]]'s exact-rational score (ties break to
+    * the smaller doc_id): the "top-X% per domain" pass production
+    * pipelines run between scoring and training, where a global
+    * threshold would let one high-scoring domain crowd out the rest.
+    * The budget test is pure integer arithmetic (rk·5 ≤ n+4 ⇔
+    * rk ≤ ⌈n/5⌉), and the score itself is the quantized rational
+    * [[Det.div6]] emits, so ranking is deterministic cross-engine.
+    *
+    * Scale: one score pass (per-row expressions), one window keyed by
+    * source — the shuffle is by domain, group sizes are domain sizes;
+    * a skew-prone domain keys the same salting story as any windowed
+    * top-k ([[Relational]] q_topk_group discussion).
+    */
+  def selectQualityBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nW = size(toks).cast(LongType)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast(LongType)
+    val nDist = size(array_distinct(toks)).cast(LongType)
+    val scoreNum = least(col("n_chars"), lit(500L)) * lit(4L) * nW +
+      lit(1500L) * (nStop + nDist)
+    val scoreDen = lit(5000L) * nW
+    val scored = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        div6(scoreNum, scoreDen).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
+        .cast(LongType))
+      .filter(col("rk") * lit(5L) <= col("n_src") + lit(4L))
+      .select(col("source"), col("rk"), col("doc_id"), col("score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val selectQualityBudgetSql: String = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = "string_split(text, ' ')"
+    val nW = s"len($toks)"
+    val nStop = s"len(list_filter($toks, t -> t IN ($sw)))"
+    val nDist = s"len(list_distinct($toks))"
+    val scoreNum = s"(least(n_chars, 500) * 4 * $nW + 1500 * ($nStop + $nDist))"
+    val scoreDen = s"(5000 * $nW)"
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, ${Sql.div6(scoreNum, scoreDen)} AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, score,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY score DESC, doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM scored)
+       |SELECT source, rk, doc_id, score FROM ranked
+       |WHERE rk * 5 <= n_src + 4
+       |ORDER BY source, rk""".stripMargin
+  }
+
   // ------------------------------------------------------- language ID
 
   /** Token-overlap language ID: argmax over tiny per-language lexicons
@@ -2888,6 +3010,10 @@ object TextOps {
     ContractQuery("q_corpus_drift", corpusDrift, Some(corpusDriftSql)),
     ContractQuery("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
     ContractQuery("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    ContractQuery("q_quality_logprob", qualityUnigramLogprob,
+      Some(qualityUnigramLogprobSql)),
+    ContractQuery("q_select_quality_budget", selectQualityBudget,
+      Some(selectQualityBudgetSql)),
     ContractQuery("q_text_langid", textLangid, Some(textLangidSql)),
     ContractQuery("q_token_count", tokenCount, Some(tokenCountSql)),
     ContractQuery("q_doc_fingerprint", docFingerprint, Some(docFingerprintSql)),

@@ -44,6 +44,8 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
     "q_decontaminate_bloom" ->
       "broadcast of the two one-row bloom filters (the prune's design)",
     "q_domain_mix" -> "broadcast of the one corpus-total row",
+    "q_quality_logprob" ->
+      "broadcast of the one corpus token-total row against the vocab",
     "q_domain_resample" -> "broadcast of the one corpus-total row",
     "q_dup_spans" -> "broadcast of the one corpus-stats row",
     "q_stats_summary" -> "summary() composes against a one-row broadcast",
