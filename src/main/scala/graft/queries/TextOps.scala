@@ -1089,6 +1089,74 @@ object TextOps {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE split: hash the near-dup CLUSTER representative, not
+    * the document — so a train/test boundary can never run through a
+    * duplicate family. [[sampleSplit]]'s per-doc hash silently leaks:
+    * two J ≥ 0.5 near-copies land in different buckets whenever their
+    * ids hash apart, and the test set then "evaluates" on paraphrases
+    * of training documents — the contamination mode decontamination
+    * exists to stop, reintroduced by the split itself. Same 80/10/10
+    * hash arithmetic, applied to the [[clusterLabels]] rep (docs in no
+    * cluster are their own rep), so the invariant is structural:
+    * same cluster ⇒ same rep ⇒ same bucket ⇒ same split (LawsSpec pins
+    * it against the exact pair set).
+    *
+    * Scale: the labels are the memoized CC output the dedup family
+    * already builds; the split itself is one left join plus per-row
+    * integer math.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val bucket = detHash(col("rep")) % 10L
+    Tables.t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"), bucket.as("bucket"),
+        when(bucket < 8, "train").when(bucket < 9, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitLeakageSafeSql: String =
+    s"""$clusterCteSql,
+       |$clustersCteSql
+       |SELECT doc_id, rep, ${detHashSql("rep")} % 10 AS bucket,
+       |  CASE WHEN ${detHashSql("rep")} % 10 < 8 THEN 'train'
+       |       WHEN ${detHashSql("rep")} % 10 < 9 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM clusters ORDER BY doc_id""".stripMargin
+
+  /** Duplication-rate report per source — the corpus-health number a
+    * crawl operator watches per ingest feed: docs whose exact content
+    * already exists under a smaller doc_id count as duplicates, shares
+    * via the exact-rational [[Det.div6]]. One digest groupBy (map-side
+    * combinable) plus one digest-keyed join back — the q_dedup_exact
+    * plan with a per-source rollup.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("digest"))
+    val firsts = docs.groupBy(col("digest")).agg(min(col("doc_id")).as("keeper"))
+    docs.join(firsts, "digest")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        div6(col("n_dup"), col("n_docs")).as("dup_share"))
+      .orderBy(col("source"))
+  }
+
+  val dupRateBySourceSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, sha256(text) AS digest FROM documents),
+       |firsts AS (SELECT digest, min(doc_id) AS keeper FROM d GROUP BY digest)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_dup,
+       |  ${Sql.div6("sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)",
+      "count(*)")} AS dup_share
+       |FROM d JOIN firsts USING (digest)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic stratified sample: 10 docs per language, chosen by the
     * hash order (uniform-ish, reproducible) with doc_id tiebreak. The
     * per-stratum window is the 100 TB shape too: shuffle by stratum,
@@ -3023,6 +3091,10 @@ object TextOps {
     ContractQuery("q_text_redact", textRedact, Some(textRedactSql)),
     ContractQuery("q_pack_chunks", packChunks, Some(packChunksSql)),
     ContractQuery("q_sample_split", sampleSplit, Some(sampleSplitSql)),
+    ContractQuery("q_split_leakage_safe", splitLeakageSafe,
+      Some(splitLeakageSafeSql)),
+    ContractQuery("q_dup_rate_by_source", dupRateBySource,
+      Some(dupRateBySourceSql)),
     ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ContractQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),

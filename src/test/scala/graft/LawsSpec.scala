@@ -122,6 +122,26 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows.forall(r => r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0))
   }
 
+  test("leakage-safe split: no exact-jaccard pair straddles a split " +
+      "boundary; the per-doc split DOES leak on the same fixture") {
+    val pairs = TextOps.neardupJaccard(spark, Sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val safe = TextOps.splitLeakageSafe(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(safe(a) == safe(b),
+        s"near-dup pair ($a, $b) straddles splits ${safe(a)}/${safe(b)}")
+    }
+    // non-vacuous: the plain per-doc hash split separates at least one
+    // near-dup pair on this fixture — the exact leak the cluster-rep
+    // split exists to close
+    val perDoc = TextOps.sampleSplit(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(pairs.exists { case (a, b) => perDoc(a) != perDoc(b) },
+      "fixture no longer demonstrates the per-doc split leak")
+  }
+
   test("page fan-out row count equals Σ ceil(n_chars/100)") {
     val docs = Tables.t(spark, Sf0001, "documents")
     val expect = docs.agg(sum(ceil(col("n_chars") / 100.0))).collect()(0).getLong(0)
