@@ -47,6 +47,15 @@ class DocsSpec extends AnyFunSuite {
       .findFirstMatchIn(survey).get.group(1).toInt
     assert(surveyO == nO,
       s"SURVEY.md claims $surveyO oracled, SparkEntry declares $nO")
+    // README went stale twice (147/133 counts + an "(r13)" layout
+    // marker survived to r15): pin it COUNT-FREE and round-free — the
+    // only numbers that can't drift are the ones that aren't there
+    val readme = read("README.md")
+    assert(!readme.matches("(?s).*\\(r\\d+\\).*"),
+      "README.md carries a round marker — it WILL go stale; drop it")
+    assert(!"""\b\d+[-/ ]quer""".r.findFirstIn(readme).isDefined &&
+      !"""queries \(\d+\)""".r.findFirstIn(readme).isDefined,
+      "README.md hardcodes a query count — point at QUERIES.md instead")
   }
 
   test("BASELINE.md's pinned suite count matches the test tree") {
