@@ -735,12 +735,19 @@ object EventOps {
     * purchase id, and the final rollup is map-side-combinable over
     * days × touch types.
     */
-  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.t(spark, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    eventsAttributionOn(Tables.t(spark, dir, "events"))
+
+  /** [[eventsAttribution]] over any events frame — the engine surface:
+    * conversion and touch types are the caller's taxonomy.
+    */
+  def eventsAttributionOn(ev: DataFrame,
+      conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val purchases = ev.filter(col("event_type") === conversionType)
       .select(col("user_id"), col("ts").as("p_ts"),
         col("event_id").as("p_id"), money(col("value")).as("v"))
-    val touches = ev.filter(col("event_type").isin("click", "view"))
+    val touches = ev.filter(col("event_type").isin(touchTypes.map(x => x: Any): _*))
       .select(col("user_id"), col("ts").as("t_ts"),
         col("event_id").as("t_id"), col("event_type").as("touch_type"))
     val w = Window.partitionBy(col("p_id"))

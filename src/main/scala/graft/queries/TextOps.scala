@@ -806,8 +806,16 @@ object TextOps {
     * join keyed by token (vocab ≪ corpus occurrences), one per-doc LONG
     * aggregation — nothing quadratic, nothing collected.
     */
-  def qualityUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.t(spark, dir, "documents")
+  def qualityUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    qualityUnigramLogprobOn(Tables.t(spark, dir, "documents"))
+
+  /** [[qualityUnigramLogprob]] over any (doc_id, text) frame — the
+    * engine surface. Production shape: compute `scored` once from the
+    * TRUSTED reference corpus, persist it, and join each ingest batch
+    * against the stored table (the drift-baseline posture).
+    */
+  def qualityUnigramLogprobOn(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
     val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
@@ -868,9 +876,20 @@ object TextOps {
     val scoreNum = least(col("n_chars"), lit(500L)) * lit(4L) * nW +
       lit(1500L) * (nStop + nDist)
     val scoreDen = lit(5000L) * nW
-    val scored = Tables.t(spark, dir, "documents")
+    selectBudgetOn(Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        div6(scoreNum, scoreDen).as("score"))
+        div6(scoreNum, scoreDen).as("score")))
+  }
+
+  /** The budget selection over any scored (doc_id, source, score)
+    * frame — the engine surface: keep the best ⌈n·num/den⌉ docs per
+    * source (ties to the smaller doc_id). The budget test is pure
+    * integer arithmetic: rk ≤ ⌈n·num/den⌉ ⇔ rk·den ≤ n·num + den − 1.
+    */
+  def selectBudgetOn(scored: DataFrame, num: Long = 1L,
+      den: Long = 5L): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"budget fraction must be in (0, 1], got $num/$den")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -879,7 +898,7 @@ object TextOps {
       .withColumn("n_src", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
         .cast(LongType))
-      .filter(col("rk") * lit(5L) <= col("n_src") + lit(4L))
+      .filter(col("rk") * lit(den) <= col("n_src") * lit(num) + lit(den - 1L))
       .select(col("source"), col("rk"), col("doc_id"), col("score"))
       .orderBy(col("source"), col("rk"))
   }
@@ -1105,11 +1124,21 @@ object TextOps {
     * already builds; the split itself is one left join plus per-row
     * integer math.
     */
-  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(spark, dir)
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageSafeOn(Tables.t(spark, dir, "documents"),
+      clusterLabels(spark, dir))
+
+  /** The leakage-safe split over any (doc_id, …) frame and any
+    * (id, rep) cluster-label frame — the engine surface: feed it the
+    * labels of whichever dedup family fits the corpus (exact-jaccard
+    * CC here; LSH/semantic labels work identically — any labeling
+    * where "same cluster" means "must not straddle the boundary").
+    */
+  def splitLeakageSafeOn(docs: DataFrame, labels: DataFrame): DataFrame = {
     val bucket = detHash(col("rep")) % 10L
-    Tables.t(spark, dir, "documents").select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
+    docs.select(col("doc_id"))
+      .join(labels.select(col("id"), col("rep")),
+        col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
       .select(col("doc_id"), col("rep"), bucket.as("bucket"),
         when(bucket < 8, "train").when(bucket < 9, "valid")
@@ -1133,8 +1162,12 @@ object TextOps {
     * combinable) plus one digest-keyed join back — the q_dedup_exact
     * plan with a per-source rollup.
     */
-  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dupRateBySourceOn(Tables.t(spark, dir, "documents"))
+
+  /** [[dupRateBySource]] over any (doc_id, source, text) frame. */
+  def dupRateBySourceOn(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("digest"))
     val firsts = docs.groupBy(col("digest")).agg(min(col("doc_id")).as("keeper"))
     docs.join(firsts, "digest")
