@@ -75,7 +75,9 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
 object CurateIngest {
 
   /** Start the loop over a streaming (doc_id, text, n_chars, …) frame.
-    * State lives under `statePath`/{segments, digests, minhash};
+    * State lives under `statePath`/{segments, digests, minhash} plus,
+    * when the matching stages are on, {cosine} and the per-kind media
+    * roots ([[mediaStageEntries]]);
     * `evalPath` (optional) is a parquet of (doc_id, text) eval docs to
     * decontaminate against — shingled ONCE at stream start, for the
     * fixed-eval-corpus case. `evalIndexPath` (optional, exclusive with
