@@ -142,6 +142,37 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       "fixture no longer demonstrates the per-doc split leak")
   }
 
+  test("budget selection keeps exactly ceil(n*num/den) per source, " +
+      "monotone in the fraction") {
+    import spark.implicits._
+    val scored = TextOps.selectQualityBudget(spark, Sf0001) // contract 1/5
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val perSource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept15 = scored.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      val expect = (n + 4) / 5 // ceil(n/5)
+      assert(kept15.getOrElse(src, 0L) == expect,
+        s"source $src: kept ${kept15.getOrElse(src, 0L)}, want $expect of $n")
+    }
+    // rational form: a 2/3 budget keeps ceil(2n/3) and contains the 1/5
+    // selection (same ordering, larger prefix)
+    val base = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") % 97).cast("double").as("score"))
+    val small = TextOps.selectBudgetOn(base, 1, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = TextOps.selectBudgetOn(base, 2, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "a larger budget must contain the smaller")
+    val big23 = TextOps.selectBudgetOn(base, 2, 3).groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      val expect = (2 * n + 2) / 3 // ceil(2n/3)
+      assert(big23(src) == expect, s"source $src 2/3: ${big23(src)} vs $expect")
+    }
+  }
+
   test("page fan-out row count equals Σ ceil(n_chars/100)") {
     val docs = Tables.t(spark, Sf0001, "documents")
     val expect = docs.agg(sum(ceil(col("n_chars") / 100.0))).collect()(0).getLong(0)
