@@ -101,7 +101,10 @@ object CurateIngest {
         graft.extract.Multimodal.VideoDedupConfig(),
       driftBaseline: Option[String] = None,
       media: Seq[(String, String)] = Nil): StreamingQuery = {
-    mediaStageEntries(mediaColumn, mediaKind, media) // fail at start
+    // fail at start with the same resolution processBatch applies
+    if (mediaColumn.isDefined || media.nonEmpty)
+      mediaStageEntries(mediaColumn, mediaKind, media)
+    else mediaStageEntries(cfg.mediaColumn, cfg.mediaKind, cfg.media)
     require(evalPath.isEmpty || evalIndexPath.isEmpty,
       "pass evalPath (fixed corpus) or evalIndexPath (growable index), not both")
     // drift monitoring (r14 verdict gap #2): the baseline corpus is
@@ -201,7 +204,20 @@ object CurateIngest {
       media: Seq[(String, String)] = Nil): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
-    val mediaEntries = mediaStageEntries(mediaColumn, mediaKind, media)
+    // CurateConfig carries semanticThreshold/mediaColumn/media fields the
+    // BATCH pipeline honors; a cfg-only caller must get the same stages
+    // here instead of a silent stream/batch divergence (r15 review
+    // catch). Explicit stream params win when given (they carry
+    // stream-specific history — PyBridge, existing specs); otherwise the
+    // cfg fields drive, videoConfig included (it travels with whichever
+    // side supplied the media entries).
+    val semanticTh = semanticThreshold.orElse(cfg.semanticThreshold)
+    val (mediaEntries, vc) =
+      if (mediaColumn.isDefined || media.nonEmpty)
+        (mediaStageEntries(mediaColumn, mediaKind, media), videoConfig)
+      else
+        (mediaStageEntries(cfg.mediaColumn, cfg.mediaKind, cfg.media),
+          cfg.videoConfig)
 
     // crash recovery FIRST — before any existence probe: after a crash
     // mid-compaction-swap the minhash corpus lives ONLY in the
@@ -326,7 +342,7 @@ object CurateIngest {
     // keep-first admit policy and index lifecycle as stage 5, over
     // [[VectorOps.cosineDeltaIndexed]]; only docs the text stages kept
     // probe (first-drop-reason order preserved).
-    val sem = semanticThreshold match {
+    val sem = semanticTh match {
       case None => admitted
       case Some(th) =>
         require(b.columns.contains("embedding"),
@@ -373,7 +389,6 @@ object CurateIngest {
             s"media column '$mc' is not on the batch")
           val mediaPath = s"$statePath/$rootLeaf"
           if (kind == "video") {
-            val vc = videoConfig
             // the video index lives under its OWN root (media_video,
             // not media): the hash and frame-set families share one
             // `_params` per root, so co-rooting them would let a
@@ -448,7 +463,7 @@ object CurateIngest {
     // every index must stay exactly the kept corpus
     VectorOps.appendNeardupIndex(
       med.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
-    if (semanticThreshold.isDefined)
+    if (semanticTh.isDefined)
       VectorOps.appendCosineIndex(
         med.select(col("doc_id").as("vec_id"), col("embedding")),
         s"$statePath/cosine", tag)
@@ -481,7 +496,7 @@ object CurateIngest {
       .join(keepId(admitted, "nd_ok"), Seq("doc_id"), "left")
       // with the semantic stage off, sem eq admitted — alias the marker
       // instead of paying a join whose result is nd_ok by construction
-      .transform(v => semanticThreshold match {
+      .transform(v => semanticTh match {
         case Some(_) => v.join(keepId(sem, "sm_ok"), Seq("doc_id"), "left")
         case None => v.withColumn("sm_ok", col("nd_ok"))
       })

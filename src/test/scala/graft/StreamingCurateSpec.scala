@@ -743,6 +743,53 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(err.getMessage.contains("legacy hash index"))
   }
 
+  test("cfg-only stage config drives the stream: CurateConfig.media / " +
+      ".semanticThreshold run their stages without explicit stream params") {
+    import spark.implicits._
+    // a CurateConfig the BATCH pipeline honors must not silently skip
+    // stages in the stream (r15 review catch): media via cfg only
+    def img(kind: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x => (0 until 64).foreach { y =>
+        val v = if (kind == 0) x * 255 / 63 else y * 255 / 63
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }}
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val state = java.nio.file.Files.createTempDirectory("ci_cfg_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_cfg_out").toString
+    val cfg = CurateConfig(media = Seq("image" -> "image"))
+    def row(d: (Long, String, Long), k: Int) = (d._1, d._2, d._3, img(k))
+    val b0 = Seq(row(doc(1L, "alpha", 40), 0))
+      .toDF("doc_id", "text", "n_chars", "image")
+    CurateIngest.processBatch(b0, 0L, state, out, cfg)
+    val b1 = Seq(row(doc(11L, "bravo", 40), 0), row(doc(12L, "chm", 40), 1))
+      .toDF("doc_id", "text", "n_chars", "image")
+    CurateIngest.processBatch(b1, 1L, state, out, cfg)
+    assert(verdicts(s"$out/batch=b1") == Map(
+      11L -> ((false, Some("media_dup"))), // via the cfg-driven stage
+      12L -> ((true, None))))
+    // the cfg-driven run above used the PER-KIND root (cfg.media form)
+    assert(new java.io.File(s"$state/media_image/hashes").exists(),
+      "cfg.media must drive the per-kind root")
+
+    // precedence: explicit stream params win over cfg — cfg carries the
+    // legacy sugar, the explicit param the multi form; the stage must
+    // land under the explicit form's per-kind root, legacy untouched
+    val state2 = java.nio.file.Files.createTempDirectory("ci_cfg2_state").toString
+    val out2 = java.nio.file.Files.createTempDirectory("ci_cfg2_out").toString
+    CurateIngest.processBatch(b0, 0L, state2, out2,
+      CurateConfig(mediaColumn = Some("image")),
+      media = Seq("image" -> "image"))
+    assert(new java.io.File(s"$state2/media_image/hashes").exists(),
+      "explicit media param must win over cfg sugar")
+    assert(!new java.io.File(s"$state2/media/hashes").exists(),
+      "cfg sugar must be ignored when the explicit param is given")
+  }
+
   test("drift side output: a distribution-true batch reads stable, a " +
       "shifted batch crosses 0.25 in ITS OWN batch= dir; replay is " +
       "reproducible; no-embedding batches emit corpus terms only") {
