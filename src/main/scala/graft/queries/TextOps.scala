@@ -1190,6 +1190,76 @@ object TextOps {
        |FROM d JOIN firsts USING (digest)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- cross-source overlap matrix
+
+  /** Pairwise source-overlap matrix — which ingest feeds carry each
+    * other's content: for every source pair, the number of distinct
+    * 8-token windows both emit, plus the containment share
+    * n_shared / min(|A|, |B|) (exact rational, [[Det.div6]]). The
+    * provenance diagnostic behind feed triage: a pair with high
+    * containment means one feed is substantially a re-crawl/mirror of
+    * the other, so its marginal value is low and its dup pressure on
+    * [[dedupExact]]/[[dupSpans]] is explained. Windows rather than
+    * whole-doc digests because cross-feed copying is rarely
+    * byte-identical — mirrors re-wrap, truncate, and concatenate
+    * (exact cross-source doc dups are EMPTY at sf ≤ 0.01 while window
+    * overlap is dense at every SF).
+    *
+    * Scale: the (source, window)-distinct projection is one map-side-
+    * combinable aggregation keyed by (source, win); the self-join is
+    * keyed by window string with per-window fan-out bounded by
+    * #sources² (feeds, not corpus) — the hottest boilerplate window
+    * shared by all feeds costs |S|² rows, never O(docs²); the rollup
+    * output is ≤ C(|S|, 2) rows.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(Tables.t(spark, dir, "documents"))
+
+  /** [[sourceOverlap]] over any (source, text) frame at a chosen window
+    * width (the engine surface; the contract pins width 8 — the
+    * [[dupSpans]] span key).
+    */
+  def sourceOverlapOn(input: DataFrame, width: Int = 8): DataFrame = {
+    require(width > 0, s"window width must be positive, got $width")
+    val w = input
+      .select(col("source"), explode(org.apache.spark.sql.graft
+        .ShingleExpressions.ngrams(col("text"), width, distinct = true))
+        .as("win"))
+      .groupBy(col("source"), col("win")).agg(lit(1))
+      .select(col("source"), col("win"))
+    val counts = w.groupBy(col("source")).agg(count(lit(1)).as("n_wins"))
+    val pairs = w.select(col("win"), col("source").as("source_a"))
+      .join(w.select(col("win"), col("source").as("source_b")), Seq("win"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_wins").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_wins").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        div6(col("n_shared"), least(col("n_a"), col("n_b"))).as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH w0 AS (
+       |  SELECT source, unnest([array_to_string(string_split(text, ' ')[i:i+7], ' ')
+       |                 for i in range(1, len(string_split(text, ' ')) - 6)]) AS win
+       |  FROM documents),
+       |w AS (SELECT DISTINCT source, win FROM w0),
+       |counts AS (SELECT source, count(*) AS n_wins FROM w GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM w a JOIN w b ON a.win = b.win AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared,
+       |  ${Sql.div6("n_shared", "least(ca.n_wins, cb.n_wins)")} AS containment
+       |FROM p JOIN counts ca ON p.source_a = ca.source
+       |       JOIN counts cb ON p.source_b = cb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Deterministic stratified sample: 10 docs per language, chosen by the
     * hash order (uniform-ish, reproducible) with doc_id tiebreak. The
     * per-stratum window is the 100 TB shape too: shuffle by stratum,
@@ -2257,8 +2327,20 @@ object TextOps {
     * sum, so the cross-term addition is integer and order-independent —
     * raw double sums would depend on shuffle arrival order.
     */
-  def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25E6On(Tables.t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        (col("e6") / lit(1000000.0)).cast(DoubleType).as("bm25"), col("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+
+  /** The exact-integer BM25 scoring stage shared by [[bm25]] and
+    * [[searchHybrid]]: every doc matching ≥1 query term, with its
+    * 6dp-quantized score sum `e6` (BIGINT — the cross-term addition is
+    * integer, so ranking on it is deterministic on any engine/partition
+    * order) and the matched-term count.
+    */
+  private def bm25E6On(docs: DataFrame): DataFrame = {
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("dl"))
     val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
@@ -2280,15 +2362,14 @@ object TextOps {
       .withColumn("s6", floor(score * lit(1000000.0) + lit(0.5)).cast(LongType))
       .groupBy(col("doc_id"))
       .agg(sum(col("s6")).as("e6"), count(lit(1)).as("n_terms"))
-      .select(col("doc_id"),
-        (col("e6") / lit(1000000.0)).cast(DoubleType).as("bm25"), col("n_terms"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(10)
   }
 
-  val bm25Sql: String = {
+  /** CTE chain ending in `lexe(doc_id, e6, n_terms)` — the DuckDB mirror
+    * of [[bm25E6On]], shared by [[bm25Sql]] and [[searchHybridSql]].
+    */
+  private val bm25CtesSql: String = {
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH dl AS (
+    s"""dl AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
        |stats AS (
        |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
@@ -2304,13 +2385,107 @@ object TextOps {
        |      * (tf * 2.2) / (tf + 0.3 + 0.9 * (dl / avgdl))
        |      * 1000000.0 + 0.5) AS BIGINT) AS s6
        |  FROM tf
-       |  JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
-       |SELECT doc_id,
-       |  CAST(CAST(sum(s6) AS BIGINT) / 1000000.0 AS DOUBLE) AS bm25,
-       |  count(*) AS n_terms
-       |FROM scored GROUP BY doc_id
-       |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
+       |  JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |lexe AS (
+       |  SELECT doc_id, CAST(sum(s6) AS BIGINT) AS e6, count(*) AS n_terms
+       |  FROM scored GROUP BY doc_id)""".stripMargin
   }
+
+  val bm25Sql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, CAST(e6 / 1000000.0 AS DOUBLE) AS bm25, n_terms
+       |FROM lexe
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  // --------------------------------------------- hybrid retrieval (RRF)
+
+  /** Hybrid lexical+semantic retrieval with reciprocal-rank fusion — the
+    * retrieval stack a RAG/search deployment runs over a curated corpus:
+    * BM25 ranks documents for the fixed term query ([[bm25E6On]]), exact
+    * cosine ranks them for the query EMBEDDING (vec_id 0's vector,
+    * joined on doc_id = vec_id), and the two top-50 pools fuse by
+    * RRF(60) (Cormack/Clarke/Büttcher SIGIR'09): score = Σ 1/(60+rank),
+    * a rank-only combiner immune to the two scorers' incomparable
+    * scales. A doc ranked by only one side contributes only that side
+    * (the standard union semantics).
+    *
+    * Determinism: both pool ranks order by exact BIGINT e6 / rounded
+    * cosine with doc_id tiebreaks, and each reciprocal is quantized as
+    * floor(10⁹/(60+rank)) — pure integer-valued double division of
+    * exact small ints, bit-equal on both engines — so the fused BIGINT
+    * sum and its ordering never touch a float boundary.
+    *
+    * Scale: each side is a corpus scan + TakeOrderedAndProject (per-
+    * partition top-50, driver merge — no global sort shuffle); the
+    * row_number windows and the full join then run over ≤50-row pools.
+    * At 100 TB the semantic side swaps in an ANN index probe
+    * ([[VectorOps]]'s IVF/graph searches) — the fusion is rank-only, so
+    * the combiner is unchanged.
+    */
+  def searchHybrid(spark: SparkSession, dir: String): DataFrame =
+    searchHybridOn(Tables.t(spark, dir, "documents"),
+      Tables.t(spark, dir, "embeddings"))
+
+  /** [[searchHybrid]] over any (doc_id, text) corpus and (vec_id,
+    * embedding) table sharing the id space; `pool` is the per-side
+    * candidate depth, `k` the fused cut, `rrfK` the RRF damping
+    * constant.
+    */
+  def searchHybridOn(docs: DataFrame, embs: DataFrame, k: Int = 20,
+      pool: Int = 50, rrfK: Long = 60L): DataFrame = {
+    require(k > 0 && pool >= k && rrfK > 0,
+      s"need 0 < k <= pool and rrfK > 0, got k=$k pool=$pool rrfK=$rrfK")
+    val lex = bm25E6On(docs)
+      .orderBy(col("e6").desc, col("doc_id").asc).limit(pool)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("e6").desc, col("doc_id").asc))
+        .cast(LongType))
+      .select(col("doc_id").as("lex_id"), col("r_lex"))
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"),
+        VectorOps.norm2(col("embedding")).as("q_n2"))
+    val sem = embs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_n2")) * sqrt(VectorOps.norm2(col("embedding")))), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(pool)
+      .withColumn("r_sem", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+        .cast(LongType))
+      .select(col("vec_id").as("sem_id"), col("r_sem"))
+    def contrib(r: Column): Column =
+      coalesce(floor(lit(1000000000L) / (r + lit(rrfK))).cast(LongType),
+        lit(0L))
+    lex.join(sem, col("lex_id") === col("sem_id"), "full")
+      .select(coalesce(col("lex_id"), col("sem_id")).as("doc_id"),
+        col("r_lex"), col("r_sem"),
+        (contrib(col("r_lex")) + contrib(col("r_sem"))).as("rrf9"))
+      .orderBy(col("rrf9").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val searchHybridSql: String =
+    s"""WITH $bm25CtesSql,
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY e6 DESC, doc_id ASC) AS r_lex
+       |  FROM (SELECT doc_id, e6 FROM lexe ORDER BY e6 DESC, doc_id ASC LIMIT 50)),
+       |qv AS (SELECT embedding AS q_emb, ${VectorOps.norm2Sql("embedding")} AS q_n2
+       |       FROM embeddings WHERE vec_id = 0),
+       |sems AS (
+       |  SELECT b.vec_id,
+       |    round(${VectorOps.dotSql("q_emb", "b.embedding")}
+       |      / (sqrt(q_n2) * sqrt(${VectorOps.norm2Sql("b.embedding")})), 6) AS cos
+       |  FROM embeddings b CROSS JOIN qv WHERE b.vec_id <> 0),
+       |sem AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r_sem
+       |  FROM (SELECT vec_id, cos FROM sems ORDER BY cos DESC, vec_id ASC LIMIT 50))
+       |SELECT coalesce(l.doc_id, s.vec_id) AS doc_id, r_lex, r_sem,
+       |  coalesce(CAST(floor(1000000000 / (r_lex + 60)) AS BIGINT), 0)
+       |  + coalesce(CAST(floor(1000000000 / (r_sem + 60)) AS BIGINT), 0) AS rrf9
+       |FROM lex l FULL JOIN sem s ON l.doc_id = s.vec_id
+       |ORDER BY rrf9 DESC, doc_id ASC LIMIT 20""".stripMargin
 
   // --------------------------------------- dedup w/ representative choice
 
@@ -3128,6 +3303,7 @@ object TextOps {
       Some(splitLeakageSafeSql)),
     ContractQuery("q_dup_rate_by_source", dupRateBySource,
       Some(dupRateBySourceSql)),
+    ContractQuery("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ContractQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
@@ -3140,6 +3316,7 @@ object TextOps {
     ContractQuery("q_topk_sketch", topkSketch, Some(topkSketchSql)),
     ContractQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     ContractQuery("q_quality_gopher", qualityGopher, Some(qualityGopherSql)),
-    ContractQuery("q_bm25", bm25, Some(bm25Sql))
+    ContractQuery("q_bm25", bm25, Some(bm25Sql)),
+    ContractQuery("q_search_hybrid", searchHybrid, Some(searchHybridSql))
   )
 }

@@ -27,11 +27,11 @@ object VectorOps {
     * accumulation) but much faster: HigherOrderFunction lambdas are
     * interpreted while this stays inside whole-stage codegen.
     */
-  private def dot(a: Column, b: Column): Column =
+  private[queries] def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dotProduct(a, b)
 
   /** Σ x_i² = dot(e, e). */
-  private def norm2(e: Column): Column = dot(e, e)
+  private[queries] def norm2(e: Column): Column = dot(e, e)
 
   /** DuckDB mirror of [[norm2]] (the 0.0 prepend mirrors Spark's fold init
     * and keeps list_reduce total on empty lists).
@@ -262,6 +262,97 @@ object VectorOps {
       |      FROM embeddings)
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
+
+  // ------------------------------------ nearest-centroid assignment
+
+  /** Nearest-centroid classification with a confusion rollup — the
+    * label-quality audit a training pipeline runs over a labeled
+    * embedding corpus (Rocchio/NCM): per-label mean centroids, each
+    * vector assigned to its Euclidean-nearest centroid, and the
+    * (label, assigned) confusion matrix. Off-diagonal mass localizes
+    * label noise / collapsed classes before the labels feed a sampler
+    * or filter.
+    *
+    * Exactness (no double is ever summed): components quantize to the
+    * 10⁻⁶ grain ONCE per element (floor(x·10⁶ + ½) of the exact
+    * float→double widening — identical IEEE on both engines), centroid
+    * components are the exact HALF-UP integer rational
+    * floor((2s+n)/2n), and the argmin key is pure BIGINT arithmetic:
+    * ‖c‖² − 2⟨x, c⟩ (the per-vector ‖x‖² term is constant inside the
+    * argmin, so d² ordering is preserved), scaled by 1024 with the
+    * label as tiebreak. Bound: |xᵢ|, |cᵢ| ≤ 4·10⁶ grains and dim ≤ 64
+    * keep |key| < 2⁶² (fixtures sit at ≤ 0.58·10⁶).
+    *
+    * Scale: one map-side-combinable (label, pos) sum (≤ labels×dim
+    * rows), a broadcast of the ≤-labels-row centroid table, per-row
+    * argmin over a labels-bounded fan-out via the codegen'd
+    * [[org.apache.spark.sql.graft.DotProductLong]] (no interpreted
+    * per-pair lambda in the hot loop), and a confusion rollup of
+    * ≤ labels² rows. Nothing corpus-shaped shuffles twice.
+    */
+  def vecCentroidAssign(spark: SparkSession, dir: String): DataFrame =
+    vecCentroidAssignOn(Tables.t(spark, dir, "embeddings"))
+
+  /** [[vecCentroidAssign]] over any (vec_id, embedding, label) frame —
+    * the engine surface (e.g. cluster ids from [[knnLabel]] in place of
+    * gold labels). Requires < 1024 distinct labels (the argmin tiebreak
+    * scale) and |component| ≤ 4 (the BIGINT bound above).
+    */
+  def vecCentroidAssignOn(embs: DataFrame): DataFrame = {
+    val dotL = org.apache.spark.sql.graft.VectorExpressions.dotProductLong _
+    val q = embs.select(col("vec_id"), col("label").cast(LongType).as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast(D) * lit(1000000.0) + lit(0.5)).cast(LongType))
+        .as("xq"))
+    val cents = q
+      .select(col("label"), posexplode(col("xq")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        floor((col("s") * lit(2L) + col("n")) / (col("n") * lit(2L)))
+          .cast(LongType).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cent"))
+      .select(col("label").as("clabel"), col("cent"))
+      .withColumn("c_n2", dotL(col("cent"), col("cent")))
+    val key = (col("c_n2") - lit(2L) * dotL(col("xq"), col("cent"))) *
+      lit(1024L) + col("clabel")
+    q.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("clabel"), key).as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  /** DuckDB mirror in scalar (vec_id, pos, xq) form: the same exact
+    * integers, argmin on d² = Σ(x−c)² — equal to the Spark key's
+    * ordering because they differ by the per-vector constant ‖x‖²·1024.
+    */
+  val vecCentroidAssignSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, pos,
+      |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)),
+      |cent AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(floor((sum(xq) * 2 + count(*)) / (count(*) * 2)) AS BIGINT) AS c
+      |  FROM x GROUP BY label, pos),
+      |d AS (
+      |  SELECT x.vec_id, x.label, cent.clabel,
+      |    sum((x.xq - cent.c) * (x.xq - cent.c)) AS d2
+      |  FROM x JOIN cent USING (pos)
+      |  GROUP BY x.vec_id, x.label, cent.clabel),
+      |asg AS (
+      |  SELECT vec_id, label,
+      |    arg_min(clabel, CAST(d2 AS BIGINT) * 1024 + clabel) AS assigned
+      |  FROM d GROUP BY vec_id, label)
+      |SELECT label, assigned, count(*) AS n
+      |FROM asg GROUP BY label, assigned
+      |ORDER BY label, assigned""".stripMargin
 
   // ----------------------------------------------- MinHash-LSH near-dup
 
@@ -2492,6 +2583,8 @@ object VectorOps {
     ContractQuery("q_dedup_cluster_cosine", dedupClusterCosine, Some(dedupClusterCosineSql)),
     ContractQuery("q_dedup_semantic", dedupSemantic, None),
     ContractQuery("q_vec_centroid", vecCentroid, Some(vecCentroidSql)),
+    ContractQuery("q_vec_centroid_assign", vecCentroidAssign,
+      Some(vecCentroidAssignSql)),
     ContractQuery("q_dedup_minhash", dedupMinhash, None),
     ContractQuery("q_dedup_cluster_lsh", dedupClusterLsh, None),
     ContractQuery("q_dedup_simhash", dedupSimhash, None),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst dot product over two float-array columns.
   *
@@ -80,11 +80,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProduct]]'s exact-integer sibling: Σ aᵢ·bᵢ over two LONG-array
+  * columns, accumulated in Long — the quantize-then-integer-arithmetic
+  * discipline's inner product (nearest-centroid assignment keys on
+  * ‖c‖² − 2·⟨x, c⟩ over 10⁶-grain quantized components, all exact
+  * BIGINTs on both engines). Same null/shape semantics as [[DotProduct]];
+  * overflow is the CALLER's bound to prove (the contract use keeps
+  * |aᵢ|,|bᵢ| ≤ 2·10⁶ and dim ≤ 64 → |Σ| ≤ 2.6·10¹⁴ ≪ 2⁶³).
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Public bridge for graft code (Column ↔ Expression conversion is
   * private[sql]).
   */
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotProductLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductLong(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -619,6 +619,73 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     })
   }
 
+  test("searchHybrid: fused set ⊆ pool union, rrf9 recomputes from ranks, " +
+      "param refusal") {
+    val docs = Tables.t(spark, Sf001, "documents")
+    val embs = Tables.t(spark, Sf001, "embeddings")
+    val fused = TextOps.searchHybridOn(docs, embs).collect()
+    assert(fused.length == 20)
+    fused.foreach { r =>
+      val (rl, rs) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))
+      assert(rl.nonEmpty || rs.nonEmpty, "a fused doc must come from a pool")
+      assert(rl.forall(x => x >= 1 && x <= 50) && rs.forall(x => x >= 1 && x <= 50))
+      val expect = rl.map(x => 1000000000L / (x + 60)).getOrElse(0L) +
+        rs.map(x => 1000000000L / (x + 60)).getOrElse(0L)
+      assert(r.getLong(3) == expect, s"rrf9 must recompute from ranks: $r")
+    }
+    // fused scores are emitted in non-increasing order (doc_id tiebreak)
+    assert(fused.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
+    intercept[IllegalArgumentException] {
+      TextOps.searchHybridOn(docs, embs, k = 60, pool = 50)
+    }
+  }
+
+  test("sourceOverlap: bounded by the smaller side, containment in (0,1], " +
+      "relabel-invariant") {
+    val docs = Tables.t(spark, Sf001, "documents")
+    val m = TextOps.sourceOverlapOn(docs).collect()
+    assert(m.nonEmpty, "fixture window overlap must be dense at sf0.001")
+    m.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are ordered once")
+      assert(r.getLong(2) >= 1)
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0, s"containment out of range: $r")
+    }
+    // bijective source relabeling permutes rows but preserves the matrix
+    val relabeled = TextOps.sourceOverlapOn(
+      docs.withColumn("source", concat(lit("z_"), col("source"))))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("z_"),
+        r.getString(1).stripPrefix("z_"), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(relabeled == m.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet)
+  }
+
+  test("vecCentroidAssign: planted well-separated clusters recover a " +
+      "diagonal confusion matrix; counts conserve the corpus") {
+    import spark.implicits._
+    // 3 clusters at axis-aligned far-apart centers, tight noise
+    val rows = for (lbl <- 0 until 3; i <- 0 until 20) yield {
+      val base = Array.fill(8)(0.0f)
+      base(lbl) = 10.0f
+      // deterministic per-row jitter, well under the separation
+      base(7) = (((lbl * 20 + i) * 2654435761L % 100) / 1000.0).toFloat
+      (lbl * 20 + i).toLong -> (base, lbl)
+    }
+    val df = rows.map { case (id, (e, l)) => (id, e.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val conf = VectorOps.vecCentroidAssignOn(df).collect()
+    assert(conf.map(_.getLong(2)).sum == 60, "every vector assigned exactly once")
+    conf.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"well-separated cluster must self-assign: $r")
+      assert(r.getLong(2) == 20)
+    }
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))

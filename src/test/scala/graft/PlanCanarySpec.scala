@@ -41,6 +41,10 @@ class PlanCanarySpec extends AnyFunSuite with SparkSessionFixture {
     "q_quality_score" -> "broadcast of the one corpus-stats row",
     "q_tfidf" -> "broadcast of the one corpus doc-count row",
     "q_bm25" -> "broadcast of the one corpus avgdl/doc-count row",
+    "q_search_hybrid" ->
+      "bm25's one-row corpus-stats broadcast + the ONE query-vector row broadcast against the scan — both O(rows)",
+    "q_vec_centroid_assign" ->
+      "rows x broadcast ≤-labels-row centroid table: the nearest-centroid routing shape, bounded by labels not corpus",
     "q_decontaminate_bloom" ->
       "broadcast of the two one-row bloom filters (the prune's design)",
     "q_domain_mix" -> "broadcast of the one corpus-total row",
