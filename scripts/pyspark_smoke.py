@@ -370,6 +370,25 @@ try:
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 
+# hybrid retrieval + corpus diagnostics (r15 session 2)
+hyb = DataFrame(bridge.searchHybrid(docs._jdf, vecs._jdf, 20, 50, 60), spark)
+hrows = hyb.collect()
+check("hybrid RRF retrieval from Python",
+      len(hrows) == 20 and all(r["rrf9"] > 0 for r in hrows)
+      and hrows[0]["rrf9"] >= hrows[-1]["rrf9"],
+      f"(top rrf9 {hrows[0]['rrf9']})")
+
+ov = DataFrame(bridge.sourceOverlap(docs._jdf, 8), spark).collect()
+check("source overlap from Python",
+      len(ov) > 0 and all(0 < r["containment"] <= 1 for r in ov),
+      f"({len(ov)} source pairs)")
+
+labeled = spark.read.parquet(f"{SF}/embeddings.parquet")
+conf = DataFrame(bridge.vecCentroidAssign(labeled._jdf), spark)
+n_assigned = sum(r["n"] for r in conf.collect())
+check("centroid-assign confusion from Python",
+      n_assigned == labeled.count(), f"({n_assigned} vectors assigned)")
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

@@ -147,6 +147,27 @@ object PyBridge {
       outPath, CurateConfig(), driftBase = db)
   }
 
+  /** Hybrid lexical+semantic retrieval over any (doc_id, text) corpus
+    * and id-aligned (vec_id, embedding) table: BM25 pool ∪ cosine pool
+    * fused by RRF — TextOps.searchHybridOn at explicit knobs (py4j
+    * sees no Scala defaults).
+    */
+  def searchHybrid(docs: DataFrame, embs: DataFrame, k: Int, pool: Int,
+      rrfK: Long): DataFrame =
+    TextOps.searchHybridOn(docs, embs, k, pool, rrfK)
+
+  /** Pairwise source-overlap matrix over shared `width`-token windows
+    * (n_shared + exact containment share) — TextOps.sourceOverlapOn.
+    */
+  def sourceOverlap(docs: DataFrame, width: Int): DataFrame =
+    TextOps.sourceOverlapOn(docs, width)
+
+  /** Nearest-centroid assignment confusion matrix over a (vec_id,
+    * embedding, label) frame — VectorOps.vecCentroidAssignOn.
+    */
+  def vecCentroidAssign(embs: DataFrame): DataFrame =
+    VectorOps.vecCentroidAssignOn(embs)
+
   /** Exact semantic decontamination of a corpus frame against a
     * broadcast eval frame — per-vector n_hits / max_cos / verdict.
     */
