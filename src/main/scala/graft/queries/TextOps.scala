@@ -346,6 +346,75 @@ object TextOps {
        |WHERE round(inter / (x.n + y.n - inter), 6) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------- asymmetric containment dedup
+
+  /** DIRECTIONAL near-dup pairs by shingle containment — |A∩B|/|A| ≥ 0.8
+    * over the same 3-word shingle sets as [[neardupJaccard]]: the
+    * truncated-copy detector symmetric Jaccard structurally misses. A
+    * 100-shingle excerpt of a 1000-shingle original has J ≈ 0.1 (far
+    * under any usable symmetric threshold) but containment 1.0 — and
+    * excerpt/quote/header-stripped re-posts are how crawl corpora
+    * actually duplicate (the RefinedWeb/CCNet motivation for
+    * containment-based dedup). Rows are (contained, container):
+    * near-identical docs yield both directions, a strict subset yields
+    * one.
+    *
+    * Scale: the shingle-keyed self-join — docs meet only via a shared
+    * shingle, never all-pairs. Unlike Jaccard there is NO size-ratio
+    * prune to push into the join (the small side of ANY co-shingled
+    * pair can reach containment 1.0), so the join condition is the
+    * bare shingle equality; the MinHash banding path remains the
+    * hot-corpus fallback exactly as for Jaccard.
+    */
+  def neardupContainment(spark: SparkSession, dir: String): DataFrame =
+    neardupContainmentOn(Tables.t(spark, dir, "documents"))
+
+  /** [[neardupContainment]] over any (doc_id, text) frame at a chosen
+    * threshold — the engine surface. Filter is on the 6dp-ROUNDED share
+    * (the [[neardupJaccardAt]] boundary convention, mirrored in SQL).
+    */
+  def neardupContainmentOn(docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val e = shingleArrs(docs)
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+    val und = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    val dir1 = und.select(col("d1").as("contained"), col("d2").as("container"),
+      col("inter"), col("n1").as("n_contained"))
+    val dir2 = und.select(col("d2").as("contained"), col("d1").as("container"),
+      col("inter"), col("n2").as("n_contained"))
+    dir1.unionByName(dir2)
+      .select(col("contained"), col("container"), col("inter"),
+        col("n_contained"),
+        round(col("inter") / col("n_contained"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val neardupContainmentSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+       |         count(*) AS inter
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |dirs AS (
+       |  SELECT d1 AS contained, d2 AS container, inter, n1 AS n_contained FROM p
+       |  UNION ALL
+       |  SELECT d2, d1, inter, n2 FROM p)
+       |SELECT contained, container, inter, n_contained,
+       |  round(inter / n_contained, 6) AS containment
+       |FROM dirs
+       |WHERE round(inter / n_contained, 6) >= 0.8
+       |ORDER BY contained, container""".stripMargin
+
   // -------------------------------------------------- dedup clustering
 
   /** Connected-component clustering over the near-dup pair graph — the
@@ -1259,6 +1328,70 @@ object TextOps {
        |FROM p JOIN counts ca ON p.source_a = ca.source
        |       JOIN counts cb ON p.source_b = cb.source
        |ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------- corpus novelty curve
+
+  /** Corpus saturation curve — how much NEW content each successive
+    * ingest tranche adds: docs bucket by arrival order (doc_id div 50 —
+    * ingest-ordered ids are the fixture's arrival proxy; a real feed
+    * buckets by ingest day), and per bucket the curve reports distinct
+    * 8-token windows seen vs windows whose GLOBAL first occurrence
+    * lands in that bucket, with the exact novelty share
+    * ([[Det.div6]]). A sagging curve is the stop-crawling signal: each
+    * marginal tranche is re-paying for content the corpus already has
+    * (the crawl-budget twin of [[dupRateBySource]]'s per-feed view).
+    *
+    * Scale: both aggregations key by window string and are map-side
+    * combinable (distinct (bucket, win) and min-doc_id-per-win); the
+    * rollups and the final left join are buckets-sized. One corpus
+    * explode feeds both branches — nothing pairs, nothing collects.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    noveltyCurveOn(Tables.t(spark, dir, "documents"))
+
+  /** [[noveltyCurve]] over any (doc_id, text) frame at a chosen window
+    * width and bucket size — the engine surface (point `bucketDocs` at
+    * your ids-per-day). Requires non-negative doc_ids (div-bucketing).
+    */
+  def noveltyCurveOn(input: DataFrame, width: Int = 8,
+      bucketDocs: Long = 50L): DataFrame = {
+    require(width > 0 && bucketDocs > 0,
+      s"need positive width/bucketDocs, got $width/$bucketDocs")
+    val w = input.select(col("doc_id"), explode(org.apache.spark.sql.graft
+      .ShingleExpressions.ngrams(col("text"), width, distinct = true))
+      .as("win"))
+    val nd = w.select(expr(s"doc_id div $bucketDocs").as("bucket"), col("win"))
+      .groupBy(col("bucket"), col("win")).agg(lit(1))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_distinct"))
+    val nn = w.groupBy(col("win")).agg(min(col("doc_id")).as("f_doc"))
+      .groupBy(expr(s"f_doc div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    nd.join(nn, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        div6(coalesce(col("n_new"), lit(0L)), col("n_distinct"))
+          .as("novelty"))
+      .orderBy(col("bucket"))
+  }
+
+  val noveltyCurveSql: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, unnest([array_to_string(string_split(text, ' ')[i:i+7], ' ')
+       |                 for i in range(1, len(string_split(text, ' ')) - 6)]) AS win
+       |  FROM documents),
+       |w AS (SELECT DISTINCT doc_id, win FROM w0),
+       |nd AS (
+       |  SELECT bucket, count(*) AS n_distinct FROM (
+       |    SELECT DISTINCT doc_id // 50 AS bucket, win FROM w)
+       |  GROUP BY bucket),
+       |nn AS (
+       |  SELECT f_doc // 50 AS bucket, count(*) AS n_new
+       |  FROM (SELECT win, min(doc_id) AS f_doc FROM w GROUP BY win)
+       |  GROUP BY 1)
+       |SELECT nd.bucket, n_distinct, coalesce(n_new, 0) AS n_new,
+       |  ${Sql.div6("coalesce(n_new, 0)", "n_distinct")} AS novelty
+       |FROM nd LEFT JOIN nn USING (bucket)
+       |ORDER BY bucket""".stripMargin
 
   /** Deterministic stratified sample: 10 docs per language, chosen by the
     * hash order (uniform-ish, reproducible) with doc_id tiebreak. The
@@ -3304,6 +3437,9 @@ object TextOps {
     ContractQuery("q_dup_rate_by_source", dupRateBySource,
       Some(dupRateBySourceSql)),
     ContractQuery("q_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    ContractQuery("q_novelty_curve", noveltyCurve, Some(noveltyCurveSql)),
+    ContractQuery("q_neardup_containment", neardupContainment,
+      Some(neardupContainmentSql)),
     ContractQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ContractQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ContractQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),

@@ -686,6 +686,61 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("neardupContainment: catches the truncated copy symmetric jaccard " +
+      "misses; dominates jaccard pairwise") {
+    import spark.implicits._
+    // doc 2 = the first 6 tokens of doc 1 (4 of 38 shingles: J ≈ 0.1,
+    // containment 1.0) — the excerpt/re-post shape the operator exists for
+    val full = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 6).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, full), (2L, excerpt)).toDF("doc_id", "text")
+    val contained = TextOps.neardupContainmentOn(docs, 0.8).collect()
+    assert(contained.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L)), "exactly the excerpt→original direction")
+    assert(contained.head.getDouble(4) == 1.0)
+    assert(TextOps.neardupJaccardAt(docs, 0.5).count() == 0,
+      "symmetric jaccard at 0.5 must miss the truncation")
+    // dominance on the fixture: for every jaccard pair, the small-side
+    // containment ≥ jaccard (inter/min ≥ inter/union)
+    val fx = Tables.t(spark, Sf0001, "documents")
+    val jac = TextOps.neardupJaccardAt(fx, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val cont = TextOps.neardupContainmentOn(fx, 0.5)
+      .collect()
+      .groupBy(r => { val a = r.getLong(0); val b = r.getLong(1)
+        (math.min(a, b), math.max(a, b)) })
+      .view.mapValues(_.map(_.getDouble(4)).max).toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      assert(cont.getOrElse(pair, 0.0) >= j,
+        s"containment must dominate jaccard on $pair")
+    }
+  }
+
+  test("noveltyCurve: new-window counts conserve the distinct-window " +
+      "total; a replayed tranche has zero novelty") {
+    import spark.implicits._
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val curve = TextOps.noveltyCurveOn(docs).collect()
+    val wDistinct = docs.select(col("doc_id"), explode(
+      org.apache.spark.sql.graft.ShingleExpressions.ngrams(col("text"), 8,
+        distinct = true)).as("win"))
+      .select(col("win")).distinct().count()
+    assert(curve.map(_.getLong(2)).sum == wDistinct,
+      "every distinct window is new in exactly one bucket")
+    curve.foreach(r => assert(r.getLong(2) <= r.getLong(1) &&
+      r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // replay: append the first 50 docs again under later ids — the
+    // replayed bucket introduces nothing new
+    val replay = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val curve2 = TextOps.noveltyCurveOn(
+      docs.select(col("doc_id"), col("text")).unionByName(replay)).collect()
+    val replayBucket = curve2.find(_.getLong(0) == 200L).get
+    assert(replayBucket.getLong(2) == 0L && replayBucket.getDouble(3) == 0.0,
+      s"replayed tranche must be zero-novelty: $replayBucket")
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
