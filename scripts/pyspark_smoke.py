@@ -389,6 +389,17 @@ n_assigned = sum(r["n"] for r in conf.collect())
 check("centroid-assign confusion from Python",
       n_assigned == labeled.count(), f"({n_assigned} vectors assigned)")
 
+cont = DataFrame(bridge.neardupContainment(docs._jdf, 0.8), spark).collect()
+check("containment near-dup from Python",
+      len(cont) > 0 and all(r["containment"] >= 0.8 for r in cont),
+      f"({len(cont)} directional pairs)")
+
+curve = DataFrame(bridge.noveltyCurve(docs._jdf, 8, 50), spark).collect()
+check("novelty curve from Python",
+      len(curve) > 0 and all(0 <= r["novelty"] <= 1 for r in curve)
+      and all(r["n_new"] <= r["n_distinct"] for r in curve),
+      f"({len(curve)} tranches)")
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

@@ -168,6 +168,18 @@ object PyBridge {
   def vecCentroidAssign(embs: DataFrame): DataFrame =
     VectorOps.vecCentroidAssignOn(embs)
 
+  /** Directional shingle-containment near-dup pairs (truncated-copy
+    * detector) — TextOps.neardupContainmentOn.
+    */
+  def neardupContainment(docs: DataFrame, threshold: Double): DataFrame =
+    TextOps.neardupContainmentOn(docs, threshold)
+
+  /** Corpus saturation curve (per-tranche novelty of width-token
+    * windows, bucketDocs ids per tranche) — TextOps.noveltyCurveOn.
+    */
+  def noveltyCurve(docs: DataFrame, width: Int, bucketDocs: Long): DataFrame =
+    TextOps.noveltyCurveOn(docs, width, bucketDocs)
+
   /** Exact semantic decontamination of a corpus frame against a
     * broadcast eval frame — per-vector n_hits / max_cos / verdict.
     */

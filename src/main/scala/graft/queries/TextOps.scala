@@ -385,14 +385,19 @@ object TextOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    val dir1 = und.select(col("d1").as("contained"), col("d2").as("container"),
-      col("inter"), col("n1").as("n_contained"))
-    val dir2 = und.select(col("d2").as("contained"), col("d1").as("container"),
-      col("inter"), col("n2").as("n_contained"))
-    dir1.unionByName(dir2)
-      .select(col("contained"), col("container"), col("inter"),
-        col("n_contained"),
-        round(col("inter") / col("n_contained"), 6).as("containment"))
+    // both directions via ONE explode over the aggregated pair row — a
+    // union of two projections would re-run the whole shingle join +
+    // aggregation per branch (Catalyst does not share subplans across
+    // Union children; seen in the executed plan before this shape)
+    und.select(col("inter"), explode(array(
+        struct(col("d1").as("contained"), col("d2").as("container"),
+          col("n1").as("n_contained")),
+        struct(col("d2").as("contained"), col("d1").as("container"),
+          col("n2").as("n_contained")))).as("x"))
+      .select(col("x.contained").as("contained"),
+        col("x.container").as("container"), col("inter"),
+        col("x.n_contained").as("n_contained"),
+        round(col("inter") / col("x.n_contained"), 6).as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy(col("contained"), col("container"))
   }
