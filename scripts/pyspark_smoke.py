@@ -371,12 +371,13 @@ finally:
     shutil.rmtree(idx, ignore_errors=True)
 
 # hybrid retrieval + corpus diagnostics (r15 session 2)
-hyb = DataFrame(bridge.searchHybrid(docs._jdf, vecs._jdf, 20, 50, 60), spark)
+hyb = DataFrame(
+    bridge.searchHybrid(docs._jdf, vecs._jdf, 20, 50, 60, 0), spark)
 hrows = hyb.collect()
 check("hybrid RRF retrieval from Python",
       len(hrows) == 20 and all(r["rrf9"] > 0 for r in hrows)
       and hrows[0]["rrf9"] >= hrows[-1]["rrf9"],
-      f"(top rrf9 {hrows[0]['rrf9']})")
+      f"(top rrf9 {hrows[0]['rrf9'] if hrows else 'EMPTY'})")
 
 ov = DataFrame(bridge.sourceOverlap(docs._jdf, 8), spark).collect()
 check("source overlap from Python",

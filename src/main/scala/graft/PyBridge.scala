@@ -153,8 +153,8 @@ object PyBridge {
     * sees no Scala defaults).
     */
   def searchHybrid(docs: DataFrame, embs: DataFrame, k: Int, pool: Int,
-      rrfK: Long): DataFrame =
-    TextOps.searchHybridOn(docs, embs, k, pool, rrfK)
+      rrfK: Long, queryId: Long): DataFrame =
+    TextOps.searchHybridOn(docs, embs, k, pool, rrfK, queryId)
 
   /** Pairwise source-overlap matrix over shared `width`-token windows
     * (n_shared + exact containment share) — TextOps.sourceOverlapOn.

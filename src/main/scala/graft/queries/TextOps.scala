@@ -1299,8 +1299,7 @@ object TextOps {
       .select(col("source"), explode(org.apache.spark.sql.graft
         .ShingleExpressions.ngrams(col("text"), width, distinct = true))
         .as("win"))
-      .groupBy(col("source"), col("win")).agg(lit(1))
-      .select(col("source"), col("win"))
+      .distinct()
     val counts = w.groupBy(col("source")).agg(count(lit(1)).as("n_wins"))
     val pairs = w.select(col("win"), col("source").as("source_a"))
       .join(w.select(col("win"), col("source").as("source_b")), Seq("win"))
@@ -1366,7 +1365,7 @@ object TextOps {
       .ShingleExpressions.ngrams(col("text"), width, distinct = true))
       .as("win"))
     val nd = w.select(expr(s"doc_id div $bucketDocs").as("bucket"), col("win"))
-      .groupBy(col("bucket"), col("win")).agg(lit(1))
+      .distinct()
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_distinct"))
     val nn = w.groupBy(col("win")).agg(min(col("doc_id")).as("f_doc"))
       .groupBy(expr(s"f_doc div $bucketDocs").as("bucket"))
@@ -2567,22 +2566,30 @@ object TextOps {
   /** [[searchHybrid]] over any (doc_id, text) corpus and (vec_id,
     * embedding) table sharing the id space; `pool` is the per-side
     * candidate depth, `k` the fused cut, `rrfK` the RRF damping
-    * constant.
+    * constant, `queryId` the id of the query EMBEDDING row. Fails loud
+    * (one pushdown-filtered lookup job) if the query row is absent or
+    * duplicated — a missing row would otherwise silently degrade the
+    * result to lexical-only, a duplicate would multiply the semantic
+    * pool.
     */
   def searchHybridOn(docs: DataFrame, embs: DataFrame, k: Int = 20,
-      pool: Int = 50, rrfK: Long = 60L): DataFrame = {
+      pool: Int = 50, rrfK: Long = 60L, queryId: Long = 0L): DataFrame = {
     require(k > 0 && pool >= k && rrfK > 0,
       s"need 0 < k <= pool and rrfK > 0, got k=$k pool=$pool rrfK=$rrfK")
+    val qv = embs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        VectorOps.norm2(col("embedding")).as("q_n2"))
+    val nq = qv.limit(2).count()
+    require(nq == 1,
+      s"query embedding vec_id=$queryId: expected exactly 1 row, found " +
+        s"${if (nq == 0) "none" else "duplicates"}")
     val lex = bm25E6On(docs)
       .orderBy(col("e6").desc, col("doc_id").asc).limit(pool)
       .withColumn("r_lex", row_number()
         .over(Window.orderBy(col("e6").desc, col("doc_id").asc))
         .cast(LongType))
       .select(col("doc_id").as("lex_id"), col("r_lex"))
-    val qv = embs.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"),
-        VectorOps.norm2(col("embedding")).as("q_n2"))
-    val sem = embs.filter(col("vec_id") =!= 0)
+    val sem = embs.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),
         round(VectorOps.dot(col("q_emb"), col("embedding")) /

@@ -279,9 +279,21 @@ object VectorOps {
     * components are the exact HALF-UP integer rational
     * floor((2s+n)/2n), and the argmin key is pure BIGINT arithmetic:
     * ‖c‖² − 2⟨x, c⟩ (the per-vector ‖x‖² term is constant inside the
-    * argmin, so d² ordering is preserved), scaled by 1024 with the
-    * label as tiebreak. Bound: |xᵢ|, |cᵢ| ≤ 4·10⁶ grains and dim ≤ 64
-    * keep |key| < 2⁶² (fixtures sit at ≤ 0.58·10⁶).
+    * argmin, so d² ordering is preserved), with the label as a
+    * lexicographic STRUCT tiebreak — `min(struct(key, label))`, the
+    * [[graft.queries.TextOps]] first-occurrence idiom — so NO label
+    * range is assumed (an arithmetic key·K + label tiebreak would
+    * corrupt the ordering whenever labels reach K; cluster-rep ids
+    * routinely would). Bound: |xᵢ|, |cᵢ| ≤ 4·10⁶ grains and dim ≤ 64
+    * keep |key| ≤ 3·64·(4·10⁶)² ≈ 3.1·10¹⁵ ≪ 2⁶³ (fixtures sit at
+    * ≤ 0.58·10⁶).
+    *
+    * Dirty data: a vector with a null (or null-element) embedding is
+    * EXCLUDED from both the centroids and the assignment, on both
+    * engines — the Spark key would null-poison while SQL `sum()` would
+    * silently skip the null position and still assign, the exact
+    * silent-divergence class the JlProject null hardening closed; an
+    * unassignable vector is the honest answer.
     *
     * Scale: one map-side-combinable (label, pos) sum (≤ labels×dim
     * rows), a broadcast of the ≤-labels-row centroid table, per-row
@@ -295,15 +307,18 @@ object VectorOps {
 
   /** [[vecCentroidAssign]] over any (vec_id, embedding, label) frame —
     * the engine surface (e.g. cluster ids from [[knnLabel]] in place of
-    * gold labels). Requires < 1024 distinct labels (the argmin tiebreak
-    * scale) and |component| ≤ 4 (the BIGINT bound above).
+    * gold labels; any BIGINT-castable label values). Requires
+    * |component| ≤ 4 (the BIGINT bound above).
     */
   def vecCentroidAssignOn(embs: DataFrame): DataFrame = {
     val dotL = org.apache.spark.sql.graft.VectorExpressions.dotProductLong _
-    val q = embs.select(col("vec_id"), col("label").cast(LongType).as("label"),
-      transform(col("embedding"),
-        x => floor(x.cast(D) * lit(1000000.0) + lit(0.5)).cast(LongType))
-        .as("xq"))
+    val q = embs
+      .filter(col("embedding").isNotNull &&
+        !exists(col("embedding"), x => x.isNull))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(D) * lit(1000000.0) + lit(0.5)).cast(LongType))
+          .as("xq"))
     val cents = q
       .select(col("label"), posexplode(col("xq")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -316,19 +331,20 @@ object VectorOps {
         s => s.getField("c")).as("cent"))
       .select(col("label").as("clabel"), col("cent"))
       .withColumn("c_n2", dotL(col("cent"), col("cent")))
-    val key = (col("c_n2") - lit(2L) * dotL(col("xq"), col("cent"))) *
-      lit(1024L) + col("clabel")
+    val key = col("c_n2") - lit(2L) * dotL(col("xq"), col("cent"))
     q.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"), col("label"))
-      .agg(min_by(col("clabel"), key).as("assigned"))
+      .agg(min(struct(key.as("k"), col("clabel"))).as("m"))
+      .select(col("label"), col("m").getField("clabel").as("assigned"))
       .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))
   }
 
   /** DuckDB mirror in scalar (vec_id, pos, xq) form: the same exact
-    * integers, argmin on d² = Σ(x−c)² — equal to the Spark key's
-    * ordering because they differ by the per-vector constant ‖x‖²·1024.
+    * integers, lexicographic struct-min on (d², label) — equal to the
+    * Spark key's ordering because d² and ‖c‖²−2⟨x,c⟩ differ by the
+    * per-vector constant ‖x‖².
     */
   val vecCentroidAssignSql: String =
     """WITH x AS (
@@ -336,19 +352,21 @@ object VectorOps {
       |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
       |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
       |               generate_subscripts(embedding, 1) AS pos
-      |        FROM embeddings)),
+      |        FROM embeddings
+      |        WHERE embedding IS NOT NULL
+      |          AND len(list_filter(embedding, e -> e IS NULL)) = 0)),
       |cent AS (
       |  SELECT label AS clabel, pos,
       |    CAST(floor((sum(xq) * 2 + count(*)) / (count(*) * 2)) AS BIGINT) AS c
       |  FROM x GROUP BY label, pos),
       |d AS (
       |  SELECT x.vec_id, x.label, cent.clabel,
-      |    sum((x.xq - cent.c) * (x.xq - cent.c)) AS d2
+      |    CAST(sum((x.xq - cent.c) * (x.xq - cent.c)) AS BIGINT) AS d2
       |  FROM x JOIN cent USING (pos)
       |  GROUP BY x.vec_id, x.label, cent.clabel),
       |asg AS (
       |  SELECT vec_id, label,
-      |    arg_min(clabel, CAST(d2 AS BIGINT) * 1024 + clabel) AS assigned
+      |    (min({'k': d2, 'l': clabel})).l AS assigned
       |  FROM d GROUP BY vec_id, label)
       |SELECT label, assigned, count(*) AS n
       |FROM asg GROUP BY label, assigned

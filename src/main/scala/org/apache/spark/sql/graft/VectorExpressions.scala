@@ -85,8 +85,10 @@ case class DotProduct(left: Expression, right: Expression)
   * discipline's inner product (nearest-centroid assignment keys on
   * ‖c‖² − 2·⟨x, c⟩ over 10⁶-grain quantized components, all exact
   * BIGINTs on both engines). Same null/shape semantics as [[DotProduct]];
-  * overflow is the CALLER's bound to prove (the contract use keeps
-  * |aᵢ|,|bᵢ| ≤ 2·10⁶ and dim ≤ 64 → |Σ| ≤ 2.6·10¹⁴ ≪ 2⁶³).
+  * overflow is the CALLER's bound to prove (the contract caller
+  * [[graft.queries.VectorOps.vecCentroidAssignOn]] documents
+  * |aᵢ|,|bᵢ| ≤ 4·10⁶ and dim ≤ 64 → |Σ| ≤ 64·(4·10⁶)² ≈ 1.03·10¹⁵
+  * ≪ 2⁶³).
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

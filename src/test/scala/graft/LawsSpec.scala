@@ -639,6 +639,15 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     intercept[IllegalArgumentException] {
       TextOps.searchHybridOn(docs, embs, k = 60, pool = 50)
     }
+    // an absent query row must refuse, not silently degrade to
+    // lexical-only; a duplicated one must refuse, not multiply the pool
+    intercept[IllegalArgumentException] {
+      TextOps.searchHybridOn(docs, embs, queryId = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.searchHybridOn(docs,
+        embs.unionByName(embs.filter(col("vec_id") === 0)))
+    }
   }
 
   test("sourceOverlap: bounded by the smaller side, containment in (0,1], " +
@@ -684,6 +693,22 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
         s"well-separated cluster must self-assign: $r")
       assert(r.getLong(2) == 20)
     }
+    // label values carry NO range assumption (the struct tiebreak):
+    // shifting every label by 5000 shifts the diagonal and nothing else
+    val shifted = VectorOps.vecCentroidAssignOn(
+      df.withColumn("label", col("label") + lit(5000))).collect()
+    assert(shifted.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == conf.map(r => (r.getLong(0) + 5000, r.getLong(1) + 5000,
+        r.getLong(2))).toSet, "confusion matrix must be label-shift-covariant")
+    // a null-component embedding is excluded from assignment (and from
+    // the centroids), matching the SQL mirror's explicit filter
+    val dirty = df.withColumn("embedding",
+      when(col("vec_id") === 0L,
+        array((lit(null).cast("float") +: (1 to 7).map(_ => lit(0.0f))): _*))
+        .otherwise(col("embedding")))
+    val confD = VectorOps.vecCentroidAssignOn(dirty).collect()
+    assert(confD.map(_.getLong(2)).sum == 59,
+      "the dirty vector must be excluded, not null-assigned")
   }
 
   test("neardupContainment: catches the truncated copy symmetric jaccard " +
