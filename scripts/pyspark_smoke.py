@@ -148,6 +148,14 @@ try:
     check("indexInfoWithDrift carries the drift section",
           info.filter("section = 'drift' and key = 'rebuild_recommended'")
           .collect()[0]["value"] == "false")
+    # the 100 TB hybrid form probes this same rebuilt index
+    hdocs = spark.read.parquet(f"{SF}/documents.parquet")
+    hyb_r = DataFrame(bridge.searchHybridRouted(
+        spark._jsparkSession, hdocs._jdf, vecs._jdf, idx,
+        20, 50, 60, 0, 30, 4), spark).collect()
+    check("routed hybrid retrieval from Python",
+          len(hyb_r) == 20 and all(r["rrf9"] > 0 for r in hyb_r),
+          f"({sum(1 for r in hyb_r if r['r_sem'] is not None)} semantic hits)")
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 

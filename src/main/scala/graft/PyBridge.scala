@@ -156,6 +156,16 @@ object PyBridge {
       rrfK: Long, queryId: Long): DataFrame =
     TextOps.searchHybridOn(docs, embs, k, pool, rrfK, queryId)
 
+  /** The 100 TB hybrid form: semantic pool from a persisted routed
+    * graph-index probe (graphWriteIndex's layout) instead of the exact
+    * corpus scan — TextOps.searchHybridRouted.
+    */
+  def searchHybridRouted(spark: SparkSession, docs: DataFrame,
+      embs: DataFrame, indexPath: String, k: Int, pool: Int, rrfK: Long,
+      queryId: Long, beam: Int, hops: Int): DataFrame =
+    TextOps.searchHybridRouted(spark, docs, embs, indexPath, k, pool,
+      rrfK, queryId, beam, hops)
+
   /** Pairwise source-overlap matrix over shared `width`-token windows
     * (n_shared + exact containment share) — TextOps.sourceOverlapOn.
     */

@@ -2600,6 +2600,15 @@ object TextOps {
         .over(Window.orderBy(col("cos").desc, col("vec_id").asc))
         .cast(LongType))
       .select(col("vec_id").as("sem_id"), col("r_sem"))
+    fuseRrf(lex, sem, k, rrfK)
+  }
+
+  /** The RRF combiner over two ranked pools — shared by the exact and
+    * the index-routed hybrid forms (rank-only, so the semantic backend
+    * is interchangeable by construction).
+    */
+  private def fuseRrf(lex: DataFrame, sem: DataFrame, k: Int,
+      rrfK: Long): DataFrame = {
     def contrib(r: Column): Column =
       coalesce(floor(lit(1000000000L) / (r + lit(rrfK))).cast(LongType),
         lit(0L))
@@ -2609,6 +2618,47 @@ object TextOps {
         (contrib(col("r_lex")) + contrib(col("r_sem"))).as("rrf9"))
       .orderBy(col("rrf9").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** [[searchHybridOn]]'s 100 TB form: the semantic pool comes from a
+    * ROUTED probe of a persisted NN-Descent graph index
+    * ([[graft.operators.NnDescent.searchIndexRouted]] — entry hubs from
+    * the routing state stored at build time) instead of the exact
+    * corpus scan, so the semantic side never touches the corpus beyond
+    * the probe's own reads. The lexical side and the RRF combiner are
+    * IDENTICAL code to the exact form — fusion is rank-only, which is
+    * exactly why the backend swaps freely. The query embedding row
+    * comes from `embs` (same fail-loud lookup as the exact form); the
+    * index is searched at `k = pool + 1` so dropping the query's own
+    * row (when it is indexed) still fills the pool.
+    */
+  def searchHybridRouted(spark: SparkSession, docs: DataFrame,
+      embs: DataFrame, indexPath: String, k: Int = 20, pool: Int = 50,
+      rrfK: Long = 60L, queryId: Long = 0L, beam: Int = 20,
+      hops: Int = 3): DataFrame = {
+    require(k > 0 && pool >= k && rrfK > 0,
+      s"need 0 < k <= pool and rrfK > 0, got k=$k pool=$pool rrfK=$rrfK")
+    val qv = embs.filter(col("vec_id") === queryId)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"))
+    val nq = qv.limit(2).count()
+    require(nq == 1,
+      s"query embedding vec_id=$queryId: expected exactly 1 row, found " +
+        s"${if (nq == 0) "none" else "duplicates"}")
+    val lex = bm25E6On(docs)
+      .orderBy(col("e6").desc, col("doc_id").asc).limit(pool)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("e6").desc, col("doc_id").asc))
+        .cast(LongType))
+      .select(col("doc_id").as("lex_id"), col("r_lex"))
+    val sem = graft.operators.NnDescent
+      .searchIndexRouted(spark, indexPath, qv, k = pool + 1, beam, hops)
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("r_sem",
+        row_number().over(Window.orderBy(col("rn").asc)).cast(LongType))
+      .filter(col("r_sem") <= pool)
+      .select(col("vec_id").as("sem_id"), col("r_sem"))
+    fuseRrf(lex, sem, k, rrfK)
   }
 
   val searchHybridSql: String =

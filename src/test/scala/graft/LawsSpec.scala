@@ -650,6 +650,37 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("searchHybridRouted: the indexed semantic backend fuses like the " +
+      "exact one — identical lexical ranks, high fused overlap") {
+    import graft.operators.NnDescent
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val embs = Tables.t(spark, Sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("hyb_idx").toString
+    try {
+      val base = embs.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .dotProduct(col("embedding"), col("embedding")).as("n2"))
+      NnDescent.writeIndex(base, dir, k = 10, iters = 2)
+      val exact = TextOps.searchHybridOn(docs, embs).collect()
+      val routed = TextOps.searchHybridRouted(spark, docs, embs, dir,
+        beam = 30, hops = 4).collect()
+      assert(routed.length == 20)
+      // lexical side is byte-identical machinery: every fused row that
+      // carries an r_lex must carry the same r_lex as the exact form
+      val exactLex = exact.filter(!_.isNullAt(1))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      routed.filter(!_.isNullAt(1)).foreach { r =>
+        exactLex.get(r.getLong(0)).foreach(rl => assert(rl == r.getLong(1),
+          s"lexical rank drifted for doc ${r.getLong(0)}"))
+      }
+      // fused top-20 overlap: the ANN pool approximates the exact pool
+      val overlap = routed.map(_.getLong(0)).toSet
+        .intersect(exact.map(_.getLong(0)).toSet).size
+      assert(overlap >= 16, s"fused overlap $overlap/20 too low")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sourceOverlap: bounded by the smaller side, containment in (0,1], " +
       "relabel-invariant") {
     val docs = Tables.t(spark, Sf001, "documents")
