@@ -363,8 +363,12 @@ object TextOps {
     * shingle, never all-pairs. Unlike Jaccard there is NO size-ratio
     * prune to push into the join (the small side of ANY co-shingled
     * pair can reach containment 1.0), so the join condition is the
-    * bare shingle equality; the MinHash banding path remains the
-    * hot-corpus fallback exactly as for Jaccard.
+    * bare shingle equality. NOTE: MinHash banding is NOT a fallback
+    * here — banding recall tracks JACCARD, and a contained excerpt
+    * sits at J ≈ n_A/n_B (0.1 for a 10× container), where 8-band
+    * recall is ~0.08: banding structurally misses exactly the pairs
+    * this operator exists for. The hot-corpus path is the EXACT
+    * asymmetric prefix filter, [[neardupContainmentPrefixOn]].
     */
   def neardupContainment(spark: SparkSession, dir: String): DataFrame =
     neardupContainmentOn(Tables.t(spark, dir, "documents"))
@@ -398,6 +402,63 @@ object TextOps {
         col("x.container").as("container"), col("inter"),
         col("x.n_contained").as("n_contained"),
         round(col("inter") / col("x.n_contained"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  /** [[neardupContainmentOn]] through an EXACT asymmetric prefix filter
+    * (the containment analog of [[neardupJaccardPrefixAt]]) — the
+    * same result frame, bit-identical, through a candidate join immune
+    * to the direct form's occurrence-quadratic blowup on hot shingles.
+    *
+    * Asymmetry is the point: only the CONTAINED side probes with a
+    * prefix. If |A∩B| ≥ ⌈t·n_A⌉ then at most n_A − ⌈t·n_A⌉ of A's
+    * shingles miss B, so A's first n_A − ⌈t·n_A⌉ + 1 shingles under
+    * ANY fixed order must contain one hit (pure pigeonhole — no
+    * condition on B, which posts its FULL set; the Jaccard form's
+    * two-sided prefix lemma needs |∩| bounds on BOTH sides, which
+    * containment does not give for the container). The shared order is
+    * rarest-first (global df, shingle tiebreak), so boilerplate
+    * shingles fall out of every probe prefix; at t = 0.8 the probe side
+    * carries ~0.2·n_A + 2 rows per doc. t is the 5·10⁻⁷-slackened
+    * threshold (the rounded-boundary convention) and the +2 absorbs
+    * ceil double-rounding — extra prefix rows only ADD candidates.
+    * Verification is exact per candidate (array_intersect of the two
+    * sorted shingle sets), then the identical rounded predicate.
+    */
+  def neardupContainmentPrefixOn(docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val t = threshold - 5e-7
+    val withN = shingleArrs(docs)
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+    val freq = withN.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = withN.join(freq, "s")
+      .select(col("doc_id"), col("s"), col("n"), row_number().over(wo).as("r"))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+      .select(col("doc_id").as("contained"), col("s"))
+    val cand = prefix
+      .join(withN.select(col("doc_id").as("container"), col("s")), Seq("s"))
+      .filter(col("contained") =!= col("container"))
+      .select(col("contained"), col("container"))
+      .distinct()
+    val sets = shingleArrs(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), sort_array(col("shingles")).as("arr"),
+        size(col("shingles")).cast(LongType).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("contained"), col("arr").as("arr_a"),
+        col("n").as("n_contained")), Seq("contained"))
+      .join(sets.select(col("doc_id").as("container"),
+        col("arr").as("arr_b")), Seq("container"))
+      .select(col("contained"), col("container"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast(LongType)
+          .as("inter"),
+        col("n_contained"),
+        round(size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast(LongType) / col("n_contained"), 6).as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy(col("contained"), col("container"))
   }

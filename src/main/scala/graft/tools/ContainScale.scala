@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Offline measurement: direct vs asymmetric-prefix containment join
+  * ([[graft.queries.TextOps.neardupContainmentOn]] /
+  * [[graft.queries.TextOps.neardupContainmentPrefixOn]]) at sf0.1 and
+  * on a ×4 replicated corpus (replication multiplies every shingle's
+  * occurrence count ×4, so the direct join's hottest buckets grow ×16
+  * while prefixes keep hot shingles out of the probe side — the regime
+  * the prefix form exists for). Prints one line per (corpus, form):
+  * `CONTAIN <corpus> <form> <rows> <sec>`; equal row counts per corpus
+  * are asserted (the forms are spec-pinned bit-identical; this harness
+  * is about WALL, LawsSpec owns equivalence).
+  *
+  * Usage: scripts/run.sh graft.tools.ContainScale  (SFD overrides dir)
+  */
+object ContainScale {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val dir = sys.env.getOrElse("SFD", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val x4 = (0 until 4).map(i => docs.select(
+        (col("doc_id") * 4 + i).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    def time(label: String, form: String)(
+        df: => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"CONTAIN $label $form $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      n
+    }
+    for ((label, corpus) <- Seq("sf0.1" -> docs, "sf0.1x4" -> x4)) {
+      val a = time(label, "direct")(
+        graft.queries.TextOps.neardupContainmentOn(corpus))
+      val b = time(label, "prefix")(
+        graft.queries.TextOps.neardupContainmentPrefixOn(corpus))
+      assert(a == b, s"row drift on $label: direct=$a prefix=$b")
+    }
+    spark.stop()
+  }
+}

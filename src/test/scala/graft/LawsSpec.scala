@@ -773,6 +773,26 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("neardupContainmentPrefix: the asymmetric prefix-filtered form is " +
+      "bit-identical to the direct join") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // fixture corpus at the contract threshold AND a lower one (more
+    // pairs, longer prefixes)
+    val fx = Tables.t(spark, Sf0001, "documents")
+    for (t <- Seq(0.8, 0.5)) {
+      assert(rows(TextOps.neardupContainmentPrefixOn(fx, t)) ==
+        rows(TextOps.neardupContainmentOn(fx, t)), s"diverged at t=$t")
+    }
+    // the motivating excerpt fixture (strict one-direction subset)
+    val full = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 6).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, full), (2L, excerpt)).toDF("doc_id", "text")
+    assert(rows(TextOps.neardupContainmentPrefixOn(docs, 0.8)) ==
+      rows(TextOps.neardupContainmentOn(docs, 0.8)))
+  }
+
   test("noveltyCurve: new-window counts conserve the distinct-window " +
       "total; a replayed tranche has zero novelty") {
     import spark.implicits._
