@@ -190,6 +190,19 @@ object PyBridge {
   def noveltyCurve(docs: DataFrame, width: Int, bucketDocs: Long): DataFrame =
     TextOps.noveltyCurveOn(docs, width, bucketDocs)
 
+  /** Per-batch novelty vs the persisted seen-segment index (read-only
+    * probe) — TextOps.noveltyDelta; the incremental saturation signal
+    * an operator loop polls per ingest batch.
+    */
+  def noveltyDelta(spark: SparkSession, path: String, batch: DataFrame,
+      width: Int): DataFrame =
+    TextOps.noveltyDelta(spark, path, batch, width)
+
+  /** [[noveltyDelta]] against the seen-set snapshot as of a batch tag. */
+  def noveltyDeltaAsOf(spark: SparkSession, path: String, batch: DataFrame,
+      width: Int, asOf: String): DataFrame =
+    TextOps.noveltyDeltaAsOf(spark, path, batch, width, asOf)
+
   /** Exact semantic decontamination of a corpus frame against a
     * broadcast eval frame — per-vector n_hits / max_cos / verdict.
     */

@@ -2164,6 +2164,51 @@ object TextOps {
     within.join(seenAsOf(spark, path, asOf), Seq("h"), "left_anti").drop("h")
   }
 
+  /** Per-batch novelty against the persisted seen-segment index — the
+    * incremental twin of [[noveltyCurve]], riding state
+    * [[segmentDedupDelta]] already maintains (zero extra artifacts):
+    * ONE row (n_distinct, n_new, novelty) for the batch's distinct
+    * width-token segments vs everything prior admits recorded.
+    * Read-only: no `_params` re-record (admit = false, the r15 probe
+    * posture), no seen write, no history entry — an operator loop polls
+    * it per ingest batch the way it reads the drift side output, and a
+    * sagging novelty series is the same stop-crawling signal as the
+    * batch curve.
+    *
+    * Scale: the batch's own segment explode + distinct, then one
+    * hash-keyed join against the index — the shape
+    * [[segmentDedupDelta]] already pays, minus the write.
+    */
+  def noveltyDelta(spark: SparkSession, path: String, batch: DataFrame,
+      width: Int): DataFrame = {
+    requireIndexParams(spark, path, s"width=$width", admit = false)
+    VectorOps.finishCrashedSwap(spark, s"$path/seen")
+    noveltyAgainst(batch, width,
+      spark.read.schema("h STRING, batch STRING").parquet(s"$path/seen")
+        .select(col("h")))
+  }
+
+  /** [[noveltyDelta]] against the seen-set snapshot AS OF a recorded
+    * batch tag — what the batch's novelty WAS at that point of the
+    * admit order. Read-only.
+    */
+  def noveltyDeltaAsOf(spark: SparkSession, path: String, batch: DataFrame,
+      width: Int, asOf: String): DataFrame = {
+    requireIndexParams(spark, path, s"width=$width", admit = false)
+    noveltyAgainst(batch, width, seenAsOf(spark, path, asOf))
+  }
+
+  private def noveltyAgainst(batch: DataFrame, width: Int,
+      seen: DataFrame): DataFrame =
+    segmentRows(batch, width)
+      .select(sha2(col("seg"), 256).as("h")).distinct()
+      .join(seen.distinct().withColumn("is_seen", lit(1L)), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("is_seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("n_distinct"), col("n_new"),
+        when(col("n_distinct") === 0, lit(0.0))
+          .otherwise(div6(col("n_new"), col("n_distinct"))).as("novelty"))
+
   /** [[segmentDedupDelta]]'s as-of twin: the batch's segment-level
     * rewrite against the seen-set snapshot at `asOf`. Read-only.
     */

@@ -817,6 +817,45 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       s"replayed tranche must be zero-novelty: $replayBucket")
   }
 
+  test("noveltyDelta: replayed content reads 0, fresh reads 1, the as-of " +
+      "probe reproduces the pre-admit answer read-only") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("novelty_idx").toString
+    try {
+      val idx = s"$dir/idx"
+      def half(i: Int) = docs.filter(col("doc_id") % 2 === i)
+        .select(col("doc_id"), col("text"))
+      TextOps.segmentDedupDelta(spark, idx, half(0), width = 8, tag = "t0")
+      // t1's novelty, asked BEFORE t1 is admitted
+      val before = TextOps.noveltyDelta(spark, idx, half(1), 8).collect()(0)
+      assert(before.getLong(0) > 0 && before.getDouble(2) > 0.0)
+      TextOps.segmentDedupDelta(spark, idx, half(1), width = 8, tag = "t1")
+      // replayed t0 content under fresh ids: nothing is new
+      val replay = TextOps.noveltyDelta(spark, idx,
+        half(0).select((col("doc_id") + 10000L).as("doc_id"), col("text")),
+        8).collect()(0)
+      assert(replay.getLong(1) == 0L && replay.getDouble(2) == 0.0, s"$replay")
+      // fresh synthetic content: everything is new
+      import spark.implicits._
+      val fresh = Seq((1L, (1 to 32).map(i => s"zz$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val f = TextOps.noveltyDelta(spark, idx, fresh, 8).collect()(0)
+      assert(f.getLong(0) == f.getLong(1) && f.getDouble(2) == 1.0, s"$f")
+      // as-of t0 reproduces the pre-admit answer after the live index
+      // moved, and writes nothing (read-only probe)
+      val asOf = TextOps.noveltyDeltaAsOf(spark, idx, half(1), 8, "t0")
+        .collect()(0)
+      assert(asOf == before, s"as-of $asOf != pre-admit $before")
+      // width mismatch refuses (the _params pin), read-only
+      intercept[IllegalArgumentException] {
+        TextOps.noveltyDelta(spark, idx, fresh, 12)
+      }
+      val live = TextOps.noveltyDelta(spark, idx, half(1), 8).collect()(0)
+      assert(live.getLong(1) == 0L, "t1 is fully seen after its admit")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("property: avg4 on arbitrary small groups matches exact rational HALF_UP") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 99999999).map(_ / 10000.0))
