@@ -302,23 +302,14 @@ object TextOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     val t = threshold - 5e-7
-    val withN = shingleArrs(docs)
-      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
-        explode(col("shingles")).as("s"))
-    val freq = withN.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wo = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = withN.join(freq, "s")
-      .select(col("doc_id"), col("s"), col("n"), row_number().over(wo).as("r"))
-      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+    val prefix = prefixRows(docs, t)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * t <=
             least(col("a.n"), col("b.n")) + 1)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sets = shingleArrs(docs).filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), sort_array(col("shingles")).as("arr"),
-        size(col("shingles")).cast(LongType).as("n"))
+    val sets = sortedShingleSets(docs)
     cand
       .join(sets.select(col("doc_id").as("d1"), col("arr").as("arr1"),
         col("n").as("n1")), Seq("d1"))
@@ -332,6 +323,35 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** The shared prefix-candidate machinery of BOTH prefix-filtered
+    * forms ([[neardupJaccardPrefixAt]], [[neardupContainmentPrefixOn]]):
+    * each doc's shingle rows ranked rarest-first under the global
+    * (df, shingle) order, kept to the first n − ⌈t·n⌉ + 2 (the
+    * threshold `t` arrives ALREADY 5·10⁻⁷-slackened; +1 is the
+    * pigeonhole prefix, +1 more absorbs ceil double-rounding — extra
+    * rows only ADD candidates). One copy so the subtle boundary
+    * arithmetic can never drift between the two forms.
+    */
+  private def prefixRows(docs: DataFrame, t: Double): DataFrame = {
+    val withN = shingleArrs(docs)
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+    val freq = withN.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    withN.join(freq, "s")
+      .select(col("doc_id"), col("s"), col("n"), row_number().over(wo).as("r"))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+      .select(col("doc_id"), col("s"), col("n"))
+  }
+
+  /** (doc_id, sorted shingle array, n) for exact per-candidate
+    * verification — shared by the two prefix forms.
+    */
+  private def sortedShingleSets(docs: DataFrame): DataFrame =
+    shingleArrs(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), sort_array(col("shingles")).as("arr"),
+        size(col("shingles")).cast(LongType).as("n"))
 
   val neardupJaccardSql =
     s"""WITH sh AS ($shingledSql),
@@ -431,23 +451,15 @@ object TextOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     val t = threshold - 5e-7
-    val withN = shingleArrs(docs)
-      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
-        explode(col("shingles")).as("s"))
-    val freq = withN.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wo = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = withN.join(freq, "s")
-      .select(col("doc_id"), col("s"), col("n"), row_number().over(wo).as("r"))
-      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+    val prefix = prefixRows(docs, t)
       .select(col("doc_id").as("contained"), col("s"))
-    val cand = prefix
-      .join(withN.select(col("doc_id").as("container"), col("s")), Seq("s"))
+    val full = shingleArrs(docs)
+      .select(col("doc_id").as("container"), explode(col("shingles")).as("s"))
+    val cand = prefix.join(full, Seq("s"))
       .filter(col("contained") =!= col("container"))
       .select(col("contained"), col("container"))
       .distinct()
-    val sets = shingleArrs(docs).filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), sort_array(col("shingles")).as("arr"),
-        size(col("shingles")).cast(LongType).as("n"))
+    val sets = sortedShingleSets(docs)
     cand
       .join(sets.select(col("doc_id").as("contained"), col("arr").as("arr_a"),
         col("n").as("n_contained")), Seq("contained"))
@@ -2198,13 +2210,21 @@ object TextOps {
     noveltyAgainst(batch, width, seenAsOf(spark, path, asOf))
   }
 
+  /** The seen side joins WITHOUT a distinct: index hashes are unique by
+    * the admit discipline (within-batch first occurrences, anti-joined
+    * against every prior batch, replays overwriting their own dir, and
+    * compaction folding disjoint sets) — a defensive distinct here would
+    * shuffle the corpus-sized index on every poll. `n_new` coalesces to
+    * 0 on an empty/short batch (a zero-row global sum is NULL).
+    */
   private def noveltyAgainst(batch: DataFrame, width: Int,
       seen: DataFrame): DataFrame =
     segmentRows(batch, width)
       .select(sha2(col("seg"), 256).as("h")).distinct()
-      .join(seen.distinct().withColumn("is_seen", lit(1L)), Seq("h"), "left")
+      .join(seen.withColumn("is_seen", lit(1L)), Seq("h"), "left")
       .agg(count(lit(1)).as("n_distinct"),
-        sum(when(col("is_seen").isNull, 1L).otherwise(0L)).as("n_new"))
+        coalesce(sum(when(col("is_seen").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_new"))
       .select(col("n_distinct"), col("n_new"),
         when(col("n_distinct") === 0, lit(0.0))
           .otherwise(div6(col("n_new"), col("n_distinct"))).as("novelty"))
@@ -2734,9 +2754,16 @@ object TextOps {
     * the probe's own reads. The lexical side and the RRF combiner are
     * IDENTICAL code to the exact form — fusion is rank-only, which is
     * exactly why the backend swaps freely. The query embedding row
-    * comes from `embs` (same fail-loud lookup as the exact form); the
-    * index is searched at `k = pool + 1` so dropping the query's own
-    * row (when it is indexed) still fills the pool.
+    * comes from `embs` (same fail-loud lookup as the exact form).
+    *
+    * Beam vs pool: the graph walk retains at most beam + 1 candidates
+    * per query (NnDescent's topBeam), so a beam below `pool` would
+    * SILENTLY starve the semantic pool at beam + 1 rows while the API
+    * promises pool-deep ranks — the effective beam is therefore
+    * max(beam, pool); pass a larger beam only to push recall. The
+    * query's own indexed row is already excluded inside the search
+    * (searchGraphFrom filters q_id ≠ vec_id before its cut), so `rn`
+    * is directly the dense 1..pool semantic rank.
     */
   def searchHybridRouted(spark: SparkSession, docs: DataFrame,
       embs: DataFrame, indexPath: String, k: Int = 20, pool: Int = 50,
@@ -2758,12 +2785,9 @@ object TextOps {
         .cast(LongType))
       .select(col("doc_id").as("lex_id"), col("r_lex"))
     val sem = graft.operators.NnDescent
-      .searchIndexRouted(spark, indexPath, qv, k = pool + 1, beam, hops)
-      .filter(col("vec_id") =!= queryId)
-      .withColumn("r_sem",
-        row_number().over(Window.orderBy(col("rn").asc)).cast(LongType))
-      .filter(col("r_sem") <= pool)
-      .select(col("vec_id").as("sem_id"), col("r_sem"))
+      .searchIndexRouted(spark, indexPath, qv, k = pool,
+        beam = math.max(beam, pool), hops = hops)
+      .select(col("vec_id").as("sem_id"), col("rn").cast(LongType).as("r_sem"))
     fuseRrf(lex, sem, k, rrfK)
   }
 

@@ -665,6 +665,15 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       val routed = TextOps.searchHybridRouted(spark, docs, embs, dir,
         beam = 30, hops = 4).collect()
       assert(routed.length == 20)
+      // the semantic pool is pool-deep, not beam-capped: a tiny beam
+      // auto-raises to pool, so beam=5 and beam=pool fuse identically
+      // (before the raise, beam=5 silently starved the pool at 6 rows)
+      val tiny = TextOps.searchHybridRouted(spark, docs, embs, dir,
+        beam = 5, hops = 4).collect()
+      val atPool = TextOps.searchHybridRouted(spark, docs, embs, dir,
+        beam = 50, hops = 4).collect()
+      assert(tiny.map(_.toString).toSeq == atPool.map(_.toString).toSeq,
+        "beam below pool must auto-raise, not starve the semantic pool")
       // lexical side is byte-identical machinery: every fused row that
       // carries an r_lex must carry the same r_lex as the exact form
       val exactLex = exact.filter(!_.isNullAt(1))
