@@ -2768,7 +2768,7 @@ object TextOps {
   def searchHybridRouted(spark: SparkSession, docs: DataFrame,
       embs: DataFrame, indexPath: String, k: Int = 20, pool: Int = 50,
       rrfK: Long = 60L, queryId: Long = 0L, beam: Int = 20,
-      hops: Int = 3): DataFrame = {
+      hops: Int = 3, nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame = {
     require(k > 0 && pool >= k && rrfK > 0,
       s"need 0 < k <= pool and rrfK > 0, got k=$k pool=$pool rrfK=$rrfK")
     val qv = embs.filter(col("vec_id") === queryId)
@@ -2786,7 +2786,8 @@ object TextOps {
       .select(col("doc_id").as("lex_id"), col("r_lex"))
     val sem = graft.operators.NnDescent
       .searchIndexRouted(spark, indexPath, qv, k = pool,
-        beam = math.max(beam, pool), hops = hops)
+        beam = math.max(beam, pool), hops = hops, nprobe = nprobe,
+        hubsPerCell = hubsPerCell)
       .select(col("vec_id").as("sem_id"), col("rn").cast(LongType).as("r_sem"))
     fuseRrf(lex, sem, k, rrfK)
   }
