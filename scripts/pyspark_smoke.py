@@ -152,7 +152,7 @@ try:
     hdocs = spark.read.parquet(f"{SF}/documents.parquet")
     hyb_r = DataFrame(bridge.searchHybridRouted(
         spark._jsparkSession, hdocs._jdf, vecs._jdf, idx,
-        20, 50, 60, 0, 30, 4), spark).collect()
+        20, 50, 60, 0, 30, 4, 3, 8), spark).collect()
     check("routed hybrid retrieval from Python",
           len(hyb_r) == 20 and all(r["rrf9"] > 0 for r in hyb_r),
           f"({sum(1 for r in hyb_r if r['r_sem'] is not None)} semantic hits)")

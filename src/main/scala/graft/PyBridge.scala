@@ -162,9 +162,10 @@ object PyBridge {
     */
   def searchHybridRouted(spark: SparkSession, docs: DataFrame,
       embs: DataFrame, indexPath: String, k: Int, pool: Int, rrfK: Long,
-      queryId: Long, beam: Int, hops: Int): DataFrame =
+      queryId: Long, beam: Int, hops: Int, nprobe: Int,
+      hubsPerCell: Int): DataFrame =
     TextOps.searchHybridRouted(spark, docs, embs, indexPath, k, pool,
-      rrfK, queryId, beam, hops)
+      rrfK, queryId, beam, hops, nprobe, hubsPerCell)
 
   /** Pairwise source-overlap matrix over shared `width`-token windows
     * (n_shared + exact containment share) — TextOps.sourceOverlapOn.

@@ -320,6 +320,13 @@ object NnDescent {
     * coarse quantizer the build's ring init used, stored so
     * [[searchIndexRouted]] places per-query entries without re-deriving
     * an assignment per search batch.
+    *
+    * GEOMETRY: `cells = 16` is a FIXTURE-SCALE default. Scale it
+    * ~√n for a real corpus — a fixed cell count over a growing corpus
+    * decays routed overlap exactly like a fixed search budget
+    * (measured: 19→12/20 fused-top-20 agreement across 2k→64k vectors
+    * at 16 cells; √n cells + nprobe 8 restores 18/20 —
+    * BASELINE.md HybridScale).
     */
   def writeIndex(base: DataFrame, path: String, k: Int, iters: Int,
       cells: Int = 16, reliable: Boolean = false): Unit = {
