@@ -23,6 +23,11 @@ import graft.queries.{CurateConfig, TextOps}
   *                   as segment_dup). Incompatible with --state: durable
   *                   state stores raw-text labels, the stage needs
   *                   rewritten-text labels.
+  *   [--containment T] containment-dedup stage (batch-only): a survivor
+  *                   whose 3-shingle set is ≥ T contained in a better
+  *                   survivor drops as contained_dup BEFORE the
+  *                   symmetric near-dup stage — the excerpt/truncation
+  *                   pass ([[graft.queries.CurateConfig]] doc)
   *   [--normalize-hash] exact-dup stage hashes normalized text (case/
   *                   punctuation/spacing variants collapse to one keeper)
   *   [--media COL:KIND] media dedup stage over binary column COL of KIND
@@ -43,6 +48,7 @@ object CurateCli {
       state: Option[String] = None,
       jaccard: Double = 0.5,
       segmentWidth: Option[Int] = None,
+      containment: Option[Double] = None,
       normalizeHash: Boolean = false,
       resume: Boolean = true,
       numCpus: Option[Int] = None,
@@ -50,8 +56,8 @@ object CurateCli {
 
   val usage: String =
     """usage: graft.Main curate <documents.parquet> <outDir>
-      |  [--state DIR] [--jaccard T] [--segment-width N] [--normalize-hash]
-      |  [--media COL:KIND ...] [--no-resume] [--num-cpus N]""".stripMargin
+      |  [--state DIR] [--jaccard T] [--segment-width N] [--containment T]
+      |  [--normalize-hash] [--media COL:KIND ...] [--no-resume] [--num-cpus N]""".stripMargin
 
   /** Pure argument parser — IllegalArgumentException on malformed input
     * (same contract as [[Main.parse]]; CliCurateSpec tests it directly).
@@ -82,6 +88,14 @@ object CurateCli {
             catch { case _: Exception =>
               throw new IllegalArgumentException(s"--segment-width needs a positive integer, got '$v'") }
           cfg = cfg.copy(segmentWidth = Some(w))
+        case "--containment" =>
+          val v = take("--containment")
+          val t = try v.toDouble catch { case _: Exception =>
+            throw new IllegalArgumentException(
+              s"--containment needs a number in (0, 1], got '$v'") }
+          require(t > 0.0 && t <= 1.0,
+            s"--containment must be in (0, 1], got $t")
+          cfg = cfg.copy(containment = Some(t))
         case "--normalize-hash" => cfg = cfg.copy(normalizeHash = true)
         case "--media" =>
           // repeatable COL:KIND — the multi-media stage from the shell
@@ -127,6 +141,7 @@ object CurateCli {
     val curateCfg = CurateConfig(jaccardThreshold = cfg.jaccard,
       normalizeForHash = cfg.normalizeHash,
       segmentDedupWidth = cfg.segmentWidth,
+      containmentThreshold = cfg.containment,
       media = cfg.media)
     val docs = spark.read.parquet(cfg.in)
 

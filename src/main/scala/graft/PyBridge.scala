@@ -49,6 +49,13 @@ object PyBridge {
   def curateSegments(docs: DataFrame, width: Int): DataFrame =
     TextOps.curateOn(docs, CurateConfig(segmentDedupWidth = Some(width)))
 
+  /** Curation with the containment (excerpt/truncation) stage on —
+    * contained docs drop as `contained_dup` before the symmetric
+    * near-dup stage. Batch-only (the streaming loop refuses the knob).
+    */
+  def curateContainment(docs: DataFrame, threshold: Double): DataFrame =
+    TextOps.curateOn(docs, CurateConfig(containmentThreshold = Some(threshold)))
+
   /** Curation with the semantic trailing stage — `docs` must carry an
     * `embedding` column (join your embeddings on doc_id first).
     */

@@ -78,6 +78,27 @@ case class CurateConfig(
     minContamRatio: (Long, Long) = (1L, 2L),
     normalizeForHash: Boolean = false,
     segmentDedupWidth: Option[Int] = None,
+    // when set, a CONTAINMENT stage runs right after decontamination,
+    // BEFORE the symmetric near-dup stage: a stage-3 survivor whose
+    // 3-shingle set is contained (|A∩B|/|A| ≥ threshold, the
+    // q_neardup_containment metric) in a BETTER surviving doc (the
+    // keep-best (n_chars, −doc_id) order) drops with reason
+    // `contained_dup` — the truncated-copy/excerpt verdict. Ordered
+    // before near_dup because a truncated copy is usually ALSO a
+    // J ≥ 0.5 near-dup and both stages keep the longest member: first
+    // position upgrades those drops to the more specific reason (it
+    // names which side is the excerpt) while still catching the true
+    // excerpts (J ≈ n_A/n_B ≪ 0.5) jaccard structurally misses.
+    // One-pass directional semantics: drops are judged against stage-3
+    // SURVIVORS, not final keepers (a container that later drops as
+    // near_dup still shields its excerpts — the semantic stage's
+    // one-shot-vs-iterative class). Default off — q_curate_containment
+    // oracles the composition end-to-end. Batch-only for now: the
+    // STREAMING loop refuses this knob loudly (the incremental form
+    // needs a persisted shingle-postings index with doc attribution —
+    // designed, not yet built — and a silently-ignored stage would be
+    // a stream/batch verdict divergence).
+    containmentThreshold: Option[Double] = None,
     semanticThreshold: Option[Double] = None,
     mediaColumn: Option[String] = None,
     mediaKind: String = "image",
@@ -3135,12 +3156,47 @@ object TextOps {
     val clusters = docs.select(col("doc_id"))
       .join(labelDf, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-    val ndKeep = stage3
+    // optional stage 3b — containment drop, BEFORE the symmetric
+    // near-dup stage: among the stage-3 survivors, a doc whose
+    // 3-shingle set is ≥ threshold contained in a BETTER survivor (the
+    // keep-best injective (n_chars, −doc_id) order) drops as
+    // `contained_dup` — the excerpt/truncation verdict. Order
+    // rationale: a truncated copy is USUALLY also a J ≥ 0.5 near-dup
+    // (the fixture has no counterexample), and both stages keep the
+    // longest member — running containment first changes the KEEPER
+    // set only in documented one-pass edge chains while upgrading the
+    // drop reason to the more specific one (it names which side is the
+    // excerpt); run after near-dup it would be structurally vacuous.
+    // One-pass directional semantics: drops are judged against STAGE-3
+    // survivors, not final keepers (a container that later drops as
+    // near_dup still shields its excerpts — the semantic stage's
+    // one-shot-vs-iterative class). Pairs come from the contract
+    // containment operator over survivors only — judging against an
+    // upstream-dropped container would delete content whose only
+    // surviving copy is the excerpt itself.
+    val cnKeep = cfg.containmentThreshold.map { th =>
+      val sizes = stage3.select(col("doc_id"), col("n_chars"))
+      val drops = neardupContainmentOn(
+          stage3.select(col("doc_id"), col("text")), th)
+        .join(sizes.select(col("doc_id").as("contained"),
+          col("n_chars").as("nc_a")), Seq("contained"))
+        .join(sizes.select(col("doc_id").as("container"),
+          col("n_chars").as("nc_b")), Seq("container"))
+        .filter(col("nc_b") * lit(1000000000L) - col("container") >
+          col("nc_a") * lit(1000000000L) - col("contained"))
+        .select(col("contained").as("doc_id")).distinct()
+      stage3.select(col("doc_id")).join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(true).as("cn_keep"))
+    }
+    val stage3b = cnKeep.fold(stage3)(ck =>
+      stage3.join(ck.select(col("doc_id")), Seq("doc_id")))
+    val ndKeep = stage3b
       .join(clusters, "doc_id")
       .groupBy(col("rep"))
       .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
         .as("doc_id"))
       .select(col("doc_id"), lit(true).as("nd_keep"))
+    val surv4b = stage3b.join(ndKeep.select(col("doc_id")), Seq("doc_id"))
     // optional stage 5 — semantic near-dup keep-best: cluster the CORPUS
     // by exact cosine (labels on all embedded docs, like the text
     // clusters — sound because upstream stages only remove members),
@@ -3160,7 +3216,7 @@ object TextOps {
           docs.filter(col("embedding").isNotNull)
             .select(col("doc_id").as("vec_id"), col("embedding")), th)
       }.select(col("vec_id").as("doc_id"), col("rep").as("srep"))
-      stage3.join(ndKeep.select(col("doc_id")), Seq("doc_id"))
+      surv4b
         .join(slabels, Seq("doc_id"), "left")
         .groupBy(coalesce(col("srep"), col("doc_id")).as("srep"))
         .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
@@ -3194,8 +3250,7 @@ object TextOps {
     // otherwise hinge on sub-stage order forever).
     val mdKeep = if (cfg.mediaEntries.isEmpty) None else Some {
       import graft.extract.Multimodal
-      val start = stage3.select(col("doc_id"), col("n_chars"))
-        .join(ndKeep.select(col("doc_id")), Seq("doc_id"))
+      val start = surv4b.select(col("doc_id"), col("n_chars"))
         .transform(s => smKeep.fold(s)(sk =>
           s.join(sk.select(col("doc_id")), Seq("doc_id"))))
       cfg.mediaEntries.foldLeft(start) { case (surv, (mc, kind)) =>
@@ -3233,9 +3288,14 @@ object TextOps {
       .join(exKeep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(ndKeep, Seq("doc_id"), "left")
-      // with the stage off, sm_keep ≡ nd_keep — alias the marker rather
-      // than paying a join whose result is nd_keep by construction (the
+      // the containment stage sits BEFORE near_dup in the CASE; with it
+      // off, a true literal silences its branch (aliasing a LATER
+      // stage's marker would mislabel that stage's drops). The later
+      // optional stages alias the previous marker as before — with a
+      // stage off, its marker ≡ the prior one by construction (the
       // streaming verdict builder's exact trick)
+      .transform(m => cnKeep.fold(m.withColumn("cn_keep", lit(true)))(
+        ck => m.join(ck, Seq("doc_id"), "left")))
       .transform(m => smKeep.fold(m.withColumn("sm_keep", col("nd_keep")))(
         sk => m.join(sk, Seq("doc_id"), "left")))
       .transform(m => mdKeep.fold(m.withColumn("md_keep", col("sm_keep")))(
@@ -3245,6 +3305,7 @@ object TextOps {
         when(!col("q_ok"), "quality")
           .when(col("ex_keep").isNull, "exact_dup")
           .when(col("contam").isNotNull, "decontaminated")
+          .when(col("cn_keep").isNull, "contained_dup")
           .when(col("nd_keep").isNull, "near_dup")
           .when(col("sm_keep").isNull, "semantic_dup")
           .when(col("md_keep").isNull, "media_dup")
@@ -3402,7 +3463,12 @@ object TextOps {
     * semantic-cluster CTEs and a five-stage CASE), so the stage
     * semantics cannot drift between the compositions.
     */
-  private val curateStagesSql: String =
+  /** Everything through `stage3`, plus [[ndKeepCteSql]] over a caller-
+    * chosen survivor CTE — split so the containment composition can
+    * re-scope the near-dup keep-best to ITS survivors without a second
+    * copy of the stage chain.
+    */
+  private val curateThroughStage3Sql: String =
     s"""$clusterCteSql,
        |$clustersCteSql,
        |q_ok AS (
@@ -3419,11 +3485,17 @@ object TextOps {
        |    AND coalesce(sizes.n_sh, 0) > 0),
        |stage3 AS (
        |  SELECT q.* FROM q_ok q JOIN ex_keep USING (doc_id)
-       |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)),
-       |nd_keep AS (
+       |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+
+  private def ndKeepCteSql(from: String): String =
+    s"""nd_keep AS (
        |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
-       |  FROM stage3 s JOIN clusters c ON s.doc_id = c.doc_id
+       |  FROM $from s JOIN clusters c ON s.doc_id = c.doc_id
        |  GROUP BY c.rep)""".stripMargin
+
+  private val curateStagesSql: String =
+    s"""$curateThroughStage3Sql,
+       |${ndKeepCteSql("stage3")}""".stripMargin
 
   /** Everything through the `reasons` CTE — shared by [[curateSql]] and
     * [[curateDeltaSql]] so the pipeline semantics cannot drift between
@@ -3454,6 +3526,65 @@ object TextOps {
        |FROM reasons
        |WHERE ${detHashSql("doc_id")} % 10 >= 5
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------- composed curation (containment stage)
+
+  /** The COMPOSED pipeline with the containment stage on
+    * ([[CurateConfig.containmentThreshold]] = 0.8): after
+    * quality/exact/decontamination, a stage-3 survivor whose 3-shingle
+    * set is ≥ 0.8 contained in a BETTER survivor drops as
+    * `contained_dup`, and the near-dup keep-best then runs over the
+    * containment SURVIVORS (see the CurateConfig doc for the order
+    * rationale). The oracle re-runs the shared through-stage3 chain,
+    * appends the containment CTEs with the identical rounded predicate
+    * and keep-best injective order, and RE-SCOPES the shared nd_keep
+    * fragment to the containment survivors — stage composition
+    * verified end-to-end (the q_curate_semantic posture).
+    */
+  def curateContainment(spark: SparkSession, dir: String): DataFrame =
+    curateOn(Tables.t(spark, dir, "documents"),
+      CurateConfig(containmentThreshold = Some(0.8)))
+
+  val curateContainmentSql: String =
+    s"""$curateThroughStage3Sql,
+       |csh AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN len(string_split(text, ' ')) >= 3
+       |         THEN list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+       |                             for i in range(1, len(string_split(text, ' ')) - 1)])
+       |         ELSE [] END AS shingles
+       |  FROM stage3),
+       |ce AS (SELECT doc_id, n_chars, len(shingles) AS n, unnest(shingles) AS s
+       |       FROM csh),
+       |cn_drop AS (
+       |  SELECT DISTINCT contained AS doc_id FROM (
+       |    SELECT a.doc_id AS contained, b.doc_id AS container,
+       |           a.n AS n_a, a.n_chars AS nc_a, b.n_chars AS nc_b,
+       |           count(*) AS inter
+       |    FROM ce a JOIN ce b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |    GROUP BY 1, 2, 3, 4, 5)
+       |  WHERE round(inter / n_a, 6) >= 0.8
+       |    AND nc_b * 1000000000 - container > nc_a * 1000000000 - contained),
+       |cn_keep AS (
+       |  SELECT doc_id FROM stage3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cn_drop)),
+       |csurv AS (SELECT s.* FROM stage3 s JOIN cn_keep USING (doc_id)),
+       |${ndKeepCteSql("csurv")},
+       |creasons AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN NOT ${Gopher.allSql} THEN 'quality'
+       |         WHEN ek.doc_id IS NULL THEN 'exact_dup'
+       |         WHEN ct.doc_id IS NOT NULL THEN 'decontaminated'
+       |         WHEN ck.doc_id IS NULL THEN 'contained_dup'
+       |         WHEN nk.doc_id IS NULL THEN 'near_dup'
+       |    END AS drop_reason
+       |  FROM documents d
+       |  LEFT JOIN ex_keep ek ON d.doc_id = ek.doc_id
+       |  LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+       |  LEFT JOIN cn_keep ck ON d.doc_id = ck.doc_id
+       |  LEFT JOIN nd_keep nk ON d.doc_id = nk.doc_id)
+       |SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
+       |FROM creasons ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------- composed curation (segments)
 
@@ -3602,6 +3733,8 @@ object TextOps {
     ContractQuery("q_curate_delta", curateDelta, Some(curateDeltaSql)),
     ContractQuery("q_curate_segments", curateSegments, Some(curateSegmentsSql)),
     ContractQuery("q_curate_semantic", curateSemantic, Some(curateSemanticSql)),
+    ContractQuery("q_curate_containment", curateContainment,
+      Some(curateContainmentSql)),
     ContractQuery("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     ContractQuery("q_domain_mix", domainMix, Some(domainMixSql)),
     ContractQuery("q_domain_resample", domainResample, Some(domainResampleSql)),

@@ -204,6 +204,15 @@ object CurateIngest {
       media: Seq[(String, String)] = Nil): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
+    // fail LOUD, not silent: the batch pipeline's containment stage has
+    // no incremental twin yet (it needs a persisted shingle-postings
+    // index with doc attribution — probe = batch shingles ⋈ stored
+    // postings, group by (new, stored), drop at inter/n_new ≥ t); a
+    // stream that ignored the knob would hand back stream/batch verdict
+    // divergence as a config surprise
+    require(cfg.containmentThreshold.isEmpty,
+      "containmentThreshold is a batch-only stage (curateOn); the " +
+        "streaming loop has no containment index yet — unset it here")
     // CurateConfig carries semanticThreshold/mediaColumn/media fields the
     // BATCH pipeline honors; a cfg-only caller must get the same stages
     // here instead of a silent stream/batch divergence (r15 review

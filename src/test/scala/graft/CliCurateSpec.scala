@@ -56,6 +56,27 @@ class CliCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(CurateCli.run(spark, CurateCli.Config(in, out)) == 0L)
   }
 
+  test("--containment parses, validates its range, and runs the stage") {
+    val c = CurateCli.parse(Seq("in.parquet", "outdir", "--containment", "0.8"))
+    assert(c.containment.contains(0.8))
+    intercept[IllegalArgumentException] {
+      CurateCli.parse(Seq("in.parquet", "outdir", "--containment", "1.5"))
+    }
+    intercept[IllegalArgumentException] {
+      CurateCli.parse(Seq("in.parquet", "outdir", "--containment", "x"))
+    }
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val in = tmp("cli_cn_in")
+    val out = s"${tmp("cli_cn_out")}/verdicts"
+    docs.write.mode("overwrite").parquet(in)
+    CurateCli.run(spark, CurateCli.Config(in, out, containment = Some(0.8)))
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("drop_reason") === "contained_dup").count() ==
+      TextOps.curateOn(docs,
+        graft.queries.CurateConfig(containmentThreshold = Some(0.8)))
+        .filter(col("drop_reason") === "contained_dup").count())
+  }
+
   test("--media parses repeatably and runs the multi-media batch stage") {
     // parser: repeatable COL:KIND, order preserved
     assert(CurateCli.parse(Seq("a", "b", "--media", "img:image",

@@ -826,6 +826,59 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       s"replayed tranche must be zero-novelty: $replayBucket")
   }
 
+  test("curate containment stage: a true excerpt drops as contained_dup " +
+      "where the plain pipeline keeps it; upstream-dropped containers " +
+      "shield nothing away; fixture kept-set parity") {
+    import spark.implicits._
+    // container: 70 distinct 8-char tokens (passes every gate rule);
+    // excerpt: its first 32 tokens — containment 1.0 while
+    // J = 30/68 ≈ 0.44 < 0.5, the excerpt shape jaccard can't see
+    def toks(r: Range) = r.map(i => f"word$i%04d").mkString(" ")
+    val container = toks(1 to 70)
+    val excerpt = toks(1 to 32)
+    val mk = (id: Long, t: String) => (id, t, t.length.toLong)
+    val docs = Seq(mk(1L, container), mk(2L, excerpt),
+        mk(3L, toks(100 to 170)))
+      .toDF("doc_id", "text", "n_chars")
+    val cfg = CurateConfig(containmentThreshold = Some(0.8))
+    val withStage = TextOps.curateOn(docs, cfg).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(withStage(2L).contains("contained_dup"),
+      s"the excerpt must drop as contained_dup: $withStage")
+    assert(withStage(1L).isEmpty && withStage(3L).isEmpty)
+    val plain = TextOps.curateOn(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(plain(2L).isEmpty,
+      s"J < 0.5 must hide the excerpt from the plain pipeline: $plain")
+    // shielding: when the CONTAINER fails the quality gate, the excerpt
+    // is the only surviving copy and must be kept
+    val shortContainer = Seq(
+        // the container's text made repetitive: distinct-ratio → quality
+        mk(1L, (1 to 35).map(_ => "word0001 word0002").mkString(" ")),
+        mk(2L, excerpt), mk(3L, toks(100 to 170)))
+      .toDF("doc_id", "text", "n_chars")
+    val shielded = TextOps.curateOn(shortContainer, cfg).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(shielded(1L).contains("quality") && shielded(2L).isEmpty,
+      s"an upstream-dropped container must not take its excerpt down: $shielded")
+    // fixture parity: every fixture containment pair is also a same-
+    // keeper near-dup, so the KEPT set is unchanged — only reasons
+    // upgrade (a fixture property the composition relies on for its
+    // keeper semantics, pinned so a fixture regen that breaks it is
+    // seen here, not in a verdict)
+    val fx = Tables.t(spark, Sf0001, "documents")
+    def keptSet(c: CurateConfig) = TextOps.curateOn(fx, c).filter(col("kept"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptSet(cfg) == keptSet(CurateConfig()))
+    // the streaming loop refuses the knob loudly (no silent divergence)
+    val tmp = java.nio.file.Files.createTempDirectory("cn_stream").toString
+    try intercept[IllegalArgumentException] {
+      graft.streaming.CurateIngest.processBatch(docs, 0L,
+        s"$tmp/state", s"$tmp/out", cfg)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("noveltyDelta: replayed content reads 0, fresh reads 1, the as-of " +
       "probe reproduces the pre-admit answer read-only") {
     val docs = Tables.t(spark, Sf0001, "documents")
