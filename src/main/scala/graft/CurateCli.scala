@@ -23,7 +23,7 @@ import graft.queries.{CurateConfig, TextOps}
   *                   as segment_dup). Incompatible with --state: durable
   *                   state stores raw-text labels, the stage needs
   *                   rewritten-text labels.
-  *   [--containment T] containment-dedup stage (batch-only): a survivor
+  *   [--containment T] containment-dedup stage: a survivor
   *                   whose 3-shingle set is ≥ T contained in a better
   *                   survivor drops as contained_dup BEFORE the
   *                   symmetric near-dup stage — the excerpt/truncation

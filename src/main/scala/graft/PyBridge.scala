@@ -51,7 +51,9 @@ object PyBridge {
 
   /** Curation with the containment (excerpt/truncation) stage on —
     * contained docs drop as `contained_dup` before the symmetric
-    * near-dup stage. Batch-only (the streaming loop refuses the knob).
+    * near-dup stage; the streaming loop runs the same stage against a
+    * persisted shingle-postings index when its CurateConfig carries the
+    * threshold.
     */
   def curateContainment(docs: DataFrame, threshold: Double): DataFrame =
     TextOps.curateOn(docs, CurateConfig(containmentThreshold = Some(threshold)))

@@ -93,11 +93,12 @@ case class CurateConfig(
     // SURVIVORS, not final keepers (a container that later drops as
     // near_dup still shields its excerpts — the semantic stage's
     // one-shot-vs-iterative class). Default off — q_curate_containment
-    // oracles the composition end-to-end. Batch-only for now: the
-    // STREAMING loop refuses this knob loudly (the incremental form
-    // needs a persisted shingle-postings index with doc attribution —
-    // designed, not yet built — and a silently-ignored stage would be
-    // a stream/batch verdict divergence).
+    // oracles the composition end-to-end. The STREAMING loop runs the
+    // same stage incrementally against a persisted shingle-postings
+    // index ([[TextOps.containmentDeltaIndexed]]): cross-batch
+    // keep-first (a doc contained in a STORED keeper drops),
+    // within-batch the directional rule above — verdict parity with
+    // the batch pipeline wherever keep-first == keep-best.
     containmentThreshold: Option[Double] = None,
     semanticThreshold: Option[Double] = None,
     mediaColumn: Option[String] = None,
@@ -2264,6 +2265,147 @@ object TextOps {
       joiner = " ")
   }
 
+  // ------------------------- containment postings index (incremental)
+
+  /** Persisted shingle-POSTINGS index behind the containment stage's
+    * streaming form: (h = sha256(3-shingle), doc) rows of every KEPT
+    * doc under the seen-set lifecycle (batch= layout, `_params` pin,
+    * `_history` sidecar, fold-sentinel compaction) — the seen-set WITH
+    * doc attribution, which is what lets a probe compute the
+    * per-(new, stored) intersection the directional containment
+    * verdict needs (anonymous hashes cannot say WHICH stored doc
+    * contains the batch doc).
+    *
+    * Scale note: the probe joins the batch's shingle hashes against the
+    * postings keyed by h — a boilerplate shingle posted by many kept
+    * docs is a hot bucket (the direct containment join's hazard). The
+    * documented upgrade is the asymmetric prefix probe
+    * ([[neardupContainmentPrefixOn]]'s pigeonhole, order-free): probe
+    * only each batch doc's first n − ⌈t·n⌉ + 2 hashes for candidates,
+    * then count exactly against the candidates' postings.
+    */
+  private def containmentParams(spark: SparkSession, path: String,
+      admit: Boolean): Unit =
+    VectorOps.requireIndexParamsAt(spark, path, "postings", "shingles=3",
+      admit, "would post under a different shingle scheme and silently " +
+        "stop finding containment")
+
+  /** Containment pairs of a batch vs the index + within the batch, in
+    * [[graft.streaming.IngestDedup]]'s admit convention: `cross` rows
+    * drop their c1 (a batch doc ≥ `threshold` contained in a STORED
+    * doc — keep-first, the stored copy already shipped), within rows
+    * drop their c2 (the contained side of a batch pair whose container
+    * is BETTER by the keep-best injective (n_chars, −doc_id) order —
+    * the batch stage's directional rule, so stream and batch verdicts
+    * agree wherever keep-first == keep-best). Requires (doc_id, text,
+    * n_chars). Part of an ADMITTING batch (records `_params` on first
+    * contact); the as-of twin is the read-only probe.
+    */
+  def containmentDeltaIndexed(spark: SparkSession, path: String,
+      batch: DataFrame, threshold: Double, tag: String): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    VectorOps.requireTag(tag)
+    require(!compactedTagsOf(spark, path, "postings").contains(tag),
+      s"tag '$tag' was folded into batch=init by index compaction — " +
+        "its replay window is closed; re-ingest under a fresh tag")
+    containmentParams(spark, path, admit = true)
+    VectorOps.finishCrashedSwap(spark, s"$path/postings")
+    VectorOps.ensureBatchLayout(spark, s"$path/postings")
+    VectorOps.seedHistoryIfEmpty(spark, path, Seq("postings"))
+    val cross = storedPostings(spark, path)
+      .map(stored => crossContainmentPairs(batch,
+        stored.filter(col("batch") =!= lit(tag)).select(col("h"), col("doc")),
+        threshold))
+      .getOrElse(emptyPairs(batch))
+    cross.unionByName(withinContainmentPairs(batch, threshold))
+  }
+
+  /** The cross-batch half AS OF a recorded tag — read-only (no
+    * `_params` record, no history): which stored docs contained each
+    * batch doc at that point of the admit order.
+    */
+  def containmentDeltaIndexedAsOf(spark: SparkSession, path: String,
+      batch: DataFrame, threshold: Double, asOf: String): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    containmentParams(spark, path, admit = false)
+    VectorOps.finishCrashedSwap(spark, s"$path/postings")
+    val tags = VectorOps.historyPrefix(spark, path, asOf)
+    VectorOps.requireBatchesPresent(spark, s"$path/postings", tags)
+    crossContainmentPairs(batch,
+      spark.read.schema("h STRING, doc LONG, batch STRING")
+        .parquet(s"$path/postings")
+        .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
+      threshold)
+  }
+
+  /** Post the KEPT docs' shingle hashes under `batch=tag` — called with
+    * the batch's FINAL keepers (the every-index-holds-the-kept-corpus
+    * invariant); replay overwrites its own dir with identical content.
+    */
+  def appendContainmentIndex(spark: SparkSession, path: String,
+      keepers: DataFrame, tag: String): Unit = {
+    VectorOps.requireTag(tag)
+    containmentParams(spark, path, admit = true)
+    VectorOps.finishCrashedSwap(spark, s"$path/postings")
+    VectorOps.ensureBatchLayout(spark, s"$path/postings")
+    shingleRows(keepers.select(col("doc_id"), col("text")))
+      .select(sha2(col("s"), 256).as("h"), col("doc_id").as("doc"))
+      .write.mode("overwrite").parquet(s"$path/postings/batch=$tag")
+    VectorOps.recordHistory(spark, path, tag)
+  }
+
+  /** Fold every postings batch into `batch=init` (the seen-set
+    * compaction discipline: fold sentinel, history reset, closed
+    * replay windows recorded in `_compacted_tags`).
+    */
+  def compactContainmentIndex(spark: SparkSession, path: String,
+      numFiles: Int = 0): Unit =
+    compactSeenLike(spark, path, "postings", numFiles)
+
+  private def storedPostings(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || fs.listStatus(dir)
+        .forall(!_.getPath.getName.startsWith("batch="))) None
+    else Some(spark.read.schema("h STRING, doc LONG, batch STRING")
+      .parquet(s"$path/postings"))
+  }
+
+  private def crossContainmentPairs(batch: DataFrame, stored: DataFrame,
+      threshold: Double): DataFrame =
+    shingleArrs(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("h"))
+      .join(stored, "h")
+      .filter(col("doc_id") =!= col("doc"))
+      .groupBy(col("doc_id"), col("n"), col("doc"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(round(col("inter") / col("n"), 6) >= threshold)
+      .select(col("doc_id").as("c1"), col("doc").as("c2"),
+        lit(true).as("cross"))
+
+  private def withinContainmentPairs(batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = batch.select(col("doc_id"), col("n_chars"))
+    neardupContainmentOn(batch.select(col("doc_id"), col("text")), threshold)
+      .join(sizes.select(col("doc_id").as("contained"),
+        col("n_chars").as("nc_a")), Seq("contained"))
+      .join(sizes.select(col("doc_id").as("container"),
+        col("n_chars").as("nc_b")), Seq("container"))
+      .filter(col("nc_b") * lit(1000000000L) - col("container") >
+        col("nc_a") * lit(1000000000L) - col("contained"))
+      .select(col("container").as("c1"), col("contained").as("c2"),
+        lit(false).as("cross"))
+  }
+
+  private def emptyPairs(batch: DataFrame): DataFrame =
+    batch.limit(0).select(col("doc_id").as("c1"), col("doc_id").as("c2"),
+      lit(true).as("cross"))
+
   /** Store-then-answer contract pin of the as-of machinery, end-to-end:
     * two doc_id-parity batches of the corpus are admitted in order
     * (tags t0, t1) into a scratch exact-dedup index, then batch t1's
@@ -2346,28 +2488,36 @@ object TextOps {
     * own first-run contribution.
     */
   def compactSegmentIndex(spark: SparkSession, path: String,
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0): Unit =
+    compactSeenLike(spark, path, "seen", numFiles)
+
+  /** The seen-set compaction discipline over any single-component
+    * hash-store index — `seen` (segment/digest sets) and `postings`
+    * (containment) share it verbatim.
+    */
+  private def compactSeenLike(spark: SparkSession, path: String,
+      component: String, numFiles: Int): Unit = {
     // finish any crashed swap BEFORE reading tags: after a crash between
     // delete and rename, both the live batch= dirs and the existing
     // sidecar live only in the .compacting twin — listing the missing
-    // seen/ dir would fold an EMPTY tag list and erase every closed
+    // component dir would fold an EMPTY tag list and erase every closed
     // replay window the sidecar records
-    VectorOps.finishCrashedSwap(spark, s"$path/seen")
-    val seenDir = new org.apache.hadoop.fs.Path(s"$path/seen")
-    val fs = seenDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorOps.finishCrashedSwap(spark, s"$path/$component")
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$component")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live =
-      if (!fs.exists(seenDir)) Set.empty[String]
-      else fs.listStatus(seenDir).iterator.map(_.getPath.getName)
+      if (!fs.exists(dir)) Set.empty[String]
+      else fs.listStatus(dir).iterator.map(_.getPath.getName)
         .filter(n => n.startsWith("batch=") && n != "batch=init")
         .map(_.stripPrefix("batch=")).toSet
-    val folded = (compactedSegmentTags(spark, path) ++ live).toSeq.sorted
+    val folded = (compactedTagsOf(spark, path, component) ++ live).toSeq.sorted
     // as-of reach ends at the fold, like the replay windows above; reset
     // BEFORE folding — see [[VectorOps.compactNeardupIndex]] — and the
     // fold sentinel closes the window where history says init but the
-    // seen-set's init dir does not exist yet
+    // component's init dir does not exist yet
     VectorOps.beginFold(spark, path)
     VectorOps.resetHistory(spark, path, Seq("init"))
-    VectorOps.compactComponent(spark, s"$path/seen", numFiles, Nil,
+    VectorOps.compactComponent(spark, s"$path/$component", numFiles, Nil,
       sidecarFiles = Map("_compacted_tags" -> folded.mkString("\n")))
     VectorOps.endFold(spark, path)
   }
@@ -2378,8 +2528,11 @@ object TextOps {
     * convention.
     */
   private[graft] def seenTagExists(spark: SparkSession, path: String,
-      tag: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/seen/batch=$tag")
+      tag: String): Boolean = componentTagExists(spark, path, "seen", tag)
+
+  private[graft] def componentTagExists(spark: SparkSession, path: String,
+      component: String, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$component/batch=$tag")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -2388,8 +2541,11 @@ object TextOps {
     * compacted.
     */
   private[graft] def compactedSegmentTags(spark: SparkSession,
-      path: String): Set[String] = {
-    val f = new org.apache.hadoop.fs.Path(s"$path/seen/_compacted_tags")
+      path: String): Set[String] = compactedTagsOf(spark, path, "seen")
+
+  private[graft] def compactedTagsOf(spark: SparkSession,
+      path: String, component: String): Set[String] = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/$component/_compacted_tags")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(f)) Set.empty
     else {

@@ -204,15 +204,6 @@ object CurateIngest {
       media: Seq[(String, String)] = Nil): Unit = {
     val spark = batch.sparkSession
     val tag = s"b$batchId"
-    // fail LOUD, not silent: the batch pipeline's containment stage has
-    // no incremental twin yet (it needs a persisted shingle-postings
-    // index with doc attribution — probe = batch shingles ⋈ stored
-    // postings, group by (new, stored), drop at inter/n_new ≥ t); a
-    // stream that ignored the knob would hand back stream/batch verdict
-    // divergence as a config surprise
-    require(cfg.containmentThreshold.isEmpty,
-      "containmentThreshold is a batch-only stage (curateOn); the " +
-        "streaming loop has no containment index yet — unset it here")
     // CurateConfig carries semanticThreshold/mediaColumn/media fields the
     // BATCH pipeline honors; a cfg-only caller must get the same stages
     // here instead of a silent stream/batch divergence (r15 review
@@ -241,6 +232,10 @@ object CurateIngest {
       if (cfg.segmentDedupWidth.isDefined &&
           !TextOps.seenTagExists(spark, s"$statePath/segments", tag))
         TextOps.compactSegmentIndex(spark, s"$statePath/segments")
+      if (cfg.containmentThreshold.isDefined &&
+          !TextOps.componentTagExists(spark, s"$statePath/containment",
+            "postings", tag))
+        TextOps.compactContainmentIndex(spark, s"$statePath/containment")
       if (minhashExists(spark, statePath))
         VectorOps.compactNeardupIndex(spark, s"$statePath/minhash")
       if (cosineExists(spark, statePath))
@@ -331,6 +326,23 @@ object CurateIngest {
         exKept.join(contaminatedIds, Seq("doc_id"), "left_anti")
     }
 
+    // 4b. optional containment dedup vs the persisted shingle-postings
+    // index — BEFORE the symmetric near-dup stage, mirroring the batch
+    // pipeline's order (the excerpt/truncation verdict is the more
+    // specific one). Cross-batch keep-first: a batch doc ≥ t contained
+    // in a STORED doc drops (the stored copy already shipped);
+    // within-batch: the batch stage's directional better rule, so
+    // stream/batch verdicts agree wherever keep-first == keep-best.
+    // The postings append is DEFERRED to the final keepers below.
+    val cn = cfg.containmentThreshold match {
+      case None => decon
+      case Some(th) =>
+        val cnPairs = TextOps.containmentDeltaIndexed(spark,
+          s"$statePath/containment",
+          decon.select(col("doc_id"), col("text"), col("n_chars")), th, tag)
+        IngestDedup.admit(decon, cnPairs, "doc_id", "c1", "c2")
+    }
+
     // 5. near-dup vs the growing MinHash index (keep-first, as every
     // ingest loop here) — bootstrap the index from the batch's own
     // schema on first contact, via the SENTINEL-FREE empty bootstrap
@@ -341,8 +353,8 @@ object CurateIngest {
         b.select(col("doc_id"), col("text")), s"$statePath/minhash")
     VectorOps.recoverNeardupIndex(spark, s"$statePath/minhash")
     val pairs = VectorOps.neardupDeltaIndexed(spark, s"$statePath/minhash",
-      decon.select(col("doc_id"), col("text")), cfg.jaccardThreshold)
-    val admitted = IngestDedup.admit(decon, pairs, "doc_id", "d1", "d2")
+      cn.select(col("doc_id"), col("text")), cfg.jaccardThreshold)
+    val admitted = IngestDedup.admit(cn, pairs, "doc_id", "d1", "d2")
 
     // 6. optional semantic near-dup vs the growing cosine index — for
     // corpora carrying an `embedding` column: a doc that says the same
@@ -472,6 +484,9 @@ object CurateIngest {
     // every index must stay exactly the kept corpus
     VectorOps.appendNeardupIndex(
       med.select(col("doc_id"), col("text")), s"$statePath/minhash", tag)
+    if (cfg.containmentThreshold.isDefined)
+      TextOps.appendContainmentIndex(spark, s"$statePath/containment",
+        med.select(col("doc_id"), col("text")), tag)
     if (semanticTh.isDefined)
       VectorOps.appendCosineIndex(
         med.select(col("doc_id").as("vec_id"), col("embedding")),
@@ -502,6 +517,14 @@ object CurateIngest {
         Seq("doc_id"), "left")
       .join(keepId(exKept, "ex_ok"), Seq("doc_id"), "left")
       .join(keepId(decon, "de_ok"), Seq("doc_id"), "left")
+      // the containment stage sits BEFORE near_dup in the CASE; with it
+      // off, a true literal silences its branch (aliasing a LATER
+      // marker would mislabel that stage's drops — the batch builder's
+      // rule, mirrored)
+      .transform(v => cfg.containmentThreshold match {
+        case Some(_) => v.join(keepId(cn, "cn_ok"), Seq("doc_id"), "left")
+        case None => v.withColumn("cn_ok", lit(true))
+      })
       .join(keepId(admitted, "nd_ok"), Seq("doc_id"), "left")
       // with the semantic stage off, sem eq admitted — alias the marker
       // instead of paying a join whose result is nd_ok by construction
@@ -519,11 +542,13 @@ object CurateIngest {
           .when(col("gv") === false, "quality")
           .when(col("ex_ok").isNull, "exact_dup")
           .when(col("de_ok").isNull, "decontaminated")
+          .when(col("cn_ok").isNull, "contained_dup")
           .when(col("nd_ok").isNull, "near_dup")
           .when(col("sm_ok").isNull, "semantic_dup")
           .when(col("md_ok").isNull, "media_dup"))
       .withColumn("kept", col("drop_reason").isNull)
-      .drop("gv", "seg_drop", "ex_ok", "de_ok", "nd_ok", "sm_ok", "md_ok")
+      .drop("gv", "seg_drop", "ex_ok", "de_ok", "cn_ok", "nd_ok", "sm_ok",
+        "md_ok")
     verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
 
     // drift side output — the monitoring twin of the verdict output:

@@ -870,13 +870,6 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     def keptSet(c: CurateConfig) = TextOps.curateOn(fx, c).filter(col("kept"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(keptSet(cfg) == keptSet(CurateConfig()))
-    // the streaming loop refuses the knob loudly (no silent divergence)
-    val tmp = java.nio.file.Files.createTempDirectory("cn_stream").toString
-    try intercept[IllegalArgumentException] {
-      graft.streaming.CurateIngest.processBatch(docs, 0L,
-        s"$tmp/state", s"$tmp/out", cfg)
-    } finally
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   test("noveltyDelta: replayed content reads 0, fresh reads 1, the as-of " +

@@ -399,6 +399,54 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       batchV(14L) == ((true, None)))
   }
 
+  test("containment stage: a cross-batch excerpt drops via the stored " +
+      "postings; within-batch better rule; replay; batch parity; as-of") {
+    val state = java.nio.file.Files.createTempDirectory("cn_state").toString
+    val out = java.nio.file.Files.createTempDirectory("cn_out").toString
+    val cfg = CurateConfig(containmentThreshold = Some(0.8))
+    def toks(r: Range) = r.map(i => f"cword$i%04d").mkString(" ")
+    def d(id: Long, r: Range) = { val t = toks(r); (id, t, t.length.toLong) }
+    val container = d(1L, 1 to 70)
+    val other = d(2L, 200 to 270)
+    CurateIngest.processBatch(docsDf(Seq(container, other)), 0L, state, out, cfg)
+    assert(verdicts(s"$out/batch=b0") ==
+      Map(1L -> ((true, None)), 2L -> ((true, None))))
+    // batch 1: an excerpt of the STORED container (J ≈ 0.44 — invisible
+    // to the minhash stage), a fresh doc, and a within-batch
+    // container/excerpt pair at the same shape
+    val b1 = docsDf(Seq(d(11L, 1 to 32), d(12L, 300 to 370),
+      d(13L, 400 to 470), d(14L, 400 to 431)))
+    CurateIngest.processBatch(b1, 1L, state, out, cfg)
+    val want1 = Map(
+      11L -> ((false, Some("contained_dup"))), // cross-batch via postings
+      12L -> ((true, None)),
+      13L -> ((true, None)),
+      14L -> ((false, Some("contained_dup")))) // within-batch better rule
+    assert(verdicts(s"$out/batch=b1") == want1)
+    // at-least-once replay: verdicts reproduce, postings unchanged
+    val before = spark.read.parquet(s"$state/containment/postings").count()
+    CurateIngest.processBatch(b1, 1L, state, out, cfg)
+    assert(verdicts(s"$out/batch=b1") == want1, "replay must reproduce")
+    assert(spark.read.parquet(s"$state/containment/postings").count() == before)
+    // the postings hold EXACTLY the kept corpus (deferred append)
+    assert(spark.read.parquet(s"$state/containment/postings")
+      .select(col("doc")).distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L, 13L))
+    // doc-for-doc batch parity on this keep-first == keep-best corpus
+    val union = docsDf(Seq(container, other, d(11L, 1 to 32),
+      d(12L, 300 to 370), d(13L, 400 to 470), d(14L, 400 to 431)))
+    val batchV = graft.queries.TextOps.curateOn(union, cfg).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(batchV == verdicts(s"$out/batch=b0") ++ verdicts(s"$out/batch=b1"))
+    // the read-only as-of probe reproduces batch 1's cross answer
+    val asOf = graft.queries.TextOps.containmentDeltaIndexedAsOf(spark,
+        s"$state/containment",
+        b1.select(col("doc_id"), col("text"), col("n_chars")), 0.8, "b0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asOf == Set((11L, 1L)))
+  }
+
   test("a crash mid-bootstrap self-heals: partial empty components are " +
       "rewritten, the stream is never wedged") {
     val state = java.nio.file.Files.createTempDirectory("ci_boot_state").toString
