@@ -93,8 +93,9 @@ object CurateCli {
           val t = try v.toDouble catch { case _: Exception =>
             throw new IllegalArgumentException(
               s"--containment needs a number in (0, 1], got '$v'") }
-          require(t > 0.0 && t <= 1.0,
-            s"--containment must be in (0, 1], got $t")
+          if (t <= 0.0 || t > 1.0)
+            throw new IllegalArgumentException(
+              s"--containment must be in (0, 1], got $t")
           cfg = cfg.copy(containment = Some(t))
         case "--normalize-hash" => cfg = cfg.copy(normalizeHash = true)
         case "--media" =>

@@ -423,11 +423,24 @@ object TextOps {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
-    val e = shingleArrs(docs)
-      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
-        explode(col("shingles")).as("s"))
+    containmentPairsOf(
+      shingleArrs(docs)
+        .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+          explode(col("shingles")).as("key")),
+      threshold)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  /** Directional containment pairs over an exploded (doc_id, n, key)
+    * set frame — the ONE copy of the pair semantics, shared by
+    * [[neardupContainmentOn]] (key = shingle string) and the postings
+    * index's within-batch half (key = sha256(shingle) — injective in
+    * practice and consistent with the cross-batch probe's hash keys).
+    */
+  private def containmentPairsOf(e: DataFrame,
+      threshold: Double): DataFrame = {
     val und = e.as("a").join(e.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
@@ -445,8 +458,23 @@ object TextOps {
         col("x.n_contained").as("n_contained"),
         round(col("inter") / col("x.n_contained"), 6).as("containment"))
       .filter(col("containment") >= threshold)
-      .orderBy(col("contained"), col("container"))
   }
+
+  /** THE directional drop rule, one copy (used by the batch curation
+    * stage and the streaming within-batch half): keep only pairs whose
+    * container BEATS the contained doc by the keep-best injective
+    * (n_chars, −doc_id) order. `sizes` = (doc_id, n_chars).
+    */
+  private def betterContainerPairs(pairs: DataFrame,
+      sizes: DataFrame): DataFrame =
+    pairs
+      .join(sizes.select(col("doc_id").as("contained"),
+        col("n_chars").as("nc_a")), Seq("contained"))
+      .join(sizes.select(col("doc_id").as("container"),
+        col("n_chars").as("nc_b")), Seq("container"))
+      .filter(col("nc_b") * lit(1000000000L) - col("container") >
+        col("nc_a") * lit(1000000000L) - col("contained"))
+      .select(col("contained"), col("container"))
 
   /** [[neardupContainmentOn]] through an EXACT asymmetric prefix filter
     * (the containment analog of [[neardupJaccardPrefixAt]]) — the
@@ -2306,19 +2334,38 @@ object TextOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     VectorOps.requireTag(tag)
+    // recover a crashed compaction swap BEFORE reading the closed-window
+    // sidecar (the [[deltaAgainstSeen]] ordering): after a crash between
+    // delete and rename, _compacted_tags lives only in the .compacting
+    // twin — reading first would see an empty tag set, pass the guard,
+    // and replay a folded tag against init-absorbed postings (verdict
+    // flips + a permanent double-posting of the tag's shingles)
+    VectorOps.finishCrashedSwap(spark, s"$path/postings")
     require(!compactedTagsOf(spark, path, "postings").contains(tag),
       s"tag '$tag' was folded into batch=init by index compaction — " +
         "its replay window is closed; re-ingest under a fresh tag")
     containmentParams(spark, path, admit = true)
-    VectorOps.finishCrashedSwap(spark, s"$path/postings")
     VectorOps.ensureBatchLayout(spark, s"$path/postings")
     VectorOps.seedHistoryIfEmpty(spark, path, Seq("postings"))
+    // ONE shingle pass feeds both halves (checkpointed — the 3-shingle
+    // explode is the batch's dominant per-stage cost)
+    val e = shingleArrs(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("key"))
+      .localCheckpoint(true)
     val cross = storedPostings(spark, path)
-      .map(stored => crossContainmentPairs(batch,
+      .map(stored => crossContainmentPairs(e,
         stored.filter(col("batch") =!= lit(tag)).select(col("h"), col("doc")),
         threshold))
       .getOrElse(emptyPairs(batch))
-    cross.unionByName(withinContainmentPairs(batch, threshold))
+    val within = betterContainerPairs(
+        containmentPairsOf(e, threshold)
+          .select(col("contained"), col("container")),
+        batch.select(col("doc_id"), col("n_chars")))
+      .select(col("container").as("c1"), col("contained").as("c2"),
+        lit(false).as("cross"))
+    cross.unionByName(within)
   }
 
   /** The cross-batch half AS OF a recorded tag — read-only (no
@@ -2333,7 +2380,11 @@ object TextOps {
     VectorOps.finishCrashedSwap(spark, s"$path/postings")
     val tags = VectorOps.historyPrefix(spark, path, asOf)
     VectorOps.requireBatchesPresent(spark, s"$path/postings", tags)
-    crossContainmentPairs(batch,
+    crossContainmentPairs(
+      shingleArrs(batch.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("key")),
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
@@ -2374,33 +2425,17 @@ object TextOps {
       .parquet(s"$path/postings"))
   }
 
-  private def crossContainmentPairs(batch: DataFrame, stored: DataFrame,
+  /** Cross pairs of a hashed batch frame (doc_id, n, key) vs stored
+    * (h, doc) postings. */
+  private def crossContainmentPairs(e: DataFrame, stored: DataFrame,
       threshold: Double): DataFrame =
-    shingleArrs(batch.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
-        explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("h"))
-      .join(stored, "h")
+    e.join(stored, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
       .groupBy(col("doc_id"), col("n"), col("doc"))
       .agg(count(lit(1)).as("inter"))
       .filter(round(col("inter") / col("n"), 6) >= threshold)
       .select(col("doc_id").as("c1"), col("doc").as("c2"),
         lit(true).as("cross"))
-
-  private def withinContainmentPairs(batch: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = batch.select(col("doc_id"), col("n_chars"))
-    neardupContainmentOn(batch.select(col("doc_id"), col("text")), threshold)
-      .join(sizes.select(col("doc_id").as("contained"),
-        col("n_chars").as("nc_a")), Seq("contained"))
-      .join(sizes.select(col("doc_id").as("container"),
-        col("n_chars").as("nc_b")), Seq("container"))
-      .filter(col("nc_b") * lit(1000000000L) - col("container") >
-        col("nc_a") * lit(1000000000L) - col("contained"))
-      .select(col("container").as("c1"), col("contained").as("c2"),
-        lit(false).as("cross"))
-  }
 
   private def emptyPairs(batch: DataFrame): DataFrame =
     batch.limit(0).select(col("doc_id").as("c1"), col("doc_id").as("c2"),
@@ -3331,15 +3366,10 @@ object TextOps {
     // upstream-dropped container would delete content whose only
     // surviving copy is the excerpt itself.
     val cnKeep = cfg.containmentThreshold.map { th =>
-      val sizes = stage3.select(col("doc_id"), col("n_chars"))
-      val drops = neardupContainmentOn(
-          stage3.select(col("doc_id"), col("text")), th)
-        .join(sizes.select(col("doc_id").as("contained"),
-          col("n_chars").as("nc_a")), Seq("contained"))
-        .join(sizes.select(col("doc_id").as("container"),
-          col("n_chars").as("nc_b")), Seq("container"))
-        .filter(col("nc_b") * lit(1000000000L) - col("container") >
-          col("nc_a") * lit(1000000000L) - col("contained"))
+      val drops = betterContainerPairs(
+          neardupContainmentOn(stage3.select(col("doc_id"), col("text")), th)
+            .select(col("contained"), col("container")),
+          stage3.select(col("doc_id"), col("n_chars")))
         .select(col("contained").as("doc_id")).distinct()
       stage3.select(col("doc_id")).join(drops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(true).as("cn_keep"))

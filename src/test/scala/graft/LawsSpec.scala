@@ -851,12 +851,21 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plain(2L).isEmpty,
       s"J < 0.5 must hide the excerpt from the plain pipeline: $plain")
     // shielding: when the CONTAINER fails the quality gate, the excerpt
-    // is the only surviving copy and must be kept
-    val shortContainer = Seq(
-        // the container's text made repetitive: distinct-ratio → quality
-        mk(1L, (1 to 35).map(_ => "word0001 word0002").mkString(" ")),
+    // is the only surviving copy and must be kept. The failing container
+    // REPEATS the real container's tokens (×3 → distinct ratio 1/3 <
+    // 1/2 → quality) so it still FULLY contains the excerpt's shingles
+    // (containment 1.0) — a regression that judges pairs against the
+    // raw corpus instead of the stage-3 survivors is caught here, which
+    // a vocabulary-disjoint low-quality doc would not catch (r15
+    // session-2 review)
+    val repeatedContainer = (1 to 3).map(_ => container).mkString(" ")
+    val shortContainer = Seq(mk(1L, repeatedContainer),
         mk(2L, excerpt), mk(3L, toks(100 to 170)))
       .toDF("doc_id", "text", "n_chars")
+    assert(TextOps.neardupContainmentOn(
+        shortContainer.select(col("doc_id"), col("text")), 0.8)
+      .filter(col("contained") === 2L && col("container") === 1L).count() == 1,
+      "fixture sanity: the raw corpus DOES contain the excerpt pair")
     val shielded = TextOps.curateOn(shortContainer, cfg).collect()
       .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
     assert(shielded(1L).contains("quality") && shielded(2L).isEmpty,
