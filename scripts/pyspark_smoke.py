@@ -409,6 +409,32 @@ check("novelty curve from Python",
       and all(r["n_new"] <= r["n_distinct"] for r in curve),
       f"({len(curve)} tranches)")
 
+# containment postings index lifecycle from Python: admit a container
+# corpus, then a batch carrying its excerpt — the cross pair names the
+# stored container; the as-of probe reproduces it read-only
+cn_idx = tempfile.mkdtemp(prefix="pysmoke_cn")
+try:
+    toks = lambda a, b: " ".join(f"pyw{i:04d}" for i in range(a, b))
+    mk = lambda i, t: (i, t, len(t))
+    b0 = spark.createDataFrame([mk(1, toks(1, 71)), mk(2, toks(200, 270))],
+                               "doc_id long, text string, n_chars long")
+    p0 = DataFrame(bridge.containmentDelta(
+        spark._jsparkSession, cn_idx, b0._jdf, 0.8, "t0"), spark)
+    assert p0.count() == 0
+    bridge.appendContainmentIndex(spark._jsparkSession, cn_idx, b0._jdf, "t0")
+    b1 = spark.createDataFrame([mk(11, toks(1, 33)), mk(12, toks(300, 370))],
+                               "doc_id long, text string, n_chars long")
+    p1 = DataFrame(bridge.containmentDelta(
+        spark._jsparkSession, cn_idx, b1._jdf, 0.8, "t1"), spark).collect()
+    asof = DataFrame(bridge.containmentDeltaAsOf(
+        spark._jsparkSession, cn_idx, b1._jdf, 0.8, "t0"), spark).collect()
+    check("containment index from Python",
+          [(r["c1"], r["c2"], r["cross"]) for r in p1] == [(11, 1, True)]
+          and [(r["c1"], r["c2"]) for r in asof] == [(11, 1)],
+          f"(cross pair {[(r['c1'], r['c2']) for r in p1]})")
+finally:
+    shutil.rmtree(cn_idx, ignore_errors=True)
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

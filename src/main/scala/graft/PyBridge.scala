@@ -213,6 +213,29 @@ object PyBridge {
       width: Int, asOf: String): DataFrame =
     TextOps.noveltyDeltaAsOf(spark, path, batch, width, asOf)
 
+  // ------------------------- containment postings index (r15 s2)
+
+  /** Containment pairs of a (doc_id, text, n_chars) batch vs the
+    * postings index + within the batch (admit convention: cross rows
+    * drop c1, within rows drop c2) — TextOps.containmentDeltaIndexed.
+    */
+  def containmentDelta(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double, tag: String): DataFrame =
+    TextOps.containmentDeltaIndexed(spark, path, batch, threshold, tag)
+
+  /** The cross half as of a recorded tag — read-only. */
+  def containmentDeltaAsOf(spark: SparkSession, path: String,
+      batch: DataFrame, threshold: Double, asOf: String): DataFrame =
+    TextOps.containmentDeltaIndexedAsOf(spark, path, batch, threshold, asOf)
+
+  /** Post a kept batch's shingle hashes under batch=tag. */
+  def appendContainmentIndex(spark: SparkSession, path: String,
+      keepers: DataFrame, tag: String): Unit =
+    TextOps.appendContainmentIndex(spark, path, keepers, tag)
+
+  def compactContainmentIndex(spark: SparkSession, path: String): Unit =
+    TextOps.compactContainmentIndex(spark, path)
+
   /** Exact semantic decontamination of a corpus frame against a
     * broadcast eval frame — per-vector n_hits / max_cos / verdict.
     */
