@@ -2349,13 +2349,9 @@ object TextOps {
     VectorOps.seedHistoryIfEmpty(spark, path, Seq("postings"))
     // ONE shingle pass feeds both halves (checkpointed — the 3-shingle
     // explode is the batch's dominant per-stage cost)
-    val e = shingleArrs(batch.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
-        explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("key"))
-      .localCheckpoint(true)
+    val e = hashedShingles(batch).localCheckpoint(true)
     val cross = storedPostings(spark, path)
-      .map(stored => crossContainmentPairs(e,
+      .map(stored => crossContainmentPairsPrefix(e,
         stored.filter(col("batch") =!= lit(tag)).select(col("h"), col("doc")),
         threshold))
       .getOrElse(emptyPairs(batch))
@@ -2380,16 +2376,21 @@ object TextOps {
     VectorOps.finishCrashedSwap(spark, s"$path/postings")
     val tags = VectorOps.historyPrefix(spark, path, asOf)
     VectorOps.requireBatchesPresent(spark, s"$path/postings", tags)
-    crossContainmentPairs(
-      shingleArrs(batch.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
-          explode(col("shingles")).as("s"))
-        .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("key")),
+    crossContainmentPairsPrefix(hashedShingles(batch),
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
       threshold)
   }
+
+  /** (doc_id, n, key = sha256(shingle)) rows of a (doc_id, text) frame
+    * — the hashed probe-side frame of the postings index family.
+    */
+  private[graft] def hashedShingles(batch: DataFrame): DataFrame =
+    shingleArrs(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), sha2(col("s"), 256).as("key"))
 
   /** Post the KEPT docs' shingle hashes under `batch=tag` — called with
     * the batch's FINAL keepers (the every-index-holds-the-kept-corpus
@@ -2426,8 +2427,11 @@ object TextOps {
   }
 
   /** Cross pairs of a hashed batch frame (doc_id, n, key) vs stored
-    * (h, doc) postings. */
-  private def crossContainmentPairs(e: DataFrame, stored: DataFrame,
+    * (h, doc) postings — the DIRECT join (every batch key meets every
+    * stored posting of that key). The reference semantics the prefix
+    * probe below is spec-pinned bit-identical to.
+    */
+  private[graft] def crossContainmentPairs(e: DataFrame, stored: DataFrame,
       threshold: Double): DataFrame =
     e.join(stored, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
@@ -2436,6 +2440,39 @@ object TextOps {
       .filter(round(col("inter") / col("n"), 6) >= threshold)
       .select(col("doc_id").as("c1"), col("doc").as("c2"),
         lit(true).as("cross"))
+
+  /** [[crossContainmentPairs]] through the EXACT asymmetric prefix
+    * probe — the production path: candidates from each batch doc's
+    * first n − ⌈t·n⌉ + 2 keys in plain hash order (the pigeonhole is
+    * order-free — [[neardupContainmentPrefixOn]]; no df table needed
+    * because the stored side posts FULL sets and any fixed order
+    * works), then an exact per-pair count restricted to the CANDIDATE
+    * containers' postings and candidate pairs. A hot boilerplate
+    * shingle posted by the whole stored corpus joins only the few
+    * batch docs whose prefix it lands in, instead of every batch doc
+    * carrying it — the occurrence blowup the direct join pays.
+    */
+  private[graft] def crossContainmentPairsPrefix(e: DataFrame,
+      stored: DataFrame, threshold: Double): DataFrame = {
+    val t = threshold - 5e-7
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("key"))
+    val cand = e
+      .withColumn("r", row_number().over(wo))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+      .select(col("doc_id"), col("key"))
+      .join(stored, col("key") === col("h"))
+      .filter(col("doc_id") =!= col("doc"))
+      .select(col("doc_id"), col("doc")).distinct()
+    e.join(stored.join(cand.select(col("doc")).distinct(), Seq("doc")),
+        col("key") === col("h"))
+      .select(col("doc_id"), col("n"), col("doc"))
+      .join(cand, Seq("doc_id", "doc"))
+      .groupBy(col("doc_id"), col("n"), col("doc"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(round(col("inter") / col("n"), 6) >= threshold)
+      .select(col("doc_id").as("c1"), col("doc").as("c2"),
+        lit(true).as("cross"))
+  }
 
   private def emptyPairs(batch: DataFrame): DataFrame =
     batch.limit(0).select(col("doc_id").as("c1"), col("doc_id").as("c2"),

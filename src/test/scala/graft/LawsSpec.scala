@@ -881,6 +881,26 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(keptSet(cfg) == keptSet(CurateConfig()))
   }
 
+  test("postings prefix probe ≡ direct probe (bit-identical cross pairs, " +
+      "hot-shingle corpus, two thresholds)") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // stored = even ids' postings; batch = odd ids (the fixture's dup
+    // structure spans the split, and its boilerplate shingles are the
+    // hot-bucket case the prefix probe exists for)
+    val stored = TextOps.hashedShingles(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("key").as("h"), col("doc_id").as("doc"))
+    val e = TextOps.hashedShingles(docs.filter(col("doc_id") % 2 === 1))
+    for (th <- Seq(0.8, 0.5)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val direct = rows(TextOps.crossContainmentPairs(e, stored, th))
+      val prefix = rows(TextOps.crossContainmentPairsPrefix(e, stored, th))
+      assert(prefix == direct, s"probe forms diverged at t=$th")
+      if (th == 0.5) assert(direct.nonEmpty, "fixture must exercise the probe")
+    }
+  }
+
   test("noveltyDelta: replayed content reads 0, fresh reads 1, the as-of " +
       "probe reproduces the pre-admit answer read-only") {
     val docs = Tables.t(spark, Sf0001, "documents")
