@@ -2350,8 +2350,14 @@ object TextOps {
     // ONE shingle pass feeds both halves (checkpointed — the 3-shingle
     // explode is the batch's dominant per-stage cost)
     val e = hashedShingles(batch).localCheckpoint(true)
+    // DIRECT probe by measurement: at sf0.1 and ×4 replication the
+    // prefix probe ran 1.5× SLOWER (ContainScale probe rows,
+    // BASELINE.md) — its per-doc rank window plus the second full-batch
+    // verify join outweigh the candidate reduction unless postings are
+    // far hotter than these corpora; crossContainmentPairsPrefix stays
+    // available (spec-pinned bit-identical) for that regime
     val cross = storedPostings(spark, path)
-      .map(stored => crossContainmentPairsPrefix(e,
+      .map(stored => crossContainmentPairs(e,
         stored.filter(col("batch") =!= lit(tag)).select(col("h"), col("doc")),
         threshold))
       .getOrElse(emptyPairs(batch))
@@ -2376,7 +2382,7 @@ object TextOps {
     VectorOps.finishCrashedSwap(spark, s"$path/postings")
     val tags = VectorOps.historyPrefix(spark, path, asOf)
     VectorOps.requireBatchesPresent(spark, s"$path/postings", tags)
-    crossContainmentPairsPrefix(hashedShingles(batch),
+    crossContainmentPairs(hashedShingles(batch),
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
@@ -2442,15 +2448,18 @@ object TextOps {
         lit(true).as("cross"))
 
   /** [[crossContainmentPairs]] through the EXACT asymmetric prefix
-    * probe — the production path: candidates from each batch doc's
-    * first n − ⌈t·n⌉ + 2 keys in plain hash order (the pigeonhole is
-    * order-free — [[neardupContainmentPrefixOn]]; no df table needed
-    * because the stored side posts FULL sets and any fixed order
-    * works), then an exact per-pair count restricted to the CANDIDATE
-    * containers' postings and candidate pairs. A hot boilerplate
-    * shingle posted by the whole stored corpus joins only the few
-    * batch docs whose prefix it lands in, instead of every batch doc
-    * carrying it — the occurrence blowup the direct join pays.
+    * probe: candidates from each batch doc's first n − ⌈t·n⌉ + 2 keys
+    * in plain hash order (the pigeonhole is order-free —
+    * [[neardupContainmentPrefixOn]]; no df table needed because the
+    * stored side posts FULL sets and any fixed order works), then an
+    * exact per-pair count restricted to the CANDIDATE containers'
+    * postings and candidate pairs. NOT the default: measured 1.5×
+    * SLOWER than the direct probe at sf0.1 and ×4 replication
+    * (ContainScale probe rows, BASELINE.md) — the per-doc rank window
+    * plus the second full-batch verify join cost more than the
+    * candidate reduction saves unless the stored postings are far
+    * hotter than those corpora. Kept (spec-pinned bit-identical) as
+    * the escape hatch for that extreme-boilerplate regime.
     */
   private[graft] def crossContainmentPairsPrefix(e: DataFrame,
       stored: DataFrame, threshold: Double): DataFrame = {

@@ -44,6 +44,23 @@ object ContainScale {
         graft.queries.TextOps.neardupContainmentPrefixOn(corpus))
       assert(a == b, s"row drift on $label: direct=$a prefix=$b")
     }
+    // the INDEX PROBE halves at the same scales: even ids play the
+    // stored postings, odd ids the arriving batch — the streaming
+    // stage's cross-batch shape
+    for ((label, corpus) <- Seq("sf0.1" -> docs, "sf0.1x4" -> x4)) {
+      val stored = graft.queries.TextOps
+        .hashedShingles(corpus.filter(col("doc_id") % 2 === 0))
+        .select(col("key").as("h"), col("doc_id").as("doc"))
+        .localCheckpoint(true)
+      val e = graft.queries.TextOps
+        .hashedShingles(corpus.filter(col("doc_id") % 2 === 1))
+        .localCheckpoint(true)
+      val a = time(s"$label-probe", "direct")(
+        graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8))
+      val b = time(s"$label-probe", "prefix")(
+        graft.queries.TextOps.crossContainmentPairsPrefix(e, stored, 0.8))
+      assert(a == b, s"probe drift on $label: direct=$a prefix=$b")
+    }
     spark.stop()
   }
 }
