@@ -3774,8 +3774,13 @@ object TextOps {
     * verified end-to-end (the q_curate_semantic posture).
     */
   def curateContainment(spark: SparkSession, dir: String): DataFrame =
+    // the text clusters ride the session memo exactly like the other
+    // composed pipelines (q_curate_semantic's posture) — without this
+    // the query re-runs the full Jaccard clustering the family already
+    // holds (measured: the bench row carried ~2 s of re-clustering)
     curateOn(Tables.t(spark, dir, "documents"),
-      CurateConfig(containmentThreshold = Some(0.8)))
+      CurateConfig(containmentThreshold = Some(0.8)),
+      labels = Some(clusterLabels(spark, dir)))
 
   val curateContainmentSql: String =
     s"""$curateThroughStage3Sql,
