@@ -881,6 +881,45 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(keptSet(cfg) == keptSet(CurateConfig()))
   }
 
+  test("property: containment pairs match a brute-force set-arithmetic " +
+      "reference on random corpora") {
+    import spark.implicits._
+    // small random corpora with planted structure: shared vocab chunks
+    // force overlaps, varying lengths force asymmetric containment
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 40).map(i => f"v${trial}t$i%02d")
+      val docs = (0 until 12).map { id =>
+        val len = 5 + rnd.nextInt(30)
+        val start = rnd.nextInt(vocab.size - 4)
+        // a contiguous vocab run (shared across docs) + a unique tail
+        val toks = vocab.slice(start, math.min(start + len, vocab.size)) ++
+          (0 until rnd.nextInt(6)).map(j => s"u${trial}_${id}_$j")
+        (id.toLong, toks.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = TextOps.neardupContainmentOn(df, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // brute force: distinct 3-shingle sets in plain Scala
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set.empty
+        else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa intersect sb).size
+        if BigDecimal(inter.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.5")
+        if inter > 0
+      } yield (a, b, inter.toLong, sa.size.toLong)).toSet
+      assert(got == want, s"trial $trial: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("postings prefix probe ≡ direct probe (bit-identical cross pairs, " +
       "hot-shingle corpus, two thresholds)") {
     val docs = Tables.t(spark, Sf0001, "documents")
