@@ -2438,14 +2438,24 @@ object TextOps {
     * probe below is spec-pinned bit-identical to.
     */
   private[graft] def crossContainmentPairs(e: DataFrame, stored: DataFrame,
-      threshold: Double): DataFrame =
-    e.join(stored, col("key") === col("h"))
+      threshold: Double): DataFrame = {
+    // restrict the stored postings to the BATCH's key set first (the
+    // probe discipline every delta family follows — the cosine index's
+    // broadcast intersection is the precedent): without it, once the
+    // batch outgrows the auto-broadcast threshold the pair join
+    // shuffles the CORPUS-sized postings every micro-batch; with it
+    // the postings are pruned map-side against the broadcast key set
+    // and only batch-relevant rows reach the join
+    val restricted = stored.join(
+      broadcast(e.select(col("key").as("h")).distinct()), Seq("h"))
+    e.join(restricted, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
       .groupBy(col("doc_id"), col("n"), col("doc"))
       .agg(count(lit(1)).as("inter"))
       .filter(round(col("inter") / col("n"), 6) >= threshold)
       .select(col("doc_id").as("c1"), col("doc").as("c2"),
         lit(true).as("cross"))
+  }
 
   /** [[crossContainmentPairs]] through the EXACT asymmetric prefix
     * probe: candidates from each batch doc's first n − ⌈t·n⌉ + 2 keys
