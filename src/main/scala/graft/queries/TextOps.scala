@@ -2382,7 +2382,11 @@ object TextOps {
     VectorOps.finishCrashedSwap(spark, s"$path/postings")
     val tags = VectorOps.historyPrefix(spark, path, asOf)
     VectorOps.requireBatchesPresent(spark, s"$path/postings", tags)
-    crossContainmentPairs(hashedShingles(batch),
+    // checkpoint like the admit path: the probe references the hashed
+    // frame twice (broadcast key set + probe side) and Catalyst shares
+    // no subplans — un-materialized, every as-of probe would pay its
+    // dominant shingle+sha2 stage twice (review catch)
+    crossContainmentPairs(hashedShingles(batch).localCheckpoint(true),
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
@@ -2437,6 +2441,14 @@ object TextOps {
     * stored posting of that key). The reference semantics the prefix
     * probe below is spec-pinned bit-identical to.
     */
+  /** Forced-broadcast cap for the probe's key-set restriction:
+    * ~2M 64-char hex keys ≈ 200 MB in-memory — far under Spark's 8 GB
+    * broadcast hard limit and the driver heap, while covering any
+    * sane micro-batch (≈ 6k novel docs' worth of distinct shingles
+    * per 1M keys).
+    */
+  private val MaxBroadcastKeys = 2000000L
+
   private[graft] def crossContainmentPairs(e: DataFrame, stored: DataFrame,
       threshold: Double): DataFrame = {
     // restrict the stored postings to the BATCH's key set first (the
@@ -2444,10 +2456,17 @@ object TextOps {
     // broadcast intersection is the precedent): without it, once the
     // batch outgrows the auto-broadcast threshold the pair join
     // shuffles the CORPUS-sized postings every micro-batch; with it
-    // the postings are pruned map-side against the broadcast key set
-    // and only batch-relevant rows reach the join
-    val restricted = stored.join(
-      broadcast(e.select(col("key").as("h")).distinct()), Seq("h"))
+    // the postings are pruned map-side against the broadcast key set.
+    // The forced broadcast is SIZE-GUARDED: a backfill-scale batch
+    // past the cap falls back to the plain join (slow-but-correct
+    // corpus shuffle) instead of dying on the 8 GB broadcast limit —
+    // an unguarded hint would turn exactly the big-batch regime the
+    // restriction targets into a hard failure (review catch)
+    val keys = e.select(col("key").as("h")).distinct()
+    val restricted =
+      if (keys.count() <= MaxBroadcastKeys)
+        stored.join(broadcast(keys), Seq("h"))
+      else stored
     e.join(restricted, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
       .groupBy(col("doc_id"), col("n"), col("doc"))
