@@ -57,6 +57,21 @@ def main(sf_dir, out_dir):
         try:
             spark_cols, spark_rows, spark_raw = rows_of(
                 con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')"))
+            # The driver hashes typed values, not strings: a DuckDB HUGEINT
+            # (int128, e.g. from a bare sum(BIGINT)) hash-mismatches Spark's
+            # int64 even when every value is equal (the q_dup_rate_by_source
+            # r15 red row). Flag int128-typed oracle columns so the local
+            # gate catches the class before the driver does — the house fix
+            # is CAST(... AS BIGINT) (cf. Sql.sumMoneyInt). Cursor
+            # description erases DuckDB types to 'NUMBER'; the relation API
+            # keeps them.
+            rel = con.sql(sql)
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                failures.append(
+                    (name, f"oracle columns typed HUGEINT (cast to BIGINT): {huge}"))
+                continue
             duck_cols, duck_rows, duck_raw = rows_of(con.execute(sql))
         except Exception as e:
             failures.append((name, f"exec error: {e}"))

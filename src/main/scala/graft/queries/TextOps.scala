@@ -1381,7 +1381,7 @@ object TextOps {
        |  SELECT doc_id, source, sha256(text) AS digest FROM documents),
        |firsts AS (SELECT digest, min(doc_id) AS keeper FROM d GROUP BY digest)
        |SELECT source, count(*) AS n_docs,
-       |  sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_dup,
+       |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
        |  ${Sql.div6("sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)",
       "count(*)")} AS dup_share
        |FROM d JOIN firsts USING (digest)
