@@ -462,8 +462,12 @@ object TextOps {
 
   /** THE directional drop rule, one copy (used by the batch curation
     * stage and the streaming within-batch half): keep only pairs whose
-    * container BEATS the contained doc by the keep-best injective
-    * (n_chars, −doc_id) order. `sizes` = (doc_id, n_chars).
+    * container BEATS the contained doc by the keep-best
+    * (n_chars, −doc_id) order — compared as a STRUCT ordering, not the
+    * arg_max family's injective BIGINT encoding: a filter needs no
+    * single aggregation key, so this verdict-bearing path drops the
+    * encoding's doc_id < 10⁹ domain assumption (the SQL mirror uses the
+    * equivalent row-value comparison). `sizes` = (doc_id, n_chars).
     */
   private def betterContainerPairs(pairs: DataFrame,
       sizes: DataFrame): DataFrame =
@@ -472,8 +476,8 @@ object TextOps {
         col("n_chars").as("nc_a")), Seq("contained"))
       .join(sizes.select(col("doc_id").as("container"),
         col("n_chars").as("nc_b")), Seq("container"))
-      .filter(col("nc_b") * lit(1000000000L) - col("container") >
-        col("nc_a") * lit(1000000000L) - col("contained"))
+      .filter(struct(col("nc_b"), -col("container")) >
+        struct(col("nc_a"), -col("contained")))
       .select(col("contained"), col("container"))
 
   /** [[neardupContainmentOn]] through an EXACT asymmetric prefix filter
@@ -2461,10 +2465,15 @@ object TextOps {
     // past the cap falls back to the plain join (slow-but-correct
     // corpus shuffle) instead of dying on the 8 GB broadcast limit —
     // an unguarded hint would turn exactly the big-batch regime the
-    // restriction targets into a hard failure (review catch)
+    // restriction targets into a hard failure (review catch).
+    // The guard's count is BOUNDED, not exact: limit(cap + 1) lets the
+    // job stop as soon as cap + 1 distinct keys exist instead of
+    // running a full distinct+count over the batch's shingle hashes on
+    // every probe call — the common micro-batch pays a short-circuited
+    // scan, and the answer ("≤ cap or not") is identical (r15 advice)
     val keys = e.select(col("key").as("h")).distinct()
     val restricted =
-      if (keys.count() <= MaxBroadcastKeys)
+      if (keys.limit(MaxBroadcastKeys.toInt + 1).count() <= MaxBroadcastKeys)
         stored.join(broadcast(keys), Seq("h"))
       else stored
     e.join(restricted, col("key") === col("h"))
@@ -3830,7 +3839,7 @@ object TextOps {
        |    FROM ce a JOIN ce b ON a.s = b.s AND a.doc_id <> b.doc_id
        |    GROUP BY 1, 2, 3, 4, 5)
        |  WHERE round(inter / n_a, 6) >= 0.8
-       |    AND nc_b * 1000000000 - container > nc_a * 1000000000 - contained),
+       |    AND (nc_b, -container) > (nc_a, -contained)),
        |cn_keep AS (
        |  SELECT doc_id FROM stage3
        |  WHERE doc_id NOT IN (SELECT doc_id FROM cn_drop)),

@@ -312,9 +312,26 @@ object VectorOps {
     */
   def vecCentroidAssignOn(embs: DataFrame): DataFrame = {
     val dotL = org.apache.spark.sql.graft.VectorExpressions.dotProductLong _
-    val q = embs
+    val clean = embs
       .filter(col("embedding").isNotNull &&
         !exists(col("embedding"), x => x.isNull))
+    // dimension discipline (r15 advice): dotProductLong returns null on
+    // a length mismatch and min(struct(key, clabel)) sorts a null key
+    // FIRST, so a ragged-dim vector would silently land on an arbitrary
+    // centroid — while the SQL mirror's pos-join computes a partial d²
+    // and can answer differently. Keep only the corpus's MODAL dimension
+    // (ties to the smaller dim — deterministic), mirrored in the SQL; a
+    // ragged vector is excluded like a null one, the honest answer. The
+    // modal-dim probe is one map-side-combinable count over ≤ a handful
+    // of distinct sizes, broadcast as a 1-row frame.
+    val modal = clean
+      .groupBy(size(col("embedding")).as("__dim"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__dim").asc)
+      .limit(1)
+      .select(col("__dim"))
+    val q = clean
+      .join(broadcast(modal), size(col("embedding")) === col("__dim"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
         transform(col("embedding"),
           x => floor(x.cast(D) * lit(1000000.0) + lit(0.5)).cast(LongType))
@@ -354,7 +371,12 @@ object VectorOps {
       |               generate_subscripts(embedding, 1) AS pos
       |        FROM embeddings
       |        WHERE embedding IS NOT NULL
-      |          AND len(list_filter(embedding, e -> e IS NULL)) = 0)),
+      |          AND len(list_filter(embedding, e -> e IS NULL)) = 0
+      |          AND len(embedding) = (
+      |            SELECT len(embedding) AS d FROM embeddings
+      |            WHERE embedding IS NOT NULL
+      |              AND len(list_filter(embedding, e -> e IS NULL)) = 0
+      |            GROUP BY d ORDER BY count(*) DESC, d LIMIT 1))),
       |cent AS (
       |  SELECT label AS clabel, pos,
       |    CAST(floor((sum(xq) * 2 + count(*)) / (count(*) * 2)) AS BIGINT) AS c

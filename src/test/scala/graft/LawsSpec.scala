@@ -749,6 +749,18 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     val confD = VectorOps.vecCentroidAssignOn(dirty).collect()
     assert(confD.map(_.getLong(2)).sum == 59,
       "the dirty vector must be excluded, not null-assigned")
+    // a DIMENSION-MISMATCHED vector is excluded like a null one (r15
+    // advice): dotProductLong nulls on a length mismatch and the
+    // struct-min sorts a null key first, so without the modal-dim
+    // filter a ragged vector lands on an arbitrary centroid while the
+    // SQL mirror's pos-join computes a partial d² — silent divergence
+    val ragged = df.withColumn("embedding",
+      when(col("vec_id") === 0L,
+        array((1 to 7).map(_ => lit(0.5f)): _*).cast("array<float>"))
+        .otherwise(col("embedding")))
+    val confR = VectorOps.vecCentroidAssignOn(ragged).collect()
+    assert(confR.map(_.getLong(2)).sum == 59,
+      "a ragged-dim vector must be excluded, not arbitrarily assigned")
   }
 
   test("neardupContainment: catches the truncated copy symmetric jaccard " +
@@ -879,6 +891,27 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     def keptSet(c: CurateConfig) = TextOps.curateOn(fx, c).filter(col("kept"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(keptSet(cfg) == keptSet(CurateConfig()))
+    // doc_id ≥ 10⁹: the directional better rule compares (n_chars,
+    // −doc_id) as a STRUCT, not the arg_max family's injective BIGINT
+    // encoding (nc·10⁹ − id), which inverts once the id gap exceeds
+    // (nc gap)·10⁹ (r15 advice; the encoding's domain note lives on
+    // CurateConfig). Adversarial shape: the container is ~340 chars
+    // longer but carries id 4·10¹¹, so its encoded score 629·10⁹ −
+    // 4·10¹¹ ≈ 229·10⁹ falls BELOW the excerpt's 287·10⁹ − 1 — the
+    // encoding would keep the excerpt; the struct order drops it.
+    // testBucketsFrom = 10 disables the decontamination stage, whose
+    // id-hash bucketing would otherwise see the excerpt's shingles as
+    // train/test contamination under these synthetic ids.
+    val bigIdCfg = cfg.copy(testBucketsFrom = 10L)
+    val bigId = Seq(mk(400000000000L, container), mk(1L, excerpt),
+        mk(3L, toks(100 to 170)))
+      .toDF("doc_id", "text", "n_chars")
+    val bigIdReasons = TextOps.curateOn(bigId, bigIdCfg).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(bigIdReasons(1L).contains("contained_dup"),
+      s"the excerpt must drop past the 10⁹ id boundary: $bigIdReasons")
+    assert(bigIdReasons(400000000000L).isEmpty,
+      s"the longer huge-id container must be kept: $bigIdReasons")
   }
 
   test("property: containment pairs match a brute-force set-arithmetic " +
