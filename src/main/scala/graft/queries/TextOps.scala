@@ -2453,8 +2453,30 @@ object TextOps {
     */
   private val MaxBroadcastKeys = 2000000L
 
+  /** Per-shingle postings cap for the probe join — the
+    * [[graft.operators.BandedHamming]] hot-bucket discipline applied to
+    * the ONE join family that lacked it (r15 verdict): the probe is
+    * h-keyed, so a universal boilerplate shingle posted by millions of
+    * kept docs makes its bucket |batch docs carrying it| × |postings|
+    * quadratic at 100 TB. Over-cap shingles leave the join with one
+    * WARN (codegen'd [[org.apache.spark.sql.graft.WarnHotBucket]], min-
+    * doc marker row). THE TRADE, stated like SimHash's exact-band one:
+    * containment against a container reachable ONLY through dropped
+    * shingles under-reports — a batch doc loses at most
+    * (dropped shingles it carries)/n of measured containment, so a
+    * verdict within that slack of the threshold can flip to "kept".
+    * The cap is far above any honest shingle's df at sane batch sizes
+    * (it bounds postings PER SHINGLE, not corpus size); a corpus whose
+    * boilerplate genuinely matters at the threshold boundary should
+    * route that regime through [[crossContainmentPairsPrefix]], whose
+    * rarest-first prefix drops boilerplate from every probe instead.
+    */
+  private[graft] val MaxPostingsPerShingle: Int =
+    graft.operators.BandedHamming.DefaultMaxBucket
+
   private[graft] def crossContainmentPairs(e: DataFrame, stored: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxPostings: Int = MaxPostingsPerShingle): DataFrame = {
     // restrict the stored postings to the BATCH's key set first (the
     // probe discipline every delta family follows — the cosine index's
     // broadcast intersection is the precedent): without it, once the
@@ -2476,7 +2498,22 @@ object TextOps {
       if (keys.limit(MaxBroadcastKeys.toInt + 1).count() <= MaxBroadcastKeys)
         stored.join(broadcast(keys), Seq("h"))
       else stored
-    e.join(restricted, col("key") === col("h"))
+    // hot-shingle guard (see [[MaxPostingsPerShingle]]): population
+    // count keyed by the join's own key — the window's exchange is the
+    // same hash-by-h distribution the pair join needs, so the guard
+    // rides the shuffle the join pays anyway. One warn per over-cap
+    // shingle via its min-doc marker row (the keepSmall pattern;
+    // WarnHotBucket returns false, so the marker drops with its bucket)
+    val wH = Window.partitionBy(col("h"))
+    val guarded = restricted
+      .withColumn("__n", count(lit(1)).over(wH))
+      .withColumn("__min", min(col("doc")).over(wH))
+      .filter(col("__n") <= lit(maxPostings.toLong) ||
+        (col("doc") === col("__min") &&
+          org.apache.spark.sql.graft.WarnHotBucket.column(
+            col("h"), col("__n"))))
+      .drop("__n", "__min")
+    e.join(guarded, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
       .groupBy(col("doc_id"), col("n"), col("doc"))
       .agg(count(lit(1)).as("inter"))

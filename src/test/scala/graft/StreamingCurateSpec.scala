@@ -447,6 +447,37 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(asOf == Set((11L, 1L)))
   }
 
+  test("hot-shingle guard: an over-cap postings bucket leaves the probe " +
+      "join with a warning; verdicts inside the threshold slack survive") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // batch doc 100 carries 5 shingle keys; stored doc 50 posts all 5
+    // (true containment 1.0); stored docs 1..40 ALL post k1 — the
+    // planted universal-boilerplate shingle a cap of 10 must pull out
+    // of the probe join instead of letting it go quadratic
+    val e = (1 to 5).map(i => (100L, 5L, s"k$i")).toDF("doc_id", "n", "key")
+    val stored = ((1L to 40L).map(dd => ("k1", dd)) ++
+      (1 to 5).map(i => (s"k$i", 50L))).toDF("h", "doc")
+    def pairs(th: Double, cap: Int) =
+      TextOps.crossContainmentPairs(e, stored, th, maxPostings = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ungated: the true pair at containment 1.0, at both thresholds
+    assert(pairs(0.8, Int.MaxValue) == Set((100L, 50L)))
+    assert(pairs(0.9, Int.MaxValue) == Set((100L, 50L)))
+    // cap 10 drops k1's 41-posting bucket: the warn counter moves and
+    // the pair SURVIVES at measured 4/5 = 0.8 — within the slack the
+    // guard's docstring prices (dropped shingles / n)
+    val before = graft.operators.BandedHamming.droppedHotBucketRows.get()
+    assert(pairs(0.8, 10) == Set((100L, 50L)))
+    assert(graft.operators.BandedHamming.droppedHotBucketRows.get() > before,
+      "the over-cap bucket must be warned and counted")
+    // …and at 0.9 the same drop under-reports PAST the slack: the pair
+    // is missed — the stated trade (route genuinely-boilerplate-heavy
+    // corpora through the prefix probe), pinned so it stays stated
+    assert(pairs(0.9, 10) == Set.empty,
+      "under-reporting past the slack is the documented trade")
+  }
+
   test("a crash mid-bootstrap self-heals: partial empty components are " +
       "rewritten, the stream is never wedged") {
     val state = java.nio.file.Files.createTempDirectory("ci_boot_state").toString
