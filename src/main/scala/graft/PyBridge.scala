@@ -330,12 +330,16 @@ object PyBridge {
 
   /** IVF index build / grow / search (+ as-of) from Python; centroids
     * are seeded with the contract rule ([[graft.operators.Ivf
-    * .seedCentroids]]).
+    * .seedCentroids]]). `cells <= 0` derives ~√n geometry from the
+    * corpus being indexed ([[graft.operators.Ivf.defaultCells]]) — the
+    * scale-safe default; pass explicit cells to pin geometry.
     */
-  def ivfWriteIndex(base: DataFrame, path: String, cells: Int): Unit = {
+  def ivfWriteIndex(base: DataFrame, path: String, cells: Int = 0): Unit = {
     val b = withN2(base)
+    val c = if (cells > 0) cells
+      else graft.operators.Ivf.defaultCells(b.count())
     graft.operators.Ivf.writeIndex(b,
-      graft.operators.Ivf.seedCentroids(b, cells), path)
+      graft.operators.Ivf.seedCentroids(b, c), path)
   }
 
   def ivfAppendIndex(spark: SparkSession, vecs: DataFrame, path: String,
@@ -356,10 +360,12 @@ object PyBridge {
     * half, [[graft.operators.NnDescent.rebuildIndexAside]]).
     */
   def ivfRebuildIndexAside(base: DataFrame, path: String,
-      cells: Int): Unit = {
+      cells: Int = 0): Unit = {
     val b = withN2(base)
+    val c = if (cells > 0) cells
+      else graft.operators.Ivf.defaultCells(b.count())
     graft.operators.Ivf.rebuildIndexAside(b,
-      graft.operators.Ivf.seedCentroids(b, cells), path)
+      graft.operators.Ivf.seedCentroids(b, c), path)
   }
 
   def rebuildNeardupIndexAside(docs: DataFrame, path: String): Unit =

@@ -123,7 +123,7 @@ object NnDescent {
     * The loop is identical in both modes (spec-pinned bit-identical),
     * only block durability differs.
     */
-  def buildGraph(base: DataFrame, k: Int, iters: Int, cells: Int = 16,
+  def buildGraph(base: DataFrame, k: Int, iters: Int, cells: Int = 0,
       candCap: Int = 0, randPerRound: Int = -1,
       reliable: Boolean = false): DataFrame = {
     if (reliable)
@@ -136,7 +136,9 @@ object NnDescent {
     val cap = if (candCap > 0) candCap else 9 * k
     val rand = if (randPerRound >= 0) randPerRound else 4 * k
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
-    val assigned = Ivf.assign(b, hashSeeds(b, cells))
+    // cells <= 0 derives ~√n ring-init geometry ([[Ivf.defaultCells]])
+    val cGeom = if (cells > 0) cells else Ivf.defaultCells(b.count())
+    val assigned = Ivf.assign(b, hashSeeds(b, cGeom))
       .select(col("cell"), col("vec_id"), col("sim"))
     val ring = Window.partitionBy(col("cell"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -277,10 +279,12 @@ object NnDescent {
     * reads the routing state persisted at build time instead).
     */
   def searchGraphRouted(base: DataFrame, edges: DataFrame,
-      queries: DataFrame, k: Int, beam: Int, hops: Int, cells: Int = 16,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, cells: Int = 0,
       nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame = {
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
-    val cents = hashSeeds(b, cells)
+    // cells <= 0 derives ~√n routing geometry ([[Ivf.defaultCells]])
+    val cents = hashSeeds(b,
+      if (cells > 0) cells else Ivf.defaultCells(b.count()))
     val assigned = Ivf.assign(b, cents)
       .select(col("cell"), col("vec_id"), col("sim"))
     searchGraphFrom(b, edges, queries, k, beam, hops,
@@ -321,15 +325,16 @@ object NnDescent {
     * [[searchIndexRouted]] places per-query entries without re-deriving
     * an assignment per search batch.
     *
-    * GEOMETRY: `cells = 16` is a FIXTURE-SCALE default. Scale it
-    * ~√n for a real corpus — a fixed cell count over a growing corpus
-    * decays routed overlap exactly like a fixed search budget
-    * (measured: 19→12/20 fused-top-20 agreement across 2k→64k vectors
-    * at 16 cells; √n cells + nprobe 8 restores 18/20 —
-    * BASELINE.md HybridScale).
+    * GEOMETRY: `cells <= 0` (the default) derives ~√n cells from the
+    * corpus being indexed ([[Ivf.defaultCells]], floor 16) — a fixed
+    * cell count over a growing corpus decays routed overlap exactly
+    * like a fixed search budget (measured: 19→12/20 fused-top-20
+    * agreement across 2k→64k vectors at 16 cells; √n cells + nprobe 8
+    * restores 18/20 — BASELINE.md HybridScale). Pass explicit cells to
+    * pin geometry.
     */
   def writeIndex(base: DataFrame, path: String, k: Int, iters: Int,
-      cells: Int = 16, reliable: Boolean = false): Unit = {
+      cells: Int = 0, reliable: Boolean = false): Unit = {
     val spark = base.sparkSession
     graft.queries.VectorOps.beginIndexBuild(spark, path)
     graft.queries.VectorOps.resetComponent(spark, s"$path/vectors")
@@ -337,13 +342,14 @@ object NnDescent {
     graft.queries.VectorOps.resetComponent(spark, s"$path/cells")
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
       .localCheckpoint(true)
-    val cents = hashSeeds(b, cells)
+    val c = if (cells > 0) cells else Ivf.defaultCells(b.count())
+    val cents = hashSeeds(b, c)
     b.write.mode("overwrite").parquet(s"$path/vectors/batch=init")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
-    buildGraph(b, k, iters, cells, reliable = reliable)
+    buildGraph(b, k, iters, c, reliable = reliable)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
     // rebuild = new as-of history (inside the sentinel window)
     graft.queries.VectorOps.resetHistory(spark, path, Seq("init"))
@@ -371,7 +377,7 @@ object NnDescent {
     * requireNotBuilding here.
     */
   def rebuildIndex(spark: SparkSession, path: String, k: Int, iters: Int,
-      cells: Int = 16, reliable: Boolean = false): Unit = {
+      cells: Int = 0, reliable: Boolean = false): Unit = {
     Seq("vectors", "edges", "cells").foreach(c =>
       graft.queries.VectorOps.finishCrashedSwap(spark, s"$path/$c"))
     // history reset BEFORE the vectors fold (reset-before-fold law —
@@ -389,12 +395,13 @@ object NnDescent {
     graft.queries.VectorOps.beginIndexBuild(spark, path)
     graft.queries.VectorOps.resetComponent(spark, s"$path/edges")
     graft.queries.VectorOps.resetComponent(spark, s"$path/cells")
-    val cents = hashSeeds(b, cells)
+    val cGeom = if (cells > 0) cells else Ivf.defaultCells(b.count())
+    val cents = hashSeeds(b, cGeom)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     Ivf.assign(b, cents).select(col("vec_id"), col("sim"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/batch=init")
-    buildGraph(b, k, iters, cells, reliable = reliable)
+    buildGraph(b, k, iters, cGeom, reliable = reliable)
       .write.mode("overwrite").parquet(s"$path/edges/batch=init")
     graft.queries.VectorOps.endFold(spark, path)
     graft.queries.VectorOps.endIndexBuild(spark, path)
@@ -409,7 +416,7 @@ object NnDescent {
     * without its hours-long read outage.
     */
   def rebuildIndexAside(spark: SparkSession, path: String, k: Int,
-      iters: Int, cells: Int = 16, reliable: Boolean = false): Unit = {
+      iters: Int, cells: Int = 0, reliable: Boolean = false): Unit = {
     graft.queries.VectorOps.recoverPromote(spark, path)
     // fail closed on a crashed IN-PLACE rebuild: its vectors may be
     // partial, and re-running THAT rebuild is its documented repair

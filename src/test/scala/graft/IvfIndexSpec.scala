@@ -31,6 +31,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     dir
   }
 
+  test("derived geometry: cells default to ~sqrt(n) with floor 16, and " +
+      "the default-build index stores that many centroids") {
+    import spark.implicits._
+    // the formula, pinned at the floor boundary and at two live sizes
+    assert(Ivf.defaultCells(100) == 16, "floor holds below 256")
+    assert(Ivf.defaultCells(256) == 16, "sqrt(256) meets the floor")
+    assert(Ivf.defaultCells(500) == 22)
+    assert(Ivf.defaultCells(2000) == 45)
+    assert(Ivf.defaultCells(1000000) == 1000)
+    // an unpinned build derives its geometry from the corpus it indexes
+    // (the r15 verdict: a 16-cell fixture constant shipped at 100 TB
+    // decays routed overlap — BASELINE.md HybridScale); two corpus
+    // sizes, both through the bridge entry a naive caller would use
+    def corpus(n: Int): DataFrame = (0 until n)
+      .map(i => (i.toLong, Seq.tabulate(4)(d =>
+        (((i * 31 + d * 7) % 97) / 97.0f)))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    for (n <- Seq(300, 2000)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ivf_geom_$n").toString
+      PyBridge.ivfWriteIndex(corpus(n), dir)
+      assert(spark.read.parquet(s"$dir/centroids").count() ==
+        Ivf.defaultCells(n).toLong,
+        s"default build at n=$n must store sqrt-scaled centroids")
+    }
+    // the graph index derives the same way when cells are unpinned
+    val gDir = java.nio.file.Files.createTempDirectory("graph_geom").toString
+    PyBridge.graphWriteIndex(corpus(300), gDir, k = 4, iters = 0)
+    assert(spark.read.parquet(s"$gDir/centroids").count() ==
+      Ivf.defaultCells(300).toLong)
+  }
+
   test("searchIndex == in-memory search, bit-identical") {
     val inMem = Ivf.search(base, Ivf.seedCentroids(base, 16),
       queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
