@@ -34,6 +34,9 @@ import graft.queries.{CurateConfig, TextOps}
   *                   (image|audio|video); repeat the flag for a
   *                   multimodal corpus — kinds must be distinct, docs
   *                   drop as media_dup ([[CurateConfig.media]])
+  *   [--media-dup-by-kind] the media stage's drop reason names the
+  *                   modality that fired (media_dup:KIND) — opt-in
+  *                   because the label depends on --media order
   *   [--no-resume]   ignore existing output, rewrite every verdict
   *   [--num-cpus N]  local parallelism (default: all cores)
   * }}}
@@ -52,12 +55,14 @@ object CurateCli {
       normalizeHash: Boolean = false,
       resume: Boolean = true,
       numCpus: Option[Int] = None,
-      media: Seq[(String, String)] = Nil)
+      media: Seq[(String, String)] = Nil,
+      mediaDupByKind: Boolean = false)
 
   val usage: String =
     """usage: graft.Main curate <documents.parquet> <outDir>
       |  [--state DIR] [--jaccard T] [--segment-width N] [--containment T]
-      |  [--normalize-hash] [--media COL:KIND ...] [--no-resume] [--num-cpus N]""".stripMargin
+      |  [--normalize-hash] [--media COL:KIND ...] [--media-dup-by-kind]
+      |  [--no-resume] [--num-cpus N]""".stripMargin
 
   /** Pure argument parser — IllegalArgumentException on malformed input
     * (same contract as [[Main.parse]]; CliCurateSpec tests it directly).
@@ -109,6 +114,8 @@ object CurateCli {
             case _ => throw new IllegalArgumentException(
               s"--media needs COL:KIND, got '$v'")
           }
+        case "--media-dup-by-kind" =>
+          cfg = cfg.copy(mediaDupByKind = true)
         case "--no-resume" => cfg = cfg.copy(resume = false)
         case "--num-cpus" =>
           val v = take("--num-cpus")
@@ -143,7 +150,8 @@ object CurateCli {
       normalizeForHash = cfg.normalizeHash,
       segmentDedupWidth = cfg.segmentWidth,
       containmentThreshold = cfg.containment,
-      media = cfg.media)
+      media = cfg.media,
+      mediaDupByKind = cfg.mediaDupByKind)
     val docs = spark.read.parquet(cfg.in)
 
     // durable state: build once, reuse afterwards — presence of labels/

@@ -112,7 +112,16 @@ case class CurateConfig(
     // sugar (exclusive — pass one form). One kind per pipeline entry:
     // two columns of the same kind would share a fingerprint family
     // and (in the stream) an index root.
-    media: Seq[(String, String)] = Nil) {
+    media: Seq[(String, String)] = Nil,
+    // per-kind media attribution (r15 verdict task 5): with the flag on
+    // the media stage's drop reason carries WHICH modality fired —
+    // `media_dup:<kind>` — so a mixed-corpus triage reads the verdict
+    // column instead of re-running pair tables. Default OFF: the single
+    // `media_dup` keeps verdicts equal across any media declaration
+    // order (kinds probe sequentially, so the attributed kind is the
+    // FIRST one that drops the doc in declaration order — order-
+    // dependent by construction, which is exactly why it is opt-in).
+    mediaDupByKind: Boolean = false) {
   require(media.isEmpty || mediaColumn.isEmpty,
     "pass media (multi-column) or mediaColumn (single-column sugar), not both")
   require(media.map(_._2).distinct.size == media.size,
@@ -3550,17 +3559,20 @@ object TextOps {
     // survivors, so a doc dropped as an audio dup never competes for an
     // image cluster's keeper slot (the streaming loop's sequential probe
     // order, mirrored). One decode pass per kind (each one-shot dedup
-    // hashes its own column exactly once); the drop reason stays the
-    // single `media_dup` — per-kind attribution, when an audit needs
-    // it, is the pair tables of the one-shots / the per-kind indexes,
-    // not the verdict column (stream/batch verdict parity would
-    // otherwise hinge on sub-stage order forever).
-    val mdKeep = if (cfg.mediaEntries.isEmpty) None else Some {
+    // hashes its own column exactly once); the drop reason is the
+    // single `media_dup` by default — per-kind attribution
+    // (`media_dup:<kind>`, the FIRST kind that drops the doc in
+    // declaration order) is the opt-in `mediaDupByKind` flag, priced as
+    // one extra anti-join per kind only when on; with it off, verdicts
+    // stay equal across any media declaration order.
+    val mdStage = if (cfg.mediaEntries.isEmpty) None else Some {
       import graft.extract.Multimodal
       val start = surv4b.select(col("doc_id"), col("n_chars"))
         .transform(s => smKeep.fold(s)(sk =>
           s.join(sk.select(col("doc_id")), Seq("doc_id"))))
-      cfg.mediaEntries.foldLeft(start) { case (surv, (mc, kind)) =>
+      val (survEnd, dropKinds) = cfg.mediaEntries
+        .foldLeft((start, Option.empty[DataFrame])) {
+          case ((surv, dropsAcc), (mc, kind)) =>
         require(docs.columns.contains(mc),
           s"media column '$mc' is not on the corpus")
         Multimodal.mediaKindLayout(kind) // kind validation only
@@ -3582,15 +3594,25 @@ object TextOps {
         val mlabels = Multimodal.mediaClusterLabels(pairs)
           .select(col("med_id").cast(LongType).as("doc_id"),
             col("rep_id").as("mrep"))
-        surv.join(mlabels, Seq("doc_id"), "left")
+        val kept = surv.join(mlabels, Seq("doc_id"), "left")
           .groupBy(coalesce(col("mrep"), col("doc_id").cast(StringType))
             .as("mrep"))
           .agg(max_by(struct(col("doc_id"), col("n_chars")),
             col("n_chars") * lit(1000000000L) - col("doc_id")).as("best"))
           .select(col("best.doc_id").as("doc_id"),
             col("best.n_chars").as("n_chars"))
-      }.select(col("doc_id"), lit(true).as("md_keep"))
+        val drops = if (!cfg.mediaDupByKind) dropsAcc else {
+          val d = surv.select(col("doc_id"))
+            .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit(kind).as("md_kind"))
+          Some(dropsAcc.fold(d)(_.unionByName(d)))
+        }
+        (kept, drops)
+      }
+      (survEnd.select(col("doc_id"), lit(true).as("md_keep")), dropKinds)
     }
+    val mdKeep = mdStage.map(_._1)
+    val mdDropKinds = mdStage.flatMap(_._2)
     val marked = docs.select(col("doc_id"), g.all.as("q_ok"))
       .join(exKeep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
@@ -3607,6 +3629,14 @@ object TextOps {
         sk => m.join(sk, Seq("doc_id"), "left")))
       .transform(m => mdKeep.fold(m.withColumn("md_keep", col("sm_keep")))(
         mk => m.join(mk, Seq("doc_id"), "left")))
+      .transform(m => mdDropKinds.fold(m)(dk =>
+        m.join(dk, Seq("doc_id"), "left")))
+    // with per-kind attribution on, the media branch names the kind:
+    // any doc reaching that branch survived every earlier stage, so it
+    // is in the media stage's start set and carries exactly one md_kind
+    val mediaReason =
+      if (mdDropKinds.isEmpty) lit("media_dup")
+      else concat(lit("media_dup:"), col("md_kind"))
     marked
       .select(col("doc_id"),
         when(!col("q_ok"), "quality")
@@ -3615,7 +3645,7 @@ object TextOps {
           .when(col("cn_keep").isNull, "contained_dup")
           .when(col("nd_keep").isNull, "near_dup")
           .when(col("sm_keep").isNull, "semantic_dup")
-          .when(col("md_keep").isNull, "media_dup")
+          .when(col("md_keep").isNull, mediaReason)
           .as("drop_reason"))
       .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
         col("drop_reason"))

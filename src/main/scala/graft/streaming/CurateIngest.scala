@@ -41,7 +41,9 @@ import graft.queries.{CurateConfig, TextOps, VectorOps}
   *      admit policy and lifecycle. A multimodal corpus passes
   *      `media = Seq(col -> kind, …)` — one entry per modality, each
   *      against its OWN per-kind index root, sub-stages chained in
-  *      declaration order with one shared `media_dup` reason
+  *      declaration order with one shared `media_dup` reason — or
+  *      `media_dup:<kind>` naming the first kind that fired, under the
+  *      opt-in [[graft.queries.CurateConfig.mediaDupByKind]] flag
   *      (`mediaColumn`/`mediaKind` is the one-entry sugar on the
   *      legacy root).
   *
@@ -403,12 +405,24 @@ object CurateIngest {
     // eagerly would let a doc kind 2 later drops join kind 1's corpus.
     // Undecodable media rows pass the stage — no fingerprint, nothing
     // to compare.
-    val (med, mediaAppends) = mediaEntries
-      .foldLeft((sem, Seq.empty[DataFrame => Unit])) {
-        case ((surv, appends), (mc, kind, rootLeaf)) =>
+    val (med, mediaAppends, mdDropKinds) = mediaEntries
+      .foldLeft((sem, Seq.empty[DataFrame => Unit],
+          Option.empty[DataFrame])) {
+        case ((surv, appends, dropsAcc), (mc, kind, rootLeaf)) =>
           require(b.columns.contains(mc),
             s"media column '$mc' is not on the batch")
           val mediaPath = s"$statePath/$rootLeaf"
+          // per-kind attribution (mediaDupByKind): this kind's drops are
+          // the survivors it removed — the FIRST kind that drops a doc
+          // labels it, matching the batch fold's declaration order
+          def kindDrops(kept: DataFrame): Option[DataFrame] =
+            if (!cfg.mediaDupByKind) dropsAcc
+            else {
+              val d = surv.select(col("doc_id"))
+                .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                .select(col("doc_id"), lit(kind).as("md_kind"))
+              Some(dropsAcc.fold(d)(_.unionByName(d)))
+            }
           if (kind == "video") {
             // the video index lives under its OWN root (media_video,
             // not media): the hash and frame-set families share one
@@ -441,7 +455,7 @@ object CurateIngest {
               graft.extract.Multimodal.appendVideoIndex(spark, mediaPath,
                 frames.join(keepers.select(col("doc_id").cast("string")
                   .as("video_id")), "video_id"),
-                tag, vc.everyNthMs, vc.durationMs)))
+                tag, vc.everyNthMs, vc.durationMs)), kindDrops(kept))
           } else {
             // a multi-media stream beside a legacy single-kind index:
             // the per-kind root would silently bootstrap empty while
@@ -472,7 +486,7 @@ object CurateIngest {
             (kept, appends :+ ((keepers: DataFrame) =>
               graft.extract.Multimodal.appendMediaIndex(spark, mediaPath,
                 hashed.join(keepers.select(col("doc_id").cast("string")
-                  .as("med_id")), "med_id"), tag, kind)))
+                  .as("med_id")), "med_id"), tag, kind)), kindDrops(kept))
           }
       }
     mediaAppends.foreach(_(med))
@@ -537,6 +551,11 @@ object CurateIngest {
         if (mediaEntries.nonEmpty)
           v.join(keepId(med, "md_ok"), Seq("doc_id"), "left")
         else v.withColumn("md_ok", col("sm_ok")))
+      // per-kind attribution rides in only when the flag built a drops
+      // frame; any doc reaching the media branch survived every earlier
+      // stage, so it carries exactly one md_kind (the batch rule)
+      .transform(v => mdDropKinds.fold(v)(dk =>
+        v.join(dk, Seq("doc_id"), "left")))
       .withColumn("drop_reason",
         when(col("seg_drop").isNotNull, "segment_dup")
           .when(col("gv") === false, "quality")
@@ -545,10 +564,12 @@ object CurateIngest {
           .when(col("cn_ok").isNull, "contained_dup")
           .when(col("nd_ok").isNull, "near_dup")
           .when(col("sm_ok").isNull, "semantic_dup")
-          .when(col("md_ok").isNull, "media_dup"))
+          .when(col("md_ok").isNull,
+            if (mdDropKinds.isEmpty) lit("media_dup")
+            else concat(lit("media_dup:"), col("md_kind"))))
       .withColumn("kept", col("drop_reason").isNull)
       .drop("gv", "seg_drop", "ex_ok", "de_ok", "cn_ok", "nd_ok", "sm_ok",
-        "md_ok")
+        "md_ok", "md_kind")
     verdict.write.mode("overwrite").parquet(s"$outPath/batch=$tag")
 
     // drift side output — the monitoring twin of the verdict output:

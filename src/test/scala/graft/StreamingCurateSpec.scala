@@ -822,6 +822,88 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(err.getMessage.contains("legacy hash index"))
   }
 
+  test("mediaDupByKind: the drop reason names the modality that fired, " +
+      "batch and stream identically; default keeps the shared reason") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    def img(kind: Int, format: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { x =>
+        (0 until 64).foreach { y =>
+          val v = kind match {
+            case 0 => x * 255 / 63
+            case 1 => y * 255 / 63
+            case _ => (x + y) * 255 / 126
+          }
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, format, bos)
+      bos.toByteArray
+    }
+    def wav(seed: Long, section: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      var h = seed
+      val samples = (0 until 6400).map { j =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        val noise = ((h >>> 48).toInt - 32768) / 4
+        val gain = ((j / section) % 4) match {
+          case 0 => 4; case 1 => 1; case 2 => 3; case _ => 0
+        }
+        (noise * gain / 4).toShort
+      }.toArray
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f,
+        16, 1, 2, 8000f, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def rows(ds: Seq[((Long, String, Long), Array[Byte], Array[Byte])]) =
+      ds.map { case (d, im, au) => (d._1, d._2, d._3, im, au) }
+        .toDF("doc_id", "text", "n_chars", "image", "audio")
+    val mediaCfg = Seq("image" -> "image", "audio" -> "audio")
+    val cfgKind = CurateConfig(media = mediaCfg, mediaDupByKind = true)
+    // the multi-media parity corpus: 11 dups 3's IMAGE (re-encode),
+    // 12 dups 3's AUDIO, 13 is clean — so the flag must attribute the
+    // two drops to DIFFERENT kinds from one run
+    val b0 = rows(Seq(((doc(3L, "alpha", 41)), img(0), wav(1L, 300))))
+    val b1 = rows(Seq(
+      (doc(11L, "chm", 40), img(0, format = "jpg"), wav(2L, 430)),
+      (doc(12L, "delta", 40), img(1), wav(1L, 300)),
+      (doc(13L, "echo", 40), img(2), wav(3L, 520))))
+    val want = Map(
+      3L -> ((true, None)),
+      11L -> ((false, Some("media_dup:image"))),
+      12L -> ((false, Some("media_dup:audio"))),
+      13L -> ((true, None)))
+    val batchV = TextOps.curateOn(b0.unionByName(b1), cfgKind).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(batchV == want, s"batch per-kind attribution broke: $batchV")
+    val state = java.nio.file.Files.createTempDirectory("ci_mk_state").toString
+    val out = java.nio.file.Files.createTempDirectory("ci_mk_out").toString
+    CurateIngest.processBatch(b0, 0L, state, out, cfgKind)
+    CurateIngest.processBatch(b1, 1L, state, out, cfgKind)
+    assert(verdicts(s"$out/batch=b0") ++ verdicts(s"$out/batch=b1") == want,
+      "stream per-kind attribution must match the batch twin")
+    // flag OFF over the same corpus: the shared reason, unchanged —
+    // the default's verdict equality across declaration orders
+    val plainV = TextOps.curateOn(b0.unionByName(b1),
+        CurateConfig(media = mediaCfg)).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(plainV(11L).contains("media_dup") &&
+      plainV(12L).contains("media_dup"))
+  }
+
   test("cfg-only stage config drives the stream: CurateConfig.media / " +
       ".semanticThreshold run their stages without explicit stream params") {
     import spark.implicits._
