@@ -1423,19 +1423,32 @@ object TextOps {
     * output is ≤ C(|S|, 2) rows.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
-    sourceOverlapOn(Tables.t(spark, dir, "documents"))
+    sourceOverlapOn(Tables.t(spark, dir, "documents"),
+      materialize = false)
 
   /** [[sourceOverlap]] over any (source, text) frame at a chosen window
     * width (the engine surface; the contract pins width 8 — the
     * [[dupSpans]] span key).
+    *
+    * `materialize` (default ON for the engine surface): the
+    * (source, win)-distinct frame feeds THREE consumers (the per-source
+    * counts and both sides of the pair join) and Catalyst shares no
+    * subplans, so the stateless plan re-runs the corpus window explode
+    * 3× (PLANS.md's honest-cost note) — one eager localCheckpoint
+    * makes it scan-once, bit-identical. The CONTRACT row passes false:
+    * its stateless plan is the PlanCanary-pinned shape, and checkpoint
+    * blocks are non-reliable storage (the [[clusterLabels]] caveat —
+    * on a cluster with executor churn prefer a durable write of `w`).
     */
-  def sourceOverlapOn(input: DataFrame, width: Int = 8): DataFrame = {
+  def sourceOverlapOn(input: DataFrame, width: Int = 8,
+      materialize: Boolean = true): DataFrame = {
     require(width > 0, s"window width must be positive, got $width")
-    val w = input
+    val w0 = input
       .select(col("source"), explode(org.apache.spark.sql.graft
         .ShingleExpressions.ngrams(col("text"), width, distinct = true))
         .as("win"))
       .distinct()
+    val w = if (materialize) w0.localCheckpoint(true) else w0
     val counts = w.groupBy(col("source")).agg(count(lit(1)).as("n_wins"))
     val pairs = w.select(col("win"), col("source").as("source_a"))
       .join(w.select(col("win"), col("source").as("source_b")), Seq("win"))
@@ -1487,19 +1500,26 @@ object TextOps {
     * explode feeds both branches — nothing pairs, nothing collects.
     */
   def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
-    noveltyCurveOn(Tables.t(spark, dir, "documents"))
+    noveltyCurveOn(Tables.t(spark, dir, "documents"),
+      materialize = false)
 
   /** [[noveltyCurve]] over any (doc_id, text) frame at a chosen window
     * width and bucket size — the engine surface (point `bucketDocs` at
     * your ids-per-day). Requires non-negative doc_ids (div-bucketing).
+    *
+    * `materialize` (default ON): the window explode feeds TWO
+    * differently-keyed groupings and would run twice un-checkpointed —
+    * the [[sourceOverlapOn]] rationale, including the contract row's
+    * stateless pinned plan (false) and the cluster-churn caveat.
     */
   def noveltyCurveOn(input: DataFrame, width: Int = 8,
-      bucketDocs: Long = 50L): DataFrame = {
+      bucketDocs: Long = 50L, materialize: Boolean = true): DataFrame = {
     require(width > 0 && bucketDocs > 0,
       s"need positive width/bucketDocs, got $width/$bucketDocs")
-    val w = input.select(col("doc_id"), explode(org.apache.spark.sql.graft
+    val w0 = input.select(col("doc_id"), explode(org.apache.spark.sql.graft
       .ShingleExpressions.ngrams(col("text"), width, distinct = true))
       .as("win"))
+    val w = if (materialize) w0.localCheckpoint(true) else w0
     val nd = w.select(expr(s"doc_id div $bucketDocs").as("bucket"), col("win"))
       .distinct()
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_distinct"))

@@ -695,6 +695,11 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     val docs = Tables.t(spark, Sf001, "documents")
     val m = TextOps.sourceOverlapOn(docs).collect()
     assert(m.nonEmpty, "fixture window overlap must be dense at sf0.001")
+    // the materialized (scan-once, engine default) and stateless
+    // (contract-pinned) plans are bit-identical in output — the
+    // checkpoint is a cost decision, never a semantic one
+    assert(TextOps.sourceOverlapOn(docs, materialize = false).collect()
+      .map(_.toString).toSeq == m.map(_.toString).toSeq)
     m.foreach { r =>
       assert(r.getString(0) < r.getString(1), "pairs are ordered once")
       assert(r.getLong(2) >= 1)
@@ -819,6 +824,9 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     import spark.implicits._
     val docs = Tables.t(spark, Sf0001, "documents")
     val curve = TextOps.noveltyCurveOn(docs).collect()
+    // materialized (engine default) == stateless (contract-pinned)
+    assert(TextOps.noveltyCurveOn(docs, materialize = false).collect()
+      .map(_.toString).toSeq == curve.map(_.toString).toSeq)
     val wDistinct = docs.select(col("doc_id"), explode(
       org.apache.spark.sql.graft.ShingleExpressions.ngrams(col("text"), 8,
         distinct = true)).as("win"))
