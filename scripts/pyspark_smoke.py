@@ -375,6 +375,13 @@ try:
     check("indexed decon subset law from Python",
           idx_ids <= exact_ids and len(idx_ids) > 0,
           f"({len(idx_ids)}/{len(exact_ids)} via the index)")
+    # as-of twin: a probe pinned at init must reproduce today's verdicts
+    # on an index that has not moved, and stay read-only (r16)
+    deca = DataFrame(bridge.semanticDecontaminateIndexedAsOf(
+        spark._jsparkSession, idx, corpus_v._jdf, 0.35, "init"), spark)
+    asof_ids = {r["vec_id"] for r in deca.filter("contaminated").collect()}
+    check("semantic decon as-of from Python", asof_ids == idx_ids,
+          f"({len(asof_ids)} flagged at init)")
 finally:
     shutil.rmtree(idx, ignore_errors=True)
 

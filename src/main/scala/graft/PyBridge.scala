@@ -250,6 +250,15 @@ object PyBridge {
       corpus: DataFrame, threshold: Double): DataFrame =
     VectorOps.semanticDecontaminateIndexed(spark, path, corpus, threshold)
 
+  /** The indexed semantic decon AS OF a recorded tag — "what would
+    * eval release R have flagged" (read-only; the shingle family's
+    * decontaminateIndexedAsOf question, embedding-space).
+    */
+  def semanticDecontaminateIndexedAsOf(spark: SparkSession, path: String,
+      corpus: DataFrame, threshold: Double, asOf: String): DataFrame =
+    VectorOps.semanticDecontaminateIndexedAsOf(spark, path, corpus,
+      threshold, asOf)
+
   /** Persist an eval set as the cosine index the indexed decon probes. */
   def writeCosineIndex(vecs: DataFrame, path: String): Unit =
     VectorOps.writeCosineIndex(vecs, path)

@@ -2436,6 +2436,40 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** [[semanticDecontaminateIndexed]] AS OF a recorded tag — "what
+    * would eval-set release R have flagged": the probe sees only the
+    * eval batches admitted up to `asOf` in the index history, so a
+    * verdict is reproducible bit-identically after later eval appends
+    * (the question [[graft.queries.TextOps.decontaminateIndexedAsOf]]
+    * answers for the shingle family, closed for the semantic one —
+    * r15 verdict task 7). Read-only like every as-of twin: no
+    * `_params` admit, no history write, partition-pruned batch
+    * listing via [[componentAsOf]].
+    */
+  def semanticDecontaminateIndexedAsOf(spark: SparkSession, path: String,
+      corpus: DataFrame, threshold: Double, asOf: String,
+      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    recoverPromote(spark, path)
+    requireNotBuilding(spark, path)
+    requireLshParams(spark, path, numPlanes, bands, seed)
+    val cbase = corpus.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val cands = graft.operators.BandedHamming
+      .probedPairs(bandedSignatures(cbase, numPlanes, bands, seed),
+        componentAsOf(spark, path, "bands", asOf), "vec_id", "vec_id",
+        Seq("band", "bv"))
+      .select(col("id1").as("v1"), col("id2").as("v2"))
+    val hits = verifyCosine(cands, cbase,
+        componentAsOf(spark, path, "vectors", asOf), threshold)
+      .groupBy(col("v1"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+    cbase.select(col("vec_id"))
+      .join(hits, col("vec_id") === col("v1"), "left")
+      .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"), (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Pinned contract instantiation: eval = every 10th fixture vector,
     * corpus = the rest, threshold 0.35 (the fixture is isotropic noise —
     * 61/450 contaminated at sf0.01, a healthy verdict mix).

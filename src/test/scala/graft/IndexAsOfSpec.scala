@@ -149,6 +149,40 @@ class IndexAsOfSpec extends AnyFunSuite with SparkSessionFixture {
     } finally { rm(live); rm(pinned) }
   }
 
+  test("semantic eval index: indexed decon as-of a release tag == against " +
+      "the eval cosine index of that day; flags only grow") {
+    val vecs = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val e0 = vecs.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val e1 = vecs.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") >= 200 && col("vec_id") < 350)
+    val e2 = vecs.filter(col("vec_id") % 10 === 0 && col("vec_id") >= 350)
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val live = tmpDir("asof_sdec_live")
+    val pinned = tmpDir("asof_sdec_pin")
+    try {
+      VectorOps.writeCosineIndex(e0, live)
+      VectorOps.appendCosineIndex(e1, live, "tA")
+      VectorOps.appendCosineIndex(e2, live, "tB")
+      VectorOps.writeCosineIndex(e0, pinned)
+      VectorOps.appendCosineIndex(e1, pinned, "tA")
+      val want = rows(
+        VectorOps.semanticDecontaminateIndexed(spark, pinned, corpus, 0.35))
+      val got = rows(VectorOps.semanticDecontaminateIndexedAsOf(
+        spark, live, corpus, 0.35, asOf = "tA"))
+      assert(got == want,
+        "the as-of probe must reproduce the never-saw-later index")
+      def flagged(df: DataFrame) = df.filter(col("contaminated"))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val snapFlags = flagged(VectorOps.semanticDecontaminateIndexedAsOf(
+        spark, live, corpus, 0.35, asOf = "tA"))
+      assert(snapFlags.nonEmpty, "fixture prefix must flag something")
+      // the eval set only grows, so the snapshot's flags are a subset
+      assert(snapFlags.subsetOf(flagged(
+        VectorOps.semanticDecontaminateIndexed(spark, live, corpus, 0.35))))
+    } finally { rm(live); rm(pinned) }
+  }
+
   test("eval index: decontamination as-of a release tag == against the eval set of that day") {
     val docs = Tables.t(spark, Sf0001, "documents")
     val e0 = docs.filter(col("doc_id") < 50)
