@@ -610,6 +610,20 @@ object TextOps {
   private[graft] def labelCacheSize: Int = labelCache.size
   private[graft] def reasonsCacheSize: Int = reasonsCache.size
 
+  /** Force the text-family session memo builds (jaccard pairs →
+    * cluster labels → curate reasons; each feeds the next), named for
+    * [[graft.Bench]]'s dedicated warm-up rows: these are ONE-TIME
+    * session costs that otherwise land on whichever contract row the
+    * registry's iteration order runs first — adding a key re-shuffles
+    * that order and every per-row trend breaks (the r15
+    * q_curate_semantic adjudication burned a session on exactly this).
+    */
+  private[graft] def warmFamilies(spark: SparkSession,
+      dir: String): Seq[(String, () => Unit)] = Seq(
+    "text_jaccard_pairs" -> (() => { jaccardPairs(spark, dir); () }),
+    "text_cluster_labels" -> (() => { clusterLabels(spark, dir); () }),
+    "text_curate_reasons" -> (() => { curateReasons(spark, dir); () }))
+
   /** Near-dup cluster labels (id, rep) over an arbitrary (doc_id, text)
     * frame at `threshold` — the unmemoized engine form of the label
     * build. Iterates ONLY over the near-dup subgraph: docs in no pair

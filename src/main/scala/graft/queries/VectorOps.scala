@@ -106,6 +106,19 @@ object VectorOps {
     })
   }
 
+  /** Force the vector-family session memo builds — the
+    * [[graft.queries.TextOps.warmFamilies]] twin ([[graft.Bench]]'s
+    * warm-up rows): the three verified pair frames and the contract
+    * NN-Descent graph, each otherwise priced into whichever of its two
+    * consumer rows runs first.
+    */
+  private[graft] def warmFamilies(spark: SparkSession,
+      dir: String): Seq[(String, () => Unit)] = Seq(
+    "vec_pairs_cosine" -> (() => { neardupCosine(spark, dir); () }),
+    "vec_pairs_cosine_lsh" -> (() => { neardupCosineLsh(spark, dir); () }),
+    "vec_pairs_minhash" -> (() => { dedupMinhash(spark, dir); () }),
+    "vec_graph" -> (() => { contractGraph(spark, dir); () }))
+
   private def memoPairs(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     // purge BEFORE computeIfAbsent: the mapping function must not mutate
