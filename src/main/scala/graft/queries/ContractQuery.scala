@@ -196,6 +196,16 @@ object Sql {
   def div6(a: String, b: String): String =
     s"CAST(floor((($a) * 2000000 + ($b)) / (($b) * 2)) / 1000000.0 AS DOUBLE)"
 
+  /** The keep-best keeper id — max over the (n_chars, −doc_id) STRUCT,
+    * extracted (DuckDB orders structs lexicographically, like Spark):
+    * the longest cluster member, ties to the smallest id. Replaces the
+    * injective n_chars·10⁹ − doc_id arg_max encoding, whose order
+    * inverted once the id gap out-weighed the length gap×10⁹ (r16);
+    * DuckDB's arg_max rejects STRUCT keys, plain max does not.
+    */
+  def keepBest(nChars: String, docId: String): String =
+    s"CAST(-((max({'nc': $nChars, 'nid': -($docId)})).nid) AS BIGINT)"
+
   /** Mirror of [[Det.tsOut]]. */
   def tsOut(c: String): String = s"epoch_us($c)"
 }

@@ -66,12 +66,15 @@ case class CurateConfig(
     maxMeanWordLen: Long = 10L,
     maxShortRatio: (Long, Long) = (1L, 20L),
     minDistinctRatio: (Long, Long) = (1L, 2L),
-    // NOTE the keep-best tie-break across the dedup stages encodes
-    // (n_chars, -doc_id) as n_chars·10⁹ − doc_id — it assumes doc_id
-    // < 10⁹ within any one dup cluster. Sparse 64-bit id schemes
-    // (snowflake-style) must remap ids first or the tie-break order
-    // inverts between docs whose lengths differ by less than
-    // (id gap)/10⁹. The constant is part of the oracled contract.
+    // NOTE the keep-best tie-break — keep the LONGEST member
+    // (n_chars), ties to the smallest doc_id — is compared as a STRUCT
+    // everywhere (the containment filter directly; the aggregating
+    // near-dup/semantic/media stages as one max over (n_chars,
+    // −doc_id), [[TextOps.keepBestAgg]] / [[Sql.keepBest]]): NO doc_id
+    // range assumption anywhere. The former injective n_chars·10⁹ −
+    // doc_id encoding silently inverted keepers for snowflake-scale id
+    // gaps and was removed in r16 (both engines: DuckDB orders structs
+    // lexicographically too, through plain max).
     jaccardThreshold: Double = 0.5,
     trainBucketsBelow: Long = 8L,
     testBucketsFrom: Long = 9L,
@@ -3197,31 +3200,39 @@ object TextOps {
     * member (least truncation), ties to the smallest doc_id. Grouping by
     * exact-content digest would make the policy vacuous (identical text ⇒
     * identical length); near-dup clusters are where member lengths
-    * genuinely differ. The composite order is encoded as one injective
-    * BIGINT (n_chars·10⁹ − doc_id, exact while doc_id < 10⁹ — far past
-    * the fixtures; widen the multiplier for larger id spaces), so a
-    * single max_by/arg_max carries the policy through partial
-    * aggregation — no window over the cluster, and the map-side combine
-    * keeps one candidate row per (task, cluster) before the only
-    * post-clustering shuffle.
+    * genuinely differ. The composite order aggregates as ONE max over
+    * the struct (n_chars, −doc_id) ([[keepBestAgg]]) — still a single
+    * declarative aggregate with map-side partial combine (one candidate
+    * row per (task, cluster) before the only post-clustering shuffle,
+    * no window over the cluster), and with NO doc_id range assumption:
+    * the former injective n_chars·10⁹ − doc_id BIGINT encoding inverted
+    * the keeper once the id gap out-weighed the length gap×10⁹ —
+    * snowflake-scale ids at 100 TB (r16; the betterContainerPairs
+    * struct fix applied to every aggregating keeper edge, both engines:
+    * DuckDB's max over a STRUCT orders lexicographically too).
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val score = col("n_chars") * lit(1000000000L) - col("doc_id")
+  /** The keep-best aggregate, one copy for every keeper edge: the max
+    * (n_chars, −doc_id) struct; extract the kept id as −(…).nid (the
+    * [[Sql.keepBest]] mirror).
+    */
+  private def keepBestAgg: Column =
+    max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
     dedupCluster(spark, dir)
       .join(Tables.t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id")
       .groupBy(col("rep"))
-      .agg(max_by(col("doc_id"), score).as("keeper"),
+      .agg((-keepBestAgg.getField("nid")).as("keeper"),
         max(col("n_chars")).as("keeper_chars"),
         count(lit(1)).as("n_members"))
       .orderBy(col("rep"))
-  }
 
   val dedupKeepBestSql: String =
     s"""$clusterCteSql,
        |$clustersCteSql
        |SELECT rep,
-       |  arg_max(c.doc_id, d.n_chars * 1000000000 - c.doc_id) AS keeper,
+       |  ${Sql.keepBest("d.n_chars", "c.doc_id")} AS keeper,
        |  max(d.n_chars) AS keeper_chars,
        |  count(*) AS n_members
        |FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
@@ -3543,8 +3554,7 @@ object TextOps {
     val ndKeep = stage3b
       .join(clusters, "doc_id")
       .groupBy(col("rep"))
-      .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
-        .as("doc_id"))
+      .agg((-keepBestAgg.getField("nid")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("nd_keep"))
     val surv4b = stage3b.join(ndKeep.select(col("doc_id")), Seq("doc_id"))
     // optional stage 5 — semantic near-dup keep-best: cluster the CORPUS
@@ -3569,8 +3579,7 @@ object TextOps {
       surv4b
         .join(slabels, Seq("doc_id"), "left")
         .groupBy(coalesce(col("srep"), col("doc_id")).as("srep"))
-        .agg(max_by(col("doc_id"), col("n_chars") * lit(1000000000L) - col("doc_id"))
-          .as("doc_id"))
+        .agg((-keepBestAgg.getField("nid")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("sm_keep"))
     }
     // optional stage 6 — media near-dup keep-best: the streaming media
@@ -3631,10 +3640,9 @@ object TextOps {
         val kept = surv.join(mlabels, Seq("doc_id"), "left")
           .groupBy(coalesce(col("mrep"), col("doc_id").cast(StringType))
             .as("mrep"))
-          .agg(max_by(struct(col("doc_id"), col("n_chars")),
-            col("n_chars") * lit(1000000000L) - col("doc_id")).as("best"))
-          .select(col("best.doc_id").as("doc_id"),
-            col("best.n_chars").as("n_chars"))
+          .agg(keepBestAgg.as("best"))
+          .select((-col("best.nid")).as("doc_id"),
+            col("best.nc").as("n_chars"))
         val drops = if (!cfg.mediaDupByKind) dropsAcc else {
           val d = surv.select(col("doc_id"))
             .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -3860,7 +3868,7 @@ object TextOps {
 
   private def ndKeepCteSql(from: String): String =
     s"""nd_keep AS (
-       |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
+       |  SELECT ${Sql.keepBest("s.n_chars", "s.doc_id")} AS doc_id
        |  FROM $from s JOIN clusters c ON s.doc_id = c.doc_id
        |  GROUP BY c.rep)""".stripMargin
 
@@ -4081,7 +4089,7 @@ object TextOps {
        |                FROM semreach GROUP BY a),
        |stage4 AS (SELECT s.* FROM stage3 s JOIN nd_keep USING (doc_id)),
        |sm_keep AS (
-       |  SELECT arg_max(s.doc_id, s.n_chars * 1000000000 - s.doc_id) AS doc_id
+       |  SELECT ${Sql.keepBest("s.n_chars", "s.doc_id")} AS doc_id
        |  FROM stage4 s LEFT JOIN semclusters c ON s.doc_id = c.doc_id
        |  GROUP BY coalesce(c.srep, s.doc_id)),
        |semreasons AS (

@@ -2070,9 +2070,12 @@ object VectorOps {
     * search (weak labeling / label propagation in a training-data
     * pipeline): each query vector takes the modal label of its top-5
     * cosine neighbors, ties to the smallest label. The vote is one
-    * count-aggregate over the (tiny) top-k set followed by an injective
-    * max_by (votes·1000 − label, exact while labels < 1000 — the fixture
-    * has 10), so the policy survives partial aggregation with no window.
+    * count-aggregate over the (tiny) top-k set followed by one max over
+    * the (votes, −label) STRUCT — partial-aggregatable with no window
+    * and NO label-range assumption (the former votes·1000 − label
+    * encoding silently mis-voted tied labels ≥ 1000; r16, the keep-best
+    * struct fix applied here too — DuckDB mirrors it with max over a
+    * struct, since its arg_max rejects composite keys).
     * Exact top-k (the [[knnBruteforce]] shape) keeps it SQL-oracled; at
     * corpus scale the same vote composes over [[knnLsh]]/[[knnIvf]]
     * candidates instead.
@@ -2085,8 +2088,8 @@ object VectorOps {
       .groupBy(col("q_id"), col("nb_label"))
       .agg(count(lit(1)).as("votes"))
     votes.groupBy(col("q_id"))
-      .agg(max_by(col("nb_label"), col("votes") * 1000L - col("nb_label"))
-        .as("pred_label"),
+      .agg((-max(struct(col("votes").as("v"), (-col("nb_label")).as("nl")))
+          .getField("nl")).as("pred_label"),
         max(col("votes")).as("top_votes"))
       .orderBy(col("q_id"))
   }
@@ -2098,7 +2101,7 @@ object VectorOps {
        |  FROM top5 t JOIN embeddings e ON t.vec_id = e.vec_id
        |  GROUP BY t.q_id, e.label)
        |SELECT q_id,
-       |  arg_max(nb_label, votes * 1000 - nb_label) AS pred_label,
+       |  CAST(-((max({'v': votes, 'nl': -nb_label})).nl) AS BIGINT) AS pred_label,
        |  max(votes) AS top_votes
        |FROM votes GROUP BY q_id ORDER BY q_id""".stripMargin
 

@@ -920,6 +920,21 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       s"the excerpt must drop past the 10⁹ id boundary: $bigIdReasons")
     assert(bigIdReasons(400000000000L).isEmpty,
       s"the longer huge-id container must be kept: $bigIdReasons")
+    // …and the AGGREGATING keeper edges (near-dup keep-best, one max
+    // over the (n_chars, −doc_id) struct since r16) carry the same
+    // order: with the containment stage OFF, a J ≥ 0.5 near-dup pair
+    // whose LONGER member has id 4·10¹¹ keeps the longer one — the
+    // former injective encoding docked the huge id ~400 chars' worth
+    // of score and silently kept the SHORTER copy
+    val ndBig = Seq(mk(400000000000L, container + " word9999"),
+        mk(1L, container), mk(3L, toks(100 to 170)))
+      .toDF("doc_id", "text", "n_chars")
+    val ndReasons = TextOps.curateOn(ndBig,
+        CurateConfig(testBucketsFrom = 10L)).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(ndReasons(1L).contains("near_dup") &&
+      ndReasons(400000000000L).isEmpty,
+      s"keep-best must keep the longer huge-id member: $ndReasons")
   }
 
   test("property: containment pairs match a brute-force set-arithmetic " +
