@@ -40,6 +40,16 @@ def rows_of(cur):
     return [cols[i] for i in order], data, cols
 
 
+def rows_of_rel(rel):
+    # relation-API twin of rows_of: one bind serves the type scan AND the
+    # row fetch (binding twice was pure waste, and a query the relation
+    # API rejects but execute() accepts would mis-report)
+    cols = list(rel.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
+    return [cols[i] for i in order], data, cols
+
+
 def main(sf_dir, out_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
@@ -72,7 +82,7 @@ def main(sf_dir, out_dir):
                 failures.append(
                     (name, f"oracle columns typed HUGEINT (cast to BIGINT): {huge}"))
                 continue
-            duck_cols, duck_rows, duck_raw = rows_of(con.execute(sql))
+            duck_cols, duck_rows, duck_raw = rows_of_rel(rel)
         except Exception as e:
             failures.append((name, f"exec error: {e}"))
             continue

@@ -60,15 +60,22 @@ object Bench {
     // with pre-warm rounds, and the per-query rows now measure only
     // their own compose + execution.
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     (graft.queries.TextOps.warmFamilies(spark, sfDir) ++
         graft.queries.VectorOps.warmFamilies(spark, sfDir)).foreach {
       case (name, thunk) =>
         val w0 = System.nanoTime()
+        // a failed warm build must be loud IN THE JSON like a failed
+        // query (the round-9 rule): its row would otherwise read as a
+        // successful build price while the first consumer silently
+        // re-pays the memo — corrupting exactly the per-row trend the
+        // warm rows exist to protect
         try thunk() catch { case t: Throwable =>
-          System.err.println(s"[bench] warm $name FAILED: ${t.getMessage}") }
+          System.err.println(s"[bench] warm $name FAILED: ${t.getMessage}")
+          failed += s"warm:$name"
+        }
         warm += name -> ((System.nanoTime() - w0) / 1e9)
     }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val calMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

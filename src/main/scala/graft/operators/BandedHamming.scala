@@ -85,7 +85,7 @@ object BandedHamming {
     * the same exchange+window subtree (exchange reuse) instead of
     * re-shuffling per shape.
     */
-  private def markBuckets(d: DataFrame, idCol: String,
+  private[graft] def markBuckets(d: DataFrame, idCol: String,
       bucketCols: Seq[String], carryCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(bucketCols.map(col): _*)
     d.withColumn("__n", count(lit(1)).over(w))
@@ -98,7 +98,7 @@ object BandedHamming {
     * WarnHotBucket — no interpreted UDF enters the plan; `hit` returns
     * false so the marker row is dropped with the rest).
     */
-  private def keepSmall(marked: DataFrame, idCol: String,
+  private[graft] def keepSmall(marked: DataFrame, idCol: String,
       bucketCols: Seq[String], maxBucket: Int): DataFrame =
     marked.filter(col("__n") <= maxBucket ||
         (col(idCol) === col("__rep").getField(idCol) &&

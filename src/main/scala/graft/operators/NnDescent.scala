@@ -136,8 +136,13 @@ object NnDescent {
     val cap = if (candCap > 0) candCap else 9 * k
     val rand = if (randPerRound >= 0) randPerRound else 4 * k
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
+    // ONE corpus count serves both consumers (cells derivation and the
+    // random-injection bucket sizing) — b is often un-checkpointed here,
+    // so a second count would be a second full scan (review catch)
+    val nTotal =
+      if (cells <= 0 || (iters > 0 && rand > 0)) b.count() else 0L
     // cells <= 0 derives ~√n ring-init geometry ([[Ivf.defaultCells]])
-    val cGeom = if (cells > 0) cells else Ivf.defaultCells(b.count())
+    val cGeom = if (cells > 0) cells else Ivf.defaultCells(nTotal)
     val assigned = Ivf.assign(b, hashSeeds(b, cGeom))
       .select(col("cell"), col("vec_id"), col("sim"))
     val ring = Window.partitionBy(col("cell"))
@@ -151,7 +156,7 @@ object NnDescent {
       .select(col("src"), explode(col("nexts")).as("dst"))
       .filter(col("dst").isNotNull)
     var edges = cut(topk(score(init0, b), k))
-    val n = if (iters > 0 && rand > 0) b.count() else 0L
+    val n = nTotal
     for (r <- 0 until iters) {
       val undirected = edges.select(col("src"), col("dst"), col("sim"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
@@ -282,7 +287,11 @@ object NnDescent {
       queries: DataFrame, k: Int, beam: Int, hops: Int, cells: Int = 0,
       nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame = {
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
-    // cells <= 0 derives ~√n routing geometry ([[Ivf.defaultCells]])
+    // cells <= 0 derives ~√n routing geometry ([[Ivf.defaultCells]]) —
+    // the count is a second corpus pass beside this ad-hoc form's
+    // per-call assignment pass; repeated search batches should pass
+    // explicit cells or use [[searchIndexRouted]], which reads the
+    // geometry persisted at build time instead of re-deriving anything
     val cents = hashSeeds(b,
       if (cells > 0) cells else Ivf.defaultCells(b.count()))
     val assigned = Ivf.assign(b, cents)

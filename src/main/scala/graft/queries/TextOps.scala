@@ -2548,17 +2548,13 @@ object TextOps {
     // count keyed by the join's own key — the window's exchange is the
     // same hash-by-h distribution the pair join needs, so the guard
     // rides the shuffle the join pays anyway. One warn per over-cap
-    // shingle via its min-doc marker row (the keepSmall pattern;
-    // WarnHotBucket returns false, so the marker drops with its bucket)
-    val wH = Window.partitionBy(col("h"))
-    val guarded = restricted
-      .withColumn("__n", count(lit(1)).over(wH))
-      .withColumn("__min", min(col("doc")).over(wH))
-      .filter(col("__n") <= lit(maxPostings.toLong) ||
-        (col("doc") === col("__min") &&
-          org.apache.spark.sql.graft.WarnHotBucket.column(
-            col("h"), col("__n"))))
-      .drop("__n", "__min")
+    // shingle via its min-doc marker row — BandedHamming's ONE copy of
+    // the warn/marker discipline, not a re-implementation (review
+    // catch: two copies fork the next guard fix)
+    val guarded = graft.operators.BandedHamming.keepSmall(
+      graft.operators.BandedHamming.markBuckets(
+        restricted, "doc", Seq("h"), Nil),
+      "doc", Seq("h"), maxPostings)
     e.join(guarded, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
       .groupBy(col("doc_id"), col("n"), col("doc"))

@@ -2430,27 +2430,9 @@ object VectorOps {
     */
   def semanticDecontaminateIndexed(spark: SparkSession, path: String,
       corpus: DataFrame, threshold: Double, numPlanes: Int = 16,
-      bands: Int = 8, seed: Long = 42L): DataFrame = {
-    recoverPromote(spark, path)
-    requireNotBuilding(spark, path)
-    requireLshParams(spark, path, numPlanes, bands, seed)
-    val cbase = corpus.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
-    val cands = graft.operators.BandedHamming
-      .probedPairs(bandedSignatures(cbase, numPlanes, bands, seed),
-        spark.read.parquet(s"$path/bands"), "vec_id", "vec_id",
-        Seq("band", "bv"))
-      .select(col("id1").as("v1"), col("id2").as("v2"))
-    val hits = verifyCosine(cands, cbase,
-        spark.read.parquet(s"$path/vectors"), threshold)
-      .groupBy(col("v1"))
-      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
-    cbase.select(col("vec_id"))
-      .join(hits, col("vec_id") === col("v1"), "left")
-      .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        col("max_cos"), (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
-      .orderBy(col("vec_id"))
-  }
+      bands: Int = 8, seed: Long = 42L): DataFrame =
+    semanticDecontaminateIndexedAt(spark, path, corpus, threshold,
+      numPlanes, bands, seed, asOf = None)
 
   /** [[semanticDecontaminateIndexed]] AS OF a recorded tag — "what
     * would eval-set release R have flagged": the probe sees only the
@@ -2464,19 +2446,35 @@ object VectorOps {
     */
   def semanticDecontaminateIndexedAsOf(spark: SparkSession, path: String,
       corpus: DataFrame, threshold: Double, asOf: String,
-      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame =
+    semanticDecontaminateIndexedAt(spark, path, corpus, threshold,
+      numPlanes, bands, seed, asOf = Some(asOf))
+
+  /** The one probe body behind the live and as-of entry points (the
+    * NnDescent searchIndexAt pattern — a fork here would silently split
+    * live vs historical semantics). The corpus projection is
+    * checkpointed: it feeds THREE consumers (signatures, the cosine
+    * verify, the left-join spine) and Catalyst shares no subplans —
+    * un-materialized, every probe would re-scan and re-norm the corpus
+    * up to 3× (the containmentDeltaIndexedAsOf review catch).
+    */
+  private def semanticDecontaminateIndexedAt(spark: SparkSession,
+      path: String, corpus: DataFrame, threshold: Double, numPlanes: Int,
+      bands: Int, seed: Long, asOf: Option[String]): DataFrame = {
     recoverPromote(spark, path)
     requireNotBuilding(spark, path)
     requireLshParams(spark, path, numPlanes, bands, seed)
+    def comp(c: String): DataFrame = asOf match {
+      case Some(tag) => componentAsOf(spark, path, c, tag)
+      case None => spark.read.parquet(s"$path/$c")
+    }
     val cbase = corpus.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
+      norm2(col("embedding")).as("n2")).localCheckpoint(true)
     val cands = graft.operators.BandedHamming
       .probedPairs(bandedSignatures(cbase, numPlanes, bands, seed),
-        componentAsOf(spark, path, "bands", asOf), "vec_id", "vec_id",
-        Seq("band", "bv"))
+        comp("bands"), "vec_id", "vec_id", Seq("band", "bv"))
       .select(col("id1").as("v1"), col("id2").as("v2"))
-    val hits = verifyCosine(cands, cbase,
-        componentAsOf(spark, path, "vectors", asOf), threshold)
+    val hits = verifyCosine(cands, cbase, comp("vectors"), threshold)
       .groupBy(col("v1"))
       .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
     cbase.select(col("vec_id"))

@@ -32,7 +32,11 @@ object NndTune {
       b.select(col("vec_id"), col("embedding")), 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for ((iters, cap) <- Seq((2, 30), (4, 60))) {
-      val g = graft.operators.NnDescent.buildGraph(b, k = 10, iters = iters, candCap = cap)
+      // cells PINNED at 16: every recorded tuning series (BASELINE.md
+      // r13) was built at 16-cell ring init — the r16 derived default
+      // would silently re-grain the series and misattribute the shift
+      val g = graft.operators.NnDescent.buildGraph(b, k = 10, iters = iters,
+          cells = 16, candCap = cap)
         .localCheckpoint(true)
       val gset = g.select(col("src"), col("dst"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
