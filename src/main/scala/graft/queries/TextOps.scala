@@ -2522,7 +2522,8 @@ object TextOps {
 
   private[graft] def crossContainmentPairs(e: DataFrame, stored: DataFrame,
       threshold: Double,
-      maxPostings: Int = MaxPostingsPerShingle): DataFrame = {
+      maxPostings: Int = MaxPostingsPerShingle,
+      windowGuard: Boolean = true): DataFrame = {
     // restrict the stored postings to the BATCH's key set first (the
     // probe discipline every delta family follows — the cosine index's
     // broadcast intersection is the precedent): without it, once the
@@ -2544,17 +2545,36 @@ object TextOps {
       if (keys.limit(MaxBroadcastKeys.toInt + 1).count() <= MaxBroadcastKeys)
         stored.join(broadcast(keys), Seq("h"))
       else stored
-    // hot-shingle guard (see [[MaxPostingsPerShingle]]): population
-    // count keyed by the join's own key — the window's exchange is the
-    // same hash-by-h distribution the pair join needs, so the guard
-    // rides the shuffle the join pays anyway. One warn per over-cap
-    // shingle via its min-doc marker row — BandedHamming's ONE copy of
-    // the warn/marker discipline, not a re-implementation (review
-    // catch: two copies fork the next guard fix)
-    val guarded = graft.operators.BandedHamming.keepSmall(
-      graft.operators.BandedHamming.markBuckets(
-        restricted, "doc", Seq("h"), Nil),
-      "doc", Seq("h"), maxPostings)
+    // hot-shingle guard (see [[MaxPostingsPerShingle]]), two spec-
+    // pinned-identical forms measured in ONE process (ContainScale r16,
+    // BASELINE.md): the DEFAULT window form (BandedHamming.keepSmall
+    // over a window by h — the one copy of the warn/marker discipline)
+    // pre-shuffles the postings by the pair join's own key, and that
+    // exchange is REUSED by the sort-merge join; the aggregation
+    // alternative (`windowGuard = false`: map-side-combined per-h
+    // count → ~empty broadcast anti-join) looked cheaper on paper but
+    // measured ~1.5× (sf0.1) to 2.2× (×4 backfill) SLOWER at equal
+    // load — the anti-join re-evaluates the un-materialized
+    // broadcast-restricted postings a second time (Catalyst shares no
+    // subplans), which costs more than the window's exchange saves.
+    // Another plausible-asymptotics-vs-numbers lesson (the prefix-probe
+    // revert's sibling); both forms stay, the measurement decides.
+    // Warn once per hot shingle: the codegen'd WarnHotBucket fires on
+    // the marker row (at-least-once on retries).
+    val guarded =
+      if (windowGuard)
+        graft.operators.BandedHamming.keepSmall(
+          graft.operators.BandedHamming.markBuckets(
+            restricted, "doc", Seq("h"), Nil),
+          "doc", Seq("h"), maxPostings)
+      else {
+        val hot = restricted.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > lit(maxPostings.toLong))
+          .filter(!org.apache.spark.sql.graft.WarnHotBucket.column(
+            col("h"), col("__n")))
+          .select(col("h"))
+        restricted.join(broadcast(hot), Seq("h"), "left_anti")
+      }
     e.join(guarded, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))
       .groupBy(col("doc_id"), col("n"), col("doc"))

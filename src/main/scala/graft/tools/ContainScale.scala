@@ -57,9 +57,16 @@ object ContainScale {
         .localCheckpoint(true)
       val a = time(s"$label-probe", "direct")(
         graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8))
+      // same-process A/B of the two hot-shingle guard forms (the r16
+      // default is the window guard; this row prices the aggregation
+      // alternative at equal host load)
+      val w = time(s"$label-probe", "direct_aggguard")(
+        graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8,
+          windowGuard = false))
       val b = time(s"$label-probe", "prefix")(
         graft.queries.TextOps.crossContainmentPairsPrefix(e, stored, 0.8))
-      assert(a == b, s"probe drift on $label: direct=$a prefix=$b")
+      assert(a == b && a == w,
+        s"probe drift on $label: direct=$a aggguard=$w prefix=$b")
     }
     spark.stop()
   }
