@@ -2552,15 +2552,22 @@ object TextOps {
     // pre-shuffles the postings by the pair join's own key, and that
     // exchange is REUSED by the sort-merge join; the aggregation
     // alternative (`windowGuard = false`: map-side-combined per-h
-    // count → ~empty broadcast anti-join) looked cheaper on paper but
-    // measured ~1.5× (sf0.1) to 2.2× (×4 backfill) SLOWER at equal
-    // load — the anti-join re-evaluates the un-materialized
-    // broadcast-restricted postings a second time (Catalyst shares no
-    // subplans), which costs more than the window's exchange saves.
-    // Another plausible-asymptotics-vs-numbers lesson (the prefix-probe
+    // count → anti-join) looked cheaper on paper but measured 2.2×
+    // SLOWER on the ×4 backfill probe and a wash at sf0.1 — the
+    // anti-join re-evaluates the un-materialized broadcast-restricted
+    // postings a second time (Catalyst shares no subplans), which
+    // costs more than the window's exchange saves. Another
+    // plausible-asymptotics-vs-numbers lesson (the prefix-probe
     // revert's sibling); both forms stay, the measurement decides.
-    // Warn once per hot shingle: the codegen'd WarnHotBucket fires on
-    // the marker row (at-least-once on retries).
+    // Warn once per hot shingle, at-least-once on retries: the window
+    // form fires WarnHotBucket on its min-doc marker row, the
+    // aggregation form on the per-h count row (returns false, so `!…`
+    // KEEPS the hot key for the anti-join). The hot-set join carries
+    // NO forced broadcast hint: in the big-batch fallback regime a
+    // boilerplate-heavy corpus can have a multi-GB hot set, and the
+    // same unguarded-hint failure the broadcast(keys) note above
+    // records would turn the guard into a hard 8 GB-limit death — AQE
+    // broadcasts the (normally ~empty) side on its own when small.
     val guarded =
       if (windowGuard)
         graft.operators.BandedHamming.keepSmall(
@@ -2573,7 +2580,7 @@ object TextOps {
           .filter(!org.apache.spark.sql.graft.WarnHotBucket.column(
             col("h"), col("__n")))
           .select(col("h"))
-        restricted.join(broadcast(hot), Seq("h"), "left_anti")
+        restricted.join(hot, Seq("h"), "left_anti")
       }
     e.join(guarded, col("key") === col("h"))
       .filter(col("doc_id") =!= col("doc"))

@@ -55,14 +55,19 @@ object ContainScale {
       val e = graft.queries.TextOps
         .hashedShingles(corpus.filter(col("doc_id") % 2 === 1))
         .localCheckpoint(true)
-      val a = time(s"$label-probe", "direct")(
-        graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8))
       // same-process A/B of the two hot-shingle guard forms (the r16
-      // default is the window guard; this row prices the aggregation
-      // alternative at equal host load)
-      val w = time(s"$label-probe", "direct_aggguard")(
+      // default is the window guard). CONTAIN_AB=flip swaps which form
+      // runs first — the order-flip methodology BASELINE.md's table
+      // uses is reproducible from the committed harness, not a manual
+      // edit (review catch); run once per order and read pairs.
+      val flip = sys.env.get("CONTAIN_AB").contains("flip")
+      def direct() = time(s"$label-probe", "direct")(
+        graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8))
+      def agg() = time(s"$label-probe", "direct_aggguard")(
         graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8,
           windowGuard = false))
+      val (a, w) = if (flip) { val x = agg(); (direct(), x) }
+        else { val x = direct(); (x, agg()) }
       val b = time(s"$label-probe", "prefix")(
         graft.queries.TextOps.crossContainmentPairsPrefix(e, stored, 0.8))
       assert(a == b && a == w,

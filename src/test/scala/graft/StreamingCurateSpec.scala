@@ -473,14 +473,20 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
       "the over-cap bucket must be warned and counted")
     // the aggregation-guard form is pinned identical at every (th, cap)
     // combination exercised here — it is the measured alternative
-    // ContainScale prices, never a semantic fork
+    // ContainScale prices, never a semantic fork — and its OWN warn
+    // wiring is bracketed too (the window assertions above say nothing
+    // about this branch's counter)
     def apairs(th: Double, cap: Int) =
       TextOps.crossContainmentPairs(e, stored, th, maxPostings = cap,
           windowGuard = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeAgg = graft.operators.BandedHamming.droppedHotBucketRows.get()
     assert(apairs(0.8, 10) == Set((100L, 50L)))
+    assert(graft.operators.BandedHamming.droppedHotBucketRows.get() > beforeAgg,
+      "the aggregation guard must warn and count its hot shingle too")
     assert(apairs(0.9, 10) == Set.empty)
     assert(apairs(0.8, Int.MaxValue) == Set((100L, 50L)))
+    assert(apairs(0.9, Int.MaxValue) == Set((100L, 50L)))
     // …and at 0.9 the same drop under-reports PAST the slack: the pair
     // is missed — the stated trade (route genuinely-boilerplate-heavy
     // corpora through the prefix probe), pinned so it stays stated
