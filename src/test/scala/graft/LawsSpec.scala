@@ -976,6 +976,51 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("property: the cross-batch containment probe (all three forms) " +
+      "matches a brute-force reference on random stored/batch splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 40).map(i => f"p${trial}t$i%02d")
+      val corpus = (0 until 14).map { id =>
+        val len = 5 + rnd.nextInt(30)
+        val start = rnd.nextInt(vocab.size - 4)
+        val toks = vocab.slice(start, math.min(start + len, vocab.size)) ++
+          (0 until rnd.nextInt(6)).map(j => s"u${trial}_${id}_$j")
+        (id.toLong, toks.mkString(" "))
+      }
+      // even ids are the STORED keepers (full postings), odd the batch
+      val (storedDocs, batchDocs) = corpus.partition(_._1 % 2 == 0)
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set.empty
+        else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val want = (for {
+        (bid, bt) <- batchDocs; sb = sh(bt); if sb.nonEmpty
+        (sid, st) <- storedDocs
+        inter = (sb intersect sh(st)).size
+        if BigDecimal(inter.toDouble / sb.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.5")
+      } yield (bid, sid)).toSet
+      val e = TextOps.hashedShingles(
+        batchDocs.toDF("doc_id", "text")).localCheckpoint(true)
+      val stored = TextOps.hashedShingles(
+          storedDocs.toDF("doc_id", "text"))
+        .select(col("key").as("h"), col("doc_id").as("doc"))
+        .localCheckpoint(true)
+      def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got(TextOps.crossContainmentPairs(e, stored, 0.5)) == want,
+        s"trial $trial window-guard form diverged from brute force")
+      assert(got(TextOps.crossContainmentPairs(e, stored, 0.5,
+        windowGuard = false)) == want,
+        s"trial $trial aggregation-guard form diverged from brute force")
+      assert(got(TextOps.crossContainmentPairsPrefix(e, stored, 0.5)) == want,
+        s"trial $trial prefix form diverged from brute force")
+    }
+  }
+
   test("postings prefix probe ≡ direct probe (bit-identical cross pairs, " +
       "hot-shingle corpus, two thresholds)") {
     val docs = Tables.t(spark, Sf0001, "documents")
