@@ -52,12 +52,14 @@ object HybridScale {
         val withN2 = embs.select(col("vec_id"), col("embedding"),
           org.apache.spark.sql.graft.VectorExpressions
             .dotProduct(col("embedding"), col("embedding")).as("n2"))
-        // geometry scales with the corpus (the r14 fixed-budget lesson):
-        // cells ~ sqrt(n) keeps cell populations O(sqrt n)
-        val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+        // geometry scales with the corpus (the r14 fixed-budget lesson,
+        // now the SHIPPED writeIndex default — r16 Ivf.defaultCells):
+        // the harness exercises the default so it validates what a
+        // caller actually gets, and prints the derived count
+        val cells = graft.operators.Ivf.defaultCells(n)
         val (_, tBuild) = timed(graft.operators.NnDescent
-          .writeIndex(withN2, idx, k = 10, iters = 2, cells = cells))
-        println(f"HYBRID $n build($cells cells) $tBuild%.2f s")
+          .writeIndex(withN2, idx, k = 10, iters = 2))
+        println(f"HYBRID $n build($cells cells, derived default) $tBuild%.2f s")
         val (exact, tExact) = timed(
           graft.queries.TextOps.searchHybridOn(docs, embs).collect())
         println(f"HYBRID $n exact $tExact%.2f s 20/20")
