@@ -70,11 +70,19 @@ object Bench {
         // successful build price while the first consumer silently
         // re-pays the memo — corrupting exactly the per-row trend the
         // warm rows exist to protect
-        try thunk() catch { case t: Throwable =>
+        // a failed build records 0.0, not its partial elapsed: `value`
+        // must only ever price SUCCESSFUL builds (the first consumer
+        // re-pays the memo, so counting the partial build would both
+        // double-count and skew cross-round totals); the warm:<name>
+        // entry in `failed` carries the loud signal
+        try {
+          thunk()
+          warm += name -> ((System.nanoTime() - w0) / 1e9)
+        } catch { case t: Throwable =>
           System.err.println(s"[bench] warm $name FAILED: ${t.getMessage}")
           failed += s"warm:$name"
+          warm += name -> 0.0
         }
-        warm += name -> ((System.nanoTime() - w0) / 1e9)
     }
     val calMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -101,6 +109,25 @@ object Bench {
     // be truncated in the tail), and keep the FINAL line — the one inside
     // the tail window — compact: total + the slowest queries that fit.
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Window self-labeling (r16 verdict task 1): the committed r16 close
+    // artifact was a worst-window 566.8 s run that read as a 4.4×
+    // regression to anyone not cross-reading BASELINE.md's stamp log.
+    // Carry the adjudication IN the artifact: the median per-query stamp
+    // vs the 38.96 ms all-time clean floor (BASELINE.md r13) classifies
+    // the window, so a contaminated run can never masquerade as the
+    // engine's number.
+    val StampFloorMs = 38.96
+    val stampMedian: Double = {
+      val vs = calMs.values.toArray.sorted
+      if (vs.isEmpty) 0.0
+      else if (vs.length % 2 == 1) vs(vs.length / 2)
+      else (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2.0
+    }
+    val windowQuality =
+      if (stampMedian <= 0.0) "unknown"
+      else if (stampMedian <= StampFloorMs * 1.25) "clean"     // ≤ ~48.7 ms
+      else if (stampMedian <= StampFloorMs * 2.0) "contended"  // ≤ ~77.9 ms
+      else "degraded"
     // any failure is carried in-band: a "failed" name array plus a count,
     // present in BOTH the detail file and the compact tail line, so a
     // broken query can never masquerade as a fast success in BENCH_r*.json
@@ -127,7 +154,7 @@ object Bench {
       // agree ran the same engine on different hosts/load (the r9 "90 s
       // scare" adjudicates itself); a normalized shift is a code change.
       val norm = if (calibration > 0) total / calibration else 0.0
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)},"normalized":${f(norm)}$failJson$warmJson,"queries":$qs$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"calibration_s":${f(calibration)},"normalized":${f(norm)},"stamp_median_ms":${f(stampMedian)},"window_quality":"$windowQuality"$failJson$warmJson,"queries":$qs$calJson,"sf":"$sfDir"}"""
     }
     // value = warm builds + per-query times: totals stay comparable with
     // pre-warm rounds, where the builds hid inside their first consumer
