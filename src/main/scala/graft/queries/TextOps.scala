@@ -103,6 +103,17 @@ case class CurateConfig(
     // within-batch the directional rule above — verdict parity with
     // the batch pipeline wherever keep-first == keep-best.
     containmentThreshold: Option[Double] = None,
+    // per-shingle postings cap for the STREAMING containment stage's
+    // index probe ([[TextOps.containmentDeltaIndexed]]) — the hot-
+    // shingle guard's knob, operable in deployment rather than
+    // compile-time only (r16 advice): <= 0 means uncapped (the pure
+    // direct join); the default is the shared
+    // [[TextOps.MaxPostingsPerShingle]] discipline. With the r17
+    // hot-route default the cap is a COST knob, not a correctness one
+    // (over-cap probes re-route through the rarest-prefix branch and
+    // verdicts stay exact) — lower it if a boilerplate-heavy corpus
+    // makes the window guard's shuffle itself the bottleneck.
+    containmentMaxPostings: Int = TextOps.MaxPostingsPerShingle,
     semanticThreshold: Option[Double] = None,
     mediaColumn: Option[String] = None,
     mediaKind: String = "image",
@@ -2380,7 +2391,8 @@ object TextOps {
     * contact); the as-of twin is the read-only probe.
     */
   def containmentDeltaIndexed(spark: SparkSession, path: String,
-      batch: DataFrame, threshold: Double, tag: String): DataFrame = {
+      batch: DataFrame, threshold: Double, tag: String,
+      maxPostings: Int = MaxPostingsPerShingle): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     VectorOps.requireTag(tag)
@@ -2406,10 +2418,14 @@ object TextOps {
     // verify join outweigh the candidate reduction unless postings are
     // far hotter than these corpora; crossContainmentPairsPrefix stays
     // available (spec-pinned bit-identical) for that regime
+    // operability of the hot-shingle cap (r16 advice): callers plumb
+    // maxPostings through [[CurateConfig.containmentMaxPostings]] /
+    // CurateCli; <= 0 means uncapped (the pure direct join)
+    val cap = if (maxPostings <= 0) Int.MaxValue else maxPostings
     val cross = storedPostings(spark, path)
       .map(stored => crossContainmentPairs(e,
         stored.filter(col("batch") =!= lit(tag)).select(col("h"), col("doc")),
-        threshold))
+        threshold, maxPostings = cap))
       .getOrElse(emptyPairs(batch))
     val within = betterContainerPairs(
         containmentPairsOf(e, threshold)
@@ -2425,7 +2441,8 @@ object TextOps {
     * batch doc at that point of the admit order.
     */
   def containmentDeltaIndexedAsOf(spark: SparkSession, path: String,
-      batch: DataFrame, threshold: Double, asOf: String): DataFrame = {
+      batch: DataFrame, threshold: Double, asOf: String,
+      maxPostings: Int = MaxPostingsPerShingle): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     containmentParams(spark, path, admit = false)
@@ -2440,7 +2457,8 @@ object TextOps {
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
-      threshold)
+      threshold,
+      maxPostings = if (maxPostings <= 0) Int.MaxValue else maxPostings)
   }
 
   /** (doc_id, n, key = sha256(shingle)) rows of a (doc_id, text) frame
@@ -2512,10 +2530,16 @@ object TextOps {
     * (dropped shingles it carries)/n of measured containment, so a
     * verdict within that slack of the threshold can flip to "kept".
     * The cap is far above any honest shingle's df at sane batch sizes
-    * (it bounds postings PER SHINGLE, not corpus size); a corpus whose
-    * boilerplate genuinely matters at the threshold boundary should
-    * route that regime through [[crossContainmentPairsPrefix]], whose
-    * rarest-first prefix drops boilerplate from every probe instead.
+    * (it bounds postings PER SHINGLE, not corpus size). As of r17 the
+    * DEFAULT path no longer pays that trade at all: `hotRoute` re-asks
+    * ONLY the batch docs that carry an over-cap shingle through the
+    * rarest-first prefix machinery ([[crossContainmentPairsPrefixRarest]])
+    * against the FULL postings and unions — the common path keeps the
+    * window-guard plan, the boilerplate regime gets its exact verdict,
+    * and the result is bit-identical to the ungated direct join. The
+    * pure-guard forms stay (`hotRoute = false`) as the measured
+    * alternatives and to keep the under-report trade stated and
+    * spec-pinned (StreamingCurateSpec).
     */
   private[graft] val MaxPostingsPerShingle: Int =
     graft.operators.BandedHamming.DefaultMaxBucket
@@ -2523,7 +2547,8 @@ object TextOps {
   private[graft] def crossContainmentPairs(e: DataFrame, stored: DataFrame,
       threshold: Double,
       maxPostings: Int = MaxPostingsPerShingle,
-      windowGuard: Boolean = true): DataFrame = {
+      windowGuard: Boolean = true,
+      hotRoute: Boolean = true): DataFrame = {
     // restrict the stored postings to the BATCH's key set first (the
     // probe discipline every delta family follows — the cosine index's
     // broadcast intersection is the precedent): without it, once the
@@ -2540,11 +2565,59 @@ object TextOps {
     // running a full distinct+count over the batch's shingle hashes on
     // every probe call — the common micro-batch pays a short-circuited
     // scan, and the answer ("≤ cap or not") is identical (r15 advice)
+    // COLLECTED, not just counted (r17): the driver-side hot check below
+    // must not re-evaluate the batch-wide distinct in its own job (a
+    // broadcast build collects its rows to the driver anyway, so
+    // collecting here is the same memory class with one evaluation).
+    // The MAIN plan keeps the SUBPLAN broadcast form on purpose: a
+    // LocalRelation literal would make `restricted` look tiny to the
+    // size estimator and flip the pair join to a statically-planned
+    // broadcast of the postings (measured: 2-3× slower at the ×4 probe
+    // — collect + broadcast of the whole restricted frame); the check
+    // job and the hot branches, whose joins are small-side by
+    // construction, use the literal.
     val keys = e.select(col("key").as("h")).distinct()
+    val keyRows = keys.limit(MaxBroadcastKeys.toInt + 1).collect()
+    val restrictedByKeys = keyRows.length <= MaxBroadcastKeys
     val restricted =
-      if (keys.limit(MaxBroadcastKeys.toInt + 1).count() <= MaxBroadcastKeys)
-        stored.join(broadcast(keys), Seq("h"))
+      if (restrictedByKeys) stored.join(broadcast(keys), Seq("h"))
       else stored
+    lazy val restrictedLit = {
+      val sess = e.sparkSession
+      import sess.implicits._
+      stored.join(
+        broadcast(keyRows.map(_.getString(0)).toSeq.toDF("h")), Seq("h"))
+    }
+    val hotRouted = hotRoute && maxPostings != Int.MaxValue
+    // DRIVER-SIDE hot-key detection (r17, the hot-route's plan-shape
+    // switch): one aggregate job over the restricted postings answers
+    // "does ANY shingle exceed the cap" BEFORE the probe plan is built.
+    // The overwhelmingly common answer is no — and then the guard
+    // itself is a proven no-op, so the probe runs the PLAIN direct
+    // join: no window, no sort, no anti-join, no split — strictly
+    // fewer stages than the guarded plan (a one-plan hybrid measured
+    // 1.25-1.5x the guard on ContainScale probes purely in stage
+    // latency; this shape removes all of it). The check's price is one
+    // extra restricted-postings aggregate scan per probe — stated in
+    // BASELINE.md's ContainScale table. Hot keys, when they exist, are
+    // COLLECTED (bounded) and re-enter the plan as a broadcast literal:
+    // the hybrid plan then references a LocalRelation instead of
+    // re-computing the hot-key subtree in every branch. Bounds: in the
+    // restricted regime hot keys <= batch keys <= the 2M broadcast
+    // bound; the collect cap below guards the degenerate remainder, and
+    // the big-batch fallback regime (corpus-wide postings, no key
+    // restriction) never collects — it keeps the subplan form.
+    val maxHotKeysCollected = 1 << 20
+    val hotCollected: Array[(String, Long)] =
+      if (!hotRouted || !restrictedByKeys) Array.empty
+      else restrictedLit.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > lit(maxPostings.toLong))
+        .limit(maxHotKeysCollected + 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val provenClean = hotRouted && restrictedByKeys &&
+      hotCollected.isEmpty
+    val hotAsLiteral = hotRouted && restrictedByKeys &&
+      hotCollected.nonEmpty && hotCollected.length <= maxHotKeysCollected
     // hot-shingle guard (see [[MaxPostingsPerShingle]]), two spec-
     // pinned-identical forms measured in ONE process (ContainScale r16,
     // BASELINE.md): the DEFAULT window form (BandedHamming.keepSmall
@@ -2562,33 +2635,96 @@ object TextOps {
     // Warn once per hot shingle, at-least-once on retries: the window
     // form fires WarnHotBucket on its min-doc marker row, the
     // aggregation form on the per-h count row (returns false, so `!…`
-    // KEEPS the hot key for the anti-join). The hot-set join carries
-    // NO forced broadcast hint: in the big-batch fallback regime a
-    // boilerplate-heavy corpus can have a multi-GB hot set, and the
-    // same unguarded-hint failure the broadcast(keys) note above
-    // records would turn the guard into a hard 8 GB-limit death — AQE
-    // broadcasts the (normally ~empty) side on its own when small.
-    val guarded =
-      if (windowGuard)
-        graft.operators.BandedHamming.keepSmall(
-          graft.operators.BandedHamming.markBuckets(
-            restricted, "doc", Seq("h"), Nil),
-          "doc", Seq("h"), maxPostings)
-      else {
+    // KEEPS the hot key for the anti-join); the collected-literal hot
+    // route warns driver-side through the same WarnHotBucket channel.
+    // The hot-set join carries NO forced broadcast hint: in the
+    // big-batch fallback regime a boilerplate-heavy corpus can have a
+    // multi-GB hot set, and the same unguarded-hint failure the
+    // broadcast(keys) note above records would turn the guard into a
+    // hard 8 GB-limit death — AQE broadcasts the (normally ~empty)
+    // side on its own when small.
+    lazy val (guarded, hotKeys, postsForHot) =
+      if (windowGuard) {
+        // make the h-keyed exchange EXPLICIT (repartition is byte-for-
+        // byte the exchange the window would insert — the pair join
+        // already reuses it) so the hot branch's postings consumers in
+        // this plan hang off the SAME shuffle (subplan-form hot route
+        // only; the literal form never re-derives hot keys in-plan).
+        val parted = restricted.repartition(col("h"))
+        val marked = graft.operators.BandedHamming.markBuckets(
+          parted, "doc", Seq("h"), Nil)
+        (graft.operators.BandedHamming.keepSmall(
+          marked, "doc", Seq("h"), maxPostings),
+          parted.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > lit(maxPostings.toLong))
+            .filter(!org.apache.spark.sql.graft.WarnHotBucket.column(
+              col("h"), col("__n")))
+            .select(col("h")),
+          parted)
+      } else {
         val hot = restricted.groupBy(col("h")).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > lit(maxPostings.toLong))
           .filter(!org.apache.spark.sql.graft.WarnHotBucket.column(
             col("h"), col("__n")))
           .select(col("h"))
-        restricted.join(hot, Seq("h"), "left_anti")
+        (restricted.join(hot, Seq("h"), "left_anti"), hot, restricted)
       }
-    e.join(guarded, col("key") === col("h"))
-      .filter(col("doc_id") =!= col("doc"))
-      .groupBy(col("doc_id"), col("n"), col("doc"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(round(col("inter") / col("n"), 6) >= threshold)
-      .select(col("doc_id").as("c1"), col("doc").as("c2"),
-        lit(true).as("cross"))
+    def pairsOf(probe: DataFrame, posts: DataFrame): DataFrame =
+      probe.join(posts, col("key") === col("h"))
+        .filter(col("doc_id") =!= col("doc"))
+        .groupBy(col("doc_id"), col("n"), col("doc"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(round(col("inter") / col("n"), 6) >= threshold)
+        .select(col("doc_id").as("c1"), col("doc").as("c2"),
+          lit(true).as("cross"))
+    // Hot-route (r16 verdict task 2): a batch doc carrying NO over-cap
+    // shingle gets an EXACT verdict from the guarded join (dropping a
+    // shingle it never carries cannot change its inter counts), so the
+    // guard's under-report slack only ever touches docs that carry a
+    // hot shingle. Split the batch on that line: cold docs keep the
+    // guarded plan; hot docs are re-asked EXACTLY through the
+    // rarest-first prefix probe against the FULL restricted postings —
+    // the rarest ordering keeps the hot lists out of candidate
+    // generation whenever the doc has enough rare shingles, and the
+    // union is bit-identical to the ungated direct join. The split
+    // costs ONE e-by-doc_id window (row-hotness from a broadcastable
+    // hot-key join, lifted to doc-hotness; both halves filter the same
+    // frame) — and it only ever runs when hot keys EXIST.
+    def hotSplit(hk: DataFrame): DataFrame = {
+      val flagged = e.join(hk, col("key") === col("h"), "left_outer")
+        .withColumn("__hot",
+          max(col("h").isNotNull).over(Window.partitionBy(col("doc_id"))))
+        .drop("h")
+      val eCold = flagged.filter(!col("__hot")).drop("__hot")
+      val eHot = flagged.filter(col("__hot")).drop("__hot")
+      pairsOf(eCold, guarded)
+        .unionByName(crossContainmentPairsPrefixRarest(eHot, postsForHot,
+          threshold))
+    }
+    if (!hotRouted) pairsOf(e, guarded)
+    else if (provenClean)
+      // proven cap-clean → the guard would be an identity filter; run
+      // the UNGATED join. The repartition is load-bearing, not a
+      // pessimization: without it Catalyst's join-cardinality estimate
+      // through the keys intersection reads `restricted` as tiny and
+      // statically BROADCASTS the postings side of the pair join
+      // (measured 3× slower at the ×4 probe: collect + broadcast of
+      // the whole restricted frame, no AQE revisit of a static BHJ);
+      // forcing the h exchange pins the shuffled hash/merge join —
+      // the window form was only ever fast for the same reason.
+      pairsOf(e, restricted.repartition(col("h")))
+    else if (hotAsLiteral) {
+      hotCollected.foreach { case (h, n) =>
+        org.apache.spark.sql.graft.WarnHotBucket.hit(h, n) }
+      val sess = e.sparkSession
+      import sess.implicits._
+      hotSplit(broadcast(
+        hotCollected.map(_._1).toSeq.toDF("h")))
+    } else {
+      // big-batch fallback regime (or a degenerate over-cap collect):
+      // subplan-form hot keys, AQE owns the (normally large) hot set
+      hotSplit(hotKeys)
+    }
   }
 
   /** [[crossContainmentPairs]] through the EXACT asymmetric prefix
@@ -2617,6 +2753,51 @@ object TextOps {
       .filter(col("doc_id") =!= col("doc"))
       .select(col("doc_id"), col("doc")).distinct()
     e.join(stored.join(cand.select(col("doc")).distinct(), Seq("doc")),
+        col("key") === col("h"))
+      .select(col("doc_id"), col("n"), col("doc"))
+      .join(cand, Seq("doc_id", "doc"))
+      .groupBy(col("doc_id"), col("n"), col("doc"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(round(col("inter") / col("n"), 6) >= threshold)
+      .select(col("doc_id").as("c1"), col("doc").as("c2"),
+        lit(true).as("cross"))
+  }
+
+  /** [[crossContainmentPairsPrefix]] with the prefix ordered RAREST
+    * FIRST (ascending stored df, ties on key) instead of plain hash
+    * order — the hot-route branch's probe. The pigeonhole argument is
+    * order-free (any n − ⌈t·n⌉ + 2 of the doc's shingles must hit a
+    * shared one), so ANY fixed ordering is exact; rarest-first is the
+    * one that keeps over-cap boilerplate lists out of candidate
+    * generation whenever the doc carries enough rare shingles — a hot
+    * shingle enters the prefix only when the doc has fewer than
+    * prefix-length rarer ones, which is exactly the
+    * genuinely-all-boilerplate doc whose candidates ARE that list.
+    * Keys unseen in the stored postings rank first (df 0): they
+    * produce no candidates and cost nothing. Every stored reference is
+    * first restricted to the probe docs' key set, so the frames this
+    * builds are bounded by the probe side (plus the restricted lists'
+    * postings), not the corpus.
+    */
+  private[graft] def crossContainmentPairsPrefixRarest(e: DataFrame,
+      stored: DataFrame, threshold: Double): DataFrame = {
+    val pk = e.select(col("key")).distinct()
+    val storedP = stored.join(pk, col("h") === col("key")).drop("key")
+    val dfByKey = storedP.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val t = threshold - 5e-7
+    val ranked = e.join(dfByKey, col("key") === col("h"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .drop("h")
+    val wo = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("key"))
+    val cand = ranked
+      .withColumn("r", row_number().over(wo))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + lit(2L))
+      .select(col("doc_id"), col("key"))
+      .join(storedP, col("key") === col("h"))
+      .filter(col("doc_id") =!= col("doc"))
+      .select(col("doc_id"), col("doc")).distinct()
+    e.join(storedP.join(cand.select(col("doc")).distinct(), Seq("doc")),
         col("key") === col("h"))
       .select(col("doc_id"), col("n"), col("doc"))
       .join(cand, Seq("doc_id", "doc"))

@@ -341,7 +341,8 @@ object CurateIngest {
       case Some(th) =>
         val cnPairs = TextOps.containmentDeltaIndexed(spark,
           s"$statePath/containment",
-          decon.select(col("doc_id"), col("text"), col("n_chars")), th, tag)
+          decon.select(col("doc_id"), col("text"), col("n_chars")), th, tag,
+          maxPostings = cfg.containmentMaxPostings)
         IngestDedup.admit(decon, cnPairs, "doc_id", "c1", "c2")
     }
 

@@ -46,14 +46,19 @@ object ContainScale {
     }
     // the INDEX PROBE halves at the same scales: even ids play the
     // stored postings, odd ids the arriving batch — the streaming
-    // stage's cross-batch shape
-    for ((label, corpus) <- Seq("sf0.1" -> docs, "sf0.1x4" -> x4)) {
+    // stage's cross-batch shape. The half-split is the WORST case for
+    // the hybrid's probe-side split (its one extra e-shuffle scales
+    // with the batch); the mod-8 shape below is the production one
+    // (micro-batch ≪ corpus), where that shuffle is ~free.
+    val shapes = Seq(
+      ("sf0.1", docs, 2L), ("sf0.1x4", x4, 2L), ("sf0.1x4b8", x4, 8L))
+    for ((label, corpus, m) <- shapes) {
       val stored = graft.queries.TextOps
-        .hashedShingles(corpus.filter(col("doc_id") % 2 === 0))
+        .hashedShingles(corpus.filter(col("doc_id") % m =!= (m - 1)))
         .select(col("key").as("h"), col("doc_id").as("doc"))
         .localCheckpoint(true)
       val e = graft.queries.TextOps
-        .hashedShingles(corpus.filter(col("doc_id") % 2 === 1))
+        .hashedShingles(corpus.filter(col("doc_id") % m === (m - 1)))
         .localCheckpoint(true)
       // same-process A/B of the two hot-shingle guard forms (the r16
       // default is the window guard). CONTAIN_AB=flip swaps which form
@@ -61,17 +66,26 @@ object ContainScale {
       // uses is reproducible from the committed harness, not a manual
       // edit (review catch); run once per order and read pairs.
       val flip = sys.env.get("CONTAIN_AB").contains("flip")
+      // r17: "direct" is the PURE window guard (hotRoute off); "hybrid"
+      // is the shipped default — no shingle is hot at these corpora
+      // (cap 100000), so the hybrid's claim is cost ≈ the pure guard
+      // (its hot branch runs against an empty hot-key set over the
+      // checkpointed restricted frame)
       def direct() = time(s"$label-probe", "direct")(
+        graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8,
+          hotRoute = false))
+      def hybrid() = time(s"$label-probe", "hybrid")(
         graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8))
       def agg() = time(s"$label-probe", "direct_aggguard")(
         graft.queries.TextOps.crossContainmentPairs(e, stored, 0.8,
-          windowGuard = false))
-      val (a, w) = if (flip) { val x = agg(); (direct(), x) }
-        else { val x = direct(); (x, agg()) }
+          windowGuard = false, hotRoute = false))
+      val (a, h, w) = if (flip) { val x = agg(); val y = hybrid()
+        (direct(), y, x) }
+      else { val x = direct(); val y = hybrid(); (x, y, agg()) }
       val b = time(s"$label-probe", "prefix")(
         graft.queries.TextOps.crossContainmentPairsPrefix(e, stored, 0.8))
-      assert(a == b && a == w,
-        s"probe drift on $label: direct=$a aggguard=$w prefix=$b")
+      assert(a == b && a == w && a == h,
+        s"probe drift on $label: direct=$a hybrid=$h aggguard=$w prefix=$b")
     }
     spark.stop()
   }

@@ -1018,6 +1018,19 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
         s"trial $trial aggregation-guard form diverged from brute force")
       assert(got(TextOps.crossContainmentPairsPrefix(e, stored, 0.5)) == want,
         s"trial $trial prefix form diverged from brute force")
+      assert(got(TextOps.crossContainmentPairsPrefixRarest(e, stored, 0.5))
+          == want,
+        s"trial $trial rarest-prefix form diverged from brute force")
+      // hot-route hybrid at a TINY cap: most shingles go over-cap, so
+      // nearly every batch doc routes through the rarest-prefix branch —
+      // the r17 exactness claim (hybrid ≡ ungated direct join) under
+      // randomized corpora, for BOTH guard forms
+      assert(got(TextOps.crossContainmentPairs(e, stored, 0.5,
+        maxPostings = 2)) == want,
+        s"trial $trial window-guard HYBRID diverged from brute force")
+      assert(got(TextOps.crossContainmentPairs(e, stored, 0.5,
+        maxPostings = 2, windowGuard = false)) == want,
+        s"trial $trial aggregation-guard HYBRID diverged from brute force")
     }
   }
 
