@@ -2,11 +2,19 @@
 """Local mirror of the driver's t2 gate.
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
+       oracle_check.py --selftest
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 paired oracle SQL from oracle_sql.json in DuckDB against the sfDir tables, and
-compares: schema (column names sorted), row count, and per-row values with
-columns sorted by name. Exits nonzero if any query mismatches.
+compares: schema (column names sorted), per-column TYPES (r16 verdict task 3 —
+the driver hashes typed values, so any oracle-vs-Spark result-type divergence
+the string compare below cannot see, e.g. HUGEINT vs BIGINT or DECIMAL vs
+DOUBLE, is flagged as a failure in its own right), row count, and per-row
+values with columns sorted by name. Exits nonzero if any query mismatches.
+
+--selftest proves the type gate fires: a deliberately-mistyped fixture
+(BIGINT parquet vs HUGEINT- and DECIMAL-typed oracles) must FAIL, and a
+correctly-typed one must PASS.
 """
 import json
 import math
@@ -50,6 +58,61 @@ def rows_of_rel(rel):
     return [cols[i] for i in order], data, cols
 
 
+def canon_type(t):
+    """Canonical DuckDB type string for hash-parity comparison.
+
+    Strict by default (DECIMAL(38,2) != DOUBLE, HUGEINT != BIGINT), with
+    ONE empirical equivalence class: integer widths up to 64 bits
+    collapse to BIGINT — Spark window functions emit INT32 ranks where
+    DuckDB emits BIGINT and those rows have hash-matched in the driver
+    for 16 straight rounds, while HUGEINT (int128) demonstrably DID
+    hash-mismatch (the q_dup_rate_by_source r15 red row), so it stays
+    its own type. DuckDB's own aliases collapse to their canonical name.
+    """
+    u = str(t).upper()
+    for a, b in (("TEXT", "VARCHAR"), ("STRING", "VARCHAR"),
+                 ("TINYINT", "BIGINT"), ("SMALLINT", "BIGINT"),
+                 ("INTEGER", "BIGINT"), ("INT1", "BIGINT"),
+                 ("INT2", "BIGINT"), ("INT4", "BIGINT"), ("INT8", "BIGINT"),
+                 ("INT32", "BIGINT"), ("INT64", "BIGINT"),
+                 ("FLOAT8", "DOUBLE"), ("BOOL", "BOOLEAN")):
+        if u == a:
+            return b
+    return u
+
+
+def type_mismatches(spark_rel, duck_rel):
+    """Per-column canonical-type diffs between the Spark parquet output
+    (as DuckDB reads it — the driver's own vantage point) and the oracle
+    result, matched on sorted column names."""
+    st = dict(zip(spark_rel.columns, (canon_type(t) for t in spark_rel.types)))
+    dt = dict(zip(duck_rel.columns, (canon_type(t) for t in duck_rel.types)))
+    return [(c, st[c], dt[c]) for c in sorted(set(st) & set(dt))
+            if st[c] != dt[c]]
+
+
+def selftest():
+    import tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        con.execute(f"COPY (SELECT CAST(1 AS BIGINT) AS v, 'x' AS k) "
+                    f"TO '{d}/out.parquet' (FORMAT PARQUET)")
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/out.parquet')")
+        bad_hugeint = con.sql("SELECT sum(CAST(1 AS BIGINT)) AS v, 'x' AS k")
+        bad_decimal = con.sql("SELECT CAST(1 AS DECIMAL(38,2)) AS v, 'x' AS k")
+        good = con.sql("SELECT CAST(1 AS BIGINT) AS v, 'x' AS k")
+        assert type_mismatches(spark_rel, bad_hugeint) == \
+            [("v", "BIGINT", "HUGEINT")], "HUGEINT fixture must fire"
+        assert type_mismatches(spark_rel, bad_decimal) == \
+            [("v", "BIGINT", "DECIMAL(38,2)")], "DECIMAL fixture must fire"
+        good_int32 = con.sql("SELECT CAST(1 AS INTEGER) AS v, 'x' AS k")
+        assert type_mismatches(spark_rel, good) == [], \
+            "correctly-typed fixture must pass"
+        assert type_mismatches(spark_rel, good_int32) == [], \
+            "int-width difference (<= 64 bits) is hash-equal, must pass"
+    print("SELFTEST PASS (type gate fires on HUGEINT and DECIMAL fixtures)")
+
+
 def main(sf_dir, out_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
@@ -65,23 +128,24 @@ def main(sf_dir, out_dir):
             failures.append((name, "no spark output written"))
             continue
         try:
+            # The driver hashes typed values, not strings: ANY result-type
+            # divergence between the Spark parquet output and the oracle
+            # (HUGEINT from a bare sum(BIGINT) — the q_dup_rate_by_source
+            # r15 red row — DECIMAL vs DOUBLE, width'd types) can
+            # hash-mismatch even when every printed value is equal. Compare
+            # full schemas from the driver's own vantage point: the parquet
+            # as DuckDB reads it vs the oracle relation's types.
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            rel = con.sql(sql)
+            mism = type_mismatches(spark_rel, rel)
+            if mism:
+                failures.append(
+                    (name, "result TYPE mismatch (driver hashes typed "
+                     f"values): {[f'{c}: spark={s1} oracle={s2}' for c, s1, s2 in mism]}"))
+                continue
             spark_cols, spark_rows, spark_raw = rows_of(
                 con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')"))
-            # The driver hashes typed values, not strings: a DuckDB HUGEINT
-            # (int128, e.g. from a bare sum(BIGINT)) hash-mismatches Spark's
-            # int64 even when every value is equal (the q_dup_rate_by_source
-            # r15 red row). Flag int128-typed oracle columns so the local
-            # gate catches the class before the driver does — the house fix
-            # is CAST(... AS BIGINT) (cf. Sql.sumMoneyInt). Cursor
-            # description erases DuckDB types to 'NUMBER'; the relation API
-            # keeps them.
-            rel = con.sql(sql)
-            huge = [c for c, t in zip(rel.columns, rel.types)
-                    if "HUGEINT" in str(t).upper()]
-            if huge:
-                failures.append(
-                    (name, f"oracle columns typed HUGEINT (cast to BIGINT): {huge}"))
-                continue
             duck_cols, duck_rows, duck_raw = rows_of_rel(rel)
         except Exception as e:
             failures.append((name, f"exec error: {e}"))
@@ -111,4 +175,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main(sys.argv[1], sys.argv[2])
