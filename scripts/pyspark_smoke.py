@@ -442,6 +442,68 @@ try:
 finally:
     shutil.rmtree(cn_idx, ignore_errors=True)
 
+# 15. mixed-media curation with per-kind attribution (r16 verdict task 6):
+#     doc 2 re-uses doc 1's IMAGE, doc 4 re-uses doc 3's AUDIO — with
+#     mediaDupByKind on, each drop names the modality that fired.
+def bmp_bytes(seed, w=8, h=8):
+    rng = random.Random(seed)
+    rowsz = w * 3
+    pad = (4 - rowsz % 4) % 4
+    px = b""
+    for _ in range(h):
+        px += bytes(rng.randrange(256) for _ in range(rowsz)) + b"\x00" * pad
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54) +
+           struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                       2835, 2835, 0, 0))
+    return hdr + px
+
+def mtext(tag, n):
+    return " ".join(f"{tag}w{i:03d}" for i in range(n))
+
+img_a, img_b, img_c = bmp_bytes(1), bmp_bytes(2), bmp_bytes(3)
+wav_a, wav_b, wav_c = wav_bytes(7), wav_bytes(8), wav_bytes(9)
+mrows = [(1, mtext("aa", 40), bytearray(img_a), bytearray(wav_a)),
+         (2, mtext("bb", 32), bytearray(img_a), bytearray(wav_b)),
+         (3, mtext("cc", 36), bytearray(img_b), bytearray(wav_c)),
+         (4, mtext("dd", 31), bytearray(img_c), bytearray(wav_c))]
+mdocs = spark.createDataFrame(
+    [(i, t, len(t), im, au) for i, t, im, au in mrows],
+    "doc_id long, text string, n_chars long, img binary, aud binary")
+mv = DataFrame(bridge.curateMedia(
+    mdocs._jdf, ["img:image", "aud:audio"], True), spark)
+got = {r["doc_id"]: (r["kept"], r["drop_reason"]) for r in mv.collect()}
+check("mixed-media curate with media_dup:<kind> from Python",
+      got == {1: (True, None), 2: (False, "media_dup:image"),
+              3: (True, None), 4: (False, "media_dup:audio")},
+      f"(verdicts {got})")
+
+# 16. containment hot-shingle cap from Python (r16 advice + task 6):
+#     three stored containers share the same token run, so at cap 2
+#     every probe shingle is over-cap — the hot route must return the
+#     SAME pairs as the uncapped probe (exactness at any cap).
+cn_idx = tempfile.mkdtemp(prefix="pysmoke_cncap")
+try:
+    toks = lambda a, b: " ".join(f"pyc{i:04d}" for i in range(a, b))
+    mk = lambda i, t: (i, t, len(t))
+    b0 = spark.createDataFrame(
+        [mk(1, toks(1, 71)), mk(2, toks(1, 75)), mk(3, toks(1, 80))],
+        "doc_id long, text string, n_chars long")
+    bridge.appendContainmentIndex(spark._jsparkSession, cn_idx, b0._jdf, "t0")
+    b1 = spark.createDataFrame([mk(11, toks(1, 33))],
+                               "doc_id long, text string, n_chars long")
+    def cpairs(cap):
+        df = DataFrame(bridge.containmentDelta(
+            spark._jsparkSession, cn_idx, b1._jdf, 0.8, f"cap{cap}", cap),
+            spark)
+        return {(r["c1"], r["c2"]) for r in df.collect() if r["cross"]}
+    uncapped = cpairs(0)
+    hot = cpairs(2)
+    check("containment cap hot-route exact from Python",
+          uncapped == hot == {(11, 1), (11, 2), (11, 3)},
+          f"(uncapped {uncapped}, cap2 {hot})")
+finally:
+    shutil.rmtree(cn_idx, ignore_errors=True)
+
 spark.stop()
 if failures:
     sys.exit(f"FAILED: {failures}")

@@ -64,6 +64,26 @@ object PyBridge {
   def curateSemantic(docs: DataFrame, threshold: Double): DataFrame =
     TextOps.curateOn(docs, CurateConfig(semanticThreshold = Some(threshold)))
 
+  /** Mixed-media curation from Python (r16 verdict task 6): `media` is
+    * a list of "column:kind" entries (kind ∈ image|audio|video,
+    * declaration order = probe order); `byKind = true` labels each
+    * media drop with the modality that fired (`media_dup:<kind>`)
+    * instead of the order-independent `media_dup`.
+    */
+  def curateMedia(docs: DataFrame, media: java.util.List[String],
+      byKind: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    TextOps.curateOn(docs, CurateConfig(
+      media = media.asScala.toSeq.map { s =>
+        s.split(":", 2) match {
+          case Array(c, k) if c.nonEmpty && k.nonEmpty => (c, k)
+          case _ => throw new IllegalArgumentException(
+            s"media entries are column:kind, got '$s'")
+        }
+      },
+      mediaDupByKind = byKind))
+  }
+
   /** Exact near-dup pairs (Jaccard over 3-shingles) at `threshold`. */
   def neardupPairs(docs: DataFrame, threshold: Double): DataFrame =
     TextOps.neardupJaccardAt(docs, threshold)
@@ -223,6 +243,17 @@ object PyBridge {
       threshold: Double, tag: String): DataFrame =
     TextOps.containmentDeltaIndexed(spark, path, batch, threshold, tag)
 
+  /** Operable hot-shingle cap (r16 advice): maxPostings <= 0 means
+    * uncapped; over-cap probes hot-route through the rarest-prefix
+    * branch, so the verdicts stay exact at any cap — the cap is the
+    * COST knob for boilerplate-heavy corpora. Py4J-visible overload
+    * (Scala defaults don't cross the bridge).
+    */
+  def containmentDelta(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double, tag: String, maxPostings: Int): DataFrame =
+    TextOps.containmentDeltaIndexed(spark, path, batch, threshold, tag,
+      maxPostings)
+
   /** The cross half as of a recorded tag — read-only. */
   def containmentDeltaAsOf(spark: SparkSession, path: String,
       batch: DataFrame, threshold: Double, asOf: String): DataFrame =
@@ -351,6 +382,15 @@ object PyBridge {
       graft.operators.Ivf.seedCentroids(b, c), path)
   }
 
+  /** Py4J-visible 2-arg overload: Scala default arguments do not exist
+    * over Py4J (a Python caller omitting `cells` got a method-
+    * resolution error, so the advertised derive-√n default was Scala-
+    * only — r16 advice). Python callers omit cells and get derived
+    * geometry; passing cells <= 0 explicitly does the same.
+    */
+  def ivfWriteIndex(base: DataFrame, path: String): Unit =
+    ivfWriteIndex(base, path, 0)
+
   def ivfAppendIndex(spark: SparkSession, vecs: DataFrame, path: String,
       tag: String): Unit =
     graft.operators.Ivf.appendIndex(spark, withN2(vecs), path, tag)
@@ -376,6 +416,12 @@ object PyBridge {
     graft.operators.Ivf.rebuildIndexAside(b,
       graft.operators.Ivf.seedCentroids(b, c), path)
   }
+
+  /** Py4J-visible 2-arg overload (see [[ivfWriteIndex]] — Scala
+    * defaults are invisible over Py4J): derived geometry for Python.
+    */
+  def ivfRebuildIndexAside(base: DataFrame, path: String): Unit =
+    ivfRebuildIndexAside(base, path, 0)
 
   def rebuildNeardupIndexAside(docs: DataFrame, path: String): Unit =
     graft.queries.VectorOps.rebuildNeardupIndexAside(docs, path)

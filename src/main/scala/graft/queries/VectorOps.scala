@@ -1628,12 +1628,35 @@ object VectorOps {
     * join, corpus never shuffles) is unchanged by the knobs.
     */
   def knnLshAt(base: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 16, bands: Int = 8, seed: Long = 7L): DataFrame = {
+      numPlanes: Int = 0, bands: Int = 0, seed: Long = 7L): DataFrame = {
+    // numPlanes/bands <= 0 → derive from corpus size (the Ivf √n-cells
+    // discipline, r16): the honest knob is BITS PER BAND r =
+    // numPlanes/bands — candidate volume per query ≈ bands·n/2^r, and
+    // per-band match probability for a neighbor at angle θ is p^r at
+    // p = 1−θ/π, so a FIXED r is wrong at both ends. Small corpora
+    // need r = 1 (sparse space → distant true neighbors → p^2 misses;
+    // the old fixed 16×8 floor was recall@5 0.84 at 500 vectors, and
+    // the candidate set r = 1 admits is cheap precisely because n is
+    // small); big corpora need r to grow with log n to keep buckets
+    // bounded. Measured grid (BASELINE.md LshGrid r17): 16×16 (r=1)
+    // recall@5 = 1.0 at ALL of 500 / 5k / 50k vectors, vs 0.84 / 0.96 /
+    // 1.0 for the old fixed 16×8. Tiers above 2¹⁶ keep the pre-r17
+    // defaults and the p^r ladder (r = 2, 3, 4) — bucket ≈ n/2^r stays
+    // ≤ ~2¹⁸ through 2²⁶ vectors with 8 bands of recall redundancy.
+    val (p0, b0) =
+      if (numPlanes > 0 && bands > 0) (numPlanes, bands)
+      else {
+        val n = base.count()
+        if (n <= 65536L) (16, 16)
+        else if (n <= (1L << 20)) (16, 8)
+        else if (n <= (1L << 24)) (24, 8)
+        else (32, 8)
+      }
     val b = base
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val banded = bandedSignatures(b, numPlanes, bands, seed)
+    val banded = bandedSignatures(b, p0, b0, seed)
     val probes = bandedSignatures(
-      queries.select(col("vec_id"), col("embedding")), numPlanes, bands, seed)
+      queries.select(col("vec_id"), col("embedding")), p0, b0, seed)
     val cands = graft.operators.BandedHamming
       .probedPairs(probes, banded, "vec_id", "vec_id", Seq("band", "bv"))
       .select(col("id1").as("q_id"), col("id2").as("vec_id"))
