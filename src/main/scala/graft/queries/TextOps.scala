@@ -2425,7 +2425,9 @@ object TextOps {
     val cross = storedPostings(spark, path)
       .map(stored => crossContainmentPairs(e,
         stored.filter(col("batch") =!= lit(tag)).select(col("h"), col("doc")),
-        threshold, maxPostings = cap))
+        threshold, maxPostings = cap,
+        knownHot = containmentHotFromStats(spark, path,
+          col("batch") =!= lit(tag), cap)))
       .getOrElse(emptyPairs(batch))
     val within = betterContainerPairs(
         containmentPairsOf(e, threshold)
@@ -2453,12 +2455,14 @@ object TextOps {
     // frame twice (broadcast key set + probe side) and Catalyst shares
     // no subplans — un-materialized, every as-of probe would pay its
     // dominant shingle+sha2 stage twice (review catch)
+    val cap = if (maxPostings <= 0) Int.MaxValue else maxPostings
     crossContainmentPairs(hashedShingles(batch).localCheckpoint(true),
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
-      threshold,
-      maxPostings = if (maxPostings <= 0) Int.MaxValue else maxPostings)
+      threshold, maxPostings = cap,
+      knownHot = containmentHotFromStats(spark, path,
+        col("batch").isin(tags: _*), cap))
   }
 
   /** (doc_id, n, key = sha256(shingle)) rows of a (doc_id, text) frame
@@ -2479,20 +2483,103 @@ object TextOps {
     VectorOps.requireTag(tag)
     containmentParams(spark, path, admit = true)
     VectorOps.finishCrashedSwap(spark, s"$path/postings")
+    VectorOps.finishCrashedSwap(spark, s"$path/dfstats")
     VectorOps.ensureBatchLayout(spark, s"$path/postings")
-    shingleRows(keepers.select(col("doc_id"), col("text")))
+    // one shingle pass feeds the postings AND their df sidecar
+    val rows = shingleRows(keepers.select(col("doc_id"), col("text")))
       .select(sha2(col("s"), 256).as("h"), col("doc_id").as("doc"))
-      .write.mode("overwrite").parquet(s"$path/postings/batch=$tag")
+      .localCheckpoint(true)
+    rows.write.mode("overwrite").parquet(s"$path/postings/batch=$tag")
+    // df sidecar (r17): per-shingle posting counts of THIS batch, so
+    // the probe's hot-shingle check reads a table ~avg-df× smaller
+    // than the postings instead of re-aggregating them every
+    // micro-batch. `src` keeps rows distinct across batches. The probe
+    // trusts the sidecar ONLY when its batch-dir set equals the
+    // postings' ([[containmentHotFromStats]]) — a crash between the
+    // two writes, a pre-sidecar index, or a half-finished compaction
+    // all read as incomplete and fall back to the in-plan check.
+    rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .withColumn("src", lit(tag))
+      .write.mode("overwrite").parquet(s"$path/dfstats/batch=$tag")
     VectorOps.recordHistory(spark, path, tag)
   }
 
   /** Fold every postings batch into `batch=init` (the seen-set
     * compaction discipline: fold sentinel, history reset, closed
-    * replay windows recorded in `_compacted_tags`).
+    * replay windows recorded in `_compacted_tags`), then REBUILD the df
+    * sidecar from the folded postings — rebuilt rather than folded
+    * because [[VectorOps.compactComponent]] folds by DISTINCT (two
+    * batches posting the same (h, df) pair would collapse and
+    * undercount), and because deriving from the fold migrates
+    * pre-sidecar indexes exactly at their next compaction. A crash
+    * between the postings fold and the sidecar rebuild leaves the two
+    * batch-dir sets different → the probe falls back until the next
+    * compaction completes the pair.
     */
   def compactContainmentIndex(spark: SparkSession, path: String,
-      numFiles: Int = 0): Unit =
+      numFiles: Int = 0): Unit = {
     compactSeenLike(spark, path, "postings", numFiles)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$path/dfstats")
+    val tmp = new Path(s"$path/dfstats.compacting")
+    fs.delete(tmp, true)
+    spark.read.schema("h STRING, doc LONG, batch STRING")
+      .parquet(s"$path/postings")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .withColumn("src", lit("init"))
+      .write.parquet(new Path(tmp, "batch=init").toString)
+    fs.delete(statsDir, true)
+    require(fs.rename(tmp, statsDir),
+      s"could not swap $tmp into place; finishCrashedSwap recovers on " +
+        "the next probe")
+  }
+
+  /** Batch-dir names (`batch=` stripped) of a component, empty when the
+    * directory does not exist.
+    */
+  private def batchTagsOf(spark: SparkSession, path: String,
+      component: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$component")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).toSet
+  }
+
+  /** Hot-shingle keys from the df SIDECAR instead of a postings
+    * re-aggregation — `Some(keys with Σ df > cap under `pred`)` when the
+    * sidecar provably covers the same batches as the postings, `None`
+    * otherwise (pre-sidecar index, crash between the paired writes,
+    * half-finished compaction — the caller then runs the in-plan
+    * check). The sidecar is ~avg-df× smaller than the postings, so at
+    * corpus scale the per-micro-batch hot check stops re-reading the
+    * postings' h column entirely. The key set is NOT batch-restricted:
+    * extra hot keys the arriving batch never carries flag no probe rows
+    * and cost nothing ([[crossContainmentPairs]] splits on flagged
+    * rows), so df over the full predicate population is both exact and
+    * sufficient.
+    */
+  private[graft] def containmentHotFromStats(spark: SparkSession,
+      path: String, pred: Column, cap: Int): Option[Array[(String, Long)]] = {
+    if (cap == Int.MaxValue) return Some(Array.empty)
+    VectorOps.finishCrashedSwap(spark, s"$path/dfstats")
+    val pTags = batchTagsOf(spark, path, "postings")
+    val sTags = batchTagsOf(spark, path, "dfstats")
+    if (pTags.isEmpty || pTags != sTags) None
+    else {
+      val hot = spark.read.schema("h STRING, df LONG, src STRING, batch STRING")
+        .parquet(s"$path/dfstats").filter(pred)
+        .groupBy(col("h")).agg(sum(col("df")).as("df"))
+        .filter(col("df") > lit(cap.toLong))
+        .limit((1 << 20) + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // a degenerate >1M-hot-key population is cheaper to re-derive
+      // in-plan than to ship through a literal
+      if (hot.length > (1 << 20)) None else Some(hot)
+    }
+  }
 
   private def storedPostings(spark: SparkSession,
       path: String): Option[DataFrame] = {
@@ -2548,7 +2635,8 @@ object TextOps {
       threshold: Double,
       maxPostings: Int = MaxPostingsPerShingle,
       windowGuard: Boolean = true,
-      hotRoute: Boolean = true): DataFrame = {
+      hotRoute: Boolean = true,
+      knownHot: Option[Array[(String, Long)]] = None): DataFrame = {
     // restrict the stored postings to the BATCH's key set first (the
     // probe discipline every delta family follows — the cosine index's
     // broadcast intersection is the precedent): without it, once the
@@ -2608,16 +2696,23 @@ object TextOps {
     // the big-batch fallback regime (corpus-wide postings, no key
     // restriction) never collects — it keeps the subplan form.
     val maxHotKeysCollected = 1 << 20
-    val hotCollected: Array[(String, Long)] =
-      if (!hotRouted || !restrictedByKeys) Array.empty
-      else restrictedLit.groupBy(col("h")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > lit(maxPostings.toLong))
-        .limit(maxHotKeysCollected + 1)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    val provenClean = hotRouted && restrictedByKeys &&
-      hotCollected.isEmpty
-    val hotAsLiteral = hotRouted && restrictedByKeys &&
-      hotCollected.nonEmpty && hotCollected.length <= maxHotKeysCollected
+    // `knownHot` (r17 df sidecar): when the INDEX already knows its
+    // over-cap keys ([[containmentHotFromStats]]), the check job is
+    // skipped entirely — including in the big-batch fallback regime,
+    // where the in-plan check can't run (no key restriction to
+    // aggregate cheaply). None = detect here (restricted regime) or
+    // keep subplan hot keys (fallback regime).
+    val hotCollected: Option[Array[(String, Long)]] =
+      (if (!hotRouted) None
+       else knownHot.orElse {
+         if (!restrictedByKeys) None
+         else Some(restrictedLit.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+           .filter(col("__n") > lit(maxPostings.toLong))
+           .limit(maxHotKeysCollected + 1)
+           .collect().map(r => (r.getString(0), r.getLong(1))))
+       }).filter(_.length <= maxHotKeysCollected)
+    val provenClean = hotRouted && hotCollected.exists(_.isEmpty)
+    val hotAsLiteral = hotRouted && hotCollected.exists(_.nonEmpty)
     // hot-shingle guard (see [[MaxPostingsPerShingle]]), two spec-
     // pinned-identical forms measured in ONE process (ContainScale r16,
     // BASELINE.md): the DEFAULT window form (BandedHamming.keepSmall
@@ -2714,12 +2809,23 @@ object TextOps {
       // the window form was only ever fast for the same reason.
       pairsOf(e, restricted.repartition(col("h")))
     else if (hotAsLiteral) {
-      hotCollected.foreach { case (h, n) =>
-        org.apache.spark.sql.graft.WarnHotBucket.hit(h, n) }
+      val hotArr = hotCollected.get
+      // warn only the hot keys the ARRIVING batch actually carries:
+      // sidecar-sourced hot sets cover the whole index population, and
+      // warning a boilerplate key on every micro-batch that never
+      // probes it would drown the signal. Without the collected key
+      // set (fallback regime) warn them all — at-least-once holds.
+      val batchKeys: Set[String] =
+        if (restrictedByKeys) keyRows.iterator.map(_.getString(0)).toSet
+        else null
+      hotArr.iterator
+        .filter { case (h, _) => batchKeys == null || batchKeys(h) }
+        .foreach { case (h, n) =>
+          org.apache.spark.sql.graft.WarnHotBucket.hit(h, n) }
       val sess = e.sparkSession
       import sess.implicits._
       hotSplit(broadcast(
-        hotCollected.map(_._1).toSeq.toDF("h")))
+        hotArr.map(_._1).toSeq.toDF("h")))
     } else {
       // big-batch fallback regime (or a degenerate over-cap collect):
       // subplan-form hot keys, AQE owns the (normally large) hot set

@@ -447,6 +447,56 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSessionFixture {
     assert(asOf == Set((11L, 1L)))
   }
 
+  test("containment df sidecar: appended per-batch, trusted only when " +
+      "complete, rebuilt at compaction; hot probe exact through it") {
+    import graft.queries.TextOps
+    val idx = java.nio.file.Files.createTempDirectory("cn_df").toString
+    def toks(r: Range) = r.map(i => f"dfw$i%04d").mkString(" ")
+    def mk(id: Long, r: Range) = { val t = toks(r); (id, t, t.length.toLong) }
+    import spark.implicits._
+    // three containers sharing the same token run: every shared shingle
+    // has df 3 — over-cap at 2, under-cap at the default
+    val b0 = Seq(mk(1L, 1 to 70), mk(2L, 1 to 75), mk(3L, 1 to 80))
+      .toDF("doc_id", "text", "n_chars")
+    TextOps.appendContainmentIndex(spark, idx, b0, "t0")
+    // sidecar written beside the postings, per-batch counts exact
+    val stats = spark.read.parquet(s"$idx/dfstats")
+    val post = spark.read.parquet(s"$idx/postings")
+    assert(stats.agg(sum(col("df"))).collect()(0).getLong(0) == post.count(),
+      "Σ df must equal the posting rows")
+    // complete sidecar → Some; hot at cap 2 (shared shingles, df 3),
+    // clean at the default cap
+    val hot2 = TextOps.containmentHotFromStats(spark, idx, lit(true), 2)
+    assert(hot2.exists(_.nonEmpty) && hot2.get.forall(_._2 == 3L))
+    assert(TextOps.containmentHotFromStats(spark, idx, lit(true), 100000)
+      .exists(_.isEmpty))
+    // probe through the sidecar path: cap 2 (hot-routed, knownHot from
+    // stats) must equal the uncapped answer
+    val probe = Seq(mk(11L, 1 to 33)).toDF("doc_id", "text", "n_chars")
+    def pairsAt(cap: Int) = TextOps.containmentDeltaIndexed(spark, idx,
+        probe, 0.8, s"p$cap", maxPostings = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((11L, 1L), (11L, 2L), (11L, 3L))
+    assert(pairsAt(0) == want && pairsAt(2) == want)
+    // an incomplete sidecar (missing batch dir) is not trusted…
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/dfstats/batch=t0"), true)
+    assert(TextOps.containmentHotFromStats(spark, idx, lit(true), 2).isEmpty)
+    // …and the probe stays exact through the in-plan fallback
+    assert(pairsAt(2) == want, "fallback check must keep the probe exact")
+    // compaction rebuilds the sidecar from the folded postings — the
+    // pre-sidecar-index migration path
+    TextOps.compactContainmentIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/dfstats").select(col("batch"))
+      .distinct().collect().map(_.getString(0)).toSet == Set("init"))
+    val hotAfter = TextOps.containmentHotFromStats(spark, idx, lit(true), 2)
+    assert(hotAfter.exists(_.nonEmpty) && hotAfter.get.toSet == hot2.get.toSet,
+      "rebuilt sidecar must carry the same exact dfs")
+    // replay-tag window is closed post-fold, so probe under a FRESH tag
+    assert(pairsAt(7) == want, "post-fold probe exact via rebuilt sidecar")
+  }
+
   test("hot-shingle guard: an over-cap postings bucket leaves the probe " +
       "join with a warning; verdicts inside the threshold slack survive") {
     import spark.implicits._
