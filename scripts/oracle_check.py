@@ -144,8 +144,7 @@ def main(sf_dir, out_dir):
                     (name, "result TYPE mismatch (driver hashes typed "
                      f"values): {[f'{c}: spark={s1} oracle={s2}' for c, s1, s2 in mism]}"))
                 continue
-            spark_cols, spark_rows, spark_raw = rows_of(
-                con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')"))
+            spark_cols, spark_rows, spark_raw = rows_of_rel(spark_rel)
             duck_cols, duck_rows, duck_raw = rows_of_rel(rel)
         except Exception as e:
             failures.append((name, f"exec error: {e}"))

@@ -116,7 +116,12 @@ object Bench {
     // vs the 38.96 ms all-time clean floor (BASELINE.md r13) classifies
     // the window, so a contaminated run can never masquerade as the
     // engine's number.
-    val StampFloorMs = 38.96
+    // the clean floor is HOST-SPECIFIC (this machine's r13 best stamp);
+    // on different hardware override via GRAFT_STAMP_FLOOR_MS so clean
+    // windows can still self-identify (review catch r17)
+    val StampFloorMs = sys.env.get("GRAFT_STAMP_FLOOR_MS")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(38.96)
     val stampMedian: Double = {
       val vs = calMs.values.toArray.sorted
       if (vs.isEmpty) 0.0

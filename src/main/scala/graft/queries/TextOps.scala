@@ -2567,7 +2567,18 @@ object TextOps {
     VectorOps.finishCrashedSwap(spark, s"$path/dfstats")
     val pTags = batchTagsOf(spark, path, "postings")
     val sTags = batchTagsOf(spark, path, "dfstats")
-    if (pTags.isEmpty || pTags != sTags) None
+    // name-set equality alone would trust a crash-PARTIAL sidecar dir:
+    // Spark creates the batch= dir at job setup, so a crash mid-write
+    // leaves an existing-but-empty (or _temporary-only) dir whose lost
+    // df rows would silently shrink the hot set — the exact missed-pair
+    // hole the hot route closes. Each dfstats dir must carry the
+    // committer's _SUCCESS marker to be trusted (review catch r17).
+    val statsCommitted = sTags.forall { t =>
+      val m = new org.apache.hadoop.fs.Path(
+        s"$path/dfstats/batch=$t/_SUCCESS")
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+    }
+    if (pTags.isEmpty || pTags != sTags || !statsCommitted) None
     else {
       val hot = spark.read.schema("h STRING, df LONG, src STRING, batch STRING")
         .parquet(s"$path/dfstats").filter(pred)
@@ -2656,7 +2667,9 @@ object TextOps {
     // COLLECTED, not just counted (r17): the driver-side hot check below
     // must not re-evaluate the batch-wide distinct in its own job (a
     // broadcast build collects its rows to the driver anyway, so
-    // collecting here is the same memory class with one evaluation).
+    // collecting here is the same memory class with one evaluation —
+    // as STRINGS, not Rows: the fallback regime materializes the 2M+1
+    // probe before discarding it, so per-entry footprint matters).
     // The MAIN plan keeps the SUBPLAN broadcast form on purpose: a
     // LocalRelation literal would make `restricted` look tiny to the
     // size estimator and flip the pair join to a statically-planned
@@ -2665,16 +2678,19 @@ object TextOps {
     // job and the hot branches, whose joins are small-side by
     // construction, use the literal.
     val keys = e.select(col("key").as("h")).distinct()
-    val keyRows = keys.limit(MaxBroadcastKeys.toInt + 1).collect()
-    val restrictedByKeys = keyRows.length <= MaxBroadcastKeys
+    val keyArr: Array[String] = {
+      val sess = e.sparkSession
+      import sess.implicits._
+      keys.limit(MaxBroadcastKeys.toInt + 1).as[String].collect()
+    }
+    val restrictedByKeys = keyArr.length <= MaxBroadcastKeys
     val restricted =
       if (restrictedByKeys) stored.join(broadcast(keys), Seq("h"))
       else stored
     lazy val restrictedLit = {
       val sess = e.sparkSession
       import sess.implicits._
-      stored.join(
-        broadcast(keyRows.map(_.getString(0)).toSeq.toDF("h")), Seq("h"))
+      stored.join(broadcast(keyArr.toSeq.toDF("h")), Seq("h"))
     }
     val hotRouted = hotRoute && maxPostings != Int.MaxValue
     // DRIVER-SIDE hot-key detection (r17, the hot-route's plan-shape
@@ -2796,7 +2812,13 @@ object TextOps {
         .unionByName(crossContainmentPairsPrefixRarest(eHot, postsForHot,
           threshold))
     }
-    if (!hotRouted) pairsOf(e, guarded)
+    if (maxPostings == Int.MaxValue)
+      // uncapped IS the documented "pure direct join" — an identity
+      // keepSmall window would still pay the per-bucket count+rep sort
+      // every probe (review catch r17); same repartition rationale as
+      // the proven-clean branch below
+      pairsOf(e, restricted.repartition(col("h")))
+    else if (!hotRouted) pairsOf(e, guarded)
     else if (provenClean)
       // proven cap-clean → the guard would be an identity filter; run
       // the UNGATED join. The repartition is load-bearing, not a
@@ -2816,8 +2838,7 @@ object TextOps {
       // probes it would drown the signal. Without the collected key
       // set (fallback regime) warn them all — at-least-once holds.
       val batchKeys: Set[String] =
-        if (restrictedByKeys) keyRows.iterator.map(_.getString(0)).toSet
-        else null
+        if (restrictedByKeys) keyArr.toSet else null
       hotArr.iterator
         .filter { case (h, _) => batchKeys == null || batchKeys(h) }
         .foreach { case (h, n) =>

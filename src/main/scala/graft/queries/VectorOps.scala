@@ -1643,6 +1643,10 @@ object VectorOps {
     // 1.0 for the old fixed 16×8. Tiers above 2¹⁶ keep the pre-r17
     // defaults and the p^r ladder (r = 2, 3, 4) — bucket ≈ n/2^r stays
     // ≤ ~2¹⁸ through 2²⁶ vectors with 8 bands of recall redundancy.
+    require((numPlanes > 0) == (bands > 0),
+      s"pass BOTH numPlanes and bands or NEITHER (derived) — one " +
+        s"explicit knob with the other derived would silently change " +
+        s"the specified one's meaning, got ($numPlanes, $bands)")
     val (p0, b0) =
       if (numPlanes > 0 && bands > 0) (numPlanes, bands)
       else {

@@ -101,7 +101,9 @@ object AnnScale {
       ("graph_routed_np8h16_b30h4", () => graft.operators.NnDescent
         .searchGraphRouted(base, graph, queries, k = 5, beam = 30,
           hops = 4, cells = 64, nprobe = 8, hubsPerCell = 16)),
-      ("lsh_p16b8", () => VectorOps.knnLshAt(corpus, queries, 5)),
+      ("lsh_p16b8", () => VectorOps.knnLshAt(corpus, queries, 5,
+        numPlanes = 16, bands = 8)),
+      ("lsh_derived", () => VectorOps.knnLshAt(corpus, queries, 5)),
       ("lsh_p32b16", () => VectorOps.knnLshAt(corpus, queries, 5,
         numPlanes = 32, bands = 16)),
       ("ivf_np4", () => Ivf.search(base, cents, qPred, k = 5, nprobe = 4)),
