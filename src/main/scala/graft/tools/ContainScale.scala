@@ -87,6 +87,40 @@ object ContainScale {
       assert(a == b && a == w && a == h,
         s"probe drift on $label: direct=$a hybrid=$h aggguard=$w prefix=$b")
     }
+    // the INDEXED probe (r17 df sidecar): same x4 halves through the
+    // real containmentDeltaIndexed — `sidecar` reads the df stats (no
+    // per-probe postings aggregate), `fallback` has the stats deleted
+    // and re-derives hot keys in-plan. Row counts asserted equal.
+    {
+      val dir2 = java.nio.file.Files.createTempDirectory("cs_cnidx").toString
+      val stored = x4.filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", length(col("text")))
+      val probe = x4.filter(col("doc_id") % 2 === 1)
+        .withColumn("n_chars", length(col("text")))
+        .localCheckpoint(true)
+      graft.queries.TextOps.appendContainmentIndex(spark, dir2,
+        stored.select(col("doc_id"), col("text")), "t0")
+      // the CROSS-only as-of probe isolates the check-job delta (the
+      // full deltaIndexed's within-batch self-join would drown it);
+      // alternated twice so JIT/first-touch lands on neither label
+      def probeOnce(label: String): Long =
+        time("sf0.1x4-index", label)(
+          graft.queries.TextOps.containmentDeltaIndexedAsOf(spark, dir2,
+            probe.select(col("doc_id"), col("text"), col("n_chars")),
+            0.8, "t0"))
+      val fs = new org.apache.hadoop.fs.Path(dir2)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val statsBak = new org.apache.hadoop.fs.Path(s"$dir2/dfstats.bak")
+      val statsP = new org.apache.hadoop.fs.Path(s"$dir2/dfstats")
+      for (i <- 1 to 2) {
+        val a = probeOnce(s"sidecar$i")
+        require(fs.rename(statsP, statsBak))
+        val b = probeOnce(s"fallback$i")
+        require(fs.rename(statsBak, statsP))
+        assert(a == b, s"indexed probe drift: sidecar=$a fallback=$b")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    }
     spark.stop()
   }
 }
