@@ -1628,21 +1628,30 @@ object VectorOps {
     * join, corpus never shuffles) is unchanged by the knobs.
     */
   def knnLshAt(base: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 0, bands: Int = 0, seed: Long = 7L): DataFrame = {
+      numPlanes: Int = 0, bands: Int = 0, seed: Long = 7L,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
     // numPlanes/bands <= 0 → derive from corpus size (the Ivf √n-cells
-    // discipline, r16): the honest knob is BITS PER BAND r =
-    // numPlanes/bands — candidate volume per query ≈ bands·n/2^r, and
-    // per-band match probability for a neighbor at angle θ is p^r at
-    // p = 1−θ/π, so a FIXED r is wrong at both ends. Small corpora
-    // need r = 1 (sparse space → distant true neighbors → p^2 misses;
-    // the old fixed 16×8 floor was recall@5 0.84 at 500 vectors, and
-    // the candidate set r = 1 admits is cheap precisely because n is
-    // small); big corpora need r to grow with log n to keep buckets
-    // bounded. Measured grid (BASELINE.md LshGrid r17): 16×16 (r=1)
-    // recall@5 = 1.0 at ALL of 500 / 5k / 50k vectors, vs 0.84 / 0.96 /
-    // 1.0 for the old fixed 16×8. Tiers above 2¹⁶ keep the pre-r17
-    // defaults and the p^r ladder (r = 2, 3, 4) — bucket ≈ n/2^r stays
-    // ≤ ~2¹⁸ through 2²⁶ vectors with 8 bands of recall redundancy.
+    // discipline, r16). The honest knob is BITS PER BAND
+    // r = numPlanes/bands, and its BINDING constraint is the hot-bucket
+    // cap, not a recall ladder: bucket ≈ n/2^r, and once it crosses
+    // `maxBucket` the guard drops the bucket to its rep row and recall
+    // collapses (measured at a clustered 1.2M-vector corpus: a
+    // hand-tiered (16,8) read recall@5 0.08 with 9.6M posting rows
+    // dropped, the bucket-bound pick (48,8) read 1.00 with zero drops —
+    // BASELINE.md LshGrid r17). Derivation: keep buckets at
+    // ~maxBucket/4 → r = clamp(ceil(log2(4n/maxBucket)), 1, 8); 16
+    // bands below 2¹⁶ rows (small corpora have DISTANT true neighbors —
+    // per-band match is p^r at p = 1−θ/π, and the old fixed 16×8 read
+    // 0.84 at the 500-vector fixture where 16×16 reads 1.0; wide
+    // candidate sets are cheap precisely when n is small), 8 bands
+    // above. Measured: recall@5 1.0 at 500/500/2k/8k/48k corpora (the
+    // 16×16 region) and 1.00 at the clustered 1.2M corpus ((48,8));
+    // on an ISOTROPIC corpus that size — queries with no close
+    // neighbor, p ≈ 0.6 per plane — banding reads ~0.64-0.68 at ANY r
+    // (no banding wins there; route such data to the IVF/PQ/graph
+    // paths). The r ≤ 8 clamp means past ~26M rows buckets re-approach
+    // the cap — prefer IVF/PQ there, or pass explicit geometry.
     require((numPlanes > 0) == (bands > 0),
       s"pass BOTH numPlanes and bands or NEITHER (derived) — one " +
         s"explicit knob with the other derived would silently change " +
@@ -1651,10 +1660,10 @@ object VectorOps {
       if (numPlanes > 0 && bands > 0) (numPlanes, bands)
       else {
         val n = base.count()
-        if (n <= 65536L) (16, 16)
-        else if (n <= (1L << 20)) (16, 8)
-        else if (n <= (1L << 24)) (24, 8)
-        else (32, 8)
+        val r = math.min(8, math.max(1, math.ceil(
+          math.log(4.0 * n / maxBucket) / math.log(2)).toInt))
+        val nb = if (n <= 65536L) 16 else 8
+        (r * nb, nb)
       }
     val b = base
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
@@ -1662,20 +1671,28 @@ object VectorOps {
     val probes = bandedSignatures(
       queries.select(col("vec_id"), col("embedding")), p0, b0, seed)
     val cands = graft.operators.BandedHamming
-      .probedPairs(probes, banded, "vec_id", "vec_id", Seq("band", "bv"))
+      .probedPairs(probes, banded, "vec_id", "vec_id", Seq("band", "bv"),
+        maxBucket = maxBucket)
       .select(col("id1").as("q_id"), col("id2").as("vec_id"))
       .filter(col("q_id") =!= col("vec_id"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       norm2(col("embedding")).as("q_n2"))
-    // ‖q−x‖ = √(‖q‖² + ‖x‖² − 2·q·x): one codegen'd dot per candidate,
-    // reusing the norms computed once per row at scan time
-    val dist = sqrt(greatest(
-      col("q_n2") + col("n2") - lit(2.0) * dot(col("q_emb"), col("embedding")),
-      lit(0.0)))
+    // rank by COSINE like every other ANN path (knn, Ivf, Pq,
+    // NnDescent, knnCollapse): this function alone ranked by Euclidean
+    // distance until r17, which agreed with the cosine baseline only
+    // while every fixture vector had near-equal norm — on a mixed-norm
+    // corpus (tools/LshGrid's jittered expansion; any user's
+    // un-normalized embeddings) the two orders diverge and the
+    // "recall" gap was metric disagreement, not banding (measured:
+    // recall@5 0.64-0.68 at 200k vectors with near-exhaustive
+    // candidates; cosine ranking restores banding-limited behavior).
+    // One codegen'd dot per candidate, norms computed once at scan.
+    val cos = round(dot(col("q_emb"), col("embedding")) /
+      (sqrt(col("q_n2")) * sqrt(col("n2"))), 6)
     cands.join(q, "q_id").join(b, "vec_id")
-      .select(col("q_id"), col("vec_id"), round(dist, 6).as("dist"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)))
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
