@@ -2530,7 +2530,17 @@ object TextOps {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .withColumn("src", lit("init"))
       .write.parquet(new Path(tmp, "batch=init").toString)
-    fs.delete(statsDir, true)
+    // the delete MUST be checked (r17 advice, mirroring
+    // VectorOps.compactComponent): on a failed delete the rename
+    // below would move dfstats.compacting INSIDE the stale dfstats
+    // dir and still return true — a permanently-untrusted sidecar
+    // (perpetual in-plan fallback) plus stranded stale df rows. The
+    // exists() guard keeps first-compaction of pre-sidecar indexes
+    // working (nothing to delete yet).
+    require(!fs.exists(statsDir) || fs.delete(statsDir, true),
+      s"could not delete $statsDir ahead of the sidecar swap; the " +
+        "probe keeps falling back to the in-plan check until a " +
+        "later compaction succeeds")
     require(fs.rename(tmp, statsDir),
       s"could not swap $tmp into place; finishCrashedSwap recovers on " +
         "the next probe")
@@ -2663,13 +2673,19 @@ object TextOps {
     // job stop as soon as cap + 1 distinct keys exist instead of
     // running a full distinct+count over the batch's shingle hashes on
     // every probe call — the common micro-batch pays a short-circuited
-    // scan, and the answer ("≤ cap or not") is identical (r15 advice)
-    // COLLECTED, not just counted (r17): the driver-side hot check below
-    // must not re-evaluate the batch-wide distinct in its own job (a
-    // broadcast build collects its rows to the driver anyway, so
-    // collecting here is the same memory class with one evaluation —
-    // as STRINGS, not Rows: the fallback regime materializes the 2M+1
-    // probe before discarding it, so per-entry footprint matters).
+    // scan, and the answer ("≤ cap or not") is identical (r15 advice).
+    // COLLECT ONLY ON THE PATH THAT USES THE ARRAY (r17 advice): the
+    // key array exists for exactly one consumer — the in-plan hot
+    // check's restricted-literal frame, which runs only when no
+    // sidecar hot set was supplied AND the batch fits the broadcast
+    // cap. Every other regime (sidecar `knownHot`, hot-route off,
+    // big-batch fallback) decides `restrictedByKeys` with the old
+    // bounded limit-count and never materializes the 2M+1-string
+    // array — the fallback regime in particular used to collect
+    // ~250-350 MB per micro-batch only to discard it, an OOM class
+    // the r16 code never had. The count-then-collect pair on the
+    // detection path costs one extra short-circuited distinct scan;
+    // the collect is then PROVABLY ≤ cap rows.
     // The MAIN plan keeps the SUBPLAN broadcast form on purpose: a
     // LocalRelation literal would make `restricted` look tiny to the
     // size estimator and flip the pair join to a statically-planned
@@ -2678,21 +2694,19 @@ object TextOps {
     // job and the hot branches, whose joins are small-side by
     // construction, use the literal.
     val keys = e.select(col("key").as("h")).distinct()
-    val keyArr: Array[String] = {
-      val sess = e.sparkSession
-      import sess.implicits._
-      keys.limit(MaxBroadcastKeys.toInt + 1).as[String].collect()
-    }
-    val restrictedByKeys = keyArr.length <= MaxBroadcastKeys
+    val sess = e.sparkSession
+    import sess.implicits._
+    val hotRouted = hotRoute && maxPostings != Int.MaxValue
+    val restrictedByKeys =
+      keys.limit(MaxBroadcastKeys.toInt + 1).count() <= MaxBroadcastKeys
+    val needKeyArr = hotRouted && knownHot.isEmpty && restrictedByKeys
+    val keyArr: Array[String] =
+      if (needKeyArr) keys.as[String].collect() else null
     val restricted =
       if (restrictedByKeys) stored.join(broadcast(keys), Seq("h"))
       else stored
-    lazy val restrictedLit = {
-      val sess = e.sparkSession
-      import sess.implicits._
+    lazy val restrictedLit =
       stored.join(broadcast(keyArr.toSeq.toDF("h")), Seq("h"))
-    }
-    val hotRouted = hotRoute && maxPostings != Int.MaxValue
     // DRIVER-SIDE hot-key detection (r17, the hot-route's plan-shape
     // switch): one aggregate job over the restricted postings answers
     // "does ANY shingle exceed the cap" BEFORE the probe plan is built.
@@ -2835,16 +2849,19 @@ object TextOps {
       // warn only the hot keys the ARRIVING batch actually carries:
       // sidecar-sourced hot sets cover the whole index population, and
       // warning a boilerplate key on every micro-batch that never
-      // probes it would drown the signal. Without the collected key
-      // set (fallback regime) warn them all — at-least-once holds.
-      val batchKeys: Set[String] =
-        if (restrictedByKeys) keyArr.toSet else null
-      hotArr.iterator
-        .filter { case (h, _) => batchKeys == null || batchKeys(h) }
-        .foreach { case (h, n) =>
-          org.apache.spark.sql.graft.WarnHotBucket.hit(h, n) }
-      val sess = e.sparkSession
-      import sess.implicits._
+      // probes it would drown the signal. In-plan-detected hot keys
+      // came from the batch-restricted postings, so they are all
+      // batch-carried by construction; the sidecar path (keyArr is no
+      // longer collected there — r17 advice) intersects the bounded
+      // hot set against the batch keys with one broadcast semi-join
+      // (result ≤ |hotArr| ≤ 2²⁰ rows). Without a key restriction at
+      // all (fallback regime) warn them all — at-least-once holds.
+      val toWarn: Array[(String, Long)] =
+        if (knownHot.isEmpty || !restrictedByKeys) hotArr
+        else keys.join(broadcast(hotArr.toSeq.toDF("h", "__n")), Seq("h"))
+          .as[(String, Long)].collect()
+      toWarn.foreach { case (h, n) =>
+        org.apache.spark.sql.graft.WarnHotBucket.hit(h, n) }
       hotSplit(broadcast(
         hotArr.map(_._1).toSeq.toDF("h")))
     } else {
