@@ -377,7 +377,7 @@ object PyBridge {
   def ivfWriteIndex(base: DataFrame, path: String, cells: Int = 0): Unit = {
     val b = withN2(base)
     val c = if (cells > 0) cells
-      else graft.operators.Ivf.defaultCells(b.count())
+      else graft.operators.Ivf.defaultCells(graft.operators.CorpusCount.of(b))
     graft.operators.Ivf.writeIndex(b,
       graft.operators.Ivf.seedCentroids(b, c), path)
   }
@@ -412,7 +412,7 @@ object PyBridge {
       cells: Int = 0): Unit = {
     val b = withN2(base)
     val c = if (cells > 0) cells
-      else graft.operators.Ivf.defaultCells(b.count())
+      else graft.operators.Ivf.defaultCells(graft.operators.CorpusCount.of(b))
     graft.operators.Ivf.rebuildIndexAside(b,
       graft.operators.Ivf.seedCentroids(b, c), path)
   }

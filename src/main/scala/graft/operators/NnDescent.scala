@@ -288,12 +288,13 @@ object NnDescent {
       nprobe: Int = 3, hubsPerCell: Int = 8): DataFrame = {
     val b = base.select(col("vec_id"), col("embedding"), col("n2"))
     // cells <= 0 derives ~√n routing geometry ([[Ivf.defaultCells]]) —
-    // the count is a second corpus pass beside this ad-hoc form's
-    // per-call assignment pass; repeated search batches should pass
-    // explicit cells or use [[searchIndexRouted]], which reads the
+    // session-memoized ([[CorpusCount]], r18) so repeated search
+    // batches over the same corpus frame pay the count once; the
+    // per-batch assignment pass remains, so steady-state callers
+    // should still prefer [[searchIndexRouted]], which reads the
     // geometry persisted at build time instead of re-deriving anything
     val cents = hashSeeds(b,
-      if (cells > 0) cells else Ivf.defaultCells(b.count()))
+      if (cells > 0) cells else Ivf.defaultCells(CorpusCount.of(b)))
     val assigned = Ivf.assign(b, cents)
       .select(col("cell"), col("vec_id"), col("sim"))
     searchGraphFrom(b, edges, queries, k, beam, hops,

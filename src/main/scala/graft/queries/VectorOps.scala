@@ -64,6 +64,7 @@ object VectorOps {
     while (it.hasNext) if (!alive(it.next()._1)) it.remove()
     val gt = graphCache.keySet.iterator()
     while (gt.hasNext) if (!alive(gt.next()._1)) gt.remove()
+    graft.operators.CorpusCount.purge(alive)
   }
 
   private[graft] def pairCacheSize: Int = pairCache.size
@@ -117,7 +118,13 @@ object VectorOps {
     "vec_pairs_cosine" -> (() => { neardupCosine(spark, dir); () }),
     "vec_pairs_cosine_lsh" -> (() => { neardupCosineLsh(spark, dir); () }),
     "vec_pairs_minhash" -> (() => { dedupMinhash(spark, dir); () }),
-    "vec_graph" -> (() => { contractGraph(spark, dir); () }))
+    "vec_graph" -> (() => { contractGraph(spark, dir); () }),
+    // the derived-banding corpus count q_knn_lsh pays at construction
+    // (one job per session per corpus — CorpusCount memo, r18)
+    "vec_corpus_count" -> (() => {
+      graft.operators.CorpusCount.of(Tables.t(spark, dir, "embeddings"))
+      ()
+    }))
 
   private def memoPairs(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
@@ -1659,7 +1666,9 @@ object VectorOps {
     val (p0, b0) =
       if (numPlanes > 0 && bands > 0) (numPlanes, bands)
       else {
-        val n = base.count()
+        // session-memoized (r17 verdict task 5): the derivation needs
+        // ONE number per immutable corpus, not one count job per call
+        val n = graft.operators.CorpusCount.of(base)
         val r = math.min(8, math.max(1, math.ceil(
           math.log(4.0 * n / maxBucket) / math.log(2)).toInt))
         val nb = if (n <= 65536L) 16 else 8

@@ -31,7 +31,8 @@ class WarmRegistrySpec extends AnyFunSuite with SparkSessionFixture {
       graft.queries.TextOps.labelCacheSize +
       graft.queries.TextOps.reasonsCacheSize +
       graft.queries.VectorOps.pairCacheSize +
-      graft.queries.VectorOps.graphCacheSize
+      graft.queries.VectorOps.graphCacheSize +
+      graft.operators.CorpusCount.size
 
   test("warmFamilies prices every memo family any contract query " +
       "builds, and every registered row builds one") {
