@@ -17,11 +17,16 @@ non-zero on any DIRECTIONAL regression:
 
 Missing queries/SFs/metrics in the new artifact also fail (a gate that
 silently narrows is no gate). New metrics/queries are allowed and
-reported. Intentional changes are acknowledged by updating the
-baseline artifact in the same commit — the diff is against a named
-file, not magic state.
+reported.
 
-Usage: containment_diff.py NEW_JSON OLD_JSON [--tol 1e-9]
+Intentional, explained changes (e.g. a banding derivation that finds
+MORE pairs) are acknowledged per-cell: `--allow q/sf/metric` downgrades
+that one regression to a note — the acknowledgment lives in the close
+command line next to its BASELINE.md justification, never as a silent
+default.
+
+Usage: containment_diff.py NEW_JSON OLD_JSON [--tol=1e-9]
+       [--allow q/sf/metric ...]
 Self-test: containment_diff.py --selftest  (plants a decrease, expects red)
 """
 import json
@@ -38,9 +43,15 @@ LOWER_IS_BETTER = {
 EXACT = {"rows", "pairs", "exact_pairs"}
 
 
-def diff(new, old, tol):
-    """Return (failures, notes). Pure for the selftest."""
+def diff(new, old, tol, allow=frozenset()):
+    """Return (failures, notes). Pure for the selftest. `allow` holds
+    "q/sf/metric" cells whose regression is acknowledged (downgraded to
+    a note)."""
     failures, notes = [], []
+
+    def fail(cell, msg):
+        (notes if cell in allow else failures).append(
+            msg + (" [allowed]" if cell in allow else ""))
     for q, sfs in old.items():
         if q not in new:
             failures.append(f"{q}: missing from new artifact")
@@ -56,21 +67,21 @@ def diff(new, old, tol):
                 nv = new[q][sf][m]
                 if m in HIGHER_IS_BETTER:
                     if nv < ov - tol:
-                        failures.append(
-                            f"{q}/{sf}/{m}: floor DECREASED {ov} -> {nv}")
+                        fail(f"{q}/{sf}/{m}",
+                             f"{q}/{sf}/{m}: floor DECREASED {ov} -> {nv}")
                     elif nv > ov + tol:
                         notes.append(f"{q}/{sf}/{m}: improved {ov} -> {nv}")
                 elif m in LOWER_IS_BETTER:
                     if nv > ov + tol:
-                        failures.append(
-                            f"{q}/{sf}/{m}: error INCREASED {ov} -> {nv}")
+                        fail(f"{q}/{sf}/{m}",
+                             f"{q}/{sf}/{m}: error INCREASED {ov} -> {nv}")
                     elif nv < ov - tol:
                         notes.append(f"{q}/{sf}/{m}: improved {ov} -> {nv}")
                 elif m in EXACT:
                     if nv != ov:
-                        failures.append(
-                            f"{q}/{sf}/{m}: deterministic count changed "
-                            f"{ov} -> {nv}")
+                        fail(f"{q}/{sf}/{m}",
+                             f"{q}/{sf}/{m}: deterministic count changed "
+                             f"{ov} -> {nv}")
                 else:
                     failures.append(
                         f"{q}/{sf}/{m}: metric not classified in "
@@ -112,6 +123,15 @@ def selftest():
     f, n = diff({"q": {"sf0.1": {"recall": 0.99, "max_rel_err": 0.001,
                                  "rows": 10.0}}}, old, 1e-9)
     assert not f and len(n) == 2, (f, n)
+    # an --allow'd cell downgrades to a note; everything else stays red
+    f, n = diff({"q": {"sf0.1": {"recall": 0.95, "max_rel_err": 0.01,
+                                 "rows": 11.0}}}, old, 1e-9,
+                frozenset({"q/sf0.1/rows"}))
+    assert not f and any("[allowed]" in x for x in n), (f, n)
+    f, _ = diff({"q": {"sf0.1": {"recall": 0.94, "max_rel_err": 0.01,
+                                 "rows": 11.0}}}, old, 1e-9,
+                frozenset({"q/sf0.1/rows"}))
+    assert f and "DECREASED" in f[0], f
     print("selftest PASS (all planted regressions caught)")
 
 
@@ -119,17 +139,27 @@ def main():
     if "--selftest" in sys.argv:
         selftest()
         return 0
-    args = [a for a in sys.argv[1:] if not a.startswith("--tol")]
+    argv = sys.argv[1:]
     tol = 1e-9
-    for a in sys.argv[1:]:
+    allow = set()
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--tol="):
             tol = float(a.split("=", 1)[1])
+        elif a == "--allow":
+            i += 1
+            allow.add(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
     new = json.load(open(args[0]))
     old = json.load(open(args[1]))
-    failures, notes = diff(new, old, tol)
+    failures, notes = diff(new, old, tol, frozenset(allow))
     for n in notes:
         print(f"NOTE {n}")
     for f in failures:

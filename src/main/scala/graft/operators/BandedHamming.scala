@@ -63,6 +63,40 @@ object BandedHamming {
     */
   val DefaultMaxBucket: Int = 100000
 
+  /** Derived SimHash banding (r18 — the knnLshAt discipline applied to
+    * the fixed 4×16 choice, whose exact-band misses read 0.879
+    * exact-J0.5 recall at sf0.1 and drifted DOWN with scale): pick the
+    * (bands, multiProbe) pair that makes candidate generation
+    * pigeonhole-EXHAUSTIVE for `maxHamming` while expected bucket
+    * population stays under `maxBucket`/4.
+    *
+    *  - n ≤ 64·maxBucket (6.4M at the default cap): (8, false) —
+    *    8-bit bands; d < 8 forces some band to match exactly, so every
+    *    pair the d ≤ 6 gate can accept IS a candidate, and expected
+    *    buckets n/256 ≤ maxBucket/4. Measured (SimhashGrid,
+    *    BASELINE.md r18): lifts exact-J0.5 recall to the gate's own
+    *    ceiling at all 3 SFs (0.929/1.000/0.926 vs 0.929/0.920/0.879
+    *    for 4×16 exact) at comparable cost.
+    *  - larger n: (4, true) — 16-bit bands keep buckets n/65536 under
+    *    the cap to ~1.6B rows; radius-1 flip probes restore
+    *    exhaustiveness (all four bands ≥ 2 flips needs d ≥ 8) at 17×
+    *    probe-side rows with bucket populations unchanged. Measured
+    *    equal recall to 8×8 exact at every SF.
+    *
+    * Past ~1.6B rows expected 16-bit buckets re-approach the cap —
+    * partition the corpus (by source/shard) or pass explicit knobs
+    * there. Requires maxHamming ≤ 7: both configurations' guarantees
+    * stop at d = 7, and a derived default that silently under-covers a
+    * wider gate would be the r17 LshGrid bug again.
+    */
+  def simhashBanding(n: Long, maxHamming: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): (Int, Boolean) = {
+    require(maxHamming <= 7,
+      s"derived banding is exhaustive only to hamming 7, got $maxHamming" +
+        " — pass explicit bands/multiProbe for wider gates")
+    if (n <= 64L * maxBucket) (8, false) else (4, true)
+  }
+
   /** Rows the guard pulled out of the quadratic candidate join (they may
     * still surface through star-edge rescue) — diagnostic telemetry for
     * tests and local-mode runs. At-least-once: the candidate self-join

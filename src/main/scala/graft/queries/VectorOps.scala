@@ -119,10 +119,16 @@ object VectorOps {
     "vec_pairs_cosine_lsh" -> (() => { neardupCosineLsh(spark, dir); () }),
     "vec_pairs_minhash" -> (() => { dedupMinhash(spark, dir); () }),
     "vec_graph" -> (() => { contractGraph(spark, dir); () }),
-    // the derived-banding corpus count q_knn_lsh pays at construction
-    // (one job per session per corpus — CorpusCount memo, r18)
+    // the derived-banding corpus counts q_knn_lsh / q_dedup_simhash pay
+    // at construction (one job per session per corpus — CorpusCount
+    // memo, r18); one row per corpus so check 1's one-entry-per-row
+    // accounting stays exact
     "vec_corpus_count" -> (() => {
       graft.operators.CorpusCount.of(Tables.t(spark, dir, "embeddings"))
+      ()
+    }),
+    "doc_corpus_count" -> (() => {
+      graft.operators.CorpusCount.of(Tables.t(spark, dir, "documents"))
       ()
     }))
 
@@ -1563,17 +1569,25 @@ object VectorOps {
   // --------------------------------------------------- SimHash near-dup
 
   /** SimHash near-dup with banded candidate generation: 64-bit simhash
-    * from xxhash64 token hashes, 4×16-bit bands, candidates = pairs
-    * sharing a band, kept when Hamming distance ≤ 6. xxhash64 is
-    * Spark-specific → no SQL oracle; SimHash properties are asserted in
-    * VectorOpsSpec. At scale this shuffles by (band index, band value) —
-    * never all-pairs.
+    * from xxhash64 token hashes, corpus-derived banding
+    * ([[graft.operators.BandedHamming.simhashBanding]], r18 — 8×8-bit
+    * exact bands below ~6.4M docs, 4×16-bit + radius-1 probes above;
+    * both pigeonhole-exhaustive for the d ≤ 6 gate, so recall is
+    * limited only by the gate itself, not the banding: the fixed 4×16
+    * exact-band trade read 0.879 of the gate's 0.926 ceiling at sf0.1
+    * and sank with scale — SimhashGrid, BASELINE.md r18). The corpus
+    * count is session-memoized ([[graft.operators.CorpusCount]]).
+    * xxhash64 is Spark-specific → no SQL oracle; SimHash properties are
+    * asserted in VectorOpsSpec. At scale this shuffles by (band index,
+    * band value) — never all-pairs.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
+    val (bands, probe) = graft.operators.BandedHamming
+      .simhashBanding(graft.operators.CorpusCount.of(docs))
     graft.operators.BandedHamming
       .pairs(simhashSignatures(docs), "doc_id", "simhash",
-        bands = 4, maxHamming = 6)
+        bands = bands, maxHamming = 6, multiProbe = probe)
       .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }

@@ -78,8 +78,18 @@ object NeardupStream {
 
   /** Near-dup candidate pairs over a (doc_id, text) stream (or batch
     * frame — `flatMapGroupsWithState` degrades to empty-state groups in
-    * batch mode, which is exactly the one-shot semantics). Same banding
-    * defaults as the batch [[graft.queries.VectorOps.dedupSimhash]].
+    * batch mode, which is exactly the one-shot semantics).
+    *
+    * Banding is an EXPLICIT knob here, unlike the batch twin (which
+    * derives it from the corpus count —
+    * [[graft.operators.BandedHamming.simhashBanding]], r18): an
+    * unbounded stream cannot be counted, and the derivation's
+    * small-corpus pick (8-bit bands) would also key the state store on
+    * only 8×256 distinct groups — a parallelism/skew ceiling the batch
+    * shuffle does not have. Callers expecting ≤ ~6.4M docs who want
+    * parity with the batch derivation pass `bands = 8`; the 4×16
+    * default stays the scale-safe streaming shape (its exact-band
+    * recall trade is measured in BASELINE.md SimhashGrid r18).
     */
   def pairsStream(docs: DataFrame, bands: Int = 4, maxHamming: Int = 6,
       maxBucket: Int = 100000): Dataset[NeardupPair] = {

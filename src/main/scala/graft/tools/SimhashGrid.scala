@@ -1,0 +1,68 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+
+/** Measured banding grid for the SimHash near-dup gate (r17 verdict
+  * task 3 — the LshGrid discipline applied to q_dedup_simhash).
+  *
+  * Separates the two recall-loss sources of `exact_j05_recall`:
+  *   1. the HAMMING GATE's own ceiling — exact J ≥ 0.5 pairs whose
+  *      simhash distance exceeds maxHamming (no banding can see them);
+  *   2. BANDING misses — pairs at hamming ≤ maxHamming whose bands all
+  *      differ (the 4×16 exact-band trade).
+  * Pigeonhole facts the grid validates empirically: 8×8 exact bands
+  * cover every pair at d ≤ 7 (some band has 0 diffs when d < bands);
+  * 4×16 with 1-bit flip probes covers d ≤ 7 too (every band ≥ 2 diffs
+  * needs d ≥ 8). Either closes source 2 entirely; the remaining
+  * deficit IS the gate ceiling.
+  */
+object SimhashGrid {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val docs = graft.queries.Tables.t(spark, dir, "documents")
+      val sigs = graft.queries.VectorOps.simhashSignatures(docs)
+        .localCheckpoint(true)
+      val exactJ = graft.queries.TextOps.neardupJaccard(spark, dir)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // hamming distance of every exact pair: the gate's own ceiling
+      val ham = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("d"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+        .toMap
+      val exactHam = exactJ.toSeq.map(p => ham(p))
+      val gateCeil = exactHam.count(_ <= 6)
+      // every pair the d ≤ 6 gate accepts, J-similar or not — candidate
+      // exhaustiveness is measured against THIS set
+      val allGate = ham.collect { case (p, d) if d <= 6 => p }.toSet
+      println(s"== $sf n=${sigs.count()} exactJ=${exactJ.size} " +
+        s"gate(d<=6)=$gateCeil ceil_recall=" +
+        f"${gateCeil.toDouble / exactJ.size}%.4f all_gate=${allGate.size} " +
+        s"hamming_hist=${exactHam.groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(_._1).mkString(",")}")
+      for ((label, bands, probe) <- Seq(
+          ("4x16_exact", 4, false), ("8x8_exact", 8, false),
+          ("4x16_probe", 4, true), ("8x8_probe", 8, true))) {
+        val t0 = System.nanoTime()
+        val got = graft.operators.BandedHamming
+          .pairs(sigs, "doc_id", "simhash", bands = bands, maxHamming = 6,
+            multiProbe = probe)
+          .select(col("id1"), col("id2")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val hitJ = (got & exactJ).size
+        println(f"   $label%-12s pairs=${got.size}%6d j05_recall=" +
+          f"${hitJ.toDouble / exactJ.size}%.4f gate_recall=" +
+          f"${(got & allGate).size.toDouble / allGate.size}%.4f " +
+          f"sec=$sec%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

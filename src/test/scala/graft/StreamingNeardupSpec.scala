@@ -33,8 +33,12 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
     assert(want.nonEmpty, "fixture must contain planted near-dups")
 
     // Split so at least one known pair spans the batch boundary: its d1
-    // arrives in batch 1, its d2 in batch 2 — found only via state.
-    val (lo, hi) = (want.head._1, want.head._2)
+    // arrives in batch 1, its d2 in batch 2 — found only via state. The
+    // even/odd split below puts even ids in batch 1, so the planted
+    // pair must have an even d1 (want's ordering shifts whenever the
+    // derived banding finds more pairs — r18).
+    val planted = want.find(p => p._1 % 2 == 0 && p._1 != p._2).get
+    val (lo, hi) = (planted._1, planted._2)
     val docs = Tables.t(spark, Sf0001, "documents")
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -43,8 +47,13 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
     assert(batch1.exists(_._1 == lo) && batch2.exists(_._1 == hi))
 
     val input = MemoryStream[(Long, String)]
+    // match the banding the batch form DERIVES at this corpus size
+    // (8×8 below ~6.4M docs — BandedHamming.simhashBanding, r18); the
+    // stream twin keeps an explicit knob because an unbounded stream
+    // cannot be counted
+    val (batchBands, _) = graft.operators.BandedHamming.simhashBanding(500L)
     val pairs = NeardupStream.pairsStream(
-      input.toDF().toDF("doc_id", "text"))
+      input.toDF().toDF("doc_id", "text"), bands = batchBands)
     val q = pairs.writeStream.format("memory").queryName("nd_stream")
       .outputMode("append").start()
     try {
@@ -62,7 +71,7 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
       val got = spark.table("nd_stream")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(got == want)
-      assert(got.contains(want.head))
+      assert(got.contains(planted))
     } finally q.stop()
   }
 
