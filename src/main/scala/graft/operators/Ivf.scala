@@ -96,6 +96,22 @@ object Ivf {
   def train(base: DataFrame, k: Int, iters: Int): DataFrame =
     (0 until iters).foldLeft(seedCentroids(base, k))((c, _) => refine(base, c))
 
+  /** Derived nprobe (r18 — the [[defaultCells]] discipline applied to
+    * the SEARCH knob): probe enough cells that the expected candidate
+    * pool `nprobe·n/cells` reaches `minCandidates`, floored at 4 and
+    * capped at `cells`. The binding regime is SMALL corpora — true
+    * neighbors sit at middling cosine there and a 4-of-16-cell probe
+    * reads recall 0.92 at the 500-vector fixtures while probing wide
+    * is nearly free (AnnSmallGrid, BASELINE.md r18: nprobe 12-16 reads
+    * 1.00 at both); at corpus scale the formula collapses to the fixed
+    * floor (n ≥ 128·cells ⇒ nprobe 4) and cost discipline is owned by
+    * cells ≈ √n. 512 ≈ the pool below which an approximate index is
+    * answering questions a scan answers better.
+    */
+  def defaultNprobe(n: Long, cells: Int, minCandidates: Long = 512L): Int =
+    math.max(4L, math.min(cells.toLong,
+      (minCandidates * cells + n - 1) / math.max(1L, n))).toInt
+
   /** Top-k cosine search restricted to each query's nprobe nearest cells.
     * Output: (q_id, vec_id, cos, rn) ranked per query.
     */

@@ -1976,9 +1976,18 @@ object VectorOps {
     *   2. assignment: every vector joins its nearest centroid by cosine —
     *      a broadcast join against the tiny centroid table, one narrow
     *      pass at 100 TB;
-    *   3. search: each query probes its nprobe=4 nearest cells and ranks
-    *      exact cosine only within those cells — the candidate join
-    *      shuffles by cell id, never all-pairs.
+    *   3. search: each query probes its DERIVED-nprobe nearest cells
+    *      ([[graft.operators.Ivf.defaultNprobe]], r18 — the fixed
+    *      nprobe=4 read recall 0.92 at the 500-vector fixtures, where
+    *      a 4/16-cell probe sees ~125 candidates of a corpus whose
+    *      true neighbors are middling-cosine; the derivation widens the
+    *      probe until the candidate pool reaches ~512, which is the
+    *      whole corpus below 512·(1−4/cells) rows and the fixed floor 4
+    *      past 128·cells rows) and ranks exact cosine only within those
+    *      cells — the candidate join shuffles by cell id, never
+    *      all-pairs. Corpus count session-memoized ([[graft.operators
+    *      .CorpusCount]], counted on the RAW table frame so the warm
+    *      row and every derived-knob consumer share one entry).
     *
     * Engine-specific only in centroid choice → no SQL oracle;
     * VectorOpsSpec asserts recall against [[knnBruteforce]] plus
@@ -1986,10 +1995,12 @@ object VectorOps {
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Ivf
+    val n = graft.operators.CorpusCount.of(Tables.t(spark, dir, "embeddings"))
     val base = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     Ivf.search(base, Ivf.seedCentroids(base, 16),
-      queryPred = col("vec_id") < 5, k = 5, nprobe = 4)
+      queryPred = col("vec_id") < 5, k = 5,
+      nprobe = Ivf.defaultNprobe(n, 16))
   }
 
   // -------------------------------------- diversity-balanced sampling
@@ -2585,12 +2596,18 @@ object VectorOps {
     * entirely from joins, no sequential inserts) searched by iterative
     * beam expansion. Pinned contract instantiation: degree-10 graph,
     * 2 refinement rounds over 16-cell ring init, 3 hops, and a search
-    * budget that SCALES with the corpus — beam = max(20, n/25),
-    * entries = max(8, n/62) — because on a structureless (isotropic)
+    * budget that SCALES with the corpus — beam = max(48, n/25),
+    * entries = max(24, n/62) — because on a structureless (isotropic)
     * corpus a FIXED budget's recall decays linearly with n: measured
     * r14, the r13-pinned beam 20 × 8 entries read 0.96 at n=500 but
     * 0.48 at n=2 000, where beam 80 × 32 entries restores 1.00 (the
     * linear rule reproduces both floors; BASELINE.md r14 has the grid).
+    * The FLOORS are the small-corpus half of the same lesson (r18):
+    * 20 × 8 left recall 0.92 at the 500-vector fixtures — small
+    * corpora have distant true neighbors, so the beam needs a larger
+    * slice of the graph to reach them — and 48 × 24 reads 1.00 at both
+    * (AnnSmallGrid, BASELINE.md r18). The floors stop binding past
+    * n = 1 200 / 1 488, where the linear terms take over unchanged.
     * On clustered corpora the fixed-budget routed search
     * ([[graft.operators.NnDescent.searchRouted]]) is the production
     * path — this contract instantiation is the unrouted worst case.
@@ -2604,8 +2621,8 @@ object VectorOps {
     val (base, edges, n) = contractGraph(spark, dir)
     graft.operators.NnDescent.searchGraph(base, edges,
       base.filter(col("vec_id") < 5), k = 5,
-      beam = math.max(20L, n / 25).toInt, hops = 3,
-      entries = math.max(8L, n / 62).toInt)
+      beam = math.max(48L, n / 25).toInt, hops = 3,
+      entries = math.max(24L, n / 62).toInt)
   }
 
   /** Dup-dense ANN by CLUSTER COLLAPSE — the engine's answer to the
