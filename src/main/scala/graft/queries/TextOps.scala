@@ -2563,9 +2563,19 @@ object TextOps {
     * sidecar provably covers the same batches as the postings, `None`
     * otherwise (pre-sidecar index, crash between the paired writes,
     * half-finished compaction — the caller then runs the in-plan
-    * check). The sidecar is ~avg-df× smaller than the postings, so at
-    * corpus scale the per-micro-batch hot check stops re-reading the
-    * postings' h column entirely. The key set is NOT batch-restricted:
+    * check). WHY the sidecar exists (r18 posture — the original
+    * "~avg-df× smaller read" speed story measured a WASH at ×4 clean,
+    * ×24 clean AND ×24 boiler, BASELINE.md ContainScale r18: the
+    * in-plan check aggregates a frame the pair join scans anyway, and
+    * when hot shingles exist the hot-route machinery dominates the
+    * probe regardless): (1) CAPABILITY — in the big-batch fallback
+    * regime (batch keys past the broadcast bound) the in-plan check
+    * cannot run at all, and the sidecar is the only source of
+    * driver-side hot keys, without which that regime degrades to the
+    * subplan window-guard plan and its under-report trade; (2) the hot
+    * knowledge is compaction-amortized (computed at index write, not
+    * per probe) — the right asymptotic shape even though the per-probe
+    * saving measures ~0 single-node. The key set is NOT batch-restricted:
     * extra hot keys the arriving batch never carries flag no probe rows
     * and cost nothing ([[crossContainmentPairs]] splits on flagged
     * rows), so df over the full predicate population is both exact and

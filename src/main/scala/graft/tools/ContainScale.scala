@@ -37,7 +37,12 @@ object ContainScale {
       println(f"CONTAIN $label $form $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       n
     }
-    for ((label, corpus) <- Seq("sf0.1" -> docs, "sf0.1x4" -> x4)) {
+    // CONTAIN_ONLY=index skips the (unchanged) direct/prefix and
+    // guard-form blocks — the ×24 sidecar run measures only the
+    // indexed probe and should not pay ~10 min of unrelated rows
+    val onlyIndex = sys.env.get("CONTAIN_ONLY").contains("index")
+    for ((label, corpus) <- Seq("sf0.1" -> docs, "sf0.1x4" -> x4)
+         if !onlyIndex) {
       val a = time(label, "direct")(
         graft.queries.TextOps.neardupContainmentOn(corpus))
       val b = time(label, "prefix")(
@@ -52,7 +57,7 @@ object ContainScale {
     // (micro-batch ≪ corpus), where that shuffle is ~free.
     val shapes = Seq(
       ("sf0.1", docs, 2L), ("sf0.1x4", x4, 2L), ("sf0.1x4b8", x4, 8L))
-    for ((label, corpus, m) <- shapes) {
+    for ((label, corpus, m) <- shapes if !onlyIndex) {
       val stored = graft.queries.TextOps
         .hashedShingles(corpus.filter(col("doc_id") % m =!= (m - 1)))
         .select(col("key").as("h"), col("doc_id").as("doc"))
@@ -87,15 +92,46 @@ object ContainScale {
       assert(a == b && a == w && a == h,
         s"probe drift on $label: direct=$a hybrid=$h aggguard=$w prefix=$b")
     }
-    // the INDEXED probe (r17 df sidecar): same x4 halves through the
+    // the INDEXED probe (r17 df sidecar): replicated halves through the
     // real containmentDeltaIndexed — `sidecar` reads the df stats (no
     // per-probe postings aggregate), `fallback` has the stats deleted
     // and re-derives hot keys in-plan. Row counts asserted equal.
+    // CONTAIN_X picks the replication (default 4 — the r17 row; the
+    // r18 ×24 row measures the regime the sidecar was BUILT for, where
+    // the postings' h column is genuinely large and the in-plan
+    // re-aggregate reads ~avg-df× more bytes than the stats table).
+    // The probe stays mod-8 at ×24 (production micro-batch ≪ corpus);
+    // ×4 keeps the half-split so the r17 row stays reproducible.
     {
+      val xN = sys.env.get("CONTAIN_X").map(_.toInt).getOrElse(4)
+      // CONTAIN_BOILER=1 (r18): the regime the sidecar was BUILT for —
+      // a SMALL micro-batch (mod-240 ≈ 500 docs) probing a corpus
+      // whose every doc carries a shared boilerplate suffix. The
+      // boilerplate shingles' df ≈ the stored corpus (over the 100k
+      // cap at ×24), so the fallback's in-plan hot check must
+      // re-aggregate the restricted postings — dominated by the
+      // boilerplate postings, ~corpus-sized — on EVERY probe, while
+      // the sidecar reads the ~distinct-shingle-sized df stats. The
+      // clean-corpus rows (no boiler) bound the check's cost from
+      // above by one extra scan of a frame the probe plan reads
+      // anyway — measured a wash at ×4 AND ×24 (BASELINE.md r17/r18);
+      // the boiler row is where the read-volume asymmetry is real.
+      val boiler = sys.env.contains("CONTAIN_BOILER")
+      val bigRaw =
+        if (xN == 4) x4
+        else (0 until xN).map(i => docs.select(
+            (col("doc_id") * xN + i).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+      val big =
+        (if (boiler) bigRaw.withColumn("text",
+          concat(col("text"), lit(" zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7")))
+         else bigRaw).localCheckpoint(true)
+      val m = if (boiler) 240L else if (xN == 4) 2L else 8L
+      val tag = s"sf0.1x$xN${if (boiler) "boiler" else ""}-index"
       val dir2 = java.nio.file.Files.createTempDirectory("cs_cnidx").toString
-      val stored = x4.filter(col("doc_id") % 2 === 0)
+      val stored = big.filter(col("doc_id") % m =!= (m - 1))
         .withColumn("n_chars", length(col("text")))
-      val probe = x4.filter(col("doc_id") % 2 === 1)
+      val probe = big.filter(col("doc_id") % m === (m - 1))
         .withColumn("n_chars", length(col("text")))
         .localCheckpoint(true)
       graft.queries.TextOps.appendContainmentIndex(spark, dir2,
@@ -104,7 +140,7 @@ object ContainScale {
       // full deltaIndexed's within-batch self-join would drown it);
       // alternated twice so JIT/first-touch lands on neither label
       def probeOnce(label: String): Long =
-        time("sf0.1x4-index", label)(
+        time(tag, label)(
           graft.queries.TextOps.containmentDeltaIndexedAsOf(spark, dir2,
             probe.select(col("doc_id"), col("text"), col("n_chars")),
             0.8, "t0"))
