@@ -40,6 +40,18 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(Ivf.defaultCells(500) == 22)
     assert(Ivf.defaultCells(2000) == 45)
     assert(Ivf.defaultCells(1000000) == 1000)
+    // the SEARCH knob's derivation (r18 — AnnSmallGrid): widen nprobe
+    // until the candidate pool nprobe·n/cells reaches ~512; floor 4,
+    // cap cells. Pinned at the fixture sizes the floors bound and at
+    // the regimes where each bound binds.
+    assert(Ivf.defaultNprobe(500, 16) == 16, "tiny corpus probes all cells")
+    assert(Ivf.defaultNprobe(2000, 16) == 5)
+    assert(Ivf.defaultNprobe(2048, 16) == 4, "floor from 128·cells rows")
+    assert(Ivf.defaultNprobe(1000000, 16) == 4)
+    assert(Ivf.defaultNprobe(1000000, Ivf.defaultCells(1000000)) == 4,
+      "at derived cells ~sqrt(n) the floor owns every large corpus")
+    assert(Ivf.defaultNprobe(100, 8) == 8, "cap at cells")
+    assert(Ivf.defaultNprobe(0, 16) == 16, "empty corpus degenerates safely")
     // an unpinned build derives its geometry from the corpus it indexes
     // (the r15 verdict: a 16-cell fixture constant shipped at 100 TB
     // decays routed overlap — BASELINE.md HybridScale); two corpus

@@ -34,6 +34,27 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.7, s"simhash recall $recall of ${truth.size} J>=0.9 pairs")
   }
 
+  test("simhashBanding derivation: exhaustive configs, cap-bound switch, " +
+      "wide-gate refusal") {
+    import graft.operators.BandedHamming
+    // small regime: 8×8 exact bands (pigeonhole-exhaustive for d ≤ 7,
+    // expected buckets n/256 ≤ cap/4 up to 64·maxBucket docs)
+    assert(BandedHamming.simhashBanding(500L) == ((8, false)))
+    assert(BandedHamming.simhashBanding(64L * 100000) == ((8, false)),
+      "boundary itself stays in the small regime")
+    // large regime: 4×16 + radius-1 probes (same d ≤ 7 guarantee,
+    // 16-bit buckets under cap to ~1.6B rows)
+    assert(BandedHamming.simhashBanding(64L * 100000 + 1) == ((4, true)))
+    assert(BandedHamming.simhashBanding(1_000_000_000L) == ((4, true)))
+    // a smaller cap moves the switch point proportionally
+    assert(BandedHamming.simhashBanding(1000L, maxBucket = 10) == ((4, true)))
+    // both configs' exhaustiveness stops at d = 7 — a derived default
+    // silently under-covering a wider gate is the r17 LshGrid bug
+    intercept[IllegalArgumentException] {
+      BandedHamming.simhashBanding(500L, maxHamming = 8)
+    }
+  }
+
   test("LSH clustering: contained in exact clusters, dup recall >= 80%") {
     val exact = graft.queries.TextOps.dedupCluster(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
