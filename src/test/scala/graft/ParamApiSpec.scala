@@ -580,11 +580,14 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
         org.apache.spark.sql.graft.VectorExpressions
           .dotProduct(col("embedding"), col("embedding")).as("n2"))
       .localCheckpoint(true)
+    // knobs mirror the contract instantiation: 48×24 are the r18
+    // small-corpus floors (n = 500 here, so the n/25, n/62 linear
+    // terms stay below them)
     val pure = graft.operators.NnDescent.searchGraph(base,
       graft.operators.NnDescent.buildGraph(base, k = 10, iters = 2,
         cells = 16),
-      base.filter(col("vec_id") < 5), k = 5, beam = 20, hops = 3,
-      entries = 8)
+      base.filter(col("vec_id") < 5), k = 5, beam = 48, hops = 3,
+      entries = 24)
     val first = canon(VectorOps.knnGraph(spark, Sf0001))
     assert(first == canon(pure))
     assert(VectorOps.graphCacheSize == 1)
