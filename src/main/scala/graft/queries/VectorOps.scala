@@ -1734,9 +1734,18 @@ object VectorOps {
     * (θ ≈ 69°, p_sep ≈ 0.39) 2-bit bands give ≈0.98 candidate recall; at a
     * production near-dup gate (cos ≥ 0.9, p_sep ≈ 0.14) 4×16-bit banding
     * prunes ≈97 % of random pairs at the same recall — band width is the
-    * knob, the plan shape is unchanged. Plane signs are engine-specific →
-    * no SQL oracle; VectorOpsSpec asserts recall vs the exact baseline and
-    * that every emitted pair passes the exact threshold.
+    * knob, the plan shape is unchanged. SCALE NOTE (r18, the
+    * simhashBanding/knnLshAt constraint stated here too): 2-bit bands
+    * mean 4 bucket values per band, so expected buckets are n/4 and
+    * cross the hot-bucket cap near n ≈ 4·maxBucket (≈400 k default) —
+    * past that the guard drops buckets and recall collapses silently;
+    * widen bits-per-band with the corpus (the [[knnLshAt]] derivation's
+    * r = ⌈log2(4n/maxBucket)⌉ reasoning) via [[neardupCosineLshAt]]'s
+    * explicit knobs, accepting the per-band recall p^r trade the
+    * 0.98-vs-0.978 analytic line above prices. Plane signs are
+    * engine-specific → no SQL oracle; VectorOpsSpec asserts recall vs
+    * the exact baseline and that every emitted pair passes the exact
+    * threshold.
     */
   def neardupCosineLsh(spark: SparkSession, dir: String): DataFrame =
     memoPairs(spark, dir, "cosine_lsh_0.35_16_8")(
@@ -2057,25 +2066,34 @@ object VectorOps {
     * entries cut quantization error so much that the re-rank sees
     * better-ordered shortlists while the ADC LUT stays trivially
     * broadcastable (m·ks = 512 doubles per query). The shortlist SCALES
-    * with the corpus — max(100, n/5) — the q_knn_graph lesson applied
+    * with the corpus — max(200, n/5) — the q_knn_graph lesson applied
     * here the same round: on a structureless corpus the ADC error vs
     * true-neighbor gap forces the re-rank set to stay a constant corpus
     * fraction (fixed 100 read 0.96 at n=500 but 0.84 at n=2 000; n/10 =
-    * 0.92, n/5 = 1.00 — grid in BASELINE.md r14). Real corpora with dup/
-    * cluster structure need FAR less: the 200 k hard-regime table hit
-    * 0.906 with shortlist 200 = 0.1%. Engine-specific in
+    * 0.92, n/5 = 1.00 — grid in BASELINE.md r14). The FLOOR is the
+    * small-corpus half (r18, AnnSmallGrid): 100 reads 0.96 at the
+    * 500-vector fixtures where 200 reads 1.00 at both — one
+    * quantization-misranked true neighbor sat just outside the 20%
+    * shortlist; larger codebooks (ks 128) do NOT recover it, a wider
+    * re-rank does. The floor stops binding past n = 1 000. Real
+    * corpora with dup/cluster structure need FAR less: the 200 k
+    * hard-regime table hit 0.906 with shortlist 200 = 0.1%.
+    * Engine-specific in
     * codebook choice → no SQL oracle; VectorOpsSpec asserts recall
     * against [[knnBruteforce]] plus structural invariants, and
     * [[vecPq]] pins the encode math cross-engine.
     */
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
+    // session-memoized like every derived-knob count (r18 — this one
+    // was missed in the first CorpusCount pass; counted on the RAW
+    // table frame so it shares the warm row's memo entry)
+    val n = graft.operators.CorpusCount.of(Tables.t(spark, dir, "embeddings"))
     val base = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-    val n = base.count()
     Pq.search(base, Pq.seedCodebooks(base, m = 8, ks = 64),
       base.filter(col("vec_id") < 5), k = 5,
-      shortlist = math.max(100L, n / 5).toInt, m = 8)
+      shortlist = math.max(200L, n / 5).toInt, m = 8)
   }
 
   /** PQ encode digests — the SQL-oracled face of [[knnPq]]'s compression

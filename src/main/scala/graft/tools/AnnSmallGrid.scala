@@ -45,6 +45,21 @@ object AnnSmallGrid {
         println(f"   ivf   cells=$cells%2d nprobe=$nprobe%2d cand~${nprobe * n / cells}%6d " +
           f"recall=$r%.2f sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
+      // PQ sweep (r18 second pass): the contract shortlist is
+      // max(100, n/5); is the 0.96 small-corpus floor shortlist-bound
+      // (fixable by a floor raise) or ADC-quantization-bound (a real
+      // ceiling — the missed neighbor's ADC score falls outside ANY
+      // affordable shortlist)?
+      for ((ks, sl) <- Seq((64, math.max(100L, n / 5).toInt),
+          (64, math.max(200L, n / 5).toInt), (64, math.max(250L, n / 2).toInt),
+          (64, n.toInt), (128, math.max(100L, n / 5).toInt))) {
+        val t0 = System.nanoTime()
+        val r = recall(graft.operators.Pq.search(base,
+          graft.operators.Pq.seedCodebooks(base, m = 8, ks = ks),
+          base.filter(col("vec_id") < 5), k = 5, shortlist = sl, m = 8))
+        println(f"   pq    ks=$ks%3d shortlist=$sl%5d recall=$r%.2f " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
       val edges = graft.operators.NnDescent
         .buildGraph(base, k = 10, iters = 2, cells = 16)
         .localCheckpoint(true)
