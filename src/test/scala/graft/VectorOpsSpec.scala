@@ -55,6 +55,24 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("simhash banding regimes are interchangeable: the large-corpus " +
+      "4×16+probe config finds the SAME pairs as the small-corpus 8×8") {
+    // the (4, true) branch never runs on fixture-sized corpora, so its
+    // exhaustiveness claim would otherwise ship untested — both derived
+    // configs cover every pair at hamming ≤ 7, hence identical outputs
+    import graft.operators.BandedHamming
+    val sigs = VectorOps.simhashSignatures(
+      Tables.t(spark, Sf0001, "documents")).localCheckpoint(true)
+    def pairsOf(bands: Int, probe: Boolean) = BandedHamming
+      .pairs(sigs, "doc_id", "simhash", bands = bands, maxHamming = 6,
+        multiProbe = probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val small = pairsOf(8, probe = false)
+    val large = pairsOf(4, probe = true)
+    assert(small.nonEmpty && small == large,
+      s"derived configs disagree: 8x8=${small.size} 4x16probe=${large.size}")
+  }
+
   test("LSH clustering: contained in exact clusters, dup recall >= 80%") {
     val exact = graft.queries.TextOps.dedupCluster(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
