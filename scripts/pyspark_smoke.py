@@ -410,6 +410,19 @@ check("containment near-dup from Python",
       len(cont) > 0 and all(r["containment"] >= 0.8 for r in cont),
       f"({len(cont)} directional pairs)")
 
+# simhash near-dup from Python (r18 derived banding): the 1-arg default
+# equals maxHamming=6 explicitly, every pair passes its gate, and a
+# tighter gate yields a subset
+sh6 = DataFrame(bridge.neardupPairsSimhash(docs._jdf), spark).collect()
+sh6x = DataFrame(bridge.neardupPairsSimhash(docs._jdf, 6), spark).collect()
+sh2 = DataFrame(bridge.neardupPairsSimhash(docs._jdf, 2), spark).collect()
+p6 = {(r["d1"], r["d2"]) for r in sh6}
+check("simhash near-dup from Python",
+      len(sh6) > 0 and sh6 == sh6x
+      and all(r["hamming"] <= 6 for r in sh6)
+      and {(r["d1"], r["d2"]) for r in sh2} <= p6,
+      f"({len(sh6)} pairs, {len(sh2)} at hamming<=2)")
+
 curve = DataFrame(bridge.noveltyCurve(docs._jdf, 8, 50), spark).collect()
 check("novelty curve from Python",
       len(curve) > 0 and all(0 <= r["novelty"] <= 1 for r in curve)

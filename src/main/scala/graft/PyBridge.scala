@@ -92,6 +92,16 @@ object PyBridge {
   def neardupPairsLsh(docs: DataFrame, threshold: Double): DataFrame =
     graft.queries.VectorOps.minhashPairsOn(docs, threshold)
 
+  /** SimHash near-dup pairs at `maxHamming` — corpus-derived banding
+    * (candidate-exhaustive to hamming 7; r18). 2-arg overload because
+    * Scala default args are invisible over Py4J.
+    */
+  def neardupPairsSimhash(docs: DataFrame, maxHamming: Int): DataFrame =
+    graft.queries.VectorOps.dedupSimhashAt(docs, maxHamming)
+
+  def neardupPairsSimhash(docs: DataFrame): DataFrame =
+    neardupPairsSimhash(docs, 6)
+
   /** Exact cosine top-k of `queries` rows against `corpus` (both need
     * (vec_id, embedding)).
     */

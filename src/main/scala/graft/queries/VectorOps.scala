@@ -1581,13 +1581,28 @@ object VectorOps {
     * asserted in VectorOpsSpec. At scale this shuffles by (band index,
     * band value) — never all-pairs.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
-    val (bands, probe) = graft.operators.BandedHamming
-      .simhashBanding(graft.operators.CorpusCount.of(docs))
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashAt(Tables.t(spark, dir, "documents"))
+
+  /** [[dedupSimhash]] generalized over an arbitrary `(doc_id, text)`
+    * frame — the parameterized engine surface (r18; every other dedup
+    * family already had its `*At` form, ParamApiSpec). Banding derives
+    * from the corpus count ([[graft.operators.BandedHamming
+    * .simhashBanding]]; count session-memoized); callers pinning
+    * geometry compose [[simhashSignatures]] with
+    * [[graft.operators.BandedHamming.pairs]] directly — a maxHamming
+    * wider than 7 requires that route, because no derived banding is
+    * exhaustive past d = 7.
+    */
+  def dedupSimhashAt(docs: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
+      : DataFrame = {
+    val (bands, probe) = graft.operators.BandedHamming.simhashBanding(
+      graft.operators.CorpusCount.of(docs), maxHamming, maxBucket)
     graft.operators.BandedHamming
       .pairs(simhashSignatures(docs), "doc_id", "simhash",
-        bands = bands, maxHamming = 6, multiProbe = probe)
+        bands = bands, maxHamming = maxHamming, maxBucket = maxBucket,
+        multiProbe = probe)
       .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }

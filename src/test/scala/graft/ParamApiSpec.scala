@@ -52,6 +52,26 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(contract == mid.keySet)
   }
 
+  test("dedupSimhashAt: hamming gates are monotone, every pair passes " +
+      "its gate, and the contract query IS the default instantiation") {
+    val docs = Tables.t(spark, Sf0001, "documents")
+    def pairs(h: Int) = VectorOps.dedupSimhashAt(docs, maxHamming = h)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val tight = pairs(2)
+    val mid = pairs(6)
+    val loose = pairs(7)
+    assert(mid.nonEmpty, "fixture has planted near-dups")
+    assert(tight.keySet.subsetOf(mid.keySet) && mid.keySet.subsetOf(loose.keySet))
+    assert(tight.values.forall(_ <= 2) && mid.values.forall(_ <= 6))
+    val contract = VectorOps.dedupSimhash(spark, Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(contract == mid)
+    // the derived-banding exhaustiveness guarantee stops at d = 7
+    intercept[IllegalArgumentException] {
+      VectorOps.dedupSimhashAt(docs, maxHamming = 8)
+    }
+  }
+
   test("neardupJaccardPrefixAt: bit-identical to the direct join at every threshold") {
     val docs = Tables.t(spark, Sf0001, "documents")
     for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
