@@ -70,18 +70,29 @@ object BandedHamming {
     * pigeonhole-EXHAUSTIVE for `maxHamming` while expected bucket
     * population stays under `maxBucket`/4.
     *
-    *  - n ≤ 64·maxBucket (6.4M at the default cap): (8, false) —
-    *    8-bit bands; d < 8 forces some band to match exactly, so every
-    *    pair the d ≤ 6 gate can accept IS a candidate, and expected
-    *    buckets n/256 ≤ maxBucket/4. Measured (SimhashGrid,
-    *    BASELINE.md r18): lifts exact-J0.5 recall to the gate's own
-    *    ceiling at all 3 SFs (0.929/1.000/0.926 vs 0.929/0.920/0.879
-    *    for 4×16 exact) at comparable cost.
-    *  - larger n: (4, true) — 16-bit bands keep buckets n/65536 under
-    *    the cap to ~1.6B rows; radius-1 flip probes restore
-    *    exhaustiveness (all four bands ≥ 2 flips needs d ≥ 8) at 17×
-    *    probe-side rows with bucket populations unchanged. Measured
-    *    equal recall to 8×8 exact at every SF.
+    *  - small corpora: (8, false) — 8-bit bands; d < 8 forces some
+    *    band to match exactly, so every pair the d ≤ 6 gate can accept
+    *    IS a candidate. Measured (SimhashGrid, BASELINE.md r18): lifts
+    *    exact-J0.5 recall to the gate's own ceiling at all 3 SFs
+    *    (0.929/1.000/0.926 vs 0.929/0.920/0.879 for 4×16 exact), and
+    *    is the CHEAPER config through at least 120k docs (8.1 s vs
+    *    29.3 s at 60k, 25.3 vs 121.5 at 120k on the jittered ×N
+    *    corpora — the probe config re-finds every dup-cluster pair up
+    *    to 2·17·bands times before its distinct).
+    *  - large corpora: (4, true) — 16-bit bands + radius-1 flip
+    *    probes, same d ≤ 7 guarantee (all four bands ≥ 2 flips needs
+    *    d ≥ 8). 8-bit candidate volume grows ~n²/64 (only 256 bucket
+    *    values per band, so the hot-bucket guard cannot bound it until
+    *    buckets hit the cap at n = 256·maxBucket), while this config's
+    *    in-bucket pairs shrink 512× and its probe cost is ~linear.
+    *
+    * The switch point is the measured-cost crossover, NOT the cap
+    * bound the r18 first cut used (64·maxBucket ≈ 6.4M — falsified by
+    * the SimhashGrid scale rows: extrapolating the measured quadratic,
+    * 8×8 at 6.4M would pay hours against the probe config's minutes).
+    * Wall at 120k: 8×8 ≈ 22 s growing ×(n/120k)², probe ≈ 121 s
+    * growing ~linearly → crossover ≈ 5.5×120k ≈ 2¹⁹. The cap bound
+    * stays as the secondary constraint for small explicit caps.
     *
     * Past ~1.6B rows expected 16-bit buckets re-approach the cap —
     * partition the corpus (by source/shard) or pass explicit knobs
@@ -94,7 +105,7 @@ object BandedHamming {
     require(maxHamming <= 7,
       s"derived banding is exhaustive only to hamming 7, got $maxHamming" +
         " — pass explicit bands/multiProbe for wider gates")
-    if (n <= 64L * maxBucket) (8, false) else (4, true)
+    if (n <= math.min(64L * maxBucket, 1L << 19)) (8, false) else (4, true)
   }
 
   /** Rows the guard pulled out of the quadratic candidate join (they may

@@ -1571,7 +1571,7 @@ object VectorOps {
   /** SimHash near-dup with banded candidate generation: 64-bit simhash
     * from xxhash64 token hashes, corpus-derived banding
     * ([[graft.operators.BandedHamming.simhashBanding]], r18 — 8×8-bit
-    * exact bands below ~6.4M docs, 4×16-bit + radius-1 probes above;
+    * exact bands below ~524k docs, 4×16-bit + radius-1 probes above;
     * both pigeonhole-exhaustive for the d ≤ 6 gate, so recall is
     * limited only by the gate itself, not the banding: the fixed 4×16
     * exact-band trade read 0.879 of the gate's 0.926 ceiling at sf0.1

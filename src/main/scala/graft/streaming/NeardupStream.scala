@@ -86,7 +86,7 @@ object NeardupStream {
     * unbounded stream cannot be counted, and the derivation's
     * small-corpus pick (8-bit bands) would also key the state store on
     * only 8×256 distinct groups — a parallelism/skew ceiling the batch
-    * shuffle does not have. Callers expecting ≤ ~6.4M docs who want
+    * shuffle does not have. Callers expecting ≤ ~524k docs who want
     * parity with the batch derivation pass `bands = 8`; the 4×16
     * default stays the scale-safe streaming shape (its exact-band
     * recall trade is measured in BASELINE.md SimhashGrid r18).

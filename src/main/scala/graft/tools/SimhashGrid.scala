@@ -21,6 +21,51 @@ object SimhashGrid {
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SIMHASH_SCALE=1 (r18 second pass): above-fixture corpora via
+    // jittered replication (each replica gets a distinct suffix token,
+    // so clones are near- but not exactly-identical) to locate the
+    // COST crossover between the two exhaustive configs — 8×8's
+    // candidate volume grows ~n²/64 (256 bucket values per band),
+    // 4×16+probe's ~n²/32768 + 68n probe rows. The recall columns are
+    // meaningless at these corpora (no exact-Jaccard truth computed);
+    // the wall and pair-parity columns are the measurement.
+    val scale = sys.env.contains("SIMHASH_SCALE")
+    val corpora: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      if (!scale) Seq("sf0.001", "sf0.01", "sf0.1").map(sf =>
+        sf -> (() => graft.queries.Tables.t(spark, s"/root/testdata/$sf",
+          "documents")))
+      else Seq(4, 12, 24).map(xN => s"sf0.1x$xN" -> (() => {
+        val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        (0 until xN).map(i => d.select(
+            (col("doc_id") * xN + i).as("doc_id"),
+            concat(col("text"), lit(s" rep$i")).as("text")))
+          .reduce(_ unionByName _)
+      }))
+    if (scale) {
+      for ((label, mk) <- corpora) {
+        val sigs = graft.queries.VectorOps.simhashSignatures(mk())
+          .localCheckpoint(true)
+        val n = sigs.count()
+        def run(tag: String, bands: Int, probe: Boolean): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val c = graft.operators.BandedHamming
+            .pairs(sigs, "doc_id", "simhash", bands = bands, maxHamming = 6,
+              multiProbe = probe).count()
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        // alternate order so JIT/caching lands on neither config
+        val (c8a, s8a) = run("8x8", 8, probe = false)
+        val (c4a, s4a) = run("4x16p", 4, probe = true)
+        val (c4b, s4b) = run("4x16p", 4, probe = true)
+        val (c8b, s8b) = run("8x8", 8, probe = false)
+        assert(c8a == c4a && c4a == c4b && c8a == c8b,
+          s"exhaustive configs disagree at $label: $c8a $c4a $c4b $c8b")
+        println(f"== $label n=$n pairs=$c8a 8x8=[$s8a%.2f,$s8b%.2f]s " +
+          f"4x16p=[$s4a%.2f,$s4b%.2f]s")
+      }
+      spark.stop(); return
+    }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val docs = graft.queries.Tables.t(spark, dir, "documents")

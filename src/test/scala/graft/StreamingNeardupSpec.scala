@@ -48,7 +48,7 @@ class StreamingNeardupSpec extends AnyFunSuite with SparkSessionFixture {
 
     val input = MemoryStream[(Long, String)]
     // match the banding the batch form DERIVES at this corpus size
-    // (8×8 below ~6.4M docs — BandedHamming.simhashBanding, r18); the
+    // (8×8 below ~524k docs — BandedHamming.simhashBanding, r18); the
     // stream twin keeps an explicit knob because an unbounded stream
     // cannot be counted
     val (batchBands, _) = graft.operators.BandedHamming.simhashBanding(500L)

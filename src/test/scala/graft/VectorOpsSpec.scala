@@ -37,14 +37,15 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
   test("simhashBanding derivation: exhaustive configs, cap-bound switch, " +
       "wide-gate refusal") {
     import graft.operators.BandedHamming
-    // small regime: 8×8 exact bands (pigeonhole-exhaustive for d ≤ 7,
-    // expected buckets n/256 ≤ cap/4 up to 64·maxBucket docs)
+    // small regime: 8×8 exact bands (pigeonhole-exhaustive for d ≤ 7;
+    // cheaper than the probe config through the measured crossover)
     assert(BandedHamming.simhashBanding(500L) == ((8, false)))
-    assert(BandedHamming.simhashBanding(64L * 100000) == ((8, false)),
+    assert(BandedHamming.simhashBanding(1L << 19) == ((8, false)),
       "boundary itself stays in the small regime")
-    // large regime: 4×16 + radius-1 probes (same d ≤ 7 guarantee,
-    // 16-bit buckets under cap to ~1.6B rows)
-    assert(BandedHamming.simhashBanding(64L * 100000 + 1) == ((4, true)))
+    // large regime: 4×16 + radius-1 probes (same d ≤ 7 guarantee; the
+    // 8-bit config's ~n²/64 candidate volume crosses the measured wall
+    // near 2¹⁹ docs — SimhashGrid scale rows, BASELINE.md r18)
+    assert(BandedHamming.simhashBanding((1L << 19) + 1) == ((4, true)))
     assert(BandedHamming.simhashBanding(1_000_000_000L) == ((4, true)))
     // a smaller cap moves the switch point proportionally
     assert(BandedHamming.simhashBanding(1000L, maxBucket = 10) == ((4, true)))
