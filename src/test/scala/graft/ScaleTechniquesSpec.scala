@@ -209,6 +209,29 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkSessionFixture {
       s"expected the operator's span error, got: ${messages(err)}")
   }
 
+  test("hot-bucket guard under multiProbe: the large-corpus derived config " +
+      "keeps the same degraded-but-bounded posture") {
+    // the (4, true) simhashBanding regime never runs on fixture-sized
+    // corpora, so its guard interaction would otherwise ship untested:
+    // probe rows landing in a DROPPED hot bucket find nothing (the
+    // guard removed the exact rows), and the planted trio still pairs
+    // through its own non-degenerate buckets — including the hamming-1
+    // pair whose band values differ by one flipped bit, which only the
+    // probe side can reach when they share no exact 16-bit band
+    import spark.implicits._
+    import graft.operators.BandedHamming
+    val degenerate = (0L until 200L).map(i => (i, 0L))
+    val trio = Seq((1001L, 0x0123456789abcdefL),
+      (1002L, 0x0123456789abcdeeL),
+      (1003L, 0x0123456789abcdefL ^ 0x6L))
+    val rows = (degenerate ++ trio).toDF("id", "h")
+    val got = BandedHamming.pairs(rows, "id", "h", bands = 4, maxHamming = 6,
+      maxBucket = 50, multiProbe = true).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1001L, 1002L), (1001L, 1003L), (1002L, 1003L)),
+      s"got ${got.toSeq}")
+  }
+
   test("hot-bucket guard: a degenerate band value cannot go quadratic") {
     import spark.implicits._
     import graft.operators.BandedHamming
