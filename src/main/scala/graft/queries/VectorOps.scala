@@ -1597,6 +1597,9 @@ object VectorOps {
   def dedupSimhashAt(docs: DataFrame, maxHamming: Int = 6,
       maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
       : DataFrame = {
+    // validate the gate BEFORE paying the corpus-count job: an invalid
+    // maxHamming must throw without running a full-scan count first
+    graft.operators.BandedHamming.simhashBanding(0L, maxHamming, maxBucket)
     val (bands, probe) = graft.operators.BandedHamming.simhashBanding(
       graft.operators.CorpusCount.of(docs), maxHamming, maxBucket)
     graft.operators.BandedHamming
