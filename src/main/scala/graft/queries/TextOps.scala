@@ -3874,8 +3874,34 @@ object TextOps {
       .select(col("doc_id"), lit(true).as("ex_keep"))
     val contam = decontaminateOn(docs, cfg).filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))
-    val stage3 = qOk.join(exKeep.select(col("doc_id")), Seq("doc_id"))
+    val stage3lazy = qOk.join(exKeep.select(col("doc_id")), Seq("doc_id"))
       .join(contam.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // With the containment stage on, stage3 is referenced by every
+    // later stage AND the verdict join — four references through the
+    // containment subtree alone — and Catalyst expands the full
+    // gate+hash+decontaminate subtree (its own multi-scan plan) at each
+    // reference with ZERO exchange reuse: the executed plan reached
+    // 4190 formatted lines / 133 Exchanges / 73 parquet scans
+    // (plans/r18/q_curate_containment_before_ckpt.txt). Materialize it
+    // once: later stages re-derive from a local checkpoint instead of
+    // replaying the pipeline per reference (the segment path's `rw`
+    // discipline applied to the doc-level trunk). MEASURED A/B
+    // (tools/CurateCkptAb, alternated in-process, sf0.1): containment
+    // 4.55 → 3.58 s steady-state (−21%); but the SEMANTIC variant reads
+    // the OTHER way (2.8 → 3.4 s — its stage3 fan-out is half, and the
+    // eager materialization job costs more than the duplicate subtrees
+    // it removes), so only the containment path checkpoints —
+    // OPTIMIZATION_r18.md §7 has both grids. Default-config runs keep
+    // the lazy frame (small fan-out, memoized by the warm row).
+    // `spark.graft.curate.ckptStage3=false` restores the lazy plan —
+    // the A/B switch and the escape hatch for deployments where
+    // executor-local checkpoint blocks are undesirable (e.g.
+    // aggressive executor decommissioning).
+    val ckptOn = docs.sparkSession.conf
+      .getOption("spark.graft.curate.ckptStage3").forall(_.toBoolean)
+    val stage3 = if (ckptOn && cfg.containmentThreshold.isDefined)
+      stage3lazy.localCheckpoint(true)
+    else stage3lazy
     val labelDf = labels.getOrElse(clusterLabelsOn(docs, cfg.jaccardThreshold))
     val clusters = docs.select(col("doc_id"))
       .join(labelDf, col("doc_id") === col("id"), "left")
