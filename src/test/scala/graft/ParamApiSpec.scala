@@ -231,6 +231,44 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       s"survivor $id fails the gate on its rewritten text"))
   }
 
+  test("curateOn containmentThreshold: the stage-3 trunk checkpoint is " +
+      "plan-only — verdicts bit-identical to the lazy plan, trunk truncated") {
+    // the r18 optimization (OPTIMIZATION_r18.md §7): with containment on,
+    // stage3 is localCheckpoint'd so later stages stop re-expanding the
+    // gate+hash+decontaminate subtree per reference. This pin holds BOTH
+    // halves: (1) results are unchanged by the materialization, via the
+    // spark.graft.curate.ckptStage3 escape hatch; (2) the checkpoint
+    // actually truncates — the default plan reads the trunk from
+    // checkpoint leaves and carries strictly fewer file-relation leaves
+    // than the lazy expansion (73 parquet scans at the contract query
+    // before the change).
+    val docs = Tables.t(spark, Sf0001, "documents")
+    val cfg = CurateConfig(containmentThreshold = Some(0.8))
+    val ckptDf = TextOps.curateOn(docs, cfg)
+    def leaves(df: DataFrame) = df.queryExecution.optimizedPlan.collectLeaves()
+    def fileLeaves(df: DataFrame) = leaves(df).count {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    assert(leaves(ckptDf).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "default containment plan must read stage3 from a checkpoint leaf")
+    spark.conf.set("spark.graft.curate.ckptStage3", "false")
+    val (lazyDf, lazyRows) =
+      try {
+        val d = TextOps.curateOn(docs, cfg)
+        (d, d.collect().toSeq)
+      } finally spark.conf.unset("spark.graft.curate.ckptStage3")
+    assert(leaves(lazyDf).forall(
+      !_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "escape hatch must restore the fully-lazy plan")
+    assert(fileLeaves(ckptDf) < fileLeaves(lazyDf),
+      s"checkpoint must truncate file-relation fan-out " +
+        s"(${fileLeaves(ckptDf)} vs ${fileLeaves(lazyDf)})")
+    assert(ckptDf.collect().toSeq == lazyRows,
+      "materialization changed verdicts — it must be plan-only")
+  }
+
   test("curateOn semanticThreshold: composed == doc-level curate then " +
       "semantic keep-best over its survivors") {
     val docs = Tables.t(spark, Sf0001, "documents")
