@@ -274,8 +274,147 @@ object BandedHamming {
           expr("bandval ^ shiftleft(CAST(1 AS BIGINT), __flip)"))
         .drop("__flip"))
 
+  /** Identical-hash collapse (r18): exact-duplicate content (and any
+    * hash-identical rows) enters candidate generation as ONE
+    * representative row per distinct hash value, not one row per member.
+    *
+    * Why: on exact-dup-dense corpora — the norm for raw crawl text and
+    * the very thing a dedup operator is pointed at — a k-member
+    * identical-hash cluster lands all k rows in the SAME bucket of
+    * every band, so the quadratic candidate join pays k²·bands joined
+    * rows and the distinct collapses each of the C(k,2) pairs bands
+    * (×2·(bits+1) with probing) times. Collapsed, the cluster is one
+    * row per band: the candidate join and its distinct run over
+    * DISTINCT hashes, and member pairs are reconstructed afterwards by
+    * joining the (hash → members) frame — each pair emitted exactly
+    * once, and the within-cluster C(k,2) expansion (the OUTPUT's own
+    * size, irreducible) pays one hash-keyed join instead of riding the
+    * banded shuffle ×bands.
+    *
+    * Results are bit-identical to the per-member form in EVERY regime,
+    * including hot-bucket drops ([[pairsReference]] is kept as the
+    * oracle and BandedCollapseSpec pins equality on randomized corpora
+    * with planted identical clusters and tiny caps):
+    *  - bucket populations stay MEMBER-weighted (`sum(cnt)` over the
+    *    bucket window), so the guard fires in exactly the same regimes
+    *    and warns with the same row counts;
+    *  - members of one hash group share every bucket, so per-group
+    *    keep/drop equals today's per-member keep/drop;
+    *  - within-group (hamming 0) pairs are emitted iff the group
+    *    survived the guard in ≥ 1 band — exactly when the quadratic
+    *    join would have emitted them;
+    *  - star-edge rescue expands to (bucket min member, every other
+    *    member) through the same membership join.
+    */
   def pairs(df: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxHamming: Int = 6,
+      maxBucket: Int = DefaultMaxBucket,
+      rescueHot: Boolean = false,
+      multiProbe: Boolean = false): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val members = df.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+    val grp = members.groupBy(col("__h"))
+      .agg(min(col("__id")).as("__gid"), count(lit(1)).as("__cnt"))
+    val gex = grp.select(col("__gid"), col("__h"), col("__cnt"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
+    // member-weighted bucket populations: identical __n (and identical
+    // warn lines/telemetry) to the per-member form
+    val w = Window.partitionBy(col("band"), col("bandval"))
+    val marked = gex
+      .withColumn("__n", sum(col("__cnt")).over(w))
+      .withColumn("__rep", min(struct(col("__gid"), col("__h"))).over(w))
+    val banded = marked.filter(col("__n") <= maxBucket ||
+        (col("__gid") === col("__rep").getField("__gid") &&
+          org.apache.spark.sql.graft.WarnHotBucket.column(
+            concat_ws(",", col("band").cast("string"),
+              col("bandval").cast("string")), col("__n"))))
+      .drop("__n", "__rep", "__cnt")
+    // candidate DISTINCT-HASH pairs, deduplicated across bands at group
+    // level (tiny vs the member-level stream), hamming-verified ONCE per
+    // hash pair before any member expansion
+    val gquad = if (!multiProbe) {
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+            col("a.__gid") < col("b.__gid"))
+        .select(col("a.__gid").as("g1"), col("b.__gid").as("g2"),
+          col("a.__h").as("h1"), col("b.__h").as("h2"))
+    } else {
+      // exact+flip postings joined against the GUARDED exact postings
+      // (band-distance ≤ 1 ⇒ candidate; see withFlipProbes). The probe
+      // side is unguarded on purpose: a probe row landing in a dropped
+      // hot bucket finds nothing (the guard removed the exact rows),
+      // and probe rows are linear per input row. Each unordered pair
+      // can surface from both directions — normalize via the id-ordered
+      // struct so (g1, h1) stays the smaller id's hash, then distinct.
+      val s1 = struct(col("a.__gid").as("i"), col("a.__h").as("h"))
+      val s2 = struct(col("b.__gid").as("i"), col("b.__h").as("h"))
+      withFlipProbes(gex.drop("__cnt"), bits).as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+            col("a.__gid") =!= col("b.__gid"))
+        .select(least(s1, s2).getField("i").as("g1"),
+          greatest(s1, s2).getField("i").as("g2"),
+          least(s1, s2).getField("h").as("h1"),
+          greatest(s1, s2).getField("h").as("h2"))
+    }
+    val gcand = gquad.distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+    // expand candidate hash pairs to member pairs (h1 ≠ h2, so the two
+    // membership joins cannot overlap; ids normalized ascending)
+    val m1 = members.select(col("__h").as("h1"), col("__id").as("i1"))
+    val m2 = members.select(col("__h").as("h2"), col("__id").as("i2"))
+    val cross = gcand.join(m1, "h1").join(m2, "h2")
+      // i1 ≠ i2 in any well-formed frame (h1 ≠ h2); the filter only
+      // mirrors the per-member join's id inequality for malformed
+      // duplicate-id inputs, where the reference also emits no self-pair
+      .filter(col("i1") =!= col("i2"))
+      .select(least(col("i1"), col("i2")).as("id1"),
+        greatest(col("i1"), col("i2")).as("id2"), col("hamming"))
+    // within-group pairs (hamming 0 ≤ maxHamming by construction): all
+    // member pairs of every multi-member group the guard kept somewhere;
+    // bit_count(h ^ h) keeps null-hash groups out, as the bandval join
+    // does in the per-member form
+    val survived = banded.select(col("__h")).distinct()
+    val wg = members.as("a").join(members.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .join(survived.as("s"), col("a.__h") === col("s.__h"), "left_semi")
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        expr("bit_count(a.__h ^ b.__h)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val expanded = cross.union(wg)
+    val all = if (rescueHot) {
+      // star edges of over-cap buckets, expanded to (bucket min member,
+      // every other member) through the membership frame — the same
+      // member-level edge set the per-member form emits; they can
+      // duplicate expanded pairs (and each other across bands), so the
+      // rescue path pays one member-level distinct the default path
+      // does not need
+      val overcap = marked.filter(col("__n") > maxBucket)
+        .select(col("__h"),
+          col("__rep").getField("__gid").as("__repid"),
+          col("__rep").getField("__h").as("__reph"))
+      val star = overcap.join(members, Seq("__h"))
+        .filter(col("__id") =!= col("__repid"))
+        .select(col("__repid").as("id1"), col("__id").as("id2"),
+          expr("bit_count(__reph ^ __h)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+      expanded.union(star).distinct()
+    } else expanded
+    all.select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** The pre-r18 per-member form of [[pairs]] — every hash-identical row
+    * enters the banded candidate join individually. Kept as the
+    * equivalence oracle for the identical-hash collapse
+    * (BandedCollapseSpec pins `pairs == pairsReference` on randomized
+    * corpora across every (bands, multiProbe, rescueHot, maxBucket)
+    * regime) and as the baseline arm of the SimhashGrid A/B.
+    */
+  private[graft] def pairsReference(df: DataFrame, idCol: String,
+      hashCol: String, bands: Int = 4, maxHamming: Int = 6,
       maxBucket: Int = DefaultMaxBucket,
       rescueHot: Boolean = false,
       multiProbe: Boolean = false): DataFrame = {
@@ -295,13 +434,6 @@ object BandedHamming {
         .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
           col("a.__h").as("h1"), col("b.__h").as("h2"))
     } else {
-      // exact+flip postings joined against the GUARDED exact postings
-      // (band-distance ≤ 1 ⇒ candidate; see withFlipProbes). The probe
-      // side is unguarded on purpose: a probe row landing in a dropped
-      // hot bucket finds nothing (the guard removed the exact rows),
-      // and probe rows are linear per input row. Each unordered pair
-      // can surface from both directions — normalize via the id-ordered
-      // struct so (id1, h1) stays the smaller id's hash, then distinct.
       val s1 = struct(col("a.__id").as("i"), col("a.__h").as("h"))
       val s2 = struct(col("b.__id").as("i"), col("b.__h").as("h"))
       withFlipProbes(exploded, bits).as("a").join(banded.as("b"),
@@ -313,7 +445,6 @@ object BandedHamming {
           greatest(s1, s2).getField("h").as("h2"))
     }
     val all = if (rescueHot) {
-      // the rep struct carries the representative's hash alongside its id
       val star = marked.filter(col("__n") > maxBucket &&
           col("__id") =!= col("__rep").getField("__id"))
         .select(col("__rep").getField("__id").as("id1"), col("__id").as("id2"),

@@ -307,6 +307,81 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Incremental form of [[neardupJaccardAt]] for a corpus REWRITE
+    * (r18; the segment stage's label build): given the verified
+    * J ≥ `threshold` pairs of the RAW corpus, produce the pairs of the
+    * REWRITTEN corpus by reusing every pair whose two docs the rewrite
+    * left byte-identical and recomputing only pairs that touch a
+    * changed doc.
+    *
+    * Exactness, by partition on changed-status: a rewritten-corpus pair
+    * has either (a) both docs byte-identical to raw — identical shingle
+    * sets, so its (inter, n₁, n₂, jaccard) row is the RAW row, and the
+    * raw frame restricted to unchanged×unchanged contains exactly these
+    * — or (b) ≥ 1 changed doc, recomputed here with [[neardupJaccardAt]]'s
+    * exact join/aggregate math (same size-ratio prune, same rounded
+    * predicate) over the rewritten text, with the asymmetric join
+    * emitting each pair once: the changed side joins ALL docs, ordered
+    * `a.doc_id < b.doc_id` only when both sides are changed. The two
+    * branches are disjoint by construction; their union is the direct
+    * build bit-for-bit (LawsSpec pins the law on randomized corpora).
+    *
+    * Scale shape: the reuse branch is two semi-joins against the
+    * (usually tiny) verified pair frame; the fresh branch's shuffle is
+    * |changed docs' shingles| × by-shingle — the pair-build cost scales
+    * with the fraction the rewrite touched, not the corpus
+    * (SegProfile: 2.5 s → this form recomputes ~20% at the fixture).
+    *
+    * @param rawDocs  the corpus BEFORE the rewrite (doc_id, text, ...)
+    * @param rwDocs   the corpus AFTER the rewrite — doc_ids ⊆ rawDocs'
+    *   (a rewrite may drop docs, never invent them)
+    * @param rawPairs [[neardupJaccardAt]]`(rawDocs, threshold)` — or the
+    *   memoized checkpoint of it; MUST be at the same `threshold`
+    */
+  private[graft] def jaccardPairsUnderRewrite(rawDocs: DataFrame,
+      rwDocs: DataFrame, rawPairs: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val flagged = rwDocs.select(col("doc_id"), col("text"))
+      .join(rawDocs.select(col("doc_id"), col("text").as("__raw_text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        (!(col("text") <=> col("__raw_text"))).as("__chg"))
+    val unchanged = flagged.filter(!col("__chg")).select(col("doc_id"))
+    val reused = rawPairs
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+      .join(unchanged.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(unchanged.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    val e = flagged.select(col("doc_id"), col("__chg"),
+        org.apache.spark.sql.graft.ShingleExpressions.shingles(col("text"))
+          .as("shingles"))
+      .select(col("doc_id"), col("__chg"),
+        size(col("shingles")).cast(LongType).as("n"),
+        explode(col("shingles")).as("s"))
+    // changed side × all docs; both-changed pairs ordered so each pair
+    // surfaces exactly once, changed-unchanged pairs surface only from
+    // the changed side (the unchanged side never probes)
+    val joined = e.filter(col("__chg")).as("a").join(e.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+        (col("a.doc_id") < col("b.doc_id") || !col("b.__chg")) &&
+        greatest(col("a.n"), col("b.n")) * (threshold - 5e-7) <=
+          least(col("a.n"), col("b.n")) + 1)
+    val s1 = struct(col("a.doc_id").as("i"), col("a.n").as("nn"))
+    val s2 = struct(col("b.doc_id").as("i"), col("b.n").as("nn"))
+    val fresh = joined
+      .groupBy(least(s1, s2).getField("i").as("d1"),
+        greatest(s1, s2).getField("i").as("d2"),
+        least(s1, s2).getField("nn").as("n1"),
+        greatest(s1, s2).getField("nn").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    reused.unionByName(fresh)
+  }
+
   /** [[neardupJaccardAt]] with AllPairs/PPJoin-style prefix filtering —
     * the same EXACT result (bit-identical frame: d1, d2, inter, jaccard
     * rounded to 6dp, ordered by pair) through a candidate join that is
@@ -3836,31 +3911,61 @@ object TextOps {
           "precomputed cluster labels cannot be combined with " +
             "segmentDedupWidth: labels describe the RAW corpus, the " +
             "segment stage curates the rewritten one — omit labels")
-        // segment dedup as the leading stage: rewrite the corpus once
-        // (reusing dedupSegmentsAt's exact dataflow, so the composed and
-        // standalone forms cannot drift), then run the document-level
-        // pipeline over the rewritten text. A doc emptied by the rewrite
-        // (pure boilerplate — every segment seen earlier) is verdicted
-        // segment_dup; everything else flows through the unchanged
-        // stages, now measuring the unique content. MATERIALIZED once:
-        // the doc-level pipeline references its corpus ≥5 times (gate,
-        // exact dedup, decontamination, clusters, verdict join) — cheap
-        // re-scans when the corpus is a parquet table, but here each
-        // reference would replay the two-shuffle rewrite. Neutral at
-        // fixture scale (the rewrite is ~0.2 s; the Jaccard pair build
-        // dominates this query), load-bearing at corpus scale where
-        // 5× re-deriving the rewritten corpus is 5 extra full passes.
-        val rw = rewriteSegmentsCounted(docs, w).localCheckpoint(true)
-        val segDropped = rw.filter(col("n_kept") === 0L)
-          .select(col("doc_id"), lit(false).as("kept"),
-            lit("segment_dup").as("drop_reason"))
-        // semanticLabels DO ride through: the rewrite changes text, not
-        // embeddings, and docs it empties only ever reach the label
-        // frame via left join — supplied cosine clusters stay valid
-        curateReasonsDocLevel(rw.filter(col("n_kept") > 0L).drop("n_kept"),
-            cfg.copy(segmentDedupWidth = None), labels, semanticLabels)
-          .unionByName(segDropped)
+        segmentReasons(docs, w, cfg, semanticLabels, rawPairs = None)
     }
+
+  /** The segment-stage branch of [[curateReasonsOn]]: rewrite, verdict
+    * the emptied docs `segment_dup`, run the doc-level pipeline over the
+    * survivors. `rawPairs` (internal — the contract path passes the
+    * session-memoized [[jaccardPairs]] frame) must be the verified
+    * J ≥ `cfg.jaccardThreshold` pairs of the RAW `docs`; when present
+    * the rewritten corpus's cluster labels are built with
+    * [[jaccardPairsUnderRewrite]] — pairs among docs the rewrite left
+    * byte-identical are REUSED, only pairs touching changed docs are
+    * recomputed (bit-identical result, spec-pinned) — instead of
+    * re-running the full shuffle-by-shingle pair build over the
+    * rewritten text.
+    */
+  private def segmentReasons(docs: DataFrame, w: Int, cfg: CurateConfig,
+      semanticLabels: Option[DataFrame],
+      rawPairs: Option[DataFrame]): DataFrame = {
+    // segment dedup as the leading stage: rewrite the corpus once
+    // (reusing dedupSegmentsAt's exact dataflow, so the composed and
+    // standalone forms cannot drift), then run the document-level
+    // pipeline over the rewritten text. A doc emptied by the rewrite
+    // (pure boilerplate — every segment seen earlier) is verdicted
+    // segment_dup; everything else flows through the unchanged
+    // stages, now measuring the unique content. MATERIALIZED once:
+    // the doc-level pipeline references its corpus ≥5 times (gate,
+    // exact dedup, decontamination, clusters, verdict join) — cheap
+    // re-scans when the corpus is a parquet table, but here each
+    // reference would replay the two-shuffle rewrite. Neutral at
+    // fixture scale (the rewrite is ~0.2 s; the Jaccard pair build
+    // dominates this query), load-bearing at corpus scale where
+    // 5× re-deriving the rewritten corpus is 5 extra full passes.
+    val rw = rewriteSegmentsCounted(docs, w).localCheckpoint(true)
+    val segDropped = rw.filter(col("n_kept") === 0L)
+      .select(col("doc_id"), lit(false).as("kept"),
+        lit("segment_dup").as("drop_reason"))
+    val survivors = rw.filter(col("n_kept") > 0L).drop("n_kept")
+    // incremental label build under the rewrite (r18): the pair build
+    // over the rewritten corpus was the row's dominant cost (~2.5 of
+    // ~4.6 s at sf0.1, SegProfile) while the rewrite changes only a
+    // fraction of docs (20% at the fixture) — and the raw corpus's
+    // pair frame is already session-memoized. Pairs partition exactly
+    // on changed-status, so reuse is bit-identical (LawsSpec law).
+    val segLabels = rawPairs.map { rp =>
+      graft.operators.ConnectedComponents.runOnPairs(
+        jaccardPairsUnderRewrite(docs, survivors, rp, cfg.jaccardThreshold)
+          .select(col("d1").as("src"), col("d2").as("dst")))
+    }
+    // semanticLabels DO ride through: the rewrite changes text, not
+    // embeddings, and docs it empties only ever reach the label
+    // frame via left join — supplied cosine clusters stay valid
+    curateReasonsDocLevel(survivors,
+        cfg.copy(segmentDedupWidth = None), segLabels, semanticLabels)
+      .unionByName(segDropped)
+  }
 
   private def curateReasonsDocLevel(docs: DataFrame, cfg: CurateConfig,
       labels: Option[DataFrame],
@@ -4372,8 +4477,16 @@ object TextOps {
     * holds even off the fixture.
     */
   def curateSegments(spark: SparkSession, dir: String): DataFrame =
-    curateOn(Tables.t(spark, dir, "documents"),
-      CurateConfig(segmentDedupWidth = Some(8)))
+    // the RAW corpus's verified pair frame rides the session memo
+    // (threshold 0.5 — exactly CurateConfig's default jaccardThreshold),
+    // so the rewritten corpus's labels are maintained incrementally
+    // ([[jaccardPairsUnderRewrite]]): only pairs touching docs the
+    // rewrite actually changed are recomputed — bit-identical to the
+    // from-scratch build (LawsSpec) at ~the changed fraction of its cost
+    segmentReasons(Tables.t(spark, dir, "documents"), w = 8,
+        cfg = CurateConfig(segmentDedupWidth = Some(8)),
+        semanticLabels = None, rawPairs = Some(jaccardPairs(spark, dir)))
+      .orderBy(col("doc_id"))
 
   /** The rewritten corpus (`rwdocs`) as oracle CTEs: [[dedupSegmentsSql]]'s
     * chain, names prefixed seg- to stay clear of the curate fragment's.

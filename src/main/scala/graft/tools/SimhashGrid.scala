@@ -30,6 +30,51 @@ object SimhashGrid {
     // meaningless at these corpora (no exact-Jaccard truth computed);
     // the wall and pair-parity columns are the measurement.
     val scale = sys.env.contains("SIMHASH_SCALE")
+    // SIMHASH_DUP (r18): EXACT-duplicate replication — every replica
+    // keeps the original text byte-for-byte (distinct doc_ids), so
+    // simhashes are identical and ×N-member identical-hash clusters
+    // form. The A/B arm measures the identical-hash collapse
+    // (BandedHamming.pairs vs pairsReference) in its design regime:
+    // the per-member form pays k²·bands joined rows per cluster and the
+    // distinct collapses each output pair ~bands times; the collapsed
+    // form candidates over distinct hashes and expands members once.
+    if (sys.env.contains("SIMHASH_DUP")) {
+      val xNs = sys.env("SIMHASH_DUP") match {
+        case "1" | "" => Seq(4, 12, 24)
+        case s => s.split(",").toSeq.map(_.trim.toInt)
+      }
+      for (xN <- xNs) {
+        val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val corpus = (0 until xN).map(i => d.select(
+            (col("doc_id") * xN + i).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        val sigs = graft.queries.VectorOps.simhashSignatures(corpus)
+          .localCheckpoint(true)
+        val n = sigs.count()
+        val (bands, probe) =
+          graft.operators.BandedHamming.simhashBanding(n)
+        def run(f: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val c = f.count()
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        // alternate collapsed/reference so neither owns warm-up
+        val (c1, s1) = run(graft.operators.BandedHamming.pairs(
+          sigs, "doc_id", "simhash", bands = bands, multiProbe = probe))
+        val (r1, t1) = run(graft.operators.BandedHamming.pairsReference(
+          sigs, "doc_id", "simhash", bands = bands, multiProbe = probe))
+        val (r2, t2) = run(graft.operators.BandedHamming.pairsReference(
+          sigs, "doc_id", "simhash", bands = bands, multiProbe = probe))
+        val (c2, s2) = run(graft.operators.BandedHamming.pairs(
+          sigs, "doc_id", "simhash", bands = bands, multiProbe = probe))
+        assert(c1 == r1 && r1 == r2 && c1 == c2,
+          s"collapse disagrees at x$xN: $c1 $r1 $r2 $c2")
+        println(f"== dup x$xN n=$n bands=$bands probe=$probe pairs=$c1 " +
+          f"collapsed=[$s1%.2f,$s2%.2f]s reference=[$t1%.2f,$t2%.2f]s")
+      }
+      spark.stop(); return
+    }
     val corpora: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       if (!scale) Seq("sf0.001", "sf0.01", "sf0.1").map(sf =>
         sf -> (() => graft.queries.Tables.t(spark, s"/root/testdata/$sf",
@@ -37,9 +82,20 @@ object SimhashGrid {
       else Seq(4, 12, 24).map(xN => s"sf0.1x$xN" -> (() => {
         val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
           .select(col("doc_id"), col("text"))
+        // default jitter (one appended token) rarely flips a simhash bit
+        // — replicas form identical-hash clusters, which the r18 collapse
+        // absorbs. SIMHASH_JITTER=heavy appends ~80 doc-unique tokens so
+        // every replica's hash is DISTINCT: the regime that measures the
+        // two configs' candidate-volume walls themselves (the banding
+        // switch point), with nothing for the collapse to collapse.
+        val heavy = sys.env.get("SIMHASH_JITTER").contains("heavy")
         (0 until xN).map(i => d.select(
             (col("doc_id") * xN + i).as("doc_id"),
-            concat(col("text"), lit(s" rep$i")).as("text")))
+            (if (!heavy) concat(col("text"), lit(s" rep$i"))
+             else expr(s"""concat(text, ' ', array_join(transform(
+                 sequence(1, 80),
+                 j -> concat('u', doc_id, 'r$i', '_', j)), ' '))"""))
+              .as("text")))
           .reduce(_ unionByName _)
       }))
     if (scale) {

@@ -1110,4 +1110,91 @@ class LawsSpec extends AnyFunSuite with SparkSessionFixture {
       assert(got == expect, s"xs=$xs")
     }
   }
+
+  test("property: incremental pairs under a segment rewrite ≡ the direct " +
+      "build, with BOTH branches (reused and fresh) non-trivial") {
+    import spark.implicits._
+    // Planted corpus exercising every changed-status class the r18
+    // incremental pair maintenance (jaccardPairsUnderRewrite) partitions
+    // on, for width-8 segment rewrite at J >= 0.5:
+    //  - shifted twins: doc + one-token-prefix copy — 3-shingle sets are
+    //    near-identical (shingles are position-free) but NO width-8
+    //    segment aligns (segments are position-fixed), so the rewrite
+    //    leaves BOTH byte-identical -> the pair must ride the REUSED
+    //    branch;
+    //  - boilerplate pairs: two near-identical docs sharing a leading
+    //    8-token boilerplate run — the second occurrence loses it, so
+    //    both docs come out CHANGED -> their pair must be recomputed on
+    //    rewritten text (FRESH branch, changed x changed);
+    //  - a doc + its boilerplate-appended variant: the variant loses the
+    //    appended run and becomes byte-equal-similar to the original ->
+    //    FRESH branch, changed x unchanged;
+    //  - exact duplicates: the copy is emptied (every segment seen) and
+    //    leaves the survivor frame entirely;
+    //  - random filler docs with unique vocab (no pairs, mostly
+    //    unchanged) to keep the join honest.
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      def toks(tag: String, n: Int): Seq[String] =
+        (0 until n).map(i => s"$tag$i")
+      val boiler = toks(s"bp${trial}_", 8)
+      var id = -1L
+      def nid(): Long = { id += 1; id }
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      // shifted twins (reused pairs among unchanged docs)
+      for (k <- 0 until 3) {
+        val body = toks(s"tw${trial}_${k}_", 24 + rnd.nextInt(16))
+        docs += ((nid(), body.mkString(" ")))
+        docs += ((nid(), (s"shift${trial}_$k" +: body).mkString(" ")))
+      }
+      // a standalone boilerplate doc: every later aligned occurrence drops
+      docs += ((nid(), boiler.mkString(" ")))
+      // changed x changed fresh pairs: both docs lose the leading
+      // boilerplate segment; the second also carries a one-token shift,
+      // so the rewritten survivors (Y vs shift++Y) stay near-identical
+      // in shingle space while sharing no aligned segment
+      for (k <- 0 until 3) {
+        val y = toks(s"bl${trial}_${k}_", 24)
+        docs += ((nid(), (boiler ++ y).mkString(" ")))
+        docs += ((nid(), (boiler ++ (s"sh${trial}_$k" +: y)).mkString(" ")))
+      }
+      // changed x unchanged fresh pairs: plain doc (kept verbatim) vs a
+      // boilerplate-prefixed shifted copy (loses the boilerplate only)
+      for (k <- 0 until 2) {
+        val z = toks(s"ap${trial}_${k}_", 32)
+        docs += ((nid(), z.mkString(" ")))
+        docs += ((nid(), (boiler ++ (s"zz${trial}_$k" +: z)).mkString(" ")))
+      }
+      // exact duplicate (copy emptied by the rewrite)
+      val dupBody = toks(s"dp${trial}_", 16).mkString(" ")
+      docs += ((nid(), dupBody)); docs += ((nid(), dupBody))
+      // unique filler
+      for (k <- 0 until 6)
+        docs += ((nid(), toks(s"fl${trial}_${k}_",
+          8 + rnd.nextInt(30)).mkString(" ")))
+      val raw = docs.toSeq.toDF("doc_id", "text")
+        .withColumn("n_chars", length($"text").cast("long"))
+      val rw = TextOps.rewriteSegmentsAt(raw, 8)
+        .select($"doc_id", $"text").filter(length($"text") > 0)
+      val rawPairs = TextOps.neardupJaccardAt(raw, 0.5).localCheckpoint(true)
+      def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select($"d1", $"d2", $"inter", $"jaccard")
+          .collect().map(_.toString).sorted.toSeq
+      val direct = norm(TextOps.neardupJaccardAt(rw, 0.5))
+      val incr = norm(TextOps.jaccardPairsUnderRewrite(raw, rw, rawPairs, 0.5))
+      assert(incr == direct,
+        s"trial $trial: incremental ${incr.size} != direct ${direct.size}")
+      // the fixture must exercise both branches: unchanged-unchanged
+      // pairs exist (shifted twins) and changed pairs exist (boilerplate)
+      val changed = rw.as("r").join(raw.as("o"), Seq("doc_id"))
+        .filter(!($"r.text" <=> $"o.text")).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val pairsIds = TextOps.neardupJaccardAt(rw, 0.5)
+        .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairsIds.exists { case (a, b) =>
+        !changed(a) && !changed(b) }, s"trial $trial: no reused-branch pair")
+      assert(pairsIds.exists { case (a, b) =>
+        changed(a) || changed(b) }, s"trial $trial: no fresh-branch pair")
+    }
+  }
 }
