@@ -98,18 +98,28 @@ object Ivf {
 
   /** Derived nprobe (r18 — the [[defaultCells]] discipline applied to
     * the SEARCH knob): probe enough cells that the expected candidate
-    * pool `nprobe·n/cells` reaches `minCandidates`, floored at 4 and
-    * capped at `cells`. The binding regime is SMALL corpora — true
-    * neighbors sit at middling cosine there and a 4-of-16-cell probe
-    * reads recall 0.92 at the 500-vector fixtures while probing wide
-    * is nearly free (AnnSmallGrid, BASELINE.md r18: nprobe 12-16 reads
-    * 1.00 at both); at corpus scale the formula collapses to the fixed
-    * floor (n ≥ 128·cells ⇒ nprobe 4) and cost discipline is owned by
-    * cells ≈ √n. 512 ≈ the pool below which an approximate index is
-    * answering questions a scan answers better.
+    * pool `nprobe·n/cells` reaches `minCandidates`, floored at
+    * max(4, cells/16) and capped at `cells`.
+    *
+    * The pool term binds on SMALL corpora — true neighbors sit at
+    * middling cosine there and a 4-of-16-cell probe reads recall 0.92
+    * at the 500-vector fixtures while probing wide is nearly free
+    * (AnnSmallGrid, BASELINE.md r18: nprobe 12-16 reads 1.00 at both).
+    *
+    * The `cells/16` FRACTION floor is the r18 wave-3 correction
+    * (IvfScale, BASELINE.md): hard-regime recall tracks the probed
+    * fraction of cells, not the candidate-pool size — at a 200k-vector
+    * 0.3-jitter cloud with √n = 447 cells, the old pool-only floor
+    * probed 4 cells and read recall@5 0.444, while 27 = cells/16 probes
+    * read 0.852 at the SAME candidate pool as the validated 4-of-64
+    * regime (which reads 0.614 — finer cells rank cells better, the
+    * point of √n cells for the indexed path). 1/16 is that validated
+    * fraction. Cost note: the fraction floor keeps per-search candidate
+    * work ≈ n/16 regardless of cells — the cells knob buys cell-ranking
+    * precision, not pool shrinkage, once corpora are hard.
     */
   def defaultNprobe(n: Long, cells: Int, minCandidates: Long = 512L): Int =
-    math.max(4L, math.min(cells.toLong,
+    math.max(math.max(4L, cells / 16L), math.min(cells.toLong,
       (minCandidates * cells + n - 1) / math.max(1L, n))).toInt
 
   /** Top-k cosine search restricted to each query's nprobe nearest cells.

@@ -48,8 +48,14 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(Ivf.defaultNprobe(2000, 16) == 5)
     assert(Ivf.defaultNprobe(2048, 16) == 4, "floor from 128·cells rows")
     assert(Ivf.defaultNprobe(1000000, 16) == 4)
-    assert(Ivf.defaultNprobe(1000000, Ivf.defaultCells(1000000)) == 4,
-      "at derived cells ~sqrt(n) the floor owns every large corpus")
+    // r18 wave-3 (IvfScale): hard-regime recall tracks the probed
+    // FRACTION of cells, not the pool size — at √n cells the cells/16
+    // fraction floor owns large corpora (was: pool floor 4, which read
+    // recall 0.444 vs 0.852 at 200k/447 cells)
+    assert(Ivf.defaultNprobe(1000000, Ivf.defaultCells(1000000)) == 62,
+      "at derived cells ~sqrt(n) the cells/16 fraction floor owns " +
+        "every large corpus")
+    assert(Ivf.defaultNprobe(200000, 447) == 27, "the IvfScale rung")
     assert(Ivf.defaultNprobe(100, 8) == 8, "cap at cells")
     assert(Ivf.defaultNprobe(0, 16) == 16, "empty corpus degenerates safely")
     // an unpinned build derives its geometry from the corpus it indexes
