@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the report (-oD): the r18 driver-side `sbt test`
+// came back red with no failing suite visible — adjudicated a timeout in
+// a degraded host window. Durations in every run make the slow tail
+// visible so it can be trimmed instead of guessed at (r18 verdict task 1a).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Forked run output goes straight to stdout WITHOUT sbt's "[info] " line
 // prefix: the driver's bench harness parses the one-line JSON that
 // graft.Bench prints, and a prefixed line is not valid JSON.

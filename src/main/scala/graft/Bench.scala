@@ -30,6 +30,40 @@ object Bench {
     if (stampMedianMs > 0.0 && floorMs > 0.0) total * floorMs / stampMedianMs
     else 0.0
 
+  /** The per-query entries of the FINAL compact stdout line (r19).
+    *
+    * Through r18 the final line carried "the slowest queries that fit
+    * the 1700-char budget" — but which queries make that cut changes
+    * run-to-run with host noise, so the driver's round-over-round
+    * per-query diff (which parses only the tail line) manufactured
+    * phantom `dropped_from_bench`/`new_in_bench` statuses: PERF_r18
+    * reported 13 "dropped" + 10 "new" queries when all 161 ran in both
+    * rounds (r18 verdict, "What's wrong" item 3). The fix is a FIXED
+    * roster: exactly the 51 query names that appear in the committed
+    * BENCH_r18.json final line, so consecutive rounds' tail lines carry
+    * the identical key set and the driver's diff is phantom-free. The
+    * full 161-query map still rides the first stdout line and
+    * BENCH_DETAIL.json (committed at close) — nothing is lost, only the
+    * compact line's SELECTION is pinned. Roster names are a subset of
+    * the registry (BenchSpec pins this), and the registry itself never
+    * drops or renames entries (the driver contract).
+    */
+  val tailRoster: Seq[String] = Seq(
+    "q_dup_spans", "q_topk_range", "q_sql_subqueries", "q_pack_chunks",
+    "q_curate_segments", "q_retention", "q_sample_diverse", "q_domain_mix",
+    "q_agg_minmax_by", "q_vec_centroid_assign", "q_curate_containment",
+    "q_sql_q3", "q_search_hybrid", "q_knn_pq", "q_scan_jsonl_stream",
+    "q_neardup_containment", "q_source_overlap", "q_curate_semantic",
+    "q_dedup_asof", "q_dedup_simhash", "q_knn_lsh", "q_bm25",
+    "q_agg_distinct", "q_agg_bitagg", "q_knn_collapse", "q_dedup_normalized",
+    "q_sql_recursive", "q_knn_graph", "q_domain_resample", "q_join_smj",
+    "q_agg_cube", "q_topk_merge", "q_scan_orc", "q_quality_gopher",
+    "q_distinct_days", "q_knn_ivf", "q_scan_csv", "q_tfidf", "q_vec_drift",
+    "q_stream_session", "q_text_langid", "q_join_asof", "q_join_full",
+    "q_events_attribution", "q_topk_group", "q_quality_logprob",
+    "q_agg_listagg", "q_events_funnel", "q_events_anomaly",
+    "q_decontaminate_semantic", "q_join_inner")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the round-3 driver contract runs local[32] with 32 shuffle
@@ -199,11 +233,17 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // detail file is best-effort
-    // Final compact line: slowest queries first, capped so the whole line
-    // stays well inside the driver's tail window even after sbt's
-    // `[success] Total time ...` trailer (~80 chars) is appended.
+    // Final compact line: the FIXED [[tailRoster]] (see its doc — a
+    // run-dependent "slowest that fit" selection made the driver's
+    // per-query diff manufacture phantom dropped/new statuses), ordered
+    // slowest-first for readability, still budget-capped so the whole
+    // line stays well inside the driver's tail window even after sbt's
+    // `[success] Total time ...` trailer (~80 chars) is appended. The
+    // budget only binds if per-row times gain digits wholesale; roster
+    // rows are admitted slowest-first so any cut hits the cheapest rows.
     val budget = 1700
-    val slowest = results.toSeq.sortBy(-_._2)
+    val rosterSet = tailRoster.toSet
+    val slowest = results.toSeq.filter(kv => rosterSet(kv._1)).sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = line(Nil, total).length
     slowest.foreach { case (k, v) =>

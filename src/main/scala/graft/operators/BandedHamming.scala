@@ -362,11 +362,25 @@ object BandedHamming {
     val gcand = gquad.distinct()
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter(col("hamming") <= maxHamming)
+    // Expansion fusion (r19): ONE per-hash member-list aggregate
+    // (hash → sorted member-id array) replaces the r18 form's three
+    // member-grain operators — the two membership joins expanding cross
+    // pairs, the members×members self-join producing within-group
+    // pairs, and the star expansion's membership join — each of which
+    // paid its own exchange over the member-grain frame. The arrays are
+    // group-sized (the within-group C(k,2) expansion is the OUTPUT's
+    // own size either way; a k-member array row is 8k bytes where the
+    // self-join shuffled k rows), and every expansion below is a
+    // map-side explode over the joined arrays instead of a shuffle.
+    val mem = members.groupBy(col("__h"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
     // expand candidate hash pairs to member pairs (h1 ≠ h2, so the two
-    // membership joins cannot overlap; ids normalized ascending)
-    val m1 = members.select(col("__h").as("h1"), col("__id").as("i1"))
-    val m2 = members.select(col("__h").as("h2"), col("__id").as("i2"))
-    val cross = gcand.join(m1, "h1").join(m2, "h2")
+    // array joins cannot overlap; ids normalized ascending)
+    val cross = gcand
+      .join(mem.select(col("__h").as("h1"), col("__ids").as("__ids1")), "h1")
+      .join(mem.select(col("__h").as("h2"), col("__ids").as("__ids2")), "h2")
+      .select(col("hamming"), explode(col("__ids1")).as("i1"), col("__ids2"))
+      .select(col("hamming"), col("i1"), explode(col("__ids2")).as("i2"))
       // i1 ≠ i2 in any well-formed frame (h1 ≠ h2); the filter only
       // mirrors the per-member join's id inequality for malformed
       // duplicate-id inputs, where the reference also emits no self-pair
@@ -374,20 +388,26 @@ object BandedHamming {
       .select(least(col("i1"), col("i2")).as("id1"),
         greatest(col("i1"), col("i2")).as("id2"), col("hamming"))
     // within-group pairs (hamming 0 ≤ maxHamming by construction): all
-    // member pairs of every multi-member group the guard kept somewhere;
-    // bit_count(h ^ h) keeps null-hash groups out, as the bandval join
-    // does in the per-member form
+    // member pairs of every multi-member group the guard kept somewhere.
+    // The left-semi equi-join on __h keeps null-hash groups out exactly
+    // as the per-member self-join's `a.__h === b.__h` did; the sorted
+    // array makes (earlier, later) slices the id1 < id2 order, and the
+    // id1 ≠ id2 filter mirrors the self-join's strict `<` for malformed
+    // duplicate-id inputs (sorted duplicates are adjacent slices).
     val survived = banded.select(col("__h")).distinct()
-    val wg = members.as("a").join(members.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
-      .join(survived.as("s"), col("a.__h") === col("s.__h"), "left_semi")
-      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
-        expr("bit_count(a.__h ^ b.__h)").as("hamming"))
+    val wg = mem.filter(size(col("__ids")) > 1)
+      .join(survived, Seq("__h"), "left_semi")
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__p", "id1")))
+      .select(col("id1"),
+        explode(slice(col("__ids"), col("__p") + lit(2),
+          size(col("__ids")))).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), lit(0).as("hamming"))
       .filter(col("hamming") <= maxHamming)
     val expanded = cross.union(wg)
     val all = if (rescueHot) {
       // star edges of over-cap buckets, expanded to (bucket min member,
-      // every other member) through the membership frame — the same
+      // every other member) through the same member-list frame — the
       // member-level edge set the per-member form emits; they can
       // duplicate expanded pairs (and each other across bands), so the
       // rescue path pays one member-level distinct the default path
@@ -396,7 +416,9 @@ object BandedHamming {
         .select(col("__h"),
           col("__rep").getField("__gid").as("__repid"),
           col("__rep").getField("__h").as("__reph"))
-      val star = overcap.join(members, Seq("__h"))
+      val star = overcap.join(mem, Seq("__h"))
+        .select(col("__repid"), col("__reph"), col("__h"),
+          explode(col("__ids")).as("__id"))
         .filter(col("__id") =!= col("__repid"))
         .select(col("__repid").as("id1"), col("__id").as("id2"),
           expr("bit_count(__reph ^ __h)").as("hamming"))

@@ -165,6 +165,76 @@ object Ivf {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Two-level coarse assignment (r19 — the index-free derived-cells
+    * escape the r18 IvfScale ladder scoped): route each vector to its
+    * nearest of `groups` GROUP centroids first, then argmax only over
+    * that group's cells. One-level [[assign]] scores n·cells pairs — at
+    * the derived √n-cells geometry that is n^1.5 and the measured reason
+    * index-free `search` was unaffordable at 200k vectors (IvfScale r18:
+    * train 253 s / search 115 s at 447 cells vs 17/8 s at 64). Here the
+    * scoring cost is n·(groups + cells/groups), minimized ≈ 2n·√cells at
+    * groups ≈ √cells — for 447 cells a ~10× scoring cut.
+    *
+    * Group centroids are the deterministic [[seedCentroids]] of the CELL
+    * centroid table (lowest-c_id cells), and cells route to groups by
+    * the same argmax — no RNG anywhere, so the assignment is exactly
+    * reproducible. The output is an APPROXIMATION of [[assign]]: a
+    * vector whose true nearest cell lives in a non-routed group lands in
+    * the best cell of its routed group instead (recall measured on the
+    * IvfScale rung — BASELINE.md r19). `groups = 1` routes everything to
+    * one group containing every cell and IS [[assign]] bit-for-bit
+    * (IvfIndexSpec pins the law). The CONTRACT rows keep one-level
+    * assignment: q_knn_ivf/q_sample_diverse pin cells = 16, where
+    * one-level scoring is already linear and a second routing pass is
+    * pure overhead — this surface exists for derived-cells geometries.
+    */
+  def assignTwoLevel(base: DataFrame, cents: DataFrame,
+      groups: Int): DataFrame = {
+    require(groups > 0, s"groups must be positive, got $groups")
+    val cellsAsVecs = cents.select(col("c_id").as("vec_id"),
+      col("c_emb").as("embedding"), col("c_n2").as("n2"))
+    val gcents = seedCentroids(cellsAsVecs, groups)
+      .select(col("c_id").as("g_id"), col("c_emb").as("g_emb"),
+        col("c_n2").as("g_n2"))
+    def toGroup(d: DataFrame): DataFrame = {
+      val gsim = dot(col("embedding"), col("g_emb")) /
+        (sqrt(col("n2")) * sqrt(col("g_n2")))
+      d.crossJoin(broadcast(gcents))
+        .withColumn("gsim", gsim)
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("g_id"), col("embedding"), col("n2")),
+          struct(col("gsim"), (-col("g_id")).as("neg_gid"))).as("best"))
+        .select(col("best.g_id").as("grp"), col("vec_id"),
+          col("best.embedding").as("embedding"), col("best.n2").as("n2"))
+    }
+    val centsG = toGroup(cellsAsVecs)
+      .select(col("grp"), col("vec_id").as("c_id"))
+      .join(cents, "c_id")
+    toGroup(base).join(broadcast(centsG), "grp")
+      .withColumn("sim", simToCent)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("c_id"), col("embedding"), col("n2"), col("sim")),
+        struct(col("sim"), (-col("c_id")).as("neg_cid"))).as("best"))
+      .select(col("best.c_id").as("cell"), col("vec_id"),
+        col("best.embedding").as("embedding"), col("best.n2").as("n2"),
+        col("best.sim").as("sim"))
+  }
+
+  /** [[search]] with the corpus side assigned via [[assignTwoLevel]] —
+    * the index-free form whose per-call cost follows 2n√cells instead
+    * of n·cells, making DERIVED cell counts affordable without a
+    * persisted index (queries still rank probes against exact cell
+    * centroids; only corpus membership is two-level-approximated).
+    */
+  def searchTwoLevel(base: DataFrame, cents: DataFrame, queryPred: Column,
+      k: Int, nprobe: Int, groups: Int): DataFrame =
+    rankProbed(
+      probesOf(base.filter(queryPred), cents, nprobe),
+      assignTwoLevel(base, cents, groups)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("n2")),
+      k)
+
   /** Materialize the index: centroids at `path`/centroids, the assigned
     * corpus at `path`/cells partitioned by cell id — so cell membership
     * becomes directory layout, and a query-time cell predicate becomes

@@ -323,8 +323,13 @@ object TextOps {
     * predicate) over the rewritten text, with the asymmetric join
     * emitting each pair once: the changed side joins ALL docs, ordered
     * `a.doc_id < b.doc_id` only when both sides are changed. The two
-    * branches are disjoint by construction; their union is the direct
-    * build bit-for-bit (LawsSpec pins the law on randomized corpora).
+    * branches are disjoint by construction; their union holds the SAME
+    * ROWS as the direct build — unordered: this function does not apply
+    * [[neardupJaccardAt]]'s final `orderBy(d1, d2)`, because its one
+    * consumer (the [[segmentReasons]] label build) feeds
+    * ConnectedComponents, which is order-insensitive. Callers needing
+    * the ordered contract frame must sort. (LawsSpec pins the same-rows
+    * law on randomized corpora.)
     *
     * Scale shape: the reuse branch is two semi-joins against the
     * (usually tiny) verified pair frame; the fresh branch's shuffle is
@@ -334,7 +339,13 @@ object TextOps {
     *
     * @param rawDocs  the corpus BEFORE the rewrite (doc_id, text, ...)
     * @param rwDocs   the corpus AFTER the rewrite — doc_ids ⊆ rawDocs'
-    *   (a rewrite may drop docs, never invent them)
+    *   (a rewrite may drop docs, never invent them). This precondition
+    *   is NOT checked: the changed-flag inner join silently drops any
+    *   rwDocs row whose doc_id is missing from rawDocs (its pairs just
+    *   vanish from the output) — a violating caller gets quietly-wrong
+    *   results, not an error. Both in-repo callers pass a frame derived
+    *   from rawDocs by construction; a new caller that cannot prove the
+    *   subset property must validate it first (r18 ADVICE).
     * @param rawPairs [[neardupJaccardAt]]`(rawDocs, threshold)` — or the
     *   memoized checkpoint of it; MUST be at the same `threshold`
     */
@@ -1551,7 +1562,7 @@ object TextOps {
         .ShingleExpressions.ngrams(col("text"), width, distinct = true))
         .as("win"))
       .distinct()
-    val w = if (materialize) w0.localCheckpoint(true) else w0
+    val w = if (materialize) graft.operators.Materialize(w0) else w0
     val counts = w.groupBy(col("source")).agg(count(lit(1)).as("n_wins"))
     val pairs = w.select(col("win"), col("source").as("source_a"))
       .join(w.select(col("win"), col("source").as("source_b")), Seq("win"))
@@ -1622,7 +1633,7 @@ object TextOps {
     val w0 = input.select(col("doc_id"), explode(org.apache.spark.sql.graft
       .ShingleExpressions.ngrams(col("text"), width, distinct = true))
       .as("win"))
-    val w = if (materialize) w0.localCheckpoint(true) else w0
+    val w = if (materialize) graft.operators.Materialize(w0) else w0
     val nd = w.select(expr(s"doc_id div $bucketDocs").as("bucket"), col("win"))
       .distinct()
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_distinct"))
@@ -2484,9 +2495,10 @@ object TextOps {
     containmentParams(spark, path, admit = true)
     VectorOps.ensureBatchLayout(spark, s"$path/postings")
     VectorOps.seedHistoryIfEmpty(spark, path, Seq("postings"))
-    // ONE shingle pass feeds both halves (checkpointed — the 3-shingle
-    // explode is the batch's dominant per-stage cost)
-    val e = hashedShingles(batch).localCheckpoint(true)
+    // ONE shingle pass feeds both halves (materialized per the session
+    // [[graft.operators.Materialize]] policy — the 3-shingle explode is
+    // the batch's dominant per-stage cost)
+    val e = graft.operators.Materialize(hashedShingles(batch))
     // DIRECT probe by measurement: at sf0.1 and ×4 replication the
     // prefix probe ran 1.5× SLOWER (ContainScale probe rows,
     // BASELINE.md) — its per-doc rank window plus the second full-batch
@@ -2526,12 +2538,12 @@ object TextOps {
     VectorOps.finishCrashedSwap(spark, s"$path/postings")
     val tags = VectorOps.historyPrefix(spark, path, asOf)
     VectorOps.requireBatchesPresent(spark, s"$path/postings", tags)
-    // checkpoint like the admit path: the probe references the hashed
+    // materialize like the admit path: the probe references the hashed
     // frame twice (broadcast key set + probe side) and Catalyst shares
     // no subplans — un-materialized, every as-of probe would pay its
     // dominant shingle+sha2 stage twice (review catch)
     val cap = if (maxPostings <= 0) Int.MaxValue else maxPostings
-    crossContainmentPairs(hashedShingles(batch).localCheckpoint(true),
+    crossContainmentPairs(graft.operators.Materialize(hashedShingles(batch)),
       spark.read.schema("h STRING, doc LONG, batch STRING")
         .parquet(s"$path/postings")
         .filter(col("batch").isin(tags: _*)).select(col("h"), col("doc")),
@@ -3998,14 +4010,12 @@ object TextOps {
     // it removes), so only the containment path checkpoints —
     // OPTIMIZATION_r18.md §7 has both grids. Default-config runs keep
     // the lazy frame (small fan-out, memoized by the warm row).
-    // `spark.graft.curate.ckptStage3=false` restores the lazy plan —
-    // the A/B switch and the escape hatch for deployments where
-    // executor-local checkpoint blocks are undesirable (e.g.
-    // aggressive executor decommissioning).
-    val ckptOn = docs.sparkSession.conf
-      .getOption("spark.graft.curate.ckptStage3").forall(_.toBoolean)
-    val stage3 = if (ckptOn && cfg.containmentThreshold.isDefined)
-      stage3lazy.localCheckpoint(true)
+    // Cluster posture rides the session-wide [[Materialize]] policy
+    // (r19 — `spark.graft.materialize=lazy` restores the lazy plan,
+    // `reliable` swaps in durable checkpoint blocks; this replaced the
+    // r18 per-site `spark.graft.curate.ckptStage3` hatch).
+    val stage3 = if (cfg.containmentThreshold.isDefined)
+      graft.operators.Materialize(stage3lazy)
     else stage3lazy
     val labelDf = labels.getOrElse(clusterLabelsOn(docs, cfg.jaccardThreshold))
     val clusters = docs.select(col("doc_id"))
@@ -4476,17 +4486,24 @@ object TextOps {
     * rwdocs UNION branch), so the every-doc-verdicted-once contract
     * holds even off the fixture.
     */
-  def curateSegments(spark: SparkSession, dir: String): DataFrame =
+  def curateSegments(spark: SparkSession, dir: String): DataFrame = {
     // the RAW corpus's verified pair frame rides the session memo
     // (threshold 0.5 — exactly CurateConfig's default jaccardThreshold),
     // so the rewritten corpus's labels are maintained incrementally
     // ([[jaccardPairsUnderRewrite]]): only pairs touching docs the
     // rewrite actually changed are recomputed — bit-identical to the
     // from-scratch build (LawsSpec) at ~the changed fraction of its cost
-    segmentReasons(Tables.t(spark, dir, "documents"), w = 8,
-        cfg = CurateConfig(segmentDedupWidth = Some(8)),
+    val cfg = CurateConfig(segmentDedupWidth = Some(8))
+    // the memoized frame is built at threshold 0.5 (jaccardPairs); a
+    // drifted CurateConfig default would silently hand the incremental
+    // label build pairs at the WRONG threshold (r18 ADVICE)
+    require(cfg.jaccardThreshold == 0.5,
+      s"curateSegments reuses the session-memoized J>=0.5 pair frame; " +
+        s"CurateConfig.jaccardThreshold drifted to ${cfg.jaccardThreshold}")
+    segmentReasons(Tables.t(spark, dir, "documents"), w = 8, cfg = cfg,
         semanticLabels = None, rawPairs = Some(jaccardPairs(spark, dir)))
       .orderBy(col("doc_id"))
+  }
 
   /** The rewritten corpus (`rwdocs`) as oracle CTEs: [[dedupSegmentsSql]]'s
     * chain, names prefixed seg- to stay clear of the curate fragment's.

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Alternated A/B for the stage-3 trunk materialization in the curate
   * variants (OPTIMIZATION_r18.md §7): times q_curate_containment and
-  * q_curate_semantic with `spark.graft.curate.ckptStage3` toggled per
+  * q_curate_semantic with the [[graft.operators.Materialize]] posture
+  * (`spark.graft.materialize` local vs lazy — r19; this A/B toggled the
+  * per-site ckptStage3 hatch before the knobs were unified) toggled per
   * repetition in ONE session (bench session shape: local[32], 32
   * shuffle partitions), after warming the shared label memos so both
   * variants price only their own pipeline. Alternation inside one
@@ -37,13 +39,14 @@ object CurateCkptAb {
     }
     val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     for (r <- 1 to rounds; ckpt <- Seq(false, true)) {
-      spark.conf.set("spark.graft.curate.ckptStage3", ckpt.toString)
+      spark.conf.set(graft.operators.Materialize.ConfKey,
+        if (ckpt) "local" else "lazy")
       run(s"r$r ckpt=$ckpt q_curate_containment",
         graft.queries.TextOps.curateContainment(spark, sfDir).count())
       run(s"r$r ckpt=$ckpt q_curate_semantic",
         graft.queries.TextOps.curateSemantic(spark, sfDir).count())
     }
-    spark.conf.unset("spark.graft.curate.ckptStage3")
+    spark.conf.unset(graft.operators.Materialize.ConfKey)
     spark.stop()
   }
 }

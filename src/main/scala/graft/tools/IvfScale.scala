@@ -59,20 +59,33 @@ object IvfScale {
       println(f"== IvfScale n=$n noise=$noise brute=$tBrute%.1fs " +
         f"(defaultCells=${Ivf.defaultCells(n)} " +
         f"defaultNprobe=${Ivf.defaultNprobe(n, Ivf.defaultCells(n))})")
-      for ((label, cells, nprobes) <- Seq(
+      for ((label, cells, nprobes, groups) <- Seq(
           ("derived", Ivf.defaultCells(n),
             Seq(Ivf.defaultNprobe(n, Ivf.defaultCells(n)), 8, 16,
-              Ivf.defaultCells(n) / 16)),
-          ("fixture-fixed", 64, Seq(4)))) {
+              Ivf.defaultCells(n) / 16), 0),
+          // r19 two-level arm: same derived cells, corpus assignment
+          // routed via ~√cells group centroids (Ivf.assignTwoLevel) —
+          // the index-free escape whose per-call scoring is 2n√cells
+          // instead of n·cells; recall deltas vs the one-level arm are
+          // the routing approximation's price
+          ("derived-2level", Ivf.defaultCells(n),
+            Seq(Ivf.defaultNprobe(n, Ivf.defaultCells(n)),
+              Ivf.defaultCells(n) / 16),
+            math.max(2, math.round(math.sqrt(
+              Ivf.defaultCells(n).toDouble)).toInt)),
+          ("fixture-fixed", 64, Seq(4), 0))) {
         val tc0 = System.nanoTime()
         val cents = Ivf.train(base, k = cells, iters = 2).localCheckpoint(true)
         val tTrain = (System.nanoTime() - tc0) / 1e9
         for (nprobe <- nprobes.distinct) {
           val ts0 = System.nanoTime()
-          val got = pairs(Ivf.search(base, cents, qPred, k = 5,
-            nprobe = nprobe))
+          val got = pairs(
+            if (groups > 0) Ivf.searchTwoLevel(base, cents, qPred, k = 5,
+              nprobe = nprobe, groups = groups)
+            else Ivf.search(base, cents, qPred, k = 5, nprobe = nprobe))
           val tSearch = (System.nanoTime() - ts0) / 1e9
           println(f"   $label%-14s cells=$cells nprobe=$nprobe " +
+            (if (groups > 0) f"groups=$groups " else "") +
             f"recall@5=${recall(got)}%.3f train=$tTrain%.1fs " +
             f"search=$tSearch%.1fs")
         }

@@ -43,4 +43,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.medianOf(Array(4.0, 1.0, 3.0, 2.0)) == 2.5)
     assert(Bench.medianOf(Array.empty[Double]) == 0.0)
   }
+
+  test("tailRoster (r19): fixed 51-name set = the committed BENCH_r18 " +
+      "final-line keys, every name a registry query, no duplicates") {
+    // the roster exists so consecutive rounds' compact tail lines carry
+    // the IDENTICAL key set — a run-dependent "slowest that fit"
+    // selection made the driver's per-query diff manufacture 13 phantom
+    // dropped + 10 phantom new statuses in PERF_r18 (r18 verdict item 3)
+    assert(Bench.tailRoster.size == 51)
+    assert(Bench.tailRoster.distinct.size == Bench.tailRoster.size)
+    val registry = SparkEntry.queries.map(_._1).toSet
+    val missing = Bench.tailRoster.filterNot(registry)
+    assert(missing.isEmpty,
+      s"roster names absent from the query registry: $missing")
+  }
 }

@@ -80,6 +80,46 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionFixture {
       Ivf.defaultCells(300).toLong)
   }
 
+  test("two-level coarse assignment (r19): groups=1 == assign bit-for-" +
+      "bit, multi-group output is a deterministic full assignment and " +
+      "searchTwoLevel keeps the search contract shape") {
+    val cents = Ivf.seedCentroids(base, 16)
+    def canonA(df: DataFrame) = df
+      .select(col("cell"), col("vec_id"), col("n2"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq.sorted
+    // groups=1 routes every vector to one group holding every cell —
+    // the degenerate case IS the one-level argmax, bit-for-bit
+    assert(canonA(Ivf.assignTwoLevel(base, cents, groups = 1)) ==
+      canonA(Ivf.assign(base, cents)))
+    // multi-group: still a FULL assignment (every vector exactly once,
+    // every cell a real centroid id), deterministic across invocations
+    val two = Ivf.assignTwoLevel(base, cents, groups = 4)
+    val rows = two.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(rows.map(_._1).distinct.size == rows.size)
+    assert(rows.size == base.count())
+    val cellIds = cents.select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => cellIds.contains(r._2)))
+    assert(canonA(two) == canonA(Ivf.assignTwoLevel(base, cents, 4)),
+      "two-level assignment must be exactly reproducible")
+    // search contract shape + self-exclusion, via the two-level corpus
+    val got = Ivf.searchTwoLevel(base, cents, col("vec_id") < 5, k = 5,
+      nprobe = 16, groups = 4)
+    val g = canon(got)
+    assert(g.size == 25)
+    assert(g.forall { case (q, v, _, rn) => q != v && rn >= 1 && rn <= 5 })
+    // nprobe = all cells over a two-level corpus that happens to agree
+    // with one-level (it may not in general); at least assert recall
+    // against brute force stays high on the fixture
+    val brute = canon(graft.queries.VectorOps.knn(
+      base.select(col("vec_id"), col("embedding")),
+      base.filter(col("vec_id") < 5), 5))
+    val hits = g.map(t => (t._1, t._2)).toSet
+      .intersect(brute.map(t => (t._1, t._2)).toSet).size
+    assert(hits >= 20, s"two-level recall collapsed on the fixture: $hits/25")
+  }
+
   test("searchIndex == in-memory search, bit-identical") {
     val inMem = Ivf.search(base, Ivf.seedCentroids(base, 16),
       queryPred = col("vec_id") < 5, k = 5, nprobe = 4)

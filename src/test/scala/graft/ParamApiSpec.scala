@@ -234,14 +234,15 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
   test("curateOn containmentThreshold: the stage-3 trunk checkpoint is " +
       "plan-only — verdicts bit-identical to the lazy plan, trunk truncated") {
     // the r18 optimization (OPTIMIZATION_r18.md §7): with containment on,
-    // stage3 is localCheckpoint'd so later stages stop re-expanding the
+    // stage3 is materialized so later stages stop re-expanding the
     // gate+hash+decontaminate subtree per reference. This pin holds BOTH
     // halves: (1) results are unchanged by the materialization, via the
-    // spark.graft.curate.ckptStage3 escape hatch; (2) the checkpoint
-    // actually truncates — the default plan reads the trunk from
-    // checkpoint leaves and carries strictly fewer file-relation leaves
-    // than the lazy expansion (73 parquet scans at the contract query
-    // before the change).
+    // session-wide spark.graft.materialize=lazy posture (r19 — the one
+    // knob that replaced the per-site ckptStage3 hatch); (2) the
+    // checkpoint actually truncates — the default plan reads the trunk
+    // from checkpoint leaves and carries strictly fewer file-relation
+    // leaves than the lazy expansion (73 parquet scans at the contract
+    // query before the change).
     val docs = Tables.t(spark, Sf0001, "documents")
     val cfg = CurateConfig(containmentThreshold = Some(0.8))
     val ckptDf = TextOps.curateOn(docs, cfg)
@@ -253,20 +254,35 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
     assert(leaves(ckptDf).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
       "default containment plan must read stage3 from a checkpoint leaf")
-    spark.conf.set("spark.graft.curate.ckptStage3", "false")
+    spark.conf.set(graft.operators.Materialize.ConfKey, "lazy")
     val (lazyDf, lazyRows) =
       try {
         val d = TextOps.curateOn(docs, cfg)
         (d, d.collect().toSeq)
-      } finally spark.conf.unset("spark.graft.curate.ckptStage3")
+      } finally spark.conf.unset(graft.operators.Materialize.ConfKey)
     assert(leaves(lazyDf).forall(
       !_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
-      "escape hatch must restore the fully-lazy plan")
+      "lazy posture must restore the fully-lazy plan")
     assert(fileLeaves(ckptDf) < fileLeaves(lazyDf),
       s"checkpoint must truncate file-relation fan-out " +
         s"(${fileLeaves(ckptDf)} vs ${fileLeaves(lazyDf)})")
     assert(ckptDf.collect().toSeq == lazyRows,
       "materialization changed verdicts — it must be plan-only")
+  }
+
+  test("Materialize posture knob: invalid mode rejected loudly, lazy is " +
+      "a no-op frame") {
+    val df = Tables.t(spark, Sf0001, "documents").select(col("doc_id"))
+    spark.conf.set(graft.operators.Materialize.ConfKey, "bogus")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Materialize(df)
+      }
+      assert(e.getMessage.contains("local|reliable|lazy"))
+      spark.conf.set(graft.operators.Materialize.ConfKey, "lazy")
+      assert(graft.operators.Materialize(df) eq df,
+        "lazy posture must return the input frame untouched")
+    } finally spark.conf.unset(graft.operators.Materialize.ConfKey)
   }
 
   test("curateOn semanticThreshold: composed == doc-level curate then " +
