@@ -315,8 +315,16 @@ object BandedHamming {
     val bits = 64 / bands
     val mask = (1L << bits) - 1
     val members = df.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+    // ONE per-hash aggregate feeds everything downstream — the banding
+    // representative (gid, member-weighted cnt) AND the sorted member
+    // lists the expansions join (r19 fusion, second cut): two separate
+    // aggregates paid two member-grain exchanges where one identical
+    // exchange is REUSED across every reference of this subtree
     val grp = members.groupBy(col("__h"))
-      .agg(min(col("__id")).as("__gid"), count(lit(1)).as("__cnt"))
+      .agg(min(col("__id")).as("__gid"), count(lit(1)).as("__cnt"),
+        sort_array(collect_list(col("__id"))).as("__ids"))
+    // __ids is projected OUT before the ×bands explode (§2.3 — member
+    // lists must never ride the banded shuffle)
     val gex = grp.select(col("__gid"), col("__h"), col("__cnt"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bandval", expr(s"shiftright(__h, band * $bits) & $mask"))
@@ -372,8 +380,7 @@ object BandedHamming {
     // own size either way; a k-member array row is 8k bytes where the
     // self-join shuffled k rows), and every expansion below is a
     // map-side explode over the joined arrays instead of a shuffle.
-    val mem = members.groupBy(col("__h"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+    val mem = grp.select(col("__h"), col("__ids"))
     // expand candidate hash pairs to member pairs (h1 ≠ h2, so the two
     // array joins cannot overlap; ids normalized ascending)
     val cross = gcand
@@ -393,8 +400,11 @@ object BandedHamming {
     // as the per-member self-join's `a.__h === b.__h` did; the sorted
     // array makes (earlier, later) slices the id1 < id2 order, and the
     // id1 ≠ id2 filter mirrors the self-join's strict `<` for malformed
-    // duplicate-id inputs (sorted duplicates are adjacent slices).
-    val survived = banded.select(col("__h")).distinct()
+    // duplicate-id inputs (sorted duplicates are adjacent slices). No
+    // distinct on the semi-join's right side — semi-join semantics
+    // ignore duplicates, and the r19 first cut's `.distinct()` here was
+    // a full extra exchange of the banded frame for nothing.
+    val survived = banded.select(col("__h"))
     val wg = mem.filter(size(col("__ids")) > 1)
       .join(survived, Seq("__h"), "left_semi")
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__p", "id1")))
