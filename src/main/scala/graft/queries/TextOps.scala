@@ -265,12 +265,55 @@ object TextOps {
 
   private[graft] def jaccardPairsCacheSize: Int = jaccardPairsCache.size
 
+  /** Estimated blowup factor of the direct by-shingle self-join:
+    * joined rows per shingle row ≈ Σ_s df(s)·(df(s)−1) / Σ_s df(s),
+    * from a DETERMINISTIC 1/64 doc sample (xxhash64(doc_id) % 64 == 0 —
+    * same corpus, same estimate, always). `sum(df·(df−1))` over the
+    * sample is unbiased for the full corpus's ordered-pair mass scaled
+    * by 1/64² (both endpoints must land in the sample) and `sum(df)`
+    * for rows/64, so the ratio times 64 estimates the full-corpus
+    * blowup; shingles hot enough to matter (df in the thousands) are
+    * estimated tightly, and the small-df mass the estimator underweights
+    * is exactly the mass that cannot hurt the direct join. Cost: one
+    * map-combinable aggregate over 1/64 of the shingle explode — ~0.15 s
+    * beside the fixture's 6 s pair build, amortized once per session.
+    */
+  private[graft] def shingleBlowup(docs: DataFrame): Double = {
+    val sample = shingleRows(docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(64)) === 0))
+    val r = sample.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")), sum(col("df") * (col("df") - lit(1L)))).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+    else 64.0 * r.getLong(1) / r.getLong(0)
+  }
+
+  /** Direct-vs-prefix switch for the session pair build (r19 — the
+    * simhashBanding discipline applied to the [[neardupJaccardAt]] /
+    * [[neardupJaccardPrefixAt]] choice, keyed on measured shingle SKEW,
+    * not corpus size: the PairsScale ladder falsified a size switch —
+    * jittered ×16 replication (80k docs, every df ×16, blowup ≈ 15)
+    * still ran direct 1.7× FASTER than prefix (69 vs 119 s) because
+    * there hot shingles are true near-dups and candidates ≈ output,
+    * while a 30-token shared boilerplate suffix at just 5k docs
+    * (blowup ≈ 1.1k) ran direct 27× SLOWER (289 vs 11 s). Bracketing
+    * rungs: blowup ≈ 49 → prefix 2.7× faster, ≈ 190 → 6×. 32 sits in
+    * the measured gap (15 → direct wins, 49 → prefix wins); both forms
+    * are bit-identical (ParamApiSpec), so the switch can never change a
+    * result — only which exact plan computes it. BASELINE.md r19
+    * "PairsScale ladder" has the grid.
+    */
+  private[graft] val DirectJaccardMaxBlowup: Double = 32.0
+
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // purge BEFORE computeIfAbsent (no mutation inside the mapping fn)
     purgeLabelCache(s => !s.sparkContext.isStopped)
     jaccardPairsCache.computeIfAbsent((spark, dir), _ => {
-      val p = neardupJaccardAt(Tables.t(spark, dir, "documents"),
-        threshold = 0.5).localCheckpoint(true)
+      val docs = Tables.t(spark, dir, "documents")
+      val blowup = shingleBlowup(docs)
+      val form = if (blowup > DirectJaccardMaxBlowup)
+        neardupJaccardPrefixAt(docs, threshold = 0.5)
+      else neardupJaccardAt(docs, threshold = 0.5)
+      val p = form.localCheckpoint(true)
       // two id Longs + inter Long + jaccard double + row overhead
       org.apache.spark.sql.graft.CheckpointStats
         .withMeasuredStats(p, p.count(), 40)

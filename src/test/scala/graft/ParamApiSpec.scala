@@ -105,6 +105,28 @@ class ParamApiSpec extends AnyFunSuite with SparkSessionFixture {
       "the planted identical pair must survive threshold 1.0")
   }
 
+  test("shingleBlowup: deterministic, and brackets the direct/prefix switch") {
+    // distinct-vocabulary corpus: every shingle df=1, blowup 0 — the
+    // session pair build must keep the direct join (fixture regime)
+    val distinct = docsDf((0L until 2000L).map(i => doc(i, s"u$i", 10)))
+    val bLow = TextOps.shingleBlowup(distinct)
+    assert(bLow == TextOps.shingleBlowup(distinct), "probe must be deterministic")
+    assert(bLow <= TextOps.DirectJaccardMaxBlowup,
+      s"distinct corpus must stay direct (blowup=$bLow)")
+    // boilerplate corpus: a 30-token suffix shared by every NON-duplicate
+    // doc — hot shingles with ~zero true pairs, the regime the PairsScale
+    // ladder measured 27x against the direct join; must cross to prefix
+    val boiler = (0 until 30).map(j => s"boil$j")
+    val hot = docsDf((0L until 2000L).map(i => doc(i, s"u$i", 10, boiler)))
+    val bHigh = TextOps.shingleBlowup(hot)
+    assert(bHigh > TextOps.DirectJaccardMaxBlowup,
+      s"boilerplate corpus must switch to prefix (blowup=$bHigh)")
+    // sf0.001 contract fixture sits on the direct side (pins that the
+    // contract rows' plan shape is unchanged by the switch)
+    assert(TextOps.shingleBlowup(Tables.t(spark, Sf0001, "documents"))
+      <= TextOps.DirectJaccardMaxBlowup)
+  }
+
   test("corpusReportOn: contract pin, config monotonicity, custom grouping") {
     val docs = Tables.t(spark, Sf0001, "documents")
     // the contract query IS the default instantiation
