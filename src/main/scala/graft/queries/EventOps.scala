@@ -502,7 +502,19 @@ object EventOps {
     * items over [range]" answer reads summaries, never raw events.
     */
   def writeDailySummaries(events: DataFrame, path: String,
-      m: Int = 64): Unit = {
+      m: Int = 64): Unit =
+    dailySummaryRows(events, m)
+      // dynamic overwrite: only the days present in THIS batch are
+      // replaced — a backfill rewrites its own day dirs and leaves the
+      // rest of the history untouched (replay-idempotent per day)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+
+  /** The (day, tok, est) rows [[writeDailySummaries]] persists, exposed
+    * so RollupProfile can time the aggregate against the noop sink
+    * separately from the parquet commit.
+    */
+  private[graft] def dailySummaryRows(events: DataFrame, m: Int): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     dailySummaries(events, new graft.functions.TopKFreq(m))
@@ -515,11 +527,6 @@ object EventOps {
       // commit each) — day-hash distribution writes them in parallel
       // (measured 2.6 s → ~1 s on the 30-day fixture)
       .repartition(col("day"))
-      // dynamic overwrite: only the days present in THIS batch are
-      // replaced — a backfill rewrites its own day dirs and leaves the
-      // rest of the history untouched (replay-idempotent per day)
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day").parquet(path)
   }
 
   /** Global top-k from PERSISTED day summaries ([[writeDailySummaries]]):
@@ -591,12 +598,18 @@ object EventOps {
     */
   def writeDailySketches(events: DataFrame, path: String,
       lgK: Int = 12): Unit =
+    dailySketchRows(events, lgK)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+
+  /** The (day, sk) rows [[writeDailySketches]] persists — see
+    * [[dailySummaryRows]].
+    */
+  private[graft] def dailySketchRows(events: DataFrame, lgK: Int): DataFrame =
     events
       .groupBy(utcDay(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
       .repartition(col("day"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day").parquet(path)
 
   /** Distinct-user estimate over stored day sketches
     * ([[writeDailySketches]]): union the (≤ days, KB-sized) sketches and
@@ -656,7 +669,7 @@ object EventOps {
     * local mode. A UUID leaf keeps concurrent invocations disjoint; the
     * caller deletes the leaf in `finally`.
     */
-  private[queries] def scratchDir(spark: SparkSession, prefix: String): String = {
+  private[graft] def scratchDir(spark: SparkSession, prefix: String): String = {
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
     val dir = s"$root/_scratch/$prefix-${java.util.UUID.randomUUID()}"
@@ -665,7 +678,7 @@ object EventOps {
     dir
   }
 
-  private[queries] def deleteRecursively(spark: SparkSession, dir: String): Unit = {
+  private[graft] def deleteRecursively(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
