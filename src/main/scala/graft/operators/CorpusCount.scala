@@ -43,10 +43,43 @@ object CorpusCount {
       _ => { builds += 1; Long.box(df.count()) }).longValue()
   }
 
-  private[graft] def size: Int = cache.size
+  private val dupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, LogicalPlan, String), (Long, Long)]()
+
+  /** Memo misses of [[dupStats]] — same role as [[builds]]. */
+  @volatile private[graft] var dupBuilds: Long = 0L
+
+  /** Session-memoized (rows, distinct values of `colName`) of a frame —
+    * ONE map-combinable aggregate job on miss. Feeds derived
+    * FORM switches (r19: [[graft.queries.VectorOps.dedupSimhashAt]]
+    * collapses identical hashes only when the corpus actually carries
+    * duplicate mass — both forms are bit-equal, so like [[of]] a stale
+    * entry can only ever skew a plan choice, never a result value).
+    * Priced by its own warmFamilies row, like [[of]].
+    */
+  def dupStats(df: DataFrame, colName: String): (Long, Long) = {
+    purge(s => !s.sparkContext.isStopped)
+    dupCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.logical.canonicalized, colName),
+      _ => {
+        dupBuilds += 1
+        val r = df.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.count_distinct(
+            org.apache.spark.sql.functions.col(colName))).head()
+        (r.getLong(0), r.getLong(1))
+      })
+  }
+
+  // dupCache entries count too: WarmRegistrySpec's one-entry-per-warm-row
+  // accounting reads this total
+  private[graft] def size: Int = cache.size + dupCache.size
 
   private[graft] def purge(alive: SparkSession => Boolean): Unit = {
     val it = cache.keySet.iterator()
     while (it.hasNext) if (!alive(it.next()._1)) it.remove()
+    val it2 = dupCache.keySet.iterator()
+    while (it2.hasNext) if (!alive(it2.next()._1)) it2.remove()
   }
 }

@@ -130,6 +130,14 @@ object VectorOps {
     "doc_corpus_count" -> (() => {
       graft.operators.CorpusCount.of(Tables.t(spark, dir, "documents"))
       ()
+    }),
+    // the collapse-vs-per-member form probe q_dedup_simhash pays at
+    // construction (one aggregate job per session per corpus —
+    // CorpusCount.dupStats, r19)
+    "doc_dup_stats" -> (() => {
+      graft.operators.CorpusCount.dupStats(
+        simhashSignatures(Tables.t(spark, dir, "documents")), "simhash")
+      ()
     }))
 
   private def memoPairs(spark: SparkSession, dir: String, kind: String)(
@@ -1594,6 +1602,17 @@ object VectorOps {
     * wider than 7 requires that route, because no derived banding is
     * exhaustive past d = 7.
     */
+  /** Identical-hash collapse pays ~2 extra group-grain exchanges of
+    * fixed overhead; it wins only when duplicate mass exists to collapse
+    * (members/distinct-hashes ratio — SimhashGrid r19 bracketing rungs:
+    * ratio 1 → per-member form ~0.4 s faster at the 5k fixture, ratio 2
+    * → even, ratio ≥ 4 → collapse 1.5-8× faster and growing as k²).
+    * Both forms are bit-identical in every regime (BandedCollapseSpec,
+    * all 32 combinations), so the switch can only change which plan
+    * computes the pairs, never a pair.
+    */
+  private[graft] val CollapseMinDupRatio: Double = 2.0
+
   def dedupSimhashAt(docs: DataFrame, maxHamming: Int = 6,
       maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
       : DataFrame = {
@@ -1602,10 +1621,21 @@ object VectorOps {
     graft.operators.BandedHamming.simhashBanding(0L, maxHamming, maxBucket)
     val (bands, probe) = graft.operators.BandedHamming.simhashBanding(
       graft.operators.CorpusCount.of(docs), maxHamming, maxBucket)
-    graft.operators.BandedHamming
-      .pairs(simhashSignatures(docs), "doc_id", "simhash",
-        bands = bands, maxHamming = maxHamming, maxBucket = maxBucket,
-        multiProbe = probe)
+    val sigs = simhashSignatures(docs)
+    // one memoized aggregate job per (session, corpus) — priced by the
+    // doc_dup_stats warm row, like the banding count above
+    val (rows, distinct) = graft.operators.CorpusCount.dupStats(sigs, "simhash")
+    val collapse = rows >= CollapseMinDupRatio * math.max(1L, distinct)
+    val form =
+      if (collapse) graft.operators.BandedHamming
+        .pairs(sigs, "doc_id", "simhash",
+          bands = bands, maxHamming = maxHamming, maxBucket = maxBucket,
+          multiProbe = probe)
+      else graft.operators.BandedHamming
+        .pairsReference(sigs, "doc_id", "simhash",
+          bands = bands, maxHamming = maxHamming, maxBucket = maxBucket,
+          multiProbe = probe)
+    form
       .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
