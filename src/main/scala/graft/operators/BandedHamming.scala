@@ -177,6 +177,24 @@ object BandedHamming {
     */
   def bucketedPairs(df: DataFrame, idCol: String, bucketCols: Seq[String],
       maxBucket: Int = DefaultMaxBucket,
+      rescueHot: Boolean = true): DataFrame =
+    bucketedPairRows(df, idCol, bucketCols, maxBucket, rescueHot).distinct()
+
+  /** [[bucketedPairs]] WITHOUT the cross-band dedup — the same (id1 <
+    * id2) pair rows, with a pair repeated once per band it collides in
+    * (plus its rescue edge when its bucket is over-cap). For a caller
+    * whose per-candidate verification is CHEAP relative to a shuffle
+    * (e.g. one codegen'd dot product), deduplicating after the verify
+    * filter is the same set at a fraction of the exchanged bytes: the
+    * distinct here is a full shuffle of every candidate pair, and a
+    * deterministic per-pair filter commutes with dedup
+    * (σ∘distinct = distinct∘σ). Measured on the r19 cosine-LSH warm
+    * build (2-bit bands keep ~89% of all pairs, verify keeps 4057 of
+    * 1.78M): the distinct exchanged 4.0M rows to save ~2.2M broadcast-
+    * join probes — see OPTIMIZATION_r19.md.
+    */
+  def bucketedPairRows(df: DataFrame, idCol: String, bucketCols: Seq[String],
+      maxBucket: Int = DefaultMaxBucket,
       rescueHot: Boolean = true): DataFrame = {
     val marked = markBuckets(
       df.select((col(idCol).as("__id") +: bucketCols.map(col)): _*),
@@ -186,9 +204,8 @@ object BandedHamming {
       .reduce(_ && _) && col("a.__id") < col("b.__id")
     val quad = d.as("a").join(d.as("b"), cond)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-    val all = if (rescueHot) quad.union(starEdges(marked, "__id", maxBucket))
+    if (rescueHot) quad.union(starEdges(marked, "__id", maxBucket))
     else quad
-    all.distinct()
   }
 
   /** Asymmetric probe form of [[bucketedPairs]] — the ANN-query shape:

@@ -1856,8 +1856,20 @@ object VectorOps {
       bands: Int, seed: Long = 42L,
       maxBucket: Int = graft.operators.BandedHamming.DefaultMaxBucket)
       : DataFrame = {
-    val cands = cosineLshCandidates(base, numPlanes, bands, seed, maxBucket)
-    verifyCosine(cands, base, base, threshold)
+    // dedup AFTER the exact-cosine filter, not before: at 2 bits/band
+    // the bands barely prune (sf0.1: 1.78M distinct candidates of 2.0M
+    // possible, 4 057 survivors), so `bucketedPairs`' cross-band
+    // distinct is a full shuffle of ~4M pair rows exchanged to save
+    // ~2.2M map-side broadcast-join dot products. The per-pair verify
+    // is deterministic, so filter∘distinct = distinct∘filter — same
+    // pair set, one Exchange fewer (guide §2.1/§2.2; A/B in
+    // OPTIMIZATION_r19.md).
+    val candRows = graft.operators.BandedHamming
+      .bucketedPairRows(bandedSignatures(base, numPlanes, bands, seed),
+        "vec_id", Seq("band", "bv"), maxBucket)
+      .select(col("id1").as("v1"), col("id2").as("v2"))
+    verifyCosine(candRows, base, base, threshold)
+      .distinct()
       .orderBy(col("v1"), col("v2"))
   }
 
@@ -1865,7 +1877,7 @@ object VectorOps {
     * two sides' (vec_id, embedding, n2) tables — candidate lists are
     * small wherever LSH pruned well, so AQE broadcasts them.
     */
-  private def verifyCosine(cands: DataFrame, baseL: DataFrame,
+  private[queries] def verifyCosine(cands: DataFrame, baseL: DataFrame,
       baseR: DataFrame, threshold: Double): DataFrame = {
     val lhs = baseL.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("n2").as("m1"))
     val rhs = baseR.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("n2").as("m2"))

@@ -130,6 +130,41 @@ class VectorOpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(recall >= 0.8, s"lsh near-dup recall $recall over ${exact.size} pairs")
   }
 
+  test("cosine-LSH dedup deferral: verify-then-distinct == distinct-then-verify") {
+    // r19: neardupCosineLshAt dedups AFTER the exact-cosine filter (one
+    // Exchange of candidate pairs removed — guide §2.1). Pin the
+    // commuted form against the r18 distinct-first reference, values
+    // included (the per-pair cos is deterministic, so the frames must
+    // match bit-for-bit as sets), across both band regimes.
+    val dot = org.apache.spark.sql.graft.VectorExpressions.dotProduct _
+    val base = Tables.t(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("n2"))
+    for ((planes, bands, t) <- Seq((16, 8, 0.35), (64, 4, 0.9))) {
+      // the r18 reference, reconstructed: distinct candidates first,
+      // then the exact-cosine verify (same expression as verifyCosine)
+      val lhs = base.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("n2").as("m1"))
+      val rhs = base.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("n2").as("m2"))
+      val cosRaw = dot(col("e1"), col("e2")) / (sqrt(col("m1")) * sqrt(col("m2")))
+      val reference = VectorOps.cosineLshCandidates(base, planes, bands)
+        .join(lhs, "v1").join(rhs, "v2")
+        .filter(cosRaw >= t)
+        .select(col("v1"), col("v2"), round(cosRaw, 6).as("cos"))
+      val got = VectorOps.neardupCosineLshAt(base, t, planes, bands)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("v1", "v2", "cos").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(canon(got) == canon(reference),
+        s"dedup-deferred pairs drifted at planes=$planes bands=$bands t=$t")
+      // only the contract regime is guaranteed pairs on the raw fixture
+      // (the 0.9 gate finds none without planted twins — equality above
+      // still exercises that plan shape end-to-end)
+      if (t == 0.35) assert(canon(got).nonEmpty)
+    }
+  }
+
   test("LSH ANN recalls >= 60% of brute-force top-5 neighbors, no UDF nodes") {
     val truth = VectorOps.knnBruteforce(spark, Sf0001)
       .select("q_id", "vec_id").collect()
