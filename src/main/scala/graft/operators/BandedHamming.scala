@@ -227,6 +227,22 @@ object BandedHamming {
   def probedPairs(probe: DataFrame, base: DataFrame, probeIdCol: String,
       baseIdCol: String, bucketCols: Seq[String],
       maxBucket: Int = DefaultMaxBucket,
+      rescueHot: Boolean = true): DataFrame =
+    probedPairRows(probe, base, probeIdCol, baseIdCol, bucketCols,
+      maxBucket, rescueHot).distinct()
+
+  /** [[probedPairs]] WITHOUT the cross-band dedup — the probe-side twin
+    * of [[bucketedPairRows]]: the same (probe id, base id) rows, one per
+    * band collision (plus rescue rows). At production scale the probe
+    * candidates are |batch| × collision-rate × |corpus| rows, so for a
+    * caller whose verification is one codegen'd expression the built-in
+    * distinct is the single largest exchange of the probe — defer it to
+    * the verified survivors (same set: a deterministic per-pair filter
+    * commutes with dedup).
+    */
+  def probedPairRows(probe: DataFrame, base: DataFrame, probeIdCol: String,
+      baseIdCol: String, bucketCols: Seq[String],
+      maxBucket: Int = DefaultMaxBucket,
       rescueHot: Boolean = true): DataFrame = {
     val p = probe.select((col(probeIdCol).as("__pid") +: bucketCols.map(col)): _*)
     val marked = markBuckets(
@@ -246,7 +262,7 @@ object BandedHamming {
       quad.union(p.as("a").join(reps.as("b"), cond)
         .select(col("a.__pid").as("id1"), col("b.__rep").as("id2")))
     } else quad
-    all.distinct()
+    all
   }
 
   /** Pairs (id1, id2, hamming ≤ maxHamming), id1 < id2, over

@@ -2023,15 +2023,19 @@ object VectorOps {
     val nbase = newVecs
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
     val nb = bandedSignatures(nbase, numPlanes, bands, seed)
+    // dedup AFTER the exact-cosine verify on both branches (r19, same
+    // commuted form as neardupCosineLshAt): the probe side's candidate
+    // volume is |batch| × collision-rate × |corpus| — the built-in
+    // distinct was its largest exchange, paid per ingest batch.
     val cross = graft.operators.BandedHamming
-      .probedPairs(nb, corpusBands, "vec_id", "vec_id", Seq("band", "bv"))
+      .probedPairRows(nb, corpusBands, "vec_id", "vec_id", Seq("band", "bv"))
       .select(col("id1").as("v1"), col("id2").as("v2"))
     val within = graft.operators.BandedHamming
-      .bucketedPairs(nb, "vec_id", Seq("band", "bv"))
+      .bucketedPairRows(nb, "vec_id", Seq("band", "bv"))
       .select(col("id1").as("v1"), col("id2").as("v2"))
-    verifyCosine(cross, nbase, corpusBase, threshold)
+    verifyCosine(cross, nbase, corpusBase, threshold).distinct()
       .withColumn("cross", lit(true))
-      .union(verifyCosine(within, nbase, nbase, threshold)
+      .union(verifyCosine(within, nbase, nbase, threshold).distinct()
         .withColumn("cross", lit(false)))
       .orderBy(col("v1"), col("v2"))
   }
@@ -2626,11 +2630,16 @@ object VectorOps {
     }
     val cbase = corpus.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2")).localCheckpoint(true)
+    // dedup after the verify (r19 commuted form): n_hits counts
+    // DISTINCT verified pairs, so the distinct lands on the (small)
+    // contaminated survivors instead of the corpus × eval-bucket
+    // candidate volume probedPairs would exchange.
     val cands = graft.operators.BandedHamming
-      .probedPairs(bandedSignatures(cbase, numPlanes, bands, seed),
+      .probedPairRows(bandedSignatures(cbase, numPlanes, bands, seed),
         comp("bands"), "vec_id", "vec_id", Seq("band", "bv"))
       .select(col("id1").as("v1"), col("id2").as("v2"))
     val hits = verifyCosine(cands, cbase, comp("vectors"), threshold)
+      .distinct()
       .groupBy(col("v1"))
       .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
     cbase.select(col("vec_id"))
