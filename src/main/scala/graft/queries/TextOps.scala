@@ -337,7 +337,17 @@ object TextOps {
     val e = shingleArrs(docs)
       .select(col("doc_id"), size(col("shingles")).cast(LongType).as("n"),
         explode(col("shingles")).as("s"))
-    e.as("a").join(e.as("b"),
+    // MERGE hint (§3.1): Catalyst estimates this side's size from the
+    // compressed parquet stats BELOW the explode, so the ~500-shingle
+    // fan-out lands the exploded corpus under the broadcast threshold
+    // and the driver single-threadedly builds a multi-million-row hash
+    // relation — the measured majority of the build (JpProfile: BHJ
+    // 2.9-4.7 s vs SMJ 0.9-3.1 s steady/cold at sf0.1). At corpus
+    // scale the estimate crosses the threshold and this join is SMJ
+    // anyway; the hint makes the small-scale plan the scale plan
+    // (AQE skew handling applies to SMJ, and a by-shingle exchange is
+    // the shape the prefix-form crossover was measured against).
+    e.as("a").hint("merge").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * (threshold - 5e-7) <=
             least(col("a.n"), col("b.n")) + 1)
@@ -591,7 +601,11 @@ object TextOps {
     */
   private def containmentPairsOf(e: DataFrame,
       threshold: Double): DataFrame = {
-    val und = e.as("a").join(e.as("b"),
+    // MERGE hint: same estimate-below-the-explode broadcast hazard as
+    // [[neardupJaccardAt]] (this is the other exploded self-join) —
+    // see the note there; q_neardup_containment carried the broadcast
+    // of its exploded shingle side in every r16-r18 plan dump.
+    val und = e.as("a").hint("merge").join(e.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
