@@ -275,8 +275,11 @@ object TextOps {
     * blowup; shingles hot enough to matter (df in the thousands) are
     * estimated tightly, and the small-df mass the estimator underweights
     * is exactly the mass that cannot hurt the direct join. Cost: one
-    * map-combinable aggregate over 1/64 of the shingle explode — ~0.15 s
-    * beside the fixture's 6 s pair build, amortized once per session.
+    * map-combinable aggregate over 1/64 of the shingle explode —
+    * measured ~0.5 s steady / 1.6-2.5 s in a cold session (JpProfile,
+    * r19 session 3; the cold excess is ngram-expression codegen the
+    * pair build reuses), amortized once per session beside the
+    * fixture's multi-second pair build.
     */
   private[graft] def shingleBlowup(docs: DataFrame): Double = {
     val sample = shingleRows(docs
